@@ -1,0 +1,116 @@
+package graft.plumba
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
+
+/** Whole-frame ordered fold/scan over a `DataFrame` — the Spark-native
+  * counterpart of the reference's `collect_fold`/`collect_scan`
+  * (reference: src/polars_numba/__init__.py:312–355, :682–740).
+  *
+  * Polars frames carry an intrinsic row order; Spark datasets do not, so
+  * every operator takes explicit ordering columns (SURVEY §7.4 — a
+  * deliberate, documented API deviation).
+  *
+  * Scale design (SURVEY §3.1–3.2):
+  *  - Kernels declaring a [[Kernel.Merge]] run as *partial folds per
+  *    partition* on executors, combined in partition order on the driver —
+  *    O(#partitions) driver work, fully parallel, no row ever crosses to
+  *    the driver. This is the 100 TB path.
+  *  - Non-mergeable kernels are inherently sequential (the reference's own
+  *    model: acc threads across 50k-row batches, :349). The parity path
+  *    streams partitions to the driver one at a time via
+  *    `toLocalIterator` — bounded memory, exactly the reference's
+  *    single-threaded streaming semantics. Prefer group-parallel
+  *    [[GroupOps]] at scale.
+  */
+object CollectOps {
+
+  /** Project, apply fold null policy (drop rows with nulls in the selected
+    * value columns ONLY — nulls in other columns never drop a row,
+    * reference tests/test_collect_fold.py:41–56), and globally sort. */
+  private def prepared(df: DataFrame, valueCols: Seq[String], orderCols: Seq[String]): DataFrame = {
+    require(valueCols.nonEmpty, "at least one folded column is required") // reference :272–273
+    df.select((orderCols ++ valueCols).distinct.map(col): _*)
+      .na.drop(valueCols)
+      .orderBy(orderCols.map(col): _*)
+      .select(valueCols.map(col): _*)
+  }
+
+  private[plumba] def rowValues(r: Row): IndexedSeq[Any] = {
+    val n = r.length
+    val a = new Array[Any](n)
+    var i = 0
+    while (i < n) { a(i) = r.get(i); i += 1 }
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(a)
+  }
+
+  /** Ordered whole-frame fold → scalar. */
+  def collectFold[A](df: DataFrame, valueCols: Seq[String], orderCols: Seq[String], k: Kernel.Fold[A]): A = {
+    val proj = prepared(df, valueCols, orderCols)
+    k.merge match {
+      case Some(m) =>
+        // Executor-side partial folds; global sort range-partitions rows so
+        // partition index order IS row order. Combine partials in that order.
+        val partials = proj.rdd
+          .mapPartitionsWithIndex { (idx, it) =>
+            val from = if (idx == 0) k.init else m.neutral
+            Iterator((idx, Kernel.foldRowsFrom(k, from, it.map(rowValues))))
+          }
+          .collect()
+          .sortBy(_._1)
+        if (partials.isEmpty) k.init
+        else partials.iterator.map(_._2).reduceLeft(m.combine)
+      case None =>
+        // Parity path: partitions stream to the driver in sorted order, one
+        // at a time (bounded memory), folded sequentially like the reference.
+        Kernel.foldRows(k, proj.toLocalIterator().asScala.map(rowValues))
+    }
+  }
+
+  /** Ordered whole-frame scan → DataFrame of (orderCols..., resultName).
+    *
+    * A generic (possibly non-associative) prefix scan is inherently
+    * sequential, so this runs as a single sorted partition — reference
+    * parity (the reference is single-threaded too, README.md:57–62). For
+    * associative scans use [[WindowOps]] (parallel window aggregation);
+    * for per-group scans use [[GroupOps.groupScan]] (parallel across
+    * groups). Null rows emit null and do not advance the accumulator. */
+  def collectScan[A](
+      df: DataFrame,
+      valueCols: Seq[String],
+      orderCols: Seq[String],
+      k: Kernel.Scan[A],
+      resultType: DataType,
+      resultName: String = "scan"): DataFrame = {
+    require(valueCols.nonEmpty, "at least one scanned column is required")
+    val selCols = (orderCols ++ valueCols).distinct
+    val sel = df.select(selCols.map(col): _*)
+    val ordIdx = orderCols.map(selCols.indexOf)
+    val valIdx = valueCols.map(selCols.indexOf)
+    val outSchema = StructType(
+      orderCols.map(c => sel.schema(selCols.indexOf(c))) :+
+        StructField(resultName, resultType, nullable = true))
+    val enc = Encoders.row(outSchema)
+    sel
+      .repartition(1)
+      .sortWithinPartitions(orderCols.map(col): _*)
+      .mapPartitions { it =>
+        var acc = k.init
+        it.map { r =>
+          val vs = IndexedSeq.tabulate(valIdx.length)(i => r.get(valIdx(i)))
+          val out =
+            if (Kernel.anyNull(vs)) null
+            else { acc = k.step(acc, k.withArgs(vs)); k.emit(acc) }
+          Row.fromSeq(ordIdx.map(r.get) :+ out)
+        }
+      }(enc)
+  }
+
+  private implicit class IterAsScala[T](it: java.util.Iterator[T]) {
+    def asScala: Iterator[T] = new Iterator[T] {
+      def hasNext: Boolean = it.hasNext
+      def next(): T = it.next()
+    }
+  }
+}
