@@ -1,0 +1,218 @@
+package graft.queries
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Host-relational surface (SURVEY §2.3): the relational environment the
+  * reference composes with, expressed as idiomatic declarative Spark so
+  * Catalyst gets pushdown/pruning/join-planning for free, plus classic
+  * analytic shapes for the benchmark. Dimension joins are explicitly
+  * broadcast (customer/nation/region/supplier are small at any sf);
+  * fact-fact joins shuffle on their keys and benefit from AQE.
+  *
+  * Oracle-parity rules: money aggregates go through decimal casts (exact,
+  * order-independent — see [[Tables.decSum]]), every query ends in a
+  * deterministic ORDER BY, and timestamp outputs are cast to DATE. */
+object RelationalQueries {
+  import Tables.{decSum, onePlus, revenueTerm, sqlDecSum, sqlOnePlus, sqlRevenueTerm, sqlToDouble2, toDouble2}
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val cutoff = Timestamp.valueOf("1998-06-30 00:00:00")
+
+  /** TPC-H Q1-shaped pricing summary. One scan, partial aggregation
+    * map-side, 6-group result — the canonical "does the agg push down"
+    * benchmark query. */
+  val q1PricingSummary: Q = (s, dir) => {
+    val li = Tables(s, dir, "lineitem")
+    li.filter(col("l_shipdate") <= lit(Timestamp.valueOf("1998-09-02 00:00:00")))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        decSum(col("l_extendedprice")).as("sum_base_price"),
+        toDouble2(sum(revenueTerm(col("l_extendedprice"), col("l_discount")))).as("sum_disc_price"),
+        toDouble2(sum(revenueTerm(col("l_extendedprice"), col("l_discount")) *
+          onePlus(col("l_tax")))).as("sum_charge"),
+        (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        (decSum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
+        (decSum(col("l_discount")) / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** TPC-H Q3-shaped shipping priority: two joins (broadcast the filtered
+    * customer dim, shuffle lineitem⋈orders), top-10 revenue. */
+  val q3TopOrders: Q = (s, dir) => {
+    val c = Tables(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables(s, dir, "orders").filter(col("o_orderdate") < lit(cutoff))
+    val li = Tables(s, dir, "lineitem").filter(col("l_shipdate") > lit(cutoff))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy("l_orderkey")
+      .agg(toDouble2(sum(revenueTerm(col("l_extendedprice"), col("l_discount")))).as("revenue"))
+      .orderBy(desc("revenue"), asc("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5-shaped local-supplier revenue: the full dimension chain
+    * (region→nation→customer/supplier) broadcast against the fact join. */
+  val q5RegionRevenue: Q = (s, dir) => {
+    val region = Tables(s, dir, "region")
+    val nation = Tables(s, dir, "nation")
+    val cust = Tables(s, dir, "customer")
+    val supp = Tables(s, dir, "supplier")
+    val orders = Tables(s, dir, "orders").filter(col("o_orderdate") < lit(cutoff))
+    val li = Tables(s, dir, "lineitem")
+    li.join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(toDouble2(sum(revenueTerm(col("l_extendedprice"), col("l_discount")))).as("revenue"))
+      .orderBy("n_name")
+  }
+
+  /** Top-k by value with deterministic tie-break — ORDER BY + LIMIT,
+    * which Spark executes as TakeOrderedAndProject (no global sort). */
+  val topkOrders: Q = (s, dir) =>
+    Tables(s, dir, "orders")
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      .select("o_orderkey", "o_totalprice")
+      .limit(100)
+
+  /** Group-by over the event stream: count/sum/min/max per type. */
+  val aggEventsByType: Q = (s, dir) =>
+    Tables(s, dir, "events")
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        decSum(col("value")).as("total"),
+        min(col("value")).as("lo"),
+        max(col("value")).as("hi"))
+      .orderBy("event_type")
+
+  /** Anti join: customers with no orders (NOT EXISTS). */
+  val customersWithoutOrders: Q = (s, dir) => {
+    val c = Tables(s, dir, "customer")
+    val o = Tables(s, dir, "orders")
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** Semi join + distinct: nations that have at least one customer. */
+  val nationsWithCustomers: Q = (s, dir) => {
+    val n = Tables(s, dir, "nation")
+    val c = Tables(s, dir, "customer")
+    n.join(c, col("n_nationkey") === col("c_nationkey"), "left_semi")
+      .select("n_nationkey", "n_name")
+      .distinct()
+      .orderBy("n_nationkey")
+  }
+
+  /** Ranking window: top-3 orders per customer by price. */
+  val rankOrdersPerCust: Q = (s, dir) => {
+    val o = Tables(s, dir, "orders")
+    val w = Window.partitionBy("o_custkey").orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    o.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .orderBy("o_custkey", "rn")
+      .select("o_custkey", "o_orderkey", "rn")
+  }
+
+  /** Set op: union-distinct of customer and supplier nation keys. */
+  val activeNationKeys: Q = (s, dir) => {
+    val c = Tables(s, dir, "customer").select(col("c_nationkey").cast("int").as("nationkey"))
+    val sup = Tables(s, dir, "supplier").select(col("s_nationkey").cast("int").as("nationkey"))
+    c.union(sup).distinct().orderBy("nationkey")
+  }
+
+  /** Grouping sets (rollup) over return flag / line status with exact sums. */
+  val rollupReturns: Q = (s, dir) =>
+    Tables(s, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("qty"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  val defs: Map[String, Q] = Map(
+    "q1_pricing_summary" -> q1PricingSummary,
+    "q3_top_orders" -> q3TopOrders,
+    "q5_region_revenue" -> q5RegionRevenue,
+    "topk_orders" -> topkOrders,
+    "agg_events_by_type" -> aggEventsByType,
+    "customers_without_orders" -> customersWithoutOrders,
+    "nations_with_customers" -> nationsWithCustomers,
+    "rank_orders_per_cust" -> rankOrdersPerCust,
+    "active_nation_keys" -> activeNationKeys,
+    "rollup_returns" -> rollupReturns
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  SUM(l_quantity) AS sum_qty,
+         |  ${sqlDecSum("l_extendedprice")} AS sum_base_price,
+         |  ${sqlToDouble2(s"SUM(${sqlRevenueTerm("l_extendedprice", "l_discount")})")} AS sum_disc_price,
+         |  ${sqlToDouble2(s"SUM(${sqlRevenueTerm("l_extendedprice", "l_discount")} * ${sqlOnePlus("l_tax")})")} AS sum_charge,
+         |  SUM(l_quantity) / COUNT(*) AS avg_qty,
+         |  ${sqlDecSum("l_extendedprice")} / COUNT(*) AS avg_price,
+         |  ${sqlDecSum("l_discount")} / COUNT(*) AS avg_disc,
+         |  COUNT(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_top_orders" ->
+      s"""SELECT l_orderkey,
+         |  ${sqlToDouble2(s"SUM(${sqlRevenueTerm("l_extendedprice", "l_discount")})")} AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1998-06-30 00:00:00'
+         |  AND l_shipdate > TIMESTAMP '1998-06-30 00:00:00'
+         |GROUP BY l_orderkey ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q5_region_revenue" ->
+      s"""SELECT n_name,
+         |  ${sqlToDouble2(s"SUM(${sqlRevenueTerm("l_extendedprice", "l_discount")})")} AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE o_orderdate < TIMESTAMP '1998-06-30 00:00:00'
+         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "topk_orders" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "agg_events_by_type" ->
+      s"""SELECT event_type, COUNT(*) AS n, ${sqlDecSum("value")} AS total,
+         |  MIN(value) AS lo, MAX(value) AS hi
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "customers_without_orders" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "nations_with_customers" ->
+      """SELECT DISTINCT n_nationkey, n_name FROM nation
+        |WHERE EXISTS (SELECT 1 FROM customer WHERE c_nationkey = n_nationkey)
+        |ORDER BY n_nationkey""".stripMargin,
+    "rank_orders_per_cust" ->
+      """SELECT o_custkey, o_orderkey, rn FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "active_nation_keys" ->
+      """SELECT CAST(nationkey AS INT) AS nationkey FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  UNION SELECT s_nationkey FROM supplier) ORDER BY nationkey""".stripMargin,
+    "rollup_returns" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n, SUM(l_quantity) AS qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+  )
+}
