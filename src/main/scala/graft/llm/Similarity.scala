@@ -1,0 +1,103 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two paths, per the scale contract:
+  *  - [[bruteForceTopK]]: exact cosine top-k. The (small) query set is
+  *    broadcast against the corpus — a map-side nested loop with no
+  *    corpus shuffle; cost O(|corpus|·|queries|·dim) spread across
+  *    executors, then a per-query top-k window over |corpus| candidate
+  *    rows. The baseline and the verifier for the approximate path.
+  *  - [[lshTopK]]: random-hyperplane LSH. Signatures are computed
+  *    scan-side from deterministic pseudo-random planes (xxhash64-derived
+  *    — no RNG state to ship); candidates are corpus rows whose signature
+  *    shares a prefix band with the query, re-ranked exactly. At 100 TB
+  *    the corpus is bucketed by band key (one shuffle, or pre-bucketed at
+  *    write time) and each query probes only its buckets — recall is
+  *    tunable via bands/bits, and the drop vs brute force is measured,
+  *    not assumed (see SimilaritySpec).
+  *
+  * All expressions are built-in HOFs (zip_with/aggregate/transform) —
+  * codegen'd, no UDFs.
+  */
+object Similarity {
+
+  /** Dot product of two equal-length float arrays, in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity; 0 for zero-norm vectors (never divides by 0). */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val n = norm(a) * norm(b)
+    when(n === 0.0, lit(0.0)).otherwise(d / n)
+  }
+
+  /** Exact cosine top-k: for each query vector, the k nearest corpus
+    * vectors (excluding itself). Deterministic tie-break on corpus id. */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 5): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val scored = c.join(broadcast(q), col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id"), cosine(col("qvec"), col("cvec")).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("corpus_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Deterministic pseudo-random hyperplane component in [-1, 1):
+    * derived from (plane, dim) via xxhash64 — identical on every
+    * executor with nothing to broadcast. */
+  private def planeComponent(plane: Column, dim: Column): Column =
+    (xxhash64(plane, dim).cast("double") / lit(Long.MaxValue.toDouble))
+
+  /** Sign bits of the vector against `nPlanes` hyperplanes, as a bit
+    * string column ("101..."). Prefix bands of this string are LSH
+    * bucket keys. */
+  def hyperplaneSignature(vec: Column, nPlanes: Int = 16): Column =
+    concat_ws("", (0 until nPlanes).map { p =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1), (x, i) => x.cast("double") * planeComponent(lit(p), i)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, lit("1")).otherwise(lit("0"))
+    }: _*)
+
+  /** LSH-bucketed approximate top-k: candidates share any of `bands`
+    * signature-prefix bands with the query; exact cosine re-rank inside
+    * the candidate set. */
+  def lshTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 5,
+      nPlanes: Int = 16,
+      bands: Int = 4): DataFrame = {
+    val bits = nPlanes / bands
+    def withBands(df: DataFrame, id: String, vec: String): DataFrame =
+      df.select(col(idCol).as(id), col(vecCol).as(vec))
+        .withColumn(s"${id}_sig", hyperplaneSignature(col(vec), nPlanes))
+        .select(col(id), col(vec),
+          explode(array((0 until bands).map(b =>
+            concat_ws(":", lit(b), substring(col(s"${id}_sig"), b * bits + 1, bits))): _*)).as(s"${id}_band"))
+    val c = withBands(corpus, "corpus_id", "cvec")
+    val q = withBands(queries, "query_id", "qvec")
+    val cands = c.join(broadcast(q), col("corpus_id_band") === col("query_id_band") &&
+        col("corpus_id") =!= col("query_id"))
+      .select("query_id", "qvec", "corpus_id", "cvec")
+      .distinct()
+    val scored = cands.select(col("query_id"), col("corpus_id"), cosine(col("qvec"), col("cvec")).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("corpus_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}

@@ -1,0 +1,84 @@
+package graft.llm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, quality scoring, language ID, fingerprinting.
+  *
+  * All operators are compositions of built-in (whole-stage-codegen'd)
+  * functions — no UDFs — so they stay inside Tungsten and scale linearly
+  * with executor count: every one is a narrow map over the documents
+  * table, no shuffle at all. Each has an exact DuckDB-SQL twin used as
+  * the correctness oracle (see [[graft.queries.LlmQueries]]).
+  */
+object TextAnalysis {
+
+  /** Whitespace token count: number of space-separated tokens. */
+  def tokenCountWs(text: Column): Column =
+    size(split(text, " +"))
+
+  /** BPE-ish token count: runs of letters, runs of digits, and single
+    * other non-space characters each count as one token (a common cheap
+    * proxy for subword tokenizer counts). */
+  def tokenCountBpeIsh(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+
+  /** Count of occurrences of a literal substring (no regex), via length
+    * difference — identical semantics in any engine. */
+  def substrCount(text: Column, literal: String): Column =
+    ((length(text) - length(replace(text, lit(literal), lit("")))) / literal.length).cast("int")
+
+  /** Ratio of punctuation characters to all characters. */
+  def punctRatio(text: Column): Column =
+    (size(regexp_extract_all(text, lit("[.,;:!?]"), lit(0))).cast("double") / length(text))
+
+  /** Ratio of stopword tokens to all tokens (English stopword sample). */
+  val defaultStopwords: Seq[String] = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is")
+
+  def stopwordRatio(text: Column, stopwords: Seq[String] = defaultStopwords): Column = {
+    val toks = split(lower(text), " +")
+    size(filter(toks, t => t.isInCollection(stopwords))).cast("double") / size(toks)
+  }
+
+  /** Cheap quality score in [0,1]: penalizes very short docs, very long
+    * mean token length, and high punctuation density. Deterministic
+    * arithmetic only. */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCountWs(text).cast("double")
+    val meanTokLen = length(text).cast("double") / nTok
+    val lenScore = least(nTok / lit(50.0), lit(1.0))
+    val tokScore = when(meanTokLen.between(3.0, 10.0), 1.0).otherwise(0.5)
+    val punctScore = greatest(lit(0.0), lit(1.0) - punctRatio(text) * 10.0)
+    round((lenScore * 0.4 + tokScore * 0.3 + punctScore * 0.3), 6)
+  }
+
+  /** Language-ID heuristic: per-language marker-word counts, argmax with
+    * a deterministic preference order on ties. The markers are common
+    * function words; on the synthetic corpus this is exercised as a
+    * deterministic function (the `lang` column is a synthetic label, not
+    * derivable from the text). */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " and ", " of "),
+    "es" -> Seq(" el ", " la ", " de "),
+    "de" -> Seq(" der ", " und ", " die "),
+    "fr" -> Seq(" le ", " et ", " les "),
+    "zh" -> Seq("的", "是", "了"))
+
+  def langScore(text: Column, markers: Seq[String]): Column =
+    markers.map(m => substrCount(text, m)).reduce(_ + _)
+
+  def langIdHeuristic(text: Column): Column = {
+    val padded = concat(lit(" "), lower(text), lit(" "))
+    // argmax by (score, fixed order): fold over languages keeping best
+    langMarkers.foldLeft((lit("und"), lit(-1).cast("int"))) { case ((bestLang, bestScore), (lang, markers)) =>
+      val s = langScore(padded, markers)
+      (when(s > bestScore, lit(lang)).otherwise(bestLang), when(s > bestScore, s).otherwise(bestScore))
+    }._1
+  }
+
+  /** Document fingerprints: md5 content hash (dedup key) and a 64-bit
+    * xxhash64 (cheap join key). */
+  def fingerprintMd5(text: Column): Column = md5(to_binary(lower(text), lit("utf-8")))
+  def fingerprint64(text: Column): Column = xxhash64(lower(text))
+}

@@ -1,0 +1,167 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** LLM-training-data pipeline queries over the documents/embeddings
+  * tables: text analysis, dedup (exact / MinHash / SimHash / n-gram
+  * Jaccard), similarity search (brute-force + LSH), multimodal plumbing.
+  *
+  * Oracle policy: operators whose semantics are engine-portable (string
+  * arithmetic, md5, counts) carry exact DuckDB SQL twins. Hash-family
+  * operators (xxhash64-based MinHash/SimHash signatures) and float-
+  * ranking operators are not portable SQL — they get rows-only checks
+  * here and differential ScalaTests (approx vs exact on planted
+  * duplicates) in LlmSpec. */
+object LlmQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Per-document stats: counts/ratios via engine-portable string math. */
+  val textStats: Q = (s, dir) => {
+    val d = Tables(s, dir, "documents")
+    d.select(
+      col("doc_id"),
+      length(col("text")).as("n_chars_text"),
+      TextAnalysis.tokenCountWs(col("text")).as("n_tokens"),
+      TextAnalysis.substrCount(col("text"), " ").as("n_spaces"),
+      TextAnalysis.substrCount(concat(lit(" "), lower(col("text")), lit(" ")), " the ").as("n_the"),
+      round(TextAnalysis.stopwordRatio(col("text")), 6).as("stopword_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** Quality scoring (length/punct/token-shape heuristic). */
+  val qualityScore: Q = (s, dir) =>
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
+      .orderBy("doc_id")
+
+  /** Language-ID heuristic (marker-word argmax — deterministic function
+    * of the text; the synthetic `lang` label is not text-derivable). */
+  val langId: Q = (s, dir) =>
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.langIdHeuristic(col("text")).as("lang_guess"))
+      .orderBy("doc_id")
+
+  /** Content fingerprints: md5 (dedup key). */
+  val docFingerprint: Q = (s, dir) =>
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.fingerprintMd5(col("text")).as("fp_md5"))
+      .orderBy("doc_id")
+
+  /** Exact dedup via content hash — at scale the shuffle carries only
+    * (hash, id), never the text. */
+  val dedupExact: Q = (s, dir) =>
+    Dedup.exactDedup(Tables(s, dir, "documents"), "doc_id", "text")
+      .orderBy("keep_id")
+      .select("keep_id", "content_hash", "dup_count")
+
+  /** MinHash+LSH near-dup candidate pairs (est. Jaccard >= 0.3). Hash
+    * family ⇒ rows-only check; recall/precision pinned in LlmSpec on
+    * planted duplicates. */
+  val dedupMinhash: Q = (s, dir) =>
+    Dedup.minHashPairs(Tables(s, dir, "documents"), "doc_id", "text", threshold = 0.3)
+      .orderBy("id_a", "id_b")
+
+  /** SimHash near-dup pairs (hamming <= 6 on 64-bit signatures — at 12
+    * the synthetic corpus's unrelated word-soup docs start colliding). */
+  val dedupSimhash: Q = (s, dir) =>
+    Dedup.simHashPairs(Tables(s, dir, "documents"), "doc_id", "text", maxHamming = 6)
+      .orderBy("id_a", "id_b")
+
+  /** Exact n-gram Jaccard verification of the MinHash candidates. */
+  val ngramJaccardPairs: Q = (s, dir) => {
+    val docs = Tables(s, dir, "documents")
+    Dedup.verifyJaccard(
+        Dedup.minHashPairs(docs, "doc_id", "text", threshold = 0.3), docs, "doc_id", "text")
+      .orderBy("id_a", "id_b")
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Exact cosine top-5 for the first 10 embedding vectors (brute force
+    * — the baseline the LSH path is measured against). Float ranking ⇒
+    * rows-only check + differential ScalaTest. */
+  val annBruteforce: Q = (s, dir) => {
+    val e = Tables(s, dir, "embeddings")
+    Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+      .orderBy("query_id", "rank")
+      .select("query_id", "corpus_id", "rank")
+  }
+
+  /** LSH-bucketed approximate top-5 for the same queries. */
+  val annLsh: Q = (s, dir) => {
+    val e = Tables(s, dir, "embeddings")
+    Similarity.lshTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+      .orderBy("query_id", "rank")
+      .select("query_id", "corpus_id", "rank")
+  }
+
+  /** Multimodal plumbing: documents' text bytes as a fake media payload
+    * (schema/partitioning/feature-extraction path is real; the codec is
+    * a deterministic stub). */
+  val mediaFeatures: Q = (s, dir) => {
+    val d = Tables(s, dir, "documents")
+    val media = d.select(
+      col("doc_id"),
+      Multimodal.mediaStruct(
+        to_binary(col("text"), lit("utf-8")), lit("application/octet-stream"),
+        lit(0), lit(0), lit(1)).as("media"))
+    val feats = Multimodal.extractFeatures(media, "doc_id", "media", dims = 4)
+    feats
+      .select(col("doc_id"),
+        round(element_at(col("features"), 1), 4).as("f0"),
+        round(element_at(col("features"), 2), 4).as("f1"))
+      .orderBy("doc_id")
+  }
+
+  /** Byte-level media stats (no decode): engine-portable ⇒ oracle. */
+  val mediaStats: Q = (s, dir) => {
+    val d = Tables(s, dir, "documents")
+    d.select(
+      col("doc_id"),
+      octet_length(to_binary(col("text"), lit("utf-8"))).as("n_bytes"),
+      md5(to_binary(col("text"), lit("utf-8"))).as("payload_md5"))
+      .orderBy("doc_id")
+  }
+
+  val defs: Map[String, Q] = Map(
+    "text_stats" -> textStats,
+    "quality_score" -> qualityScore,
+    "lang_id" -> langId,
+    "doc_fingerprint" -> docFingerprint,
+    "dedup_exact" -> dedupExact,
+    "dedup_minhash" -> dedupMinhash,
+    "dedup_simhash" -> dedupSimhash,
+    "ngram_jaccard_pairs" -> ngramJaccardPairs,
+    "ann_bruteforce" -> annBruteforce,
+    "ann_lsh" -> annLsh,
+    "media_features" -> mediaFeatures,
+    "media_stats" -> mediaStats
+  )
+
+  val oracles: Map[String, String] = Map(
+    "text_stats" ->
+      """SELECT doc_id,
+        |  length(text) AS n_chars_text,
+        |  len(regexp_split_to_array(text, ' +')) AS n_tokens,
+        |  CAST((length(text) - length(replace(text, ' ', ''))) AS INT) AS n_spaces,
+        |  CAST((length(' ' || lower(text) || ' ')
+        |      - length(replace(' ' || lower(text) || ' ', ' the ', ''))) / 5 AS INT) AS n_the,
+        |  round(CAST(len(list_filter(regexp_split_to_array(lower(text), ' +'),
+        |      t -> t IN ('the','a','an','and','or','of','to','in','is'))) AS DOUBLE)
+        |    / len(regexp_split_to_array(text, ' +')), 6) AS stopword_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "doc_fingerprint" ->
+      "SELECT doc_id, md5(lower(text)) AS fp_md5 FROM documents ORDER BY doc_id",
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, md5(lower(text)) AS content_hash,
+        |  count(*) AS dup_count
+        |FROM documents GROUP BY md5(lower(text)) ORDER BY keep_id""".stripMargin,
+    "media_stats" ->
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+        |  md5(text) AS payload_md5
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

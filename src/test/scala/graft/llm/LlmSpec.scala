@@ -1,0 +1,105 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Differential and planted-duplicate tests for the LLM-pipeline ops. */
+class LlmSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val docs = {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    Seq(
+      (1L, base),
+      (2L, base),                                            // exact dup of 1
+      (3L, base.replace("today", "tomorrow")),               // near dup of 1
+      (4L, "completely different content about spark catalyst optimizer rules and tungsten codegen"),
+      (5L, "another unrelated document mentioning parquet columnar storage formats and arrow")
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups identical content, keeps min id") {
+    val got = Dedup.exactDedup(docs, "doc_id", "text")
+      .collect().map(r => (r.getAs[Long]("keep_id"), r.getAs[Long]("dup_count"))).toSet
+    assert(got.contains((1L, 2L))) // docs 1+2 identical
+    assert(got.size == 4)         // 4 distinct contents
+  }
+
+  test("minhash finds planted near-dups and estimates track exact jaccard") {
+    val pairs = Dedup.minHashPairs(docs, "doc_id", "text", threshold = 0.3)
+      .collect().map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")), r.getAs[Double]("est_jaccard"))).toMap
+    assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) == 1.0, s"exact dup must have sig similarity 1.0: $pairs")
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)), s"near dup not found: $pairs")
+    assert(!pairs.keySet.exists { case (a, b) => Set(a, b).intersect(Set(4L, 5L)).nonEmpty && Set(a, b).intersect(Set(1L, 2L, 3L)).nonEmpty },
+      s"unrelated docs must not pair with the dup cluster: $pairs")
+    // estimate vs exact on the verified pairs
+    val verified = Dedup.verifyJaccard(
+        Dedup.minHashPairs(docs, "doc_id", "text", threshold = 0.3), docs, "doc_id", "text")
+      .collect().map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")), r.getAs[Double]("jaccard"))).toMap
+    verified.foreach { case (k, exact) =>
+      assert(math.abs(pairs(k) - exact) < 0.35, s"estimate ${pairs(k)} far from exact $exact for $k")
+    }
+  }
+
+  test("simhash: identical docs have distance 0, near-dups small, unrelated large") {
+    val sigs = docs.select($"doc_id", Dedup.simHash64($"text").as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(sigs(a) ^ sigs(b))
+    assert(ham(1L, 2L) == 0)
+    assert(ham(1L, 3L) <= 10, s"near-dup hamming ${ham(1L, 3L)}")
+    assert(ham(1L, 4L) > 10, s"unrelated hamming ${ham(1L, 4L)}")
+  }
+
+  private lazy val vecs = {
+    // deterministic unit-ish vectors in 8 dims: three clusters
+    def v(seed: Int): Seq[Float] = (0 until 8).map(i => (((seed * 31 + i * 17) % 13) - 6).toFloat)
+    Seq.tabulate(30)(i => (i.toLong, v(i % 3).map(x => x + (i / 3) * 0.01f))).toDF("vec_id", "embedding")
+  }
+
+  test("brute-force cosine top-k: self excluded, ranks deterministic, neighbors same-cluster") {
+    val got = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" < 3), "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("corpus_id"), r.getAs[Int]("rank")))
+    assert(got.length == 9)
+    assert(!got.exists { case (q, c, _) => q == c })
+    // cluster structure: query i's neighbors should be ids ≡ i (mod 3)
+    got.foreach { case (q, c, _) => assert(c % 3 == q % 3, s"query $q got cross-cluster neighbor $c") }
+  }
+
+  test("LSH top-k recall vs brute force") {
+    val bf = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" < 3), "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("corpus_id"))).toSet
+    val lsh = Similarity.lshTopK(vecs, vecs.filter($"vec_id" < 3), "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("corpus_id"))).toSet
+    val recall = bf.intersect(lsh).size.toDouble / bf.size
+    assert(recall >= 0.5, s"LSH recall $recall too low (bf=$bf lsh=$lsh)")
+  }
+
+  test("token counting and quality scoring are deterministic and sane") {
+    val r = docs.select(
+      TextAnalysis.tokenCountWs($"text").as("ws"),
+      TextAnalysis.tokenCountBpeIsh($"text").as("bpe"),
+      TextAnalysis.qualityScore($"text").as("q"),
+      TextAnalysis.langIdHeuristic($"text").as("lang")).collect()
+    val first = r.head
+    assert(first.getAs[Int]("ws") == 14)
+    assert(first.getAs[Int]("bpe") >= 14)
+    assert(first.getAs[Double]("q") > 0 && first.getAs[Double]("q") <= 1)
+    assert(first.getAs[String]("lang") == "en") // two " the " markers
+  }
+
+  test("multimodal: stub decode is deterministic and partition-count-independent") {
+    val media = docs.select($"doc_id", Multimodal.mediaStruct(
+      to_binary($"text", lit("utf-8")), lit("text/plain"), lit(0), lit(0), lit(1)).as("media"))
+    val f1 = Multimodal.extractFeatures(media.repartition(1), "doc_id", "media")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val f4 = Multimodal.extractFeatures(media.repartition(4), "doc_id", "media")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(f1 == f4)
+    assert(f1(1L) == f1(2L)) // identical payloads -> identical features
+    val frames = Multimodal.sampleFrames(media, "doc_id", "media", frameBytes = 16, stride = 2)
+    assert(frames.count() > 0)
+  }
+}
