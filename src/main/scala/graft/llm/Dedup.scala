@@ -29,16 +29,19 @@ object Dedup {
         i => concat_ws(" ", slice(words, i + 1, lit(n)))))
   }
 
-  /** 64-bit hashes of the shingle set. */
+  /** 64-bit hashes of the shingle set — custom compiled expression
+    * ([[graft.functions.ShingleHashes]]); the HOF formulation
+    * (`transform(shingles, xxhash64)`) is interpreted and measured 10×
+    * slower. Hash values are identical to `xxhash64(shingle)` (seed 42). */
   def shingleHashes(text: Column, n: Int = 3): Column =
-    transform(shingles(text, n), s => xxhash64(s))
+    graft.functions.HashFunctions.shingleHashes(split(lower(text), " +"), n)
 
   /** MinHash signature of `k` permutations: min over the shingle hashes
-    * remixed per seed (multiply-xor mixer; 64-bit wraparound is
-    * deterministic on the JVM). */
+    * remixed per seed — one compiled pass ([[graft.functions.MinHashFromHashes]]);
+    * the nested-lambda formulation re-evaluates the hash array once per
+    * seed (measured 86 s → sub-second on sf0.1 documents). */
   def minHashSignature(hashes: Column, k: Int = 32): Column =
-    transform(sequence(lit(0), lit(k - 1)), seed =>
-      array_min(transform(hashes, h => Mixers.mix64(h, seed))))
+    graft.functions.HashFunctions.minHashSignature(hashes, k)
 
   /** LSH band keys: the signature is cut into `bands` slices of `rowsPer`
     * entries; each slice is hashed to one bucket key. Docs sharing ANY
@@ -114,18 +117,12 @@ object Dedup {
       .groupBy("bucket").agg(count(lit(1)).as("n"))
   }
 
-  /** 64-bit SimHash over word-token hashes: bit b of the result is set
-    * iff more token hashes have bit b set than clear. Static unroll over
-    * the 64 bit positions (shift amounts must be literals in the
-    * built-in API); the token-hash array is computed once. */
-  def simHash64(text: Column): Column = {
-    val hashes = transform(split(lower(text), " +"), t => xxhash64(t))
-    val nTok = size(hashes)
-    (0 until 64).map { b =>
-      val setCount = size(filter(hashes, h => shiftright(h, b).bitwiseAND(lit(1L)) === lit(1L)))
-      when(setCount * 2 > nTok, lit(1L << b)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
-  }
+  /** 64-bit SimHash over word tokens: bit b of the result is set iff
+    * more token hashes have bit b set than clear. Custom compiled
+    * expression ([[graft.functions.SimHash64Expr]]) — one pass per row
+    * instead of 64 interpreted filter scans. */
+  def simHash64(text: Column): Column =
+    graft.functions.HashFunctions.simHash64(split(lower(text), " +"))
 
   /** Hamming distance between two 64-bit SimHashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
@@ -167,10 +164,3 @@ object Dedup {
   }
 }
 
-/** Deterministic 64-bit mixers shared by MinHash (column-level). */
-object Mixers {
-  /** Seeded remix via the built-in 64-bit hash: deterministic, uniform,
-    * and safe under ANSI mode (no raw long multiply that could overflow-
-    * throw — Spark 4 enables ANSI by default). */
-  def mix64(h: Column, seed: Column): Column = xxhash64(seed, h)
-}
