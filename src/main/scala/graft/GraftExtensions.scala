@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+import graft.functions.{MinHashFromHashes, ShingleHashes, SimHash64Expr}
+
+/** `SparkSessionExtensions` installer: registers the graft custom
+  * expressions as SQL functions, so `spark.sql("SELECT
+  * simhash64(split(lower(text), ' ')) ...")` works next to the Scala API.
+  *
+  * Usage: `SparkSession.builder().withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import GraftExtensions.builders
+
+  override def apply(ext: SparkSessionExtensions): Unit =
+    builders.foreach { case (name, builder) =>
+      ext.injectFunction((
+        new FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, name),
+        builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def intArg(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(s"$what must be an integer literal, got $other")
+  }
+
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "shingle_hashes" -> ((args: Seq[Expression]) => ShingleHashes(args.head,
+      if (args.length > 1) intArg(args(1), "shingle width n") else 3)),
+    "minhash_signature" -> ((args: Seq[Expression]) => MinHashFromHashes(args.head,
+      if (args.length > 1) intArg(args(1), "signature size k") else 32)),
+    "simhash64" -> ((args: Seq[Expression]) => SimHash64Expr(args.head)))
+
+  /** Register the same functions as session-scoped temp functions on an
+    * already-running session (no extensions hook needed). */
+  def registerTemp(spark: org.apache.spark.sql.SparkSession): Unit =
+    builders.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+}

@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.plumba.Kernel
+import graft.plumba.syntax._
+import org.apache.spark.sql.types.DoubleType
+
+/** Streaming per-group scan == batch groupScan on the same data (single
+  * micro-batch), and state carries across micro-batches. */
+class StreamingScanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val balance = Kernel.Scan[Double](0.0, (acc, args) => {
+    val x = args(0).asInstanceOf[Double]
+    if (acc + x <= 1000.0) acc + x else acc
+  })
+
+  test("stream (one micro-batch) matches batch groupScan on events") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dir = TestSpark.sfDir
+    val batchDf = spark.read.parquet(s"$dir/events.parquet")
+    // the streaming file source wants a directory
+    val streamDir = java.nio.file.Files.createTempDirectory("stream-events")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"), streamDir.resolve("events.parquet"))
+    val streamDf = spark.readStream.schema(batchDf.schema).parquet(streamDir.toString)
+
+    val q = StreamingScan.groupScanStream(streamDf, "user_id", "event_id", "value", balance)
+      .toDF("user_id", "event_id", "balance")
+      .writeStream.outputMode("append").format("memory").queryName("scan_out").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("scan_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Any](2)).toMap
+    val batch = batchDf
+      .groupScan(Seq("user_id"), Seq("value"), Seq("event_id"), balance, DoubleType, "balance")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Any](2)).toMap
+    assert(streamed.size == batch.size)
+    assert(streamed == batch)
+  }
+
+  test("state threads across micro-batches") {
+    val dir = java.nio.file.Files.createTempDirectory("stream-in").toString
+    def write(batch: Seq[(Long, Long, Double)], name: String): Unit =
+      batch.toDF("user_id", "event_id", "value").coalesce(1)
+        .write.mode("append").parquet(dir)
+    write(Seq((1L, 1L, 900.0), (1L, 2L, 200.0)), "b1") // 900, then reject (1100>1000)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = StreamingScan.groupScanStream(stream, "user_id", "event_id", "value", balance)
+      .toDF("user_id", "event_id", "balance")
+      .writeStream.outputMode("append").format("memory").queryName("scan_out2").start()
+    try {
+      q.processAllAvailable()
+      write(Seq((1L, 3L, 50.0)), "b2") // second batch: 900 + 50 = 950
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("scan_out2").orderBy("event_id")
+      .collect().map(_.getAs[Double]("balance")).toSeq
+    assert(got == Seq(900.0, 900.0, 950.0))
+  }
+}
