@@ -164,7 +164,36 @@ object ReferenceQueries {
     s.range(1).select(lit(bal).cast("double").as("balance"), lit(units).cast("double").as("units"))
   }
 
+  /** Multi-state scan (the reference's tuple-accumulator cum_sum,
+    * tests/test_collect_scan.py:190–208) in associative form: two
+    * running sums in one pass, decimal-exact. */
+  val scanMultiState: Q = (s, dir) => {
+    val li = Tables(s, dir, "lineitem")
+    val w = WindowOps.running(Window.orderBy(col("l_orderkey"), col("l_linenumber")))
+    li.withColumn("qty_run", sum(col("l_quantity")).over(w))
+      .withColumn("price_run", sum(col("l_extendedprice").cast("decimal(18,6)")).over(w).cast("double"))
+      .orderBy("l_orderkey", "l_linenumber")
+      .select("l_orderkey", "l_linenumber", "qty_run", "price_run")
+  }
+
+  /** Scan under agg returning a list per group — the reference's
+    * per-group scan-list shape (examples_scan.py:79–82): per-user
+    * trajectory of running sums as an array column, order-restored. */
+  val groupScanListCumsum: Q = (s, dir) => {
+    val ev = Tables(s, dir, "events")
+    val w = WindowOps.running(Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id")))
+    val rs = sum(col("value").cast("decimal(18,6)")).over(w).cast("double")
+    ev.withColumn("rs", rs)
+      .groupBy("user_id")
+      .agg(transform(
+        sort_array(collect_list(struct(col("ts"), col("event_id"), col("rs")))),
+        x => x.getField("rs")).as("traj"))
+      .orderBy("user_id")
+  }
+
   val defs: Map[String, Q] = Map(
+    "scan_multi_state" -> scanMultiState,
+    "group_scan_list_cumsum" -> groupScanListCumsum,
     "scan_running_max" -> scanRunningMax,
     "scan_cumsum_value" -> scanCumsumValue,
     "group_scan_cummax_per_cust" -> groupScanCummaxPerCust,
@@ -195,6 +224,20 @@ object ReferenceQueries {
       |SELECT user_id, acc AS balance FROM r WHERE i = len(vals) + 1 ORDER BY user_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "scan_multi_state" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  SUM(l_quantity) OVER w AS qty_run,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) OVER w AS DOUBLE) AS price_run
+        |FROM lineitem
+        |WINDOW w AS (ORDER BY l_orderkey, l_linenumber ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "group_scan_list_cumsum" ->
+      """SELECT user_id, list(rs ORDER BY ts, event_id) AS traj FROM (
+        |  SELECT user_id, ts, event_id,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS rs
+        |  FROM events)
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
     "scan_running_max" ->
       """SELECT o_orderkey,
         |  MAX(o_totalprice) OVER (ORDER BY o_orderdate, o_orderkey
