@@ -72,6 +72,34 @@ object Similarity {
       when(proj >= 0, lit("1")).otherwise(lit("0"))
     }: _*)
 
+  /** Embedding-cosine near-duplicate pairs: corpus self-join restricted
+    * to shared LSH bands (candidates only — never n²), verified with
+    * exact cosine ≥ threshold. The embedding-space sibling of
+    * [[Dedup.minHashPairs]]; at 100 TB the corpus is bucketed once by
+    * band key and pairs form inside buckets. */
+  def cosineNearDupPairs(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double = 0.95,
+      nPlanes: Int = 16,
+      bands: Int = 4): DataFrame = {
+    val bits = nPlanes / bands
+    val banded = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("sig", hyperplaneSignature(col("vec"), nPlanes))
+      .select(col("id"), col("vec"),
+        explode(array((0 until bands).map(b =>
+          concat_ws(":", lit(b), substring(col("sig"), b * bits + 1, bits))): _*)).as("band"))
+    val a = banded.toDF("id_a", "vec_a", "band")
+    val b = banded.toDF("id_b", "vec_b", "band")
+    a.join(b, Seq("band"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), cosine(col("vec_a"), col("vec_b")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .groupBy("id_a", "id_b")
+      .agg(max("cos").as("cos"))
+  }
+
   /** LSH-bucketed approximate top-k: candidates share any of `bands`
     * signature-prefix bands with the query; exact cosine re-rank inside
     * the candidate set. */

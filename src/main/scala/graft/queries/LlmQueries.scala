@@ -98,6 +98,17 @@ object LlmQueries {
       .select("query_id", "corpus_id", "rank")
   }
 
+  /** Embedding-cosine near-dup pairs (LSH candidates + exact verify).
+    * Threshold 0.4 — the synthetic embeddings are near-orthogonal (max
+    * pairwise cosine ≈ 0.51), so 0.4 surfaces the genuine nearest pairs;
+    * a production dedup would use ≥0.9. Float compare ⇒ rows-only. */
+  val dedupEmbedding: Q = (s, dir) => {
+    val e = Tables(s, dir, "embeddings")
+    Similarity.cosineNearDupPairs(e, "vec_id", "embedding", threshold = 0.4)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** Multimodal plumbing: documents' text bytes as a fake media payload
     * (schema/partitioning/feature-extraction path is real; the codec is
     * a deterministic stub). */
@@ -137,6 +148,7 @@ object LlmQueries {
     "ngram_jaccard_pairs" -> ngramJaccardPairs,
     "ann_bruteforce" -> annBruteforce,
     "ann_lsh" -> annLsh,
+    "dedup_embedding" -> dedupEmbedding,
     "media_features" -> mediaFeatures,
     "media_stats" -> mediaStats
   )
