@@ -26,18 +26,19 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two equal-length float arrays, in double. */
+  /** Dot product of two equal-length float arrays, in double (HOF form —
+    * fine for one-off use; hot paths use the compiled cosine below). */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (acc, x) => acc + x)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity; 0 for zero-norm vectors (never divides by 0). */
-  def cosine(a: Column, b: Column): Column = {
-    val d = dot(a, b)
-    val n = norm(a) * norm(b)
-    when(n === 0.0, lit(0.0)).otherwise(d / n)
-  }
+  /** Cosine similarity; 0 for zero-norm vectors. Compiled expression
+    * ([[graft.functions.CosineSimExpr]]) — the interpreted HOF form was
+    * the dominant cost of candidate verification (measured 18 s →
+    * sub-second on sf0.1 embedding dedup). */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.cosineSim(a, b)
 
   /** Exact cosine top-k: for each query vector, the k nearest corpus
     * vectors (excluding itself). Deterministic tie-break on corpus id. */
@@ -55,22 +56,12 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
-  /** Deterministic pseudo-random hyperplane component in [-1, 1):
-    * derived from (plane, dim) via xxhash64 — identical on every
-    * executor with nothing to broadcast. */
-  private def planeComponent(plane: Column, dim: Column): Column =
-    (xxhash64(plane, dim).cast("double") / lit(Long.MaxValue.toDouble))
-
-  /** Sign bits of the vector against `nPlanes` hyperplanes, as a bit
-    * string column ("101..."). Prefix bands of this string are LSH
-    * bucket keys. */
+  /** Sign bits of the vector against `nPlanes` deterministic pseudo-
+    * random hyperplanes, as a bit string column ("101..."). Prefix bands
+    * of this string are LSH bucket keys. Compiled expression
+    * ([[graft.functions.HyperplaneSigExpr]]). */
   def hyperplaneSignature(vec: Column, nPlanes: Int = 16): Column =
-    concat_ws("", (0 until nPlanes).map { p =>
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1), (x, i) => x.cast("double") * planeComponent(lit(p), i)),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0, lit("1")).otherwise(lit("0"))
-    }: _*)
+    graft.functions.VectorFunctions.hyperplaneSignature(vec, nPlanes)
 
   /** Embedding-cosine near-duplicate pairs: corpus self-join restricted
     * to shared LSH bands (candidates only — never n²), verified with
