@@ -1,6 +1,6 @@
 package graft.plumba
 
-import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 
@@ -16,8 +16,8 @@ import org.apache.spark.sql.types._
   * group-change detection — so a group never has to fit in memory and no
   * per-group shuffle or `collect_list` buffer is built. At 100 TB this is
   * one hash shuffle on the group keys followed by pipelined, spill-aware
-  * sorting; skewed groups are the only hotspot (inherent: order within a
-  * group cannot be split for non-mergeable kernels).
+  * sorting; for skewed groups with mergeable kernels use
+  * [[groupFoldMergeable]] (range-salted partials).
   */
 object GroupOps {
 
@@ -64,6 +64,106 @@ object GroupOps {
       }(enc)
   }
 
+  /** Skew-resistant per-group fold for kernels with a lawful
+    * [[Kernel.Merge]]: the ordering domain is cut into `buckets`
+    * contiguous ranges (boundaries from one `approxQuantile` sample
+    * pass), each (group, range) folds a partial in parallel, and per
+    * group the partials merge in range order. A hot group's work spreads
+    * over up to `buckets` tasks instead of one — the salting strategy
+    * for ordered folds at scale, lawful only because the kernel declared
+    * mergeability (never applied silently to sequential kernels).
+    *
+    * Correctness of the range salt: buckets are intervals of the leading
+    * ordering column, so within any group a bucket holds a contiguous
+    * run of that group's ordered rows, and rows with equal leading-order
+    * values (tie classes) land in one bucket together. Boundary
+    * *accuracy* only affects balance, never correctness. The leading
+    * ordering column must be numeric (quantile-sampleable). Partial
+    * accumulators travel as java-serialized bytes (small: one per
+    * (group, range)). */
+  def groupFoldMergeable[A](
+      df: DataFrame,
+      keyCols: Seq[String],
+      valueCols: Seq[String],
+      orderCols: Seq[String],
+      k: Kernel.Fold[A],
+      resultType: DataType,
+      resultName: String = "fold",
+      buckets: Int = 16,
+      emit: A => Any = (a: A) => a: Any): DataFrame = {
+    val m = k.merge.getOrElse(throw new IllegalArgumentException(
+      "groupFoldMergeable requires a kernel with a declared Merge law; use groupFold for sequential kernels"))
+    require(keyCols.nonEmpty && valueCols.nonEmpty && orderCols.nonEmpty)
+    import org.apache.spark.sql.functions.{lit, when}
+    val boundaries = df.stat
+      .approxQuantile(orderCols.head, (1 until buckets).map(_.toDouble / buckets).toArray, 0.01)
+      .distinct.sorted
+    val ordD = col(orderCols.head).cast("double")
+    val bucketCol = boundaries.zipWithIndex.foldRight(lit(boundaries.length): Column) {
+      case ((b, i), rest) => when(ordD < b, i).otherwise(rest)
+    }
+    val selCols = (keyCols ++ orderCols ++ valueCols).distinct
+    val keyIdx = keyCols.map(selCols.indexOf)
+    val valIdx = valueCols.map(selCols.indexOf)
+    val bIdx = selCols.length // __bucket is appended after selCols
+    val partialSchema = StructType(
+      keyCols.map(c => df.schema(c)) ++
+        Seq(StructField("__bucket", IntegerType), StructField("__acc", BinaryType)))
+
+    def ser(a: A): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val oos = new java.io.ObjectOutputStream(bos)
+      oos.writeObject(a); oos.close(); bos.toByteArray
+    }
+    def deser(b: Array[Byte]): A = {
+      val ois = new java.io.ObjectInputStream(new java.io.ByteArrayInputStream(b))
+      val r = ois.readObject().asInstanceOf[A]; ois.close(); r
+    }
+
+    val partials = df.select(selCols.map(col): _*)
+      .withColumn("__bucket", bucketCol)
+      .repartition((keyCols :+ "__bucket").map(col): _*)
+      .sortWithinPartitions((keyCols ++ Seq("__bucket") ++ orderCols).map(col): _*)
+      .mapPartitions { it =>
+        new Iterator[Row] {
+          private val buf = it.buffered
+          def hasNext: Boolean = buf.hasNext
+          def next(): Row = {
+            val groupKey = keyIdx.map(buf.head.get) :+ buf.head.get(bIdx)
+            var acc = m.neutral
+            while (buf.hasNext && (keyIdx.map(buf.head.get) :+ buf.head.get(bIdx)) == groupKey) {
+              val r = buf.next()
+              val vs = IndexedSeq.tabulate(valIdx.length)(i => r.get(valIdx(i)))
+              if (!Kernel.anyNull(vs)) acc = k.step(acc, k.withArgs(vs))
+            }
+            Row.fromSeq(groupKey :+ ser(acc))
+          }
+        }
+      }(Encoders.row(partialSchema))
+
+    val outSchema = StructType(
+      keyCols.map(c => df.schema(c)) :+ StructField(resultName, resultType, nullable = true))
+    partials
+      .repartition(keyCols.map(col): _*)
+      .sortWithinPartitions((keyCols :+ "__bucket").map(col): _*)
+      .mapPartitions { it =>
+        new Iterator[Row] {
+          private val buf = it.buffered
+          private val nKeys = keyCols.length
+          def hasNext: Boolean = buf.hasNext
+          def next(): Row = {
+            val key = (0 until nKeys).map(buf.head.get)
+            var acc = m.neutral
+            while (buf.hasNext && (0 until nKeys).map(buf.head.get) == key) {
+              val r = buf.next()
+              acc = m.combine(acc, deser(r.getAs[Array[Byte]](nKeys + 1)))
+            }
+            Row.fromSeq(key :+ emit(m.combine(k.init, acc)))
+          }
+        }
+      }(Encoders.row(outSchema))
+  }
+
   /** Per-group ordered scan → one row per input row:
     * (keyCols..., orderCols..., resultName). Scan null policy: a null row
     * emits null and does not advance that group's accumulator. */
@@ -80,13 +180,12 @@ object GroupOps {
     val selCols = (keyCols ++ orderCols ++ valueCols).distinct
     val sel = df.select(selCols.map(col): _*)
     val keyIdx = keyCols.map(selCols.indexOf)
-    val ordIdx = orderCols.map(selCols.indexOf)
     val valIdx = valueCols.map(selCols.indexOf)
+    val outOrdIdx = orderCols.filterNot(keyCols.contains).map(selCols.indexOf)
     val outSchema = StructType(
       keyCols.map(c => sel.schema(selCols.indexOf(c))) ++
         orderCols.filterNot(keyCols.contains).map(c => sel.schema(selCols.indexOf(c))) :+
         StructField(resultName, resultType, nullable = true))
-    val outOrdIdx = orderCols.filterNot(keyCols.contains).map(selCols.indexOf)
     val enc = Encoders.row(outSchema)
     sel
       .repartition(keyCols.map(col): _*)
