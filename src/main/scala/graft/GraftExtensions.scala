@@ -16,13 +16,16 @@ import graft.functions.{MinHashFromHashes, ShingleHashes, SimHash64Expr}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import GraftExtensions.builders
 
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     builders.foreach { case (name, builder) =>
       ext.injectFunction((
         new FunctionIdentifier(name),
         new ExpressionInfo(classOf[GraftExtensions].getName, name),
         builder))
     }
+    // pure-win rewrite: sum-shaped foldCol -> native Sum (SURVEY §7.3(b))
+    ext.injectOptimizerRule(_ => graft.plans.FoldToNativeAgg)
+  }
 }
 
 object GraftExtensions {

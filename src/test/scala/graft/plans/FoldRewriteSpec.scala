@@ -1,0 +1,79 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.plumba.ExprOps
+
+class FoldRewriteSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def df = Seq(
+    ("a", 1, 10.0), ("a", 2, 20.0), ("a", 3, 30.0),
+    ("b", 1, 5.0), ("b", 2, 7.5)
+  ).toDF("k", "ord", "v")
+
+  private def sumFold = ExprOps.foldCol(
+    Seq(col("ord")), Seq(col("v")), lit(100.0),
+    (acc, x) => acc + x.getField(ExprOps.v(0)))
+
+  private def balanceFold = ExprOps.foldCol(
+    Seq(col("ord")), Seq(col("v")), lit(0.0),
+    (acc, x) => when(acc + x.getField(ExprOps.v(0)) <= 25.0,
+      acc + x.getField(ExprOps.v(0))).otherwise(acc))
+
+  private def withRule[T](f: => T): T = {
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ FoldToNativeAgg
+    try f
+    finally spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_ == FoldToNativeAgg)
+  }
+
+  test("sum-shaped foldCol is rewritten to a native Sum (collect_list gone)") {
+    withRule {
+      val q = df.groupBy("k").agg(sumFold.as("f"))
+      val optimized = q.queryExecution.optimizedPlan.toString
+      assert(!optimized.contains("collect_list"), optimized)
+      assert(optimized.contains("sum("), optimized)
+      val got = q.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(got == Map("a" -> 160.0, "b" -> 112.5))
+    }
+  }
+
+  test("rewritten plan result == unrewritten result") {
+    val base = df.groupBy("k").agg(sumFold.as("f"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val opt = withRule {
+      df.groupBy("k").agg(sumFold.as("f"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    }
+    assert(base == opt)
+  }
+
+  test("conditional (non-associative) foldCol is NOT rewritten") {
+    withRule {
+      val q = df.groupBy("k").agg(balanceFold.as("f"))
+      val optimized = q.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("collect_list"), optimized)
+      // and still computes the ordered balance correctly: a: 10 then
+      // reject 20 (30>25), reject 30 -> 10; b: 5 then reject 7.5? 12.5<=25 ok -> 12.5
+      val got = q.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(got == Map("a" -> 10.0, "b" -> 12.5))
+    }
+  }
+
+  test("empty-group behavior preserved: sum-rewrite yields zero via coalesce") {
+    withRule {
+      // all values null in the fold columns -> collect_list drops all ->
+      // fold over nothing = init; rewritten: init + coalesce(sum, 0)
+      val nulls = Seq(("a", 1, null.asInstanceOf[java.lang.Double]))
+        .toDF("k", "ord", "v")
+      val q = nulls.groupBy("k").agg(sumFold.as("f"))
+      val got = q.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(got == Map("a" -> 100.0))
+    }
+  }
+}
