@@ -63,6 +63,47 @@ object Similarity {
   def hyperplaneSignature(vec: Column, nPlanes: Int = 16): Column =
     graft.functions.VectorFunctions.hyperplaneSignature(vec, nPlanes)
 
+  /** IVF-style approximate top-k: a coarse quantizer (deterministically
+    * sampled corpus vectors as centroids) partitions the corpus into
+    * `nCells` inverted lists; a query scores only the lists of its
+    * `nProbe` nearest centroids, then exact cosine re-ranks inside them.
+    *
+    * Scale shape: centroid assignment is a broadcast nested loop (the
+    * centroid set is tiny), the corpus is shuffled ONCE by cell id (or
+    * pre-bucketed at write time), and each query touches nProbe/nCells
+    * of the data — the standard recall/fan-out dial. */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 5,
+      nCells: Int = 16,
+      nProbe: Int = 4): DataFrame = {
+    val spark = corpus.sparkSession
+    // deterministic centroids: the nCells corpus vectors with smallest
+    // xxhash64(id) — a seed-free pseudo-random sample
+    val cents = corpus
+      .select(col(idCol).as("cid"), col(vecCol).as("cvec"), xxhash64(col(idCol)).as("h"))
+      .orderBy("h").limit(nCells).drop("h")
+    def assign(df: DataFrame, id: String, vec: String, n: Int, out: String): DataFrame = {
+      val scored = df.select(col(idCol).as(id), col(vecCol).as(vec))
+        .join(broadcast(cents))
+        .select(col(id), col(vec), col("cid"), cosine(col(vec), col("cvec")).as("csim"))
+      val w = Window.partitionBy(id).orderBy(desc("csim"), asc("cid"))
+      scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= n)
+        .select(col(id), col(vec), col("cid").as(out))
+    }
+    val corpusCells = assign(corpus, "corpus_id", "cvec2", 1, "cell")
+    val queryCells = assign(queries, "query_id", "qvec", nProbe, "cell")
+    val cands = corpusCells.join(broadcast(queryCells), Seq("cell"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id"), cosine(col("qvec"), col("cvec2")).as("cos"))
+      .groupBy("query_id", "corpus_id").agg(max("cos").as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("corpus_id"))
+    cands.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Embedding-cosine near-duplicate pairs: corpus self-join restricted
     * to shared LSH bands (candidates only — never n²), verified with
     * exact cosine ≥ threshold. The embedding-space sibling of

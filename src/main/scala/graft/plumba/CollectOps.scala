@@ -107,6 +107,68 @@ object CollectOps {
       }(enc)
   }
 
+  /** Parallel whole-frame scan for kernels whose step state obeys a
+    * [[Kernel.Merge]] law — the classic two-pass distributed prefix scan:
+    *
+    *  1. globally range-sort, then fold each partition's segment state in
+    *     parallel (one pass);
+    *  2. prefix-combine the per-partition partials in partition order
+    *     (driver-side, O(#partitions));
+    *  3. re-scan each partition seeded with its prefix (second pass).
+    *
+    * Unlike the sequential [[collectScan]] (reference parity) this keeps
+    * every executor busy — the 100 TB path for associative global scans
+    * that aren't plain window aggregates. The sorted input is persisted
+    * between the two passes so both see identical partitioning; caller
+    * may `spark.sharedState`-level unpersist via the returned DataFrame's
+    * lineage when done. */
+  def collectScanMergeable[A](
+      df: DataFrame,
+      valueCols: Seq[String],
+      orderCols: Seq[String],
+      k: Kernel.Scan[A],
+      m: Kernel.Merge[A],
+      resultType: DataType,
+      resultName: String = "scan"): DataFrame = {
+    require(valueCols.nonEmpty, "at least one scanned column is required")
+    val selCols = (orderCols ++ valueCols).distinct
+    val sel = df.select(selCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ordIdx = orderCols.map(selCols.indexOf)
+    val valIdx = valueCols.map(selCols.indexOf)
+    // pass 1: per-partition segment folds (null rows don't advance state)
+    val partials = sel.rdd
+      .mapPartitionsWithIndex { (idx, it) =>
+        var acc = m.neutral
+        it.foreach { r =>
+          val vs = IndexedSeq.tabulate(valIdx.length)(i => r.get(valIdx(i)))
+          if (!Kernel.anyNull(vs)) acc = k.step(acc, k.withArgs(vs))
+        }
+        Iterator((idx, acc))
+      }
+      .collect().sortBy(_._1).iterator.map(_._2).toList
+    // prefix for partition i = init merged with partials 0..i-1
+    val prefixes = partials.scanLeft(k.init)((l, r) => m.combine(l, r)).toIndexedSeq
+    val prefixesB = sel.sparkSession.sparkContext.broadcast(prefixes)
+    val outSchema = StructType(
+      orderCols.map(c => sel.schema(selCols.indexOf(c))) :+
+        StructField(resultName, resultType, nullable = true))
+    val enc = Encoders.row(outSchema)
+    // pass 2: seeded re-scan, same persisted partitioning
+    sel.mapPartitions { it =>
+      val idx = org.apache.spark.TaskContext.getPartitionId()
+      var acc = prefixesB.value(idx)
+      it.map { r =>
+        val vs = IndexedSeq.tabulate(valIdx.length)(i => r.get(valIdx(i)))
+        val out =
+          if (Kernel.anyNull(vs)) null
+          else { acc = k.step(acc, k.withArgs(vs)); k.emit(acc) }
+        Row.fromSeq(ordIdx.map(r.get) :+ out)
+      }
+    }(enc)
+  }
+
   private implicit class IterAsScala[T](it: java.util.Iterator[T]) {
     def asScala: Iterator[T] = new Iterator[T] {
       def hasNext: Boolean = it.hasNext

@@ -77,6 +77,30 @@ class LlmSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"LSH recall $recall too low (bf=$bf lsh=$lsh)")
   }
 
+  test("IVF top-k recall vs brute force") {
+    val bf = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" < 3), "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("corpus_id"))).toSet
+    val ivf = Similarity.ivfTopK(vecs, vecs.filter($"vec_id" < 3), "vec_id", "embedding", k = 3, nCells = 4, nProbe = 2)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("corpus_id"))).toSet
+    val recall = bf.intersect(ivf).size.toDouble / bf.size
+    assert(recall >= 0.5, s"IVF recall $recall too low (bf=$bf ivf=$ivf)")
+  }
+
+  test("parallel two-pass collectScanMergeable == sequential collectScan (running max)") {
+    val o = TestSpark.spark.read.parquet(s"${TestSpark.sfDir}/orders.parquet")
+    import org.apache.spark.sql.types.DoubleType
+    import graft.plumba.{CollectOps, Kernel}
+    val scanK = Kernel.Scan.of1[Double, Double](0.0)(math.max)
+    val mergeLaw = Kernel.Merge(0.0, (a: Double, b: Double) => math.max(a, b))
+    val par = CollectOps.collectScanMergeable(
+        o, Seq("o_totalprice"), Seq("o_orderdate", "o_orderkey"), scanK, mergeLaw, DoubleType, "hi")
+      .orderBy("o_orderdate", "o_orderkey").select("hi").collect().map(_.getDouble(0))
+    val seqv = CollectOps.collectScan(
+        o, Seq("o_totalprice"), Seq("o_orderdate", "o_orderkey"), scanK, DoubleType, "hi")
+      .orderBy("o_orderdate", "o_orderkey").select("hi").collect().map(_.getDouble(0))
+    assert(par.sameElements(seqv))
+  }
+
   test("token counting and quality scoring are deterministic and sane") {
     val r = docs.select(
       TextAnalysis.tokenCountWs($"text").as("ws"),
