@@ -165,6 +165,14 @@ object LlmQueries {
         |      t -> t IN ('the','a','an','and','or','of','to','in','is'))) AS DOUBLE)
         |    / len(regexp_split_to_array(text, ' +')), 6) AS stopword_ratio
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "quality_score" ->
+      """SELECT doc_id, round(
+        |    least(CAST(len(regexp_split_to_array(text, ' +')) AS DOUBLE) / 50.0, 1.0) * 0.4
+        |  + (CASE WHEN CAST(length(text) AS DOUBLE) / len(regexp_split_to_array(text, ' +'))
+        |          BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.3
+        |  + greatest(0.0, 1.0 - (CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+        |                         / length(text)) * 10.0) * 0.3, 6) AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "doc_fingerprint" ->
       "SELECT doc_id, md5(lower(text)) AS fp_md5 FROM documents ORDER BY doc_id",
     "dedup_exact" ->

@@ -191,7 +191,22 @@ object ReferenceQueries {
       .orderBy("user_id")
   }
 
+  /** Per-order product fold (the reference's `multiply` kernel,
+    * tests/test_collect_fold.py:96–97) via the Column-level foldCol.
+    * Quantities are small integers (≤ 50, ≤ 7 per order), so the double
+    * product is exact in any evaluation order — DuckDB's product()
+    * aggregate is an exact oracle. */
+  val groupFoldProduct: Q = (s, dir) => {
+    val li = Tables(s, dir, "lineitem")
+    val fold = ExprOps.foldCol(
+      Seq(col("l_linenumber")), Seq(col("l_quantity")),
+      lit(1.0).cast("double"),
+      (acc, x) => acc * x.getField(ExprOps.v(0)))
+    li.groupBy("l_orderkey").agg(fold.as("qty_product")).orderBy("l_orderkey")
+  }
+
   val defs: Map[String, Q] = Map(
+    "group_fold_product" -> groupFoldProduct,
     "scan_multi_state" -> scanMultiState,
     "group_scan_list_cumsum" -> groupScanListCumsum,
     "scan_running_max" -> scanRunningMax,
@@ -224,6 +239,9 @@ object ReferenceQueries {
       |SELECT user_id, acc AS balance FROM r WHERE i = len(vals) + 1 ORDER BY user_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "group_fold_product" ->
+      """SELECT l_orderkey, product(l_quantity) AS qty_product
+        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
     "scan_multi_state" ->
       """SELECT l_orderkey, l_linenumber,
         |  SUM(l_quantity) OVER w AS qty_run,
