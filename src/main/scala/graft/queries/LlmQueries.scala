@@ -98,6 +98,14 @@ object LlmQueries {
       .select("query_id", "corpus_id", "rank")
   }
 
+  /** IVF-bucketed approximate top-5 (coarse quantizer + inverted lists). */
+  val annIvf: Q = (s, dir) => {
+    val e = Tables(s, dir, "embeddings")
+    Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+      .orderBy("query_id", "rank")
+      .select("query_id", "corpus_id", "rank")
+  }
+
   /** Embedding-cosine near-dup pairs (LSH candidates + exact verify).
     * Threshold 0.4 — the synthetic embeddings are near-orthogonal (max
     * pairwise cosine ≈ 0.51), so 0.4 surfaces the genuine nearest pairs;
@@ -148,12 +156,24 @@ object LlmQueries {
     "ngram_jaccard_pairs" -> ngramJaccardPairs,
     "ann_bruteforce" -> annBruteforce,
     "ann_lsh" -> annLsh,
+    "ann_ivf" -> annIvf,
     "dedup_embedding" -> dedupEmbedding,
     "media_features" -> mediaFeatures,
     "media_stats" -> mediaStats
   )
 
   val oracles: Map[String, String] = Map(
+    // Exact top-k ranking IS oracle-able: cosines of the random corpus
+    // are well-separated, and both engines' double math agrees on the
+    // ordering (validated at sf0.01 and sf0.1). Approximate ann_lsh /
+    // ann_ivf stay rows-only (recall-gated in LlmSpec instead).
+    "ann_bruteforce" ->
+      """SELECT query_id, corpus_id, rank FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS rank
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND c.vec_id != q.vec_id)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "text_stats" ->
       """SELECT doc_id,
         |  length(text) AS n_chars_text,
