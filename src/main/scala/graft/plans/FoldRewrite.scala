@@ -52,16 +52,33 @@ object FoldToNativeAgg extends Rule[LogicalPlan] {
     }
   }
 
-  private object SumStep {
-    /** Matches `(acc, x) -> acc + x.field` (either operand order) and
-      * returns the struct-field ordinal. */
-    def unapply(e: Expression): Option[Int] = e match {
-      case LambdaFunction(Add(l, r, _), Seq(acc: NamedLambdaVariable, x: NamedLambdaVariable), _) =>
-        (l, r) match {
-          case (a: NamedLambdaVariable, GetStructField(xx: NamedLambdaVariable, ord, _))
-              if a.exprId == acc.exprId && xx.exprId == x.exprId => Some(ord)
-          case (GetStructField(xx: NamedLambdaVariable, ord, _), a: NamedLambdaVariable)
-              if a.exprId == acc.exprId && xx.exprId == x.exprId => Some(ord)
+  /** Which associative reduction a step lambda encodes. */
+  private sealed trait StepKind
+  private case object SumKind extends StepKind
+  private case object MaxKind extends StepKind
+  private case object MinKind extends StepKind
+
+  private object AssocStep {
+    private def accAndField(
+        l: Expression, r: Expression,
+        acc: NamedLambdaVariable, x: NamedLambdaVariable): Option[Int] =
+      (l, r) match {
+        case (a: NamedLambdaVariable, GetStructField(xx: NamedLambdaVariable, ord, _))
+            if a.exprId == acc.exprId && xx.exprId == x.exprId => Some(ord)
+        case (GetStructField(xx: NamedLambdaVariable, ord, _), a: NamedLambdaVariable)
+            if a.exprId == acc.exprId && xx.exprId == x.exprId => Some(ord)
+        case _ => None
+      }
+
+    /** Matches `(acc, x) -> acc + x.field`, `greatest(acc, x.field)`,
+      * or `least(acc, x.field)` (either operand order; + is commutative,
+      * greatest/least are symmetric) and returns (kind, field ordinal). */
+    def unapply(e: Expression): Option[(StepKind, Int)] = e match {
+      case LambdaFunction(body, Seq(acc: NamedLambdaVariable, x: NamedLambdaVariable), _) =>
+        body match {
+          case Add(l, r, _) => accAndField(l, r, acc, x).map(SumKind -> _)
+          case Greatest(Seq(l, r)) => accAndField(l, r, acc, x).map(MaxKind -> _)
+          case Least(Seq(l, r)) => accAndField(l, r, acc, x).map(MinKind -> _)
           case _ => None
         }
       case _ => None
@@ -73,14 +90,24 @@ object FoldToNativeAgg extends Rule[LogicalPlan] {
           ArraySort(
             ae @ AggregateExpression(cl: CollectList, _, false, None, _), _, _),
           zero: Literal,
-          SumStep(ordinal),
+          AssocStep(kind, ordinal),
           IdentityLambda()) if PackedStruct.unapply(cl.child).isDefined =>
       val s = PackedStruct.unapply(cl.child).get
       val field = s.valExprs(ordinal)
-      val sum = AggregateExpression(Sum(field), ae.mode, isDistinct = false, None, NamedExpression.newExprId)
-      // zero + sum(field); sum of an empty/all-null group is null ->
-      // coalesce to the additive identity so the result is the bare zero
-      // (fold over no rows == init).
-      Add(zero, Coalesce(Seq(sum, Cast(Literal(0), sum.dataType))))
+      def agg(f: AggregateFunction) =
+        AggregateExpression(f, ae.mode, isDistinct = false, None, NamedExpression.newExprId)
+      kind match {
+        case SumKind =>
+          // zero + sum(field); sum of an empty/all-null group is null ->
+          // coalesce to the additive identity so the result is the bare
+          // zero (fold over no rows == init).
+          Add(zero, Coalesce(Seq(agg(Sum(field)), Cast(Literal(0), field.dataType))))
+        case MaxKind =>
+          // Greatest skips nulls, so an empty group's null max falls
+          // back to the zero — exactly fold-over-nothing.
+          Greatest(Seq(zero, agg(Max(field))))
+        case MinKind =>
+          Least(Seq(zero, agg(Min(field))))
+      }
   }
 }

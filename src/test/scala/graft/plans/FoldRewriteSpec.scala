@@ -65,6 +65,34 @@ class FoldRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("max-shaped foldCol (greatest step) is rewritten to native Max") {
+    val maxFold = ExprOps.foldCol(
+      Seq(col("ord")), Seq(col("v")), lit(-1.0),
+      (acc, x) => greatest(acc, x.getField(ExprOps.v(0))))
+    withRule {
+      val q = df.groupBy("k").agg(maxFold.as("f"))
+      val optimized = q.queryExecution.optimizedPlan.toString
+      assert(!optimized.contains("collect_list"), optimized)
+      assert(optimized.contains("max("), optimized)
+      val got = q.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(got == Map("a" -> 30.0, "b" -> 7.5))
+    }
+  }
+
+  test("min-shaped foldCol (least step) is rewritten to native Min") {
+    val minFold = ExprOps.foldCol(
+      Seq(col("ord")), Seq(col("v")), lit(1e9),
+      (acc, x) => least(acc, x.getField(ExprOps.v(0))))
+    withRule {
+      val q = df.groupBy("k").agg(minFold.as("f"))
+      val optimized = q.queryExecution.optimizedPlan.toString
+      assert(!optimized.contains("collect_list"), optimized)
+      assert(optimized.contains("min("), optimized)
+      val got = q.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(got == Map("a" -> 10.0, "b" -> 5.0))
+    }
+  }
+
   test("empty-group behavior preserved: sum-rewrite yields zero via coalesce") {
     withRule {
       // all values null in the fold columns -> collect_list drops all ->
