@@ -95,10 +95,17 @@ object GroupOps {
       "groupFoldMergeable requires a kernel with a declared Merge law; use groupFold for sequential kernels"))
     require(keyCols.nonEmpty && valueCols.nonEmpty && orderCols.nonEmpty)
     import org.apache.spark.sql.functions.{lit, when}
-    val boundaries = df.stat
-      .approxQuantile(orderCols.head, (1 until buckets).map(_.toDouble / buckets).toArray, 0.01)
+    // monotone numeric view of the leading ordering column (temporal
+    // types go through timestamp -> epoch seconds; NTZ can't cast to
+    // double directly)
+    val ordD = df.schema(orderCols.head).dataType match {
+      case DateType | TimestampType | TimestampNTZType =>
+        col(orderCols.head).cast(TimestampType).cast("long").cast("double")
+      case _ => col(orderCols.head).cast("double")
+    }
+    val boundaries = df.select(ordD.as("__ordd")).stat
+      .approxQuantile("__ordd", (1 until buckets).map(_.toDouble / buckets).toArray, 0.01)
       .distinct.sorted
-    val ordD = col(orderCols.head).cast("double")
     val bucketCol = boundaries.zipWithIndex.foldRight(lit(boundaries.length): Column) {
       case ((b, i), rest) => when(ordD < b, i).otherwise(rest)
     }

@@ -207,7 +207,37 @@ object ReferenceQueries {
     li.groupBy("l_orderkey").agg(fold.as("qty_product")).orderBy("l_orderkey")
   }
 
+  /** The running-max scan again, but through the two-pass PARALLEL
+    * prefix scan ([[graft.plumba.CollectOps.collectScanMergeable]]) —
+    * same oracle as the window form, proving the distributed path
+    * through the correctness gate. */
+  val scanRunningMaxParallel: Q = (s, dir) => {
+    val o = Tables(s, dir, "orders")
+    graft.plumba.CollectOps.collectScanMergeable(
+        o, Seq("o_totalprice"), Seq("o_orderdate", "o_orderkey"),
+        Kernel.Scan.of1[Double, Double](0.0)(math.max),
+        Kernel.Merge(0.0, (a: Double, b: Double) => math.max(a, b)),
+        DoubleType, "hi")
+      .orderBy("o_orderdate", "o_orderkey")
+      .select("o_orderkey", "hi")
+  }
+
+  /** Longest big-order streak per customer through the RANGE-SALTED
+    * mergeable group fold ([[graft.plumba.GroupOps.groupFoldMergeable]]):
+    * a skewed customer's ordered fold spreads over order-date range
+    * buckets. Oracle: per-customer islands SQL. */
+  val groupFoldStreakPerCust: Q = (s, dir) => {
+    val o = Tables(s, dir, "orders")
+    graft.plumba.GroupOps.groupFoldMergeable(
+        o, Seq("o_custkey"), Seq("o_totalprice"), Seq("o_orderdate", "o_orderkey"),
+        Streak.kernel[Double](_ > 300000.0), LongType, "streak",
+        buckets = 8, emit = (a: Streak.S) => Streak.best(a))
+      .orderBy("o_custkey")
+  }
+
   val defs: Map[String, Q] = Map(
+    "scan_running_max_par" -> scanRunningMaxParallel,
+    "group_fold_streak_per_cust" -> groupFoldStreakPerCust,
     "group_fold_product" -> groupFoldProduct,
     "scan_multi_state" -> scanMultiState,
     "group_scan_list_cumsum" -> groupScanListCumsum,
@@ -241,6 +271,23 @@ object ReferenceQueries {
       |SELECT user_id, acc AS balance FROM r WHERE i = len(vals) + 1 ORDER BY user_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "scan_running_max_par" ->
+      """SELECT o_orderkey,
+        |  MAX(o_totalprice) OVER (ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi
+        |FROM orders ORDER BY o_orderdate, o_orderkey""".stripMargin,
+    "group_fold_streak_per_cust" ->
+      """WITH t AS (SELECT o_custkey, o_totalprice > 300000 AS c,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+        |  FROM orders),
+        |runs AS (SELECT o_custkey, count(*) AS len FROM (
+        |    SELECT o_custkey, c, rn - row_number() OVER (PARTITION BY o_custkey, c ORDER BY rn) AS grp FROM t)
+        |  WHERE c GROUP BY o_custkey, grp),
+        |best AS (SELECT o_custkey, max(len) AS streak FROM runs GROUP BY o_custkey)
+        |SELECT k.o_custkey, CAST(COALESCE(b.streak, 0) AS BIGINT) AS streak
+        |FROM (SELECT DISTINCT o_custkey FROM orders) k
+        |LEFT JOIN best b ON k.o_custkey = b.o_custkey
+        |ORDER BY k.o_custkey""".stripMargin,
     "group_fold_product" ->
       """SELECT l_orderkey, product(l_quantity) AS qty_product
         |FROM lineitem WHERE l_linenumber <= 5
