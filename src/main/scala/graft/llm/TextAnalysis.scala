@@ -85,4 +85,24 @@ object TextAnalysis {
     * xxhash64 (cheap join key). */
   def fingerprintMd5(text: Column): Column = md5(to_binary(lower(text), lit("utf-8")))
   def fingerprint64(text: Column): Column = xxhash64(lower(text))
+
+  /** Canonical text normalization: lowercase, strip punctuation,
+    * collapse whitespace runs, trim. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[.,;:!?]", ""), " +", " "))
+
+  /** Fixed-size word chunks with overlap — the context-window prep step
+    * of a training pipeline. Returns an array of chunk strings; pair
+    * with `posexplode` for (doc, chunk_idx, chunk) rows. Stride =
+    * chunkWords - overlap; the final partial chunk is kept. A narrow
+    * map over the corpus: no shuffle, scales with input splits. */
+  def chunkWords(text: Column, chunkWords: Int, overlap: Int): Column = {
+    require(overlap >= 0 && overlap < chunkWords, "need 0 <= overlap < chunkWords")
+    val stride = chunkWords - overlap
+    val words = split(text, " +")
+    transform(
+      sequence(lit(0),
+        greatest(floor((size(words) - overlap - 1) / lit(stride)).cast("int"), lit(0))),
+      i => concat_ws(" ", slice(words, i * stride + 1, lit(chunkWords))))
+  }
 }

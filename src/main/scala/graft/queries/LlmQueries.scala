@@ -135,6 +135,17 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** Normalized text + 128-word chunks with 16-word overlap: the
+    * context-window prep step, exploded to one row per chunk. */
+  val docChunks: Q = (s, dir) => {
+    val d = Tables(s, dir, "documents")
+    d.select(col("doc_id"),
+        posexplode(TextAnalysis.chunkWords(TextAnalysis.normalizeText(col("text")), 64, 8)))
+      .withColumnRenamed("pos", "chunk_idx")
+      .withColumnRenamed("col", "chunk")
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   /** Byte-level media stats (no decode): engine-portable ⇒ oracle. */
   val mediaStats: Q = (s, dir) => {
     val d = Tables(s, dir, "documents")
@@ -158,6 +169,7 @@ object LlmQueries {
     "ann_lsh" -> annLsh,
     "ann_ivf" -> annIvf,
     "dedup_embedding" -> dedupEmbedding,
+    "doc_chunks" -> docChunks,
     "media_features" -> mediaFeatures,
     "media_stats" -> mediaStats
   )
@@ -195,6 +207,15 @@ object LlmQueries {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "doc_fingerprint" ->
       "SELECT doc_id, md5(lower(text)) AS fp_md5 FROM documents ORDER BY doc_id",
+    "doc_chunks" ->
+      """WITH w AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[.,;:!?]', '', 'g'), ' +', ' ', 'g')), ' +') AS words
+        |  FROM documents),
+        |c AS (SELECT doc_id, i AS chunk_idx,
+        |    array_to_string(words[i*56+1 : i*56+64], ' ') AS chunk
+        |  FROM w, unnest(range(0, greatest((len(words) - 8 - 1) // 56, 0) + 1)) AS t(i))
+        |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx, chunk FROM c
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, md5(lower(text)) AS content_hash,
         |  count(*) AS dup_count
