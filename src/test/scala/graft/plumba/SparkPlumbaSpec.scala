@@ -140,6 +140,28 @@ class SparkPlumbaSpec extends AnyFunSuite {
     assert(got("bob") == Seq(17.0, 17.5))
   }
 
+  test("A8 ExprOps.foldCol multi-in with struct accumulator (purchase caps)") {
+    import spark.implicits._
+    val df = Seq(
+      (1, 5.0, 20.0), (2, 400.0, 2.0), (3, 70.0, 2.0), (4, 4.0, 10.0), (5, 60.0, 1.0)
+    ).toDF("idx", "price", "units")
+    val init = struct(lit(0.0).as("bal"), lit(0.0).as("un"))
+    val fold = ExprOps.foldCol(
+      Seq(col("idx")), Seq(col("price"), col("units")), init,
+      (acc, x) => {
+        val p = x.getField(ExprOps.v(0))
+        val u = x.getField(ExprOps.v(1))
+        val bal = acc.getField("bal")
+        val un = acc.getField("un")
+        val ok = (bal + p * u <= 1000.0) && (un + u <= 25.0)
+        struct(
+          when(ok, bal + p * u).otherwise(bal).as("bal"),
+          when(ok, un + u).otherwise(un).as("un"))
+      })
+    val r = df.agg(fold.as("f")).select("f.bal", "f.un").head
+    assert(r.getDouble(0) == 960.0 && r.getDouble(1) == 23.0) // FIXTURES A8 golden
+  }
+
   test("differential: generic collectScan(max) == WindowOps.cumMax on orders") {
     val o = spark.read.parquet(s"${TestSpark.sfDir}/orders.parquet")
     val generic = o.collectScan(
