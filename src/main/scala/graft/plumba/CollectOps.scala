@@ -70,19 +70,33 @@ object CollectOps {
 
   /** Ordered whole-frame scan → DataFrame of (orderCols..., resultName).
     *
-    * A generic (possibly non-associative) prefix scan is inherently
-    * sequential, so this runs as a single sorted partition — reference
-    * parity (the reference is single-threaded too, README.md:57–62). For
-    * associative scans use [[WindowOps]] (parallel window aggregation);
-    * for per-group scans use [[GroupOps.groupScan]] (parallel across
-    * groups). Null rows emit null and do not advance the accumulator. */
+    * Kernels declaring a [[Kernel.Merge]] law are routed to the two-pass
+    * distributed prefix scan ([[collectScanMergeable]]) — the parallel
+    * default for lawful kernels. A generic (possibly non-associative)
+    * prefix scan is inherently sequential, so it runs as a single sorted
+    * partition — reference parity (the reference is single-threaded too,
+    * README.md:57–62). For per-group scans use [[GroupOps.groupScan]]
+    * (parallel across groups); for partitioned associative scans
+    * [[WindowOps]]. Null rows emit null and do not advance the
+    * accumulator. */
   def collectScan[A](
       df: DataFrame,
       valueCols: Seq[String],
       orderCols: Seq[String],
       k: Kernel.Scan[A],
       resultType: DataType,
-      resultName: String = "scan"): DataFrame = {
+      resultName: String = "scan"): DataFrame = k.merge match {
+    case Some(m) => collectScanMergeable(df, valueCols, orderCols, k, m, resultType, resultName)
+    case None => collectScanSequential(df, valueCols, orderCols, k, resultType, resultName)
+  }
+
+  private def collectScanSequential[A](
+      df: DataFrame,
+      valueCols: Seq[String],
+      orderCols: Seq[String],
+      k: Kernel.Scan[A],
+      resultType: DataType,
+      resultName: String): DataFrame = {
     require(valueCols.nonEmpty, "at least one scanned column is required")
     val selCols = (orderCols ++ valueCols).distinct
     val sel = df.select(selCols.map(col): _*)

@@ -50,12 +50,18 @@ object Kernel {
   }
 
   /** Scan kernel: threads accumulator A over rows in order, emitting the
-    * accumulator (via `emit`, e.g. tuple → array) for every row. */
+    * accumulator (via `emit`, e.g. tuple → array) for every row.
+    *
+    * A declared `merge` law (same law as [[Fold]]'s) unlocks the two-pass
+    * distributed prefix scan in [[CollectOps.collectScan]] — the default
+    * global-scan path becomes parallel whenever it is lawful, and stays
+    * sequential (reference parity) only when it must. */
   final case class Scan[A](
       init: A,
       step: (A, IndexedSeq[Any]) => A,
       extras: IndexedSeq[Any] = Vector.empty,
-      emit: A => Any = (a: A) => a: Any)
+      emit: A => Any = (a: A) => a: Any,
+      merge: Option[Merge[A]] = None)
       extends Serializable {
     def withArgs(values: IndexedSeq[Any]): IndexedSeq[Any] =
       if (extras.isEmpty) values else extras ++ values
@@ -78,10 +84,12 @@ object Kernel {
   }
 
   object Scan {
-    def of1[A, C1](init: A, emit: A => Any = (a: A) => a: Any)(f: (A, C1) => A): Scan[A] =
-      Scan[A](init, (a, xs) => f(a, xs(0).asInstanceOf[C1]), Vector.empty, emit)
-    def of2[A, C1, C2](init: A, emit: A => Any = (a: A) => a: Any)(f: (A, C1, C2) => A): Scan[A] =
-      Scan[A](init, (a, xs) => f(a, xs(0).asInstanceOf[C1], xs(1).asInstanceOf[C2]), Vector.empty, emit)
+    def of1[A, C1](init: A, emit: A => Any = (a: A) => a: Any, merge: Option[Merge[A]] = None)(
+        f: (A, C1) => A): Scan[A] =
+      Scan[A](init, (a, xs) => f(a, xs(0).asInstanceOf[C1]), Vector.empty, emit, merge)
+    def of2[A, C1, C2](init: A, emit: A => Any = (a: A) => a: Any, merge: Option[Merge[A]] = None)(
+        f: (A, C1, C2) => A): Scan[A] =
+      Scan[A](init, (a, xs) => f(a, xs(0).asInstanceOf[C1], xs(1).asInstanceOf[C2]), Vector.empty, emit, merge)
   }
 
   private[plumba] def anyNull(vs: IndexedSeq[Any]): Boolean = {

@@ -1,11 +1,11 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.plumba.{ExprOps, Kernel, Streak, WindowOps}
+import graft.plumba.{CollectOps, ExprOps, Kernel, Streak, WindowOps}
 import graft.plumba.syntax._
 
 /** The reference-derived operator queries (SURVEY §2.1/§2.2) on the driver
@@ -24,23 +24,38 @@ object ReferenceQueries {
   type Q = (SparkSession, String) => DataFrame
 
   /** Running max of o_totalprice over order date — the reference's first
-    * scan example (examples_scan.py:9–25) on parquet. Associative ⇒
-    * window fast path (WindowOps), parallel at scale once partitioned;
-    * here a global order is demanded, which is one sorted pass. */
+    * scan example (examples_scan.py:9–25) on parquet. The kernel declares
+    * its merge law, so collectScan routes it through the two-pass parallel
+    * prefix scan by default — no single-partition WindowExec anywhere
+    * (a global-ORDER-BY window frame would move all rows to one task;
+    * the parallel path keeps every executor busy at 100 TB). */
   val scanRunningMax: Q = (s, dir) => {
     val o = Tables(s, dir, "orders")
-    o.withColumn("hi", WindowOps.cumMax(col("o_totalprice"), Window.orderBy(col("o_orderdate"), col("o_orderkey"))))
+    CollectOps.collectScan(
+        o, Seq("o_totalprice"), Seq("o_orderdate", "o_orderkey"),
+        Kernel.Scan.of1[Double, Double](0.0,
+          merge = Some(Kernel.Merge(0.0, (a: Double, b: Double) => math.max(a, b))))(math.max),
+        DoubleType, "hi")
       .orderBy("o_orderdate", "o_orderkey")
       .select("o_orderkey", "hi")
   }
 
-  /** Global cumulative sum of event value by time — associative scan via
-    * window; decimal-cast for cross-engine exactness. */
+  /** Global cumulative sum of event value by time through the parallel
+    * two-pass prefix scan (merge law: decimal addition). The accumulator
+    * is an exact decimal(18,6) so partition order never changes the
+    * result; emitted as double exactly like Spark's own decimal→double
+    * cast (BigDecimal.doubleValue), matching the DuckDB oracle. */
   val scanCumsumValue: Q = (s, dir) => {
+    import java.math.{BigDecimal => JBD}
     val ev = Tables(s, dir, "events")
-    val w = Window.orderBy(col("ts"), col("event_id"))
-    ev.withColumn("running",
-        sum(col("value").cast("decimal(18,6)")).over(WindowOps.running(w)).cast("double"))
+      .withColumn("value_dec", col("value").cast("decimal(18,6)"))
+    val add = (a: JBD, b: JBD) => a.add(b)
+    CollectOps.collectScan(
+        ev, Seq("value_dec"), Seq("ts", "event_id"),
+        Kernel.Scan.of1[JBD, JBD](JBD.ZERO,
+          emit = (a: JBD) => a.doubleValue,
+          merge = Some(Kernel.Merge(JBD.ZERO, add)))(add),
+        DoubleType, "running")
       .orderBy("ts", "event_id")
       .select("event_id", "running")
   }
@@ -165,20 +180,62 @@ object ReferenceQueries {
   }
 
   /** Multi-state scan (the reference's tuple-accumulator cum_sum,
-    * tests/test_collect_scan.py:190–208) in associative form: two
-    * running sums in one pass, decimal-exact. */
+    * tests/test_collect_scan.py:190–208): a (Double, BigDecimal) tuple
+    * accumulator threads two running sums in ONE pass through the
+    * parallel two-pass prefix scan (merge = element-wise add), emitted
+    * as a struct and unpacked — no single-partition WindowExec. */
   val scanMultiState: Q = (s, dir) => {
+    import java.math.{BigDecimal => JBD}
+    type S = (Double, JBD)
     val li = Tables(s, dir, "lineitem")
-    val w = WindowOps.running(Window.orderBy(col("l_orderkey"), col("l_linenumber")))
-    li.withColumn("qty_run", sum(col("l_quantity")).over(w))
-      .withColumn("price_run", sum(col("l_extendedprice").cast("decimal(18,6)")).over(w).cast("double"))
+      .withColumn("price_dec", col("l_extendedprice").cast("decimal(18,6)"))
+    val k = Kernel.Scan.of2[S, Double, JBD](
+      (0.0, JBD.ZERO),
+      emit = (a: S) => Row(a._1, a._2.doubleValue),
+      merge = Some(Kernel.Merge[S]((0.0, JBD.ZERO), (x, y) => (x._1 + y._1, x._2.add(y._2)))))(
+      (a, q, p) => (a._1 + q, a._2.add(p)))
+    CollectOps.collectScan(li, Seq("l_quantity", "price_dec"),
+        Seq("l_orderkey", "l_linenumber"), k,
+        StructType(Seq(StructField("qty_run", DoubleType), StructField("price_run", DoubleType))), "st")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("st.qty_run").as("qty_run"), col("st.price_run").as("price_run"))
       .orderBy("l_orderkey", "l_linenumber")
-      .select("l_orderkey", "l_linenumber", "qty_run", "price_run")
+  }
+
+  /** Array-output scan with whole-row null masking — the reference's
+    * pl.Array multi-output scan (tests/test_collect_scan.py:190–208): a
+    * tuple accumulator emitted as array<double>; a row with a null in any
+    * selected column emits a whole-null array and does NOT advance the
+    * accumulator. Nulls are planted deterministically (l_quantity = 17
+    * rows, ~2% of lineitem). Parallel two-pass prefix scan; the array is
+    * unpacked to scalars only for the driver's pandas-based compare. */
+  val scanMultiOutArray: Q = (s, dir) => {
+    import java.math.{BigDecimal => JBD}
+    type S = (Double, JBD)
+    val li = Tables(s, dir, "lineitem")
+      .withColumn("qty_n", when(col("l_quantity") === 17.0, lit(null)).otherwise(col("l_quantity")))
+      .withColumn("price_n",
+        when(col("l_quantity") === 17.0, lit(null))
+          .otherwise(col("l_extendedprice")).cast("decimal(18,6)"))
+    val k = Kernel.Scan.of2[S, Double, JBD](
+      (0.0, JBD.ZERO),
+      emit = (a: S) => Seq(a._1, a._2.doubleValue),
+      merge = Some(Kernel.Merge[S]((0.0, JBD.ZERO), (x, y) => (x._1 + y._1, x._2.add(y._2)))))(
+      (a, q, p) => (a._1 + q, a._2.add(p)))
+    CollectOps.collectScan(li, Seq("qty_n", "price_n"), Seq("l_orderkey", "l_linenumber"), k,
+        ArrayType(DoubleType), "rs")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        element_at(col("rs"), 1).as("rs_qty"), element_at(col("rs"), 2).as("rs_price"))
+      .orderBy("l_orderkey", "l_linenumber")
   }
 
   /** Scan under agg returning a list per group — the reference's
     * per-group scan-list shape (examples_scan.py:79–82): per-user
-    * trajectory of running sums as an array column, order-restored. */
+    * trajectory of running sums built as an array column (order-restored
+    * sort_array(collect_list) + transform), then posexploded to
+    * (user_id, pos, rs) rows — the list construction stays in the plan;
+    * the row shape is for the driver's compare (pandas cannot hash an
+    * ndarray cell). */
   val groupScanListCumsum: Q = (s, dir) => {
     val ev = Tables(s, dir, "events")
     val w = WindowOps.running(Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id")))
@@ -188,7 +245,8 @@ object ReferenceQueries {
       .agg(transform(
         sort_array(collect_list(struct(col("ts"), col("event_id"), col("rs")))),
         x => x.getField("rs")).as("traj"))
-      .orderBy("user_id")
+      .select(col("user_id"), posexplode(col("traj")).as(Seq("pos", "rs")))
+      .orderBy("user_id", "pos")
   }
 
   /** Per-order product fold (the reference's `multiply` kernel,
@@ -240,6 +298,7 @@ object ReferenceQueries {
     "group_fold_streak_per_cust" -> groupFoldStreakPerCust,
     "group_fold_product" -> groupFoldProduct,
     "scan_multi_state" -> scanMultiState,
+    "scan_multi_out_array" -> scanMultiOutArray,
     "group_scan_list_cumsum" -> groupScanListCumsum,
     "scan_running_max" -> scanRunningMax,
     "scan_cumsum_value" -> scanCumsumValue,
@@ -300,12 +359,21 @@ object ReferenceQueries {
         |WINDOW w AS (ORDER BY l_orderkey, l_linenumber ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "group_scan_list_cumsum" ->
-      """SELECT user_id, list(rs ORDER BY ts, event_id) AS traj FROM (
-        |  SELECT user_id, ts, event_id,
-        |    CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS rs
-        |  FROM events)
-        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+      """SELECT user_id,
+        |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INT) AS pos,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS rs
+        |FROM events ORDER BY user_id, pos""".stripMargin,
+    "scan_multi_out_array" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN l_quantity = 17 THEN NULL
+        |       ELSE SUM(CASE WHEN l_quantity <> 17 THEN l_quantity END) OVER w END AS rs_qty,
+        |  CASE WHEN l_quantity = 17 THEN NULL
+        |       ELSE CAST(SUM(CASE WHEN l_quantity <> 17
+        |                     THEN CAST(l_extendedprice AS DECIMAL(18,6)) END) OVER w AS DOUBLE) END AS rs_price
+        |FROM lineitem
+        |WINDOW w AS (ORDER BY l_orderkey, l_linenumber ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "scan_running_max" ->
       """SELECT o_orderkey,
         |  MAX(o_totalprice) OVER (ORDER BY o_orderdate, o_orderkey
@@ -330,6 +398,76 @@ object ReferenceQueries {
     "fold_sum_extra_args" ->
       "SELECT CAST(7 + 0.75 * count(*) + sum(l_quantity) AS DOUBLE) AS fold_sum FROM lineitem",
     "group_fold_balance_per_user" -> balanceOracle,
-    "expr_fold_balance_per_user" -> balanceOracle
+    "expr_fold_balance_per_user" -> balanceOracle,
+    // Per-user balance TRAJECTORY: same recursive-CTE replay as
+    // balanceOracle but emitting the accumulator at every step (row i of
+    // each user's ordered list), not just the final value. Identical op
+    // sequence in doubles ⇒ bit-identical to the kernel.
+    "group_scan_balance_per_user" ->
+      """WITH RECURSIVE seq AS (
+        |  SELECT user_id, list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS vals,
+        |         list(event_id ORDER BY ts, event_id) AS eids
+        |  FROM events GROUP BY user_id),
+        |r AS (
+        |  SELECT user_id, vals, eids, 0 AS i, CAST(0.0 AS DOUBLE) AS acc FROM seq
+        |  UNION ALL
+        |  SELECT user_id, vals, eids, i + 1,
+        |    CASE WHEN acc + vals[i + 1] <= 1000.0 THEN acc + vals[i + 1] ELSE acc END
+        |  FROM r WHERE i < len(vals))
+        |SELECT user_id, eids[i] AS event_id, acc AS balance
+        |FROM r WHERE i >= 1
+        |ORDER BY user_id, i""".stripMargin,
+    // Whole-frame balance scan: a naive row-per-step recursion is
+    // quadratic in DuckDB (the list re-scans per iteration), so the
+    // oracle replays our own two-pass prefix-scan decomposition in SQL:
+    // pass 1 threads exact chunk seeds sequentially (depth = #chunks,
+    // within-chunk folds via single-row list_reduce — exact; the
+    // DuckDB 1.0.0 list_reduce misalignment bug is a cross-row artifact
+    // and cannot occur on one row per step); pass 2 replays every
+    // chunk's trajectory in parallel from its exact seed. Lawful for a
+    // non-associative kernel because the seeds are sequentially exact.
+    "scan_balance_limit" ->
+      """WITH RECURSIVE rows_ AS (
+        |  SELECT event_id, CAST(value AS DOUBLE) AS v,
+        |         row_number() OVER (ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |chunks AS (
+        |  SELECT CAST((rn - 1) // 250 AS INT) AS cid,
+        |         list(v ORDER BY rn) AS vals,
+        |         list(event_id ORDER BY rn) AS eids
+        |  FROM rows_ GROUP BY 1),
+        |seeds AS (
+        |  SELECT 0 AS cid, CAST(0.0 AS DOUBLE) AS seed
+        |  UNION ALL
+        |  SELECT s.cid + 1,
+        |    list_reduce(list_prepend(s.seed, c.vals),
+        |      (acc, x) -> CASE WHEN acc + x <= 1000.0 THEN acc + x ELSE acc END)
+        |  FROM seeds s JOIN chunks c ON c.cid = s.cid),
+        |r AS (
+        |  SELECT c.cid, c.vals, c.eids, 0 AS i, s.seed AS acc
+        |  FROM chunks c JOIN seeds s ON s.cid = c.cid
+        |  UNION ALL
+        |  SELECT cid, vals, eids, i + 1,
+        |    CASE WHEN acc + vals[i + 1] <= 1000.0 THEN acc + vals[i + 1] ELSE acc END
+        |  FROM r WHERE i < len(vals))
+        |SELECT eids[i] AS event_id, acc AS balance
+        |FROM r WHERE i >= 1
+        |ORDER BY cid, i""".stripMargin,
+    // Whole-frame 2-state capped fold: single-row list_reduce replay of
+    // the same op sequence (exact; validated against an independent
+    // sequential replay — 999999250.6100004 / 478737.0 at sf0.01).
+    "fold_multi_in_out" ->
+      """WITH seq AS (
+        |  SELECT list(struct_pack(p := CAST(l_extendedprice AS DOUBLE), q := CAST(l_quantity AS DOUBLE))
+        |              ORDER BY l_orderkey, l_linenumber) AS xs
+        |  FROM lineitem),
+        |f AS (
+        |  SELECT list_reduce(
+        |    list_prepend(struct_pack(p := 0.0, q := 0.0), xs),
+        |    (acc, x) -> CASE WHEN acc.p + x.p <= 1.0e9 AND acc.q + x.q <= 1.0e6
+        |                THEN struct_pack(p := acc.p + x.p, q := acc.q + x.q)
+        |                ELSE struct_pack(p := acc.p, q := acc.q) END) AS r
+        |  FROM seq)
+        |SELECT r.p AS balance, r.q AS units FROM f""".stripMargin
   )
 }
