@@ -152,11 +152,18 @@ object Similarity {
             concat_ws(":", lit(b), substring(col(s"${id}_sig"), b * bits + 1, bits))): _*)).as(s"${id}_band"))
     val c = withBands(corpus, "corpus_id", "cvec")
     val q = withBands(queries, "query_id", "qvec")
-    val cands = c.join(broadcast(q), col("corpus_id_band") === col("query_id_band") &&
+    // A pair can match on several bands — dedup on the id PAIR only (the
+    // distinct's shuffle key must never include the float vectors), then
+    // rejoin the vectors for exact re-ranking: corpus vectors via one
+    // id-keyed join, query vectors via broadcast.
+    val cands = c.join(broadcast(q.select("query_id", "query_id_band")),
+        col("corpus_id_band") === col("query_id_band") &&
         col("corpus_id") =!= col("query_id"))
-      .select("query_id", "qvec", "corpus_id", "cvec")
-      .distinct()
-    val scored = cands.select(col("query_id"), col("corpus_id"), cosine(col("qvec"), col("cvec")).as("cos"))
+      .select("query_id", "corpus_id", "cvec")
+      .groupBy("query_id", "corpus_id").agg(first("cvec").as("cvec"))
+    val qVecs = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val scored = cands.join(broadcast(qVecs), "query_id")
+      .select(col("query_id"), col("corpus_id"), cosine(col("qvec"), col("cvec")).as("cos"))
     val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("corpus_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }

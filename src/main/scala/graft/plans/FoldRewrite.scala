@@ -41,15 +41,35 @@ object FoldToNativeAgg extends Rule[LogicalPlan] {
     }
   }
 
-  /** Extracts the struct construction from collect_list's child,
-    * tolerating the null-dropping `CASE WHEN notNull THEN struct END`
-    * wrapper foldCol emits. */
+  /** Extracts the struct construction from collect_list's child plus the
+    * null-drop guard of the `CASE WHEN notNull THEN struct END` wrapper
+    * foldCol emits (None when unguarded). The guard must be inspected by
+    * the caller: it is an AND of IsNotNull over ALL selected value
+    * columns, so a rewrite to a single-field native aggregate is only
+    * sound when the guard covers exactly that field — otherwise the fold
+    * drops rows the native aggregate would keep. */
   private object PackedStruct {
-    def unapply(e: Expression): Option[CreateNamedStruct] = e match {
-      case s: CreateNamedStruct => Some(s)
-      case CaseWhen(Seq((_, s: CreateNamedStruct)), None) => Some(s)
+    def unapply(e: Expression): Option[(CreateNamedStruct, Option[Expression])] = e match {
+      case s: CreateNamedStruct => Some((s, None))
+      case CaseWhen(Seq((pred, s: CreateNamedStruct)), None) => Some((s, Some(pred)))
       case _ => None
     }
+  }
+
+  /** True iff every conjunct of the null-drop guard is IsNotNull of the
+    * single field the step consumes — then the native aggregate's own
+    * null-skipping is exactly the fold's row-drop policy. */
+  private def guardCoversOnly(guard: Option[Expression], field: Expression): Boolean =
+    guard.forall { g =>
+      splitConjuncts(g).forall {
+        case IsNotNull(e) => e.semanticEquals(field)
+        case _ => false
+      }
+    }
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+    case other => Seq(other)
   }
 
   /** Which associative reduction a step lambda encodes. */
@@ -91,8 +111,16 @@ object FoldToNativeAgg extends Rule[LogicalPlan] {
             ae @ AggregateExpression(cl: CollectList, _, false, None, _), _, _),
           zero: Literal,
           AssocStep(kind, ordinal),
-          IdentityLambda()) if PackedStruct.unapply(cl.child).isDefined =>
-      val s = PackedStruct.unapply(cl.child).get
+          IdentityLambda()) if {
+            PackedStruct.unapply(cl.child).exists { case (s, guard) =>
+              // Sound only when the null-drop guard matches the one field
+              // the step reads: a multi-value-column fold drops a row when
+              // ANY selected column is null, which Sum/Max/Min(field)
+              // would keep — never rewrite those.
+              guardCoversOnly(guard, s.valExprs(ordinal))
+            }
+          } =>
+      val (s, _) = PackedStruct.unapply(cl.child).get
       val field = s.valExprs(ordinal)
       def agg(f: AggregateFunction) =
         AggregateExpression(f, ae.mode, isDistinct = false, None, NamedExpression.newExprId)
@@ -100,8 +128,14 @@ object FoldToNativeAgg extends Rule[LogicalPlan] {
         case SumKind =>
           // zero + sum(field); sum of an empty/all-null group is null ->
           // coalesce to the additive identity so the result is the bare
-          // zero (fold over no rows == init).
-          Add(zero, Coalesce(Seq(agg(Sum(field)), Cast(Literal(0), field.dataType))))
+          // zero (fold over no rows == init). Sum widens integral inputs
+          // (int -> long) and this rule runs post-analysis where no
+          // implicit casts are inserted, so cast the result back to the
+          // field type the fold's Add was resolved against.
+          val sum = agg(Sum(field))
+          val sumAsField =
+            if (sum.dataType == field.dataType) sum else Cast(sum, field.dataType)
+          Add(zero, Coalesce(Seq(sumAsField, Cast(Literal(0), field.dataType))))
         case MaxKind =>
           // Greatest skips nulls, so an empty group's null max falls
           // back to the zero — exactly fold-over-nothing.

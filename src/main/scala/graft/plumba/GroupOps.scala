@@ -106,9 +106,15 @@ object GroupOps {
     val boundaries = df.select(ordD.as("__ordd")).stat
       .approxQuantile("__ordd", (1 until buckets).map(_.toDouble / buckets).toArray, 0.01)
       .distinct.sorted
-    val bucketCol = boundaries.zipWithIndex.foldRight(lit(boundaries.length): Column) {
-      case ((b, i), rest) => when(ordD < b, i).otherwise(rest)
-    }
+    // NULL ordering values sort FIRST under Spark's ascending
+    // sortWithinPartitions (the sequential groupFold path), so route them
+    // to bucket 0 explicitly — `ordD < b` is null for null ordD and would
+    // otherwise fall through to the LAST bucket, reordering the fold
+    // relative to groupFold for order-sensitive mergeable kernels.
+    val bucketCol = when(ordD.isNull, 0).otherwise(
+      boundaries.zipWithIndex.foldRight(lit(boundaries.length): Column) {
+        case ((b, i), rest) => when(ordD < b, i).otherwise(rest)
+      })
     val selCols = (keyCols ++ orderCols ++ valueCols).distinct
     val keyIdx = keyCols.map(selCols.indexOf)
     val valIdx = valueCols.map(selCols.indexOf)

@@ -280,6 +280,27 @@ object ReferenceQueries {
       .select("o_orderkey", "hi")
   }
 
+  /** The per-user balance fold THROUGH the generic typed
+    * [[graft.plumba.SortedFoldAggregator]], composed with NATIVE
+    * aggregates (decimal sum, count) in one `agg(...)` list — the
+    * reference's Expr.fold composability under group_by().agg()
+    * (examples_fold.py:87–93) on the Aggregator route. Oracle: the
+    * recursive-CTE balance replay joined to plain SQL aggregates. */
+  val groupFoldMixedAgg: Q = (s, dir) => {
+    val ev = Tables(s, dir, "events")
+    val k = Kernel.Fold[Double](0.0, (acc, args) => {
+      val x = args(0).asInstanceOf[Double]
+      if (acc + x <= 1000.0) acc + x else acc
+    })
+    ev.groupBy("user_id")
+      .agg(
+        graft.plumba.SortedFoldAggregator.foldColumn(
+          Seq(col("ts"), col("event_id")), Seq(col("value") -> DoubleType), k, DoubleType).as("balance"),
+        decSum(col("value")).as("total"),
+        count(lit(1)).as("n"))
+      .orderBy("user_id")
+  }
+
   /** Longest big-order streak per customer through the RANGE-SALTED
     * mergeable group fold ([[graft.plumba.GroupOps.groupFoldMergeable]]):
     * a skewed customer's ordered fold spreads over order-date range
@@ -307,6 +328,7 @@ object ReferenceQueries {
     "fold_sum_extra_args" -> foldSumExtraArgs,
     "group_fold_balance_per_user" -> groupFoldBalancePerUser,
     "expr_fold_balance_per_user" -> exprFoldBalancePerUser,
+    "group_fold_mixed_agg" -> groupFoldMixedAgg,
     "scan_balance_limit" -> scanBalanceLimit,
     "group_scan_balance_per_user" -> groupScanBalancePerUser,
     "fold_multi_in_out" -> foldMultiInOut
@@ -399,6 +421,21 @@ object ReferenceQueries {
       "SELECT CAST(7 + 0.75 * count(*) + sum(l_quantity) AS DOUBLE) AS fold_sum FROM lineitem",
     "group_fold_balance_per_user" -> balanceOracle,
     "expr_fold_balance_per_user" -> balanceOracle,
+    "group_fold_mixed_agg" ->
+      s"""WITH RECURSIVE seq AS (
+         |  SELECT user_id, list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS vals
+         |  FROM events GROUP BY user_id),
+         |r AS (
+         |  SELECT user_id, vals, 1 AS i, CAST(0.0 AS DOUBLE) AS acc FROM seq
+         |  UNION ALL
+         |  SELECT user_id, vals, i + 1,
+         |    CASE WHEN acc + vals[i] <= 1000.0 THEN acc + vals[i] ELSE acc END
+         |  FROM r WHERE i <= len(vals)),
+         |fin AS (SELECT user_id, acc AS balance FROM r WHERE i = len(vals) + 1),
+         |agg AS (SELECT user_id, ${Tables.sqlDecSum("value")} AS total, count(*) AS n
+         |        FROM events GROUP BY user_id)
+         |SELECT f.user_id, f.balance, a.total, a.n
+         |FROM fin f JOIN agg a USING (user_id) ORDER BY f.user_id""".stripMargin,
     // Per-user balance TRAJECTORY: same recursive-CTE replay as
     // balanceOracle but emitting the accumulator at every step (row i of
     // each user's ordered list), not just the final value. Identical op

@@ -93,6 +93,41 @@ class FoldRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-value-column fold summing ONE field is NOT rewritten (null-drop guard covers both)") {
+    // the fold drops a row when ANY selected column is null; Sum(v) alone
+    // would keep a row whose OTHER column is null — the rule must not fire.
+    val twoColFold = ExprOps.foldCol(
+      Seq(col("ord")), Seq(col("v"), col("w")), lit(0.0),
+      (acc, x) => acc + x.getField(ExprOps.v(0)))
+    withRule {
+      val df2 = Seq(("a", 1, 10.0, Some(1.0)), ("a", 2, 20.0, None), ("b", 1, 5.0, Some(2.0)))
+        .toDF("k", "ord", "v", "w")
+      val q = df2.groupBy("k").agg(twoColFold.as("f"))
+      val optimized = q.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("collect_list"), optimized)
+      // ("a", 2, 20.0, null) is dropped by the fold; a Sum rewrite keeps it
+      val got = q.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(got == Map("a" -> 10.0, "b" -> 5.0))
+    }
+  }
+
+  test("integer-typed sum fold rewrites with Sum cast back to the field type") {
+    // Sum(int) returns long; post-analysis no implicit cast is inserted,
+    // so the rule must cast back or the rewritten Add(int, long) explodes
+    // at runtime.
+    val intFold = ExprOps.foldCol(
+      Seq(col("ord")), Seq(col("n")), lit(7),
+      (acc, x) => acc + x.getField(ExprOps.v(0)))
+    withRule {
+      val df3 = Seq(("a", 1, 10), ("a", 2, 20), ("b", 1, 5)).toDF("k", "ord", "n")
+      val q = df3.groupBy("k").agg(intFold.as("f"))
+      val optimized = q.queryExecution.optimizedPlan.toString
+      assert(!optimized.contains("collect_list"), optimized)
+      val got = q.collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+      assert(got == Map("a" -> 37, "b" -> 12))
+    }
+  }
+
   test("empty-group behavior preserved: sum-rewrite yields zero via coalesce") {
     withRule {
       // all values null in the fold columns -> collect_list drops all ->

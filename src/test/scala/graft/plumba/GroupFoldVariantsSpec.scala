@@ -46,6 +46,29 @@ class GroupFoldVariantsSpec extends AnyFunSuite {
     assert(salted == sequential)
   }
 
+  test("groupFoldMergeable == groupFold when the ordering column contains NULLs") {
+    // Spark's ascending sortWithinPartitions puts NULL ordering values
+    // FIRST; the range salt must route them to bucket 0 (a null `ordD < b`
+    // predicate would otherwise fall through to the LAST bucket and
+    // reorder an order-sensitive fold).
+    import spark.implicits._
+    val df = Seq(
+      (1L, Option(3.0), 10.0), (1L, Option.empty[Double], 100.0),
+      (1L, Option(1.0), 1.0), (1L, Option(2.0), 5.0), (1L, Option(4.0), 6.0),
+      (2L, Option.empty[Double], 7.0), (2L, Option(5.0), 2.0), (2L, Option(6.0), 9.0)
+    ).toDF("g", "ord", "v")
+    val k = Streak.kernel[Double](_ > 4.0) // order-sensitive
+    val salted = GroupOps.groupFoldMergeable(
+        df, Seq("g"), Seq("v"), Seq("ord"), k, DoubleType,
+        buckets = 4, emit = (a: Streak.S) => Streak.best(a).toDouble)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val sequential = GroupOps.groupFold(
+        df, Seq("g"), Seq("v"), Seq("ord"), k, DoubleType,
+        emit = (a: Streak.S) => Streak.best(a).toDouble)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(salted == sequential)
+  }
+
   test("groupFoldMergeable rejects kernels without a Merge declaration") {
     val plain = Fold[Double](0.0, (acc, args) => acc + args(0).asInstanceOf[Double])
     intercept[IllegalArgumentException] {
@@ -61,7 +84,7 @@ class GroupFoldVariantsSpec extends AnyFunSuite {
     })
     val viaAgg = events.groupBy("user_id")
       .agg(SortedFoldAggregator.foldColumn(
-        Seq(col("ts"), col("event_id")), Seq(col("value")), balance).as("balance"))
+        Seq(col("ts"), col("event_id")), Seq(col("value") -> DoubleType), balance, DoubleType).as("balance"))
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     val viaGroupOps = events
       .groupFold(Seq("user_id"), Seq("value"), Seq("ts", "event_id"), balance, DoubleType)
@@ -76,10 +99,43 @@ class GroupFoldVariantsSpec extends AnyFunSuite {
     })
     val r = events.groupBy("user_id")
       .agg(
-        SortedFoldAggregator.foldColumn(Seq(col("ts"), col("event_id")), Seq(col("value")), balance).as("balance"),
+        SortedFoldAggregator.foldColumn(Seq(col("ts"), col("event_id")), Seq(col("value") -> DoubleType), balance, DoubleType).as("balance"),
         count(lit(1)).as("n"),
         max(col("value")).as("mx"))
       .orderBy("user_id").limit(3).collect()
     assert(r.forall(row => row.getDouble(1) <= 1000.0 && row.getLong(2) > 0))
+  }
+
+  test("SortedFoldAggregator drops null value rows (fold null policy), does not throw") {
+    // plant nulls in the value column; the fold must silently drop those
+    // rows — a primitive-element input encoder would throw instead
+    // (regression: null value row crashed the (Seq[Long], Seq[Double])
+    // encoder before reduce ever saw it).
+    val withNulls = events.withColumn("value_n", when(col("value") > 50.0, lit(null)).otherwise(col("value")))
+    val sumFold = Fold[Double](0.0, (acc, args) => acc + args(0).asInstanceOf[Double])
+    val viaAgg = withNulls.groupBy("user_id")
+      .agg(SortedFoldAggregator.foldColumn(
+        Seq(col("ts"), col("event_id")), Seq(col("value_n") -> DoubleType), sumFold, DoubleType).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val viaNative = withNulls.groupBy("user_id").agg(sum("value_n").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    viaAgg.foreach { case (k, v) => assert(math.abs(v - viaNative(k)) < 1e-6, s"user $k") }
+  }
+
+  test("SortedFoldAggregator handles non-double value types (long cap kernel)") {
+    // a fold whose values are longs, composing with a native agg — the
+    // generic typed path (the old aggregator hard-coded Seq[Double]).
+    val capCount = Fold[Long](0L, (acc, args) => {
+      val id = args(0).asInstanceOf[Long]
+      if (id % 3 == 0) acc + 1 else acc
+    })
+    val r = events.groupBy("user_id")
+      .agg(
+        SortedFoldAggregator.foldColumn(
+          Seq(col("ts"), col("event_id")), Seq(col("event_id") -> org.apache.spark.sql.types.LongType),
+          capCount, org.apache.spark.sql.types.LongType).as("div3"),
+        count(when(col("event_id") % 3 === 0, 1)).as("expected"))
+      .collect()
+    r.foreach(row => assert(row.getLong(1) == row.getLong(2), s"user ${row.getLong(0)}"))
   }
 }
