@@ -9,11 +9,12 @@ import org.apache.spark.sql.types._
   * frame-sample operators.
   *
   * The Spark-side contract is real and tested — schema, partitioning,
-  * batch shape (mapPartitions over iterator, one decode call per row,
-  * reusable per-partition scratch) — while the actual codec call is a
-  * clearly-marked deterministic STUB (no image/audio libraries in this
-  * environment). Swapping in a real decoder changes only the body of
-  * [[decodeStub]]; at 100 TB the decode stage is a narrow map (no
+  * batch shape (mapPartitions over iterator, one decode call per row).
+  * Image payloads (PNG/JPEG/GIF/BMP by magic bytes) decode for real via
+  * the JDK's ImageIO ([[decode]]: true dimensions + luminance stats);
+  * anything else falls back to a clearly-marked deterministic byte-
+  * arithmetic STUB ([[decodeStub]]) — audio/video codecs are not in
+  * this environment. At 100 TB the decode stage is a narrow map (no
   * shuffle) and parallelizes with input splits.
   */
 object Multimodal {
@@ -36,13 +37,64 @@ object Multimodal {
   def byteLength(media: Column): Column = octet_length(media.getField("bytes"))
   def contentHash(media: Column): Column = md5(media.getField("bytes"))
 
-  /** STUB decoder: a real implementation would call an image codec here
-    * (e.g. ImageIO/libjpeg) and emit pixel statistics. The stub derives a
-    * deterministic feature vector from the payload bytes so the full
-    * pipeline — schema in, features out, partition-parallel — is
-    * exercised end-to-end and its results are reproducible. */
+  /** PNG / JPEG / GIF / BMP magic-byte sniff — only payloads that look
+    * like a real image pay the ImageIO decode attempt. */
+  private[llm] def looksLikeImage(bytes: Array[Byte]): Boolean =
+    bytes.length >= 4 && (
+      (bytes(0) == 0x89.toByte && bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G') || // PNG
+        (bytes(0) == 0xFF.toByte && bytes(1) == 0xD8.toByte) || // JPEG SOI
+        (bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F') || // GIF
+        (bytes(0) == 'B' && bytes(1) == 'M')) // BMP
+
+  /** Real decoder for image payloads via the JDK's ImageIO (PNG/JPEG/
+    * GIF/BMP — stdlib, no native deps): features are
+    * [width, height, mean luminance 0..1, luminance variance, ...0].
+    * Deterministic: pixel values of a decoded PNG/JPEG are fully
+    * determined by the payload. Non-image payloads (wrong magic or a
+    * codec miss) fall back to the byte-arithmetic stub so the pipeline
+    * stays total and reproducible on any input. */
+  private[llm] def decode(bytes: Array[Byte], dims: Int): Array[Double] = {
+    if (looksLikeImage(bytes)) {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        catch { case _: java.io.IOException => null }
+      if (img != null) {
+        val out = new Array[Double](dims)
+        val (w, h) = (img.getWidth, img.getHeight)
+        if (dims > 0) out(0) = w.toDouble
+        if (dims > 1) out(1) = h.toDouble
+        if (dims > 2) {
+          // mean + variance of luminance over a bounded sample grid
+          // (≤64×64 pixels) so decode cost is O(1) per image
+          val (sx, sy) = (math.max(1, w / 64), math.max(1, h / 64))
+          var sum = 0.0; var sumSq = 0.0; var n = 0
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val lum = (0.299 * ((rgb >> 16) & 0xFF) + 0.587 * ((rgb >> 8) & 0xFF) +
+                0.114 * (rgb & 0xFF)) / 255.0
+              sum += lum; sumSq += lum * lum; n += 1
+              x += sx
+            }
+            y += sy
+          }
+          val mean = if (n == 0) 0.0 else sum / n
+          out(2) = mean
+          if (dims > 3) out(3) = math.max(0.0, if (n == 0) 0.0 else sumSq / n - mean * mean)
+        }
+        return out
+      }
+    }
+    decodeStub(bytes, dims)
+  }
+
+  /** STUB decoder for non-image payloads: derives a deterministic
+    * feature vector from the payload bytes so the full pipeline —
+    * schema in, features out, partition-parallel — is exercised
+    * end-to-end and its results are reproducible. */
   private[llm] def decodeStub(bytes: Array[Byte], dims: Int): Array[Double] = {
-    // ??? <- real codec goes here; deterministic fake below
     val out = new Array[Double](dims)
     var i = 0
     while (i < bytes.length) {
@@ -63,7 +115,7 @@ object Multimodal {
     sel.mapPartitions { it =>
       it.map { r =>
         val bytes = r.getAs[Array[Byte]](1)
-        Row(r.get(0), decodeStub(if (bytes == null) Array.emptyByteArray else bytes, dims).toSeq)
+        Row(r.get(0), decode(if (bytes == null) Array.emptyByteArray else bytes, dims).toSeq)
       }
     }(Encoders.row(outSchema))
   }

@@ -80,12 +80,15 @@ object Similarity {
       k: Int = 5,
       nCells: Int = 16,
       nProbe: Int = 4): DataFrame = {
-    val spark = corpus.sparkSession
     // deterministic centroids: the nCells corpus vectors with smallest
-    // xxhash64(id) — a seed-free pseudo-random sample
+    // md5(id) — a seed-free pseudo-random sample whose selection rule is
+    // engine-portable (md5 hex ordering is identical in DuckDB, so the
+    // whole IVF pipeline can be replayed as oracle SQL; xxhash64 is not
+    // portable)
     val cents = corpus
-      .select(col(idCol).as("cid"), col(vecCol).as("cvec"), xxhash64(col(idCol)).as("h"))
-      .orderBy("h").limit(nCells).drop("h")
+      .select(col(idCol).as("cid"), col(vecCol).as("cvec"),
+        md5(col(idCol).cast("string")).as("h"))
+      .orderBy(col("h"), col("cid")).limit(nCells).drop("h")
     def assign(df: DataFrame, id: String, vec: String, n: Int, out: String): DataFrame = {
       val scored = df.select(col(idCol).as(id), col(vecCol).as(vec))
         .join(broadcast(cents))

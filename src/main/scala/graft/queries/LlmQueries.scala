@@ -146,6 +146,17 @@ object LlmQueries {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** LSH bucket-size histogram — the audit view for minHashPairs'
+    * hot-bucket cap (buckets above maxBucket are dropped, never
+    * silently): how many buckets hold n members, driver-visible. Bucket
+    * keys are xxhash64-derived (not engine-portable) ⇒ rows-only check;
+    * the planted-duplicate recall behind it is pinned in LlmSpec. */
+  val lshBucketHistogram: Q = (s, dir) =>
+    Dedup.lshBuckets(Tables(s, dir, "documents"), "doc_id", "text")
+      .groupBy(col("n").as("bucket_size")).agg(count(lit(1)).as("n_buckets"))
+      .select("bucket_size", "n_buckets")
+      .orderBy("bucket_size")
+
   /** Byte-level media stats (no decode): engine-portable ⇒ oracle. */
   val mediaStats: Q = (s, dir) => {
     val d = Tables(s, dir, "documents")
@@ -169,6 +180,7 @@ object LlmQueries {
     "ann_lsh" -> annLsh,
     "ann_ivf" -> annIvf,
     "dedup_embedding" -> dedupEmbedding,
+    "lsh_bucket_histogram" -> lshBucketHistogram,
     "doc_chunks" -> docChunks,
     "media_features" -> mediaFeatures,
     "media_stats" -> mediaStats
@@ -177,8 +189,39 @@ object LlmQueries {
   val oracles: Map[String, String] = Map(
     // Exact top-k ranking IS oracle-able: cosines of the random corpus
     // are well-separated, and both engines' double math agrees on the
-    // ordering (validated at sf0.01 and sf0.1). Approximate ann_lsh /
-    // ann_ivf stay rows-only (recall-gated in LlmSpec instead).
+    // ordering (validated at sf0.01 and sf0.1). ann_lsh stays rows-only
+    // (xxhash64-derived hyperplanes are not portable; recall-gated in
+    // LlmSpec); ann_ivf's md5-based centroid rule IS portable, so the
+    // whole approximate pipeline is replayed as SQL below.
+    "ann_ivf" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+        |corpus_assign AS (
+        |  SELECT corpus_id, cell FROM (
+        |    SELECT e.vec_id AS corpus_id, c.cid AS cell,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.embedding, c.cvec) DESC, c.cid) AS rk
+        |    FROM embeddings e, cents c) WHERE rk <= 1),
+        |query_assign AS (
+        |  SELECT query_id, cell FROM (
+        |    SELECT e.vec_id AS query_id, c.cid AS cell,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.embedding, c.cvec) DESC, c.cid) AS rk
+        |    FROM embeddings e, cents c WHERE e.vec_id < 10) WHERE rk <= 4),
+        |cands AS (
+        |  SELECT DISTINCT q.query_id, ca.corpus_id
+        |  FROM query_assign q JOIN corpus_assign ca ON q.cell = ca.cell
+        |  WHERE ca.corpus_id <> q.query_id),
+        |scored AS (
+        |  SELECT cd.query_id, cd.corpus_id,
+        |    row_number() OVER (PARTITION BY cd.query_id
+        |      ORDER BY list_cosine_similarity(qe.embedding, ce.embedding) DESC, cd.corpus_id) AS rank
+        |  FROM cands cd
+        |  JOIN embeddings qe ON qe.vec_id = cd.query_id
+        |  JOIN embeddings ce ON ce.vec_id = cd.corpus_id)
+        |SELECT query_id, corpus_id, rank FROM scored WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
     "ann_bruteforce" ->
       """SELECT query_id, corpus_id, rank FROM (
         |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,

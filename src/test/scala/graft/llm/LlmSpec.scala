@@ -126,4 +126,27 @@ class LlmSpec extends AnyFunSuite {
     val frames = Multimodal.sampleFrames(media, "doc_id", "media", frameBytes = 16, stride = 2)
     assert(frames.count() > 0)
   }
+
+  test("multimodal: real PNG payloads decode via ImageIO to true dimensions + luminance") {
+    // generate a 12x7 PNG filled with pure green in-memory
+    val img = new java.awt.image.BufferedImage(12, 7, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 7; x <- 0 until 12) img.setRGB(x, y, 0x00FF00)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+    assert(Multimodal.looksLikeImage(png))
+    val f = Multimodal.decode(png, 4)
+    assert(f(0) == 12.0 && f(1) == 7.0) // true decoded dimensions
+    assert(math.abs(f(2) - 0.587) < 1e-9) // uniform green: mean luminance = 0.587
+    assert(f(3) == 0.0) // uniform image: zero variance
+    // end-to-end through the Spark pipeline: one PNG row + one text row
+    val rows = Seq((1L, png), (2L, "plain text".getBytes("UTF-8")))
+    val df = spark.createDataFrame(rows).toDF("doc_id", "payload")
+      .select($"doc_id", Multimodal.mediaStruct(
+        $"payload", lit("image/png"), lit(0), lit(0), lit(1)).as("media"))
+    val feats = Multimodal.extractFeatures(df, "doc_id", "media", dims = 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(feats(1L)(0) == 12.0 && feats(1L)(1) == 7.0)
+    assert(feats(2L) == Multimodal.decodeStub("plain text".getBytes("UTF-8"), 4).toSeq) // stub fallback
+  }
 }
