@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{LlmQueries, ReferenceQueries, RelationalQueries}
+import graft.queries.{LlmQueries, ReferenceQueries, RelationalQueries, StreamingQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -22,12 +22,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ReferenceQueries.defs ++ RelationalQueries.defs ++ LlmQueries.defs
+    ReferenceQueries.defs ++ RelationalQueries.defs ++ LlmQueries.defs ++ StreamingQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
     * (non-associative whole-frame kernels — pinned by golden tests
     * instead, FIXTURES.md §A). */
   def oracleSql: Map[String, String] =
-    ReferenceQueries.oracles ++ RelationalQueries.oracles ++ LlmQueries.oracles
+    ReferenceQueries.oracles ++ RelationalQueries.oracles ++ LlmQueries.oracles ++ StreamingQueries.oracles
 }

@@ -250,6 +250,37 @@ object LlmQueries {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "doc_fingerprint" ->
       "SELECT doc_id, md5(lower(text)) AS fp_md5 FROM documents ORDER BY doc_id",
+    // marker-word argmax replayed in SQL: per-language substring counts
+    // via length arithmetic (identical in both engines); ties resolve to
+    // the FIRST language in the marker list, matching Spark's
+    // array_position-first semantics.
+    "lang_id" ->
+      """WITH s AS (SELECT doc_id, ' ' || lower(text) || ' ' AS t FROM documents),
+        |sc AS (SELECT doc_id,
+        |  CAST((length(t)-length(replace(t,' the ','')))/5 AS INT)
+        |    + CAST((length(t)-length(replace(t,' and ','')))/5 AS INT)
+        |    + CAST((length(t)-length(replace(t,' of ','')))/4 AS INT) AS s_en,
+        |  CAST((length(t)-length(replace(t,' el ','')))/4 AS INT)
+        |    + CAST((length(t)-length(replace(t,' la ','')))/4 AS INT)
+        |    + CAST((length(t)-length(replace(t,' de ','')))/4 AS INT) AS s_es,
+        |  CAST((length(t)-length(replace(t,' der ','')))/5 AS INT)
+        |    + CAST((length(t)-length(replace(t,' und ','')))/5 AS INT)
+        |    + CAST((length(t)-length(replace(t,' die ','')))/5 AS INT) AS s_de,
+        |  CAST((length(t)-length(replace(t,' le ','')))/4 AS INT)
+        |    + CAST((length(t)-length(replace(t,' et ','')))/4 AS INT)
+        |    + CAST((length(t)-length(replace(t,' les ','')))/5 AS INT) AS s_fr,
+        |  CAST((length(t)-length(replace(t,'的','')))/1 AS INT)
+        |    + CAST((length(t)-length(replace(t,'是','')))/1 AS INT)
+        |    + CAST((length(t)-length(replace(t,'了','')))/1 AS INT) AS s_zh
+        |FROM s)
+        |SELECT doc_id,
+        |  CASE WHEN greatest(s_en, s_es, s_de, s_fr, s_zh) <= 0 THEN 'und'
+        |       WHEN s_en = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'en'
+        |       WHEN s_es = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'es'
+        |       WHEN s_de = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'de'
+        |       WHEN s_fr = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'fr'
+        |       ELSE 'zh' END AS lang_guess
+        |FROM sc ORDER BY doc_id""".stripMargin,
     "doc_chunks" ->
       """WITH w AS (SELECT doc_id,
         |    regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[.,;:!?]', '', 'g'), ' +', ' ', 'g')), ' +') AS words

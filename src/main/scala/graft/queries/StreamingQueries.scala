@@ -1,0 +1,72 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.plumba.Kernel
+
+/** Structured-Streaming queries surfaced through the batch correctness
+  * gate: the stream runs to completion inside the query function
+  * (memory sink, processAllAvailable) and the sink table is returned as
+  * an ordinary DataFrame — so the driver's DuckDB oracle verifies the
+  * STREAMING state path (GroupState per key, per-micro-batch kernel
+  * threading) against the same SQL replay as the batch operators. */
+object StreamingQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Per-user balance scan over the events table consumed AS A STREAM:
+    * [[graft.streaming.StreamingScan.groupScanStream]] threads the
+    * non-associative credit-limit kernel through `GroupState`, exactly
+    * the reference's per-group scan semantics (examples_scan.py:64–82)
+    * on an unbounded source. Ordering is event_id (the stream's
+    * per-key delivery order); the oracle replays the same fold with a
+    * recursive CTE over event_id-ordered lists.
+    *
+    * Scale: state is one Double per user spread across the state store;
+    * each micro-batch shuffles only on user_id — same partitioning
+    * story as the batch path, plus incremental arrival. */
+  val streamGroupScanBalance: Q = (s, dir) => {
+    val schema = Tables(s, dir, "events").schema // also sets the nanos conf
+    val name = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val k = Kernel.Scan[Double](0.0, (acc, args) => {
+      val x = args(0).asInstanceOf[Double]
+      if (acc + x <= 1000.0) acc + x else acc
+    })
+    // events.parquet is a single FILE: FileStreamSource force-sets
+    // basePath to the (non-glob) path itself and then rejects it for not
+    // being a directory — a glob path sidesteps that and infers the
+    // parent directory as base
+    val src = s.readStream.schema(schema).parquet(s"$dir/events.parquet*")
+    val q = graft.streaming.StreamingScan
+      .groupScanStream(src, "user_id", "event_id", "value", k)
+      .toDF("user_id", "event_id", "balance")
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table(name).orderBy("user_id", "event_id")
+  }
+
+  val defs: Map[String, Q] = Map(
+    "stream_group_scan_balance" -> streamGroupScanBalance
+  )
+
+  val oracles: Map[String, String] = Map(
+    // same recursive-CTE replay as the batch balance scans, ordered by
+    // event_id (the stream's delivery order)
+    "stream_group_scan_balance" ->
+      """WITH RECURSIVE seq AS (
+        |  SELECT user_id, list(CAST(value AS DOUBLE) ORDER BY event_id) AS vals,
+        |         list(event_id ORDER BY event_id) AS eids
+        |  FROM events GROUP BY user_id),
+        |r AS (
+        |  SELECT user_id, vals, eids, 0 AS i, CAST(0.0 AS DOUBLE) AS acc FROM seq
+        |  UNION ALL
+        |  SELECT user_id, vals, eids, i + 1,
+        |    CASE WHEN acc + vals[i + 1] <= 1000.0 THEN acc + vals[i + 1] ELSE acc END
+        |  FROM r WHERE i < len(vals))
+        |SELECT user_id, eids[i] AS event_id, acc AS balance
+        |FROM r WHERE i >= 1
+        |ORDER BY user_id, i""".stripMargin
+  )
+}
