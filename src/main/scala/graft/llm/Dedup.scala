@@ -152,6 +152,64 @@ object Dedup {
       .agg(min("hamming").as("hamming"))
   }
 
+  /** Connected components over an undirected edge list (id_a, id_b) —
+    * the transitive-closure step of a dedup pipeline: near-dup PAIRS
+    * become duplicate CLUSTERS (a~b, b~c ⇒ {a,b,c}), each labeled by
+    * its minimum member id.
+    *
+    * Iterative min-label propagation on DataFrames: every vertex starts
+    * as its own label; each round takes the min of its own and its
+    * neighbors' labels; converged when nothing changes. Rounds needed =
+    * graph diameter — small for near-dup clusters (most are cliques from
+    * a shared bucket, diameter 1–2). Each round is one join + one
+    * hash-aggregate, both keyed on vertex id — no driver-side data, the
+    * only driver work is the convergence count. For adversarially long
+    * chains at 100 TB, the classic fix is pointer-doubling (large-star/
+    * small-star) which halves diameter per round; not needed for dedup
+    * workloads where maxIter bounds the cost explicitly.
+    *
+    * Returns (id, component) for every vertex that appears in an edge. */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    // localCheckpoint (not persist): each round's plan embeds the
+    // previous round's TWICE (labels ⋈ nbrMin(labels)), so without
+    // lineage truncation the logical plan doubles per iteration —
+    // exponential tree growth that OOMs the driver before any data
+    // does. At cluster scale the same pattern uses reliable
+    // checkpointing; the per-round data (one row per vertex) is tiny
+    // either way.
+    val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint()
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id")).localCheckpoint()
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val nbrMin = sym.join(labels.withColumnRenamed("id", "src2"), col("src") === col("src2"))
+        .groupBy(col("dst")).agg(min("comp").as("nbr"))
+      val updated = labels
+        .join(nbrMin, col("id") === col("dst"), "left")
+        .select(col("id"), col("comp").as("old"),
+          least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"))
+        .localCheckpoint()
+      changed = updated.filter(col("comp") =!= col("old")).count()
+      labels = updated.select("id", "comp")
+      i += 1
+    }
+    labels
+  }
+
+  /** Duplicate groups from near-dup pairs: every doc mapped to its
+    * cluster representative (min doc id of the connected component);
+    * docs with no near-dup edge keep themselves. The final step of
+    * near-dedup: `keep = (component == id)`. */
+  def dedupGroups(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val comps = connectedComponents(pairs)
+    docs.select(col(idCol))
+      .join(comps, col(idCol) === col("id"), "left")
+      .select(col(idCol), coalesce(col("comp"), col(idCol)).as("component"))
+  }
+
   /** Exact n-gram Jaccard for given candidate pairs (verification pass):
     * joins the pair list back to per-doc shingle-hash sets. */
   def verifyJaccard(pairs: DataFrame, docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {

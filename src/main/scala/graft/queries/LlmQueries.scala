@@ -146,6 +146,30 @@ object LlmQueries {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** Connected components through the iterative min-label-propagation
+    * operator — the transitive-closure step of dedup (pairs → clusters).
+    * The edge set here is deterministic and engine-portable (consecutive
+    * doc_ids sharing a lang label), producing genuine multi-hop chains
+    * (runs of length k ⇒ diameter k−1 ⇒ multiple propagation rounds), so
+    * the ORACLE verifies real convergence, via gaps-and-islands SQL. */
+  val dedupComponents: Q = (s, dir) => {
+    val d = Tables(s, dir, "documents").select(col("doc_id"), col("lang"))
+    val e = d.as("a").join(d.as("b"),
+        col("a.doc_id") + 1 === col("b.doc_id") && col("a.lang") === col("b.lang"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    Dedup.dedupGroups(d, "doc_id", e).orderBy("doc_id")
+  }
+
+  /** The production dedup flow end-to-end: MinHash+LSH near-dup pairs →
+    * connected components → cluster representative per doc. Hash family
+    * ⇒ rows-only check (clusters pinned by LlmSpec on planted dups). */
+  val dedupGroupsMinhash: Q = (s, dir) => {
+    val docs = Tables(s, dir, "documents")
+    Dedup.dedupGroups(docs, "doc_id",
+        Dedup.minHashPairs(docs, "doc_id", "text", threshold = 0.3))
+      .orderBy("doc_id")
+  }
+
   /** LSH bucket-size histogram — the audit view for minHashPairs'
     * hot-bucket cap (buckets above maxBucket are dropped, never
     * silently): how many buckets hold n members, driver-visible. Bucket
@@ -181,6 +205,8 @@ object LlmQueries {
     "ann_ivf" -> annIvf,
     "dedup_embedding" -> dedupEmbedding,
     "lsh_bucket_histogram" -> lshBucketHistogram,
+    "dedup_components" -> dedupComponents,
+    "dedup_groups_minhash" -> dedupGroupsMinhash,
     "doc_chunks" -> docChunks,
     "media_features" -> mediaFeatures,
     "media_stats" -> mediaStats
@@ -250,6 +276,17 @@ object LlmQueries {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "doc_fingerprint" ->
       "SELECT doc_id, md5(lower(text)) AS fp_md5 FROM documents ORDER BY doc_id",
+    // gaps-and-islands replay of the consecutive-same-lang chain graph:
+    // within a lang, consecutive doc_ids share (doc_id - row_number),
+    // and the component label is the run's min doc_id — exactly what
+    // min-label propagation converges to.
+    "dedup_components" ->
+      """WITH g AS (
+        |  SELECT doc_id, lang,
+        |    doc_id - row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS grp
+        |  FROM documents)
+        |SELECT doc_id, min(doc_id) OVER (PARTITION BY lang, grp) AS component
+        |FROM g ORDER BY doc_id""".stripMargin,
     // marker-word argmax replayed in SQL: per-language substring counts
     // via length arithmetic (identical in both engines); ties resolve to
     // the FIRST language in the marker list, matching Spark's

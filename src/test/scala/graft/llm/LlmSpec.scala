@@ -127,6 +127,24 @@ class LlmSpec extends AnyFunSuite {
     assert(frames.count() > 0)
   }
 
+  test("connected components: multi-hop chains converge to the min label") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L), (21L, 22L))
+      .toDF("id_a", "id_b")
+    // 1-2-3-4 is a diameter-3 chain: the min label needs 3 propagation
+    // rounds to reach vertex 4 — tests genuine iteration, not one join
+    val comps = Dedup.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+    // dedupGroups: vertices without edges keep themselves
+    val docs = Seq(1L, 2L, 3L, 4L, 10L, 11L, 99L).toDF("doc_id")
+    val groups = Dedup.dedupGroups(docs, "doc_id", edges.filter($"id_a" < 10))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(groups(99L) == 99L && groups(4L) == 1L && groups(10L) == 10L)
+  }
+
   test("multimodal: real PNG payloads decode via ImageIO to true dimensions + luminance") {
     // generate a 12x7 PNG filled with pure green in-memory
     val img = new java.awt.image.BufferedImage(12, 7, java.awt.image.BufferedImage.TYPE_INT_RGB)
