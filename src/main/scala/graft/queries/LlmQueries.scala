@@ -181,6 +181,23 @@ object LlmQueries {
       .select("bucket_size", "n_buckets")
       .orderBy("bucket_size")
 
+  /** Frame sampling through the real binary path
+    * ([[Multimodal.sampleFrames]]): every 4th 64-byte chunk of the
+    * payload becomes a frame row, fingerprinted with md5. The DuckDB
+    * oracle replays the slicing over VARCHAR (no blob substring in
+    * DuckDB 1.0) — byte-identical because the corpus is pure ASCII
+    * (validated at sf0.001/0.01/0.1: zero non-ASCII chars). */
+  val mediaFrames: Q = (s, dir) => {
+    val d = Tables(s, dir, "documents")
+    val media = d.select(col("doc_id"),
+      Multimodal.mediaStruct(
+        to_binary(col("text"), lit("utf-8")), lit("application/octet-stream"),
+        lit(0), lit(0), lit(1)).as("media"))
+    Multimodal.sampleFrames(media, "doc_id", "media", frameBytes = 64, stride = 4)
+      .select(col("doc_id"), col("frame_idx"), md5(col("frame")).as("frame_md5"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
   /** Byte-level media stats (no decode): engine-portable ⇒ oracle. */
   val mediaStats: Q = (s, dir) => {
     val d = Tables(s, dir, "documents")
@@ -209,6 +226,7 @@ object LlmQueries {
     "dedup_groups_minhash" -> dedupGroupsMinhash,
     "doc_chunks" -> docChunks,
     "media_features" -> mediaFeatures,
+    "media_frames" -> mediaFrames,
     "media_stats" -> mediaStats
   )
 
@@ -334,6 +352,15 @@ object LlmQueries {
     "media_stats" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
         |  md5(text) AS payload_md5
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "media_frames" ->
+      """WITH f AS (
+        |  SELECT doc_id, text,
+        |    unnest(range(0, greatest(length(text) // 64 - 1, 0) + 1, 4)) AS i
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS INT) AS frame_idx,
+        |  md5(substring(text, CAST(i * 64 + 1 AS INT), 64)) AS frame_md5
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin
   )
 }

@@ -72,6 +72,43 @@ class KernelPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("two-pass prefix-scan decomposition == sequential scan at any partitioning") {
+    // the exact math CollectOps.collectScanMergeable runs distributed:
+    // pass 1 folds each contiguous partition's segment state from
+    // neutral (nulls skip), prefixes = scanLeft over partials, pass 2
+    // re-scans each partition from its prefix. Checked for a
+    // commutative kernel (sum) and an ORDER-SENSITIVE one (last-wins),
+    // which would expose any partition-order mistake.
+    def twoPass(k: Scan[Long], xs: List[Option[Long]], nParts: Int): List[Option[Long]] = {
+      val m = k.merge.get
+      val size = math.max(1, (xs.length + nParts - 1) / nParts)
+      val parts = if (xs.isEmpty) List(Nil) else xs.grouped(size).toList
+      val partials = parts.map { p =>
+        var acc = m.neutral
+        p.foreach(v => if (v.isDefined) acc = k.step(acc, IndexedSeq(Long.box(v.get))))
+        acc
+      }
+      val prefixes = partials.scanLeft(k.init)(m.combine)
+      parts.zip(prefixes).flatMap { case (p, seed) =>
+        var acc = seed
+        p.map(v =>
+          if (v.isEmpty) None
+          else { acc = k.step(acc, IndexedSeq(Long.box(v.get))); Some(acc) })
+      }
+    }
+    val sumK = Scan.of1[Long, Long](5L, merge = Some(Merge(0L, (a: Long, b: Long) => a + b)))(_ + _)
+    // last-wins: neutral = "segment saw nothing" sentinel
+    val lastK = Scan.of1[Long, Long](Long.MinValue,
+      merge = Some(Merge(Long.MinValue, (a: Long, b: Long) => if (b == Long.MinValue) a else b)))(
+      (_, x) => x)
+    check(Prop.forAll(genVals, Gen.choose(1, 8)) { (xs, nParts) =>
+      Seq(sumK, lastK).forall { k =>
+        val seqScan = scanRows(k, rows(xs)).toList.map(_.map(_.asInstanceOf[Long]))
+        twoPass(k, xs, nParts).map(_.map(identity[Long])) == seqScan
+      }
+    })
+  }
+
   test("arity sweep: generic step binds extras then columns for 1..12 columns") {
     // lifts the reference's 9-column cap (tested beyond it)
     for (n <- 1 to 12) {
