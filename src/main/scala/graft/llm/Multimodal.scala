@@ -104,6 +104,44 @@ object Multimodal {
     out
   }
 
+  /** Resize an image payload to (w, h), re-encoded as PNG bytes —
+    * bilinear Graphics2D scaling (JDK stdlib, deterministic for a given
+    * payload). Non-image payloads and codec misses pass through
+    * unchanged, keeping the operator total. */
+  private[llm] def resizeImage(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    if (!looksLikeImage(bytes)) return bytes
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: java.io.IOException => null }
+    if (img == null) return bytes
+    val dst = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = dst.createGraphics()
+    g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+      java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+    g.drawImage(img, 0, 0, w, h, null)
+    g.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(dst, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Resize over a DataFrame with a media struct column: mapPartitions
+    * (narrow map, no shuffle — same scale shape as [[extractFeatures]]),
+    * emitting the media struct with resized payload and updated
+    * width/height metadata. */
+  def resizeMedia(df: DataFrame, idCol: String, mediaCol: String, w: Int, h: Int): DataFrame = {
+    val sel = df.select(col(idCol), col(mediaCol))
+    val outSchema = StructType(Seq(sel.schema.head, StructField(mediaCol, mediaSchema)))
+    sel.mapPartitions { it =>
+      it.map { r =>
+        val m = r.getStruct(1)
+        val bytes = m.getAs[Array[Byte]](0)
+        val resized = resizeImage(if (bytes == null) Array.emptyByteArray else bytes, w, h)
+        Row(r.get(0), Row(resized, m.get(1), w, h, m.get(4)))
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Decode + feature-extract over a DataFrame with a media struct
     * column: mapPartitions (one pass, no shuffle), emitting
     * (idCol, features array<double>). `dims` is the feature width. */

@@ -32,6 +32,24 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** Per-language corpus report — the summary a pipeline emits after
+    * ingest: doc counts, token totals, exact token-count percentiles.
+    * All exact arithmetic (integer sums, double division of exact ints,
+    * Spark's exact `percentile` == DuckDB's `quantile_cont` linear
+    * interpolation) ⇒ hash-verified oracle. */
+  val corpusStats: Q = (s, dir) => {
+    val d = Tables(s, dir, "documents")
+      .withColumn("n_tokens", TextAnalysis.tokenCountWs(col("text")))
+    d.groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("total_tokens"),
+        (sum(col("n_tokens").cast("long")).cast("double") / count(lit(1))).as("mean_tokens"),
+        expr("percentile(n_tokens, 0.5)").as("p50_tokens"),
+        expr("percentile(n_tokens, 0.95)").as("p95_tokens"))
+      .orderBy("lang")
+  }
+
   /** Quality scoring (length/punct/token-shape heuristic). */
   val qualityScore: Q = (s, dir) =>
     Tables(s, dir, "documents")
@@ -210,6 +228,7 @@ object LlmQueries {
 
   val defs: Map[String, Q] = Map(
     "text_stats" -> textStats,
+    "corpus_stats" -> corpusStats,
     "quality_score" -> qualityScore,
     "lang_id" -> langId,
     "doc_fingerprint" -> docFingerprint,
@@ -284,6 +303,14 @@ object LlmQueries {
         |      t -> t IN ('the','a','an','and','or','of','to','in','is'))) AS DOUBLE)
         |    / len(regexp_split_to_array(text, ' +')), 6) AS stopword_ratio
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "corpus_stats" ->
+      """WITH t AS (SELECT lang, len(regexp_split_to_array(text, ' +')) AS n_tokens FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  CAST(sum(n_tokens) AS DOUBLE) / count(*) AS mean_tokens,
+        |  quantile_cont(n_tokens, 0.5) AS p50_tokens,
+        |  quantile_cont(n_tokens, 0.95) AS p95_tokens
+        |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
     "quality_score" ->
       """SELECT doc_id, round(
         |    least(CAST(len(regexp_split_to_array(text, ' +')) AS DOUBLE) / 50.0, 1.0) * 0.4

@@ -166,5 +166,14 @@ class LlmSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
     assert(feats(1L)(0) == 12.0 && feats(1L)(1) == 7.0)
     assert(feats(2L) == Multimodal.decodeStub("plain text".getBytes("UTF-8"), 4).toSeq) // stub fallback
+    // resize: uniform green 12x7 -> 6x4 PNG, still uniform green
+    val resized = Multimodal.resizeMedia(df.filter($"doc_id" === 1L), "doc_id", "media", 6, 4)
+    val rm = resized.collect()(0).getStruct(1)
+    assert(rm.getInt(2) == 6 && rm.getInt(3) == 4) // metadata updated
+    val rf = Multimodal.decode(rm.getAs[Array[Byte]](0), 4)
+    assert(rf(0) == 6.0 && rf(1) == 4.0) // decoded dims of the resized payload
+    assert(math.abs(rf(2) - 0.587) < 1e-9 && rf(3) < 1e-12) // bilinear of uniform = uniform
+    // non-image payloads pass through unchanged
+    assert(Multimodal.resizeImage("plain".getBytes, 2, 2).sameElements("plain".getBytes))
   }
 }
