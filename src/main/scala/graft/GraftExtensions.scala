@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{MinHashFromHashes, ShingleHashes, SimHash64Expr}
+import graft.functions.{CosineSimExpr, HyperplaneSigExpr, MinHashFromHashes, ShingleHashes, SimHash64Expr}
 
 /** `SparkSessionExtensions` installer: registers the graft custom
   * expressions as SQL functions, so `spark.sql("SELECT
@@ -40,7 +40,10 @@ object GraftExtensions {
       if (args.length > 1) intArg(args(1), "shingle width n") else 3)),
     "minhash_signature" -> ((args: Seq[Expression]) => MinHashFromHashes(args.head,
       if (args.length > 1) intArg(args(1), "signature size k") else 32)),
-    "simhash64" -> ((args: Seq[Expression]) => SimHash64Expr(args.head)))
+    "simhash64" -> ((args: Seq[Expression]) => SimHash64Expr(args.head)),
+    "cosine_sim" -> ((args: Seq[Expression]) => CosineSimExpr(args(0), args(1))),
+    "hyperplane_sig" -> ((args: Seq[Expression]) => HyperplaneSigExpr(args.head,
+      if (args.length > 1) intArg(args(1), "plane count") else 16)))
 
   /** Register the same functions as session-scoped temp functions on an
     * already-running session (no extensions hook needed). */

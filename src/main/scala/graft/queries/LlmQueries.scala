@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
@@ -153,6 +154,27 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** The composed ingest pipeline end-to-end in ONE query — what a
+    * training-data run actually executes: quality-filter the corpus,
+    * exact-dedup survivors (keep min doc_id per content hash), then
+    * normalize + chunk the keepers. Three operator families verified
+    * as a composition by one oracle; every stage is a narrow map or a
+    * single hash-partitioned window — no extra shuffles from composing. */
+  val pipelineCleanCorpus: Q = (s, dir) => {
+    val d = Tables(s, dir, "documents")
+    val scored = d.select(col("doc_id"), col("text"), TextAnalysis.qualityScore(col("text")).as("q"))
+      .filter(col("q") >= 0.5)
+    val keep = scored
+      .withColumn("h", TextAnalysis.fingerprintMd5(col("text")))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("h")).orderBy(col("doc_id"))))
+      .filter(col("rk") === 1)
+    keep.select(col("doc_id"),
+        posexplode(TextAnalysis.chunkWords(TextAnalysis.normalizeText(col("text")), 64, 8)))
+      .withColumnRenamed("pos", "chunk_idx")
+      .withColumnRenamed("col", "chunk")
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   /** Normalized text + 128-word chunks with 16-word overlap: the
     * context-window prep step, exploded to one row per chunk. */
   val docChunks: Q = (s, dir) => {
@@ -244,6 +266,7 @@ object LlmQueries {
     "dedup_components" -> dedupComponents,
     "dedup_groups_minhash" -> dedupGroupsMinhash,
     "doc_chunks" -> docChunks,
+    "pipeline_clean_corpus" -> pipelineCleanCorpus,
     "media_features" -> mediaFeatures,
     "media_frames" -> mediaFrames,
     "media_stats" -> mediaStats
@@ -367,6 +390,27 @@ object LlmQueries {
       """WITH w AS (SELECT doc_id,
         |    regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[.,;:!?]', '', 'g'), ' +', ' ', 'g')), ' +') AS words
         |  FROM documents),
+        |c AS (SELECT doc_id, i AS chunk_idx,
+        |    array_to_string(words[i*56+1 : i*56+64], ' ') AS chunk
+        |  FROM w, unnest(range(0, greatest((len(words) - 8 - 1) // 56, 0) + 1)) AS t(i))
+        |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx, chunk FROM c
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
+    "pipeline_clean_corpus" ->
+      """WITH q AS (
+        |  SELECT doc_id, text, round(
+        |      least(CAST(len(regexp_split_to_array(text, ' +')) AS DOUBLE) / 50.0, 1.0) * 0.4
+        |    + (CASE WHEN CAST(length(text) AS DOUBLE) / len(regexp_split_to_array(text, ' +'))
+        |            BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.3
+        |    + greatest(0.0, 1.0 - (CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+        |                           / length(text)) * 10.0) * 0.3, 6) AS q
+        |  FROM documents),
+        |f AS (SELECT doc_id, text FROM q WHERE q >= 0.5),
+        |k AS (SELECT doc_id, text,
+        |    row_number() OVER (PARTITION BY md5(lower(text)) ORDER BY doc_id) AS rk FROM f),
+        |keep AS (SELECT doc_id, text FROM k WHERE rk = 1),
+        |w AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[.,;:!?]', '', 'g'), ' +', ' ', 'g')), ' +') AS words
+        |  FROM keep),
         |c AS (SELECT doc_id, i AS chunk_idx,
         |    array_to_string(words[i*56+1 : i*56+64], ' ') AS chunk
         |  FROM w, unnest(range(0, greatest((len(words) - 8 - 1) // 56, 0) + 1)) AS t(i))

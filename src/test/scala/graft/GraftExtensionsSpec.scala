@@ -20,6 +20,20 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getAs[Int]("k") == 16)
   }
 
+  test("vector expressions usable from SQL: cosine_sim + hyperplane_sig") {
+    GraftExtensions.registerTemp(spark)
+    val r = spark.sql(
+      """SELECT cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+        |                  array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS self,
+        |  cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+        |             array(CAST(0.0 AS FLOAT), CAST(1.0 AS FLOAT))) AS ortho,
+        |  length(hyperplane_sig(array(CAST(0.5 AS FLOAT), CAST(-0.5 AS FLOAT)), 8)) AS bits
+        |""".stripMargin).head
+    assert(math.abs(r.getAs[Double]("self") - 1.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("ortho")) < 1e-12)
+    assert(r.getAs[Int]("bits") == 8)
+  }
+
   test("SQL path and Column path agree") {
     GraftExtensions.registerTemp(spark)
     import spark.implicits._
