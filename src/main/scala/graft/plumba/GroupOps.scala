@@ -177,6 +177,159 @@ object GroupOps {
       }(Encoders.row(outSchema))
   }
 
+  /** Skew-resistant per-group SCAN for kernels with a lawful
+    * [[Kernel.Merge]] — completes the operator matrix next to
+    * [[groupFoldMergeable]]: a hot group's scan spreads over up to
+    * `buckets` contiguous order-range tasks instead of one.
+    *
+    * Three stages, two shuffles:
+    *  1. per-(group, range-bucket) segment folds (parallel, from
+    *     `neutral`, null rows skip) — same as the fold path;
+    *  2. per group, prefix-combine the bucket partials in bucket order
+    *     → one SEED accumulator per (group, bucket), emitted as
+    *     sentinel rows (O(groups × buckets) total, no per-row
+    *     duplication);
+    *  3. union seeds with the data rows, shuffle once on
+    *     (group, bucket), secondary-sort with the seed flag ahead of
+    *     the ordering columns so each (group, bucket) run begins with
+    *     its seed, then a single streaming pass re-scans every bucket
+    *     from its seed.
+    *
+    * Null ordering values route to bucket 0 (nulls-first ascending,
+    * matching [[groupScan]]'s sort). Lawful for the same reason as the
+    * two-pass whole-frame scan: seeds are exact prefix states. */
+  def groupScanMergeable[A](
+      df: DataFrame,
+      keyCols: Seq[String],
+      valueCols: Seq[String],
+      orderCols: Seq[String],
+      k: Kernel.Scan[A],
+      resultType: DataType,
+      resultName: String = "scan",
+      buckets: Int = 16): DataFrame = {
+    val m = k.merge.getOrElse(throw new IllegalArgumentException(
+      "groupScanMergeable requires a kernel with a declared Merge law; use groupScan for sequential kernels"))
+    require(keyCols.nonEmpty && valueCols.nonEmpty && orderCols.nonEmpty)
+    import org.apache.spark.sql.functions.{lit, when}
+    val ordD = df.schema(orderCols.head).dataType match {
+      case DateType | TimestampType | TimestampNTZType =>
+        col(orderCols.head).cast(TimestampType).cast("long").cast("double")
+      case _ => col(orderCols.head).cast("double")
+    }
+    val boundaries = df.select(ordD.as("__ordd")).stat
+      .approxQuantile("__ordd", (1 until buckets).map(_.toDouble / buckets).toArray, 0.01)
+      .distinct.sorted
+    val bucketCol = when(ordD.isNull, 0).otherwise(
+      boundaries.zipWithIndex.foldRight(lit(boundaries.length): Column) {
+        case ((b, i), rest) => when(ordD < b, i).otherwise(rest)
+      })
+
+    val selCols = (keyCols ++ orderCols ++ valueCols).distinct
+    val keyIdx = keyCols.map(selCols.indexOf)
+    val valIdx = valueCols.map(selCols.indexOf)
+    val bIdx = selCols.length // __bucket appended after selCols
+    val nKeys = keyCols.length
+
+    def ser(a: A): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val oos = new java.io.ObjectOutputStream(bos)
+      oos.writeObject(a); oos.close(); bos.toByteArray
+    }
+    def deser(b: Array[Byte]): A = {
+      val ois = new java.io.ObjectInputStream(new java.io.ByteArrayInputStream(b))
+      val r = ois.readObject().asInstanceOf[A]; ois.close(); r
+    }
+
+    val withB = df.select(selCols.map(col): _*).withColumn("__bucket", bucketCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // stage 1: segment partials per (group, bucket)
+    val partialSchema = StructType(
+      keyCols.map(c => df.schema(c)) ++
+        Seq(StructField("__bucket", IntegerType), StructField("__acc", BinaryType)))
+    val partials = withB
+      .repartition((keyCols :+ "__bucket").map(col): _*)
+      .sortWithinPartitions((keyCols ++ Seq("__bucket") ++ orderCols).map(col): _*)
+      .mapPartitions { it =>
+        new Iterator[Row] {
+          private val buf = it.buffered
+          def hasNext: Boolean = buf.hasNext
+          def next(): Row = {
+            val gk = keyIdx.map(buf.head.get) :+ buf.head.get(bIdx)
+            var acc = m.neutral
+            while (buf.hasNext && (keyIdx.map(buf.head.get) :+ buf.head.get(bIdx)) == gk) {
+              val r = buf.next()
+              val vs = IndexedSeq.tabulate(valIdx.length)(i => r.get(valIdx(i)))
+              if (!Kernel.anyNull(vs)) acc = k.step(acc, k.withArgs(vs))
+            }
+            Row.fromSeq(gk :+ ser(acc))
+          }
+        }
+      }(Encoders.row(partialSchema))
+
+    // stage 2: per group, prefix over bucket partials -> seed per bucket
+    val seeds = partials
+      .repartition(keyCols.map(col): _*)
+      .sortWithinPartitions((keyCols :+ "__bucket").map(col): _*)
+      .mapPartitions { it =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+        val buf = it.buffered
+        while (buf.hasNext) {
+          val key = (0 until nKeys).map(buf.head.get)
+          var acc = k.init
+          while (buf.hasNext && (0 until nKeys).map(buf.head.get) == key) {
+            val r = buf.next()
+            out += Row.fromSeq(key :+ r.get(nKeys) :+ ser(acc)) // seed BEFORE this bucket
+            acc = m.combine(acc, deser(r.getAs[Array[Byte]](nKeys + 1)))
+          }
+        }
+        out.iterator
+      }(Encoders.row(partialSchema))
+
+    // stage 3: union sentinel seed rows ahead of data rows, one shuffle,
+    // one streaming re-scan pass
+    val dataRows = withB
+      .withColumn("__seed", lit(null).cast(BinaryType))
+      .withColumn("__flag", lit(1))
+    val seedRows = seeds
+      .select(
+        (keyCols.map(col) :+ col("__bucket")) ++
+          selCols.filterNot(keyCols.contains).map(c => lit(null).cast(df.schema(c).dataType).as(c)) :+
+          col("__acc").as("__seed") :+ lit(0).as("__flag"): _*)
+      .select((selCols.map(col) :+ col("__bucket") :+ col("__seed") :+ col("__flag")): _*)
+    val outOrdIdx = orderCols.filterNot(keyCols.contains).map(selCols.indexOf)
+    val outSchema = StructType(
+      keyCols.map(c => df.schema(c)) ++
+        orderCols.filterNot(keyCols.contains).map(c => df.schema(c)) :+
+        StructField(resultName, resultType, nullable = true))
+    val sIdx = selCols.length + 1 // __seed position
+    val fIdx = selCols.length + 2 // __flag position
+    dataRows.select((selCols.map(col) :+ col("__bucket") :+ col("__seed") :+ col("__flag")): _*)
+      .union(seedRows)
+      .repartition((keyCols :+ "__bucket").map(col): _*)
+      .sortWithinPartitions(
+        (keyCols.map(col) :+ col("__bucket") :+ col("__flag")) ++ orderCols.map(col): _*)
+      .mapPartitions { it =>
+        var curGroup: Seq[Any] = null
+        var acc = k.init
+        it.flatMap { r =>
+          val gk = keyIdx.map(r.get) :+ r.get(bIdx)
+          if (r.getInt(fIdx) == 0) { // seed sentinel opens its (group, bucket)
+            curGroup = gk
+            acc = deser(r.getAs[Array[Byte]](sIdx))
+            Iterator.empty
+          } else {
+            if (curGroup == null || gk != curGroup) { curGroup = gk; acc = k.init }
+            val vs = IndexedSeq.tabulate(valIdx.length)(i => r.get(valIdx(i)))
+            val out =
+              if (Kernel.anyNull(vs)) null
+              else { acc = k.step(acc, k.withArgs(vs)); k.emit(acc) }
+            Iterator.single(Row.fromSeq(keyIdx.map(r.get) ++ outOrdIdx.map(r.get) :+ out))
+          }
+        }
+      }(Encoders.row(outSchema))
+  }
+
   /** Per-group ordered scan → one row per input row:
     * (keyCols..., orderCols..., resultName). Scan null policy: a null row
     * emits null and does not advance that group's accumulator. */

@@ -71,6 +71,23 @@ object ReferenceQueries {
       .select("o_custkey", "o_orderkey", "hi")
   }
 
+  /** Per-customer running max through the RANGE-SALTED mergeable group
+    * scan ([[graft.plumba.GroupOps.groupScanMergeable]]): a hot
+    * customer's ordered scan spreads over order-date range buckets
+    * (segment folds → per-bucket seeds → parallel re-scan) instead of
+    * one task — the skew path for per-group scans at scale. Same
+    * oracle as the window form [[groupScanCummaxPerCust]]. */
+  val groupScanCummaxSalted: Q = (s, dir) => {
+    val o = Tables(s, dir, "orders")
+    graft.plumba.GroupOps.groupScanMergeable(
+        o, Seq("o_custkey"), Seq("o_totalprice"), Seq("o_orderdate", "o_orderkey"),
+        Kernel.Scan.of1[Double, Double](0.0,
+          merge = Some(Kernel.Merge(0.0, (a: Double, b: Double) => math.max(a, b))))(math.max),
+        DoubleType, "hi", buckets = 8)
+      .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+      .select("o_custkey", "o_orderkey", "hi")
+  }
+
   /** Longest streak of discounted lineitems in order — the reference's
     * run-length fold (examples_fold.py:11–40) in mergeable segment form:
     * parallel partition partials + ordered combine (the 100 TB path;
@@ -324,6 +341,7 @@ object ReferenceQueries {
     "scan_running_max" -> scanRunningMax,
     "scan_cumsum_value" -> scanCumsumValue,
     "group_scan_cummax_per_cust" -> groupScanCummaxPerCust,
+    "group_scan_cummax_salted" -> groupScanCummaxSalted,
     "fold_longest_streak" -> foldLongestStreak,
     "fold_sum_extra_args" -> foldSumExtraArgs,
     "group_fold_balance_per_user" -> groupFoldBalancePerUser,
@@ -407,6 +425,11 @@ object ReferenceQueries {
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running
          |FROM events ORDER BY ts, event_id""".stripMargin,
     "group_scan_cummax_per_cust" ->
+      """SELECT o_custkey, o_orderkey,
+        |  MAX(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi
+        |FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+    "group_scan_cummax_salted" ->
       """SELECT o_custkey, o_orderkey,
         |  MAX(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi

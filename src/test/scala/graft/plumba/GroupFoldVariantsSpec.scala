@@ -69,6 +69,36 @@ class GroupFoldVariantsSpec extends AnyFunSuite {
     assert(salted == sequential)
   }
 
+  test("groupScanMergeable (range-salted) == groupScan for mergeable kernels") {
+    // cummax is order-sensitive enough to catch bucket-order mistakes;
+    // also run with planted null values (scan null policy) and null
+    // ordering values (bucket-0 routing)
+    val evn = events
+      .withColumn("vn", when(col("value") > 95.0, lit(null)).otherwise(col("value")))
+    val k = Kernel.Scan.of1[Double, Double](0.0,
+      merge = Some(Merge(0.0, (a: Double, b: Double) => math.max(a, b))))(math.max)
+    val salted = GroupOps.groupScanMergeable(
+        evn, Seq("user_id"), Seq("vn"), Seq("ts", "event_id"), k, DoubleType, buckets = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> Option(r.get(3))).toMap
+    val sequential = GroupOps.groupScan(
+        evn, Seq("user_id"), Seq("vn"), Seq("ts", "event_id"), k, DoubleType)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> Option(r.get(3))).toMap
+    assert(salted.size == sequential.size && salted == sequential)
+    // order-sensitive last-wins kernel over a null-order frame
+    import spark.implicits._
+    val df = Seq(
+      (1L, Option(3.0), 10.0), (1L, Option.empty[Double], 100.0),
+      (1L, Option(1.0), 1.0), (1L, Option(2.0), 5.0), (2L, Option(9.0), 2.0)
+    ).toDF("g", "ord", "v")
+    val lastK = Kernel.Scan.of1[Double, Double](-1.0,
+      merge = Some(Merge(-1.0, (a: Double, b: Double) => if (b == -1.0) a else b)))((_, x) => x)
+    val s1 = GroupOps.groupScanMergeable(df, Seq("g"), Seq("v"), Seq("ord"), lastK, DoubleType, buckets = 4)
+      .collect().map(r => (r.getLong(0), Option(r.get(1)).map(_.toString)) -> Option(r.get(2))).toSet
+    val s2 = GroupOps.groupScan(df, Seq("g"), Seq("v"), Seq("ord"), lastK, DoubleType)
+      .collect().map(r => (r.getLong(0), Option(r.get(1)).map(_.toString)) -> Option(r.get(2))).toSet
+    assert(s1 == s2)
+  }
+
   test("groupFoldMergeable rejects kernels without a Merge declaration") {
     val plain = Fold[Double](0.0, (acc, args) => acc + args(0).asInstanceOf[Double])
     intercept[IllegalArgumentException] {
