@@ -139,7 +139,32 @@ object RelationalQueries {
       .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("qty"))
       .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
 
+  /** Gap-based sessionization — the events→sessions step of a behavior
+    * or training-data pipeline: per user, a new session starts after a
+    * >12 h silence (gaps-and-islands via lag + running sum of starts),
+    * then per-session aggregates. One shuffle on user_id; the windows
+    * and the aggregation share that partitioning. `ts` is bigint nanos
+    * on the Spark side (nanosAsLong), epoch_ns(ts) in DuckDB — same
+    * int64. */
+  val eventSessions: Q = (s, dir) => {
+    val gapNs = 12L * 3600 * 1000000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val prev = lag(col("ts"), 1).over(w)
+    val isNew = when(prev.isNull || col("ts") - prev > gapNs, 1).otherwise(0)
+    Tables(s, dir, "events")
+      .withColumn("sess", sum(isNew).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sess")
+      .agg(
+        count(lit(1)).as("n_events"),
+        decSum(col("value")).as("total_value"),
+        min(col("event_id")).as("first_event"))
+      .select(col("user_id"), col("sess").cast("long").as("session_idx"),
+        col("n_events"), col("total_value"), col("first_event"))
+      .orderBy("user_id", "session_idx")
+  }
+
   val defs: Map[String, Q] = Map(
+    "event_sessions" -> eventSessions,
     "q1_pricing_summary" -> q1PricingSummary,
     "q3_top_orders" -> q3TopOrders,
     "q5_region_revenue" -> q5RegionRevenue,
@@ -153,6 +178,17 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "event_sessions" ->
+      s"""WITH t AS (
+         |  SELECT user_id, event_id, value, epoch_ns(ts) AS tns,
+         |    lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS prev
+         |  FROM events),
+         |s AS (SELECT *, CASE WHEN prev IS NULL OR tns - prev > 43200000000000 THEN 1 ELSE 0 END AS isnew FROM t),
+         |g AS (SELECT *, SUM(isnew) OVER (PARTITION BY user_id ORDER BY tns, event_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess FROM s)
+         |SELECT user_id, CAST(sess AS BIGINT) AS session_idx, count(*) AS n_events,
+         |  ${sqlDecSum("value")} AS total_value, min(event_id) AS first_event
+         |FROM g GROUP BY user_id, sess ORDER BY user_id, session_idx""".stripMargin,
     "q1_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  SUM(l_quantity) AS sum_qty,
