@@ -51,6 +51,17 @@ object LlmQueries {
       .orderBy("lang")
   }
 
+  /** Vocabulary heavy hitters: top-50 normalized tokens by frequency —
+    * the vocab-stats pass of a tokenizer pipeline. Partial (map-side)
+    * aggregation handles the explode fan-out before the single shuffle;
+    * ties broken deterministically by token. */
+  val topTokens: Q = (s, dir) =>
+    Tables(s, dir, "documents")
+      .select(explode(split(TextAnalysis.normalizeText(col("text")), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("token")).limit(50)
+
   /** Quality scoring (length/punct/token-shape heuristic). */
   val qualityScore: Q = (s, dir) =>
     Tables(s, dir, "documents")
@@ -251,6 +262,7 @@ object LlmQueries {
   val defs: Map[String, Q] = Map(
     "text_stats" -> textStats,
     "corpus_stats" -> corpusStats,
+    "top_tokens" -> topTokens,
     "quality_score" -> qualityScore,
     "lang_id" -> langId,
     "doc_fingerprint" -> docFingerprint,
@@ -334,6 +346,14 @@ object LlmQueries {
         |  quantile_cont(n_tokens, 0.5) AS p50_tokens,
         |  quantile_cont(n_tokens, 0.95) AS p95_tokens
         |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
+    "top_tokens" ->
+      """SELECT token, count(*) AS n FROM (
+        |  SELECT unnest(regexp_split_to_array(
+        |    trim(regexp_replace(regexp_replace(lower(text), '[.,;:!?]', '', 'g'), ' +', ' ', 'g')),
+        |    ' ')) AS token
+        |  FROM documents)
+        |WHERE length(token) > 0
+        |GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin,
     "quality_score" ->
       """SELECT doc_id, round(
         |    least(CAST(len(regexp_split_to_array(text, ' +')) AS DOUBLE) / 50.0, 1.0) * 0.4
