@@ -196,6 +196,11 @@ object Dedup {
       labels = updated.select("id", "comp")
       i += 1
     }
+    // no silent caps: a component wider than maxIter hops would return
+    // intermediate labels — say so instead of pretending convergence
+    if (changed > 0)
+      System.err.println(
+        s"[graft] connectedComponents: NOT converged after $maxIter rounds ($changed labels still moving); raise maxIter")
     labels
   }
 
