@@ -157,16 +157,13 @@ object Dedup {
     * become duplicate CLUSTERS (a~b, b~c ⇒ {a,b,c}), each labeled by
     * its minimum member id.
     *
-    * Iterative min-label propagation on DataFrames: every vertex starts
-    * as its own label; each round takes the min of its own and its
-    * neighbors' labels; converged when nothing changes. Rounds needed =
-    * graph diameter — small for near-dup clusters (most are cliques from
-    * a shared bucket, diameter 1–2). Each round is one join + one
-    * hash-aggregate, both keyed on vertex id — no driver-side data, the
-    * only driver work is the convergence count. For adversarially long
-    * chains at 100 TB, the classic fix is pointer-doubling (large-star/
-    * small-star) which halves diameter per round; not needed for dedup
-    * workloads where maxIter bounds the cost explicitly.
+    * Iterative min-label propagation on DataFrames with pointer-jumping:
+    * every vertex starts as its own label; each round takes the min of
+    * its own and its neighbors' labels (1 hop), then follows its label's
+    * label (shortcut) — so chains collapse in O(log diameter) rounds,
+    * not diameter. Converged when nothing changes. Each round is two
+    * joins + one hash-aggregate, all keyed on vertex/label ids — no
+    * driver-side data; the only driver work is the convergence count.
     *
     * Returns (id, component) for every vertex that appears in an edge. */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
@@ -185,12 +182,22 @@ object Dedup {
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
+      // 1-hop: min of own and neighbors' labels
       val nbrMin = sym.join(labels.withColumnRenamed("id", "src2"), col("src") === col("src2"))
         .groupBy(col("dst")).agg(min("comp").as("nbr"))
-      val updated = labels
+      val hopped = labels
         .join(nbrMin, col("id") === col("dst"), "left")
         .select(col("id"), col("comp").as("old"),
           least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"))
+      // pointer-jump (shortcutting): follow my label's label, so long
+      // chains collapse in O(log diameter) rounds instead of diameter —
+      // without this a 100-vertex path needs 99 rounds and silently
+      // exceeds maxIter
+      val jumpTo = hopped.select(col("id").as("jid"), col("comp").as("jcomp"))
+      val updated = hopped
+        .join(jumpTo, col("comp") === col("jid"), "left")
+        .select(col("id"), col("old"),
+          least(col("comp"), coalesce(col("jcomp"), col("comp"))).as("comp"))
         .localCheckpoint()
       changed = updated.filter(col("comp") =!= col("old")).count()
       labels = updated.select("id", "comp")

@@ -143,6 +143,12 @@ class LlmSpec extends AnyFunSuite {
     val groups = Dedup.dedupGroups(docs, "doc_id", edges.filter($"id_a" < 10))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(groups(99L) == 99L && groups(4L) == 1L && groups(10L) == 10L)
+    // a 100-vertex path converges inside the default 20 rounds ONLY with
+    // pointer-jumping (plain propagation needs 99 rounds)
+    val longChain = (1L to 100L).sliding(2).map(s => (s.head, s(1))).toSeq.toDF("id_a", "id_b")
+    val lc = Dedup.connectedComponents(longChain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lc.size == 100 && lc.values.forall(_ == 1L))
   }
 
   test("multimodal: real PNG payloads decode via ImageIO to true dimensions + luminance") {
