@@ -282,10 +282,12 @@ object ReferenceQueries {
     li.groupBy("l_orderkey").agg(fold.as("qty_product")).orderBy("l_orderkey")
   }
 
-  /** The running-max scan again, but through the two-pass PARALLEL
-    * prefix scan ([[graft.plumba.CollectOps.collectScanMergeable]]) —
-    * same oracle as the window form, proving the distributed path
-    * through the correctness gate. */
+  /** The running-max scan again, calling
+    * [[graft.plumba.CollectOps.collectScanMergeable]] EXPLICITLY —
+    * while [[scanRunningMax]] reaches the same two-pass parallel scan
+    * through collectScan's merge-law auto-dispatch. Sharing one oracle
+    * pins both API layers (explicit and dispatched) to identical
+    * results. */
   val scanRunningMaxParallel: Q = (s, dir) => {
     val o = Tables(s, dir, "orders")
     graft.plumba.CollectOps.collectScanMergeable(
