@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{CosineSimExpr, HyperplaneSigExpr, MinHashFromHashes, ShingleHashes, SimHash64Expr}
+import graft.functions.{CosineSimExpr, HammingBitsExpr, HyperplaneSigExpr, MinHashFromHashes, MinHashMd5, QuantizedHyperplaneSigExpr, ShingleHashes, ShingleMd5, SimHash64Expr, SimHashBitsExpr}
 
 /** `SparkSessionExtensions` installer: registers the graft custom
   * expressions as SQL functions, so `spark.sql("SELECT
@@ -43,6 +43,17 @@ object GraftExtensions {
     "simhash64" -> ((args: Seq[Expression]) => SimHash64Expr(args.head)),
     "cosine_sim" -> ((args: Seq[Expression]) => CosineSimExpr(args(0), args(1))),
     "hyperplane_sig" -> ((args: Seq[Expression]) => HyperplaneSigExpr(args.head,
+      if (args.length > 1) intArg(args(1), "plane count") else 16)),
+    // engine-portable (md5-derived) variants — identical values are
+    // recomputable in any engine with md5(varchar), which is what the
+    // DuckDB correctness oracles replay
+    "shingle_md5" -> ((args: Seq[Expression]) => ShingleMd5(args.head,
+      if (args.length > 1) intArg(args(1), "shingle width n") else 3)),
+    "minhash_md5" -> ((args: Seq[Expression]) => MinHashMd5(args.head,
+      if (args.length > 1) intArg(args(1), "signature size k") else 32)),
+    "simhash_bits" -> ((args: Seq[Expression]) => SimHashBitsExpr(args.head)),
+    "hamming_bits" -> ((args: Seq[Expression]) => HammingBitsExpr(args(0), args(1))),
+    "hyperplane_sig_q" -> ((args: Seq[Expression]) => QuantizedHyperplaneSigExpr(args.head,
       if (args.length > 1) intArg(args(1), "plane count") else 16)))
 
   /** Register the same functions as session-scoped temp functions on an

@@ -126,6 +126,199 @@ case class SimHash64Expr(child: Expression) extends UnaryExpression with Codegen
   override protected def withNewChildInternal(newChild: Expression): SimHash64Expr = copy(child = newChild)
 }
 
+/** Shared thread-confined MD5 digester for the portable hash family.
+  * MessageDigest is not thread-safe and `getInstance` per call would
+  * dominate the k×W inner loops — one instance per task thread. */
+private[functions] object Md5 {
+  private val local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  private val HEX = "0123456789abcdef".toCharArray
+
+  def digest(bytes: Array[Byte]): Array[Byte] = {
+    val md = local.get()
+    md.reset()
+    md.digest(bytes)
+  }
+
+  def hex(digest: Array[Byte]): String = {
+    val out = new Array[Char](digest.length * 2)
+    var i = 0
+    while (i < digest.length) {
+      out(2 * i) = HEX((digest(i) >> 4) & 0xF)
+      out(2 * i + 1) = HEX(digest(i) & 0xF)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** Unsigned lexicographic compare of two equal-length digests ==
+    * lexicographic compare of their lowercase-hex strings. */
+  def compare(a: Array[Byte], b: Array[Byte]): Int = {
+    var i = 0
+    while (i < a.length) {
+      val d = (a(i) & 0xFF) - (b(i) & 0xFF)
+      if (d != 0) return d
+      i += 1
+    }
+    0
+  }
+}
+
+/** ENGINE-PORTABLE shingle hashing: word n-gram shingles → lowercase md5
+  * hex per distinct shingle. Unlike [[ShingleHashes]] (xxhash64 — fast
+  * but Spark-only), every value here is replayable in any engine with an
+  * `md5(varchar)` — the DuckDB oracle recomputes the exact strings. */
+case class ShingleMd5(child: Expression, n: Int) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "shingle_md5"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val words = input.asInstanceOf[ArrayData]
+    val len = words.numElements()
+    val nShingles = math.max(len - n + 1, 1)
+    val seen = new java.util.HashSet[String](nShingles * 2)
+    val out = new Array[Any](nShingles)
+    var outLen = 0
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < nShingles) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n && i + j < len) {
+        if (j > 0) sb.append(' ')
+        val w = words.getUTF8String(i + j)
+        if (w != null) sb.append(w.toString)
+        j += 1
+      }
+      val h = Md5.hex(Md5.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      if (seen.add(h)) { out(outLen) = UTF8String.fromString(h); outLen += 1 }
+      i += 1
+    }
+    new GenericArrayData(out.take(outLen))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleMd5 = copy(child = newChild)
+}
+
+/** ENGINE-PORTABLE MinHash: component s = lexicographic min over the
+  * shingle set of `md5("<s>:<shingleMd5Hex>")` (lowercase hex) — the
+  * DuckDB replay is `min(md5(s || ':' || h)) ... GROUP BY s`. Min over a
+  * uniform 128-bit value is a textbook MinHash permutation; hex strings
+  * order identically to their digests, so the inner loop compares raw
+  * digest bytes and hex-encodes only the k winners. */
+case class MinHashMd5(child: Expression, k: Int) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "minhash_md5"
+
+  @transient private lazy val seedPrefixes: Array[Array[Byte]] =
+    Array.tabulate(k)(s => s"$s:".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val hashes = input.asInstanceOf[ArrayData]
+    val len = hashes.numElements()
+    val mins = new Array[Array[Byte]](k)
+    val buf = new java.lang.StringBuilder(48)
+    var i = 0
+    while (i < len) {
+      val h = hashes.getUTF8String(i)
+      if (h != null) {
+        val hBytes = h.getBytes
+        var s = 0
+        while (s < k) {
+          val pre = seedPrefixes(s)
+          val msg = new Array[Byte](pre.length + hBytes.length)
+          System.arraycopy(pre, 0, msg, 0, pre.length)
+          System.arraycopy(hBytes, 0, msg, pre.length, hBytes.length)
+          val d = Md5.digest(msg)
+          if (mins(s) == null || Md5.compare(d, mins(s)) < 0) mins(s) = d
+          s += 1
+        }
+      }
+      i += 1
+    }
+    buf.setLength(0)
+    val out = new Array[Any](k)
+    var s = 0
+    while (s < k) {
+      out(s) = UTF8String.fromString(if (mins(s) == null) "" else Md5.hex(mins(s)))
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashMd5 = copy(child = newChild)
+}
+
+/** ENGINE-PORTABLE 64-bit SimHash as a '0'/'1' bit STRING: per-word md5,
+  * bit b of a word = bit (b mod 4) of hex digit (b div 4) of its digest,
+  * majority vote across words. A string (not a long) so the DuckDB
+  * oracle can rebuild it with substr/strpos arithmetic and band keys are
+  * plain substrings. Char index == bit index b, ascending. */
+case class SimHashBitsExpr(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "simhash_bits"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val words = input.asInstanceOf[ArrayData]
+    val len = words.numElements()
+    val counts = new Array[Int](64)
+    var i = 0
+    var n = 0
+    while (i < len) {
+      val w = words.getUTF8String(i)
+      if (w != null) {
+        val d = Md5.digest(w.getBytes)
+        // bit b lives in hex digit b/4 = nibble (high first) of byte b/8
+        var b = 0
+        while (b < 64) {
+          val hexDigit =
+            if ((b / 4) % 2 == 0) (d(b / 8) >> 4) & 0xF
+            else d(b / 8) & 0xF
+          if (((hexDigit >> (b % 4)) & 1) == 1) counts(b) += 1
+          b += 1
+        }
+        n += 1
+      }
+      i += 1
+    }
+    val bits = new Array[Char](64)
+    var b = 0
+    while (b < 64) {
+      bits(b) = if (counts(b) * 2 > n) '1' else '0'
+      b += 1
+    }
+    UTF8String.fromString(new String(bits))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashBitsExpr = copy(child = newChild)
+}
+
+/** Hamming distance between two equal-length ASCII bit strings: count of
+  * differing positions (replayable as a list_filter count in SQL). */
+case class HammingBitsExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "hamming_bits"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[UTF8String].getBytes
+    val b = r.asInstanceOf[UTF8String].getBytes
+    val n = math.min(a.length, b.length)
+    var cnt = math.max(a.length, b.length) - n
+    var i = 0
+    while (i < n) {
+      if (a(i) != b(i)) cnt += 1
+      i += 1
+    }
+    cnt
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): HammingBitsExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 object HashFunctions {
   private def expr(c: Column): Expression = ColumnBridge.expression(c)
 
@@ -137,4 +330,16 @@ object HashFunctions {
 
   def simHash64(words: Column): Column =
     ColumnBridge.column(SimHash64Expr(expr(words)))
+
+  def shingleMd5(words: Column, n: Int): Column =
+    ColumnBridge.column(ShingleMd5(expr(words), n))
+
+  def minHashMd5(hashes: Column, k: Int): Column =
+    ColumnBridge.column(MinHashMd5(expr(hashes), k))
+
+  def simHashBits(words: Column): Column =
+    ColumnBridge.column(SimHashBitsExpr(expr(words)))
+
+  def hammingBits(a: Column, b: Column): Column =
+    ColumnBridge.column(HammingBitsExpr(expr(a), expr(b)))
 }

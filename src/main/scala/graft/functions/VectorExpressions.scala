@@ -61,7 +61,10 @@ case class CosineSimExpr(left: Expression, right: Expression)
 /** Random-hyperplane signature: `nPlanes` sign bits as a "0"/"1" string.
   * Plane components are deterministic pseudo-randoms in [-1,1) derived
   * from (plane, dim) via xxhash64 — identical on every executor, nothing
-  * to broadcast. */
+  * to broadcast. The component matrix depends only on (nPlanes, dims),
+  * so it is computed ONCE per task and cached (recomputing it per row
+  * costs nPlanes×dims hash calls per row — measured to dominate the
+  * projection arithmetic). */
 case class HyperplaneSigExpr(child: Expression, nPlanes: Int)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = StringType
@@ -69,17 +72,41 @@ case class HyperplaneSigExpr(child: Expression, nPlanes: Int)
 
   private lazy val isFloat = VecRead.isFloatArray(child.dataType)
 
+  // benign race: concurrent tasks sharing this instance would build
+  // identical matrices; last assignment wins, both are correct
+  @transient private var cachedDims = -1
+  @transient private var planes: Array[Double] = _
+
+  private def planeMatrix(dims: Int): Array[Double] = {
+    if (cachedDims != dims) {
+      val m = new Array[Double](nPlanes * dims)
+      var p = 0
+      while (p < nPlanes) {
+        var d = 0
+        while (d < dims) {
+          val h = XxHash64Function.hash(d.toLong, LongType, p.toLong)
+          m(p * dims + d) = h.toDouble / Long.MaxValue.toDouble
+          d += 1
+        }
+        p += 1
+      }
+      planes = m
+      cachedDims = dims
+    }
+    planes
+  }
+
   override protected def nullSafeEval(input: Any): Any = {
     val vec = input.asInstanceOf[ArrayData]
     val n = vec.numElements()
+    val m = planeMatrix(n)
     val bits = new Array[Char](nPlanes)
     var p = 0
     while (p < nPlanes) {
       var proj = 0.0
       var d = 0
       while (d < n) {
-        val h = XxHash64Function.hash(d.toLong, LongType, p.toLong)
-        proj += VecRead.get(vec, d, isFloat) * (h.toDouble / Long.MaxValue.toDouble)
+        proj += VecRead.get(vec, d, isFloat) * m(p * n + d)
         d += 1
       }
       bits(p) = if (proj >= 0) '1' else '0'
@@ -91,10 +118,84 @@ case class HyperplaneSigExpr(child: Expression, nPlanes: Int)
   override protected def withNewChildInternal(newChild: Expression): HyperplaneSigExpr = copy(child = newChild)
 }
 
+/** ENGINE-PORTABLE random-hyperplane signature: the vector is quantized
+  * to `floor(x * 1000)` (exact IEEE double math, identical in every
+  * engine) and the plane components are Rademacher ±1 signs drawn from
+  * md5 parity — sign(p,d) = +1 iff the first hex char of
+  * `md5("<p>,<d>")` is >= '8'. The projection is then pure INTEGER
+  * arithmetic: exact, order-independent, and replayable in SQL (no
+  * float-summation-order hazard), which is what makes the LSH-bucketed
+  * similarity queries oracle-able in DuckDB. ±1 hyperplanes over a
+  * quantized vector are a standard SimHash-style LSH family; the sign
+  * matrix is cached per (nPlanes, dims) like [[HyperplaneSigExpr]]. */
+case class QuantizedHyperplaneSigExpr(child: Expression, nPlanes: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "hyperplane_sig_q"
+
+  private lazy val isFloat = VecRead.isFloatArray(child.dataType)
+
+  @transient private var cachedDims = -1
+  @transient private var signs: Array[Int] = _
+
+  private def signMatrix(dims: Int): Array[Int] = {
+    if (cachedDims != dims) {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val m = new Array[Int](nPlanes * dims)
+      var p = 0
+      while (p < nPlanes) {
+        var d = 0
+        while (d < dims) {
+          md.reset()
+          val digest = md.digest(s"$p,$d".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          // first hex char >= '8'  ⇔  high bit of the first digest byte
+          m(p * dims + d) = if ((digest(0) & 0x80) != 0) 1 else -1
+          d += 1
+        }
+        p += 1
+      }
+      signs = m
+      cachedDims = dims
+    }
+    signs
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val vec = input.asInstanceOf[ArrayData]
+    val n = vec.numElements()
+    val m = signMatrix(n)
+    val q = new Array[Long](n)
+    var d = 0
+    while (d < n) {
+      q(d) = math.floor(VecRead.get(vec, d, isFloat) * 1000.0).toLong
+      d += 1
+    }
+    val bits = new Array[Char](nPlanes)
+    var p = 0
+    while (p < nPlanes) {
+      var proj = 0L
+      var i = 0
+      while (i < n) {
+        proj += m(p * n + i) * q(i)
+        i += 1
+      }
+      bits(p) = if (proj >= 0) '1' else '0'
+      p += 1
+    }
+    UTF8String.fromString(new String(bits))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): QuantizedHyperplaneSigExpr =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   def cosineSim(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSimExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   def hyperplaneSignature(vec: Column, nPlanes: Int): Column =
     ColumnBridge.column(HyperplaneSigExpr(ColumnBridge.expression(vec), nPlanes))
+
+  def hyperplaneSignatureQ(vec: Column, nPlanes: Int): Column =
+    ColumnBridge.column(QuantizedHyperplaneSigExpr(ColumnBridge.expression(vec), nPlanes))
 }

@@ -43,12 +43,32 @@ object Dedup {
   def minHashSignature(hashes: Column, k: Int = 32): Column =
     graft.functions.HashFunctions.minHashSignature(hashes, k)
 
+  /** ENGINE-PORTABLE shingle hashing: md5 hex per distinct n-gram
+    * shingle ([[graft.functions.ShingleMd5]]) — every value replayable
+    * by the DuckDB oracle. ~2× the cost of the xxhash64 path; prefer
+    * [[shingleHashes]] when cross-engine verifiability isn't needed. */
+  def shingleMd5(text: Column, n: Int = 3): Column =
+    graft.functions.HashFunctions.shingleMd5(split(lower(text), " +"), n)
+
+  /** ENGINE-PORTABLE MinHash over md5 shingle hexes: component s =
+    * min(md5("s:<shingleHex>")) — the oracle replays it as a GROUP BY
+    * min in SQL ([[graft.functions.MinHashMd5]]). */
+  def minHashSignatureP(md5s: Column, k: Int = 32): Column =
+    graft.functions.HashFunctions.minHashMd5(md5s, k)
+
   /** LSH band keys: the signature is cut into `bands` slices of `rowsPer`
     * entries; each slice is hashed to one bucket key. Docs sharing ANY
     * band key become candidates (standard banding amplification). */
   def bandKeys(sig: Column, bands: Int, rowsPer: Int): Column =
     transform(sequence(lit(0), lit(bands - 1)), b =>
       xxhash64(concat_ws(",", transform(slice(sig, b * rowsPer + 1, lit(rowsPer)), _.cast("string")), b.cast("string"))))
+
+  /** ENGINE-PORTABLE band keys over a string signature: built-in md5 of
+    * "sliceJoinedByComma:bandIdx" — codegen'd, and the DuckDB oracle
+    * recomputes the identical hex keys. */
+  def bandKeysP(sig: Column, bands: Int, rowsPer: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)), b =>
+      md5(concat_ws(":", concat_ws(",", slice(sig, b * rowsPer + 1, lit(rowsPer))), b.cast("string"))))
 
   /** Estimated Jaccard from two MinHash signatures: fraction of agreeing
     * components. */
@@ -83,13 +103,18 @@ object Dedup {
       k: Int = 32,
       bands: Int = 8,
       threshold: Double = 0.5,
-      maxBucket: Int = 1000): DataFrame = {
+      maxBucket: Int = 1000,
+      portable: Boolean = true): DataFrame = {
     val rowsPer = k / bands
-    val sigs = df.select(
-      col(idCol).as("id"),
-      minHashSignature(shingleHashes(col(textCol), n), k).as("sig"))
+    val sigCol =
+      if (portable) minHashSignatureP(shingleMd5(col(textCol), n), k)
+      else minHashSignature(shingleHashes(col(textCol), n), k)
+    val sigs = df.select(col(idCol).as("id"), sigCol.as("sig"))
+    val bandsCol =
+      if (portable) bandKeysP(col("sig"), bands, rowsPer)
+      else bandKeys(col("sig"), bands, rowsPer)
     val buckets = sigs
-      .select(col("id"), col("sig"), explode(bandKeys(col("sig"), bands, rowsPer)).as("bucket"))
+      .select(col("id"), col("sig"), explode(bandsCol).as("bucket"))
     val grouped = buckets
       .groupBy("bucket")
       .agg(collect_list(struct(col("id"), col("sig"))).as("members"))
@@ -110,10 +135,17 @@ object Dedup {
   }
 
   /** The LSH bucket histogram — for auditing what maxBucket drops. */
-  def lshBuckets(df: DataFrame, idCol: String, textCol: String, n: Int = 3, k: Int = 32, bands: Int = 8): DataFrame = {
+  def lshBuckets(df: DataFrame, idCol: String, textCol: String, n: Int = 3, k: Int = 32, bands: Int = 8,
+      portable: Boolean = true): DataFrame = {
     val rowsPer = k / bands
-    df.select(col(idCol).as("id"), minHashSignature(shingleHashes(col(textCol), n), k).as("sig"))
-      .select(explode(bandKeys(col("sig"), bands, rowsPer)).as("bucket"))
+    val sigCol =
+      if (portable) minHashSignatureP(shingleMd5(col(textCol), n), k)
+      else minHashSignature(shingleHashes(col(textCol), n), k)
+    val sigs = df.select(col(idCol).as("id"), sigCol.as("sig"))
+    val bandsCol =
+      if (portable) bandKeysP(col("sig"), bands, rowsPer)
+      else bandKeys(col("sig"), bands, rowsPer)
+    sigs.select(explode(bandsCol).as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("n"))
   }
 
@@ -127,15 +159,34 @@ object Dedup {
   /** Hamming distance between two 64-bit SimHashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** ENGINE-PORTABLE SimHash as a 64-char '0'/'1' bit string: per-word
+    * md5-derived bits, majority vote ([[graft.functions.SimHashBitsExpr]]).
+    * Band keys are plain substrings and the DuckDB oracle rebuilds the
+    * identical string with substr/strpos arithmetic. */
+  def simHashBits(text: Column): Column =
+    graft.functions.HashFunctions.simHashBits(split(lower(text), " +"))
+
+  /** Hamming distance between two bit strings. */
+  def hammingBits(a: Column, b: Column): Column =
+    graft.functions.HashFunctions.hammingBits(a, b)
+
   /** SimHash near-dup pairs: band the 64 bits into 4×16-bit keys (any
     * exact-matching band ⇒ candidate; guarantees recall for hamming ≤ 3),
-    * verify with full hamming distance. */
-  def simHashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
-    val sigs = df.select(col(idCol).as("id"), simHash64(col(textCol)).as("sig"))
+    * verify with full hamming distance. `portable = true` uses the
+    * md5-derived bit-string signature (oracle-replayable); `false` the
+    * faster xxhash64 64-bit long. */
+  def simHashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3, maxBucket: Int = 1000,
+      portable: Boolean = true): DataFrame = {
+    val sigCol = if (portable) simHashBits(col(textCol)) else simHash64(col(textCol))
+    val sigs = df.select(col(idCol).as("id"), sigCol.as("sig"))
+    def bandKey(b: Int): Column =
+      if (portable) concat_ws(":", lit(b).cast("string"), substring(col("sig"), b * 16 + 1, 16))
+      else concat_ws(":", lit(b).cast("string"),
+        shiftright(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL)).cast("string"))
     val banded = sigs.select(col("id"), col("sig"),
-      explode(array((0 until 4).map(b =>
-        concat_ws(":", lit(b).cast("string"),
-          shiftright(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL)).cast("string"))): _*)).as("bucket"))
+      explode(array((0 until 4).map(bandKey): _*)).as("bucket"))
+    def ham(a: Column, b: Column): Column =
+      if (portable) hammingBits(a, b).cast("int") else hamming64(a, b).cast("int")
     val grouped = banded.groupBy("bucket")
       .agg(collect_list(struct(col("id"), col("sig"))).as("members"))
       .filter(size(col("members")).between(2, maxBucket))
@@ -145,7 +196,7 @@ object Dedup {
           struct(
             least(m.getField("id"), o.getField("id")).as("id_a"),
             greatest(m.getField("id"), o.getField("id")).as("id_b"),
-            hamming64(m.getField("sig"), o.getField("sig")).as("hamming")))))).as("p"))
+            ham(m.getField("sig"), o.getField("sig")).as("hamming")))))).as("p"))
       .select("p.*")
       .filter(col("hamming") <= maxHamming)
       .groupBy("id_a", "id_b")
@@ -224,8 +275,10 @@ object Dedup {
 
   /** Exact n-gram Jaccard for given candidate pairs (verification pass):
     * joins the pair list back to per-doc shingle-hash sets. */
-  def verifyJaccard(pairs: DataFrame, docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
-    val sets = docs.select(col(idCol).as("vid"), shingleHashes(col(textCol), n).as("hs"))
+  def verifyJaccard(pairs: DataFrame, docs: DataFrame, idCol: String, textCol: String, n: Int = 3,
+      portable: Boolean = true): DataFrame = {
+    val setCol = if (portable) shingleMd5(col(textCol), n) else shingleHashes(col(textCol), n)
+    val sets = docs.select(col(idCol).as("vid"), setCol.as("hs"))
     pairs
       .join(sets.withColumnRenamed("vid", "id_a").withColumnRenamed("hs", "hs_a"), "id_a")
       .join(sets.withColumnRenamed("vid", "id_b").withColumnRenamed("hs", "hs_b"), "id_b")

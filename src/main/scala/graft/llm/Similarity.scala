@@ -58,10 +58,14 @@ object Similarity {
 
   /** Sign bits of the vector against `nPlanes` deterministic pseudo-
     * random hyperplanes, as a bit string column ("101..."). Prefix bands
-    * of this string are LSH bucket keys. Compiled expression
-    * ([[graft.functions.HyperplaneSigExpr]]). */
-  def hyperplaneSignature(vec: Column, nPlanes: Int = 16): Column =
-    graft.functions.VectorFunctions.hyperplaneSignature(vec, nPlanes)
+    * of this string are LSH bucket keys. `portable = true` (default)
+    * uses the quantized ±1-plane signature
+    * ([[graft.functions.QuantizedHyperplaneSigExpr]]) whose integer
+    * projections the DuckDB oracle replays exactly; `false` the
+    * Gaussian-ish xxhash64 planes ([[graft.functions.HyperplaneSigExpr]]). */
+  def hyperplaneSignature(vec: Column, nPlanes: Int = 16, portable: Boolean = true): Column =
+    if (portable) graft.functions.VectorFunctions.hyperplaneSignatureQ(vec, nPlanes)
+    else graft.functions.VectorFunctions.hyperplaneSignature(vec, nPlanes)
 
   /** IVF-style approximate top-k: a coarse quantizer (deterministically
     * sampled corpus vectors as centroids) partitions the corpus into
@@ -118,10 +122,11 @@ object Similarity {
       vecCol: String,
       threshold: Double = 0.95,
       nPlanes: Int = 16,
-      bands: Int = 4): DataFrame = {
+      bands: Int = 4,
+      portable: Boolean = true): DataFrame = {
     val bits = nPlanes / bands
     val banded = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .withColumn("sig", hyperplaneSignature(col("vec"), nPlanes))
+      .withColumn("sig", hyperplaneSignature(col("vec"), nPlanes, portable))
       .select(col("id"), col("vec"),
         explode(array((0 until bands).map(b =>
           concat_ws(":", lit(b), substring(col("sig"), b * bits + 1, bits))): _*)).as("band"))
@@ -145,11 +150,12 @@ object Similarity {
       vecCol: String,
       k: Int = 5,
       nPlanes: Int = 16,
-      bands: Int = 4): DataFrame = {
+      bands: Int = 4,
+      portable: Boolean = true): DataFrame = {
     val bits = nPlanes / bands
     def withBands(df: DataFrame, id: String, vec: String): DataFrame =
       df.select(col(idCol).as(id), col(vecCol).as(vec))
-        .withColumn(s"${id}_sig", hyperplaneSignature(col(vec), nPlanes))
+        .withColumn(s"${id}_sig", hyperplaneSignature(col(vec), nPlanes, portable))
         .select(col(id), col(vec),
           explode(array((0 until bands).map(b =>
             concat_ws(":", lit(b), substring(col(s"${id}_sig"), b * bits + 1, bits))): _*)).as(s"${id}_band"))

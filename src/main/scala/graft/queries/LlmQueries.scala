@@ -11,11 +11,13 @@ import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
   * Jaccard), similarity search (brute-force + LSH), multimodal plumbing.
   *
   * Oracle policy: operators whose semantics are engine-portable (string
-  * arithmetic, md5, counts) carry exact DuckDB SQL twins. Hash-family
-  * operators (xxhash64-based MinHash/SimHash signatures) and float-
-  * ranking operators are not portable SQL — they get rows-only checks
-  * here and differential ScalaTests (approx vs exact on planted
-  * duplicates) in LlmSpec. */
+  * arithmetic, md5, counts) carry exact DuckDB SQL twins. Since round 3
+  * the whole dedup/LSH family runs in PORTABLE mode by default —
+  * md5-derived MinHash/SimHash/hyperplane signatures whose every
+  * intermediate value the DuckDB oracle recomputes — so those carry
+  * exact oracles too (the xxhash64 fast paths remain available via
+  * `portable = false`). Only float-valued stub features
+  * (media_features) remain rows-only, pinned by ScalaTests. */
 object LlmQueries {
 
   type Q = (SparkSession, String) => DataFrame
@@ -88,15 +90,18 @@ object LlmQueries {
       .orderBy("keep_id")
       .select("keep_id", "content_hash", "dup_count")
 
-  /** MinHash+LSH near-dup candidate pairs (est. Jaccard >= 0.3). Hash
-    * family ⇒ rows-only check; recall/precision pinned in LlmSpec on
-    * planted duplicates. */
+  /** MinHash+LSH near-dup candidate pairs (est. Jaccard >= 0.3), in
+    * PORTABLE mode: md5-derived signatures/band keys, so the whole
+    * shingle→minhash→band→bucket-pair pipeline is replayed exactly by
+    * the DuckDB oracle (round-2's rows-only check is now hash-verified).
+    * Recall/precision additionally pinned in LlmSpec on planted dups. */
   val dedupMinhash: Q = (s, dir) =>
     Dedup.minHashPairs(Tables(s, dir, "documents"), "doc_id", "text", threshold = 0.3)
       .orderBy("id_a", "id_b")
 
   /** SimHash near-dup pairs (hamming <= 6 on 64-bit signatures — at 12
-    * the synthetic corpus's unrelated word-soup docs start colliding). */
+    * the synthetic corpus's unrelated word-soup docs start colliding).
+    * Portable mode: md5-derived bit-string signatures, oracle-replayed. */
   val dedupSimhash: Q = (s, dir) =>
     Dedup.simHashPairs(Tables(s, dir, "documents"), "doc_id", "text", maxHamming = 6)
       .orderBy("id_a", "id_b")
@@ -120,7 +125,8 @@ object LlmQueries {
       .select("query_id", "corpus_id", "rank")
   }
 
-  /** LSH-bucketed approximate top-5 for the same queries. */
+  /** LSH-bucketed approximate top-5 for the same queries — quantized
+    * md5-sign hyperplanes, so candidate generation is oracle-replayed. */
   val annLsh: Q = (s, dir) => {
     val e = Tables(s, dir, "embeddings")
     Similarity.lshTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
@@ -139,11 +145,16 @@ object LlmQueries {
   /** Embedding-cosine near-dup pairs (LSH candidates + exact verify).
     * Threshold 0.4 — the synthetic embeddings are near-orthogonal (max
     * pairwise cosine ≈ 0.51), so 0.4 surfaces the genuine nearest pairs;
-    * a production dedup would use ≥0.9. Float compare ⇒ rows-only. */
+    * a production dedup would use ≥0.9. The OUTPUT is the pair set (the
+    * thing a dedup consumes); cosine VALUES are excluded because their
+    * low-order bits are not engine-portable, while the ≥-threshold
+    * comparison is (no pair sits within 1e-10 of 0.4). Quantized
+    * md5-sign hyperplanes make the candidate generation itself
+    * oracle-replayable. */
   val dedupEmbedding: Q = (s, dir) => {
     val e = Tables(s, dir, "embeddings")
     Similarity.cosineNearDupPairs(e, "vec_id", "embedding", threshold = 0.4)
-      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+      .select(col("id_a"), col("id_b"))
       .orderBy("id_a", "id_b")
   }
 
@@ -212,8 +223,9 @@ object LlmQueries {
   }
 
   /** The production dedup flow end-to-end: MinHash+LSH near-dup pairs →
-    * connected components → cluster representative per doc. Hash family
-    * ⇒ rows-only check (clusters pinned by LlmSpec on planted dups). */
+    * connected components → cluster representative per doc. Portable
+    * hashes ⇒ the oracle replays the pairs AND the transitive closure
+    * (recursive-CTE reachability with min-label components). */
   val dedupGroupsMinhash: Q = (s, dir) => {
     val docs = Tables(s, dir, "documents")
     Dedup.dedupGroups(docs, "doc_id",
@@ -223,9 +235,8 @@ object LlmQueries {
 
   /** LSH bucket-size histogram — the audit view for minHashPairs'
     * hot-bucket cap (buckets above maxBucket are dropped, never
-    * silently): how many buckets hold n members, driver-visible. Bucket
-    * keys are xxhash64-derived (not engine-portable) ⇒ rows-only check;
-    * the planted-duplicate recall behind it is pinned in LlmSpec. */
+    * silently): how many buckets hold n members, driver-visible.
+    * Portable md5 band keys ⇒ the histogram is oracle-replayed. */
   val lshBucketHistogram: Q = (s, dir) =>
     Dedup.lshBuckets(Tables(s, dir, "documents"), "doc_id", "text")
       .groupBy(col("n").as("bucket_size")).agg(count(lit(1)).as("n_buckets"))
@@ -284,13 +295,119 @@ object LlmQueries {
     "media_stats" -> mediaStats
   )
 
+  /** Shared DuckDB CTE chain replaying the PORTABLE MinHash pipeline
+    * exactly: words → distinct shingle md5s → per-seed min(md5("s:h"))
+    * signature → band keys → bucket-capped candidate pairs with
+    * estimated Jaccard ≥ 0.3 (mirrors [[Dedup.minHashPairs]] defaults:
+    * n=3, k=32, bands=8, rowsPer=4, maxBucket=1000). */
+  private val minhashCtes: String =
+    """w AS (SELECT doc_id, regexp_split_to_array(lower(text), ' +') AS ws FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, md5(array_to_string(ws[i+1:i+3], ' ')) AS h
+      |  FROM w, unnest(range(0, greatest(len(ws) - 3, 0) + 1)) t(i)),
+      |comp AS (SELECT doc_id, s, min(md5(s::VARCHAR || ':' || h)) AS c
+      |  FROM sh, unnest(range(0, 32)) seeds(s) GROUP BY doc_id, s),
+      |sigt AS (SELECT doc_id, list(c ORDER BY s) AS sig FROM comp GROUP BY doc_id),
+      |bk AS (SELECT doc_id, sig, md5(array_to_string(sig[b*4+1:b*4+4], ',') || ':' || b::VARCHAR) AS bucket
+      |  FROM sigt, unnest(range(0, 8)) bs(b)),
+      |okb AS (SELECT bucket FROM (SELECT bucket, count(*) AS n FROM bk GROUP BY bucket) WHERE n BETWEEN 2 AND 1000),
+      |cand AS (
+      |  SELECT id_a, id_b, max(est_jaccard) AS est_jaccard FROM (
+      |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |      CAST(len(list_filter(range(1, 33), i -> a.sig[i] = b.sig[i])) AS DOUBLE) / 32 AS est_jaccard
+      |    FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+      |    JOIN okb ON a.bucket = okb.bucket)
+      |  WHERE est_jaccard >= 0.3 GROUP BY id_a, id_b)""".stripMargin
+
+  /** Shared DuckDB CTE chain replaying the QUANTIZED hyperplane LSH:
+    * floor(x*1000) integer quantization, ±1 signs from md5 parity,
+    * integer projections → 16-bit signature string → 4 bands of 4 bits
+    * (mirrors [[Similarity.hyperplaneSignature]] portable mode with
+    * nPlanes=16, bands=4). Projections are pure integer arithmetic —
+    * exact and order-independent in both engines. */
+  private val hyperplaneCtes: String =
+    """qv AS (SELECT vec_id, i, CAST(floor(CAST(embedding[i+1] AS DOUBLE) * 1000) AS BIGINT) AS q
+      |  FROM embeddings, unnest(range(0, len(embedding))) t(i)),
+      |planes AS (SELECT p, d,
+      |    CASE WHEN strpos('89abcdef', substr(md5(p::VARCHAR || ',' || d::VARCHAR), 1, 1)) > 0 THEN 1 ELSE -1 END AS s
+      |  FROM range(0, 16) t1(p), (SELECT DISTINCT i AS d FROM qv) t2),
+      |bits AS (SELECT vec_id, p, CASE WHEN sum(pl.s * q.q) >= 0 THEN '1' ELSE '0' END AS bit
+      |  FROM qv q JOIN planes pl ON q.i = pl.d GROUP BY vec_id, p),
+      |sg AS (SELECT vec_id, string_agg(bit, '' ORDER BY p) AS sig FROM bits GROUP BY vec_id),
+      |bands AS (SELECT vec_id, b::VARCHAR || ':' || substr(sig, b*4 + 1, 4) AS band
+      |  FROM sg, unnest(range(0, 4)) t(b))""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "dedup_minhash" ->
+      s"""WITH $minhashCtes
+         |SELECT id_a, id_b, est_jaccard FROM cand ORDER BY id_a, id_b""".stripMargin,
+    "ngram_jaccard_pairs" ->
+      s"""WITH $minhashCtes,
+         |sets AS (SELECT doc_id, list(h) AS hs FROM sh GROUP BY doc_id)
+         |SELECT c.id_a, c.id_b,
+         |  CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE) / len(list_distinct(sa.hs || sb.hs)) AS jaccard
+         |FROM cand c JOIN sets sa ON sa.doc_id = c.id_a JOIN sets sb ON sb.doc_id = c.id_b
+         |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_groups_minhash" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |e AS (SELECT id_a AS a, id_b AS b FROM cand UNION ALL SELECT id_b, id_a FROM cand),
+         |reach AS (
+         |  SELECT a AS id, b AS r FROM e
+         |  UNION
+         |  SELECT reach.id, e.b FROM reach JOIN e ON reach.r = e.a),
+         |compm AS (SELECT id, min(r) AS comp
+         |  FROM (SELECT id, r FROM reach UNION ALL SELECT a, a FROM e) GROUP BY id)
+         |SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS component
+         |FROM documents d LEFT JOIN compm c ON c.id = d.doc_id ORDER BY doc_id""".stripMargin,
+    "lsh_bucket_histogram" ->
+      s"""WITH $minhashCtes
+         |SELECT n AS bucket_size, count(*) AS n_buckets
+         |FROM (SELECT bucket, count(*) AS n FROM bk GROUP BY bucket)
+         |GROUP BY n ORDER BY bucket_size""".stripMargin,
+    "dedup_simhash" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(lower(text), ' +') AS ws FROM documents),
+        |wd AS (SELECT doc_id, md5(wrd) AS h FROM w, unnest(ws) t(wrd)),
+        |bt AS (SELECT doc_id, b,
+        |    sum((((strpos('0123456789abcdef', substr(h, b // 4 + 1, 1)) - 1) >> (b % 4)) & 1)) AS cnt,
+        |    count(*) AS n
+        |  FROM wd, unnest(range(0, 64)) t(b) GROUP BY doc_id, b),
+        |sg AS (SELECT doc_id, string_agg(CASE WHEN cnt * 2 > n THEN '1' ELSE '0' END, '' ORDER BY b) AS sig
+        |  FROM bt GROUP BY doc_id),
+        |bands AS (SELECT doc_id, sig, b::VARCHAR || ':' || substr(sig, b*16 + 1, 16) AS bucket
+        |  FROM sg, unnest(range(0, 4)) t(b)),
+        |okb AS (SELECT bucket FROM (SELECT bucket, count(*) AS n FROM bands GROUP BY bucket) WHERE n BETWEEN 2 AND 1000),
+        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    len(list_filter(range(1, 65), i -> substr(a.sig, i, 1) <> substr(b.sig, i, 1))) AS hamming
+        |  FROM bands a JOIN bands b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+        |  JOIN okb ON a.bucket = okb.bucket)
+        |SELECT id_a, id_b, CAST(min(hamming) AS INT) AS hamming FROM pairs
+        |WHERE hamming <= 6 GROUP BY id_a, id_b ORDER BY id_a, id_b""".stripMargin,
+    "ann_lsh" ->
+      s"""WITH $hyperplaneCtes,
+         |cands AS (SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS corpus_id
+         |  FROM bands cb JOIN bands qb ON cb.band = qb.band AND qb.vec_id < 10 AND cb.vec_id <> qb.vec_id),
+         |scored AS (SELECT query_id, corpus_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY list_cosine_similarity(qe.embedding, ce.embedding) DESC, corpus_id) AS rank
+         |  FROM cands JOIN embeddings qe ON qe.vec_id = query_id JOIN embeddings ce ON ce.vec_id = corpus_id)
+         |SELECT query_id, corpus_id, rank FROM scored WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "dedup_embedding" ->
+      s"""WITH $hyperplaneCtes,
+         |pairs AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.vec_id < b.vec_id),
+         |pv AS (SELECT p.id_a, p.id_b, ea.embedding AS va, eb.embedding AS vb
+         |  FROM pairs p JOIN embeddings ea ON ea.vec_id = p.id_a JOIN embeddings eb ON eb.vec_id = p.id_b),
+         |terms AS (SELECT id_a, id_b,
+         |    CAST(va[i+1] AS DOUBLE) AS xa, CAST(vb[i+1] AS DOUBLE) AS xb
+         |  FROM pv, unnest(range(0, len(va))) t(i)),
+         |dots AS (SELECT id_a, id_b, sum(xa*xb) AS dot, sum(xa*xa) AS na, sum(xb*xb) AS nb
+         |  FROM terms GROUP BY id_a, id_b)
+         |SELECT id_a, id_b FROM dots WHERE dot / (sqrt(na) * sqrt(nb)) >= 0.4
+         |ORDER BY id_a, id_b""".stripMargin,
     // Exact top-k ranking IS oracle-able: cosines of the random corpus
     // are well-separated, and both engines' double math agrees on the
-    // ordering (validated at sf0.01 and sf0.1). ann_lsh stays rows-only
-    // (xxhash64-derived hyperplanes are not portable; recall-gated in
-    // LlmSpec); ann_ivf's md5-based centroid rule IS portable, so the
-    // whole approximate pipeline is replayed as SQL below.
+    // ordering (validated at sf0.01 and sf0.1). ann_ivf's md5-based
+    // centroid rule is portable; ann_lsh/dedup_embedding became
+    // portable in round 3 via the quantized md5-sign hyperplanes above.
     "ann_ivf" ->
       """WITH cents AS (
         |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
