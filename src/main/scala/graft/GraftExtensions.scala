@@ -4,6 +4,8 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
+import org.apache.spark.sql.graft.ArrayScanExpr
+
 import graft.functions.{CosineSimExpr, HammingBitsExpr, HyperplaneSigExpr, MinHashFromHashes, MinHashMd5, QuantizedHyperplaneSigExpr, ShingleHashes, ShingleMd5, SimHash64Expr, SimHashBitsExpr}
 
 /** `SparkSessionExtensions` installer: registers the graft custom
@@ -54,7 +56,10 @@ object GraftExtensions {
     "simhash_bits" -> ((args: Seq[Expression]) => SimHashBitsExpr(args.head)),
     "hamming_bits" -> ((args: Seq[Expression]) => HammingBitsExpr(args(0), args(1))),
     "hyperplane_sig_q" -> ((args: Seq[Expression]) => QuantizedHyperplaneSigExpr(args.head,
-      if (args.length > 1) intArg(args(1), "plane count") else 16)))
+      if (args.length > 1) intArg(args(1), "plane count") else 16)),
+    // prefix-scan sibling of the built-in aggregate():
+    //   array_scan(arr, zero, (acc, x) -> step)  ->  array of every state
+    "array_scan" -> ((args: Seq[Expression]) => ArrayScanExpr(args(0), args(1), args(2))))
 
   /** Register the same functions as session-scoped temp functions on an
     * already-running session (no extensions hook needed). */

@@ -117,7 +117,13 @@ object FoldToNativeAgg extends Rule[LogicalPlan] {
               // the step reads: a multi-value-column fold drops a row when
               // ANY selected column is null, which Sum/Max/Min(field)
               // would keep — never rewrite those.
-              guardCoversOnly(guard, s.valExprs(ordinal))
+              guardCoversOnly(guard, s.valExprs(ordinal)) &&
+              // UNGUARDED Sum of a nullable field is NOT rewritable: the
+              // hand-built fold computes Add(acc, null) which poisons the
+              // accumulator to NULL, while native Sum skips nulls.
+              // (foldCol always emits the guard; Greatest/Least skip
+              // nulls exactly like Max/Min, so they stay rewritable.)
+              (guard.isDefined || kind != SumKind || !s.valExprs(ordinal).nullable)
             }
           } =>
       val (s, _) = PackedStruct.unapply(cl.child).get

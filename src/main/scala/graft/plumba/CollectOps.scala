@@ -132,10 +132,17 @@ object CollectOps {
     *
     * Unlike the sequential [[collectScan]] (reference parity) this keeps
     * every executor busy — the 100 TB path for associative global scans
-    * that aren't plain window aggregates. The sorted input is persisted
-    * between the two passes so both see identical partitioning; caller
-    * may `spark.sharedState`-level unpersist via the returned DataFrame's
-    * lineage when done. */
+    * that aren't plain window aggregates.
+    *
+    * The sorted input is materialized ONCE via `localCheckpoint(eager)`
+    * so both passes see the identical range partitioning (pass 2's
+    * prefix seeds are only valid for pass 1's exact partition layout).
+    * Unlike `persist()` — which pins a CacheManager entry until an
+    * explicit unpersist and therefore leaked one cached plan per call
+    * in long-lived sessions — checkpoint blocks are reference-tracked
+    * and dropped by the ContextCleaner when the returned DataFrame is
+    * garbage-collected. At cluster scale, reliable checkpointing has
+    * the same contract. */
   def collectScanMergeable[A](
       df: DataFrame,
       valueCols: Seq[String],
@@ -148,7 +155,7 @@ object CollectOps {
     val selCols = (orderCols ++ valueCols).distinct
     val sel = df.select(selCols.map(col): _*)
       .orderBy(orderCols.map(col): _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val ordIdx = orderCols.map(selCols.indexOf)
     val valIdx = valueCols.map(selCols.indexOf)
     // pass 1: per-partition segment folds (null rows don't advance state)

@@ -59,9 +59,12 @@ object ExprOps {
     * accumulator column to the output element (e.g. identity, or
     * `a => array(...)` for multi-output).
     *
-    * Note: builds the output list by concatenation inside `aggregate` —
-    * fine for bounded groups; use [[GroupOps.groupScan]] for one row per
-    * input row at scale. */
+    * O(n) per group: the prefix states come from the custom `array_scan`
+    * higher-order function ([[graft.functions.ArrayScanExpr]]) — the
+    * earlier `aggregate`+`concat` formulation re-copied the output list
+    * on every step (O(n²) per group). Groups are still buffered in the
+    * aggregation state; use [[GroupOps.groupScan]] for one row per input
+    * row at scale. */
   def scanListCol(
       ord: Seq[Column],
       values: Seq[Column],
@@ -75,18 +78,17 @@ object ExprOps {
         values.zipWithIndex.map { case (c, i) => c.as(v(i)) } :+
         values.map(_.isNull).reduce(_ || _).as("isnull")
     val rows = array_sort(collect_list(struct(fields: _*)))
-    // acc struct: (state, out list). Null rows append null, keep state.
-    val zero = struct(init.as("state"), array().cast(s"array<$elemType>").as("out"))
-    val folded = aggregate(
+    // acc struct: (state, elem). Null rows emit a null element, keep state.
+    val zero = struct(init.as("state"), lit(null).cast(elemType).as("elem"))
+    val states = org.apache.spark.sql.graft.ArrayScanExpr.scan(
       rows,
       zero,
       (acc, x) => {
-        val keep = x.getField("isnull")
-        val newState = when(keep, acc.getField("state")).otherwise(step(acc.getField("state"), x))
-        val elem = when(keep, lit(null)).otherwise(emit(newState))
-        struct(newState.as("state"), concat(acc.getField("out"), array(elem)).as("out"))
-      }
-    )
-    folded.getField("out")
+        val isnull = x.getField("isnull")
+        val newState = when(isnull, acc.getField("state")).otherwise(step(acc.getField("state"), x))
+        val elem = when(isnull, lit(null).cast(elemType)).otherwise(emit(newState).cast(elemType))
+        struct(newState.as("state"), elem.as("elem"))
+      })
+    transform(states, a => a.getField("elem"))
   }
 }

@@ -21,6 +21,47 @@ import org.apache.spark.sql.types._
   */
 object GroupOps {
 
+  /** Range-bucket column for the salted fold/scan paths: a monotone
+    * numeric view of the leading ordering column cut at sampled quantile
+    * boundaries. Shared by [[groupFoldMergeable]] / [[groupScanMergeable]].
+    *
+    * `buckets <= 0` (the default) derives the count from the cluster:
+    * `max(2, defaultParallelism)` — a skewed group can then spread over
+    * every core, with no magic constant to retune per deployment.
+    *
+    * Boundaries come from `approxQuantile` over a BOUNDED random sample
+    * (5%, fixed seed; full frame when the sample is empty) — the sketch's
+    * memory is epsilon-bounded regardless of input size, and boundary
+    * precision only affects load BALANCE: any monotone boundaries are
+    * correct because equal order values always compare into the same
+    * bucket and nulls route to bucket 0 (nulls-first, matching the
+    * sequential paths' ascending sort). */
+  private def rangeBucketCol(df: DataFrame, orderHead: String, buckets: Int): Column = {
+    import org.apache.spark.sql.functions.{lit, when}
+    val ordD = df.schema(orderHead).dataType match {
+      case DateType | TimestampType | TimestampNTZType =>
+        col(orderHead).cast(TimestampType).cast("long").cast("double")
+      case _ => col(orderHead).cast("double")
+    }
+    val nBuckets =
+      if (buckets > 0) buckets
+      else math.max(2, df.sparkSession.sparkContext.defaultParallelism)
+    val sampled = df.select(ordD.as("__ordd")).sample(withReplacement = false, 0.05, seed = 42)
+    val base = if (sampled.isEmpty) df.select(ordD.as("__ordd")) else sampled
+    val boundaries = base.stat
+      .approxQuantile("__ordd", (1 until nBuckets).map(_.toDouble / nBuckets).toArray, 0.01)
+      .distinct.sorted
+    // NULL ordering values sort FIRST under Spark's ascending
+    // sortWithinPartitions (the sequential paths), so route them to
+    // bucket 0 explicitly — `ordD < b` is null for null ordD and would
+    // otherwise fall through to the LAST bucket, reordering the fold
+    // relative to groupFold for order-sensitive mergeable kernels.
+    when(ordD.isNull, 0).otherwise(
+      boundaries.zipWithIndex.foldRight(lit(boundaries.length): Column) {
+        case ((b, i), rest) => when(ordD < b, i).otherwise(rest)
+      })
+  }
+
   /** Per-group ordered fold → one row per group: (keyCols..., resultName).
     * Fold null policy: rows with nulls in value columns are dropped;
     * groups whose rows are all dropped still emit `init`-folded state. */
@@ -89,32 +130,12 @@ object GroupOps {
       k: Kernel.Fold[A],
       resultType: DataType,
       resultName: String = "fold",
-      buckets: Int = 16,
+      buckets: Int = 0,
       emit: A => Any = (a: A) => a: Any): DataFrame = {
     val m = k.merge.getOrElse(throw new IllegalArgumentException(
       "groupFoldMergeable requires a kernel with a declared Merge law; use groupFold for sequential kernels"))
     require(keyCols.nonEmpty && valueCols.nonEmpty && orderCols.nonEmpty)
-    import org.apache.spark.sql.functions.{lit, when}
-    // monotone numeric view of the leading ordering column (temporal
-    // types go through timestamp -> epoch seconds; NTZ can't cast to
-    // double directly)
-    val ordD = df.schema(orderCols.head).dataType match {
-      case DateType | TimestampType | TimestampNTZType =>
-        col(orderCols.head).cast(TimestampType).cast("long").cast("double")
-      case _ => col(orderCols.head).cast("double")
-    }
-    val boundaries = df.select(ordD.as("__ordd")).stat
-      .approxQuantile("__ordd", (1 until buckets).map(_.toDouble / buckets).toArray, 0.01)
-      .distinct.sorted
-    // NULL ordering values sort FIRST under Spark's ascending
-    // sortWithinPartitions (the sequential groupFold path), so route them
-    // to bucket 0 explicitly — `ordD < b` is null for null ordD and would
-    // otherwise fall through to the LAST bucket, reordering the fold
-    // relative to groupFold for order-sensitive mergeable kernels.
-    val bucketCol = when(ordD.isNull, 0).otherwise(
-      boundaries.zipWithIndex.foldRight(lit(boundaries.length): Column) {
-        case ((b, i), rest) => when(ordD < b, i).otherwise(rest)
-      })
+    val bucketCol = rangeBucketCol(df, orderCols.head, buckets)
     val selCols = (keyCols ++ orderCols ++ valueCols).distinct
     val keyIdx = keyCols.map(selCols.indexOf)
     val valIdx = valueCols.map(selCols.indexOf)
@@ -206,24 +227,12 @@ object GroupOps {
       k: Kernel.Scan[A],
       resultType: DataType,
       resultName: String = "scan",
-      buckets: Int = 16): DataFrame = {
+      buckets: Int = 0): DataFrame = {
     val m = k.merge.getOrElse(throw new IllegalArgumentException(
       "groupScanMergeable requires a kernel with a declared Merge law; use groupScan for sequential kernels"))
     require(keyCols.nonEmpty && valueCols.nonEmpty && orderCols.nonEmpty)
-    import org.apache.spark.sql.functions.{lit, when}
-    val ordD = df.schema(orderCols.head).dataType match {
-      case DateType | TimestampType | TimestampNTZType =>
-        col(orderCols.head).cast(TimestampType).cast("long").cast("double")
-      case _ => col(orderCols.head).cast("double")
-    }
-    val boundaries = df.select(ordD.as("__ordd")).stat
-      .approxQuantile("__ordd", (1 until buckets).map(_.toDouble / buckets).toArray, 0.01)
-      .distinct.sorted
-    val bucketCol = when(ordD.isNull, 0).otherwise(
-      boundaries.zipWithIndex.foldRight(lit(boundaries.length): Column) {
-        case ((b, i), rest) => when(ordD < b, i).otherwise(rest)
-      })
-
+    import org.apache.spark.sql.functions.lit
+    val bucketCol = rangeBucketCol(df, orderCols.head, buckets)
     val selCols = (keyCols ++ orderCols ++ valueCols).distinct
     val keyIdx = keyCols.map(selCols.indexOf)
     val valIdx = valueCols.map(selCols.indexOf)
@@ -240,8 +249,14 @@ object GroupOps {
       val r = ois.readObject().asInstanceOf[A]; ois.close(); r
     }
 
+    // consumed twice (stage-1 partials + stage-3 data rows): materialize
+    // once via localCheckpoint — unlike persist(), whose CacheManager
+    // entry would outlive the call (one leaked cached plan per
+    // invocation in a long-lived session), checkpoint blocks are
+    // reference-tracked and dropped by the ContextCleaner when this
+    // DataFrame becomes unreachable
     val withB = df.select(selCols.map(col): _*).withColumn("__bucket", bucketCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
 
     // stage 1: segment partials per (group, bucket)
     val partialSchema = StructType(

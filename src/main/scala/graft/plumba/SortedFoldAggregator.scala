@@ -60,7 +60,14 @@ object SortedFoldAggregator {
     * (long-orderable keys cover the test surface; dates/timestamps cast
     * losslessly); value columns keep their own types, declared by the
     * caller. Rows where any value column is null pack a NULL values
-    * struct, which `reduce` drops — the fold null policy. */
+    * struct, which `reduce` drops — the fold null policy.
+    *
+    * NULL ordering values sort FIRST (the library-wide policy: groupFold's
+    * ascending sort is nulls-first, the mergeable paths route null order
+    * to bucket 0): each ord key is coalesced to Long.MinValue, which
+    * keeps the packed array null-free for the encoder. (A genuine
+    * Long.MinValue key ties with null — the one corner this encoding
+    * collapses.) */
   def foldColumn[A](
       ordCols: Seq[Column],
       valueCols: Seq[(Column, DataType)],
@@ -78,7 +85,8 @@ object SortedFoldAggregator {
     val allNotNull = valueCols.map(_._1.isNotNull).reduce(_ && _)
     // one argument per top-level field of the input encoder's schema
     agg(
-      functions.array(ordCols.map(_.cast("long")): _*),
+      functions.array(ordCols.map(c =>
+        functions.coalesce(c.cast("long"), functions.lit(Long.MinValue))): _*),
       functions.when(allNotNull,
         functions.struct(valueCols.zipWithIndex.map { case ((c, dt), i) => c.cast(dt).as(s"v$i") }: _*)))
       .getField("value")

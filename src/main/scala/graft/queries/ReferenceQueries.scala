@@ -266,6 +266,27 @@ object ReferenceQueries {
       .orderBy("user_id", "pos")
   }
 
+  /** TWIN of [[groupScanListCumsum]] routed through the Column-level
+    * [[graft.plumba.ExprOps.scanListCol]] — the reference's literal
+    * `Expr.plumba.scan`-under-agg API shape (examples_scan.py:79–82):
+    * the running sum is computed by the O(n) `array_scan` higher-order
+    * function inside ONE aggregation, not by a window. Shares the
+    * window-formulation's oracle verbatim, so the driver pins both the
+    * dispatched (window) and explicit (Column fold) layers to the same
+    * values — the pattern the running-max twin pair established. */
+  val groupScanListCumsumExpr: Q = (s, dir) => {
+    val ev = Tables(s, dir, "events")
+    val traj = ExprOps.scanListCol(
+      ord = Seq(col("ts"), col("event_id")),
+      values = Seq(col("value")),
+      init = lit(0).cast("decimal(28,6)"),
+      step = (acc, x) => (acc + x.getField(ExprOps.v(0)).cast("decimal(18,6)")).cast("decimal(28,6)"),
+      emit = _.cast("double"))
+    ev.groupBy("user_id").agg(traj.as("traj"))
+      .select(col("user_id"), posexplode(col("traj")).as(Seq("pos", "rs")))
+      .orderBy("user_id", "pos")
+  }
+
   /** Per-order product fold (the reference's `multiply` kernel,
     * tests/test_collect_fold.py:96–97) via the Column-level foldCol.
     * Restricted to the first five line numbers so the integer product
@@ -340,6 +361,7 @@ object ReferenceQueries {
     "scan_multi_state" -> scanMultiState,
     "scan_multi_out_array" -> scanMultiOutArray,
     "group_scan_list_cumsum" -> groupScanListCumsum,
+    "group_scan_list_cumsum_expr" -> groupScanListCumsumExpr,
     "scan_running_max" -> scanRunningMax,
     "scan_cumsum_value" -> scanCumsumValue,
     "group_scan_cummax_per_cust" -> groupScanCummaxPerCust,
@@ -400,6 +422,14 @@ object ReferenceQueries {
         |FROM lineitem
         |WINDOW w AS (ORDER BY l_orderkey, l_linenumber ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // the _expr twin shares this oracle verbatim (same values, explicit
+    // Column-level scan instead of the window formulation)
+    "group_scan_list_cumsum_expr" ->
+      """SELECT user_id,
+        |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INT) AS pos,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS rs
+        |FROM events ORDER BY user_id, pos""".stripMargin,
     "group_scan_list_cumsum" ->
       """SELECT user_id,
         |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INT) AS pos,

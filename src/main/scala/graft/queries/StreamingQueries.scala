@@ -43,6 +43,16 @@ object StreamingQueries {
       .writeStream.format("memory").queryName(name).outputMode("append").start()
     try {
       q.processAllAvailable()
+      // ORACLE PRECONDITION: the event_id-ordered replay is only valid
+      // when the whole fixture arrives in ONE micro-batch — StreamingScan
+      // sorts by event_id within a batch, and cross-batch order is
+      // arrival order. Fail loudly (never silently diverge) if the
+      // fixture ever becomes multi-file or maxFilesPerTrigger is set.
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      if (dataBatches != 1)
+        throw new IllegalStateException(
+          s"stream_group_scan_balance expects exactly 1 data micro-batch (event_id order == " +
+            s"arrival order precondition for the oracle); saw $dataBatches")
     } finally q.stop()
     s.table(name).orderBy("user_id", "event_id")
   }

@@ -99,6 +99,37 @@ class GroupFoldVariantsSpec extends AnyFunSuite {
     assert(s1 == s2)
   }
 
+  test("mergeable paths with AUTO buckets (defaultParallelism-derived) == sequential") {
+    // buckets = 0 (the default) derives the count from the cluster and
+    // samples boundaries — results must be identical to sequential
+    // regardless of where the sampled boundaries land
+    val k = Streak.kernel[Double](_ > 50.0)
+    val salted = GroupOps.groupFoldMergeable(
+        events, Seq("user_id"), Seq("value"), Seq("ts", "event_id"), k, DoubleType,
+        emit = (a: Streak.S) => Streak.best(a).toDouble)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val sequential = GroupOps.groupFold(
+        events, Seq("user_id"), Seq("value"), Seq("ts", "event_id"), k, DoubleType,
+        emit = (a: Streak.S) => Streak.best(a).toDouble)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(salted == sequential)
+  }
+
+  test("mergeable fold/scan paths leave no CacheManager entries behind (leak regression)") {
+    val cm = spark.sharedState.cacheManager
+    cm.clearCache()
+    val k = Kernel.Scan.of1[Double, Double](0.0,
+      merge = Some(Merge(0.0, (a: Double, b: Double) => math.max(a, b))))(math.max)
+    GroupOps.groupScanMergeable(
+        events, Seq("user_id"), Seq("value"), Seq("ts", "event_id"), k, DoubleType, buckets = 4)
+      .write.format("noop").mode("overwrite").save()
+    CollectOps.collectScanMergeable(
+        events, Seq("value"), Seq("ts", "event_id"), k,
+        Merge(0.0, (a: Double, b: Double) => math.max(a, b)), DoubleType)
+      .write.format("noop").mode("overwrite").save()
+    assert(cm.isEmpty, "a mergeable path registered a DataFrame cache it never released")
+  }
+
   test("groupFoldMergeable rejects kernels without a Merge declaration") {
     val plain = Fold[Double](0.0, (acc, args) => acc + args(0).asInstanceOf[Double])
     intercept[IllegalArgumentException] {
