@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
 
 import org.apache.spark.sql.graft.ArrayScanExpr
 
-import graft.functions.{CosineSimExpr, HammingBitsExpr, HyperplaneSigExpr, MinHashFromHashes, MinHashMd5, QuantizedHyperplaneSigExpr, ShingleHashes, ShingleMd5, SimHash64Expr, SimHashBitsExpr}
+import graft.functions.{CosineSimExpr, HammingBitsExpr, HyperplaneSigExpr, MinHashFromHashes, MinHashPortable, QuantizedHyperplaneSigExpr, ShingleHashes, ShinglePortableHash, SimHash64Expr, SimHashBitsExpr}
 
 /** `SparkSessionExtensions` installer: registers the graft custom
   * expressions as SQL functions, so `spark.sql("SELECT
@@ -49,9 +49,9 @@ object GraftExtensions {
     // engine-portable (md5-derived) variants — identical values are
     // recomputable in any engine with md5(varchar), which is what the
     // DuckDB correctness oracles replay
-    "shingle_md5" -> ((args: Seq[Expression]) => ShingleMd5(args.head,
+    "shingle_hash60" -> ((args: Seq[Expression]) => ShinglePortableHash(args.head,
       if (args.length > 1) intArg(args(1), "shingle width n") else 3)),
-    "minhash_md5" -> ((args: Seq[Expression]) => MinHashMd5(args.head,
+    "minhash60" -> ((args: Seq[Expression]) => MinHashPortable(args.head,
       if (args.length > 1) intArg(args(1), "signature size k") else 32)),
     "simhash_bits" -> ((args: Seq[Expression]) => SimHashBitsExpr(args.head)),
     "hamming_bits" -> ((args: Seq[Expression]) => HammingBitsExpr(args(0), args(1))),

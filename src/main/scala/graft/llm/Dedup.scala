@@ -43,18 +43,20 @@ object Dedup {
   def minHashSignature(hashes: Column, k: Int = 32): Column =
     graft.functions.HashFunctions.minHashSignature(hashes, k)
 
-  /** ENGINE-PORTABLE shingle hashing: md5 hex per distinct n-gram
-    * shingle ([[graft.functions.ShingleMd5]]) — every value replayable
-    * by the DuckDB oracle. ~2× the cost of the xxhash64 path; prefer
-    * [[shingleHashes]] when cross-engine verifiability isn't needed. */
+  /** ENGINE-PORTABLE shingle hashing: one 60-bit md5-derived integer
+    * per distinct n-gram shingle ([[graft.functions.ShinglePortableHash]])
+    * — every value replayable by the DuckDB oracle (parse the top 15
+    * hex chars of md5). One md5 per shingle, same as the xxhash64 path's
+    * one hash per shingle. */
   def shingleMd5(text: Column, n: Int = 3): Column =
-    graft.functions.HashFunctions.shingleMd5(split(lower(text), " +"), n)
+    graft.functions.HashFunctions.shingleHash60(split(lower(text), " +"), n)
 
-  /** ENGINE-PORTABLE MinHash over md5 shingle hexes: component s =
-    * min(md5("s:<shingleHex>")) — the oracle replays it as a GROUP BY
-    * min in SQL ([[graft.functions.MinHashMd5]]). */
-  def minHashSignatureP(md5s: Column, k: Int = 32): Column =
-    graft.functions.HashFunctions.minHashMd5(md5s, k)
+  /** ENGINE-PORTABLE MinHash over 60-bit shingle hashes: per-seed
+    * affine remix `(A_s*h + B_s) mod 2^60`, min per seed — pure integer
+    * arithmetic the oracle replays in HUGEINT
+    * ([[graft.functions.MinHashPortable]]). */
+  def minHashSignatureP(hashes60: Column, k: Int = 32): Column =
+    graft.functions.HashFunctions.minHash60(hashes60, k)
 
   /** LSH band keys: the signature is cut into `bands` slices of `rowsPer`
     * entries; each slice is hashed to one bucket key. Docs sharing ANY
@@ -63,12 +65,15 @@ object Dedup {
     transform(sequence(lit(0), lit(bands - 1)), b =>
       xxhash64(concat_ws(",", transform(slice(sig, b * rowsPer + 1, lit(rowsPer)), _.cast("string")), b.cast("string"))))
 
-  /** ENGINE-PORTABLE band keys over a string signature: built-in md5 of
-    * "sliceJoinedByComma:bandIdx" — codegen'd, and the DuckDB oracle
-    * recomputes the identical hex keys. */
+  /** ENGINE-PORTABLE band keys: built-in md5 of
+    * "sliceJoinedByComma:bandIdx" (signature components rendered as
+    * decimal strings) — codegen'd, and the DuckDB oracle recomputes the
+    * identical hex keys. */
   def bandKeysP(sig: Column, bands: Int, rowsPer: Int): Column =
     transform(sequence(lit(0), lit(bands - 1)), b =>
-      md5(concat_ws(":", concat_ws(",", slice(sig, b * rowsPer + 1, lit(rowsPer))), b.cast("string"))))
+      md5(concat_ws(":",
+        concat_ws(",", transform(slice(sig, b * rowsPer + 1, lit(rowsPer)), _.cast("string"))),
+        b.cast("string"))))
 
   /** Estimated Jaccard from two MinHash signatures: fraction of agreeing
     * components. */

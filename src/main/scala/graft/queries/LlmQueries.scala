@@ -176,6 +176,43 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** REAL image decode through the driver gate: a deterministic 24-bit
+    * BMP payload is synthesized IN-PLAN for every document (fixed
+    * 54-byte header via binary literals + chr()-built variable bytes;
+    * width pinned to 4 px so pixel rows need no padding, height
+    * 1 + doc_id % 3, uniform gray 1 + doc_id % 120), then decoded by
+    * [[Multimodal.extractFeatures]] — `looksLikeImage` sees the BM
+    * magic and ImageIO parses the real format. The oracle states the
+    * expected decoded dimensions independently; they only match when
+    * the REAL decoder ran (the stub fallback would emit byte-sum
+    * features, not (4, h)). Complements `media_features`, which
+    * deliberately exercises the stub path on non-image payloads. */
+  val mediaDecodeBmp: Q = (s, dir) => {
+    val d = Tables(s, dir, "documents").select(
+      col("doc_id"),
+      expr("CAST(1 + doc_id % 3 AS INT)").as("h"),
+      expr("CAST(1 + doc_id % 120 AS INT)").as("g"))
+    def chrB(c: org.apache.spark.sql.Column) = to_binary(chr(c), lit("utf-8"))
+    val z3 = lit(Array[Byte](0, 0, 0))
+    val bmp = concat(
+      to_binary(lit("BM"), lit("utf-8")),                 // magic
+      chrB(col("h") * 12 + 54), z3,                        // file size LE (< 128)
+      lit(Array[Byte](0, 0, 0, 0, 54, 0, 0, 0)),           // reserved + data offset
+      lit(Array[Byte](40, 0, 0, 0, 4, 0, 0, 0)),           // info header size + width=4
+      chrB(col("h")), z3,                                  // height LE
+      lit(Array[Byte](1, 0, 24, 0, 0, 0, 0, 0)),           // planes=1, bpp=24, BI_RGB
+      chrB(col("h") * 12), z3,                             // image size LE
+      lit(new Array[Byte](16)),                            // ppm + palette fields = 0
+      to_binary(expr("repeat(chr(g), h * 12)"), lit("utf-8"))) // pixels: h rows x 4 px x BGR
+    val media = d.select(col("doc_id"),
+      Multimodal.mediaStruct(bmp, lit("image/bmp"), lit(4), col("h"), lit(1)).as("media"))
+    Multimodal.extractFeatures(media, "doc_id", "media", dims = 4)
+      .select(col("doc_id"),
+        element_at(col("features"), 1).cast("int").as("width"),
+        element_at(col("features"), 2).cast("int").as("height"))
+      .orderBy("doc_id")
+  }
+
   /** The composed ingest pipeline end-to-end in ONE query — what a
     * training-data run actually executes: quality-filter the corpus,
     * exact-dedup survivors (keep min doc_id per content hash), then
@@ -291,21 +328,37 @@ object LlmQueries {
     "doc_chunks" -> docChunks,
     "pipeline_clean_corpus" -> pipelineCleanCorpus,
     "media_features" -> mediaFeatures,
+    "media_decode_bmp" -> mediaDecodeBmp,
     "media_frames" -> mediaFrames,
     "media_stats" -> mediaStats
   )
 
+  /** Inline DuckDB expression parsing the top 15 hex chars of an md5
+    * string as a 60-bit BIGINT — the numeric twin of the Spark side's
+    * `Md5.top60` (big-endian first 8 digest bytes >>> 4). */
+  private def hx60(md: String): String =
+    s"CAST(list_sum(list_transform(range(1, 16), i -> " +
+      s"CAST(strpos('0123456789abcdef', substr($md, CAST(i AS INT), 1)) - 1 AS BIGINT) * " +
+      s"(CAST(1 AS BIGINT) << CAST(4 * (15 - i) AS INT)))) AS BIGINT)"
+
   /** Shared DuckDB CTE chain replaying the PORTABLE MinHash pipeline
-    * exactly: words → distinct shingle md5s → per-seed min(md5("s:h"))
-    * signature → band keys → bucket-capped candidate pairs with
-    * estimated Jaccard ≥ 0.3 (mirrors [[Dedup.minHashPairs]] defaults:
-    * n=3, k=32, bands=8, rowsPer=4, maxBucket=1000). */
+    * exactly: words → distinct 60-bit shingle hashes (one md5 each) →
+    * per-seed affine remix `(A_s*h + B_s) mod 2^60` in HUGEINT →
+    * min-per-seed signature → md5 band keys → bucket-capped candidate
+    * pairs with estimated Jaccard ≥ 0.3 (mirrors [[Dedup.minHashPairs]]
+    * defaults: n=3, k=32, bands=8, rowsPer=4, maxBucket=1000). The JVM
+    * side's wrap-around long multiply masked to 60 bits computes the
+    * identical values (2^60 divides 2^64) — validated bit-exact. */
   private val minhashCtes: String =
-    """w AS (SELECT doc_id, regexp_split_to_array(lower(text), ' +') AS ws FROM documents),
-      |sh AS (SELECT DISTINCT doc_id, md5(array_to_string(ws[i+1:i+3], ' ')) AS h
+    s"""w AS (SELECT doc_id, regexp_split_to_array(lower(text), ' +') AS ws FROM documents),
+      |shm AS (SELECT DISTINCT doc_id, md5(array_to_string(ws[i+1:i+3], ' ')) AS md
       |  FROM w, unnest(range(0, greatest(len(ws) - 3, 0) + 1)) t(i)),
-      |comp AS (SELECT doc_id, s, min(md5(s::VARCHAR || ':' || h)) AS c
-      |  FROM sh, unnest(range(0, 32)) seeds(s) GROUP BY doc_id, s),
+      |sh AS (SELECT DISTINCT doc_id, ${hx60("md")} AS h FROM shm),
+      |seeds AS (SELECT s, (${hx60("md5('a:' || s)")} | 1) AS a, ${hx60("md5('b:' || s)")} AS b
+      |  FROM range(0, 32) t(s)),
+      |comp AS (SELECT doc_id, s,
+      |    min(CAST((CAST(a AS HUGEINT) * h + b) % 1152921504606846976 AS BIGINT)) AS c
+      |  FROM sh, seeds GROUP BY doc_id, s),
       |sigt AS (SELECT doc_id, list(c ORDER BY s) AS sig FROM comp GROUP BY doc_id),
       |bk AS (SELECT doc_id, sig, md5(array_to_string(sig[b*4+1:b*4+4], ',') || ':' || b::VARCHAR) AS bucket
       |  FROM sigt, unnest(range(0, 8)) bs(b)),
@@ -553,6 +606,12 @@ object LlmQueries {
         |  FROM w, unnest(range(0, greatest((len(words) - 8 - 1) // 56, 0) + 1)) AS t(i))
         |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx, chunk FROM c
         |ORDER BY doc_id, chunk_idx""".stripMargin,
+    // the oracle states the EXPECTED decoded dimensions of the
+    // synthesized BMPs — Spark only matches if ImageIO actually decoded
+    // the payloads (the stub fallback would emit byte sums, not (4, h))
+    "media_decode_bmp" ->
+      """SELECT doc_id, CAST(4 AS INT) AS width, CAST(1 + doc_id % 3 AS INT) AS height
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, md5(lower(text)) AS content_hash,
         |  count(*) AS dup_count

@@ -19,25 +19,27 @@ class PortableHashSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
-  test("shingle_md5: distinct word-bigram md5 hexes match DuckDB md5()") {
+  test("shingle_hash60: distinct word-bigram 60-bit hashes match the DuckDB hex parse") {
+    // goldens = parse of substr(md5(shingle), 1, 15) as hex, validated
+    // bit-equal against the DuckDB strpos/shift expression the oracles use
     val got = Seq("a b c d").toDF("text")
       .select(Dedup.shingleMd5($"text", n = 2).as("sh"))
-      .collect()(0).getSeq[String](0)
+      .collect()(0).getSeq[Long](0)
     assert(got == Seq(
-      "0cc9cd4dd26c5137b675a0d819cb9ab0", // md5("a b")
-      "b5fddffda43ed626a60026ef9d18ced2", // md5("b c")
-      "a761a01e4e85131529c1b1948648cd9a")) // md5("c d")
+      57593333306279187L,  // top60(md5("a b"))
+      819617748153003362L, // top60(md5("b c"))
+      753818583068856625L)) // top60(md5("c d"))
   }
 
-  test("minhash_md5: per-seed min(md5(s:h)) matches the DuckDB GROUP BY replay") {
+  test("minhash60: per-seed affine remix mod 2^60 matches the DuckDB HUGEINT replay") {
     val got = Seq("a b c d").toDF("text")
       .select(Dedup.minHashSignatureP(Dedup.shingleMd5($"text", n = 2), k = 4).as("sig"))
-      .collect()(0).getSeq[String](0)
+      .collect()(0).getSeq[Long](0)
     assert(got == Seq(
-      "608ff70789f5d796848b32f87da4ab73",
-      "05b3345274d4c0662b91c3bcabe6b1f5",
-      "268ee9f15d1657ff56a70cdba56fc1be",
-      "187d0aa3420a45d892a1580c72d2a7f4"))
+      135155355891906884L,
+      21145301684782703L,
+      364707280103988508L,
+      327296478130551864L))
   }
 
   test("simhash_bits: md5 nibble-bit majority vote matches DuckDB strpos arithmetic") {
