@@ -57,8 +57,38 @@ object StreamingQueries {
     s.table(name).orderBy("user_id", "event_id")
   }
 
+  /** The canonical Structured-Streaming shape: watermarked tumbling-
+    * window aggregation in APPEND mode — per (1-hour window, event_type)
+    * counts over the events stream, 1-hour lateness watermark. Append
+    * emits a window only once its end falls below the final watermark
+    * (max event time − 1 h), so for a terminated stream the result is a
+    * deterministic function of the data: every closed window — exactly
+    * what the batch SQL replay states. Windows are computed on
+    * second-truncated event time (the nanos column integer-divided,
+    * exact — a double division would lose precision above 2^53 ns).
+    *
+    * Scale: the aggregation state is one count per (window, type) —
+    * bounded by the watermark horizon; each micro-batch shuffles on the
+    * group keys only. */
+  val streamWindowedCounts: Q = (s, dir) => {
+    import org.apache.spark.sql.functions._
+    val schema = Tables(s, dir, "events").schema
+    val name = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val src = s.readStream.schema(schema).parquet(s"$dir/events.parquet*")
+    val agg = src
+      .withColumn("tsc", expr("CAST(ts DIV 1000000000 AS TIMESTAMP)"))
+      .withWatermark("tsc", "1 hour")
+      .groupBy(window(col("tsc"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").cast("long").as("window_start"), col("event_type"), col("n"))
+    val q = agg.writeStream.format("memory").queryName(name).outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name).orderBy("window_start", "event_type")
+  }
+
   val defs: Map[String, Q] = Map(
-    "stream_group_scan_balance" -> streamGroupScanBalance
+    "stream_group_scan_balance" -> streamGroupScanBalance,
+    "stream_windowed_counts" -> streamWindowedCounts
   )
 
   val oracles: Map[String, String] = Map(
@@ -77,6 +107,19 @@ object StreamingQueries {
         |  FROM r WHERE i < len(vals))
         |SELECT user_id, eids[i] AS event_id, acc AS balance
         |FROM r WHERE i >= 1
-        |ORDER BY user_id, i""".stripMargin
+        |ORDER BY user_id, i""".stripMargin,
+    // batch replay of the watermarked tumbling-window aggregation: for a
+    // terminated stream, append mode has emitted exactly the windows
+    // whose end <= final watermark (max second-truncated event time −
+    // 1 h). The <= boundary was pinned empirically: a window [0, 3600)
+    // IS emitted when the watermark lands exactly on 3600.
+    "stream_windowed_counts" ->
+      """WITH e AS (SELECT epoch_ns(ts) // 1000000000 AS sec, event_type FROM events),
+        |w AS (SELECT (sec // 3600) * 3600 AS window_start, event_type, count(*) AS n
+        |  FROM e GROUP BY 1, 2),
+        |mx AS (SELECT max(sec) - 3600 AS wm FROM e)
+        |SELECT window_start, event_type, n FROM w, mx
+        |WHERE window_start + 3600 <= wm
+        |ORDER BY window_start, event_type""".stripMargin
   )
 }
