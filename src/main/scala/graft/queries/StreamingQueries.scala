@@ -86,9 +86,38 @@ object StreamingQueries {
     s.table(name).orderBy("window_start", "event_type")
   }
 
+  /** Streaming EXACT DEDUP — the ingest-time flavor of
+    * [[graft.llm.Dedup.exactDedup]]: documents arrive as a stream and
+    * `dropDuplicates` on the md5 content hash keeps state of every hash
+    * seen, so re-ingested content never passes twice. The output is the
+    * distinct content-hash set with byte length (deterministic — WHICH
+    * row of a duplicate group survives depends on arrival order, so the
+    * query projects only columns every duplicate shares). Oracle: batch
+    * `SELECT DISTINCT`.
+    *
+    * Scale: state is one 32-char hash per distinct content (not the
+    * text), hash-partitioned across the state store; at 100 TB this is
+    * the standard streaming-dedup pattern, usually bounded with
+    * `withWatermark` + a time column in the dedup key. */
+  val streamDedupDocs: Q = (s, dir) => {
+    import org.apache.spark.sql.functions._
+    val schema = Tables(s, dir, "documents").schema
+    val name = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val src = s.readStream.schema(schema).parquet(s"$dir/documents.parquet*")
+    val dedup = src
+      .select(
+        graft.llm.TextAnalysis.fingerprintMd5(col("text")).as("content_hash"),
+        octet_length(to_binary(col("text"), lit("utf-8"))).as("n_bytes"))
+      .dropDuplicates("content_hash")
+    val q = dedup.writeStream.format("memory").queryName(name).outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name).orderBy("content_hash")
+  }
+
   val defs: Map[String, Q] = Map(
     "stream_group_scan_balance" -> streamGroupScanBalance,
-    "stream_windowed_counts" -> streamWindowedCounts
+    "stream_windowed_counts" -> streamWindowedCounts,
+    "stream_dedup_docs" -> streamDedupDocs
   )
 
   val oracles: Map[String, String] = Map(
@@ -120,6 +149,13 @@ object StreamingQueries {
         |mx AS (SELECT max(sec) - 3600 AS wm FROM e)
         |SELECT window_start, event_type, n FROM w, mx
         |WHERE window_start + 3600 <= wm
-        |ORDER BY window_start, event_type""".stripMargin
+        |ORDER BY window_start, event_type""".stripMargin,
+    // streaming dropDuplicates state == the batch distinct set; n_bytes
+    // is shared by every member of a duplicate group, so the projection
+    // is arrival-order-independent
+    "stream_dedup_docs" ->
+      """SELECT DISTINCT md5(lower(text)) AS content_hash,
+        |  octet_length(encode(text)) AS n_bytes
+        |FROM documents ORDER BY content_hash""".stripMargin
   )
 }
