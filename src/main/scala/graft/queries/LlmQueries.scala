@@ -64,6 +64,17 @@ object LlmQueries {
       .groupBy("token").agg(count(lit(1)).as("n"))
       .orderBy(desc("n"), asc("token")).limit(50)
 
+  /** Token counting, both flavors through the gate: whitespace tokens
+    * and the BPE-ish proxy (letter runs / digit runs / single other
+    * non-space chars — regexp_extract_all, verified to count identically
+    * under Java regex and DuckDB's RE2 on the whole corpus). */
+  val tokenCounts: Q = (s, dir) =>
+    Tables(s, dir, "documents").select(
+      col("doc_id"),
+      TextAnalysis.tokenCountWs(col("text")).as("n_ws"),
+      TextAnalysis.tokenCountBpeIsh(col("text")).as("n_bpe"))
+      .orderBy("doc_id")
+
   /** Quality scoring (length/punct/token-shape heuristic). */
   val qualityScore: Q = (s, dir) =>
     Tables(s, dir, "documents")
@@ -309,6 +320,7 @@ object LlmQueries {
 
   val defs: Map[String, Q] = Map(
     "text_stats" -> textStats,
+    "token_counts" -> tokenCounts,
     "corpus_stats" -> corpusStats,
     "top_tokens" -> topTokens,
     "quality_score" -> qualityScore,
@@ -507,6 +519,11 @@ object LlmQueries {
         |  round(CAST(len(list_filter(regexp_split_to_array(lower(text), ' +'),
         |      t -> t IN ('the','a','an','and','or','of','to','in','is'))) AS DOUBLE)
         |    / len(regexp_split_to_array(text, ' +')), 6) AS stopword_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "token_counts" ->
+      """SELECT doc_id,
+        |  len(regexp_split_to_array(text, ' +')) AS n_ws,
+        |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe
         |FROM documents ORDER BY doc_id""".stripMargin,
     "corpus_stats" ->
       """WITH t AS (SELECT lang, len(regexp_split_to_array(text, ' +')) AS n_tokens FROM documents)
