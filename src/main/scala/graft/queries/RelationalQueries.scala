@@ -163,7 +163,29 @@ object RelationalQueries {
       .orderBy("user_id", "session_idx")
   }
 
+  /** TPC-H Q10-shaped returned-item report: which customers returned the
+    * most revenue in a quarter. Fact-fact join shuffles on orderkey with
+    * the date + returnflag filters PUSHED to the scans; customer and
+    * nation broadcast; top-20 by revenue with a deterministic custkey
+    * tie-break (decimal-exact revenue ⇒ the cut is engine-portable). */
+  val q10ReturnedItems: Q = (s, dir) => {
+    val cust = Tables(s, dir, "customer")
+    val nation = Tables(s, dir, "nation")
+    val orders = Tables(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit(Timestamp.valueOf("1996-01-01 00:00:00")) &&
+        col("o_orderdate") < lit(Timestamp.valueOf("1996-04-01 00:00:00")))
+    val li = Tables(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+    li.join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+      .agg(toDouble2(sum(revenueTerm(col("l_extendedprice"), col("l_discount")))).as("revenue"))
+      .orderBy(desc("revenue"), asc("c_custkey"))
+      .limit(20)
+  }
+
   val defs: Map[String, Q] = Map(
+    "q10_returned_items" -> q10ReturnedItems,
     "event_sessions" -> eventSessions,
     "q1_pricing_summary" -> q1PricingSummary,
     "q3_top_orders" -> q3TopOrders,
@@ -211,6 +233,18 @@ object RelationalQueries {
          |  AND o_orderdate < TIMESTAMP '1998-06-30 00:00:00'
          |  AND l_shipdate > TIMESTAMP '1998-06-30 00:00:00'
          |GROUP BY l_orderkey ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q10_returned_items" ->
+      s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+         |  ${sqlToDouble2(s"SUM(${sqlRevenueTerm("l_extendedprice", "l_discount")})")} AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |WHERE l_returnflag = 'R'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |  AND o_orderdate < TIMESTAMP '1996-04-01'
+         |GROUP BY c_custkey, c_name, c_acctbal, n_name
+         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
     "q5_region_revenue" ->
       s"""SELECT n_name,
          |  ${sqlToDouble2(s"SUM(${sqlRevenueTerm("l_extendedprice", "l_discount")})")} AS revenue

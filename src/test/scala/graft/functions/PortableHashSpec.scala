@@ -67,6 +67,23 @@ class PortableHashSpec extends AnyFunSuite {
     assert(got == "11100111")
   }
 
+  test("degenerate text: empty and single-word docs hash without error, dedup end-to-end") {
+    val docs = Seq((1L, ""), (2L, "word"), (3L, "word"), (4L, "a b")).toDF("doc_id", "text")
+    // shingle set of a short doc is the truncated single shingle
+    val sh = docs.select(Dedup.shingleMd5($"text", n = 3).as("s")).collect().map(_.getSeq[Long](0))
+    assert(sh.forall(_.size == 1))
+    assert(sh(1) == sh(2)) // identical docs -> identical shingle hashes
+    // the full pair pipeline runs and finds the planted exact dup
+    val pairs = Dedup.minHashPairs(docs, "doc_id", "text", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((2L, 3L)))
+    // simhash bits of empty text: zero words -> majority over 0 -> all zeros
+    val sig = docs.filter($"doc_id" === 1L)
+      .select(Dedup.simHashBits($"text")).collect()(0).getString(0)
+    // split("", " +") yields one empty token; md5("") bits decide the vote of n=1
+    assert(sig.length == 64 && sig.forall(c => c == '0' || c == '1'))
+  }
+
   test("portable signatures are partition-count independent (plane cache correctness)") {
     val df = (0 until 64).map(i => Tuple1(Array.tabulate(16)(d => ((i * 7 + d * 3) % 11 - 5) / 5.0f))).toDF("vec")
     val one = df.repartition(1).select(Similarity.hyperplaneSignature($"vec", 16).as("s")).collect().map(_.getString(0))
