@@ -128,6 +128,30 @@ class FoldRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("UNGUARDED sum over a NULLABLE field is NOT rewritten (null poisons the fold; Sum skips)") {
+    // hand-built aggregate without foldCol's null-drop guard: the fold
+    // computes Add(acc, null) -> NULL, native Sum would skip the null —
+    // a semantics change the rule must refuse.
+    def handFold(c: org.apache.spark.sql.Column) = aggregate(
+      array_sort(collect_list(struct(col("ord").as("o0"), c.as("v0")))),
+      lit(0.0), (acc, x) => acc + x.getField("v0"))
+    withRule {
+      val nullable = Seq(("a", 1, Some(10.0)), ("a", 2, None), ("b", 1, Some(5.0)))
+        .toDF("k", "ord", "v")
+      val q = nullable.groupBy("k").agg(handFold(col("v")).as("f"))
+      val optimized = q.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("collect_list"), optimized)
+      val got = q.collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+      assert(got == Map("a" -> None, "b" -> Some(5.0)), got.toString)
+      // the same unguarded shape over a NON-nullable field still rewrites
+      val q2 = df.groupBy("k").agg(handFold(col("v")).as("f"))
+      val opt2 = q2.queryExecution.optimizedPlan.toString
+      assert(!opt2.contains("collect_list"), opt2)
+      val got2 = q2.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(got2 == Map("a" -> 60.0, "b" -> 12.5))
+    }
+  }
+
   test("empty-group behavior preserved: sum-rewrite yields zero via coalesce") {
     withRule {
       // all values null in the fold columns -> collect_list drops all ->
