@@ -184,8 +184,28 @@ object RelationalQueries {
       .limit(20)
   }
 
+  /** LEFT AS-OF JOIN through [[graft.operators.AsofJoin]]: for every
+    * order, the customer's most recent (<=) "large order" price — the
+    * point-in-time lookup Spark lacks natively, computed here as ONE
+    * union shuffle + streaming pass (no join explosion). The right side
+    * pre-aggregates to unique (custkey, date) so the as-of pick is
+    * deterministic in both engines; oracle = DuckDB's native ASOF LEFT
+    * JOIN. */
+  val asofLargeOrder: Q = (s, dir) => {
+    val o = Tables(s, dir, "orders")
+    val large = o.filter(col("o_totalprice") > 200000)
+      .groupBy("o_custkey", "o_orderdate")
+      .agg(max("o_totalprice").as("big_price"))
+    graft.operators.AsofJoin.asofLast(
+        o.select("o_custkey", "o_orderdate", "o_orderkey"),
+        large, Seq("o_custkey"), "o_orderdate", Seq("big_price"))
+      .select(col("o_orderkey"), col("asof_big_price").as("last_big_price"))
+      .orderBy("o_orderkey")
+  }
+
   val defs: Map[String, Q] = Map(
     "q10_returned_items" -> q10ReturnedItems,
+    "asof_large_order" -> asofLargeOrder,
     "event_sessions" -> eventSessions,
     "q1_pricing_summary" -> q1PricingSummary,
     "q3_top_orders" -> q3TopOrders,
@@ -233,6 +253,12 @@ object RelationalQueries {
          |  AND o_orderdate < TIMESTAMP '1998-06-30 00:00:00'
          |  AND l_shipdate > TIMESTAMP '1998-06-30 00:00:00'
          |GROUP BY l_orderkey ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "asof_large_order" ->
+      """WITH r AS (SELECT o_custkey AS k, o_orderdate AS t, max(o_totalprice) AS v
+        |  FROM orders WHERE o_totalprice > 200000 GROUP BY 1, 2)
+        |SELECT l.o_orderkey, r.v AS last_big_price
+        |FROM orders l ASOF LEFT JOIN r ON l.o_custkey = r.k AND l.o_orderdate >= r.t
+        |ORDER BY l.o_orderkey""".stripMargin,
     "q10_returned_items" ->
       s"""SELECT c_custkey, c_name, c_acctbal, n_name,
          |  ${sqlToDouble2(s"SUM(${sqlRevenueTerm("l_extendedprice", "l_discount")})")} AS revenue
