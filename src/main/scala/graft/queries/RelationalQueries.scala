@@ -203,9 +203,30 @@ object RelationalQueries {
       .orderBy("o_orderkey")
   }
 
+  /** Price-band report through [[graft.operators.RangeJoin]]: orders
+    * range-joined to 20 price intervals (point-in-interval), then
+    * aggregated per band. The bucketing rewrite turns the non-equi
+    * BETWEEN predicate into a hash-partitionable equi-join — no
+    * BroadcastNestedLoop, no cartesian. Band bounds use 2-decimal-safe
+    * edges (hi = next lo − 0.01) so double comparisons agree across
+    * engines on 2dp money values. */
+  val rangeBandOrders: Q = (s, dir) => {
+    val o = Tables(s, dir, "orders")
+    val bands = s.range(0, 20).select(
+      col("id").as("band_id"),
+      (col("id") * 25000.0).as("lo"),
+      ((col("id") + 1) * 25000.0 - 0.01).as("hi"))
+    graft.operators.RangeJoin.pointInInterval(
+        o.select("o_orderkey", "o_totalprice"), bands, "o_totalprice", "lo", "hi", 25000.0)
+      .groupBy("band_id")
+      .agg(count(lit(1)).as("n_orders"), decSum(col("o_totalprice")).as("revenue"))
+      .orderBy("band_id")
+  }
+
   val defs: Map[String, Q] = Map(
     "q10_returned_items" -> q10ReturnedItems,
     "asof_large_order" -> asofLargeOrder,
+    "range_band_orders" -> rangeBandOrders,
     "event_sessions" -> eventSessions,
     "q1_pricing_summary" -> q1PricingSummary,
     "q3_top_orders" -> q3TopOrders,
@@ -253,6 +274,13 @@ object RelationalQueries {
          |  AND o_orderdate < TIMESTAMP '1998-06-30 00:00:00'
          |  AND l_shipdate > TIMESTAMP '1998-06-30 00:00:00'
          |GROUP BY l_orderkey ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "range_band_orders" ->
+      s"""WITH bands AS (SELECT i AS band_id, i*25000.0 AS lo, (i+1)*25000.0 - 0.01 AS hi
+         |  FROM range(0, 20) t(i)),
+         |j AS (SELECT band_id, o_totalprice FROM orders
+         |  JOIN bands ON o_totalprice BETWEEN lo AND hi)
+         |SELECT band_id, count(*) AS n_orders, ${sqlDecSum("o_totalprice")} AS revenue
+         |FROM j GROUP BY band_id ORDER BY band_id""".stripMargin,
     "asof_large_order" ->
       """WITH r AS (SELECT o_custkey AS k, o_orderdate AS t, max(o_totalprice) AS v
         |  FROM orders WHERE o_totalprice > 200000 GROUP BY 1, 2)
