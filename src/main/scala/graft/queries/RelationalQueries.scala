@@ -223,10 +223,27 @@ object RelationalQueries {
       .orderBy("band_id")
   }
 
+  /** Bloom-pruned semi join through [[graft.operators.BloomJoin]]:
+    * orders with at least one returned line item. The probe (orders) is
+    * filtered by a broadcast Bloom sketch of the returned-lineitem keys
+    * BEFORE its shuffle — the explicit runtime-filter pattern; the exact
+    * semi join removes the sketch's false positives, so the result (and
+    * the oracle — a plain IN) is exact regardless of fpp. */
+  val bloomSemiOrders: Q = (s, dir) => {
+    val o = Tables(s, dir, "orders")
+    val returned = Tables(s, dir, "lineitem")
+      .filter(col("l_returnflag") === "R").select("l_orderkey")
+    graft.operators.BloomJoin.semiJoin(
+        o.select("o_orderkey", "o_totalprice"), returned,
+        "o_orderkey", "l_orderkey", expectedItems = 1000000L)
+      .orderBy("o_orderkey")
+  }
+
   val defs: Map[String, Q] = Map(
     "q10_returned_items" -> q10ReturnedItems,
     "asof_large_order" -> asofLargeOrder,
     "range_band_orders" -> rangeBandOrders,
+    "bloom_semi_orders" -> bloomSemiOrders,
     "event_sessions" -> eventSessions,
     "q1_pricing_summary" -> q1PricingSummary,
     "q3_top_orders" -> q3TopOrders,
@@ -274,6 +291,10 @@ object RelationalQueries {
          |  AND o_orderdate < TIMESTAMP '1998-06-30 00:00:00'
          |  AND l_shipdate > TIMESTAMP '1998-06-30 00:00:00'
          |GROUP BY l_orderkey ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "bloom_semi_orders" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R')
+        |ORDER BY o_orderkey""".stripMargin,
     "range_band_orders" ->
       s"""WITH bands AS (SELECT i AS band_id, i*25000.0 AS lo, (i+1)*25000.0 - 0.01 AS hi
          |  FROM range(0, 20) t(i)),
