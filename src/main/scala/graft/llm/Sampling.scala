@@ -1,0 +1,48 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-portable sampling and splitting for
+  * training-data pipelines. Every decision derives from `md5(id)` — no
+  * RNG state, no seed to ship, identical on every executor AND in any
+  * engine with `md5(varchar)`: re-running the pipeline (or auditing it
+  * in another system) reproduces the exact same splits. The same
+  * portability trick as the round-3 hash family; `ann_ivf`'s centroid
+  * rule established it.
+  *
+  * Scale shape: [[hashSplit]] is a narrow map (no shuffle, splits
+  * computed scan-side and usable as partition filters downstream);
+  * [[samplePerGroup]] is one hash shuffle on the group keys + a
+  * rank-k window per group.
+  */
+object Sampling {
+
+  /** The first two md5 hex chars of the id as an integer in [0, 256) —
+    * a uniform, portable bucket (SQL replay:
+    * `strpos`-parse of `substr(md5(id), 1, 2)`). */
+  def hashBucket256(id: Column): Column = {
+    val h = md5(id.cast("string"))
+    (conv(substring(h, 1, 2), 16, 10)).cast("int")
+  }
+
+  /** Deterministic train/val split label: 'train' for ~trainPct of rows
+    * (hash bucket below trainPct·256/100), 'val' otherwise. The split is
+    * a pure function of the id — stable across runs, engines, and
+    * repartitioning. */
+  def hashSplit(id: Column, trainPct: Int = 90): Column = {
+    require(trainPct > 0 && trainPct < 100, "trainPct must be in (0, 100)")
+    when(hashBucket256(id) < lit(trainPct * 256 / 100), "train").otherwise("val")
+  }
+
+  /** Deterministic k-per-group sample: the k rows of each group with the
+    * smallest md5(id) (id tie-break) — a seed-free uniform sample whose
+    * selection any engine replays exactly. */
+  def samplePerGroup(df: DataFrame, groupCols: Seq[String], idCol: String, k: Int): DataFrame = {
+    require(groupCols.nonEmpty && k > 0)
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("__rk", row_number().over(w)).filter(col("__rk") <= k).drop("__rk")
+  }
+}

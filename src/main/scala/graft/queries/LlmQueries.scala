@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** LLM-training-data pipeline queries over the documents/embeddings
   * tables: text analysis, dedup (exact / MinHash / SimHash / n-gram
@@ -224,6 +224,22 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** Deterministic train/val split ([[Sampling.hashSplit]]): a pure
+    * function of the doc id via md5 bucketing — stable across runs,
+    * engines, and repartitioning; a narrow map with no shuffle. */
+  val splitTrainVal: Q = (s, dir) =>
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), Sampling.hashSplit(col("doc_id"), trainPct = 90).as("split"))
+      .orderBy("doc_id")
+
+  /** Deterministic 5-per-language document sample
+    * ([[Sampling.samplePerGroup]]): smallest md5(doc_id) per lang —
+    * seed-free, engine-replayable selection. */
+  val sampleDocsPerLang: Q = (s, dir) =>
+    Sampling.samplePerGroup(
+        Tables(s, dir, "documents").select("lang", "doc_id"), Seq("lang"), "doc_id", k = 5)
+      .orderBy("lang", "doc_id")
+
   /** The composed ingest pipeline end-to-end in ONE query — what a
     * training-data run actually executes: quality-filter the corpus,
     * exact-dedup survivors (keep min doc_id per content hash), then
@@ -339,6 +355,8 @@ object LlmQueries {
     "dedup_groups_minhash" -> dedupGroupsMinhash,
     "doc_chunks" -> docChunks,
     "pipeline_clean_corpus" -> pipelineCleanCorpus,
+    "split_train_val" -> splitTrainVal,
+    "sample_docs_per_lang" -> sampleDocsPerLang,
     "media_features" -> mediaFeatures,
     "media_decode_bmp" -> mediaDecodeBmp,
     "media_frames" -> mediaFrames,
@@ -623,6 +641,20 @@ object LlmQueries {
         |  FROM w, unnest(range(0, greatest((len(words) - 8 - 1) // 56, 0) + 1)) AS t(i))
         |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx, chunk FROM c
         |ORDER BY doc_id, chunk_idx""".stripMargin,
+    // md5-bucket split: first two hex chars parsed as 0..255, train
+    // when below 90*256/100 = 230 — identical in any engine
+    "split_train_val" ->
+      """SELECT doc_id,
+        |  CASE WHEN (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+        |          + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) < 230
+        |       THEN 'train' ELSE 'val' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "sample_docs_per_lang" ->
+      """SELECT lang, doc_id FROM (
+        |  SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 5 ORDER BY lang, doc_id""".stripMargin,
     // the oracle states the EXPECTED decoded dimensions of the
     // synthesized BMPs — Spark only matches if ImageIO actually decoded
     // the payloads (the stub fallback would emit byte sums, not (4, h))
