@@ -93,14 +93,21 @@ object Multimodal {
   /** STUB decoder for non-image payloads: derives a deterministic
     * feature vector from the payload bytes so the full pipeline —
     * schema in, features out, partition-parallel — is exercised
-    * end-to-end and its results are reproducible. */
+    * end-to-end and its results are reproducible. Feature r is the sum
+    * of the bytes at positions ≡ r (mod dims), scaled by 1/255 —
+    * accumulated as INTEGERS and divided once, so the value is exact
+    * and order-independent: any engine (and the DuckDB oracle) computes
+    * the identical double. */
   private[llm] def decodeStub(bytes: Array[Byte], dims: Int): Array[Double] = {
-    val out = new Array[Double](dims)
+    val sums = new Array[Long](dims)
     var i = 0
     while (i < bytes.length) {
-      out(i % dims) += (bytes(i) & 0xFF).toDouble / 255.0
+      sums(i % dims) += (bytes(i) & 0xFF).toLong
       i += 1
     }
+    val out = new Array[Double](dims)
+    var d = 0
+    while (d < dims) { out(d) = sums(d).toDouble / 255.0; d += 1 }
     out
   }
 

@@ -171,7 +171,9 @@ object LlmQueries {
 
   /** Multimodal plumbing: documents' text bytes as a fake media payload
     * (schema/partitioning/feature-extraction path is real; the codec is
-    * a deterministic stub). */
+    * a deterministic stub). Since round 3 the stub's integer-sum
+    * features are engine-exact, so even this path is hash-verified —
+    * the oracle replays the byte sums over the ASCII text. */
   val mediaFeatures: Q = (s, dir) => {
     val d = Tables(s, dir, "documents")
     val media = d.select(
@@ -641,6 +643,15 @@ object LlmQueries {
         |  FROM w, unnest(range(0, greatest((len(words) - 8 - 1) // 56, 0) + 1)) AS t(i))
         |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx, chunk FROM c
         |ORDER BY doc_id, chunk_idx""".stripMargin,
+    // stub features are integer byte sums / 255 — exact in any engine;
+    // corpus is pure ASCII so ord(char) == byte (validated at all SFs)
+    "media_features" ->
+      """WITH b AS (SELECT doc_id, (i - 1) % 4 AS r, ord(substr(text, CAST(i AS INT), 1)) AS v
+        |  FROM documents, unnest(range(1, length(text) + 1)) t(i))
+        |SELECT doc_id,
+        |  round(COALESCE(sum(CASE WHEN r = 0 THEN v END), 0) / 255.0, 4) AS f0,
+        |  round(COALESCE(sum(CASE WHEN r = 1 THEN v END), 0) / 255.0, 4) AS f1
+        |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // md5-bucket split: first two hex chars parsed as 0..255, train
     // when below 90*256/100 = 230 — identical in any engine
     "split_train_val" ->
