@@ -33,10 +33,11 @@ class CatalogSpec extends AnyFunSuite {
       assert(sql.trim.nonEmpty, name)
       val up = sql.trim.toUpperCase
       val tail = up.linesIterator.toSeq.takeRight(2).mkString(" ")
-      // deterministic = explicit final ORDER BY/LIMIT, or a whole-frame
-      // aggregate (no GROUP BY anywhere -> exactly one row)
-      val singleRowAgg = !up.contains("GROUP BY")
-      assert(tail.contains("ORDER BY") || tail.contains("LIMIT") || singleRowAgg,
+      // whole-frame folds aggregate to exactly ONE row — order-free by
+      // construction (explicit list, so a new unordered multi-row oracle
+      // can't silently ride the exemption)
+      val singleRow = Set("fold_sum_extra_args", "fold_longest_streak", "fold_multi_in_out")
+      assert(tail.contains("ORDER BY") || tail.contains("LIMIT") || singleRow(name),
         s"$name: oracle must end with a deterministic ORDER BY/LIMIT, got ...$tail")
     }
   }
