@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.scalacheck.{Gen, Prop}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Property tests: the bucketed/union-scan join operators agree with
+  * straightforward in-memory references on random inputs. Spark jobs per
+  * case are real, so the case counts stay modest (the algebraic surface
+  * is small; the SF-validated oracles cover volume). */
+class JoinPropertySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def check(prop: Prop, cases: Int): Unit = {
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(cases), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("AsofJoin == in-memory reference on random inputs (inclusive and strict)") {
+    val genSide = Gen.listOf(Gen.zip(Gen.choose(1, 4), Gen.choose(0L, 30L)))
+    check(Prop.forAll(genSide, genSide, Gen.oneOf(true, false)) { (ls, rsRaw, strict) =>
+      // unique (key, time) on the right: the deterministic-pick contract
+      val rs = rsRaw.distinctBy(x => (x._1, x._2))
+      val left = ls.zipWithIndex.map { case ((k, t), i) => (k.toLong, t, i.toLong) }
+      val right = rs.map { case (k, t) => (k.toLong, t, k * 1000L + t) }
+      val expect = left.map { case (k, t, id) =>
+        val cands = right.filter { case (rk, rt, _) => rk == k && (if (strict) rt < t else rt <= t) }
+        id -> (if (cands.isEmpty) None else Some(cands.maxBy(_._2)._3))
+      }.toMap
+      val got =
+        AsofJoin.asofLast(
+            left.toDF("k", "t", "lid"), right.toDF("k", "t", "pay"),
+            Seq("k"), "t", Seq("pay"), strict = strict)
+          .collect().map(r => r.getLong(2) -> Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+      got == expect
+    }, cases = 15)
+  }
+
+  test("RangeJoin == in-memory reference on random inputs, duplicate-free") {
+    val genPoints = Gen.listOf(Gen.choose(-50.0, 50.0))
+    val genIvals = Gen.listOf(Gen.zip(Gen.choose(-50.0, 50.0), Gen.choose(0.0, 40.0)))
+    check(Prop.forAll(genPoints, genIvals, Gen.choose(1.0, 25.0)) { (ps, ivs, w) =>
+      val points = ps.zipWithIndex.map { case (p, i) => (i.toLong, p) }
+      val ivals = ivs.zipWithIndex.map { case ((lo, len), i) => (i.toLong, lo, lo + len) }
+      val expect = (for {
+        (pid, p) <- points
+        (iid, lo, hi) <- ivals
+        if p >= lo && p <= hi
+      } yield (pid, iid)).toSet
+      val rows = RangeJoin.pointInInterval(
+          points.toDF("pid", "p"), ivals.toDF("iid", "lo", "hi"), "p", "lo", "hi", w)
+        .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      rows.length == rows.distinct.length && rows.toSet == expect
+    }, cases = 15)
+  }
+}
