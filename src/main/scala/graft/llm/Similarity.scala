@@ -111,11 +111,33 @@ object Similarity {
     cands.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
-  /** Embedding-cosine near-duplicate pairs: corpus self-join restricted
-    * to shared LSH bands (candidates only — never n²), verified with
-    * exact cosine ≥ threshold. The embedding-space sibling of
-    * [[Dedup.minHashPairs]]; at 100 TB the corpus is bucketed once by
-    * band key and pairs form inside buckets. */
+  /** The banded corpus: one row per (id, vec, band-key) — the shared
+    * first stage of [[cosineNearDupPairs]] and [[embeddingBuckets]]. */
+  private def bandedCorpus(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nPlanes: Int,
+      bands: Int,
+      portable: Boolean): DataFrame = {
+    val bits = nPlanes / bands
+    corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("sig", hyperplaneSignature(col("vec"), nPlanes, portable))
+      .select(col("id"), col("vec"),
+        explode(array((0 until bands).map(b =>
+          concat_ws(":", lit(b), substring(col("sig"), b * bits + 1, bits))): _*)).as("band"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs: candidates are pairs sharing
+    * an LSH band (never n²), verified with exact cosine ≥ threshold.
+    * The embedding-space sibling of [[Dedup.minHashPairs]], with the
+    * same hot-bucket discipline: buckets are collected per band key and
+    * CAPPED at `maxBucket` members — a degenerate signature (all-zero
+    * vectors, a constant-embedding bug upstream) would otherwise put n
+    * docs in one bucket and pair O(n²) inside it. Dropped buckets are
+    * never silent: [[embeddingBuckets]] is the audit view (catalog query
+    * `embedding_bucket_histogram`). At 100 TB the corpus is bucketed
+    * once by band key and each capped bucket pairs independently. */
   def cosineNearDupPairs(
       corpus: DataFrame,
       idCol: String,
@@ -123,22 +145,41 @@ object Similarity {
       threshold: Double = 0.95,
       nPlanes: Int = 16,
       bands: Int = 4,
+      maxBucket: Int = 1000,
       portable: Boolean = true): DataFrame = {
-    val bits = nPlanes / bands
-    val banded = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .withColumn("sig", hyperplaneSignature(col("vec"), nPlanes, portable))
-      .select(col("id"), col("vec"),
-        explode(array((0 until bands).map(b =>
-          concat_ws(":", lit(b), substring(col("sig"), b * bits + 1, bits))): _*)).as("band"))
-    val a = banded.toDF("id_a", "vec_a", "band")
-    val b = banded.toDF("id_b", "vec_b", "band")
-    a.join(b, Seq("band"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), cosine(col("vec_a"), col("vec_b")).as("cos"))
+    val banded = bandedCorpus(corpus, idCol, vecCol, nPlanes, bands, portable)
+    val grouped = banded
+      .groupBy("band")
+      .agg(collect_list(struct(col("id"), col("vec"))).as("members"))
+      .filter(size(col("members")).between(2, maxBucket))
+    // pairs within a capped bucket (i<j); cosine is symmetric so the
+    // id order swap needs no vector realignment
+    grouped.select(explode(
+      flatten(transform(col("members"), (m, i) =>
+        transform(slice(col("members"), i + 2, size(col("members"))), o =>
+          struct(
+            least(m.getField("id"), o.getField("id")).as("id_a"),
+            greatest(m.getField("id"), o.getField("id")).as("id_b"),
+            cosine(m.getField("vec"), o.getField("vec")).as("cos")))))).as("p"))
+      .select("p.*")
       .filter(col("cos") >= threshold)
       .groupBy("id_a", "id_b")
       .agg(max("cos").as("cos"))
   }
+
+  /** Embedding-LSH bucket histogram — the audit view for
+    * [[cosineNearDupPairs]]' hot-bucket cap: how many band buckets hold
+    * n members. A spike at a large n is the signature-collapse signal
+    * (and exactly what maxBucket drops). */
+  def embeddingBuckets(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nPlanes: Int = 16,
+      bands: Int = 4,
+      portable: Boolean = true): DataFrame =
+    bandedCorpus(corpus, idCol, vecCol, nPlanes, bands, portable)
+      .groupBy("band").agg(count(lit(1)).as("n"))
 
   /** LSH-bucketed approximate top-k: candidates share any of `bands`
     * signature-prefix bands with the query; exact cosine re-rank inside

@@ -169,6 +169,17 @@ object LlmQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Embedding-LSH bucket-size histogram — the audit view for
+    * [[Similarity.cosineNearDupPairs]]' hot-bucket cap, the sibling of
+    * `lsh_bucket_histogram`: a spike at a large bucket size is the
+    * degenerate-signature signal (and exactly what maxBucket drops).
+    * Quantized md5-sign hyperplane bands ⇒ oracle-replayed. */
+  val embeddingBucketHistogram: Q = (s, dir) =>
+    Similarity.embeddingBuckets(Tables(s, dir, "embeddings"), "vec_id", "embedding")
+      .groupBy(col("n").as("bucket_size")).agg(count(lit(1)).as("n_buckets"))
+      .select("bucket_size", "n_buckets")
+      .orderBy("bucket_size")
+
   /** Multimodal plumbing: documents' text bytes as a fake media payload
     * (schema/partitioning/feature-extraction path is real; the codec is
     * a deterministic stub). Since round 3 the stub's integer-sum
@@ -352,6 +363,7 @@ object LlmQueries {
     "ann_lsh" -> annLsh,
     "ann_ivf" -> annIvf,
     "dedup_embedding" -> dedupEmbedding,
+    "embedding_bucket_histogram" -> embeddingBucketHistogram,
     "lsh_bucket_histogram" -> lshBucketHistogram,
     "dedup_components" -> dedupComponents,
     "dedup_groups_minhash" -> dedupGroupsMinhash,
@@ -475,10 +487,18 @@ object LlmQueries {
          |      ORDER BY list_cosine_similarity(qe.embedding, ce.embedding) DESC, corpus_id) AS rank
          |  FROM cands JOIN embeddings qe ON qe.vec_id = query_id JOIN embeddings ce ON ce.vec_id = corpus_id)
          |SELECT query_id, corpus_id, rank FROM scored WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "embedding_bucket_histogram" ->
+      s"""WITH $hyperplaneCtes
+         |SELECT n AS bucket_size, count(*) AS n_buckets
+         |FROM (SELECT band, count(*) AS n FROM bands GROUP BY band)
+         |GROUP BY n ORDER BY bucket_size""".stripMargin,
     "dedup_embedding" ->
       s"""WITH $hyperplaneCtes,
+         |okb AS (SELECT band FROM (SELECT band, count(*) AS n FROM bands GROUP BY band)
+         |  WHERE n BETWEEN 2 AND 1000),
          |pairs AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-         |  FROM bands a JOIN bands b ON a.band = b.band AND a.vec_id < b.vec_id),
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.vec_id < b.vec_id
+         |  JOIN okb ON a.band = okb.band),
          |pv AS (SELECT p.id_a, p.id_b, ea.embedding AS va, eb.embedding AS vb
          |  FROM pairs p JOIN embeddings ea ON ea.vec_id = p.id_a JOIN embeddings eb ON eb.vec_id = p.id_b),
          |terms AS (SELECT id_a, id_b,

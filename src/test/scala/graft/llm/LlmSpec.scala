@@ -86,6 +86,28 @@ class LlmSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"IVF recall $recall too low (bf=$bf ivf=$ivf)")
   }
 
+  test("cosineNearDupPairs: hot-bucket cap drops a degenerate identical-vector bucket, audit sees it") {
+    // 20 planted IDENTICAL vectors (a constant-embedding upstream bug):
+    // one signature -> one bucket per band -> O(n^2) pairs if uncapped
+    val degenerate = Seq.tabulate(20)(i => (100L + i, Seq.fill(8)(1.0f)))
+    val normal = Seq.tabulate(6)(i => (i.toLong, (0 until 8).map(d => (((i % 3) * 31 + d * 17) % 13 - 6).toFloat).toSeq))
+    val corpus = (normal ++ degenerate).toDF("vec_id", "embedding")
+    val uncapped = Similarity.cosineNearDupPairs(corpus, "vec_id", "embedding",
+      threshold = 0.99, maxBucket = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Similarity.cosineNearDupPairs(corpus, "vec_id", "embedding",
+      threshold = 0.99, maxBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val degeneratePairs = uncapped.filter { case (a, b) => a >= 100L && b >= 100L }
+    assert(degeneratePairs.size == 20 * 19 / 2, s"uncapped must pair the whole degenerate bucket: $uncapped")
+    assert(!capped.exists { case (a, b) => a >= 100L && b >= 100L },
+      s"cap=10 must drop the 20-member bucket's pairs: $capped")
+    // the audit histogram makes the drop observable: some bucket holds all 20
+    val hist = Similarity.embeddingBuckets(corpus, "vec_id", "embedding")
+      .collect().map(r => r.getLong(1)).toSet
+    assert(hist.contains(20L), s"audit histogram must surface the 20-member bucket: $hist")
+  }
+
   test("parallel two-pass collectScanMergeable == sequential collectScan (running max)") {
     val o = TestSpark.spark.read.parquet(s"${TestSpark.sfDir}/orders.parquet")
     import org.apache.spark.sql.types.DoubleType
