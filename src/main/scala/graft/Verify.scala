@@ -10,6 +10,7 @@ object Verify {
     val (sfDir, outDir, only) = args match {
       case Array(s, o)        => (s, o, None)
       case Array(s, o, names) => (s, o, Some(names.split(",").toSet))
+      case _ => sys.error("usage: Verify <sfDir> <outDir> [name,name,...]")
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()

@@ -109,12 +109,39 @@ object Dedup {
       bands: Int = 8,
       threshold: Double = 0.5,
       maxBucket: Int = 1000,
+      portable: Boolean = true): DataFrame =
+    minHashPairsFromHashes(shingleHashSets(df, idCol, textCol, n, portable),
+      k, bands, threshold, maxBucket, portable)
+
+  /** Per-doc distinct shingle-hash sets `(id, hs)` — the ONE
+    * shingle-hashing pass of the dedup pipeline, shared between
+    * [[minHashPairsFromHashes]] (signatures) and [[verifyJaccardSets]]
+    * (exact verification). Callers running both should materialize this
+    * frame once (`localCheckpoint`; reliable checkpoint / persist with
+    * spill at cluster scale) — the hash pass is the dominant CPU term
+    * and Spark performs no cross-join common-subexpression reuse, so an
+    * unmaterialized plan recomputes it per consumer. */
+  def shingleHashSets(df: DataFrame, idCol: String, textCol: String, n: Int = 3,
+      portable: Boolean = true): DataFrame = {
+    val setCol = if (portable) shingleMd5(col(textCol), n) else shingleHashes(col(textCol), n)
+    df.select(col(idCol).as("id"), setCol.as("hs"))
+  }
+
+  /** [[minHashPairs]] over precomputed shingle-hash sets `(id, hs)`
+    * from [[shingleHashSets]] (same `portable` flag — the per-seed
+    * remix must match the hash family). */
+  def minHashPairsFromHashes(
+      sets: DataFrame,
+      k: Int = 32,
+      bands: Int = 8,
+      threshold: Double = 0.5,
+      maxBucket: Int = 1000,
       portable: Boolean = true): DataFrame = {
     val rowsPer = k / bands
     val sigCol =
-      if (portable) minHashSignatureP(shingleMd5(col(textCol), n), k)
-      else minHashSignature(shingleHashes(col(textCol), n), k)
-    val sigs = df.select(col(idCol).as("id"), sigCol.as("sig"))
+      if (portable) minHashSignatureP(col("hs"), k)
+      else minHashSignature(col("hs"), k)
+    val sigs = sets.select(col("id"), sigCol.as("sig"))
     val bandsCol =
       if (portable) bandKeysP(col("sig"), bands, rowsPer)
       else bandKeys(col("sig"), bands, rowsPer)
@@ -279,16 +306,22 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard for given candidate pairs (verification pass):
-    * joins the pair list back to per-doc shingle-hash sets. */
+    * joins the pair list back to per-doc shingle-hash sets. Recomputes
+    * the hash pass — prefer [[verifyJaccardSets]] with a materialized
+    * [[shingleHashSets]] frame when the pairs came from
+    * [[minHashPairsFromHashes]] over the same sets. */
   def verifyJaccard(pairs: DataFrame, docs: DataFrame, idCol: String, textCol: String, n: Int = 3,
-      portable: Boolean = true): DataFrame = {
-    val setCol = if (portable) shingleMd5(col(textCol), n) else shingleHashes(col(textCol), n)
-    val sets = docs.select(col(idCol).as("vid"), setCol.as("hs"))
+      portable: Boolean = true): DataFrame =
+    verifyJaccardSets(pairs, shingleHashSets(docs, idCol, textCol, n, portable))
+
+  /** Exact n-gram Jaccard verification against precomputed shingle-hash
+    * sets `(id, hs)` — candidate-proportional: two joins of the pair
+    * list against the sets, never n². */
+  def verifyJaccardSets(pairs: DataFrame, sets: DataFrame): DataFrame =
     pairs
-      .join(sets.withColumnRenamed("vid", "id_a").withColumnRenamed("hs", "hs_a"), "id_a")
-      .join(sets.withColumnRenamed("vid", "id_b").withColumnRenamed("hs", "hs_b"), "id_b")
+      .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("hs", "hs_a"), "id_a")
+      .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("hs", "hs_b"), "id_b")
       .withColumn("jaccard", jaccard(col("hs_a"), col("hs_b")))
       .drop("hs_a", "hs_b")
-  }
 }
 

@@ -6,7 +6,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{BooleanType, DataType, LongType}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.util.sketch.BloomFilter
 
 /** Bloom-filter-accelerated SEMI JOIN — the canonical 100 TB
@@ -24,27 +25,46 @@ import org.apache.spark.util.sketch.BloomFilter
   * this operator is the explicit, always-on version with a documented
   * sizing dial, for pipelines that know their selectivity.
   *
+  * Key types: any integral (widened to long) or string. Strings cover
+  * the real pruning keys of a training-data pipeline — content hashes,
+  * URLs, document fingerprints. `DataFrameStatFunctions.bloomFilter`
+  * inserts strings as their UTF-8 bytes (`putString` ==
+  * `putBinary(utf8)`; pinned empirically and in BloomJoinSpec), so the
+  * probe expression tests `mightContainBinary(UTF8String.getBytes)` —
+  * zero-copy from Tungsten row memory, no String materialization.
+  * Binary columns are excluded by Spark's own `bloom_filter_agg`.
+  *
   * `fpp` tunes sketch size vs pruning power; false positives only cost
   * shuffle bytes, never correctness.
   */
 object BloomJoin {
 
   /** `might_contain(key)` against a broadcast Bloom filter, as a
-    * compiled expression (long keys) — no UDF, no per-row
-    * serialization; each task reads the broadcast sketch once. */
+    * compiled expression (long-widened integrals + UTF-8 strings) — no
+    * UDF, no per-row serialization; each task reads the broadcast
+    * sketch once. */
   private[operators] case class BloomMightContain(
       child: Expression, bf: Broadcast[BloomFilter])
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = BooleanType
     override def prettyName: String = "bloom_might_contain"
-    override protected def nullSafeEval(input: Any): Any =
-      bf.value.mightContainLong(input.asInstanceOf[Long])
+    override protected def nullSafeEval(input: Any): Any = child.dataType match {
+      case StringType => bf.value.mightContainBinary(input.asInstanceOf[UTF8String].getBytes)
+      case _ => bf.value.mightContainLong(input.asInstanceOf[Number].longValue)
+    }
     override protected def withNewChildInternal(newChild: Expression): BloomMightContain =
       copy(child = newChild)
   }
 
+  private def supported(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | StringType => true
+    case _ => false
+  }
+
   /** Exact left-semi join of `probe` against `build`'s keys, with the
-    * probe side Bloom-pruned before its shuffle. Long key columns. */
+    * probe side Bloom-pruned before its shuffle. Integral or string
+    * key columns (both sides must agree — a long sketch never matches
+    * string probes). */
   def semiJoin(
       probe: DataFrame,
       build: DataFrame,
@@ -52,9 +72,12 @@ object BloomJoin {
       buildKey: String,
       expectedItems: Long = 1000000L,
       fpp: Double = 0.01): DataFrame = {
-    require(probe.schema(probeKey).dataType == LongType &&
-      build.schema(buildKey).dataType == LongType,
-      "bloom semi join supports long keys (the sketch hashes longs)")
+    val pt = probe.schema(probeKey).dataType
+    val bt = build.schema(buildKey).dataType
+    require(supported(pt) && supported(bt),
+      s"bloom semi join supports integral and string keys, got $pt / $bt")
+    require((pt == StringType) == (bt == StringType),
+      s"probe and build keys must be in the same hash family (both string or both integral), got $pt / $bt")
     val bf = build.stat.bloomFilter(buildKey, expectedItems, fpp)
     val bfB = probe.sparkSession.sparkContext.broadcast(bf)
     val pruned = probe.filter(ColumnBridge.column(

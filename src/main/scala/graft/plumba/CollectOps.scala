@@ -45,11 +45,27 @@ object CollectOps {
     scala.collection.immutable.ArraySeq.unsafeWrapArray(a)
   }
 
-  /** Ordered whole-frame fold → scalar. */
+  /** Ordered whole-frame fold → scalar. Kernels whose merge law is
+    * declared COMMUTATIVE skip the global sort (and its range-exchange)
+    * entirely — permutation invariance makes row and partition order
+    * irrelevant, so the scan's natural partitioning feeds the partial
+    * folds directly: one pass, zero shuffles. */
   def collectFold[A](df: DataFrame, valueCols: Seq[String], orderCols: Seq[String], k: Kernel.Fold[A]): A = {
-    val proj = prepared(df, valueCols, orderCols)
     k.merge match {
+      case Some(m) if m.commutative =>
+        // Unsorted path: project + fold null policy only. Every partition
+        // folds from `neutral`; partials combine in any order onto `init`.
+        require(valueCols.nonEmpty, "at least one folded column is required")
+        val proj = df.select(valueCols.distinct.map(col): _*)
+          .na.drop(valueCols.distinct)
+          .select(valueCols.map(col): _*)
+        proj.rdd
+          // tuple wrapper only for the ClassTag (A itself has none)
+          .mapPartitions(it => Iterator((0, Kernel.foldRowsFrom(k, m.neutral, it.map(rowValues)))))
+          .collect()
+          .foldLeft(k.init)((acc, p) => m.combine(acc, p._2))
       case Some(m) =>
+        val proj = prepared(df, valueCols, orderCols)
         // Executor-side partial folds; global sort range-partitions rows so
         // partition index order IS row order. Combine partials in that order.
         val partials = proj.rdd
@@ -64,6 +80,7 @@ object CollectOps {
       case None =>
         // Parity path: partitions stream to the driver in sorted order, one
         // at a time (bounded memory), folded sequentially like the reference.
+        val proj = prepared(df, valueCols, orderCols)
         Kernel.foldRows(k, proj.toLocalIterator().asScala.map(rowValues))
     }
   }

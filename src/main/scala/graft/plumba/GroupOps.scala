@@ -46,10 +46,14 @@ object GroupOps {
     val nBuckets =
       if (buckets > 0) buckets
       else math.max(2, df.sparkSession.sparkContext.defaultParallelism)
+    val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+    // one quantile job over the bounded sample; an empty sample (tiny or
+    // all-null frame) yields NO boundaries, and only then does the full
+    // frame pay the sketch pass — no separate isEmpty pre-action
     val sampled = df.select(ordD.as("__ordd")).sample(withReplacement = false, 0.05, seed = 42)
-    val base = if (sampled.isEmpty) df.select(ordD.as("__ordd")) else sampled
-    val boundaries = base.stat
-      .approxQuantile("__ordd", (1 until nBuckets).map(_.toDouble / nBuckets).toArray, 0.01)
+    val fromSample = sampled.stat.approxQuantile("__ordd", probs, 0.01)
+    val boundaries = (if (fromSample.nonEmpty) fromSample
+      else df.select(ordD.as("__ordd")).stat.approxQuantile("__ordd", probs, 0.01))
       .distinct.sorted
     // NULL ordering values sort FIRST under Spark's ascending
     // sortWithinPartitions (the sequential paths), so route them to

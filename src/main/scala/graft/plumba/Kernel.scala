@@ -34,8 +34,21 @@ object Kernel {
     * the real `init`; every later partition folds from `neutral`; partials
     * are merged left-to-right in partition order, so non-commutative (but
     * mergeable) kernels like run-length state remain correct.
-    */
-  final case class Merge[A](neutral: A, combine: (A, A) => A) extends Serializable
+    *
+    * `commutative = true` additionally asserts `combine(a, b) ==
+    * combine(b, a)`. Together with the split law this makes the whole
+    * fold PERMUTATION-INVARIANT (every row's contribution is a singleton
+    * partial, and an associative+commutative combine reorders freely), so
+    * [[CollectOps.collectFold]] skips the global range sort and its
+    * exchange entirely — the scan's natural partitioning feeds the
+    * partial folds directly. Only declare it when it genuinely holds:
+    * floating-point sums are NOT commutative-in-effect unless the values
+    * make every partial exact (integral quantities, dyadic extras — see
+    * `fold_sum_extra_args`) or an exact accumulator (BigDecimal/Long) is
+    * used. Scans never use the flag (their output is ordered by
+    * definition). */
+  final case class Merge[A](neutral: A, combine: (A, A) => A, commutative: Boolean = false)
+      extends Serializable
 
   /** Fold kernel: threads accumulator A over rows in order → scalar.
     * `step(acc, args)` receives `args = extras ++ rowValues`. */

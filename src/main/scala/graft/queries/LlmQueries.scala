@@ -117,11 +117,17 @@ object LlmQueries {
     Dedup.simHashPairs(Tables(s, dir, "documents"), "doc_id", "text", maxHamming = 6)
       .orderBy("id_a", "id_b")
 
-  /** Exact n-gram Jaccard verification of the MinHash candidates. */
+  /** Exact n-gram Jaccard verification of the MinHash candidates.
+    * The shingle-hash pass — the dominant CPU term — runs ONCE: the
+    * `(id, hs)` sets are materialized (`localCheckpoint`; reference-
+    * tracked, dropped by the ContextCleaner) and feed BOTH the MinHash
+    * signatures and the exact-Jaccard verify joins. Previously the plan
+    * recomputed the per-shingle md5 three times (signature + both join
+    * sides). */
   val ngramJaccardPairs: Q = (s, dir) => {
-    val docs = Tables(s, dir, "documents")
-    Dedup.verifyJaccard(
-        Dedup.minHashPairs(docs, "doc_id", "text", threshold = 0.3), docs, "doc_id", "text")
+    val sets = Dedup.shingleHashSets(Tables(s, dir, "documents"), "doc_id", "text")
+      .localCheckpoint(true)
+    Dedup.verifyJaccardSets(Dedup.minHashPairsFromHashes(sets, threshold = 0.3), sets)
       .orderBy("id_a", "id_b")
       .select("id_a", "id_b", "jaccard")
   }
@@ -337,6 +343,26 @@ object LlmQueries {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** Content-hash membership pruning through the STRING-KEY Bloom semi
+    * join ([[graft.operators.BloomJoin.semiJoin]]): documents whose
+    * md5 content hash appears in a blocklist sample (every 37th doc's
+    * hash — planted exact-dups make non-sampled docs match too, so the
+    * hash-set membership is genuinely exercised). The sketch broadcast
+    * prunes the probe side BEFORE its shuffle; the final semi join
+    * keeps it exact, so the plain IN-subquery oracle replays it. At
+    * 100 TB this is the fingerprint-blocklist filter: KB of sketch in
+    * place of shuffling every (hash, id) pair. */
+  val bloomPruneDocs: Q = (s, dir) => {
+    val withHash = Tables(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.fingerprintMd5(col("text")).as("content_hash"))
+    val blocklist = withHash.filter(col("doc_id") % 37 === 0)
+      .select(col("content_hash").as("blocked_hash"))
+    graft.operators.BloomJoin.semiJoin(
+        withHash, blocklist, "content_hash", "blocked_hash", expectedItems = 100000L)
+      .orderBy("doc_id")
+      .select("doc_id", "content_hash")
+  }
+
   /** Byte-level media stats (no decode): engine-portable ⇒ oracle. */
   val mediaStats: Q = (s, dir) => {
     val d = Tables(s, dir, "documents")
@@ -356,6 +382,7 @@ object LlmQueries {
     "lang_id" -> langId,
     "doc_fingerprint" -> docFingerprint,
     "dedup_exact" -> dedupExact,
+    "bloom_prune_docs" -> bloomPruneDocs,
     "dedup_minhash" -> dedupMinhash,
     "dedup_simhash" -> dedupSimhash,
     "ngram_jaccard_pairs" -> ngramJaccardPairs,
@@ -696,6 +723,12 @@ object LlmQueries {
       """SELECT min(doc_id) AS keep_id, md5(lower(text)) AS content_hash,
         |  count(*) AS dup_count
         |FROM documents GROUP BY md5(lower(text)) ORDER BY keep_id""".stripMargin,
+    // the Bloom sketch only pre-prunes; the result is the exact semi join
+    "bloom_prune_docs" ->
+      """SELECT doc_id, md5(lower(text)) AS content_hash FROM documents
+        |WHERE md5(lower(text)) IN
+        |  (SELECT md5(lower(text)) FROM documents WHERE doc_id % 37 = 0)
+        |ORDER BY doc_id""".stripMargin,
     "media_stats" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
         |  md5(text) AS payload_md5

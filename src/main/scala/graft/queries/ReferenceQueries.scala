@@ -101,17 +101,19 @@ object ReferenceQueries {
 
   /** Fold with extra_args (reference tests/test_collect_fold.py:20–29
     * semantics: extras are added on every row): init 7, extras (0.25, 0.5)
-    * over l_quantity. Declared mergeable ⇒ partition-partial path. The
-    * closed form 7 + 0.75·n + Σqty is exact in doubles (quantities are
-    * integral, extras are quarter-multiples), so the DuckDB oracle matches
-    * bit-for-bit. */
+    * over l_quantity. Declared mergeable AND COMMUTATIVE: every partial
+    * is exact in doubles (quantities are integral, extras are
+    * quarter-multiples), so addition order is irrelevant and
+    * [[graft.plumba.CollectOps.collectFold]] skips the global range sort
+    * entirely — one shuffle-free pass of partition partials. The DuckDB
+    * oracle matches bit-for-bit via the closed form 7 + 0.75·n + Σqty. */
   val foldSumExtraArgs: Q = (s, dir) => {
     val li = Tables(s, dir, "lineitem")
     val k = Kernel.Fold[Double](
       7.0,
       (acc, args) => acc + args(0).asInstanceOf[Double] + args(1).asInstanceOf[Double] + args(2).asInstanceOf[Double],
       extras = Vector(0.25, 0.5),
-      merge = Some(Kernel.Merge(0.0, (a: Double, b: Double) => a + b)))
+      merge = Some(Kernel.Merge(0.0, (a: Double, b: Double) => a + b, commutative = true)))
     val total = li.collectFold(Seq("l_quantity"), Seq("l_orderkey", "l_linenumber"), k)
     s.range(1).select(lit(total).cast("double").as("fold_sum"))
   }

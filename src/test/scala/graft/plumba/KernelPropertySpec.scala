@@ -109,6 +109,27 @@ class KernelPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("commutative merge law: fold is permutation-invariant (the sort-skip's premise)") {
+    // exactly the math the collectFold commutative fast path runs: rows
+    // land in arbitrary partitions in arbitrary order, each partition
+    // folds from neutral, partials combine in arbitrary order onto init.
+    // Long addition is exactly commutative, so the unsorted result must
+    // equal the ordered sequential fold bit-for-bit.
+    val k = Fold.of1[Long, Long](7L,
+      merge = Some(Merge(0L, (a: Long, b: Long) => a + b, commutative = true)))((a, x) => a + x)
+    val m = k.merge.get
+    assert(m.commutative)
+    check(Prop.forAll(genVals, Gen.choose(1, 8), Gen.choose(0L, Long.MaxValue)) { (xs, nParts, seed) =>
+      val ordered = foldRows(k, rows(xs))
+      val rnd = new scala.util.Random(seed)
+      val shuffled = rnd.shuffle(xs)
+      val size = math.max(1, (shuffled.length + nParts - 1) / nParts)
+      val parts = if (shuffled.isEmpty) List(Nil) else shuffled.grouped(size).toList
+      val partials = rnd.shuffle(parts.map(p => foldRowsFrom(k, m.neutral, rows(p))))
+      partials.foldLeft(k.init)(m.combine) == ordered
+    })
+  }
+
   test("arity sweep: generic step binds extras then columns for 1..12 columns") {
     // lifts the reference's 9-column cap (tested beyond it)
     for (n <- 1 to 12) {

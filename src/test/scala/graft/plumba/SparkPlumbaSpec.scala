@@ -68,6 +68,24 @@ class SparkPlumbaSpec extends AnyFunSuite {
     assert(math.abs(got - want) < 1e-6 && math.abs(seqGot - want) < 1e-6)
   }
 
+  test("commutative collectFold (sort-free path) == ordered mergeable == sequential") {
+    val li = spark.read.parquet(s"${TestSpark.sfDir}/lineitem.parquet")
+    // integral quantities: double addition is exact, so all three paths
+    // must agree bit-for-bit despite arbitrary partition/row order
+    val base = Fold[Double](
+      7.0, (acc, args) => acc + args(0).asInstanceOf[Double],
+      merge = Some(Merge(0.0, (a: Double, b: Double) => a + b, commutative = true)))
+    val unsorted = li.collectFold(Seq("l_quantity"), Seq("l_orderkey", "l_linenumber"), base)
+    val ordered = li.collectFold(Seq("l_quantity"), Seq("l_orderkey", "l_linenumber"),
+      base.copy(merge = Some(Merge(0.0, (a: Double, b: Double) => a + b))))
+    val sequential = li.collectFold(Seq("l_quantity"), Seq("l_orderkey", "l_linenumber"),
+      base.copy(merge = None))
+    assert(unsorted == ordered && unsorted == sequential)
+    // null policy is preserved on the sort-free path
+    assert(nullFrame.collectFold(Seq("a", "b"), Seq("idx"),
+      sumKernelD.copy(merge = Some(Merge(0.0, (a: Double, b: Double) => a + b, commutative = true)))) == 134.5)
+  }
+
   test("A5 streak via mergeable fold on parquet == islands-SQL") {
     val li = spark.read.parquet(s"${TestSpark.sfDir}/lineitem.parquet")
     val got = Streak.best(li.collectFold(
