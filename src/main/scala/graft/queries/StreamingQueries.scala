@@ -57,6 +57,78 @@ object StreamingQueries {
     s.table(name).orderBy("user_id", "event_id")
   }
 
+  /** CROSS-MICRO-BATCH GroupState through the oracle gate — the
+    * carry-across-batches path [[graft.streaming.StreamingScan]] exists
+    * for, driver-verified (the single-batch query above can never
+    * exercise it). The events fixture is re-spilled as FOUR
+    * event_id-contiguous parquet files with strictly increasing mtimes;
+    * `maxFilesPerTrigger=1` with the default oldest-first admission
+    * replays them as four genuine micro-batches in event_id order, so
+    * each user's accumulator is built incrementally across batches via
+    * `GroupState`. The query asserts >= 2 data batches ran — it fails
+    * loudly if the stream ever collapses to one batch, the exact
+    * inverse of the single-batch query's guard.
+    *
+    * Output is the FINAL balance per user (`max_by(balance, event_id)`)
+    * — insensitive to how the stream was chunked into batches (any
+    * event_id-contiguous chunking threads the same per-user sequence),
+    * and sensitive to cross-batch state: dropping the carry would
+    * restart every batch from 0 and diverge immediately (the kernel is
+    * non-associative). Oracle: the recursive-CTE balance replay's last
+    * state per user.
+    *
+    * Scale: the fixture re-spill is test plumbing — in production the
+    * source is already many files/offsets; state is one Double per user
+    * in the state store; each micro-batch shuffles only on user_id. */
+  val streamMultibatchBalance: Q = (s, dir) => {
+    import org.apache.spark.sql.functions._
+    val ev = Tables(s, dir, "events").select(col("user_id"), col("event_id"), col("value"))
+    val name = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val k = Kernel.Scan[Double](0.0, (acc, args) => {
+      val x = args(0).asInstanceOf[Double]
+      if (acc + x <= 1000.0) acc + x else acc
+    })
+    val nFiles = 4
+    val maxId = ev.agg(max("event_id")).head.getLong(0)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mb_").toFile
+    val stage = new java.io.File(tmp, "stage")
+    (0 until nFiles).foreach { b =>
+      val bucket = floor(col("event_id") * lit(nFiles) / lit(maxId + 1.0)).cast("int")
+      val dirB = new java.io.File(stage, s"b$b")
+      ev.filter(bucket === b).coalesce(1).write.mode("overwrite").parquet(dirB.toString)
+      val part = dirB.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(tmp, f"$b%02d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      // distinct ascending mtimes pin oldest-first admission order
+      dst.setLastModified(1700000000000L + b * 60000L)
+    }
+    val schema = s.read.parquet(new java.io.File(tmp, "00.parquet").toString).schema
+    val src = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp.getPath + "/*.parquet")
+    val q = graft.streaming.StreamingScan
+      .groupScanStream(src, "user_id", "event_id", "value", k)
+      .toDF("user_id", "event_id", "balance")
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      if (dataBatches < 2)
+        throw new IllegalStateException(
+          s"stream_multibatch_balance requires >= 2 data micro-batches (cross-batch GroupState " +
+            s"is the path under test); saw $dataBatches")
+    } finally {
+      q.stop()
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(tmp)
+    }
+    s.table(name)
+      .groupBy("user_id")
+      .agg(max_by(col("balance"), col("event_id")).as("balance"))
+      .orderBy("user_id")
+  }
+
   /** The canonical Structured-Streaming shape: watermarked tumbling-
     * window aggregation in APPEND mode — per (1-hour window, event_type)
     * counts over the events stream, 1-hour lateness watermark. Append
@@ -116,6 +188,7 @@ object StreamingQueries {
 
   val defs: Map[String, Q] = Map(
     "stream_group_scan_balance" -> streamGroupScanBalance,
+    "stream_multibatch_balance" -> streamMultibatchBalance,
     "stream_windowed_counts" -> streamWindowedCounts,
     "stream_dedup_docs" -> streamDedupDocs
   )
@@ -137,6 +210,21 @@ object StreamingQueries {
         |SELECT user_id, eids[i] AS event_id, acc AS balance
         |FROM r WHERE i >= 1
         |ORDER BY user_id, i""".stripMargin,
+    // the same recursive-CTE fold, final state only (i == len): the
+    // cross-batch carry is what makes Spark's answer match — a
+    // state-per-batch restart would diverge on the first capped user
+    "stream_multibatch_balance" ->
+      """WITH RECURSIVE seq AS (
+        |  SELECT user_id, list(CAST(value AS DOUBLE) ORDER BY event_id) AS vals
+        |  FROM events GROUP BY user_id),
+        |r AS (
+        |  SELECT user_id, vals, 0 AS i, CAST(0.0 AS DOUBLE) AS acc FROM seq
+        |  UNION ALL
+        |  SELECT user_id, vals, i + 1,
+        |    CASE WHEN acc + vals[i + 1] <= 1000.0 THEN acc + vals[i + 1] ELSE acc END
+        |  FROM r WHERE i < len(vals))
+        |SELECT user_id, acc AS balance FROM r WHERE i = len(vals)
+        |ORDER BY user_id""".stripMargin,
     // batch replay of the watermarked tumbling-window aggregation: for a
     // terminated stream, append mode has emitted exactly the windows
     // whose end <= final watermark (max second-truncated event time −

@@ -43,6 +43,21 @@ class StreamingScanSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("stream_multibatch_balance (4 real micro-batches) == batch groupFold final balances") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dir = TestSpark.sfDir
+    val streamed = graft.queries.StreamingQueries.streamMultibatchBalance(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getAs[Any](1)).toMap
+    val k = graft.plumba.Kernel.Fold[Double](0.0, (acc, args) => {
+      val x = args(0).asInstanceOf[Double]
+      if (acc + x <= 1000.0) acc + x else acc
+    })
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+      .groupFold(Seq("user_id"), Seq("value"), Seq("event_id"), k, DoubleType, "balance")
+      .collect().map(r => r.getLong(0) -> r.getAs[Any](1)).toMap
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("state threads across micro-batches") {
     val dir = java.nio.file.Files.createTempDirectory("stream-in").toString
     def write(batch: Seq[(Long, Long, Double)], name: String): Unit =
