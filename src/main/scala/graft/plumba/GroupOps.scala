@@ -36,7 +36,7 @@ object GroupOps {
     * correct because equal order values always compare into the same
     * bucket and nulls route to bucket 0 (nulls-first, matching the
     * sequential paths' ascending sort). */
-  private def rangeBucketCol(df: DataFrame, orderHead: String, buckets: Int): Column = {
+  private[graft] def rangeBucketCol(df: DataFrame, orderHead: String, buckets: Int): Column = {
     import org.apache.spark.sql.functions.{lit, when}
     val ordD = df.schema(orderHead).dataType match {
       case DateType | TimestampType | TimestampNTZType =>

@@ -203,6 +203,26 @@ object RelationalQueries {
       .orderBy("o_orderkey")
   }
 
+  /** TWIN of [[asofLargeOrder]] through the RANGE-SALTED as-of join
+    * ([[graft.operators.AsofJoin.asofLastSalted]]): the time domain is
+    * cut into order-date buckets, per-(customer, bucket) payload
+    * partials carry seeds forward, and a hot customer's timeline runs
+    * as up to `buckets` parallel tasks instead of one — the skew path
+    * for as-of joins at scale. Shares the unsalted query's DuckDB
+    * `ASOF JOIN` oracle verbatim, pinning both paths to identical
+    * results. */
+  val asofLargeOrderSalted: Q = (s, dir) => {
+    val o = Tables(s, dir, "orders")
+    val large = o.filter(col("o_totalprice") > 200000)
+      .groupBy("o_custkey", "o_orderdate")
+      .agg(max("o_totalprice").as("big_price"))
+    graft.operators.AsofJoin.asofLastSalted(
+        o.select("o_custkey", "o_orderdate", "o_orderkey"),
+        large, Seq("o_custkey"), "o_orderdate", Seq("big_price"), buckets = 8)
+      .select(col("o_orderkey"), col("asof_big_price").as("last_big_price"))
+      .orderBy("o_orderkey")
+  }
+
   /** Price-band report through [[graft.operators.RangeJoin]]: orders
     * range-joined to 20 price intervals (point-in-interval), then
     * aggregated per band. The bucketing rewrite turns the non-equi
@@ -242,6 +262,7 @@ object RelationalQueries {
   val defs: Map[String, Q] = Map(
     "q10_returned_items" -> q10ReturnedItems,
     "asof_large_order" -> asofLargeOrder,
+    "asof_large_order_salted" -> asofLargeOrderSalted,
     "range_band_orders" -> rangeBandOrders,
     "bloom_semi_orders" -> bloomSemiOrders,
     "event_sessions" -> eventSessions,
@@ -303,6 +324,13 @@ object RelationalQueries {
          |SELECT band_id, count(*) AS n_orders, ${sqlDecSum("o_totalprice")} AS revenue
          |FROM j GROUP BY band_id ORDER BY band_id""".stripMargin,
     "asof_large_order" ->
+      """WITH r AS (SELECT o_custkey AS k, o_orderdate AS t, max(o_totalprice) AS v
+        |  FROM orders WHERE o_totalprice > 200000 GROUP BY 1, 2)
+        |SELECT l.o_orderkey, r.v AS last_big_price
+        |FROM orders l ASOF LEFT JOIN r ON l.o_custkey = r.k AND l.o_orderdate >= r.t
+        |ORDER BY l.o_orderkey""".stripMargin,
+    // identical oracle: the salted path must be bit-identical to unsalted
+    "asof_large_order_salted" ->
       """WITH r AS (SELECT o_custkey AS k, o_orderdate AS t, max(o_totalprice) AS v
         |  FROM orders WHERE o_totalprice > 200000 GROUP BY 1, 2)
         |SELECT l.o_orderkey, r.v AS last_big_price

@@ -39,6 +39,46 @@ class JoinPropertySpec extends AnyFunSuite {
     }, cases = 15)
   }
 
+  test("salted AsofJoin == unsalted on skewed data (one hot key, forced multi-bucket)") {
+    // 90% of rows on one hot key — the exact shape the salt exists for;
+    // buckets forced > 1 so the per-bucket partial + seed-carry path
+    // genuinely runs (defaultParallelism could be 1 in CI)
+    val genHot = Gen.listOf(Gen.zip(
+      Gen.frequency(9 -> Gen.const(7), 1 -> Gen.choose(1, 4)), Gen.choose(0L, 30L)))
+    check(Prop.forAll(genHot, genHot, Gen.oneOf(true, false), Gen.choose(2, 6)) {
+      (ls, rsRaw, strict, buckets) =>
+        val rs = rsRaw.distinctBy(x => (x._1, x._2))
+        val left = ls.zipWithIndex.map { case ((k, t), i) => (k.toLong, t, i.toLong) }
+        val right = rs.map { case (k, t) => (k.toLong, t, k * 1000L + t) }
+        val expect = left.map { case (k, t, id) =>
+          val cands = right.filter { case (rk, rt, _) => rk == k && (if (strict) rt < t else rt <= t) }
+          id -> (if (cands.isEmpty) None else Some(cands.maxBy(_._2)._3))
+        }.toMap
+        val got =
+          AsofJoin.asofLastSalted(
+              left.toDF("k", "t", "lid"), right.toDF("k", "t", "pay"),
+              Seq("k"), "t", Seq("pay"), strict = strict, buckets = buckets)
+            .collect().map(r => r.getLong(2) -> Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+        got == expect
+    }, cases = 12)
+  }
+
+  test("salted AsofJoin: equal right times resolve by tie-break, same as unsalted") {
+    val left = Seq((1L, 10L, 100L), (1L, 20L, 101L)).toDF("k", "t", "lid")
+    // two right rows at the same (key, time): last in tie-break order wins
+    val right = Seq((1L, 10L, 5L, "a"), (1L, 10L, 9L, "b"), (1L, 15L, 1L, "c"))
+      .toDF("k", "t", "tb", "pay")
+    def run(f: => org.apache.spark.sql.DataFrame): Map[Long, (Any, Any)] =
+      f.collect().map(r => r.getLong(2) -> ((r.get(3), r.get(4)))).toMap
+    val unsalted = run(AsofJoin.asofLast(
+      left, right, Seq("k"), "t", Seq("tb", "pay"), rightTieBreak = Seq("tb")))
+    val salted = run(AsofJoin.asofLastSalted(
+      left, right, Seq("k"), "t", Seq("tb", "pay"), rightTieBreak = Seq("tb"), buckets = 3))
+    assert(salted == unsalted)
+    assert(salted(100L)._2 == "b") // tb 9 > 5: last-in-tie-break wins
+    assert(salted(101L)._2 == "c")
+  }
+
   test("RangeJoin == in-memory reference on random inputs, duplicate-free") {
     val genPoints = Gen.listOf(Gen.choose(-50.0, 50.0))
     val genIvals = Gen.listOf(Gen.zip(Gen.choose(-50.0, 50.0), Gen.choose(0.0, 40.0)))
