@@ -18,6 +18,16 @@ import org.apache.spark.sql.functions._
   *    never silently.
   *  - Exact-Jaccard verification joins candidate id-pairs back to the
   *    shingle sets — proportional to candidates, not n².
+  *
+  * `portable = true` (the default) selects the md5-derived hash family
+  * every value of which the DuckDB oracle replays; `false` the raw
+  * xxhash64 variants. The tax was MEASURED, not assumed: sf0.1
+  * documents at local[32], min of 3 warm reps — minHashPairs 0.712 s
+  * portable vs 0.635 s xxhash64 (1.12×), simHashPairs 0.510 vs
+  * 0.424 s (1.20×; table in README). Both modes run the same compiled
+  * expressions and identical plans — the digest choice is the only
+  * delta — so cross-engine verifiability costs ~15% and stays the
+  * default.
   */
 object Dedup {
 

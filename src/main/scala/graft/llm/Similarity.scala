@@ -137,7 +137,15 @@ object Similarity {
     * docs in one bucket and pair O(n²) inside it. Dropped buckets are
     * never silent: [[embeddingBuckets]] is the audit view (catalog query
     * `embedding_bucket_histogram`). At 100 TB the corpus is bucketed
-    * once by band key and each capped bucket pairs independently. */
+    * once by band key and each capped bucket pairs independently.
+    *
+    * `maxBucket` ALSO bounds single-row memory, quadratically: a bucket
+    * is one `collect_list` row holding up to `maxBucket` full embedding
+    * vectors, and the in-bucket pairing builds the C(maxBucket, 2) pair
+    * array (cosines included) as one row value before the explode —
+    * ~500k structs at the default 1000. Do not raise it to e.g. 100k
+    * without restructuring (that row would hold ~5e9 pair structs);
+    * shard the bucket key instead. */
   def cosineNearDupPairs(
       corpus: DataFrame,
       idCol: String,

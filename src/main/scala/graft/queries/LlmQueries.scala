@@ -107,14 +107,16 @@ object LlmQueries {
     * the DuckDB oracle (round-2's rows-only check is now hash-verified).
     * Recall/precision additionally pinned in LlmSpec on planted dups. */
   val dedupMinhash: Q = (s, dir) =>
-    Dedup.minHashPairs(Tables(s, dir, "documents"), "doc_id", "text", threshold = 0.3)
+    Dedup.minHashPairs(Tables(s, dir, "documents"), "doc_id", "text", threshold = 0.3,
+        maxBucket = MaxBucket)
       .orderBy("id_a", "id_b")
 
   /** SimHash near-dup pairs (hamming <= 6 on 64-bit signatures — at 12
     * the synthetic corpus's unrelated word-soup docs start colliding).
     * Portable mode: md5-derived bit-string signatures, oracle-replayed. */
   val dedupSimhash: Q = (s, dir) =>
-    Dedup.simHashPairs(Tables(s, dir, "documents"), "doc_id", "text", maxHamming = 6)
+    Dedup.simHashPairs(Tables(s, dir, "documents"), "doc_id", "text", maxHamming = 6,
+        maxBucket = MaxBucket)
       .orderBy("id_a", "id_b")
 
   /** Exact n-gram Jaccard verification of the MinHash candidates.
@@ -127,7 +129,8 @@ object LlmQueries {
   val ngramJaccardPairs: Q = (s, dir) => {
     val sets = Dedup.shingleHashSets(Tables(s, dir, "documents"), "doc_id", "text")
       .localCheckpoint(true)
-    Dedup.verifyJaccardSets(Dedup.minHashPairsFromHashes(sets, threshold = 0.3), sets)
+    Dedup.verifyJaccardSets(
+        Dedup.minHashPairsFromHashes(sets, threshold = 0.3, maxBucket = MaxBucket), sets)
       .orderBy("id_a", "id_b")
       .select("id_a", "id_b", "jaccard")
   }
@@ -170,7 +173,8 @@ object LlmQueries {
     * oracle-replayable. */
   val dedupEmbedding: Q = (s, dir) => {
     val e = Tables(s, dir, "embeddings")
-    Similarity.cosineNearDupPairs(e, "vec_id", "embedding", threshold = 0.4)
+    Similarity.cosineNearDupPairs(e, "vec_id", "embedding", threshold = 0.4,
+        maxBucket = MaxBucket)
       .select(col("id_a"), col("id_b"))
       .orderBy("id_a", "id_b")
   }
@@ -312,7 +316,7 @@ object LlmQueries {
   val dedupGroupsMinhash: Q = (s, dir) => {
     val docs = Tables(s, dir, "documents")
     Dedup.dedupGroups(docs, "doc_id",
-        Dedup.minHashPairs(docs, "doc_id", "text", threshold = 0.3))
+        Dedup.minHashPairs(docs, "doc_id", "text", threshold = 0.3, maxBucket = MaxBucket))
       .orderBy("doc_id")
   }
 
@@ -404,6 +408,12 @@ object LlmQueries {
     "media_stats" -> mediaStats
   )
 
+  /** ONE hot-bucket cap for the whole dedup family: passed explicitly
+    * to every Spark-side `maxBucket` AND interpolated into every
+    * oracle's `BETWEEN 2 AND …` — a change to either side can no
+    * longer diverge silently (the constant is shared, not repeated). */
+  private val MaxBucket = 1000
+
   /** Inline DuckDB expression parsing the top 15 hex chars of an md5
     * string as a 60-bit BIGINT — the numeric twin of the Spark side's
     * `Md5.top60` (big-endian first 8 digest bytes >>> 4). */
@@ -433,7 +443,7 @@ object LlmQueries {
       |sigt AS (SELECT doc_id, list(c ORDER BY s) AS sig FROM comp GROUP BY doc_id),
       |bk AS (SELECT doc_id, sig, md5(array_to_string(sig[b*4+1:b*4+4], ',') || ':' || b::VARCHAR) AS bucket
       |  FROM sigt, unnest(range(0, 8)) bs(b)),
-      |okb AS (SELECT bucket FROM (SELECT bucket, count(*) AS n FROM bk GROUP BY bucket) WHERE n BETWEEN 2 AND 1000),
+      |okb AS (SELECT bucket FROM (SELECT bucket, count(*) AS n FROM bk GROUP BY bucket) WHERE n BETWEEN 2 AND $MaxBucket),
       |cand AS (
       |  SELECT id_a, id_b, max(est_jaccard) AS est_jaccard FROM (
       |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -488,7 +498,7 @@ object LlmQueries {
          |FROM (SELECT bucket, count(*) AS n FROM bk GROUP BY bucket)
          |GROUP BY n ORDER BY bucket_size""".stripMargin,
     "dedup_simhash" ->
-      """WITH w AS (SELECT doc_id, regexp_split_to_array(lower(text), ' +') AS ws FROM documents),
+      s"""WITH w AS (SELECT doc_id, regexp_split_to_array(lower(text), ' +') AS ws FROM documents),
         |wd AS (SELECT doc_id, md5(wrd) AS h FROM w, unnest(ws) t(wrd)),
         |bt AS (SELECT doc_id, b,
         |    sum((((strpos('0123456789abcdef', substr(h, b // 4 + 1, 1)) - 1) >> (b % 4)) & 1)) AS cnt,
@@ -498,7 +508,7 @@ object LlmQueries {
         |  FROM bt GROUP BY doc_id),
         |bands AS (SELECT doc_id, sig, b::VARCHAR || ':' || substr(sig, b*16 + 1, 16) AS bucket
         |  FROM sg, unnest(range(0, 4)) t(b)),
-        |okb AS (SELECT bucket FROM (SELECT bucket, count(*) AS n FROM bands GROUP BY bucket) WHERE n BETWEEN 2 AND 1000),
+        |okb AS (SELECT bucket FROM (SELECT bucket, count(*) AS n FROM bands GROUP BY bucket) WHERE n BETWEEN 2 AND $MaxBucket),
         |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |    len(list_filter(range(1, 65), i -> substr(a.sig, i, 1) <> substr(b.sig, i, 1))) AS hamming
         |  FROM bands a JOIN bands b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
@@ -522,7 +532,7 @@ object LlmQueries {
     "dedup_embedding" ->
       s"""WITH $hyperplaneCtes,
          |okb AS (SELECT band FROM (SELECT band, count(*) AS n FROM bands GROUP BY band)
-         |  WHERE n BETWEEN 2 AND 1000),
+         |  WHERE n BETWEEN 2 AND $MaxBucket),
          |pairs AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
          |  FROM bands a JOIN bands b ON a.band = b.band AND a.vec_id < b.vec_id
          |  JOIN okb ON a.band = okb.band),

@@ -102,10 +102,14 @@ class LlmSpec extends AnyFunSuite {
     assert(degeneratePairs.size == 20 * 19 / 2, s"uncapped must pair the whole degenerate bucket: $uncapped")
     assert(!capped.exists { case (a, b) => a >= 100L && b >= 100L },
       s"cap=10 must drop the 20-member bucket's pairs: $capped")
-    // the audit histogram makes the drop observable: some bucket holds all 20
+    // the audit histogram makes the drop observable: some bucket holds
+    // AT LEAST the 20 degenerate members (>= rather than ==, so an
+    // incidental normal-vector collision into the degenerate band —
+    // possible if hyperplane constants or nPlanes change — can't break
+    // the assertion's actual point: the hot bucket is visible)
     val hist = Similarity.embeddingBuckets(corpus, "vec_id", "embedding")
       .collect().map(r => r.getLong(1)).toSet
-    assert(hist.contains(20L), s"audit histogram must surface the 20-member bucket: $hist")
+    assert(hist.exists(_ >= 20L), s"audit histogram must surface the >=20-member bucket: $hist")
   }
 
   test("parallel two-pass collectScanMergeable == sequential collectScan (running max)") {
