@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types._
@@ -42,15 +42,34 @@ object BloomJoin {
   /** `might_contain(key)` against a broadcast Bloom filter, as a
     * compiled expression (long-widened integrals + UTF-8 strings) — no
     * UDF, no per-row serialization; each task reads the broadcast
-    * sketch once. */
+    * sketch once. Fully codegen'd (this is the one expression on the
+    * 100 TB probe-scan hot path, so unlike the kernel-loop expressions
+    * it earns a real `doGenCode`): the generated filter stays inside
+    * WholeStageCodegen, tests the sketch directly on the primitive /
+    * UTF8String value, and resolves the broadcast once per task into a
+    * cached field — zero boxing, zero per-row `Broadcast.value()`
+    * lookups. */
   private[operators] case class BloomMightContain(
       child: Expression, bf: Broadcast[BloomFilter])
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = BooleanType
     override def prettyName: String = "bloom_might_contain"
     override protected def nullSafeEval(input: Any): Any = child.dataType match {
       case StringType => bf.value.mightContainBinary(input.asInstanceOf[UTF8String].getBytes)
       case _ => bf.value.mightContainLong(input.asInstanceOf[Number].longValue)
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val bfClass = classOf[BloomFilter].getName
+      val bcName = ctx.addReferenceObj("bloomBc", bf, "org.apache.spark.broadcast.Broadcast")
+      // one broadcast resolution per generated-class instance (per task)
+      val bfName = ctx.addMutableState(bfClass, "bloomFilter",
+        v => s"$v = ($bfClass) $bcName.value();")
+      child.dataType match {
+        case StringType =>
+          defineCodeGen(ctx, ev, c => s"$bfName.mightContainBinary($c.getBytes())")
+        case _ =>
+          defineCodeGen(ctx, ev, c => s"$bfName.mightContainLong((long) $c)")
+      }
     }
     override protected def withNewChildInternal(newChild: Expression): BloomMightContain =
       copy(child = newChild)

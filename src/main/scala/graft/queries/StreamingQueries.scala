@@ -92,17 +92,24 @@ object StreamingQueries {
     val maxId = ev.agg(max("event_id")).head.getLong(0)
     val tmp = java.nio.file.Files.createTempDirectory("graft_mb_").toFile
     val stage = new java.io.File(tmp, "stage")
-    (0 until nFiles).foreach { b =>
-      val bucket = floor(col("event_id") * lit(nFiles) / lit(maxId + 1.0)).cast("int")
-      val dirB = new java.io.File(stage, s"b$b")
-      ev.filter(bucket === b).coalesce(1).write.mode("overwrite").parquet(dirB.toString)
-      val part = dirB.listFiles().filter(_.getName.endsWith(".parquet")).head
-      val dst = new java.io.File(tmp, f"$b%02d.parquet")
-      java.nio.file.Files.move(part.toPath, dst.toPath)
-      // distinct ascending mtimes pin oldest-first admission order
-      dst.setLastModified(1700000000000L + b * 60000L)
+    // ONE partitioned write spills all four event_id-range files (was
+    // four sequential filtered jobs — 4x the fixture-prep wall time)
+    val bucket = floor(col("event_id") * lit(nFiles) / lit(maxId + 1.0)).cast("int")
+    ev.withColumn("__b", bucket).repartition(nFiles, col("__b"))
+      .write.partitionBy("__b").mode("overwrite").parquet(stage.toString)
+    val written = (0 until nFiles).flatMap { b =>
+      // a sparse event_id domain can leave a bucket empty (no dir) —
+      // skip it; >= 2 non-empty files is asserted via dataBatches below
+      val dirB = new java.io.File(stage, s"__b=$b")
+      Option(dirB.listFiles()).toSeq.flatMap(_.filter(_.getName.endsWith(".parquet"))).map { part =>
+        val dst = new java.io.File(tmp, f"$b%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        // distinct ascending mtimes pin oldest-first admission order
+        dst.setLastModified(1700000000000L + b * 60000L)
+        dst
+      }
     }
-    val schema = s.read.parquet(new java.io.File(tmp, "00.parquet").toString).schema
+    val schema = s.read.parquet(written.head.toString).schema
     val src = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(tmp.getPath + "/*.parquet")
     val q = graft.streaming.StreamingScan
