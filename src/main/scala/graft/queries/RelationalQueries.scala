@@ -223,6 +223,53 @@ object RelationalQueries {
       .orderBy("o_orderkey")
   }
 
+  /** CO-LOCATED fact-fact join via BUCKETED TABLES — the shuffle-free
+    * join strategy the 100 TB design calls for: lineitem and orders are
+    * written `bucketBy(8, orderkey).sortBy(orderkey)` (both sides, same
+    * bucket count), so the SortMergeJoin consumes the bucketed scans
+    * DIRECTLY — the plan has NO Exchange on either join input; the only
+    * shuffle left is the small post-join year aggregation. The `merge`
+    * hint pins SMJ (a broadcast at sf0.01 would hide the point; at real
+    * scale neither fact side broadcasts anyway). At 100 TB this is the
+    * standard layout investment: bucket the fact tables on their join
+    * key at ingest, and every subsequent join on that key skips both
+    * sides' shuffles. Oracle: plain join SQL — bucketing changes layout,
+    * never results. */
+  val bucketedJoinRevenue: Q = (s, dir) => {
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bkt_").toString
+    Tables(s, dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$tmp/li").mode("overwrite").saveAsTable(s"graft_li_b_$tag")
+    Tables(s, dir, "orders").select("o_orderkey", "o_orderdate")
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$tmp/o").mode("overwrite").saveAsTable(s"graft_o_b_$tag")
+    s.table(s"graft_li_b_$tag")
+      .join(s.table(s"graft_o_b_$tag").hint("merge"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(year(col("o_orderdate")).as("order_year"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        toDouble2(sum(revenueTerm(col("l_extendedprice"), col("l_discount")))).as("revenue"))
+      .orderBy("order_year")
+  }
+
+  /** Fact-dim enrichment through the SKEW-SALTED join
+    * ([[graft.operators.SaltedJoin.innerJoin]]): every event row
+    * annotated with its user's decimal-exact total — the join runs on
+    * (user_id, salt shard) with the 150-row dim replicated ×8, so a
+    * hot user's events would spread over 8 shuffle partitions instead
+    * of one. Salting never changes the result set (each pair meets in
+    * exactly one shard), so the plain-join SQL replays it exactly. */
+  val saltedJoinEvents: Q = (s, dir) => {
+    val ev = Tables(s, dir, "events").select(col("user_id"), col("event_id"), col("value"))
+    val dim = ev.groupBy(col("user_id").as("d_user_id"))
+      .agg(decSum(col("value")).as("user_total"))
+    graft.operators.SaltedJoin.innerJoin(ev, dim, "user_id", "d_user_id", salt = 8)
+      .select(col("user_id"), col("event_id"), col("user_total"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** Price-band report through [[graft.operators.RangeJoin]]: orders
     * range-joined to 20 price intervals (point-in-interval), then
     * aggregated per band. The bucketing rewrite turns the non-equi
@@ -264,6 +311,8 @@ object RelationalQueries {
     "asof_large_order" -> asofLargeOrder,
     "asof_large_order_salted" -> asofLargeOrderSalted,
     "range_band_orders" -> rangeBandOrders,
+    "bucketed_join_revenue" -> bucketedJoinRevenue,
+    "salted_join_events" -> saltedJoinEvents,
     "bloom_semi_orders" -> bloomSemiOrders,
     "event_sessions" -> eventSessions,
     "q1_pricing_summary" -> q1PricingSummary,
@@ -329,6 +378,20 @@ object RelationalQueries {
         |SELECT l.o_orderkey, r.v AS last_big_price
         |FROM orders l ASOF LEFT JOIN r ON l.o_custkey = r.k AND l.o_orderdate >= r.t
         |ORDER BY l.o_orderkey""".stripMargin,
+    // salting changes shuffle layout only — plain join SQL replays it
+    "salted_join_events" ->
+      s"""WITH dim AS (SELECT user_id AS d_user_id,
+         |    ${sqlDecSum("value")} AS user_total
+         |  FROM events GROUP BY user_id)
+         |SELECT user_id, event_id, user_total
+         |FROM events JOIN dim ON user_id = d_user_id
+         |ORDER BY user_id, event_id""".stripMargin,
+    // bucketing changes physical layout only — plain join SQL replays it
+    "bucketed_join_revenue" ->
+      s"""SELECT year(o_orderdate) AS order_year, count(*) AS n_items,
+         |  ${sqlToDouble2(s"SUM(${sqlRevenueTerm("l_extendedprice", "l_discount")})")} AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // identical oracle: the salted path must be bit-identical to unsalted
     "asof_large_order_salted" ->
       """WITH r AS (SELECT o_custkey AS k, o_orderdate AS t, max(o_totalprice) AS v

@@ -79,6 +79,25 @@ class JoinPropertySpec extends AnyFunSuite {
     assert(salted(101L)._2 == "c")
   }
 
+  test("SaltedJoin == plain inner join on random multisets (duplicate keys both sides)") {
+    // multiset equality: duplicates on either side must multiply matches
+    // exactly as an unsalted join does
+    val genProbe = Gen.listOf(Gen.zip(
+      Gen.frequency(7 -> Gen.const(3), 3 -> Gen.choose(1, 5)), Gen.choose(0, 9)))
+    val genBuild = Gen.listOf(Gen.zip(Gen.choose(1, 5), Gen.choose(100, 109)))
+    check(Prop.forAll(genProbe, genBuild, Gen.choose(1, 7)) { (ps, bs, salt) =>
+      val probe = ps.map { case (k, v) => (k.toLong, v.toLong) }.toDF("k", "v")
+      val build = bs.map { case (k, w) => (k.toLong, w.toLong) }.toDF("bk", "w")
+      val salted = SaltedJoin.innerJoin(probe, build, "k", "bk", salt = salt)
+        .select("k", "v", "w").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .groupBy(identity).view.mapValues(_.length).toMap
+      val plain = probe.join(build, $"k" === $"bk")
+        .select("k", "v", "w").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .groupBy(identity).view.mapValues(_.length).toMap
+      salted == plain
+    }, cases = 12)
+  }
+
   test("RangeJoin == in-memory reference on random inputs, duplicate-free") {
     val genPoints = Gen.listOf(Gen.choose(-50.0, 50.0))
     val genIvals = Gen.listOf(Gen.zip(Gen.choose(-50.0, 50.0), Gen.choose(0.0, 40.0)))
