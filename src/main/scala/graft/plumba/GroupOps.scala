@@ -68,7 +68,11 @@ object GroupOps {
 
   /** Per-group ordered fold → one row per group: (keyCols..., resultName).
     * Fold null policy: rows with nulls in value columns are dropped;
-    * groups whose rows are all dropped still emit `init`-folded state. */
+    * groups whose rows are all dropped still emit `init`-folded state.
+    * Kernels whose merge law is declared COMMUTATIVE sort by the group
+    * keys ONLY — group contiguity is all the streaming pass needs when
+    * row order inside a group is irrelevant, so the per-partition sort
+    * drops the ordering columns (same shuffle, cheaper sort key). */
   def groupFold[A](
       df: DataFrame,
       keyCols: Seq[String],
@@ -88,9 +92,10 @@ object GroupOps {
       keyCols.map(c => sel.schema(selCols.indexOf(c))) :+
         StructField(resultName, resultType, nullable = true))
     val enc = Encoders.row(outSchema)
+    val sortCols = if (k.merge.exists(_.commutative)) keyCols else keyCols ++ orderCols
     sel
       .repartition(keyCols.map(col): _*)
-      .sortWithinPartitions((keyCols ++ orderCols).map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
       .mapPartitions { it =>
         new Iterator[Row] {
           private val buf = it.buffered

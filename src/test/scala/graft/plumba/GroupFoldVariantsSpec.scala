@@ -130,6 +130,20 @@ class GroupFoldVariantsSpec extends AnyFunSuite {
     assert(cm.isEmpty, "a mergeable path registered a DataFrame cache it never released")
   }
 
+  test("commutative groupFold (keys-only sort) == ordered groupFold per group") {
+    // max is exactly commutative in doubles (unlike a double sum), so
+    // the keys-only-sorted fast path must agree bit-for-bit with the
+    // fully ordered one on every group
+    val commutative = Fold.of1[Double, Double](0.0,
+      merge = Some(Merge(0.0, (a: Double, b: Double) => math.max(a, b), commutative = true)))(math.max)
+    val ordered = Fold.of1[Double, Double](0.0,
+      merge = Some(Merge(0.0, (a: Double, b: Double) => math.max(a, b))))(math.max)
+    def run(k: Fold[Double]) = GroupOps.groupFold(
+        events, Seq("user_id"), Seq("value"), Seq("ts", "event_id"), k, DoubleType, "m")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(run(commutative) == run(ordered))
+  }
+
   test("groupFoldMergeable rejects kernels without a Merge declaration") {
     val plain = Fold[Double](0.0, (acc, args) => acc + args(0).asInstanceOf[Double])
     intercept[IllegalArgumentException] {
