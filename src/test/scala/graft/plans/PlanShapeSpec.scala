@@ -1,0 +1,38 @@
+package graft.plans
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Physical-plan shape guards: the scale claims PLANS.md documents,
+  * pinned as assertions so a regression (a lost bucketed scan, a
+  * broadcast flipping to cartesian) fails tests instead of only
+  * surfacing in a benchmark. */
+class PlanShapeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("bucketed_join_revenue: no Exchange on either SortMergeJoin input") {
+    val df = graft.queries.RelationalQueries.bucketedJoinRevenue(spark, TestSpark.sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // children print BELOW the SMJ line: its subtree is everything after
+    val smjAt = plan.indexOf("SortMergeJoin")
+    assert(smjAt >= 0, s"expected a SortMergeJoin:\n$plan")
+    val subtree = plan.substring(smjAt)
+    assert(!subtree.contains("Exchange"),
+      s"bucketed join inputs must not shuffle:\n$subtree")
+    assert(subtree.contains("Bucketed: true"),
+      s"both scans must be bucketed:\n$subtree")
+  }
+
+  test("flagship joins never degrade to cartesian/nested-loop products") {
+    val names = Seq(
+      "q5_region_revenue", "q3_top_orders", "q10_returned_items",
+      "range_band_orders", "salted_join_events", "bloom_semi_orders")
+    for (n <- names) {
+      val plan = graft.SparkEntry.queries(n)(spark, TestSpark.sfDir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$n: cartesian product:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$n: nested loop join:\n$plan")
+    }
+  }
+}
