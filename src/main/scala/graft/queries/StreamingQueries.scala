@@ -57,6 +57,42 @@ object StreamingQueries {
     s.table(name).orderBy("user_id", "event_id")
   }
 
+  /** Re-spill a frame as `nFiles` event_id-contiguous parquet files
+    * with strictly increasing mtimes — the multi-micro-batch fixture
+    * shared by the cross-batch streaming queries: FileStreamSource
+    * (default oldest-first admission) with `maxFilesPerTrigger=1`
+    * replays them as `nFiles` genuine micro-batches in event_id order.
+    * ONE partitioned write spills every bucket; a sparse event_id
+    * domain may leave a bucket empty (no dir) — skipped, and the
+    * callers assert >= 2 data batches ran. Returns (dir, schema). */
+  private def spillEventIdBuckets(
+      s: SparkSession,
+      ev: DataFrame,
+      nFiles: Int): (java.io.File, org.apache.spark.sql.types.StructType) = {
+    import org.apache.spark.sql.functions._
+    val maxId = ev.agg(max("event_id")).head.getLong(0)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mb_").toFile
+    val stage = new java.io.File(tmp, "stage")
+    val bucket = floor(col("event_id") * lit(nFiles) / lit(maxId + 1.0)).cast("int")
+    ev.withColumn("__b", bucket).repartition(nFiles, col("__b"))
+      .write.partitionBy("__b").mode("overwrite").parquet(stage.toString)
+    val written = (0 until nFiles).flatMap { b =>
+      val dirB = new java.io.File(stage, s"__b=$b")
+      Option(dirB.listFiles()).toSeq.flatMap(_.filter(_.getName.endsWith(".parquet"))).map { part =>
+        val dst = new java.io.File(tmp, f"$b%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        // distinct ascending mtimes pin oldest-first admission order
+        dst.setLastModified(1700000000000L + b * 60000L)
+        dst
+      }
+    }
+    (tmp, s.read.parquet(written.head.toString).schema)
+  }
+
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
+  }
+
   /** CROSS-MICRO-BATCH GroupState through the oracle gate — the
     * carry-across-batches path [[graft.streaming.StreamingScan]] exists
     * for, driver-verified (the single-batch query above can never
@@ -88,28 +124,7 @@ object StreamingQueries {
       val x = args(0).asInstanceOf[Double]
       if (acc + x <= 1000.0) acc + x else acc
     })
-    val nFiles = 4
-    val maxId = ev.agg(max("event_id")).head.getLong(0)
-    val tmp = java.nio.file.Files.createTempDirectory("graft_mb_").toFile
-    val stage = new java.io.File(tmp, "stage")
-    // ONE partitioned write spills all four event_id-range files (was
-    // four sequential filtered jobs — 4x the fixture-prep wall time)
-    val bucket = floor(col("event_id") * lit(nFiles) / lit(maxId + 1.0)).cast("int")
-    ev.withColumn("__b", bucket).repartition(nFiles, col("__b"))
-      .write.partitionBy("__b").mode("overwrite").parquet(stage.toString)
-    val written = (0 until nFiles).flatMap { b =>
-      // a sparse event_id domain can leave a bucket empty (no dir) —
-      // skip it; >= 2 non-empty files is asserted via dataBatches below
-      val dirB = new java.io.File(stage, s"__b=$b")
-      Option(dirB.listFiles()).toSeq.flatMap(_.filter(_.getName.endsWith(".parquet"))).map { part =>
-        val dst = new java.io.File(tmp, f"$b%02d.parquet")
-        java.nio.file.Files.move(part.toPath, dst.toPath)
-        // distinct ascending mtimes pin oldest-first admission order
-        dst.setLastModified(1700000000000L + b * 60000L)
-        dst
-      }
-    }
-    val schema = s.read.parquet(written.head.toString).schema
+    val (tmp, schema) = spillEventIdBuckets(s, ev, nFiles = 4)
     val src = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(tmp.getPath + "/*.parquet")
     val q = graft.streaming.StreamingScan
@@ -125,15 +140,53 @@ object StreamingQueries {
             s"is the path under test); saw $dataBatches")
     } finally {
       q.stop()
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(tmp)
+      rmTree(tmp)
     }
     s.table(name)
       .groupBy("user_id")
       .agg(max_by(col("balance"), col("event_id")).as("balance"))
       .orderBy("user_id")
+  }
+
+  /** UPDATE-MODE incremental aggregation through the oracle gate: the
+    * canonical streaming-aggregation state machine (per-key running
+    * count + exact decimal sum), fed by the same 4-batch event_id-
+    * contiguous fixture. In update mode the memory sink receives ONE
+    * row per (batch, user updated in that batch) — the incremental
+    * emissions themselves, not just the final state — and with the
+    * deterministic batch chunking every emission is a closed-form
+    * function of the data: for each (user, bucket b with rows), the
+    * cumulative count/sum over that user's buckets <= b. The oracle
+    * replays exactly that with a window sum over the same bucket
+    * formula, so the driver verifies the WHOLE update stream.
+    *
+    * Scale: aggregation state is one (count, decimal sum) per user in
+    * the state store; each micro-batch shuffles only its new rows on
+    * user_id — the standard always-on dashboard-feed shape. */
+  val streamIncrementalTotals: Q = (s, dir) => {
+    import org.apache.spark.sql.functions._
+    val ev = Tables(s, dir, "events").select(col("user_id"), col("event_id"), col("value"))
+    val name = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val (tmp, schema) = spillEventIdBuckets(s, ev, nFiles = 4)
+    val src = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp.getPath + "/*.parquet")
+    val agg = src.groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), Tables.decSum(col("value")).as("total"))
+    val q = agg.writeStream.format("memory").queryName(name).outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      if (dataBatches < 2)
+        throw new IllegalStateException(
+          s"stream_incremental_totals requires >= 2 data micro-batches (incremental update " +
+            s"emissions are the path under test); saw $dataBatches")
+    } finally {
+      q.stop()
+      rmTree(tmp)
+    }
+    // (user_id, n_events) is unique across the update stream (counts
+    // strictly increase per user), so the sort is deterministic
+    s.table(name).orderBy("user_id", "n_events")
   }
 
   /** The canonical Structured-Streaming shape: watermarked tumbling-
@@ -196,6 +249,7 @@ object StreamingQueries {
   val defs: Map[String, Q] = Map(
     "stream_group_scan_balance" -> streamGroupScanBalance,
     "stream_multibatch_balance" -> streamMultibatchBalance,
+    "stream_incremental_totals" -> streamIncrementalTotals,
     "stream_windowed_counts" -> streamWindowedCounts,
     "stream_dedup_docs" -> streamDedupDocs
   )
@@ -232,6 +286,21 @@ object StreamingQueries {
         |  FROM r WHERE i < len(vals))
         |SELECT user_id, acc AS balance FROM r WHERE i = len(vals)
         |ORDER BY user_id""".stripMargin,
+    // every update-mode emission replayed: per (user, bucket-with-rows),
+    // the cumulative count + exact decimal sum over buckets <= b, using
+    // the identical bucket formula the fixture spill used
+    "stream_incremental_totals" ->
+      """WITH mx AS (SELECT max(event_id) AS m FROM events),
+        |e AS (SELECT user_id, value,
+        |    CAST(floor(event_id * 4 / (m + 1.0)) AS INT) AS b FROM events, mx),
+        |g AS (SELECT user_id, b, count(*) AS n,
+        |    SUM(CAST(value AS DECIMAL(18,6))) AS sm FROM e GROUP BY user_id, b),
+        |c AS (SELECT user_id,
+        |    sum(n) OVER w AS n_events, sum(sm) OVER w AS total_dec
+        |  FROM g WINDOW w AS (PARTITION BY user_id ORDER BY b))
+        |SELECT user_id, n_events,
+        |  CAST(CAST(ROUND(total_dec, 2) AS DECIMAL(30,2)) AS DOUBLE) AS total
+        |FROM c ORDER BY user_id, n_events""".stripMargin,
     // batch replay of the watermarked tumbling-window aggregation: for a
     // terminated stream, append mode has emitted exactly the windows
     // whose end <= final watermark (max second-truncated event time −
