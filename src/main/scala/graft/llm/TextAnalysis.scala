@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -100,6 +100,29 @@ object TextAnalysis {
     * collapse whitespace runs, trim. */
   def normalizeText(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[.,;:!?]", ""), " +", " "))
+
+  /** Word n-gram list WITHOUT dedup — the repetition-signal input
+    * (contrast [[graft.llm.Dedup.shingles]], which dedups for set
+    * sketches). Same index arithmetic as the dedup family, so the two
+    * stay formula-compatible with the oracles. */
+  def ngramsAll(text: Column, n: Int): Column = {
+    val words = split(lower(text), " +")
+    transform(sequence(lit(0), greatest(size(words) - n, lit(0))),
+      i => concat_ws(" ", slice(words, i + 1, lit(n))))
+  }
+
+  /** Duplicate n-gram COUNTS per document — the Gopher-style repetition
+    * quality signals: heavily repeated n-grams mark boilerplate/spam
+    * that survives exact and near dedup (repetition is WITHIN the doc).
+    * Returns (id, n_grams, n_distinct) as exact integers; the standard
+    * filter is on `1 - n_distinct/n_grams` (exact IEEE division of two
+    * small ints — engine-portable). A narrow map: no shuffle. */
+  def dupNgramCounts(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val grams = ngramsAll(col(textCol), n)
+    df.select(col(idCol),
+      size(grams).as(s"n_grams"),
+      size(array_distinct(grams)).as("n_distinct"))
+  }
 
   /** Fixed-size word chunks with overlap — the context-window prep step
     * of a training pipeline. Returns an array of chunk strings; pair

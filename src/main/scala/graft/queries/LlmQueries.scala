@@ -81,6 +81,29 @@ object LlmQueries {
       .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
       .orderBy("doc_id")
 
+  /** Gopher-style REPETITION quality signals — the filter family that
+    * catches boilerplate/spam surviving exact AND near dedup (the
+    * repetition is WITHIN the document): per doc, the duplicate-trigram
+    * counts (narrow map, [[TextAnalysis.dupNgramCounts]]) plus the
+    * most-frequent-bigram concentration (explode → per-(doc, bigram)
+    * partial-agg count → per-doc max; shuffles carry (doc_id, bigram)
+    * pairs). All outputs are exact integers or exact IEEE divisions of
+    * them, so the oracle replays every value bit-for-bit. */
+  val docRepetition: Q = (s, dir) => {
+    val d = Tables(s, dir, "documents")
+    val tri = TextAnalysis.dupNgramCounts(d, "doc_id", "text", n = 3)
+    val bigrams = d.select(col("doc_id"),
+      explode(TextAnalysis.ngramsAll(col("text"), 2)).as("g"))
+    val top2 = bigrams.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max(col("c")).as("top_bigram_n"), sum(col("c")).as("n_bigrams"))
+    tri.join(top2, "doc_id")
+      .select(col("doc_id"), col("n_grams"), col("n_distinct"),
+        (lit(1.0) - col("n_distinct").cast("double") / col("n_grams")).as("dup3_frac"),
+        col("top_bigram_n"), col("n_bigrams"),
+        (col("top_bigram_n").cast("double") / col("n_bigrams")).as("top2_frac"))
+      .orderBy("doc_id")
+  }
+
   /** Language-ID heuristic (marker-word argmax — deterministic function
     * of the text; the synthetic `lang` label is not text-derivable). */
   val langId: Q = (s, dir) =>
@@ -383,6 +406,7 @@ object LlmQueries {
     "corpus_stats" -> corpusStats,
     "top_tokens" -> topTokens,
     "quality_score" -> qualityScore,
+    "doc_repetition" -> docRepetition,
     "lang_id" -> langId,
     "doc_fingerprint" -> docFingerprint,
     "dedup_exact" -> dedupExact,
@@ -628,6 +652,23 @@ object LlmQueries {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "doc_fingerprint" ->
       "SELECT doc_id, md5(lower(text)) AS fp_md5 FROM documents ORDER BY doc_id",
+    // exact counts + exact IEEE divisions of them — no rounding needed
+    "doc_repetition" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(lower(text), ' +') AS ws FROM documents),
+        |t3 AS (SELECT doc_id, array_to_string(ws[i+1:i+3], ' ') AS g
+        |  FROM w, unnest(range(0, greatest(len(ws) - 3, 0) + 1)) t(i)),
+        |a3 AS (SELECT doc_id, count(*) AS n_grams, count(DISTINCT g) AS n_distinct
+        |  FROM t3 GROUP BY doc_id),
+        |t2 AS (SELECT doc_id, array_to_string(ws[i+1:i+2], ' ') AS g
+        |  FROM w, unnest(range(0, greatest(len(ws) - 2, 0) + 1)) t(i)),
+        |c2 AS (SELECT doc_id, g, count(*) AS c FROM t2 GROUP BY doc_id, g),
+        |a2 AS (SELECT doc_id, max(c) AS top_bigram_n, sum(c) AS n_bigrams FROM c2 GROUP BY doc_id)
+        |SELECT a3.doc_id, n_grams, n_distinct,
+        |  1.0 - CAST(n_distinct AS DOUBLE) / n_grams AS dup3_frac,
+        |  top_bigram_n, n_bigrams,
+        |  CAST(top_bigram_n AS DOUBLE) / n_bigrams AS top2_frac
+        |FROM a3 JOIN a2 ON a3.doc_id = a2.doc_id
+        |ORDER BY a3.doc_id""".stripMargin,
     // gaps-and-islands replay of the consecutive-same-lang chain graph:
     // within a lang, consecutive doc_ids share (doc_id - row_number),
     // and the component label is the run's min doc_id — exactly what

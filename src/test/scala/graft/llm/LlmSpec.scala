@@ -127,6 +127,22 @@ class LlmSpec extends AnyFunSuite {
     assert(par.sameElements(seqv))
   }
 
+  test("repetition signals: looped boilerplate scores high, varied text low") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (1L, "buy now " * 20 + "buy now"),       // one bigram looped 21x
+      (2L, (1 to 40).map("w" + _).mkString(" ")) // all-distinct words
+    ).toDF("id", "text")
+    val got = TextAnalysis.dupNgramCounts(df, "id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    // looped doc: 40 trigrams alternate between just 2 distinct forms
+    val (n1, d1) = got(1L)
+    assert(n1 == 40 && d1 == 2, s"looped doc: $n1 grams, $d1 distinct")
+    // varied doc: every trigram distinct
+    val (n2, d2) = got(2L)
+    assert(n2 == 38 && d2 == 38, s"varied doc: $n2 grams, $d2 distinct")
+  }
+
   test("token counting and quality scoring are deterministic and sane") {
     val r = docs.select(
       TextAnalysis.tokenCountWs($"text").as("ws"),
