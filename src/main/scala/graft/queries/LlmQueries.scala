@@ -81,6 +81,24 @@ object LlmQueries {
       .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
       .orderBy("doc_id")
 
+  /** Context-length bucketing — the histogram a training pipeline emits
+    * before packing documents into context windows: docs bucketed by
+    * BPE-ish token count into fixed ranges (explicit integer CASE
+    * boundaries, never float log2 — exact in both engines), with doc
+    * and token totals per bucket. One narrow map + one small shuffle. */
+  val tokenLengthHistogram: Q = (s, dir) => {
+    val d = Tables(s, dir, "documents")
+      .select(TextAnalysis.tokenCountBpeIsh(col("text")).as("n"))
+    val bucket = when(col("n") <= 64, "a_0-64")
+      .when(col("n") <= 128, "b_65-128")
+      .when(col("n") <= 256, "c_129-256")
+      .when(col("n") <= 512, "d_257-512")
+      .otherwise("e_513+")
+    d.groupBy(bucket.as("len_bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n").cast("long")).as("total_tokens"))
+      .orderBy("len_bucket")
+  }
+
   /** Gopher-style REPETITION quality signals — the filter family that
     * catches boilerplate/spam surviving exact AND near dedup (the
     * repetition is WITHIN the document): per doc, the duplicate-trigram
@@ -403,6 +421,7 @@ object LlmQueries {
   val defs: Map[String, Q] = Map(
     "text_stats" -> textStats,
     "token_counts" -> tokenCounts,
+    "token_length_histogram" -> tokenLengthHistogram,
     "corpus_stats" -> corpusStats,
     "top_tokens" -> topTokens,
     "quality_score" -> qualityScore,
@@ -626,6 +645,14 @@ object LlmQueries {
         |  len(regexp_split_to_array(text, ' +')) AS n_ws,
         |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "token_length_histogram" ->
+      """WITH t AS (SELECT len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n
+        |  FROM documents)
+        |SELECT CASE WHEN n <= 64 THEN 'a_0-64' WHEN n <= 128 THEN 'b_65-128'
+        |  WHEN n <= 256 THEN 'c_129-256' WHEN n <= 512 THEN 'd_257-512'
+        |  ELSE 'e_513+' END AS len_bucket,
+        |  count(*) AS n_docs, sum(n) AS total_tokens
+        |FROM t GROUP BY 1 ORDER BY len_bucket""".stripMargin,
     "corpus_stats" ->
       """WITH t AS (SELECT lang, len(regexp_split_to_array(text, ' +')) AS n_tokens FROM documents)
         |SELECT lang, count(*) AS n_docs,

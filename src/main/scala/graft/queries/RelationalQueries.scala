@@ -254,6 +254,26 @@ object RelationalQueries {
       .orderBy("order_year")
   }
 
+  /** PARTITION PRUNING on a hive-partitioned layout — the third leg of
+    * the scan-reduction story next to pushed filters and pruned read
+    * schemas (PLANS.md): events re-written `partitionBy(event_type)`,
+    * then the 'click' aggregate reads ONE directory of five — the plan
+    * shows `PartitionFilters: [(event_type = click)]` and the other
+    * four partitions are never opened (PlanShapeSpec asserts it). At
+    * 100 TB this is the standard date/tenant layout: a pruned scan
+    * skips whole directory trees, before any row-level filter runs.
+    * Oracle: plain WHERE — layout never changes results. */
+  val partitionPrunedEvents: Q = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_part_").toString
+    Tables(s, dir, "events").select("user_id", "event_id", "event_type", "value")
+      .write.partitionBy("event_type").mode("overwrite").parquet(tmp)
+    s.read.parquet(tmp)
+      .filter(col("event_type") === "click")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_clicks"), decSum(col("value")).as("click_value"))
+      .orderBy("user_id")
+  }
+
   /** Fact-dim enrichment through the SKEW-SALTED join
     * ([[graft.operators.SaltedJoin.innerJoin]]): every event row
     * annotated with its user's decimal-exact total — the join runs on
@@ -313,6 +333,7 @@ object RelationalQueries {
     "range_band_orders" -> rangeBandOrders,
     "bucketed_join_revenue" -> bucketedJoinRevenue,
     "salted_join_events" -> saltedJoinEvents,
+    "partition_pruned_events" -> partitionPrunedEvents,
     "bloom_semi_orders" -> bloomSemiOrders,
     "event_sessions" -> eventSessions,
     "q1_pricing_summary" -> q1PricingSummary,
@@ -378,6 +399,11 @@ object RelationalQueries {
         |SELECT l.o_orderkey, r.v AS last_big_price
         |FROM orders l ASOF LEFT JOIN r ON l.o_custkey = r.k AND l.o_orderdate >= r.t
         |ORDER BY l.o_orderkey""".stripMargin,
+    // partitioned layout changes what's READ, never the result
+    "partition_pruned_events" ->
+      s"""SELECT user_id, count(*) AS n_clicks, ${sqlDecSum("value")} AS click_value
+         |FROM events WHERE event_type = 'click'
+         |GROUP BY user_id ORDER BY user_id""".stripMargin,
     // salting changes shuffle layout only — plain join SQL replays it
     "salted_join_events" ->
       s"""WITH dim AS (SELECT user_id AS d_user_id,

@@ -24,6 +24,25 @@ class PlanShapeSpec extends AnyFunSuite {
       s"both scans must be bucketed:\n$subtree")
   }
 
+  test("partition_pruned_events: the scan carries a partition filter on event_type") {
+    val df = graft.queries.RelationalQueries.partitionPrunedEvents(spark, TestSpark.sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("event_type"),
+      s"expected a partition filter on event_type:\n$plan")
+    // the row-level filter must NOT be doing the work the layout does:
+    // event_type is a partition column, so no pushed data filter on it
+    val scanLine = plan.linesIterator.find(_.contains("PartitionFilters")).get
+    assert(scanLine.contains("click"), s"pruned to the click partition: $scanLine")
+  }
+
+  test("q1 scan prunes the read schema to the referenced columns only") {
+    val df = graft.SparkEntry.queries("q1_pricing_summary")(spark, TestSpark.sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    val scan = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!scan.contains("l_comment") && !scan.contains("l_shipmode"),
+      s"unreferenced wide columns must not be read: $scan")
+  }
+
   test("flagship joins never degrade to cartesian/nested-loop products") {
     val names = Seq(
       "q5_region_revenue", "q3_top_orders", "q10_returned_items",
