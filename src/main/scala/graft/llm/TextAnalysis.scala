@@ -111,17 +111,24 @@ object TextAnalysis {
       i => concat_ws(" ", slice(words, i + 1, lit(n))))
   }
 
-  /** Duplicate n-gram COUNTS per document — the Gopher-style repetition
-    * quality signals: heavily repeated n-grams mark boilerplate/spam
-    * that survives exact and near dedup (repetition is WITHIN the doc).
-    * Returns (id, n_grams, n_distinct) as exact integers; the standard
-    * filter is on `1 - n_distinct/n_grams` (exact IEEE division of two
-    * small ints — engine-portable). A narrow map: no shuffle. */
+  /** All word n-gram repetition statistics in one compiled pass —
+    * `struct(total, distinct, top)` ([[graft.functions.NgramStats]]):
+    * the Gopher-style repetition quality terms (heavily repeated
+    * n-grams mark boilerplate/spam that survives exact AND near dedup;
+    * the repetition is WITHIN the doc). Exact integers; the standard
+    * filters are `1 - distinct/total` and `top/total` (exact IEEE
+    * divisions — engine-portable). A narrow map: no shuffle, no
+    * intermediate n-gram array, no interpreted HOFs. */
+  def ngramStats(text: Column, n: Int): Column =
+    graft.functions.TextFunctions.ngramStats(split(lower(text), " +"), n)
+
+  /** Duplicate n-gram COUNTS per document — (id, n_grams, n_distinct)
+    * via [[ngramStats]]. */
   def dupNgramCounts(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
-    val grams = ngramsAll(col(textCol), n)
+    val st = ngramStats(col(textCol), n)
     df.select(col(idCol),
-      size(grams).as(s"n_grams"),
-      size(array_distinct(grams)).as("n_distinct"))
+      st.getField("total").as("n_grams"),
+      st.getField("distinct").as("n_distinct"))
   }
 
   /** Fixed-size word chunks with overlap — the context-window prep step

@@ -102,19 +102,23 @@ object LlmQueries {
   /** Gopher-style REPETITION quality signals — the filter family that
     * catches boilerplate/spam surviving exact AND near dedup (the
     * repetition is WITHIN the document): per doc, the duplicate-trigram
-    * counts (narrow map, [[TextAnalysis.dupNgramCounts]]) plus the
-    * most-frequent-bigram concentration (explode → per-(doc, bigram)
-    * partial-agg count → per-doc max; shuffles carry (doc_id, bigram)
-    * pairs). All outputs are exact integers or exact IEEE divisions of
-    * them, so the oracle replays every value bit-for-bit. */
+    * counts ([[TextAnalysis.dupNgramCounts]]) plus the most-frequent-
+    * bigram concentration via the compiled
+    * [[graft.functions.TopNgramCount]] expression. The whole query is
+    * ONE NARROW MAP — no shuffle carries any n-gram (the explode →
+    * per-(doc, gram) count → max formulation would shuffle the corpus;
+    * measured 3.9 s → sub-second at sf0.1). All outputs are exact
+    * integers or exact IEEE divisions of them, so the oracle replays
+    * every value bit-for-bit. */
   val docRepetition: Q = (s, dir) => {
-    val d = Tables(s, dir, "documents")
-    val tri = TextAnalysis.dupNgramCounts(d, "doc_id", "text", n = 3)
-    val bigrams = d.select(col("doc_id"),
-      explode(TextAnalysis.ngramsAll(col("text"), 2)).as("g"))
-    val top2 = bigrams.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id").agg(max(col("c")).as("top_bigram_n"), sum(col("c")).as("n_bigrams"))
-    tri.join(top2, "doc_id")
+    val s3 = TextAnalysis.ngramStats(col("text"), 3)
+    val s2 = TextAnalysis.ngramStats(col("text"), 2)
+    Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        s3.getField("total").as("n_grams"),
+        s3.getField("distinct").as("n_distinct"),
+        s2.getField("top").cast("long").as("top_bigram_n"),
+        s2.getField("total").cast("long").as("n_bigrams"))
       .select(col("doc_id"), col("n_grams"), col("n_distinct"),
         (lit(1.0) - col("n_distinct").cast("double") / col("n_grams")).as("dup3_frac"),
         col("top_bigram_n"), col("n_bigrams"),

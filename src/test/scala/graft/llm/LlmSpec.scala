@@ -141,6 +141,12 @@ class LlmSpec extends AnyFunSuite {
     // varied doc: every trigram distinct
     val (n2, d2) = got(2L)
     assert(n2 == 38 && d2 == 38, s"varied doc: $n2 grams, $d2 distinct")
+    // compiled top-bigram counter: "buy now" appears 21x (the looped
+    // doc is 41 words: 21 "buy now" + 20 "now buy" bigrams)
+    val tops = df.select($"id", TextAnalysis.ngramStats($"text", 2).getField("top"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(tops(1L) == 21, s"looped top bigram: ${tops(1L)}")
+    assert(tops(2L) == 1, s"varied top bigram: ${tops(2L)}")
   }
 
   test("token counting and quality scoring are deterministic and sane") {
