@@ -101,16 +101,6 @@ object TextAnalysis {
   def normalizeText(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[.,;:!?]", ""), " +", " "))
 
-  /** Word n-gram list WITHOUT dedup — the repetition-signal input
-    * (contrast [[graft.llm.Dedup.shingles]], which dedups for set
-    * sketches). Same index arithmetic as the dedup family, so the two
-    * stay formula-compatible with the oracles. */
-  def ngramsAll(text: Column, n: Int): Column = {
-    val words = split(lower(text), " +")
-    transform(sequence(lit(0), greatest(size(words) - n, lit(0))),
-      i => concat_ws(" ", slice(words, i + 1, lit(n))))
-  }
-
   /** All word n-gram repetition statistics in one compiled pass —
     * `struct(total, distinct, top)` ([[graft.functions.NgramStats]]):
     * the Gopher-style repetition quality terms (heavily repeated
