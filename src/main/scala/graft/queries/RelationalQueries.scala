@@ -254,6 +254,21 @@ object RelationalQueries {
       .orderBy("order_year")
   }
 
+  /** Per-customer top-3 orders through the MAP-SIDE-PRUNED top-k
+    * operator ([[graft.operators.GroupTopK.topK]]): each scan partition
+    * keeps at most 3 rows per customer in a bounded heap BEFORE the
+    * shuffle, so the exchange carries O(k · custs · partitions) rows —
+    * the window formulation (`rank_orders_per_cust`) shuffles every
+    * order row. Tie-break on orderkey makes the ordering total, so the
+    * row_number SQL replays it exactly. */
+  val topkOrdersPerCust: Q = (s, dir) => {
+    graft.operators.GroupTopK.topK(
+        Tables(s, dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice"),
+        Seq("o_custkey"), Seq(("o_totalprice", false), ("o_orderkey", true)), k = 3)
+      .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+  }
+
   /** PARTITION PRUNING on a hive-partitioned layout — the third leg of
     * the scan-reduction story next to pushed filters and pruned read
     * schemas (PLANS.md): events re-written `partitionBy(event_type)`,
@@ -334,6 +349,7 @@ object RelationalQueries {
     "bucketed_join_revenue" -> bucketedJoinRevenue,
     "salted_join_events" -> saltedJoinEvents,
     "partition_pruned_events" -> partitionPrunedEvents,
+    "topk_orders_per_cust" -> topkOrdersPerCust,
     "bloom_semi_orders" -> bloomSemiOrders,
     "event_sessions" -> eventSessions,
     "q1_pricing_summary" -> q1PricingSummary,
@@ -399,6 +415,14 @@ object RelationalQueries {
         |SELECT l.o_orderkey, r.v AS last_big_price
         |FROM orders l ASOF LEFT JOIN r ON l.o_custkey = r.k AND l.o_orderdate >= r.t
         |ORDER BY l.o_orderkey""".stripMargin,
+    // map-side pruning changes shuffle volume only — row_number replay
+    "topk_orders_per_cust" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders) WHERE rk <= 3
+        |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
     // partitioned layout changes what's READ, never the result
     "partition_pruned_events" ->
       s"""SELECT user_id, count(*) AS n_clicks, ${sqlDecSum("value")} AS click_value

@@ -98,6 +98,26 @@ class JoinPropertySpec extends AnyFunSuite {
     }, cases = 12)
   }
 
+  test("GroupTopK == window row_number formulation on random data (duplicate sort values)") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, row_number}
+    // values drawn from a small range so ties are common — the
+    // tie-break column (id) must make both formulations agree exactly
+    val genRows = Gen.nonEmptyListOf(Gen.zip(Gen.choose(1, 5), Gen.choose(0, 9)))
+    check(Prop.forAll(genRows, Gen.choose(1, 4)) { (rows, k) =>
+      val df = rows.zipWithIndex
+        .map { case ((g, v), i) => (g.toLong, v.toLong, i.toLong) }
+        .toDF("g", "v", "id").repartition(3)
+      val got = GroupTopK.topK(df, Seq("g"), Seq(("v", false), ("id", true)), k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val w = Window.partitionBy(col("g")).orderBy(col("v").desc, col("id"))
+      val want = df.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+        .select("g", "v", "id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      got == want
+    }, cases = 12)
+  }
+
   test("RangeJoin == in-memory reference on random inputs, duplicate-free") {
     val genPoints = Gen.listOf(Gen.choose(-50.0, 50.0))
     val genIvals = Gen.listOf(Gen.zip(Gen.choose(-50.0, 50.0), Gen.choose(0.0, 40.0)))
