@@ -60,6 +60,14 @@ object GroupTopK {
     val pruned = df.mapPartitions { it =>
       val heaps = new java.util.HashMap[Seq[Any], scala.collection.mutable.PriorityQueue[Row]]()
       it.foreach { r =>
+        // enforce the contract on every row, not only on rows that
+        // happen to be compared — a null key would otherwise be ranked
+        // by Spark's null ordering on some paths and error on others
+        var si = 0
+        while (si < sortIdx.length) {
+          require(r.get(sortIdx(si)._1) != null, "top-k sort keys must be non-null")
+          si += 1
+        }
         val key = keyIdx.map(r.get)
         var h = heaps.get(key)
         if (h == null) {

@@ -63,6 +63,28 @@ class JoinPropertySpec extends AnyFunSuite {
     }, cases = 12)
   }
 
+  test("salted AsofJoin: composite keys behave like unsalted") {
+    val left = Seq((1L, "x", 5L, 100L), (1L, "y", 5L, 101L), (2L, "x", 9L, 102L))
+      .toDF("k1", "k2", "t", "lid")
+    val right = Seq((1L, "x", 3L, 10L), (1L, "y", 4L, 20L), (2L, "x", 9L, 30L), (1L, "x", 6L, 40L))
+      .toDF("k1", "k2", "t", "pay")
+    def run(f: org.apache.spark.sql.DataFrame): Map[Long, Any] =
+      f.collect().map(r => r.getLong(3) -> r.get(4)).toMap
+    val unsalted = run(AsofJoin.asofLast(left, right, Seq("k1", "k2"), "t", Seq("pay")))
+    val salted = run(AsofJoin.asofLastSalted(left, right, Seq("k1", "k2"), "t", Seq("pay"), buckets = 3))
+    assert(salted == unsalted)
+    assert(salted(100L) == 10L && salted(101L) == 20L && salted(102L) == 30L)
+  }
+
+  test("GroupTopK rejects null sort keys with the contract error") {
+    val df = Seq((1L, Some(5L), 1L), (1L, None, 2L)).toDF("g", "v", "id")
+    val e = intercept[Exception] {
+      GroupTopK.topK(df, Seq("g"), Seq(("v", false), ("id", true)), 1).collect()
+    }
+    assert(e.getMessage.contains("non-null") ||
+      Option(e.getCause).exists(_.getMessage.contains("non-null")))
+  }
+
   test("salted AsofJoin: equal right times resolve by tie-break, same as unsalted") {
     val left = Seq((1L, 10L, 100L), (1L, 20L, 101L)).toDF("k", "t", "lid")
     // two right rows at the same (key, time): last in tie-break order wins
