@@ -655,7 +655,7 @@ object LlmQueries {
         |SELECT CASE WHEN n <= 64 THEN 'a_0-64' WHEN n <= 128 THEN 'b_65-128'
         |  WHEN n <= 256 THEN 'c_129-256' WHEN n <= 512 THEN 'd_257-512'
         |  ELSE 'e_513+' END AS len_bucket,
-        |  count(*) AS n_docs, sum(n) AS total_tokens
+        |  count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS total_tokens
         |FROM t GROUP BY 1 ORDER BY len_bucket""".stripMargin,
     "corpus_stats" ->
       """WITH t AS (SELECT lang, len(regexp_split_to_array(text, ' +')) AS n_tokens FROM documents)
@@ -693,7 +693,8 @@ object LlmQueries {
         |t2 AS (SELECT doc_id, array_to_string(ws[i+1:i+2], ' ') AS g
         |  FROM w, unnest(range(0, greatest(len(ws) - 2, 0) + 1)) t(i)),
         |c2 AS (SELECT doc_id, g, count(*) AS c FROM t2 GROUP BY doc_id, g),
-        |a2 AS (SELECT doc_id, max(c) AS top_bigram_n, sum(c) AS n_bigrams FROM c2 GROUP BY doc_id)
+        |a2 AS (SELECT doc_id, max(c) AS top_bigram_n,
+        |  CAST(sum(c) AS BIGINT) AS n_bigrams FROM c2 GROUP BY doc_id)
         |SELECT a3.doc_id, n_grams, n_distinct,
         |  1.0 - CAST(n_distinct AS DOUBLE) / n_grams AS dup3_frac,
         |  top_bigram_n, n_bigrams,

@@ -298,7 +298,7 @@ object StreamingQueries {
         |c AS (SELECT user_id,
         |    sum(n) OVER w AS n_events, sum(sm) OVER w AS total_dec
         |  FROM g WINDOW w AS (PARTITION BY user_id ORDER BY b))
-        |SELECT user_id, n_events,
+        |SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
         |  CAST(CAST(ROUND(total_dec, 2) AS DECIMAL(30,2)) AS DOUBLE) AS total
         |FROM c ORDER BY user_id, n_events""".stripMargin,
     // batch replay of the watermarked tumbling-window aggregation: for a
