@@ -32,3 +32,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// The bench driver keeps only the last 2000 chars of stdout; sbt's
+// "[success] Total time ..." trailer would eat 73 of them right after
+// the bench's one-line JSON, so suppress it.
+ThisBuild / showSuccess := false

@@ -49,10 +49,19 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // file first (survives stdout truncation), then the driver's one line
+    // file first (survives stdout truncation) at full precision
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] could not write $outFile: $e") }
-    println(json)
+    // The driver keeps only the last 2000 chars of stdout: the stdout
+    // line is emitted at 2-decimal precision (10 ms — far below bench
+    // noise) and with the sf basename, which keeps the full 74-query
+    // line under the window (build.sbt suppresses sbt's trailing
+    // "[success]" line for the same reason). Full precision is in the
+    // file artifact above.
+    val qsShort = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => f""""$k":$v%.2f""" }.mkString("{", ",", "}")
+    val sfShort = new java.io.File(sfDir).getName
+    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qsShort,"sf":"$sfShort"}""")
     spark.stop()
   }
 }
