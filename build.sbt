@@ -36,3 +36,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 // "[success] Total time ..." trailer would eat 73 of them right after
 // the bench's one-line JSON, so suppress it.
 ThisBuild / showSuccess := false
+// showSuccess is consumed by sbt's command engine, not a task — exclude
+// it from the unused-key lint.
+Global / excludeLintKeys += showSuccess

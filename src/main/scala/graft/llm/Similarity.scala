@@ -225,4 +225,61 @@ object Similarity {
     val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("corpus_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** Product-quantization approximate top-k — the MEMORY path for ANN at
+    * 100 TB: each corpus vector is reduced once, scan-side, to `nSub`
+    * centroid codes (bytes, vs `4·dim` for the raw floats), and scoring
+    * a candidate is `nSub` lookups in a per-query table (asymmetric
+    * distance, Jégou et al. TPAMI 2011). The raw corpus vectors never
+    * enter a join or shuffle; only `(id, codes)` flows. The final
+    * per-query top-k runs through [[graft.operators.GroupTopK]] — the
+    * map-side-pruned path, so the one shuffle carries at most
+    * `k · queries · partitions` candidate rows.
+    *
+    * Codebook: the `nCent` corpus vectors with smallest `md5(id)` (the
+    * same seed-free portable sample as [[ivfTopK]]'s coarse quantizer),
+    * split into `nSub` subvectors after integer quantization
+    * (`floor(x·1000)` — [[graft.functions.PqEncodeExpr]]). A production
+    * build would swap in k-means-trained centroids per subspace; the
+    * selection rule here is chosen so a second engine can replay the
+    * ENTIRE pipeline — encode, LUT, ADC, ranking — bit-for-bit (all
+    * distances are exact BIGINT sums). Collecting the codebook to the
+    * driver is bounded: `nCent` rows, KBs — the PQ analogue of
+    * collecting an AQE broadcast relation. */
+  def pqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 5,
+      nSub: Int = 8,
+      nCent: Int = 16): DataFrame = {
+    import graft.functions.PqFunctions._
+    val centRows = corpus
+      .select(col(idCol).as("cid"), col(vecCol).as("cvec"),
+        md5(col(idCol).cast("string")).as("h"))
+      .orderBy(col("h"), col("cid")).limit(nCent)
+      .select("cvec").collect()
+    require(centRows.length == nCent, s"corpus smaller than nCent=$nCent")
+    val centVecs: Seq[Seq[Long]] = centRows.toSeq.map(
+      _.getSeq[Float](0).map(x => math.floor(x.toDouble * 1000.0).toLong))
+    val dim = centVecs.head.length
+    require(dim % nSub == 0, s"dim $dim not divisible by nSub=$nSub")
+    val subDim = dim / nSub
+    // codebook(m)(c)(j): centroid c's j-th component in subspace m
+    val codebook: Seq[Seq[Seq[Long]]] = (0 until nSub).map(m =>
+      centVecs.map(v => v.slice(m * subDim, (m + 1) * subDim)))
+    val codes = corpus.select(col(idCol).as("corpus_id"),
+      pqEncode(col(vecCol), codebook).as("codes"))
+    val qlut = queries.select(col(idCol).as("query_id"),
+      pqLut(col(vecCol), codebook).as("lut"))
+    val scored = codes.join(broadcast(qlut), col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id"),
+        pqAdc(col("codes"), col("lut")).as("adc"))
+    val top = graft.operators.GroupTopK.topK(
+      scored, Seq("query_id"), Seq(("adc", true), ("corpus_id", true)), k)
+    // rank over the k survivors only — the heavy pruning already happened
+    val w = Window.partitionBy("query_id").orderBy(asc("adc"), asc("corpus_id"))
+    top.withColumn("rank", row_number().over(w))
+  }
 }

@@ -207,6 +207,18 @@ object LlmQueries {
       .select("query_id", "corpus_id", "rank")
   }
 
+  /** Product-quantization approximate top-5 for the same queries —
+    * integer-quantized codebook + asymmetric distance, so every code and
+    * ADC score is an exact BIGINT the oracle replays bit-for-bit. The
+    * `adc` score is part of the output: the hash gate then pins the
+    * whole encode → LUT → ADC pipeline, not just the final ranking. */
+  val annPq: Q = (s, dir) => {
+    val e = Tables(s, dir, "embeddings")
+    Similarity.pqTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+      .orderBy("query_id", "rank")
+      .select("query_id", "corpus_id", "adc", "rank")
+  }
+
   /** Embedding-cosine near-dup pairs (LSH candidates + exact verify).
     * Threshold 0.4 — the synthetic embeddings are near-orthogonal (max
     * pairwise cosine ≈ 0.51), so 0.4 surfaces the genuine nearest pairs;
@@ -440,6 +452,7 @@ object LlmQueries {
     "ann_bruteforce" -> annBruteforce,
     "ann_lsh" -> annLsh,
     "ann_ivf" -> annIvf,
+    "ann_pq" -> annPq,
     "dedup_embedding" -> dedupEmbedding,
     "embedding_bucket_histogram" -> embeddingBucketHistogram,
     "lsh_bucket_histogram" -> lshBucketHistogram,
@@ -625,6 +638,44 @@ object LlmQueries {
         |  JOIN embeddings qe ON qe.vec_id = cd.query_id
         |  JOIN embeddings ce ON ce.vec_id = cd.corpus_id)
         |SELECT query_id, corpus_id, rank FROM scored WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+    // full PQ replay on integer-quantized vectors: portable md5 sample
+    // as codebook, per-(vector, subspace, centroid) exact BIGINT
+    // distances, argmin codes (ties -> lowest centroid id), ADC =
+    // sum over subspaces of the query's distance to the candidate's
+    // chosen centroid. 8 subspaces x 8 dims, 16 centroids — mirrors
+    // Similarity.pqTopK defaults.
+    "ann_pq" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |cent AS (
+        |  SELECT row_number() OVER (
+        |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS c, qv
+        |  FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+        |sd AS (
+        |  SELECT e.vec_id, t.m, cent.c,
+        |    CAST(list_sum(list_transform(range(1, 9), j ->
+        |      (e.qv[t.m*8+j] - cent.qv[t.m*8+j]) * (e.qv[t.m*8+j] - cent.qv[t.m*8+j])
+        |    )) AS BIGINT) AS dist
+        |  FROM e, range(0, 8) t(m), cent),
+        |codes AS (
+        |  SELECT vec_id, m, c FROM (
+        |    SELECT vec_id, m, c,
+        |      row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, c) AS rk
+        |    FROM sd) WHERE rk = 1),
+        |adc AS (
+        |  SELECT q.vec_id AS query_id, co.vec_id AS corpus_id,
+        |    CAST(sum(q.dist) AS BIGINT) AS adc
+        |  FROM codes co
+        |  JOIN sd q ON q.m = co.m AND q.c = co.c
+        |  WHERE q.vec_id < 10 AND co.vec_id <> q.vec_id
+        |  GROUP BY 1, 2)
+        |SELECT query_id, corpus_id, adc, rank FROM (
+        |  SELECT query_id, corpus_id, adc,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY adc, corpus_id) AS rank
+        |  FROM adc) WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
     "ann_bruteforce" ->
       """SELECT query_id, corpus_id, rank FROM (

@@ -1,0 +1,91 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.functions.PqFunctions._
+
+/** Reference-computation differentials for the product-quantization ANN
+  * family: codes/ADC against a plain in-memory replay, tie-break rule,
+  * and ranking agreement with exact brute force on separable data. */
+class PqSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def quant(v: Seq[Float]): Array[Long] =
+    v.map(x => math.floor(x.toDouble * 1000.0).toLong).toArray
+
+  private def refCodes(v: Seq[Float], cb: Seq[Seq[Seq[Long]]]): Seq[Int] = {
+    val q = quant(v)
+    val subDim = cb.head.head.length
+    cb.indices.map { m =>
+      cb(m).zipWithIndex.map { case (cent, c) =>
+        val d = cent.indices.map { j =>
+          val diff = q(m * subDim + j) - cent(j); diff * diff
+        }.sum
+        (d, c)
+      }.min._2 // (dist, id) lexicographic == lowest-id tie-break
+    }
+  }
+
+  // 4-dim vectors, 2 subspaces x 2 dims, 2 centroids
+  private val cb: Seq[Seq[Seq[Long]]] = Seq(
+    Seq(Seq(0L, 0L), Seq(1000L, 1000L)),     // subspace 0 centroids
+    Seq(Seq(0L, 1000L), Seq(1000L, 0L)))     // subspace 1 centroids
+
+  test("pq codes match the in-memory replay, ties go to the lowest centroid id") {
+    val vecs = Seq(
+      (1L, Seq(0.1f, 0.2f, 0.9f, 0.1f)),
+      (2L, Seq(1.0f, 0.9f, 0.0f, 1.0f)),
+      (3L, Seq(0.5f, 0.5f, 0.5f, 0.5f)))     // equidistant in both subspaces
+    val got = vecs.toDF("id", "vec")
+      .select(col("id"), pqEncode(col("vec"), cb).as("codes"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    vecs.foreach { case (id, v) =>
+      assert(got(id) == refCodes(v, cb), s"codes diverge for vec $id")
+    }
+    // (500,500) is exactly between both centroid pairs in both subspaces
+    assert(got(3L) == Seq(0, 0), "equidistant vector must take centroid 0 (tie-break)")
+  }
+
+  test("adc equals the lut-free direct computation") {
+    val corpus = Seq((1L, Seq(0.1f, 0.2f, 0.9f, 0.1f)), (2L, Seq(1.0f, 0.9f, 0.0f, 1.0f)))
+    val query = Seq((10L, Seq(0.2f, 0.1f, 0.8f, 0.2f)))
+    val codes = corpus.toDF("corpus_id", "vec")
+      .select(col("corpus_id"), pqEncode(col("vec"), cb).as("codes"))
+    val lut = query.toDF("query_id", "qvec")
+      .select(col("query_id"), pqLut(col("qvec"), cb).as("lut"))
+    val got = codes.crossJoin(lut)
+      .select(col("corpus_id"), pqAdc(col("codes"), col("lut")).as("adc"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // direct: distance from query subvector to the corpus row's centroid
+    val q = quant(query.head._2)
+    corpus.foreach { case (id, v) =>
+      val expect = refCodes(v, cb).zipWithIndex.map { case (c, m) =>
+        cb(m)(c).indices.map { j =>
+          val diff = q(m * 2 + j) - cb(m)(c)(j); diff * diff
+        }.sum
+      }.sum
+      assert(got(id) == expect, s"adc diverges for corpus $id")
+    }
+  }
+
+  test("pqTopK ranks the planted nearest cluster first on separable data") {
+    // 3 well-separated clusters of 8-dim vectors; query belongs to cluster A
+    def jitter(base: Array[Float], id: Long): Seq[Float] =
+      base.zipWithIndex.map { case (x, i) => x + ((id * 7 + i) % 5).toFloat * 0.01f }.toSeq
+    val a = Array(0.9f, 0.9f, 0.0f, 0.0f, 0.9f, 0.0f, 0.0f, 0.9f)
+    val b = Array(0.0f, 0.0f, 0.9f, 0.9f, 0.0f, 0.9f, 0.0f, 0.0f)
+    val c = Array(0.4f, 0.0f, 0.0f, 0.4f, 0.0f, 0.0f, 0.9f, 0.0f)
+    val rows = (0L until 8L).map(i => (i, jitter(a, i))) ++
+      (8L until 16L).map(i => (i, jitter(b, i))) ++
+      (16L until 24L).map(i => (i, jitter(c, i)))
+    val df = rows.toDF("vec_id", "embedding")
+    val top = Similarity.pqTopK(df, df.filter(col("vec_id") === 0L),
+        "vec_id", "embedding", k = 5, nSub = 4, nCent = 8)
+      .collect().map(r => r.getAs[Long]("corpus_id"))
+    assert(top.length == 5)
+    assert(top.forall(_ < 8L), s"all top-5 must come from the query's cluster: ${top.toSeq}")
+  }
+}
