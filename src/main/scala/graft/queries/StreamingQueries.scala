@@ -246,12 +246,62 @@ object StreamingQueries {
     s.table(name).orderBy("content_hash")
   }
 
+  /** WATERMARKED streaming dedup — the bounded-state version of
+    * [[streamDedupDocs]], and the pattern its docstring points at: the
+    * dedup key includes the event-time column (hour-truncated), and
+    * `withWatermark` lets the state store EXPIRE keys older than the
+    * horizon instead of holding every key forever — the difference
+    * between O(distinct-ever) and O(distinct-per-horizon) state at
+    * 100 TB. Fed by the same 4-file event_id-contiguous fixture, so
+    * suppression of duplicates ACROSS micro-batches is exercised.
+    *
+    * Determinism: the watermark (1000 h) exceeds the fixture's whole
+    * 720 h span, so no row is ever late-dropped and the emitted set is
+    * exactly the batch DISTINCT of (user, type, hour) — regardless of
+    * how files chunk into batches. A production deploy would use a
+    * horizon ~ the real lateness bound (minutes–hours); the semantics
+    * under that horizon are the same minus genuinely-late rows. The
+    * output projects only the dedup key (every duplicate shares it), so
+    * WHICH duplicate survived — an arrival-order artifact — never
+    * reaches the compare. */
+  val streamDedupWatermarked: Q = (s, dir) => {
+    import org.apache.spark.sql.functions._
+    val ev = Tables(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+    val name = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val (tmp, schema) = spillEventIdBuckets(s, ev, nFiles = 4)
+    val src = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp.getPath + "/*.parquet")
+    // ts is bigint nanos (nanosAsLong); hour-truncate in exact integer
+    // arithmetic, then lift to TIMESTAMP for the watermark column
+    val dedup = src
+      .withColumn("hour_ts", expr("CAST(ts DIV 1000000000 DIV 3600 * 3600 AS TIMESTAMP)"))
+      .withWatermark("hour_ts", "1000 hours")
+      .dropDuplicates("user_id", "event_type", "hour_ts")
+    val q = dedup.writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      if (dataBatches < 2)
+        throw new IllegalStateException(
+          s"stream_dedup_watermarked requires >= 2 data micro-batches (cross-batch dedup state " +
+            s"is the path under test); saw $dataBatches")
+    } finally {
+      q.stop()
+      rmTree(tmp)
+    }
+    s.table(name)
+      .select(col("user_id"), col("event_type"), col("hour_ts").cast("long").as("hour_start"))
+      .orderBy("user_id", "event_type", "hour_start")
+  }
+
   val defs: Map[String, Q] = Map(
     "stream_group_scan_balance" -> streamGroupScanBalance,
     "stream_multibatch_balance" -> streamMultibatchBalance,
     "stream_incremental_totals" -> streamIncrementalTotals,
     "stream_windowed_counts" -> streamWindowedCounts,
-    "stream_dedup_docs" -> streamDedupDocs
+    "stream_dedup_docs" -> streamDedupDocs,
+    "stream_dedup_watermarked" -> streamDedupWatermarked
   )
 
   val oracles: Map[String, String] = Map(
@@ -320,6 +370,12 @@ object StreamingQueries {
     "stream_dedup_docs" ->
       """SELECT DISTINCT md5(lower(text)) AS content_hash,
         |  octet_length(encode(text)) AS n_bytes
-        |FROM documents ORDER BY content_hash""".stripMargin
+        |FROM documents ORDER BY content_hash""".stripMargin,
+    // watermark (1000 h) > data span (720 h) => no late drops: the
+    // emitted set is the exact batch DISTINCT of the dedup key
+    "stream_dedup_watermarked" ->
+      """SELECT DISTINCT user_id, event_type,
+        |  epoch_ns(ts) // 1000000000 // 3600 * 3600 AS hour_start
+        |FROM events ORDER BY user_id, event_type, hour_start""".stripMargin
   )
 }

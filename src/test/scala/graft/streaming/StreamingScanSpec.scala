@@ -58,6 +58,20 @@ class StreamingScanSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("stream_dedup_watermarked (multi-batch) == batch distinct of the dedup key") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dir = TestSpark.sfDir
+    val streamed = graft.queries.StreamingQueries.streamDedupWatermarked(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id"), col("event_type"),
+        expr("ts DIV 1000000000 DIV 3600 * 3600").as("hour_start"))
+      .distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed.nonEmpty && streamed == batch,
+      "watermarked streaming dedup must emit exactly the distinct key set")
+  }
+
   test("state threads across micro-batches") {
     val dir = java.nio.file.Files.createTempDirectory("stream-in").toString
     def write(batch: Seq[(Long, Long, Double)], name: String): Unit =
