@@ -333,5 +333,38 @@ object Dedup {
       .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("hs", "hs_b"), "id_b")
       .withColumn("jaccard", jaccard(col("hs_a"), col("hs_b")))
       .drop("hs_a", "hs_b")
+
+  /** CHUNK-level exact dedup — duplicate passages ACROSS documents that
+    * whole-document dedup can never see (boilerplate headers, license
+    * blocks, templated sections): normalize → overlapping word chunks
+    * ([[TextAnalysis.chunkWords]]) → md5 per chunk → duplicate groups.
+    * The RefinedWeb/CCNet-style sub-document pass that runs between
+    * exact and near dedup in a training-data pipeline.
+    *
+    * Returns one row per duplicated chunk content: its hash, the copy
+    * count, and the keeper (lexicographically smallest
+    * (doc, chunk_idx)). At 100 TB the shuffle carries ONLY
+    * (hash, doc_id, chunk_idx) — chunk text is dropped scan-side right
+    * after hashing, and the explode never materializes the corpus
+    * (chunks stream out of the scan). */
+  def chunkDedup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkSize: Int = 64,
+      overlap: Int = 8): DataFrame = {
+    val chunks = df.select(col(idCol).as("doc_id"),
+        posexplode(TextAnalysis.chunkWords(TextAnalysis.normalizeText(col(textCol)), chunkSize, overlap)))
+      .select(col("doc_id"), col("pos").as("chunk_idx"), md5(col("col")).as("chunk_md5"))
+    // groupBy (not a window): partial aggregation combines map-side, so
+    // the shuffle carries one (hash, count, min-struct) per distinct
+    // chunk per partition, not one row per chunk occurrence
+    chunks.groupBy("chunk_md5")
+      .agg(count(lit(1)).as("n_copies"),
+        min(struct(col("doc_id"), col("chunk_idx"))).as("keep"))
+      .filter(col("n_copies") >= 2)
+      .select(col("chunk_md5"), col("n_copies"),
+        col("keep.doc_id").as("keep_doc_id"), col("keep.chunk_idx").as("keep_chunk_idx"))
+  }
 }
 

@@ -352,6 +352,15 @@ object LlmQueries {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** Chunk-level exact dedup — duplicate passages across documents
+    * (whole-doc dedup can't see them). Same normalize+chunk parameters
+    * as `doc_chunks`, so the two queries compose into one pipeline. */
+  val dedupChunks: Q = (s, dir) => {
+    val d = Tables(s, dir, "documents")
+    Dedup.chunkDedup(d, "doc_id", "text", chunkSize = 64, overlap = 8)
+      .orderBy("chunk_md5")
+  }
+
   /** Connected components through the iterative min-label-propagation
     * operator — the transitive-closure step of dedup (pairs → clusters).
     * The edge set here is deterministic and engine-portable (consecutive
@@ -459,6 +468,7 @@ object LlmQueries {
     "dedup_components" -> dedupComponents,
     "dedup_groups_minhash" -> dedupGroupsMinhash,
     "doc_chunks" -> docChunks,
+    "dedup_chunks" -> dedupChunks,
     "pipeline_clean_corpus" -> pipelineCleanCorpus,
     "split_train_val" -> splitTrainVal,
     "sample_docs_per_lang" -> sampleDocsPerLang,
@@ -803,6 +813,25 @@ object LlmQueries {
         |  FROM w, unnest(range(0, greatest((len(words) - 8 - 1) // 56, 0) + 1)) AS t(i))
         |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx, chunk FROM c
         |ORDER BY doc_id, chunk_idx""".stripMargin,
+    // same chunking CTE as doc_chunks, then md5-group: keeper is the
+    // lexicographically smallest (doc_id, chunk_idx) — Spark's
+    // min(struct(..)) ordering
+    "dedup_chunks" ->
+      """WITH w AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[.,;:!?]', '', 'g'), ' +', ' ', 'g')), ' +') AS words
+        |  FROM documents),
+        |c AS (SELECT doc_id, i AS chunk_idx,
+        |    md5(array_to_string(words[i*56+1 : i*56+64], ' ')) AS chunk_md5
+        |  FROM w, unnest(range(0, greatest((len(words) - 8 - 1) // 56, 0) + 1)) AS t(i)),
+        |r AS (SELECT chunk_md5, doc_id, chunk_idx,
+        |    count(*) OVER (PARTITION BY chunk_md5) AS n_copies,
+        |    row_number() OVER (PARTITION BY chunk_md5 ORDER BY doc_id, chunk_idx) AS rn
+        |  FROM c)
+        |SELECT chunk_md5, CAST(n_copies AS BIGINT) AS n_copies,
+        |  keep_doc_id, CAST(keep_chunk_idx AS INT) AS keep_chunk_idx
+        |FROM (SELECT chunk_md5, n_copies, doc_id AS keep_doc_id,
+        |        chunk_idx AS keep_chunk_idx FROM r WHERE rn = 1 AND n_copies >= 2)
+        |ORDER BY chunk_md5""".stripMargin,
     "pipeline_clean_corpus" ->
       """WITH q AS (
         |  SELECT doc_id, text, round(

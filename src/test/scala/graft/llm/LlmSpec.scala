@@ -21,6 +21,20 @@ class LlmSpec extends AnyFunSuite {
     ).toDF("doc_id", "text")
   }
 
+  test("chunk dedup finds a passage shared across documents, keeps smallest (doc, idx)") {
+    // 70 shared words guarantee one identical 64-word chunk at idx 0 in
+    // docs 10 and 11 (chunking: 64-word windows, stride 56)
+    val shared = (1 to 70).map(i => s"w$i").mkString(" ")
+    val chunky = Seq(
+      (10L, shared + " unique tail ten"),
+      (11L, shared + " different ending eleven"),
+      (12L, (1 to 70).map(i => s"z$i").mkString(" "))).toDF("doc_id", "text")
+    val got = Dedup.chunkDedup(chunky, "doc_id", "text")
+      .collect().map(r => (r.getAs[Long]("n_copies"), r.getAs[Long]("keep_doc_id"), r.getAs[Int]("keep_chunk_idx")))
+    assert(got.length == 1, s"exactly one duplicated chunk expected: ${got.toSeq}")
+    assert(got.head == ((2L, 10L, 0)), s"keeper must be smallest (doc, idx): ${got.head}")
+  }
+
   test("exact dedup groups identical content, keeps min id") {
     val got = Dedup.exactDedup(docs, "doc_id", "text")
       .collect().map(r => (r.getAs[Long]("keep_id"), r.getAs[Long]("dup_count"))).toSet
