@@ -341,7 +341,28 @@ object RelationalQueries {
       .orderBy("o_orderkey")
   }
 
+  /** Sketch-accuracy audit: exact distinct users per event type next to
+    * Spark's HyperLogLog++ `approx_count_distinct` (rsd 5%), flagged
+    * when the sketch strays beyond 3×rsd. At 100 TB the exact distinct
+    * is the query you CAN'T afford (it shuffles every (type, user)
+    * pair) and the one-pass mergeable sketch is what runs — this query
+    * is the calibration harness a pipeline runs on a sample to trust
+    * the dial. The oracle pins the exact counts AND the flag (TRUE
+    * everywhere): an HLL regression past the bound fails the gate. */
+  val approxDistinctAudit: Q = (s, dir) => {
+    val ev = Tables(s, dir, "events")
+    ev.groupBy("event_type")
+      .agg(
+        countDistinct(col("user_id")).as("n_exact"),
+        approx_count_distinct(col("user_id"), 0.05).as("n_approx"))
+      .select(col("event_type"), col("n_exact"),
+        (abs(col("n_approx") - col("n_exact")).cast("double") / col("n_exact") <= 0.15)
+          .as("approx_ok"))
+      .orderBy("event_type")
+  }
+
   val defs: Map[String, Q] = Map(
+    "approx_distinct_audit" -> approxDistinctAudit,
     "q10_returned_items" -> q10ReturnedItems,
     "asof_large_order" -> asofLargeOrder,
     "asof_large_order_salted" -> asofLargeOrderSalted,
@@ -365,6 +386,13 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the exact side is replayed; the flag is pinned TRUE — a sketch
+    // regression past 3x its configured rsd fails the hash compare
+    "approx_distinct_audit" ->
+      """SELECT event_type,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+        |  TRUE AS approx_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "event_sessions" ->
       s"""WITH t AS (
          |  SELECT user_id, event_id, value, epoch_ns(ts) AS tns,
