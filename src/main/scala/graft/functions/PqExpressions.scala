@@ -74,6 +74,10 @@ case class PqEncodeExpr(child: Expression, codebook: Seq[Seq[Seq[Long]]])
   @transient private lazy val cb = PqCodebook.toArrays(codebook)
   private lazy val isFloat = VecRead.isFloatArray(child.dataType)
 
+  // the codebook literal is KBs — keep it out of explain/UI strings
+  override def toString: String =
+    s"pq_encode($child, codebook[${codebook.length}x${codebook.head.length}x${codebook.head.head.length}])"
+
   override protected def nullSafeEval(input: Any): Any = {
     val q = PqCodebook.quantize(input.asInstanceOf[ArrayData], isFloat)
     val nSub = cb.length
@@ -114,6 +118,10 @@ case class PqLutExpr(child: Expression, codebook: Seq[Seq[Seq[Long]]])
 
   @transient private lazy val cb = PqCodebook.toArrays(codebook)
   private lazy val isFloat = VecRead.isFloatArray(child.dataType)
+
+  // the codebook literal is KBs — keep it out of explain/UI strings
+  override def toString: String =
+    s"pq_lut($child, codebook[${codebook.length}x${codebook.head.length}x${codebook.head.head.length}])"
 
   override protected def nullSafeEval(input: Any): Any = {
     val q = PqCodebook.quantize(input.asInstanceOf[ArrayData], isFloat)
