@@ -361,8 +361,44 @@ object RelationalQueries {
       .orderBy("event_type")
   }
 
+  /** Pivot (long→wide): per-returnflag quantity totals spread across
+    * linestatus columns — one scan, partial agg map-side, exactly the
+    * conditional-aggregation plan the SQL replay states. Values are
+    * pinned (`Seq("F","O")`) so the plan never needs the extra
+    * distinct-values job Spark runs for an open pivot. */
+  val pivotReturns: Q = (s, dir) => {
+    val li = Tables(s, dir, "lineitem")
+    li.groupBy("l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(sum(col("l_quantity")))
+      .withColumnRenamed("F", "qty_f")
+      .withColumnRenamed("O", "qty_o")
+      .orderBy("l_returnflag")
+  }
+
+  /** Percentile-sketch audit, the quantile twin of
+    * [[approxDistinctAudit]]: exact `percentile` (engine-portable on
+    * integer-valued inputs) next to the GK-sketch `percentile_approx`,
+    * flagged at 5% relative deviation. At 100 TB the exact percentile's
+    * per-group value buffers are the unaffordable part and the
+    * mergeable sketch is what runs. */
+  val approxQuantileAudit: Q = (s, dir) => {
+    val li = Tables(s, dir, "lineitem").withColumn("q", col("l_quantity").cast("int"))
+    li.groupBy("l_returnflag")
+      .agg(
+        percentile(col("q"), lit(0.5)).as("p50_exact"),
+        percentile(col("q"), lit(0.95)).as("p95_exact"),
+        percentile_approx(col("q"), lit(0.5), lit(10000)).as("p50_approx"))
+      .select(col("l_returnflag"), col("p50_exact"), col("p95_exact"),
+        (abs(col("p50_approx") - col("p50_exact")) / col("p50_exact") <= 0.05)
+          .as("approx_ok"))
+      .orderBy("l_returnflag")
+  }
+
   val defs: Map[String, Q] = Map(
     "approx_distinct_audit" -> approxDistinctAudit,
+    "pivot_returns" -> pivotReturns,
+    "approx_quantile_audit" -> approxQuantileAudit,
     "q10_returned_items" -> q10ReturnedItems,
     "asof_large_order" -> asofLargeOrder,
     "asof_large_order_salted" -> asofLargeOrderSalted,
@@ -393,6 +429,20 @@ object RelationalQueries {
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
         |  TRUE AS approx_ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // l_quantity is integral 1..50: sums are exact doubles at any order
+    "pivot_returns" ->
+      """SELECT l_returnflag,
+        |  sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS qty_f,
+        |  sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS qty_o
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // exact percentiles on integer inputs are engine-portable (linear
+    // interpolation, validated on corpus_stats); the flag is pinned
+    "approx_quantile_audit" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(CAST(l_quantity AS INT), 0.5) AS p50_exact,
+        |  quantile_cont(CAST(l_quantity AS INT), 0.95) AS p95_exact,
+        |  TRUE AS approx_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "event_sessions" ->
       s"""WITH t AS (
          |  SELECT user_id, event_id, value, epoch_ns(ts) AS tns,

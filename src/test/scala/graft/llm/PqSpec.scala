@@ -71,6 +71,22 @@ class PqSpec extends AnyFunSuite {
     }
   }
 
+  test("measured recall on real embeddings beats random by an order of magnitude") {
+    // The fixture embeddings are near-orthogonal (max pairwise cosine
+    // ~0.5, no cluster structure) — the worst case for any vector
+    // quantizer, so recall here is a MEASURED floor, not a quality
+    // claim: PQ@20 vs exact top-5 was 0.40 when pinned (random pulls
+    // 20/499 ~ 0.04). On clusterable data (test above) PQ is exact.
+    val e = spark.read.parquet(s"${graft.TestSpark.sfDir}/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 10L)
+    val bf = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("corpus_id"))).toSet
+    val pq = Similarity.pqTopK(e, q, "vec_id", "embedding", k = 20)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("corpus_id"))).toSet
+    val recall = bf.intersect(pq).size.toDouble / bf.size
+    assert(recall >= 0.2, s"PQ@20 recall of exact top-5 fell below the measured floor: $recall")
+  }
+
   test("pqTopK ranks the planted nearest cluster first on separable data") {
     // 3 well-separated clusters of 8-dim vectors; query belongs to cluster A
     def jitter(base: Array[Float], id: Long): Seq[Float] =
