@@ -139,6 +139,38 @@ object RelationalQueries {
       .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("qty"))
       .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
 
+  /** CUBE: all four grouping sets in one pass (Spark expands to a
+    * single aggregation over the grouping-set union — no re-scan per
+    * set). Null ordering pinned NULLS FIRST on both engines, as in
+    * [[rollupReturns]]. */
+  val cubeReturns: Q = (s, dir) =>
+    Tables(s, dir, "lineitem")
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("qty"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  /** One-pass data profiling — the schema-health scan a pipeline runs
+    * BEFORE training ingestion: per profiled column, null count,
+    * exact distinct count, min/max, in ONE aggregation over ONE scan
+    * (melted to long form afterwards — the melt is on a 1-row frame).
+    * At 100 TB this shape matters: one pass, partial aggregation
+    * map-side, no per-column re-scan. */
+  val profileLineitem: Q = (s, dir) => {
+    val li = Tables(s, dir, "lineitem")
+    def p(c: String) = Seq(
+      sum(col(c).isNull.cast("long")).as(s"${c}_nulls"),
+      countDistinct(col(c)).as(s"${c}_distinct"),
+      min(col(c)).cast("double").as(s"${c}_min"),
+      max(col(c)).cast("double").as(s"${c}_max"))
+    val cols = Seq("l_quantity", "l_discount", "l_orderkey")
+    val one = li.agg(count(lit(1)).as("n_rows"), cols.flatMap(p): _*)
+    one.select(expr(
+      "stack(3, " + cols.map(c =>
+        s"'$c', ${c}_nulls, ${c}_distinct, ${c}_min, ${c}_max").mkString(", ") +
+      ") AS (column_name, n_nulls, n_distinct, min_val, max_val)"))
+      .orderBy("column_name")
+  }
+
   /** Gap-based sessionization — the events→sessions step of a behavior
     * or training-data pipeline: per user, a new session starts after a
     * >12 h silence (gaps-and-islands via lag + running sum of starts),
@@ -418,7 +450,9 @@ object RelationalQueries {
     "nations_with_customers" -> nationsWithCustomers,
     "rank_orders_per_cust" -> rankOrdersPerCust,
     "active_nation_keys" -> activeNationKeys,
-    "rollup_returns" -> rollupReturns
+    "rollup_returns" -> rollupReturns,
+    "cube_returns" -> cubeReturns,
+    "profile_lineitem" -> profileLineitem
   )
 
   val oracles: Map[String, String] = Map(
@@ -577,6 +611,31 @@ object RelationalQueries {
     "rollup_returns" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n, SUM(l_quantity) AS qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
-        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "cube_returns" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n, SUM(l_quantity) AS qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    // min/max of doubles and exact counts — engine-portable without casts
+    "profile_lineitem" ->
+      """SELECT column_name, n_nulls, n_distinct, min_val, max_val FROM (
+        |  SELECT 'l_quantity' AS column_name,
+        |    CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+        |    CAST(count(DISTINCT l_quantity) AS BIGINT) AS n_distinct,
+        |    CAST(min(l_quantity) AS DOUBLE) AS min_val, CAST(max(l_quantity) AS DOUBLE) AS max_val
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_discount',
+        |    CAST(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(count(DISTINCT l_discount) AS BIGINT),
+        |    CAST(min(l_discount) AS DOUBLE), CAST(max(l_discount) AS DOUBLE)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_orderkey',
+        |    CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(count(DISTINCT l_orderkey) AS BIGINT),
+        |    CAST(min(l_orderkey) AS DOUBLE), CAST(max(l_orderkey) AS DOUBLE)
+        |  FROM lineitem)
+        |ORDER BY column_name""".stripMargin
   )
 }
