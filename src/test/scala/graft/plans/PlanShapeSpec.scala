@@ -43,6 +43,38 @@ class PlanShapeSpec extends AnyFunSuite {
       s"unreferenced wide columns must not be read: $scan")
   }
 
+  test("ann_pq: codes/LUT are scan-side projections, top-k is the map-side-pruned pair") {
+    val df = graft.SparkEntry.queries("ann_pq")(spark, TestSpark.sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("pq_encode"), s"corpus codes must be computed scan-side:\n$plan")
+    assert(plan.contains("pq_lut"), s"query LUT must be computed scan-side:\n$plan")
+    // the broadcast side is the bounded query set — never a cartesian
+    assert(!plan.contains("CartesianProduct"), s"cartesian product:\n$plan")
+    // GroupTopK: heap-prune pass + bounded-shuffle finish (two MapPartitions)
+    assert("MapPartitions".r.findAllIn(plan).size >= 2,
+      s"expected the GroupTopK mapPartitions pair:\n$plan")
+  }
+
+  test("dedup_chunks: hash groupBy aggregates partially before its shuffle") {
+    val df = graft.SparkEntry.queries("dedup_chunks")(spark, TestSpark.sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // partial + final aggregate around the chunk_md5 exchange — the
+    // shuffle must carry per-partition partials, not every chunk row
+    val aggs = "Aggregate".r.findAllIn(plan).size
+    assert(aggs >= 2, s"expected partial+final aggregation:\n$plan")
+    val exchangeAt = plan.indexOf("Exchange hashpartitioning(chunk_md5")
+    assert(exchangeAt >= 0, s"expected one chunk_md5 exchange:\n$plan")
+    assert(plan.substring(exchangeAt).contains("Aggregate"),
+      s"a partial aggregate must sit below the chunk_md5 exchange:\n$plan")
+  }
+
+  test("profile_lineitem: one scan feeds all per-column profiles") {
+    val df = graft.SparkEntry.queries("profile_lineitem")(spark, TestSpark.sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(plan).size == 1,
+      s"profiling must not re-scan per column:\n$plan")
+  }
+
   test("flagship joins never degrade to cartesian/nested-loop products") {
     val names = Seq(
       "q5_region_revenue", "q3_top_orders", "q10_returned_items",
