@@ -68,7 +68,8 @@ object StreamingQueries {
   /** Fixture cache: the spill is a deterministic function of
     * (sf dir, nFiles, projected columns), and three catalog queries use
     * it (×2 bench reps) — cache the spilled directory per key instead of
-    * re-running the write job each time. Cached dirs live until JVM
+    * re-running the write job each time. The three call sites project
+    * the SAME column superset so one fixture serves them all. Cached dirs live until JVM
     * exit (shutdown hook); FileStreamSource re-reads them fresh per
     * query because every query starts a new (temp) checkpoint. */
   private val fixtureCache =
@@ -140,7 +141,8 @@ object StreamingQueries {
     * in the state store; each micro-batch shuffles only on user_id. */
   val streamMultibatchBalance: Q = (s, dir) => {
     import org.apache.spark.sql.functions._
-    val ev = Tables(s, dir, "events").select(col("user_id"), col("event_id"), col("value"))
+    val ev = Tables(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"), col("value"))
     val name = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val k = Kernel.Scan[Double](0.0, (acc, args) => {
       val x = args(0).asInstanceOf[Double]
@@ -184,7 +186,8 @@ object StreamingQueries {
     * user_id — the standard always-on dashboard-feed shape. */
   val streamIncrementalTotals: Q = (s, dir) => {
     import org.apache.spark.sql.functions._
-    val ev = Tables(s, dir, "events").select(col("user_id"), col("event_id"), col("value"))
+    val ev = Tables(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"), col("value"))
     val name = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val (tmp, schema) = spillEventIdBucketsCached(s, dir, ev, nFiles = 4)
     val src = s.readStream.schema(schema)
@@ -283,7 +286,7 @@ object StreamingQueries {
   val streamDedupWatermarked: Q = (s, dir) => {
     import org.apache.spark.sql.functions._
     val ev = Tables(s, dir, "events")
-      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"), col("value"))
     val name = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val (tmp, schema) = spillEventIdBucketsCached(s, dir, ev, nFiles = 4)
     val src = s.readStream.schema(schema)

@@ -71,6 +71,24 @@ class PqSpec extends AnyFunSuite {
     }
   }
 
+  test("error paths: ragged codebook and dim mismatch fail loudly, null vectors pass through") {
+    val ragged: Seq[Seq[Seq[Long]]] = Seq(Seq(Seq(0L, 0L), Seq(1000L)))
+    val df = Seq((1L, Seq(0.1f, 0.2f, 0.9f, 0.1f))).toDF("id", "vec")
+    val e1 = intercept[Exception] {
+      df.select(pqEncode(col("vec"), ragged)).collect()
+    }
+    assert(e1.getMessage.contains("rectangular"), s"got: ${e1.getMessage}")
+    val e2 = intercept[Exception] {
+      df.select(pqEncode(col("vec"), cb.map(_.map(_ ++ Seq(0L))))).collect()
+    }
+    assert(e2.getMessage.contains("codebook"), s"got: ${e2.getMessage}")
+    val withNull = Seq((1L, Some(Seq(0.1f, 0.2f, 0.9f, 0.1f))), (2L, None))
+      .toDF("id", "vec")
+      .select(col("id"), pqEncode(col("vec"), cb).as("codes"))
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(!withNull(1L) && withNull(2L), "null vector must yield null codes, not an error")
+  }
+
   test("measured recall on real embeddings beats random by an order of magnitude") {
     // The fixture embeddings are near-orthogonal (max pairwise cosine
     // ~0.5, no cluster structure) — the worst case for any vector
