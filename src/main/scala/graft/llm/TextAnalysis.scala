@@ -135,4 +135,39 @@ object TextAnalysis {
         greatest(floor((size(words) - overlap - 1) / lit(stride)).cast("int"), lit(0))),
       i => concat_ws(" ", slice(words, i * stride + 1, lit(chunkWords))))
   }
+
+  /** SEQUENCE PACKING — the pretraining prep step that concatenates
+    * documents in a fixed order and splits the token stream into
+    * `windowTokens`-sized context windows: each doc is assigned the
+    * pack its FIRST token lands in (greedy concat-and-split). The
+    * assignment is a function of the global running token count —
+    * inherently sequential — and runs through the plumba PARALLEL
+    * two-pass prefix scan ([[graft.plumba.CollectOps.collectScan]]
+    * with the associative sum merge law): per-partition token subtotals,
+    * a tiny seed exchange, then a parallel per-partition re-scan. No
+    * single-partition WindowExec exists in the plan — the usual
+    * `sum() OVER (ORDER BY ...)` formulation of packing collapses the
+    * whole corpus into one task at 100 TB.
+    *
+    * Returns (doc_id, n_tokens, pack_id), doc_id-ordered. */
+  def packSequences(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowTokens: Int = 2048): DataFrame = {
+    require(windowTokens > 0, "windowTokens must be positive")
+    val t = df.select(col(idCol).as("doc_id"),
+      tokenCountWs(col(textCol)).cast("long").as("n_tokens"))
+    val add = (a: Long, b: Long) => a + b
+    // n_tokens rides along as a (no-op) secondary order column: doc_id
+    // is unique, so the order is unchanged, and collectScan keeps order
+    // columns in its output while consuming value columns
+    graft.plumba.CollectOps.collectScan(
+        t, Seq("n_tokens"), Seq("doc_id", "n_tokens"),
+        graft.plumba.Kernel.Scan.of1[Long, Long](0L,
+          merge = Some(graft.plumba.Kernel.Merge(0L, add)))(add),
+        org.apache.spark.sql.types.LongType, "cum_tokens")
+      .select(col("doc_id"), col("n_tokens"),
+        expr(s"CAST((cum_tokens - n_tokens) DIV $windowTokens AS BIGINT)").as("pack_id"))
+  }
 }

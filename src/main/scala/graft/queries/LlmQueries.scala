@@ -352,6 +352,13 @@ object LlmQueries {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** Sequence packing: per-doc pack assignment for 2048-token context
+    * windows via the parallel prefix scan — see
+    * [[TextAnalysis.packSequences]]. */
+  val packSequences: Q = (s, dir) =>
+    TextAnalysis.packSequences(Tables(s, dir, "documents"), "doc_id", "text", 2048)
+      .orderBy("doc_id")
+
   /** Chunk-level exact dedup — duplicate passages across documents
     * (whole-doc dedup can't see them). Same normalize+chunk parameters
     * as `doc_chunks`, so the two queries compose into one pipeline. */
@@ -469,6 +476,7 @@ object LlmQueries {
     "dedup_groups_minhash" -> dedupGroupsMinhash,
     "doc_chunks" -> docChunks,
     "dedup_chunks" -> dedupChunks,
+    "pack_sequences" -> packSequences,
     "pipeline_clean_corpus" -> pipelineCleanCorpus,
     "split_train_val" -> splitTrainVal,
     "sample_docs_per_lang" -> sampleDocsPerLang,
@@ -813,6 +821,17 @@ object LlmQueries {
         |  FROM w, unnest(range(0, greatest((len(words) - 8 - 1) // 56, 0) + 1)) AS t(i))
         |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx, chunk FROM c
         |ORDER BY doc_id, chunk_idx""".stripMargin,
+    // the packing assignment is pure integer arithmetic over the
+    // doc_id-ordered running token count (window sum replay)
+    "pack_sequences" ->
+      """WITH t AS (SELECT doc_id,
+        |    len(regexp_split_to_array(text, ' +')) AS n_tokens FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |    sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_id
+        |FROM c ORDER BY doc_id""".stripMargin,
     // same chunking CTE as doc_chunks, then md5-group: keeper is the
     // lexicographically smallest (doc_id, chunk_idx) — Spark's
     // min(struct(..)) ordering

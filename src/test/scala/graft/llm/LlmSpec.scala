@@ -21,6 +21,17 @@ class LlmSpec extends AnyFunSuite {
     ).toDF("doc_id", "text")
   }
 
+  test("sequence packing assigns each doc the pack of its first token") {
+    // token counts 3,4,2,5 with window 6: starts 0,3,7,9 -> packs 0,0,1,1
+    val docs4 = Seq(
+      (1L, "a b c"), (2L, "d e f g"), (3L, "h i"), (4L, "j k l m n")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.packSequences(docs4, "doc_id", "text", windowTokens = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList.sorted
+    assert(got == List((1L, 3L, 0L), (2L, 4L, 0L), (3L, 2L, 1L), (4L, 5L, 1L)),
+      s"greedy concat-and-split assignment diverged: $got")
+  }
+
   test("chunk dedup finds a passage shared across documents, keeps smallest (doc, idx)") {
     // 70 shared words guarantee one identical 64-word chunk at idx 0 in
     // docs 10 and 11 (chunking: 64-word windows, stride 56)
