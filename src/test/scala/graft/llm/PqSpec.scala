@@ -71,6 +71,36 @@ class PqSpec extends AnyFunSuite {
     }
   }
 
+  test("property: codes and ADC match the in-memory reference on random vectors/codebooks") {
+    import org.scalacheck.{Gen, Prop}
+    val genCell = Gen.chooseNum(-900L, 900L)
+    // 2 subspaces x 3 dims, 3 centroids; vectors as floats in [-0.9, 0.9]
+    val genCodebook = Gen.listOfN(2, Gen.listOfN(3, Gen.listOfN(3, genCell)))
+      .map(_.map(_.map(_.toSeq).toSeq).toSeq)
+    val genVec = Gen.listOfN(6, Gen.chooseNum(-900, 900).map(_ / 1000.0f)).map(_.toSeq)
+    val prop = Prop.forAll(genCodebook, genVec, genVec) { (cbR, v, qv) =>
+      val df = Seq((1L, v)).toDF("id", "vec")
+      val codes = df.select(pqEncode(col("vec"), cbR)).head.getSeq[Int](0)
+      val lut = Seq((1L, qv)).toDF("id", "vec")
+        .select(pqLut(col("vec"), cbR)).head
+        .getSeq[scala.collection.Seq[Long]](0)
+      val adc = df.crossJoin(Seq((1L, qv)).toDF("qid", "qvec")
+          .select(pqLut(col("qvec"), cbR).as("lut")))
+        .select(pqAdc(pqEncode(col("vec"), cbR), col("lut"))).head.getLong(0)
+      val expCodes = refCodes(v, cbR)
+      val q = quant(qv)
+      val expAdc = expCodes.zipWithIndex.map { case (c, m) =>
+        cbR(m)(c).indices.map { j =>
+          val d = q(m * 3 + j) - cbR(m)(c)(j); d * d
+        }.sum
+      }.sum
+      codes == expCodes && adc == expAdc && lut.length == 2 && lut.forall(_.length == 3)
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("error paths: ragged codebook and dim mismatch fail loudly, null vectors pass through") {
     val ragged: Seq[Seq[Seq[Long]]] = Seq(Seq(Seq(0L, 0L), Seq(1000L)))
     val df = Seq((1L, Seq(0.1f, 0.2f, 0.9f, 0.1f))).toDF("id", "vec")
