@@ -61,16 +61,26 @@ object Bench {
     // full precision. build.sbt suppresses sbt's trailing "[success]"
     // line so nothing prints after this.
     def short(v: Double): String = {
-      val s = f"$v%.2f".reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
+      // Locale.ROOT pins '.' as the decimal separator — f"$v%.2f" under a
+      // comma-decimal default locale would emit invalid JSON.
+      val s = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+        .reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
       if (s.isEmpty || s == "-") "0" else s
     }
     val budget = 1600
     val bySlowest = results.toSeq.sortBy(-_._2)
     val included = scala.collection.mutable.ListBuffer.empty[(String, Double)]
     var used = 0
-    bySlowest.foreach { case (k, v) =>
+    // Stop at the FIRST entry that doesn't fit: the included set must be a
+    // strict slowest-prefix, so "everything omitted is faster than
+    // everything included" holds even when a long name breaks the budget.
+    val it = bySlowest.iterator
+    var fits = true
+    while (fits && it.hasNext) {
+      val (k, v) = it.next()
       val cost = k.length + short(v).length + 4 // "k":v,
       if (used + cost <= budget) { included += ((k, v)); used += cost }
+      else fits = false
     }
     val qsShort = included.sortBy(_._1)
       .map { case (k, v) => s""""$k":${short(v)}""" }.mkString("{", ",", "}")

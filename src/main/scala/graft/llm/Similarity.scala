@@ -261,8 +261,12 @@ object Similarity {
       .orderBy(col("h"), col("cid")).limit(nCent)
       .select("cvec").collect()
     require(centRows.length == nCent, s"corpus smaller than nCent=$nCent")
+    // Quantize driver-side with the same Float-vs-Double branch as
+    // VecRead: PqEncodeExpr/PqLutExpr accept either element type, so the
+    // codebook collection must too (getSeq[Float] on a double array
+    // would throw ClassCastException only at runtime).
     val centVecs: Seq[Seq[Long]] = centRows.toSeq.map(
-      _.getSeq[Float](0).map(x => math.floor(x.toDouble * 1000.0).toLong))
+      _.getSeq[Number](0).map(x => math.floor(x.doubleValue() * 1000.0).toLong))
     val dim = centVecs.head.length
     require(dim % nSub == 0, s"dim $dim not divisible by nSub=$nSub")
     val subDim = dim / nSub

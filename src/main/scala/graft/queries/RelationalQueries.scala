@@ -275,16 +275,28 @@ object RelationalQueries {
     new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
 
   val bucketedJoinRevenue: Q = (s, dir) => {
-    val (liTable, oTable) = bucketedTables.computeIfAbsent(dir, { _ =>
-      val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
-      val tmp = java.nio.file.Files.createTempDirectory("graft_bkt_").toString
-      Tables(s, dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
-        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-        .option("path", s"$tmp/li").mode("overwrite").saveAsTable(s"graft_li_b_$tag")
-      Tables(s, dir, "orders").select("o_orderkey", "o_orderdate")
-        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-        .option("path", s"$tmp/o").mode("overwrite").saveAsTable(s"graft_o_b_$tag")
-      (s"graft_li_b_$tag", s"graft_o_b_$tag")
+    // compute() (not computeIfAbsent) so a cached entry whose tables were
+    // registered in a DIFFERENT SparkSession's catalog (same JVM, new
+    // session) is detected via tableExists and rebuilt instead of thrown.
+    val (liTable, oTable) = bucketedTables.compute(dir, { (_, cached) =>
+      if (cached != null && s.catalog.tableExists(cached._1) &&
+          s.catalog.tableExists(cached._2)) cached
+      else {
+        val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+        val tmp = java.nio.file.Files.createTempDirectory("graft_bkt_")
+        sys.addShutdownHook { // temp bucket dirs must not leak across runs
+          import scala.jdk.CollectionConverters._
+          val files = java.nio.file.Files.walk(tmp).iterator().asScala.toSeq
+          files.sortBy(-_.getNameCount).foreach(p => p.toFile.delete())
+        }
+        Tables(s, dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
+          .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .option("path", s"$tmp/li").mode("overwrite").saveAsTable(s"graft_li_b_$tag")
+        Tables(s, dir, "orders").select("o_orderkey", "o_orderdate")
+          .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .option("path", s"$tmp/o").mode("overwrite").saveAsTable(s"graft_o_b_$tag")
+        (s"graft_li_b_$tag", s"graft_o_b_$tag")
+      }
     })
     s.table(liTable)
       .join(s.table(oTable).hint("merge"),

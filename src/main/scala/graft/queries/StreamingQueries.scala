@@ -27,11 +27,18 @@ object StreamingQueries {
     * partition-count-independent for every catalog stream (per-key
     * emissions, shared-column projections, watermark-closed windows) —
     * the oracles pin that. */
-  private def withStatePartitions[T](s: SparkSession, n: Int)(f: => T): T = {
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", n.toString)
-    try f finally s.conf.set("spark.sql.shuffle.partitions", prev)
-  }
+  /** The set/run/restore round-trip mutates SESSION-GLOBAL conf, so two
+    * concurrent callers on one session would race and leak the wrong
+    * value on restore — a JVM-global lock serializes the streaming
+    * catalog queries (they are seconds-long and few; Verify/Bench run
+    * them sequentially anyway, the lock only protects parallel tests). */
+  private val statePartitionsLock = new Object
+  private def withStatePartitions[T](s: SparkSession, n: Int)(f: => T): T =
+    statePartitionsLock.synchronized {
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", n.toString)
+      try f finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    }
 
   /** Per-user balance scan over the events table consumed AS A STREAM:
     * [[graft.streaming.StreamingScan.groupScanStream]] threads the
