@@ -99,6 +99,33 @@ object LlmQueries {
       .orderBy("len_bucket")
   }
 
+  /** EQUAL-FREQUENCY (quartile) bucketing of the corpus by length —
+    * the data-dependent twin of [[tokenLengthHistogram]]'s fixed
+    * ranges, used to stratify a corpus before sampling or curriculum
+    * ordering. Boundaries are EXACT discrete quartiles of n_chars from
+    * [[graft.operators.HistogramQuantile]]: the only shuffle the
+    * boundary pass adds carries the value histogram (≤ distinct
+    * lengths rows), never the corpus — where `ntile()` would need a
+    * global sort of 100 TB. Assignment is a narrow map under a 1-ROW
+    * broadcast (the plan's BroadcastNestedLoopJoin is that bounded
+    * crossJoin, not an unbounded fan-out); every output is
+    * integer-exact. */
+  val quantileBucketsDocs: Q = (s, dir) => {
+    val d = Tables(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+    val b = graft.operators.HistogramQuantile.boundaries(
+        d, Nil, "n_chars", Seq(("q1", 0.25), ("q2", 0.5), ("q3", 0.75)))
+      .select("q1", "q2", "q3")
+    val n = col("n_chars")
+    d.crossJoin(broadcast(b))
+      .withColumn("len_quartile",
+        when(n <= col("q1"), 0L).when(n <= col("q2"), 1L)
+          .when(n <= col("q3"), 2L).otherwise(3L))
+      .groupBy("len_quartile")
+      .agg(count(lit(1)).as("n_docs"), min(n).as("min_chars"),
+        max(n).as("max_chars"), sum(n).as("total_chars"))
+      .orderBy("len_quartile")
+  }
+
   /** Gopher-style REPETITION quality signals — the filter family that
     * catches boilerplate/spam surviving exact AND near dedup (the
     * repetition is WITHIN the document): per doc, the duplicate-trigram
@@ -454,6 +481,7 @@ object LlmQueries {
     "text_stats" -> textStats,
     "token_counts" -> tokenCounts,
     "token_length_histogram" -> tokenLengthHistogram,
+    "quantile_buckets_docs" -> quantileBucketsDocs,
     "corpus_stats" -> corpusStats,
     "top_tokens" -> topTokens,
     "quality_score" -> qualityScore,
@@ -726,6 +754,25 @@ object LlmQueries {
         |  ELSE 'e_513+' END AS len_bucket,
         |  count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS total_tokens
         |FROM t GROUP BY 1 ORDER BY len_bucket""".stripMargin,
+    // the discrete-quartile boundary (smallest v with cum >= q*n in
+    // exact integer space) replays verbatim over the value histogram
+    "quantile_buckets_docs" ->
+      """WITH h AS (SELECT CAST(n_chars AS BIGINT) AS v, count(*) AS c
+        |  FROM documents GROUP BY 1),
+        |cum AS (SELECT *,
+        |    sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm,
+        |    sum(c) OVER () AS n FROM h),
+        |b AS (SELECT
+        |    min(CASE WHEN cm * 1000000 >= n * 250000 THEN v END) AS q1,
+        |    min(CASE WHEN cm * 1000000 >= n * 500000 THEN v END) AS q2,
+        |    min(CASE WHEN cm * 1000000 >= n * 750000 THEN v END) AS q3
+        |  FROM cum)
+        |SELECT CAST(CASE WHEN n_chars <= q1 THEN 0 WHEN n_chars <= q2 THEN 1
+        |    WHEN n_chars <= q3 THEN 2 ELSE 3 END AS BIGINT) AS len_quartile,
+        |  count(*) AS n_docs, min(n_chars) AS min_chars,
+        |  max(n_chars) AS max_chars, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents, b
+        |GROUP BY 1 ORDER BY len_quartile""".stripMargin,
     "corpus_stats" ->
       """WITH t AS (SELECT lang, len(regexp_split_to_array(text, ' +')) AS n_tokens FROM documents)
         |SELECT lang, count(*) AS n_docs,

@@ -449,6 +449,78 @@ object RelationalQueries {
       .orderBy("l_returnflag")
   }
 
+  /** CDC-style KEEP-LATEST dedup: one current row per user from an
+    * append-only event log — the standard "compact the changelog"
+    * pipeline step. Runs through the map-side-pruned
+    * [[graft.operators.GroupTopK]] with k=1 (keep-latest is top-1 by
+    * version key), so the shuffle carries at most one candidate row per
+    * (user, input partition) instead of the whole log — at 100 TB the
+    * changelog is the big table and this is the difference between
+    * shuffling it and shuffling megabytes. */
+  val latestEventPerUser: Q = (s, dir) => {
+    val ev = Tables(s, dir, "events")
+      .select("user_id", "event_id", "event_type", "value")
+    graft.operators.GroupTopK.topK(ev, Seq("user_id"), Seq(("event_id", false)), 1)
+      .select(col("user_id"), col("event_id").as("last_event"),
+        col("event_type").as("last_type"), col("value").as("last_value"))
+      .orderBy("user_id")
+  }
+
+  /** INTERVAL-OVERLAP self-join ([[graft.operators.IntervalJoin]]):
+    * pairs of a customer's orders whose 30-day fulfillment windows
+    * overlap — "concurrent open orders". The overlap predicate becomes
+    * an equi-join on (o_custkey, time bucket) with exactly-once owner-
+    * bucket emission, so the plan is one hash shuffle per side, never a
+    * BroadcastNestedLoopJoin/cartesian. Endpoints are exact epoch
+    * seconds (dates at midnight), bucket width = the 30-day window —
+    * expansion factor ≤ 2 per row. */
+  val concurrentOrders: Q = (s, dir) => {
+    val winSec = 30L * 86400
+    // o_orderdate is TIMESTAMP_NTZ: lift through TIMESTAMP (session tz
+    // is pinned UTC) to exact epoch seconds, matching DuckDB's epoch_us
+    val o = Tables(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("timestamp").cast("long").as("lo"))
+      .withColumn("hi", col("lo") + winSec)
+    val a = o.select(col("o_custkey"), col("o_orderkey").as("order_a"),
+      col("lo").as("a_lo"), col("hi").as("a_hi"))
+    val b = o.select(col("o_custkey").as("b_cust"), col("o_orderkey").as("order_b"),
+      col("lo").as("b_lo"), col("hi").as("b_hi"))
+    graft.operators.IntervalJoin.overlapJoin(
+        a, b, "a_lo", "a_hi", "b_lo", "b_hi", bucketWidth = winSec,
+        equiKeys = Seq(("o_custkey", "b_cust")))
+      .filter(col("order_a") < col("order_b")) // one row per unordered pair
+      .select(col("o_custkey"), col("order_a"), col("order_b"),
+        ((least(col("a_hi"), col("b_hi")) - greatest(col("a_lo"), col("b_lo"))) / lit(86400L))
+          .cast("long").as("overlap_days"))
+      .orderBy("o_custkey", "order_a", "order_b")
+  }
+
+  /** WINSORIZATION (outlier clipping) with EXACT per-group percentile
+    * boundaries from [[graft.operators.HistogramQuantile]] — the
+    * quality-filtering step that caps extreme values before training
+    * statistics. No global sort and no interpolation: the boundary scan
+    * shuffles only the (flag, quantity) histogram (≤ 50 rows per
+    * group), the clip itself is a narrow map under a 3-row broadcast,
+    * and every output is integer-exact — sums stay order-independent
+    * where interpolated (float) boundaries would not. */
+  val winsorizedQuantity: Q = (s, dir) => {
+    val li = Tables(s, dir, "lineitem")
+    val bounds = graft.operators.HistogramQuantile.boundaries(
+        li, Seq("l_returnflag"), "l_quantity", Seq(("p05", 0.05), ("p95", 0.95)))
+      .select(col("l_returnflag").as("b_flag"), col("p05"), col("p95"))
+    val q = col("l_quantity").cast("long")
+    li.join(broadcast(bounds), col("l_returnflag") === col("b_flag"))
+      .groupBy("l_returnflag")
+      .agg(
+        min(col("p05")).as("p05"),
+        min(col("p95")).as("p95"),
+        sum(when(q < col("p05"), 1L).otherwise(0L)).as("n_low"),
+        sum(when(q > col("p95"), 1L).otherwise(0L)).as("n_high"),
+        sum(least(greatest(q, col("p05")), col("p95"))).as("sum_winsorized"))
+      .orderBy("l_returnflag")
+  }
+
   val defs: Map[String, Q] = Map(
     "approx_distinct_audit" -> approxDistinctAudit,
     "pivot_returns" -> pivotReturns,
@@ -474,10 +546,54 @@ object RelationalQueries {
     "active_nation_keys" -> activeNationKeys,
     "rollup_returns" -> rollupReturns,
     "cube_returns" -> cubeReturns,
-    "profile_lineitem" -> profileLineitem
+    "profile_lineitem" -> profileLineitem,
+    "latest_event_per_user" -> latestEventPerUser,
+    "concurrent_orders" -> concurrentOrders,
+    "winsorized_quantity" -> winsorizedQuantity
   )
 
   val oracles: Map[String, String] = Map(
+    // keep-latest is pure top-1-by-version: the window formulation
+    // replays it (GroupTopK changes the shuffle volume, never the rows)
+    "latest_event_per_user" ->
+      """SELECT user_id, event_id AS last_event, event_type AS last_type,
+        |  value AS last_value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY event_id DESC) AS rk FROM events)
+        |WHERE rk = 1 ORDER BY user_id""".stripMargin,
+    // bucketing + owner-bucket emission change the plan, never the pair
+    // set: the plain overlap self-join replays it in epoch seconds
+    "concurrent_orders" ->
+      """WITH iv AS (SELECT o_orderkey, o_custkey,
+        |    epoch_us(o_orderdate) // 1000000 AS lo,
+        |    epoch_us(o_orderdate) // 1000000 + 2592000 AS hi FROM orders)
+        |SELECT a.o_custkey AS o_custkey, a.o_orderkey AS order_a,
+        |  b.o_orderkey AS order_b,
+        |  (least(a.hi, b.hi) - greatest(a.lo, b.lo)) // 86400 AS overlap_days
+        |FROM iv a JOIN iv b ON a.o_custkey = b.o_custkey
+        |  AND a.o_orderkey < b.o_orderkey AND a.lo <= b.hi AND b.lo <= a.hi
+        |ORDER BY o_custkey, order_a, order_b""".stripMargin,
+    // the histogram-quantile boundary (smallest v with cum >= q*n,
+    // compared in exact integer space) replays verbatim; integer sums
+    // keep the clip order-independent
+    "winsorized_quantity" ->
+      """WITH h AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS v,
+        |    count(*) AS c FROM lineitem GROUP BY 1, 2),
+        |cum AS (SELECT *,
+        |    sum(c) OVER (PARTITION BY l_returnflag ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm,
+        |    sum(c) OVER (PARTITION BY l_returnflag) AS n FROM h),
+        |b AS (SELECT l_returnflag AS b_flag,
+        |    min(CASE WHEN cm * 1000000 >= n * 50000 THEN v END) AS p05,
+        |    min(CASE WHEN cm * 1000000 >= n * 950000 THEN v END) AS p95
+        |  FROM cum GROUP BY 1)
+        |SELECT l_returnflag, CAST(min(p05) AS BIGINT) AS p05,
+        |  CAST(min(p95) AS BIGINT) AS p95,
+        |  CAST(SUM(CASE WHEN CAST(l_quantity AS BIGINT) < p05 THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+        |  CAST(SUM(CASE WHEN CAST(l_quantity AS BIGINT) > p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+        |  CAST(SUM(least(greatest(CAST(l_quantity AS BIGINT), p05), p95)) AS BIGINT) AS sum_winsorized
+        |FROM lineitem JOIN b ON l_returnflag = b_flag
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // the exact side is replayed; the flag is pinned TRUE — a sketch
     // regression past 3x its configured rsd fails the hash compare
     "approx_distinct_audit" ->

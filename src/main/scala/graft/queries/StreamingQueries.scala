@@ -337,8 +337,69 @@ object StreamingQueries {
       .orderBy("user_id", "event_type", "hour_start")
   }
 
+  /** WATERMARKED STREAM-STREAM INNER JOIN through the oracle gate —
+    * the two-unbounded-sides join (clicks ⋈ errors within 1 hour per
+    * user) that no stream-static shape can express. Both sides read
+    * the SAME 4-file event_id-contiguous fixture as independent
+    * sources (`maxFilesPerTrigger=1` → four genuine micro-batches
+    * each), so matches genuinely cross batch boundaries through the
+    * join state store. The equi-key (user_id) partitions the state;
+    * the time-range condition (`e_ts ∈ [c_ts, c_ts + 1h]`) plus the
+    * 48-hour watermarks bound BOTH sides' state — each side evicts
+    * rows the watermark proves can no longer match, which is the only
+    * thing that makes a 100 TB/day stream-stream join runnable at all.
+    *
+    * The fixture's event time is monotone in event_id and files are
+    * event_id-contiguous, so no row is ever late and eviction never
+    * races arrival: the emitted match set equals the batch join —
+    * which is exactly what the oracle replays (in exact integer µs,
+    * the watermark column's resolution).
+    *
+    * Scale: state per side is the rows within the watermark horizon,
+    * hash-partitioned on user_id; each micro-batch shuffles only its
+    * own rows on the key. */
+  val streamJoinClicksErrors: Q = (s, dir) => withStatePartitions(s, 8) {
+    import org.apache.spark.sql.functions._
+    val ev = Tables(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"), col("value"))
+    val name = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val (tmp, schema) = spillEventIdBucketsCached(s, dir, ev, nFiles = 4)
+    def src() = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp.getPath + "/*.parquet")
+    // ts is bigint nanos: truncate to exact integer µs, lift to the
+    // TIMESTAMP event-time columns the watermark/join-condition need
+    val clicks = src().filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        expr("ts DIV 1000").as("c_us"))
+      .withColumn("c_ts", timestamp_micros(col("c_us")))
+      .withWatermark("c_ts", "48 hours")
+    val errors = src().filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("event_id").as("error_id"),
+        expr("ts DIV 1000").as("e_us"))
+      .withColumn("e_ts", timestamp_micros(col("e_us")))
+      .withWatermark("e_ts", "48 hours")
+    val joined = clicks.join(errors,
+      col("c_user") === col("e_user") &&
+        col("e_ts") >= col("c_ts") &&
+        col("e_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"))
+    val q = joined
+      .select(col("c_user").as("user_id"), col("click_id"), col("error_id"),
+        (col("e_us") - col("c_us")).as("lag_us"))
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      if (dataBatches < 2)
+        throw new IllegalStateException(
+          s"stream_join_clicks_errors requires >= 2 data micro-batches (cross-batch join state " +
+            s"is the path under test); saw $dataBatches")
+    } finally q.stop()
+    s.table(name).orderBy("user_id", "click_id", "error_id")
+  }
+
   val defs: Map[String, Q] = Map(
     "stream_group_scan_balance" -> streamGroupScanBalance,
+    "stream_join_clicks_errors" -> streamJoinClicksErrors,
     "stream_multibatch_balance" -> streamMultibatchBalance,
     "stream_incremental_totals" -> streamIncrementalTotals,
     "stream_windowed_counts" -> streamWindowedCounts,
@@ -347,6 +408,18 @@ object StreamingQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // no row is late in the event_id-ordered fixture, so the emitted
+    // stream-stream match set equals the batch join, replayed in the
+    // same exact integer µs the watermark columns use
+    "stream_join_clicks_errors" ->
+      """WITH c AS (SELECT user_id, event_id AS click_id,
+        |    epoch_ns(ts) // 1000 AS c_us FROM events WHERE event_type = 'click'),
+        |e AS (SELECT user_id AS e_user, event_id AS error_id,
+        |    epoch_ns(ts) // 1000 AS e_us FROM events WHERE event_type = 'error')
+        |SELECT user_id, click_id, error_id, e_us - c_us AS lag_us
+        |FROM c JOIN e ON user_id = e_user
+        |  AND e_us >= c_us AND e_us <= c_us + 3600000000
+        |ORDER BY user_id, click_id, error_id""".stripMargin,
     // same recursive-CTE replay as the batch balance scans, ordered by
     // event_id (the stream's delivery order)
     "stream_group_scan_balance" ->
