@@ -37,8 +37,22 @@ object HistogramQuantile {
       qs: Seq[(String, Double)]): DataFrame = {
     require(qs.nonEmpty, "at least one quantile is required")
     require(qs.forall { case (_, q) => q > 0.0 && q <= 1.0 }, "quantiles must be in (0, 1]")
+    // the threshold compare runs in exact integer space scaled by 1e6, so
+    // q must itself be a multiple of 1e-6 — reject e.g. 1.0/3 loudly
+    // instead of silently shifting the boundary by one value
+    require(qs.forall { case (_, q) => math.round(q * 1e6) / 1e6 == q },
+      s"quantiles must be multiples of 1e-6 (got ${qs.map(_._2).mkString(", ")})")
     val gcols = groupCols.map(col)
-    val v = col(valueCol).cast("long")
+    // Spark's long cast TRUNCATES fractional values while SQL engines'
+    // CAST rounds — a silent cross-engine divergence. The operator is
+    // defined on integral columns only, so fail loudly on anything else.
+    val raw = col(valueCol)
+    val v = {
+      val t = raw.cast("long")
+      when(t.cast("double") === raw.cast("double"), t).otherwise(raise_error(concat(
+        lit(s"HistogramQuantile: non-integral value in column '$valueCol': "),
+        raw.cast("string"))))
+    }
     val hist = df.filter(col(valueCol).isNotNull)
       .groupBy((gcols :+ v.as("__v")): _*).agg(count(lit(1)).as("__c"))
     val w = if (groupCols.isEmpty) Window.orderBy("__v")
@@ -49,10 +63,15 @@ object HistogramQuantile {
     val aggs = qs.map { case (name, q) =>
       // smallest value whose running count reaches q*n — since cum is an
       // integer, `cum >= q*n` IS `cum >= ceil(q*n)`. Evaluated in exact
-      // integer space as `cum * 1e6 >= n * round(q*1e6)`, so q must be a
-      // multiple of 1e-6 (round, not ceil: 0.05*1e6 lands a hair ABOVE
-      // 50000 in float and ceil would shift the threshold off by one).
-      min(when(col("__cum") * lit(1000000L) >= col("__n") * lit(math.round(q * 1e6)), col("__v")))
+      // integer space as `cum * 1e6 >= n * round(q*1e6)` (round, not
+      // ceil: 0.05*1e6 lands a hair ABOVE 50000 in float and ceil would
+      // shift the threshold off by one). Both sides multiply in DECIMAL
+      // so groups beyond ~9.2e12 rows (Long.MaxValue / 1e6) cannot
+      // overflow the long product at 100 TB scale.
+      min(when(
+          col("__cum").cast("decimal(20,0)") * lit(1000000L) >=
+            col("__n").cast("decimal(20,0)") * lit(math.round(q * 1e6)),
+          col("__v")))
         .as(name)
     } :+ max(col("__n")).as("n_rows")
     if (groupCols.isEmpty) cum.agg(aggs.head, aggs.tail: _*)

@@ -60,17 +60,24 @@ object IntervalJoin {
       bucketWidth: Long,
       equiKeys: Seq[(String, String)] = Nil): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
-    val l = left.withColumn("__ib",
-      explode(sequence(floorDiv(col(loL), bucketWidth), floorDiv(col(hiL), bucketWidth))))
-    val r = right.withColumn("__ib",
-      explode(sequence(floorDiv(col(loR), bucketWidth), floorDiv(col(hiR), bucketWidth))))
-    val cond = equiKeys.foldLeft(l("__ib") === r("__ib")) {
+    // The lo-endpoint bucket (`__blo`) is computed ONCE per input row and
+    // carried through the explode + join: floor is monotonic, so the
+    // owner bucket floor(max(loL, loR)/w) IS max(floor(loL/w),
+    // floor(loR/w)) — the post-join exactly-once filter is then a pure
+    // long `greatest`, never a per-output-row decimal re-division.
+    val l = left
+      .withColumn("__lblo", floorDiv(col(loL), bucketWidth))
+      .withColumn("__ib", explode(sequence(col("__lblo"), floorDiv(col(hiL), bucketWidth))))
+    val r = right
+      .withColumn("__rblo", floorDiv(col(loR), bucketWidth))
+      .withColumn("__rib", explode(sequence(col("__rblo"), floorDiv(col(hiR), bucketWidth))))
+    val cond = equiKeys.foldLeft(l("__ib") === r("__rib")) {
       case (c, (lk, rk)) => c && l(lk) === r(rk)
     }
     l.join(r, cond)
       .filter(col(loL) <= col(hiR) && col(loR) <= col(hiL))
       // owner bucket: the intersection's first bucket claims the pair
-      .filter(l("__ib") === floorDiv(greatest(col(loL), col(loR)), bucketWidth))
-      .drop("__ib")
+      .filter(col("__ib") === greatest(col("__lblo"), col("__rblo")))
+      .drop("__ib", "__rib", "__lblo", "__rblo")
   }
 }

@@ -274,6 +274,29 @@ object RelationalQueries {
   private val bucketedTables =
     new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
 
+  /** Temp bucket dirs awaiting JVM-exit cleanup. ONE shutdown hook
+    * drains the whole list (registered lazily on first use) — a hook
+    * per rebuild would pile up, and a dir already removed by the OS
+    * must not make the hook throw at shutdown. */
+  private val bucketTmpDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  private lazy val bucketCleanupHook: Unit = {
+    sys.addShutdownHook {
+      import scala.jdk.CollectionConverters._
+      bucketTmpDirs.asScala.foreach { tmp =>
+        try {
+          if (java.nio.file.Files.exists(tmp)) {
+            val walk = java.nio.file.Files.walk(tmp)
+            try walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+              .foreach(p => p.toFile.delete())
+            finally walk.close()
+          }
+        } catch { case _: java.io.IOException => () }
+      }
+    }
+    ()
+  }
+
   val bucketedJoinRevenue: Q = (s, dir) => {
     // compute() (not computeIfAbsent) so a cached entry whose tables were
     // registered in a DIFFERENT SparkSession's catalog (same JVM, new
@@ -284,11 +307,8 @@ object RelationalQueries {
       else {
         val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
         val tmp = java.nio.file.Files.createTempDirectory("graft_bkt_")
-        sys.addShutdownHook { // temp bucket dirs must not leak across runs
-          import scala.jdk.CollectionConverters._
-          val files = java.nio.file.Files.walk(tmp).iterator().asScala.toSeq
-          files.sortBy(-_.getNameCount).foreach(p => p.toFile.delete())
-        }
+        bucketCleanupHook // register the single drain hook (idempotent)
+        bucketTmpDirs.add(tmp) // temp bucket dirs must not leak across runs
         Tables(s, dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
           .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
           .option("path", s"$tmp/li").mode("overwrite").saveAsTable(s"graft_li_b_$tag")
