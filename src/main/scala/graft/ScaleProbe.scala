@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** 10× SCALE PROBE — turns the 100 TB story from "the plan looks right"
+  * into "the plan demonstrably scales": synthesizes a deterministic
+  * 10×-sf0.1 dataset and times the flagship operators at both scales.
+  * Near-linear behavior (t_10x / t_base ≲ ~12, output rows ×10) is the
+  * acceptance bar recorded in SCALE.md.
+  *
+  * Synthesis is REPLICATION WITH DECORRELATION, not naive duplication:
+  *  - `orders` / `lineitem`: each copy `i` offsets every key
+  *    (orderkey, custkey) by `i · 2^32`, so per-customer structure —
+  *    order counts, date patterns, skew shape — is preserved exactly
+  *    while the copies never join each other. Group-key cardinality
+  *    grows 10×; rows per group stay constant, exactly how a bigger
+  *    tenant population scales.
+  *  - `documents`: `doc_id` offsets PLUS a per-copy character rotation
+  *    of the text (a bijection on the alphabet): intra-copy shingle
+  *    Jaccard is preserved bit-for-bit (planted near-dup structure
+  *    survives), while cross-copy shingle overlap drops to ~0. Naive
+  *    text duplication would instead make every doc a 10-way near-dup
+  *    cluster — candidate pairs ×45, measuring output explosion (an
+  *    analytic property) rather than scan/shuffle scaling (the plan
+  *    property under test). Char rotation preserves string length, so
+  *    `n_chars` stays valid.
+  *
+  * Usage: `sbt "runMain graft.ScaleProbe [baseDir] [copies]"` with
+  * SPARK_GRAFT_CPUS (default 32). Prints one `SCALE\t...` TSV line per
+  * query: name, base seconds, 10× seconds, ratio, base rows, 10× rows.
+  * Timing mirrors Bench: noop sink (all output columns computed),
+  * min of SPARK_GRAFT_BENCH_REPS (default 2) warm reps.
+  */
+object ScaleProbe {
+
+  /** Flagship operators probed at both scales — the operators whose
+    * 100 TB claims rest on partitioning/shuffle shape (VERDICT r7 §1). */
+  val flagship: Seq[String] = Seq(
+    "scan_running_max",
+    "group_scan_cummax_salted",
+    "topk_orders_per_cust",
+    "asof_large_order_salted",
+    "concurrent_orders",
+    "winsorized_quantity",
+    "dedup_minhash",
+    "pack_sequences")
+
+  private def rot(s: String, k: Int): String = s.drop(k % s.length) + s.take(k % s.length)
+
+  /** Per-copy text decorrelation: rotate vowels by i%5 and 'bcdf' by
+    * i/5 — 10 distinct alphabet bijections, copy 0 the identity. */
+  private def remap(text: org.apache.spark.sql.Column, i: Int): org.apache.spark.sql.Column =
+    if (i == 0) text
+    else translate(text, "aeioubcdf", rot("aeiou", i % 5) + rot("bcdf", i / 5))
+
+  /** Key offset per copy: 2^32 keeps every offset key far from every
+    * base key (base keys < 2^31) and far from Long overflow. */
+  private val KeyOff = 1L << 32
+
+  def synthesize(s: SparkSession, baseDir: String, outDir: String, copies: Int): Unit = {
+    def tenfold(name: String, f: (DataFrame, Int) => DataFrame): Unit = {
+      val base = s.read.parquet(s"$baseDir/$name.parquet")
+      val all = (0 until copies).map(i => f(base, i)).reduce(_ unionAll _)
+      // 32 output files per table so the 10× scan parallelizes like the
+      // driver-written base layout does
+      all.repartition(32).write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+    }
+    tenfold("orders", (df, i) => df
+      .withColumn("o_orderkey", col("o_orderkey") + lit(i * KeyOff))
+      .withColumn("o_custkey", col("o_custkey") + lit(i * KeyOff)))
+    tenfold("lineitem", (df, i) => df
+      .withColumn("l_orderkey", col("l_orderkey") + lit(i * KeyOff)))
+    tenfold("documents", (df, i) => df
+      .withColumn("doc_id", col("doc_id") + lit(i * KeyOff))
+      .withColumn("text", remap(col("text"), i)))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val copies = args.lift(1).map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val probeDir = java.nio.file.Files.createTempDirectory("graft_scale_").toString
+    val t0 = System.nanoTime()
+    synthesize(spark, baseDir, probeDir, copies)
+    println(f"SCALE_SYNTH\t${(System.nanoTime() - t0) / 1e9}%.1f s -> $probeDir")
+
+    def minTime(fn: (SparkSession, String) => DataFrame, dir: String): Double =
+      (1 to math.max(1, reps)).map { _ =>
+        val t = System.nanoTime()
+        fn(spark, dir).write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t) / 1e9
+      }.min
+
+    // session warmup (codegen, parquet footers) as in Bench
+    spark.range(1000).selectExpr("sum(id)").collect()
+    println("query\tt_base_s\tt_10x_s\tratio\trows_base\trows_10x")
+    flagship.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      val tb = minTime(fn, baseDir)
+      val tx = minTime(fn, probeDir)
+      val rb = fn(spark, baseDir).count()
+      val rx = fn(spark, probeDir).count()
+      println(f"SCALE\t$name\t$tb%.2f\t$tx%.2f\t${tx / tb}%.1f\t$rb\t$rx")
+    }
+
+    // best-effort probe-dir cleanup (tmp dir; OS clears stragglers)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(probeDir))
+    spark.stop()
+  }
+}

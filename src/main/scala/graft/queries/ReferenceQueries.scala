@@ -356,7 +356,33 @@ object ReferenceQueries {
       .orderBy("o_custkey")
   }
 
+  /** Per-customer MAX GAP between consecutive orders through the
+    * RANGE-SALTED mergeable group fold — the Datetime/Duration kernel
+    * type surface (reference src/polars_numba/__init__.py:408–424;
+    * date data in examples_fold.py:17) exercised END-TO-END, not just
+    * unit-tested: the fold's value column is TimestampType (the kernel
+    * receives java.sql.Timestamp), the accumulator carries a
+    * java.time.Duration ([[graft.plumba.TimeGap]]), the fold result is
+    * a DayTimeIntervalType column, and the gate output converts it
+    * exactly (interval→bigint = whole seconds; date-granular gaps are
+    * second-exact). Oracle: per-customer max of lag-gaps in epoch
+    * seconds. */
+  val orderGapPerCust: Q = (s, dir) => {
+    val o = Tables(s, dir, "orders")
+      .withColumn("o_ts", col("o_orderdate").cast("timestamp"))
+    graft.plumba.GroupOps.groupFoldMergeable(
+        o, Seq("o_custkey"), Seq("o_ts"), Seq("o_ts", "o_orderkey"),
+        graft.plumba.TimeGap.kernel, DayTimeIntervalType(), "max_gap",
+        buckets = 8, emit = graft.plumba.TimeGap.emit)
+      .filter(col("max_gap").isNotNull) // customers with <2 orders: no gap
+      .select(col("o_custkey"),
+        col("max_gap").cast("bigint").as("max_gap_sec"),
+        expr("CAST(max_gap AS BIGINT) div 86400").as("max_gap_days"))
+      .orderBy("o_custkey")
+  }
+
   val defs: Map[String, Q] = Map(
+    "order_gap_per_cust" -> orderGapPerCust,
     "scan_running_max_par" -> scanRunningMaxParallel,
     "group_fold_streak_per_cust" -> groupFoldStreakPerCust,
     "group_fold_product" -> groupFoldProduct,
@@ -396,6 +422,17 @@ object ReferenceQueries {
       |SELECT user_id, acc AS balance FROM r WHERE i = len(vals) + 1 ORDER BY user_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the salted Duration fold is a max over consecutive-order gaps; the
+    // lag-window replay is exact in epoch seconds (dates at midnight)
+    "order_gap_per_cust" ->
+      """WITH g AS (SELECT o_custkey,
+        |    (epoch_us(o_orderdate) - lag(epoch_us(o_orderdate)) OVER
+        |      (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)) // 1000000 AS gap_sec
+        |  FROM orders)
+        |SELECT o_custkey, CAST(max(gap_sec) AS BIGINT) AS max_gap_sec,
+        |  CAST(max(gap_sec) // 86400 AS BIGINT) AS max_gap_days
+        |FROM g WHERE gap_sec IS NOT NULL
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     "scan_running_max_par" ->
       """SELECT o_orderkey,
         |  MAX(o_totalprice) OVER (ORDER BY o_orderdate, o_orderkey
