@@ -48,11 +48,17 @@ object ScaleProbe {
 
   private def rot(s: String, k: Int): String = s.drop(k % s.length) + s.take(k % s.length)
 
-  /** Per-copy text decorrelation: rotate vowels by i%5 and 'bcdf' by
-    * i/5 — 10 distinct alphabet bijections, copy 0 the identity. */
+  /** Per-copy text decorrelation: independent rotations of three
+    * disjoint alphabet classes — 5 × 10 × 10 = 500 distinct bijections
+    * (copy 0 the identity), so up to 500 copies never share a
+    * transform. (The first revision rotated only two classes = 20
+    * transforms; at 100 copies the collisions made every doc a 5-way
+    * exact duplicate and the minhash "scaling" measured output
+    * explosion — 1.15M pairs — instead of corpus growth.) */
   private def remap(text: org.apache.spark.sql.Column, i: Int): org.apache.spark.sql.Column =
     if (i == 0) text
-    else translate(text, "aeioubcdf", rot("aeiou", i % 5) + rot("bcdf", i / 5))
+    else translate(text, "aeioubcdfghjklmnpqrstvwxz",
+      rot("aeiou", i % 5) + rot("bcdfghjklm", (i / 5) % 10) + rot("npqrstvwxz", (i / 50) % 10))
 
   /** Key offset per copy: 2^32 keeps every offset key far from every
     * base key (base keys < 2^31) and far from Long overflow. */

@@ -149,6 +149,37 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  /** Synthesize a uniform-gray w×h PNG payload per row IN-PLAN (narrow
+    * mapPartitions, JDK ImageIO encoder — no shuffle, parallel with
+    * input splits): the deterministic payload generator for driving the
+    * REAL PNG decode path through the cross-engine gate. PNG is
+    * lossless, so the decoded pixel values — and therefore the decoded
+    * dimensions and luminance stats — are fully determined by
+    * (w, h, gray) regardless of how the encoder laid out the bytes;
+    * an oracle can state them independently without ever seeing the
+    * payload. (The BMP twin builds its payload from SQL byte literals;
+    * PNG needs zlib + CRC, hence the JVM encoder.) */
+  def synthesizePng(df: DataFrame, idCol: String, wCol: String, hCol: String, grayCol: String): DataFrame = {
+    val sel = df.select(col(idCol), col(wCol).cast("int"), col(hCol).cast("int"), col(grayCol).cast("int"))
+    val outSchema = StructType(Seq(sel.schema.head, StructField("media", mediaSchema)))
+    sel.mapPartitions { it =>
+      it.map { r =>
+        val w = r.getInt(1); val h = r.getInt(2); val g = r.getInt(3) & 0xFF
+        val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val rgb = (g << 16) | (g << 8) | g
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        Row(r.get(0), Row(bos.toByteArray, "image/png", w, h, 1))
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Decode + feature-extract over a DataFrame with a media struct
     * column: mapPartitions (one pass, no shuffle), emitting
     * (idCol, features array<double>). `dims` is the feature width. */

@@ -331,6 +331,31 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** REAL PNG decode through the driver gate — the
+    * [[Multimodal.synthesizePng]] payloads (uniform gray, w = 1 +
+    * doc_id % 5, h = 1 + doc_id % 3, gray = doc_id % 256) are encoded
+    * by ImageIO IN-PLAN and decoded by the same
+    * [[Multimodal.extractFeatures]] path the BMP query drives. PNG is
+    * lossless, so the oracle states width/height AND the recovered
+    * gray level (mean luminance × 255, exact to rounding) without ever
+    * seeing the payload bytes — all three columns match only when the
+    * REAL decoder ran. Narrow map end-to-end: encode and decode are
+    * the same mapPartitions scale shape, no shuffle. */
+  val mediaDecodePng: Q = (s, dir) => {
+    val d = Tables(s, dir, "documents").select(
+      col("doc_id"),
+      expr("CAST(1 + doc_id % 5 AS INT)").as("w"),
+      expr("CAST(1 + doc_id % 3 AS INT)").as("h"),
+      expr("CAST(doc_id % 256 AS INT)").as("g"))
+    val media = Multimodal.synthesizePng(d, "doc_id", "w", "h", "g")
+    Multimodal.extractFeatures(media, "doc_id", "media", dims = 4)
+      .select(col("doc_id"),
+        element_at(col("features"), 1).cast("int").as("width"),
+        element_at(col("features"), 2).cast("int").as("height"),
+        round(element_at(col("features"), 3) * 255).cast("int").as("gray"))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic train/val split ([[Sampling.hashSplit]]): a pure
     * function of the doc id via md5 bucketing — stable across runs,
     * engines, and repartitioning; a narrow map with no shuffle. */
@@ -510,6 +535,7 @@ object LlmQueries {
     "sample_docs_per_lang" -> sampleDocsPerLang,
     "media_features" -> mediaFeatures,
     "media_decode_bmp" -> mediaDecodeBmp,
+    "media_decode_png" -> mediaDecodePng,
     "media_frames" -> mediaFrames,
     "media_stats" -> mediaStats
   )
@@ -947,6 +973,14 @@ object LlmQueries {
     // the payloads (the stub fallback would emit byte sums, not (4, h))
     "media_decode_bmp" ->
       """SELECT doc_id, CAST(4 AS INT) AS width, CAST(1 + doc_id % 3 AS INT) AS height
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // lossless PNG: dimensions AND the uniform gray level recover
+    // exactly from the decoded pixels — stated independently here;
+    // three-way match only when the real ImageIO decode ran
+    "media_decode_png" ->
+      """SELECT doc_id, CAST(1 + doc_id % 5 AS INT) AS width,
+        |  CAST(1 + doc_id % 3 AS INT) AS height,
+        |  CAST(doc_id % 256 AS INT) AS gray
         |FROM documents ORDER BY doc_id""".stripMargin,
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, md5(lower(text)) AS content_hash,

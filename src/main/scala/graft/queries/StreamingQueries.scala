@@ -397,7 +397,75 @@ object StreamingQueries {
     s.table(name).orderBy("user_id", "click_id", "error_id")
   }
 
+  /** WATERMARKED STREAM-STREAM LEFT OUTER JOIN — the eviction-driven
+    * emission path the inner join never touches: a null-extended row
+    * exists only because the watermark PROVED no match can still
+    * arrive, so producing it exercises state expiry as an emission
+    * trigger (not just a cleanup). Clicks left-join errors within 1
+    * hour per user, both sides the 4-file event_id-contiguous fixture
+    * (four genuine micro-batches per side).
+    *
+    * Determinism of the emitted set: matched pairs equal the batch
+    * left join's matches (no row is late — event time is monotone in
+    * event_id); an UNMATCHED click emits null-extended only once the
+    * final global watermark (min of both sides' max event time − 48 h)
+    * passes the end of its match window (c_ts + 1 h) — clicks closer
+    * than that to the stream's end stay withheld in state at
+    * termination. The oracle replays exactly that rule; the `<`
+    * boundary was pinned empirically (a click whose window end equals
+    * the watermark is NOT yet evicted). Event-time columns are
+    * second-truncated so the watermark's internal ms floor is exact on
+    * whole-second values and the replay is engine-portable. Null
+    * match columns surface as −1 sentinels: a nullable int64 would
+    * read back as float64 in pandas and break the dtype-faithful
+    * compare.
+    *
+    * Scale shape: identical to the inner join — state bounded by the
+    * watermark horizon on BOTH sides, hash-partitioned on user_id;
+    * left-outer adds only the per-eviction emission check. */
+  val streamLeftJoinClicksErrors: Q = (s, dir) => withStatePartitions(s, 8) {
+    import org.apache.spark.sql.functions._
+    val ev = Tables(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"), col("value"))
+    val name = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val (tmp, schema) = spillEventIdBucketsCached(s, dir, ev, nFiles = 4)
+    def src() = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp.getPath + "/*.parquet")
+    // ts is bigint nanos: truncate to whole seconds for the event-time
+    // columns (exact under the watermark's ms floor), lift to TIMESTAMP
+    val clicks = src().filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        expr("ts DIV 1000000000").as("c_sec"))
+      .withColumn("c_ts", expr("CAST(c_sec AS TIMESTAMP)"))
+      .withWatermark("c_ts", "48 hours")
+    val errors = src().filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("event_id").as("error_id"),
+        expr("ts DIV 1000000000").as("e_sec"))
+      .withColumn("e_ts", expr("CAST(e_sec AS TIMESTAMP)"))
+      .withWatermark("e_ts", "48 hours")
+    val joined = clicks.join(errors,
+      col("c_user") === col("e_user") &&
+        col("e_ts") >= col("c_ts") &&
+        col("e_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"),
+      "leftOuter")
+    val q = joined
+      .select(col("c_user").as("user_id"), col("click_id"),
+        coalesce(col("error_id"), lit(-1L)).as("error_id"),
+        coalesce(col("e_sec") - col("c_sec"), lit(-1L)).as("lag_sec"))
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      if (dataBatches < 2)
+        throw new IllegalStateException(
+          s"stream_leftjoin_clicks_errors requires >= 2 data micro-batches (cross-batch join " +
+            s"state is the path under test); saw $dataBatches")
+    } finally q.stop()
+    s.table(name).orderBy("user_id", "click_id", "error_id")
+  }
+
   val defs: Map[String, Q] = Map(
+    "stream_leftjoin_clicks_errors" -> streamLeftJoinClicksErrors,
     "stream_group_scan_balance" -> streamGroupScanBalance,
     "stream_join_clicks_errors" -> streamJoinClicksErrors,
     "stream_multibatch_balance" -> streamMultibatchBalance,
@@ -408,6 +476,26 @@ object StreamingQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // matches = the batch left join's matches; null-extended rows only
+    // for clicks whose match window END is strictly before the final
+    // global watermark (min of both sides' max event second − 48 h) —
+    // the eviction rule, replayed in exact integer seconds
+    "stream_leftjoin_clicks_errors" ->
+      """WITH c AS (SELECT user_id, event_id AS click_id,
+        |    epoch_ns(ts) // 1000000000 AS c_sec FROM events WHERE event_type = 'click'),
+        |e AS (SELECT user_id AS e_user, event_id AS error_id,
+        |    epoch_ns(ts) // 1000000000 AS e_sec FROM events WHERE event_type = 'error'),
+        |wm AS (SELECT least((SELECT max(c_sec) FROM c), (SELECT max(e_sec) FROM e))
+        |    - 48 * 3600 AS wm_sec),
+        |j AS (SELECT c.user_id, c.click_id, c.c_sec, e.error_id, e.e_sec - c.c_sec AS lag_sec
+        |  FROM c LEFT JOIN e ON c.user_id = e.e_user
+        |    AND e.e_sec >= c.c_sec AND e.e_sec <= c.c_sec + 3600)
+        |SELECT user_id, click_id,
+        |  CAST(coalesce(error_id, -1) AS BIGINT) AS error_id,
+        |  CAST(coalesce(lag_sec, -1) AS BIGINT) AS lag_sec
+        |FROM j, wm
+        |WHERE error_id IS NOT NULL OR c_sec + 3600 < wm_sec
+        |ORDER BY user_id, click_id, error_id""".stripMargin,
     // no row is late in the event_id-ordered fixture, so the emitted
     // stream-stream match set equals the batch join, replayed in the
     // same exact integer µs the watermark columns use

@@ -135,6 +135,23 @@ class PqSpec extends AnyFunSuite {
     assert(recall >= 0.2, s"PQ@20 recall of exact top-5 fell below the measured floor: $recall")
   }
 
+  test("IVF measured recall on real embeddings at the catalog's nProbe") {
+    // Same protocol as the PQ floor above, for ann_ivf's exact
+    // parameters (nCells=16, nProbe=4 — the catalog defaults): on the
+    // near-orthogonal fixture, IVF@10 recall of exact top-5 was 0.58
+    // when pinned; probing 4/16 cells at random would land ~0.25, so
+    // the centroid routing measurably beats chance even with no
+    // cluster structure to exploit. Floor set at 0.4.
+    val e = spark.read.parquet(s"${graft.TestSpark.sfDir}/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 10L)
+    val bf = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("corpus_id"))).toSet
+    val ivf = Similarity.ivfTopK(e, q, "vec_id", "embedding", k = 10, nCells = 16, nProbe = 4)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("corpus_id"))).toSet
+    val recall = bf.intersect(ivf).size.toDouble / bf.size
+    assert(recall >= 0.4, s"IVF@10 recall of exact top-5 fell below the measured floor: $recall")
+  }
+
   test("pqTopK ranks the planted nearest cluster first on separable data") {
     // 3 well-separated clusters of 8-dim vectors; query belongs to cluster A
     def jitter(base: Array[Float], id: Long): Seq[Float] =

@@ -75,6 +75,32 @@ class PlanShapeSpec extends AnyFunSuite {
       s"profiling must not re-scan per column:\n$plan")
   }
 
+  test("concurrent_orders: interval overlap runs as an equi-join, never nested-loop") {
+    val df = graft.SparkEntry.queries("concurrent_orders")(spark, TestSpark.sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"two-sided interval overlap must bucket-join, not nested-loop:\n$plan")
+    // the join key must be the (bucket, custkey) equi-pair IntervalJoin builds
+    assert(plan.contains("__ib"), s"expected the interval-bucket join key:\n$plan")
+  }
+
+  test("winsorized_quantity: the quantile exchange is histogram-sized, not table-sized") {
+    val df = graft.SparkEntry.queries("winsorized_quantity")(spark, TestSpark.sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // HistogramQuantile aggregates (flag, value) counts BEFORE any
+    // window/exchange: a partial aggregate must sit below the first
+    // hash exchange, so the shuffle carries the bounded histogram
+    val exchangeAt = plan.indexOf("Exchange hashpartitioning")
+    assert(exchangeAt >= 0, s"expected the histogram exchange:\n$plan")
+    assert(plan.substring(exchangeAt).contains("HashAggregate"),
+      s"a partial aggregate must sit below the histogram exchange:\n$plan")
+    // no global sort of the table (the whole point vs sort-based quantiles):
+    // every Sort in the plan is either the windowed cumsum over the tiny
+    // histogram (bounded by groups x distinct values) or the 3-row output
+    assert(!plan.contains("rangepartitioning(l_quantity"),
+      s"must never globally sort the value column:\n$plan")
+  }
+
   test("flagship joins never degrade to cartesian/nested-loop products") {
     val names = Seq(
       "q5_region_revenue", "q3_top_orders", "q10_returned_items",

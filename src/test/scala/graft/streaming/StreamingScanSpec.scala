@@ -72,6 +72,50 @@ class StreamingScanSpec extends AnyFunSuite {
       "watermarked streaming dedup must emit exactly the distinct key set")
   }
 
+  test("left-outer stream-stream join: null-extension eviction boundary is STRICT (<)") {
+    // Pins the boundary the stream_leftjoin_clicks_errors oracle
+    // replays (the gate fixture has no click landing exactly on the
+    // final watermark, so only this synthetic case distinguishes < from
+    // <=): a click whose match-window end EQUALS the final watermark is
+    // NOT yet evicted — it stays withheld in state at termination.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val clicks = MemoryStream[(Long, Long, Long)] // (user, click_id, sec)
+    val errors = MemoryStream[(Long, Long, Long)] // (user, error_id, sec)
+    val t0 = 1000000L
+    val wm = t0 + 3600L // target final watermark (seconds)
+    val cdf = clicks.toDF.toDF("c_user", "click_id", "c_sec")
+      .withColumn("c_ts", expr("CAST(c_sec AS TIMESTAMP)")).withWatermark("c_ts", "48 hours")
+    val edf = errors.toDF.toDF("e_user", "error_id", "e_sec")
+      .withColumn("e_ts", expr("CAST(e_sec AS TIMESTAMP)")).withWatermark("e_ts", "48 hours")
+    val joined = cdf.join(edf,
+        expr("c_user = e_user AND e_ts >= c_ts AND e_ts <= c_ts + INTERVAL 1 HOUR"), "leftOuter")
+      .select(col("click_id"), coalesce(col("error_id"), lit(-1L)).as("error_id"))
+    val q = joined.writeStream.format("memory").queryName("lj_boundary")
+      .outputMode("append").start()
+    try {
+      // batch 1: three unmatched clicks for user 2 — window ends land
+      // strictly below, exactly on, and strictly above the final watermark
+      clicks.addData((2L, 1L, wm - 3700L), (2L, 2L, wm - 3600L), (2L, 3L, wm - 3500L))
+      errors.addData((9L, 900L, t0 - 100000L)) // unrelated early error
+      q.processAllAvailable()
+      // batch 2: terminal matched pair on user 1 drives BOTH sides' max
+      // event time to wm + 48 h, so the final global watermark is wm
+      clicks.addData((1L, 10L, wm + 172800L))
+      errors.addData((1L, 100L, wm + 172800L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("lj_boundary").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.get(1L).contains(-1L),
+      s"click strictly below the boundary must emit null-extended: $out")
+    assert(!out.contains(2L),
+      s"click exactly ON the watermark boundary must stay withheld (strict <): $out")
+    assert(!out.contains(3L), s"click above the boundary must stay withheld: $out")
+    assert(out.get(10L).contains(100L), s"terminal pair must match: $out")
+  }
+
   test("state threads across micro-batches") {
     val dir = java.nio.file.Files.createTempDirectory("stream-in").toString
     def write(batch: Seq[(Long, Long, Double)], name: String): Unit =
