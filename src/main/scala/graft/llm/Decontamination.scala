@@ -1,0 +1,73 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination — the training-data hygiene pass that flags
+  * training documents sharing word n-grams with a held-out evaluation
+  * set (the GPT-3/PaLM-style "n-gram overlap" rule). A training doc that
+  * reproduces enough eval n-grams leaks the benchmark into the training
+  * corpus and must be dropped before training.
+  *
+  * Scale shape (the part that matters at 100 TB):
+  *  - The eval side is a benchmark suite — small BY CONSTRUCTION (a few
+  *    thousand documents, not a corpus slice). Its distinct n-gram hash
+  *    set is collected into a broadcast hash relation, so the training
+  *    corpus is probed scan-side: ONE narrow pass over the training
+  *    docs, no shuffle of the corpus, no join exchange. The only
+  *    shuffle in the plan is the per-doc count aggregation, which
+  *    carries (doc_id, two longs) — not text.
+  *  - Hashing reuses the dedup family's one-pass compiled shingle
+  *    expression ([[Dedup.shingleMd5]] — 60-bit md5-derived hashes), so
+  *    every intermediate value is replayable in any engine with `md5`:
+  *    the DuckDB oracle recomputes the identical eval-gram set and
+  *    per-doc overlap counts.
+  *  - If the eval set were ever corpus-sized, the broadcast degrades
+  *    gracefully: pass `broadcastEval = false` to shuffle-join on the
+  *    hash instead (same results, one extra exchange).
+  *
+  * Reference scope: the reference engine (see
+  * `/root/reference/src/polars_numba/__init__.py`) provides the
+  * fold/scan kernel surface; decontamination is part of the
+  * LLM-pipeline extension layer this library adds on top.
+  */
+object Decontamination {
+
+  /** Per-training-doc overlap report vs the eval set's n-gram universe.
+    *
+    * @param docs      corpus with `idCol` and `textCol`
+    * @param evalPred  predicate over `docs` columns selecting the eval
+    *                  (benchmark) rows; the rest are training rows
+    * @param n         words per shingle
+    * @param minOverlap flag threshold: `contaminated = 1` iff the doc
+    *                  shares at least this many DISTINCT n-grams with
+    *                  the eval set
+    * @return (id, n_grams, n_overlap, contaminated) for every training
+    *         doc, where n_grams counts the doc's distinct n-grams
+    */
+  def overlapReport(
+      docs: DataFrame,
+      evalPred: Column,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      minOverlap: Int = 2,
+      broadcastEval: Boolean = true): DataFrame = {
+    require(n > 0 && minOverlap > 0, "need n > 0 and minOverlap > 0")
+    def grams(side: DataFrame): DataFrame = side
+      .select(col(idCol).as("id"), Dedup.shingleMd5(col(textCol), n).as("hs"))
+      .select(col("id"), explode(col("hs")).as("h"))
+    // The benchmark's distinct n-gram universe: small by construction,
+    // broadcast so the (huge) training side never shuffles for the probe.
+    val evalGrams0 = grams(docs.filter(evalPred)).select("h").distinct()
+    val evalGrams = if (broadcastEval) broadcast(evalGrams0) else evalGrams0
+    grams(docs.filter(!evalPred))
+      .join(evalGrams.withColumn("hit", lit(1)), Seq("h"), "left")
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        count(col("hit")).as("n_overlap"))
+      .withColumn("contaminated",
+        (col("n_overlap") >= minOverlap).cast("int"))
+  }
+}

@@ -101,6 +101,30 @@ object TextAnalysis {
   def normalizeText(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[.,;:!?]", ""), " +", " "))
 
+  /** Conservative PII patterns, restricted to the regex subset that
+    * Java's engine (Spark) and RE2 (the DuckDB oracle) interpret
+    * identically: explicit character classes, greedy quantifiers, no
+    * lookaround, no backreferences. */
+  val emailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  /** International-format phone: +, then 7+ digits with optional
+    * space/hyphen separators, ending in a digit. */
+  val phonePattern: String = "\\+[0-9][0-9 -]{5,}[0-9]"
+
+  /** Number of non-overlapping matches of `pattern` in `text`. */
+  def matchCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
+
+  /** PII redaction: replace every email, then every international-format
+    * phone number, with typed placeholder tokens. Emails go first so
+    * digit runs inside an address can never half-match the phone
+    * pattern. A narrow codegen'd map — at 100 TB this runs scan-side
+    * with zero shuffle, and the placeholder tokens keep downstream
+    * token statistics meaningful. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, emailPattern, "<EMAIL>"),
+      phonePattern, "<PHONE>")
+
   /** All word n-gram repetition statistics in one compiled pass —
     * `struct(total, distinct, top)` ([[graft.functions.NgramStats]]):
     * the Gopher-style repetition quality terms (heavily repeated

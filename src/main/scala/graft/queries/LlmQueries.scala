@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.llm.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.llm.{Decontamination, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** LLM-training-data pipeline queries over the documents/embeddings
   * tables: text analysis, dedup (exact / MinHash / SimHash / n-gram
@@ -356,6 +356,40 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** Benchmark decontamination ([[Decontamination.overlapReport]]):
+    * docs whose md5 hash bucket < 13 (~5%) play the held-out benchmark;
+    * every remaining (training) doc is scored by how many of its
+    * distinct 3-gram shingles appear anywhere in the benchmark's n-gram
+    * universe. The eval gram set is broadcast — the training corpus is
+    * probed scan-side and only (doc_id, counts) ever shuffles. */
+  val decontaminateDocs: Q = (s, dir) =>
+    Decontamination.overlapReport(
+        Tables(s, dir, "documents"),
+        Sampling.hashBucket256(col("doc_id")) < 13, "doc_id", "text",
+        n = 3, minOverlap = 2)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
+  /** PII redaction ([[TextAnalysis.redactPii]]): the corpus carries no
+    * PII, so a deterministic contact line (email + phone derived from
+    * doc_id) is injected in-plan; the REAL patterns then redact it and
+    * the result is fingerprinted. The oracle replays injection +
+    * match-count + replacement in RE2 — if either engine's regex
+    * semantics drifted, the md5 of the redacted text would diverge. */
+  val piiRedaction: Q = (s, dir) => {
+    val d = Tables(s, dir, "documents")
+    val withPii = concat(col("text"),
+      lit(" contact user"), col("doc_id"), lit("@mail.example.com or +1-555-"),
+      lpad(col("doc_id") % 10000, 4, "0"), lit(" now"))
+    d.select(
+      col("doc_id"),
+      TextAnalysis.matchCount(withPii, TextAnalysis.emailPattern).as("n_emails"),
+      TextAnalysis.matchCount(withPii, TextAnalysis.phonePattern).as("n_phones"),
+      md5(to_binary(TextAnalysis.redactPii(withPii), lit("utf-8"))).as("redacted_md5"),
+      length(TextAnalysis.redactPii(withPii)).as("n_chars_redacted"))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic train/val split ([[Sampling.hashSplit]]): a pure
     * function of the doc id via md5 bucketing — stable across runs,
     * engines, and repartitioning; a narrow map with no shuffle. */
@@ -531,6 +565,8 @@ object LlmQueries {
     "dedup_chunks" -> dedupChunks,
     "pack_sequences" -> packSequences,
     "pipeline_clean_corpus" -> pipelineCleanCorpus,
+    "decontaminate_docs" -> decontaminateDocs,
+    "pii_redaction" -> piiRedaction,
     "split_train_val" -> splitTrainVal,
     "sample_docs_per_lang" -> sampleDocsPerLang,
     "media_features" -> mediaFeatures,
@@ -956,6 +992,42 @@ object LlmQueries {
         |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // md5-bucket split: first two hex chars parsed as 0..255, train
     // when below 90*256/100 = 230 — identical in any engine
+    // the oracle replays the whole pipeline: the same md5 hash-bucket
+    // split, the same distinct 3-gram 60-bit shingle hashes (shared
+    // hx60 parsing), the same overlap counts and flag rule
+    "decontaminate_docs" ->
+      s"""WITH bkt AS (SELECT doc_id,
+         |    (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+         |    + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS bk
+         |  FROM documents),
+         |w AS (SELECT doc_id, regexp_split_to_array(lower(text), ' +') AS ws FROM documents),
+         |shm AS (SELECT DISTINCT doc_id, md5(array_to_string(ws[i+1:i+3], ' ')) AS md
+         |  FROM w, unnest(range(0, greatest(len(ws) - 3, 0) + 1)) t(i)),
+         |sh AS (SELECT DISTINCT doc_id, ${hx60("md")} AS h FROM shm),
+         |ev AS (SELECT DISTINCT h FROM sh JOIN bkt USING (doc_id) WHERE bk < 13),
+         |tr AS (SELECT sh.doc_id, sh.h FROM sh JOIN bkt USING (doc_id) WHERE bk >= 13)
+         |SELECT tr.doc_id, count(*) AS n_grams, count(ev.h) AS n_overlap,
+         |  CAST(CASE WHEN count(ev.h) >= 2 THEN 1 ELSE 0 END AS INT) AS contaminated
+         |FROM tr LEFT JOIN ev ON tr.h = ev.h
+         |GROUP BY tr.doc_id ORDER BY doc_id""".stripMargin,
+    // injection + redaction replayed in RE2 ('g' = replace-all, Spark's
+    // default); md5 of the redacted text pins byte-exact agreement
+    "pii_redaction" ->
+      """WITH p AS (SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com or +1-555-'
+        |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now' AS t
+        |  FROM documents),
+        |r AS (SELECT doc_id, t,
+        |    regexp_replace(regexp_replace(t,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\+[0-9][0-9 -]{5,}[0-9]', '<PHONE>', 'g') AS red
+        |  FROM p)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |  len(regexp_extract_all(t, '\+[0-9][0-9 -]{5,}[0-9]')) AS n_phones,
+        |  md5(red) AS redacted_md5,
+        |  length(red) AS n_chars_redacted
+        |FROM r ORDER BY doc_id""".stripMargin,
     "split_train_val" ->
       """SELECT doc_id,
         |  CASE WHEN (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16

@@ -541,6 +541,25 @@ object RelationalQueries {
       .orderBy("l_returnflag")
   }
 
+  /** 7-day rolling order count + revenue per customer — the
+    * time-decayed feature window of a feature-engineering pipeline,
+    * as a RANGE frame over integer days (peers on the same day
+    * aggregate together — identical frame semantics in both engines).
+    * Scale shape: ONE shuffle on o_custkey, then a per-partition local
+    * sort by day — no global sort and no single-partition window; the
+    * frame is evaluated streamingly within each customer run. Money
+    * stays decimal inside the frame sum (order-independent, exact). */
+  val rollingRevenue7d: Q = (s, dir) => {
+    val o = Tables(s, dir, "orders").withColumn("day",
+      datediff(col("o_orderdate").cast("date"), lit("1992-01-01").cast("date")))
+    val w = Window.partitionBy("o_custkey").orderBy("day").rangeBetween(-6, 0)
+    o.select(
+      col("o_orderkey"), col("o_custkey"), col("day"),
+      count(lit(1)).over(w).as("n_orders_7d"),
+      toDouble2(sum(col("o_totalprice").cast("decimal(18,6)")).over(w)).as("rev_7d"))
+      .orderBy("o_orderkey")
+  }
+
   val defs: Map[String, Q] = Map(
     "approx_distinct_audit" -> approxDistinctAudit,
     "pivot_returns" -> pivotReturns,
@@ -569,10 +588,24 @@ object RelationalQueries {
     "profile_lineitem" -> profileLineitem,
     "latest_event_per_user" -> latestEventPerUser,
     "concurrent_orders" -> concurrentOrders,
-    "winsorized_quantity" -> winsorizedQuantity
+    "winsorized_quantity" -> winsorizedQuantity,
+    "rolling_revenue_7d" -> rollingRevenue7d
   )
 
   val oracles: Map[String, String] = Map(
+    // the RANGE frame replays verbatim (integer-day ordering key, same
+    // peer semantics); the frame sum stays decimal through ROUND
+    "rolling_revenue_7d" ->
+      s"""WITH o AS (SELECT o_orderkey, o_custkey, o_totalprice,
+         |    datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS day
+         |  FROM orders)
+         |SELECT o_orderkey, o_custkey, day,
+         |  count(*) OVER w AS n_orders_7d,
+         |  ${sqlToDouble2("SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER w")} AS rev_7d
+         |FROM o
+         |WINDOW w AS (PARTITION BY o_custkey ORDER BY day
+         |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+         |ORDER BY o_orderkey""".stripMargin,
     // keep-latest is pure top-1-by-version: the window formulation
     // replays it (GroupTopK changes the shuffle volume, never the rows)
     "latest_event_per_user" ->

@@ -1,0 +1,67 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Training-data hygiene operators: benchmark decontamination and PII
+  * redaction. Hand-computed fixtures plus cross-path differentials. */
+class PipelineHygieneSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val corpus = Seq(
+    (1L, "a b c d"),       // eval: grams {a b c, b c d}
+    (10L, "a b c d e"),    // train: {a b c, b c d, c d e} -> overlap 2
+    (11L, "x y z w"),      // train: {x y z, y z w}        -> overlap 0
+    (12L, "q a b c")       // train: {q a b, a b c}        -> overlap 1
+  ).toDF("doc_id", "text")
+
+  test("decontamination counts distinct n-gram overlap and flags at the threshold") {
+    val got = Decontamination
+      .overlapReport(corpus, col("doc_id") < 10, "doc_id", "text", n = 3, minOverlap = 2)
+      .collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("n_grams"),
+        r.getAs[Long]("n_overlap"), r.getAs[Int]("contaminated")))
+      .toSet
+    assert(got == Set((10L, 3L, 2L, 1), (11L, 2L, 0L, 0), (12L, 2L, 1L, 0)),
+      s"unexpected overlap report: $got")
+  }
+
+  test("decontamination: broadcast and shuffle-join paths agree") {
+    def run(bc: Boolean) = Decontamination
+      .overlapReport(corpus, col("doc_id") < 10, "doc_id", "text",
+        n = 3, minOverlap = 2, broadcastEval = bc)
+      .collect().map(_.toSeq).toSet
+    assert(run(true) == run(false))
+  }
+
+  test("duplicated grams in a doc count once (distinct-shingle semantics)") {
+    // "a b c a b c a b c" has many 3-gram INSTANCES but only 3 distinct
+    val rep = Seq((1L, "a b c d"), (20L, "a b c a b c a b c")).toDF("doc_id", "text")
+    val got = Decontamination
+      .overlapReport(rep, col("doc_id") < 10, "doc_id", "text", n = 3, minOverlap = 1)
+      .collect().map(r => (r.getAs[Long]("n_grams"), r.getAs[Long]("n_overlap"))).toSet
+    // distinct grams of doc 20: {a b c, b c a, c a b} -> overlap {a b c}
+    assert(got == Set((3L, 1L)), s"distinct semantics violated: $got")
+  }
+
+  test("PII redaction replaces emails then phones, counts match") {
+    val df = Seq(
+      (1L, "mail me at john.doe@example.org or call +44 20 7946 0958 now"),
+      (2L, "two mails a@b.co and c.d+e@f-g.org, no phone"),
+      (3L, "clean text with a plus + and digits 12345 but no pii")
+    ).toDF("id", "text")
+    val got = df.select(
+        col("id"),
+        TextAnalysis.redactPii(col("text")).as("red"),
+        TextAnalysis.matchCount(col("text"), TextAnalysis.emailPattern).as("ne"),
+        TextAnalysis.matchCount(col("text"), TextAnalysis.phonePattern).as("np"))
+      .collect().map(r => (r.getAs[Long]("id"),
+        (r.getAs[String]("red"), r.getAs[Int]("ne"), r.getAs[Int]("np")))).toMap
+    assert(got(1L) == (("mail me at <EMAIL> or call <PHONE> now", 1, 1)), got(1L))
+    assert(got(2L) == (("two mails <EMAIL> and <EMAIL>, no phone", 2, 0)), got(2L))
+    assert(got(3L) == (("clean text with a plus + and digits 12345 but no pii", 0, 0)), got(3L))
+  }
+}
