@@ -26,6 +26,20 @@ object Bench {
     spark.range(1000).selectExpr("sum(id)").collect()
     Seq("lineitem", "orders", "events", "documents", "embeddings")
       .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").limit(1).collect())
+    // Untimed warm-up pass of the FULL catalog at the smallest SF: each
+    // query's generated (Janino) classes only reach C2 by RUNNING that
+    // query, and on a cold JVM the alphabetically-early queries absorb
+    // the whole compile storm — measured 19.8 s (min of 2 reps!) for a
+    // 0.5 s cube at sf0.1 on a cold JVM vs 0.47 s after this pass. The
+    // pass costs ~1 min at sf0.001 and removes a ~100 s phantom from
+    // the suite total. Failures are ignored here — the timed loop below
+    // is what reports them.
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    if (new java.io.File(warmDir).isDirectory)
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+        try fn(spark, warmDir).write.mode("overwrite").format("noop").save()
+        catch { case _: Throwable => () }
+      }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // noop sink computes every output column (count() would let Catalyst
       // prune the projections we are trying to measure). A failed query

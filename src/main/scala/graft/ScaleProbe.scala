@@ -44,7 +44,12 @@ object ScaleProbe {
     "concurrent_orders",
     "winsorized_quantity",
     "dedup_minhash",
-    "pack_sequences")
+    "pack_sequences",
+    // round 8: broadcast eval-gram probe, vocabulary-bound df join,
+    // RANGE-frame rolling window — each a distinct shuffle shape
+    "decontaminate_docs",
+    "distinctive_terms",
+    "rolling_revenue_7d")
 
   private def rot(s: String, k: Int): String = s.drop(k % s.length) + s.take(k % s.length)
 

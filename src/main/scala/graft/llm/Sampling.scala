@@ -45,4 +45,29 @@ object Sampling {
       .orderBy(md5(col(idCol).cast("string")), col(idCol))
     df.withColumn("__rk", row_number().over(w)).filter(col("__rk") <= k).drop("__rk")
   }
+
+  /** Square-root temperature resampling — the multilingual
+    * corpus-rebalancing step: per-group sampling targets proportional
+    * to sqrt(group size) (down-weights head groups, up-weights the
+    * tail — the alpha = 0.5 point of the temperature-sampling family),
+    * then the deterministic smallest-md5 rank rule selects exactly
+    * `min(n, floor(sqrt(n)) * multiplier)` rows per group. sqrt IS
+    * IEEE-correctly-rounded, so the targets are bit-identical in any
+    * engine — unlike exp/log temperature formulas, and unlike
+    * normalizing by a cross-group float sum (whose accumulation order
+    * differs between engines). Scale: one tiny group-cardinality
+    * aggregate broadcast back, ONE corpus shuffle for the rank. */
+  def temperatureSample(
+      df: DataFrame, groupCol: String, idCol: String, multiplier: Int = 4): DataFrame = {
+    require(multiplier > 0, "multiplier must be positive")
+    val targets = df.groupBy(groupCol).agg(count(lit(1)).as("__n"))
+      .withColumn("__k", least(col("__n"),
+        (floor(sqrt(col("__n").cast("double"))) * multiplier).cast("long")))
+    val w = Window.partitionBy(groupCol)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("__rk", row_number().over(w))
+      .join(broadcast(targets.select(col(groupCol), col("__k"))), Seq(groupCol))
+      .filter(col("__rk") <= col("__k"))
+      .drop("__rk", "__k")
+  }
 }

@@ -125,6 +125,31 @@ object TextAnalysis {
       regexp_replace(text, emailPattern, "<EMAIL>"),
       phonePattern, "<PHONE>")
 
+  /** Distinctive terms per document — TF-IDF-style relevance with the
+    * idf term kept RATIONAL: score = tf/df in ONE IEEE division, which
+    * is correctly rounded and therefore bit-identical in any engine
+    * (log-idf is transcendental; libm implementations differ in final
+    * ulps, and df-normalization induces the same per-doc ranking).
+    * Returns the top-k terms per doc as (id, token, tf, df, score).
+    * Scale shape: tf aggregates (doc, token) pairs with map-side
+    * partials; df aggregates the VOCABULARY (token cardinality, not
+    * corpus size); the rank is a per-doc window after one id shuffle —
+    * no global sort anywhere. */
+  def distinctiveTerms(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
+    require(k > 0, "k must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol).as("id"),
+        explode(split(normalizeText(col(textCol)), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+    val tf = toks.groupBy("id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("id").orderBy(desc("score"), asc("token"))
+    tf.join(dfreq, "token")
+      .withColumn("score", col("tf").cast("double") / col("df"))
+      .withColumn("__rk", row_number().over(w)).filter(col("__rk") <= k)
+      .select("id", "token", "tf", "df", "score")
+  }
+
   /** All word n-gram repetition statistics in one compiled pass —
     * `struct(total, distinct, top)` ([[graft.functions.NgramStats]]):
     * the Gopher-style repetition quality terms (heavily repeated

@@ -356,6 +356,50 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** Inverted index build — token → (df, doc-id posting list): the
+    * retrieval-side artifact of a corpus pipeline. `df` is the TRUE
+    * document frequency; postings are capped at the 20 smallest
+    * doc_ids via the map-side-pruned [[graft.operators.GroupTopK]]
+    * (each scan partition keeps at most 20 candidates per token BEFORE
+    * the shuffle), so the exchange carries O(k · tokens · partitions)
+    * rows — never a full posting list, which for a head token at
+    * 100 TB IS the corpus. The (doc, token) distinct is the one
+    * corpus-sized shuffle (it defines df); everything after is
+    * vocabulary-sized. */
+  val invertedIndex: Q = (s, dir) => {
+    val pairs = Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(split(TextAnalysis.normalizeText(col("text")), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .distinct()
+    val df = pairs.groupBy("token").agg(count(lit(1)).as("df"))
+    val top = graft.operators.GroupTopK
+      .topK(pairs.select("token", "doc_id"), Seq("token"), Seq(("doc_id", true)), 20)
+      .groupBy("token").agg(sort_array(collect_list(col("doc_id"))).as("postings"))
+    df.join(top, "token")
+      .select("token", "df", "postings")
+      .orderBy("token")
+  }
+
+  /** Top-3 distinctive terms per doc ([[TextAnalysis.distinctiveTerms]]):
+    * TF-IDF-style ranking with the idf term kept rational (tf/df — one
+    * correctly-rounded IEEE division, engine-portable where log-idf's
+    * libm ulps are not). */
+  val distinctiveTerms: Q = (s, dir) =>
+    TextAnalysis.distinctiveTerms(Tables(s, dir, "documents"), "doc_id", "text", k = 3)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id", "token")
+
+  /** Square-root temperature corpus rebalancing
+    * ([[Sampling.temperatureSample]]): per-language targets
+    * `min(n, floor(sqrt(n))*4)` — head languages down-weighted, tail
+    * up-weighted — selected by the deterministic smallest-md5 rank. */
+  val temperatureResample: Q = (s, dir) =>
+    Sampling.temperatureSample(
+        Tables(s, dir, "documents").select("lang", "doc_id"), "lang", "doc_id", multiplier = 4)
+      .select("lang", "doc_id")
+      .orderBy("lang", "doc_id")
+
   /** Benchmark decontamination ([[Decontamination.overlapReport]]):
     * docs whose md5 hash bucket < 13 (~5%) play the held-out benchmark;
     * every remaining (training) doc is scored by how many of its
@@ -567,6 +611,9 @@ object LlmQueries {
     "pipeline_clean_corpus" -> pipelineCleanCorpus,
     "decontaminate_docs" -> decontaminateDocs,
     "pii_redaction" -> piiRedaction,
+    "distinctive_terms" -> distinctiveTerms,
+    "temperature_resample" -> temperatureResample,
+    "inverted_index" -> invertedIndex,
     "split_train_val" -> splitTrainVal,
     "sample_docs_per_lang" -> sampleDocsPerLang,
     "media_features" -> mediaFeatures,
@@ -992,6 +1039,51 @@ object LlmQueries {
         |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // md5-bucket split: first two hex chars parsed as 0..255, train
     // when below 90*256/100 = 230 — identical in any engine
+    // df over the distinct (doc, token) pairs; postings replayed as
+    // the 20 smallest doc_ids per token (GroupTopK changes the shuffle
+    // volume, never the selected set)
+    "inverted_index" ->
+      """WITH toks AS (SELECT DISTINCT doc_id, token FROM (
+        |    SELECT doc_id, unnest(regexp_split_to_array(
+        |      trim(regexp_replace(regexp_replace(lower(text), '[.,;:!?]', '', 'g'), ' +', ' ', 'g')),
+        |      ' ')) AS token
+        |    FROM documents)
+        |  WHERE length(token) > 0),
+        |df AS (SELECT token, count(*) AS df FROM toks GROUP BY token),
+        |top AS (SELECT token, doc_id FROM (
+        |    SELECT token, doc_id, row_number() OVER (PARTITION BY token
+        |      ORDER BY doc_id) AS rk FROM toks) WHERE rk <= 20),
+        |p AS (SELECT token, list(doc_id ORDER BY doc_id) AS postings
+        |  FROM top GROUP BY token)
+        |SELECT df.token, df.df, p.postings FROM df JOIN p USING (token)
+        |ORDER BY token""".stripMargin,
+    // tf/df is ONE IEEE division — correctly rounded, so the score
+    // doubles (and the rank they induce) are bit-identical
+    "distinctive_terms" ->
+      """WITH toks AS (SELECT doc_id, token FROM (
+        |    SELECT doc_id, unnest(regexp_split_to_array(
+        |      trim(regexp_replace(regexp_replace(lower(text), '[.,;:!?]', '', 'g'), ' +', ' ', 'g')),
+        |      ' ')) AS token
+        |    FROM documents)
+        |  WHERE length(token) > 0),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token),
+        |df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        |j AS (SELECT tf.doc_id, tf.token, tf.tf, df.df,
+        |    CAST(tf.tf AS DOUBLE) / df.df AS score
+        |  FROM tf JOIN df USING (token))
+        |SELECT doc_id, token, tf, df, score FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, token) AS rk FROM j)
+        |WHERE rk <= 3 ORDER BY doc_id, token""".stripMargin,
+    // floor(sqrt(n)) is IEEE-exact in both engines; the md5 rank rule
+    // is the shared deterministic-sampling convention
+    "temperature_resample" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |t AS (SELECT lang, least(n, CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) * 4) AS k FROM c),
+        |r AS (SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk FROM documents)
+        |SELECT r.lang, r.doc_id FROM r JOIN t USING (lang) WHERE rk <= t.k
+        |ORDER BY lang, doc_id""".stripMargin,
     // the oracle replays the whole pipeline: the same md5 hash-bucket
     // split, the same distinct 3-gram 60-bit shingle hashes (shared
     // hx60 parsing), the same overlap counts and flag rule

@@ -560,6 +560,28 @@ object RelationalQueries {
       .orderBy("o_orderkey")
   }
 
+  /** Z-ORDER layout job — interleave the low 16 bits of (custkey, day)
+    * into a 32-bit Morton code and order the table by it: the
+    * multi-dimensional clustering pass (the OPTIMIZE ZORDER of lakehouse
+    * table formats) that makes BOTH per-customer and per-date predicate
+    * ranges land in few contiguous files, where a single-column sort
+    * serves only one predicate. The global ordering is a range
+    * partition + per-partition local sort — a WRITE-side layout job run
+    * once and amortized over every later pruned scan; the z-value is 32
+    * codegen'd integer bit-ops in the scan projection, no UDF. */
+  val zorderLayout: Q = (s, dir) => {
+    val o = Tables(s, dir, "orders").withColumn("day",
+      datediff(col("o_orderdate").cast("date"), lit("1992-01-01").cast("date")).cast("long"))
+    val c = col("o_custkey").bitwiseAND(65535L)
+    val d = col("day").bitwiseAND(65535L)
+    val z = (0 until 16).map { b =>
+      shiftright(c, b).bitwiseAND(1L) * lit(1L << (2 * b + 1)) +
+        shiftright(d, b).bitwiseAND(1L) * lit(1L << (2 * b))
+    }.reduce(_ + _)
+    o.select(col("o_orderkey"), col("o_custkey"), col("day"), z.as("zval"))
+      .orderBy("zval", "o_orderkey")
+  }
+
   val defs: Map[String, Q] = Map(
     "approx_distinct_audit" -> approxDistinctAudit,
     "pivot_returns" -> pivotReturns,
@@ -589,10 +611,23 @@ object RelationalQueries {
     "latest_event_per_user" -> latestEventPerUser,
     "concurrent_orders" -> concurrentOrders,
     "winsorized_quantity" -> winsorizedQuantity,
-    "rolling_revenue_7d" -> rollingRevenue7d
+    "rolling_revenue_7d" -> rollingRevenue7d,
+    "zorder_layout" -> zorderLayout
   )
 
   val oracles: Map[String, String] = Map(
+    // the Morton interleave replays as the same 32 integer bit terms
+    // (generated from one Scala loop, so Spark and SQL can't drift)
+    "zorder_layout" -> {
+      val zterms = (0 until 16).map(b =>
+        s"(((o_custkey & 65535) >> $b) & 1) * ${1L << (2 * b + 1)} + " +
+          s"(((day & 65535) >> $b) & 1) * ${1L << (2 * b)}").mkString(" + ")
+      s"""WITH o AS (SELECT o_orderkey, o_custkey,
+         |    datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS day
+         |  FROM orders)
+         |SELECT o_orderkey, o_custkey, day, $zterms AS zval
+         |FROM o ORDER BY zval, o_orderkey""".stripMargin
+    },
     // the RANGE frame replays verbatim (integer-day ordering key, same
     // peer semantics); the frame sum stays decimal through ROUND
     "rolling_revenue_7d" ->

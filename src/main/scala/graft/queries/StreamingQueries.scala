@@ -464,7 +464,98 @@ object StreamingQueries {
     s.table(name).orderBy("user_id", "click_id", "error_id")
   }
 
+  /** STREAMING SESSION WINDOWS through the oracle gate — dynamic-gap
+    * sessionization (`session_window`, 12 h gap) with watermark-driven
+    * emission: a session row exists only once the watermark passed its
+    * end, and sessions MERGE across micro-batches through the session
+    * state store (the 4-file fixture makes merges genuinely cross
+    * batch boundaries). This is the streaming twin of the batch
+    * `event_sessions` query (same 12 h gap convention).
+    *
+    * Determinism of the emitted set: event time is monotone in
+    * event_id and the files are event_id-contiguous, so no row is ever
+    * late — any event that would extend a session arrives while the
+    * session is still open. The emitted set is therefore exactly the
+    * batch sessionization filtered to sessions whose end (last event
+    * + gap) is <= the final watermark (max event second − 48 h).
+    * Both boundaries are pinned by SessionWindowSpec: the merge rule
+    * is NON-strict (an event exactly `gap` after the previous one
+    * still merges; end = last event + gap), and the emission rule is
+    * NON-strict (a session ending exactly ON the watermark emits).
+    * Event-time columns are second-truncated so the watermark's ms
+    * floor is exact and the replay engine-portable.
+    *
+    * Scale: session state is per OPEN session per key (bounded by the
+    * watermark horizon), hash-partitioned on user_id; each micro-batch
+    * shuffles only its own rows, and closed sessions leave the store —
+    * the only formulation of sessionization that survives an unbounded
+    * stream. */
+  val streamSessionWindows: Q = (s, dir) => withStatePartitions(s, 8) {
+    import org.apache.spark.sql.functions._
+    val ev = Tables(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"), col("value"))
+    val name = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val (tmp, schema) = spillEventIdBucketsCached(s, dir, ev, nFiles = 4)
+    val src = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp.getPath + "/*.parquet")
+    val e = src.select(col("user_id"), expr("ts DIV 1000000000").as("sec"))
+      .withColumn("ets", expr("CAST(sec AS TIMESTAMP)"))
+      .withWatermark("ets", "48 hours")
+    val q = e.groupBy(session_window(col("ets"), "12 hours"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").cast("long").as("start_sec"),
+        col("session_window.end").cast("long").as("end_sec"),
+        col("n_events"))
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      if (dataBatches < 2)
+        throw new IllegalStateException(
+          s"stream_session_windows requires >= 2 data micro-batches (cross-batch session " +
+            s"merge is the path under test); saw $dataBatches")
+    } finally q.stop()
+    s.table(name).orderBy("user_id", "start_sec")
+  }
+
+  /** STREAM–STATIC ENRICHMENT — the stateless per-batch join shape: an
+    * unbounded event stream joined to a bounded dimension (customer)
+    * with NO state store at all. The static side is broadcast into
+    * every micro-batch, so each batch is a narrow map over its own
+    * rows — the enrichment pattern every ingestion pipeline runs before
+    * any stateful operator, and the proof that not every streaming join
+    * needs watermarks: only two UNBOUNDED sides do. Emitted rows are
+    * batch-invariant (a pure per-row function of the input), so the
+    * oracle is simply the batch join. */
+  val streamStaticEnrich: Q = (s, dir) => withStatePartitions(s, 8) {
+    import org.apache.spark.sql.functions._
+    val ev = Tables(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"), col("value"))
+    val cust = Tables(s, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"))
+    val name = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val (tmp, schema) = spillEventIdBucketsCached(s, dir, ev, nFiles = 4)
+    val src = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp.getPath + "/*.parquet")
+    val q = src.join(broadcast(cust), col("user_id") === col("c_custkey"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("c_nationkey").as("nation_key"), col("c_mktsegment").as("segment"))
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      if (dataBatches < 2)
+        throw new IllegalStateException(
+          s"stream_static_enrich requires >= 2 data micro-batches (per-batch broadcast " +
+            s"re-join is the path under test); saw $dataBatches")
+    } finally q.stop()
+    s.table(name).orderBy("event_id")
+  }
+
   val defs: Map[String, Q] = Map(
+    "stream_static_enrich" -> streamStaticEnrich,
+    "stream_session_windows" -> streamSessionWindows,
     "stream_leftjoin_clicks_errors" -> streamLeftJoinClicksErrors,
     "stream_group_scan_balance" -> streamGroupScanBalance,
     "stream_join_clicks_errors" -> streamJoinClicksErrors,
@@ -476,6 +567,32 @@ object StreamingQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // stateless enrichment is batch-invariant: the oracle is the plain
+    // inner join (user_id ∈ customer keys at every sf)
+    "stream_static_enrich" ->
+      """SELECT e.event_id, e.user_id, e.event_type,
+        |  c.c_nationkey AS nation_key, c.c_mktsegment AS segment
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |ORDER BY event_id""".stripMargin,
+    // gaps-and-islands replay of the session merge (break strictly
+    // beyond the gap — the NON-strict merge rule SessionWindowSpec
+    // pins), emitted iff end <= final watermark (NON-strict emission,
+    // same spec), all in exact integer seconds
+    "stream_session_windows" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS sec FROM events),
+        |l AS (SELECT user_id, sec,
+        |    lag(sec) OVER (PARTITION BY user_id ORDER BY sec) AS prev FROM e),
+        |b AS (SELECT user_id, sec,
+        |    CASE WHEN prev IS NULL OR sec - prev > 43200 THEN 1 ELSE 0 END AS brk FROM l),
+        |g AS (SELECT user_id, sec,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY sec
+        |      ROWS UNBOUNDED PRECEDING) AS grp FROM b),
+        |sess AS (SELECT user_id, min(sec) AS start_sec,
+        |    max(sec) + 43200 AS end_sec, count(*) AS n_events
+        |  FROM g GROUP BY user_id, grp),
+        |wm AS (SELECT max(sec) - 172800 AS w FROM e)
+        |SELECT user_id, start_sec, end_sec, n_events FROM sess, wm
+        |WHERE end_sec <= w ORDER BY user_id, start_sec""".stripMargin,
     // matches = the batch left join's matches; null-extended rows only
     // for clicks whose match window END is strictly before the final
     // global watermark (min of both sides' max event second − 48 h) —

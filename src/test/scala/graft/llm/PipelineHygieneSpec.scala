@@ -47,6 +47,42 @@ class PipelineHygieneSpec extends AnyFunSuite {
     assert(got == Set((3L, 1L)), s"distinct semantics violated: $got")
   }
 
+  test("distinctive terms rank by tf/df with deterministic tie-break") {
+    val docs = Seq(
+      (1L, "apple apple banana"),
+      (2L, "banana cherry"),
+      (3L, "cherry cherry cherry durian")
+    ).toDF("doc_id", "text")
+    // tf/df: d1 apple 2/1=2.0, banana 1/2=0.5; d2 banana 0.5, cherry 0.5
+    // (tie -> banana first); d3 cherry 3/2=1.5, durian 1/1=1.0
+    val got = TextAnalysis.distinctiveTerms(docs, "doc_id", "text", k = 1)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("token"),
+        r.getAs[Long]("tf"), r.getAs[Long]("df"), r.getAs[Double]("score"))).toSet
+    assert(got == Set((1L, "apple", 2L, 1L, 2.0), (2L, "banana", 1L, 2L, 0.5),
+      (3L, "cherry", 3L, 2L, 1.5)), s"unexpected top terms: $got")
+  }
+
+  test("temperature sampling flattens group sizes to floor(sqrt(n))*m, capped at n") {
+    val rows = (1 to 100).map(i => ("big", i.toLong)) ++
+      (101 to 109).map(i => ("mid", i.toLong)) ++ Seq(("tiny", 110L))
+    val df = rows.toDF("lang", "doc_id")
+    val got = Sampling.temperatureSample(df, "lang", "doc_id", multiplier = 4)
+      .groupBy("lang").count().collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("count")).toMap
+    // big: floor(sqrt(100))*4 = 40 of 100; mid: floor(3)*4 = 12 > 9 -> all 9
+    // tiny: floor(1)*4 = 4 > 1 -> 1. Head compressed 2.5x, tail kept whole.
+    assert(got == Map("big" -> 40L, "mid" -> 9L, "tiny" -> 1L), s"targets: $got")
+  }
+
+  test("temperature sampling is deterministic and a subset of the corpus") {
+    val df = (1 to 50).map(i => ("l" + (i % 3), i.toLong)).toDF("lang", "doc_id")
+    val a = Sampling.temperatureSample(df, "lang", "doc_id").collect().map(_.toSeq).toSet
+    val b = Sampling.temperatureSample(df, "lang", "doc_id").collect().map(_.toSeq).toSet
+    assert(a == b, "resample must be deterministic")
+    val ids = a.map(_(1).asInstanceOf[Long])
+    assert(ids.subsetOf((1 to 50).map(_.toLong).toSet))
+  }
+
   test("PII redaction replaces emails then phones, counts match") {
     val df = Seq(
       (1L, "mail me at john.doe@example.org or call +44 20 7946 0958 now"),
