@@ -30,7 +30,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Single-JVM local[32] = driver AND all executors in one heap: 8g
+  // starved the 100-query bench suite late in the run (GC thrash read
+  // as 29 s min-of-2 for a 2 s scan). The machine has 128 GiB; size
+  // the default to it.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
 // The bench driver keeps only the last 2000 chars of stdout; sbt's
 // "[success] Total time ..." trailer would eat 73 of them right after

@@ -90,6 +90,10 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val copies = args.lift(1).map(_.toInt).getOrElse(10)
+    // optional 3rd arg: comma-separated subset of `flagship` (local
+    // iteration — probe only the operators that changed)
+    val names = args.lift(2).map(_.split(",").toSeq).getOrElse(flagship)
+    require(names.forall(flagship.contains), s"unknown probe name in $names")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
     val spark = SparkSession.builder()
@@ -116,7 +120,7 @@ object ScaleProbe {
     // session warmup (codegen, parquet footers) as in Bench
     spark.range(1000).selectExpr("sum(id)").collect()
     println("query\tt_base_s\tt_10x_s\tratio\trows_base\trows_10x")
-    flagship.foreach { name =>
+    names.foreach { name =>
       val fn = SparkEntry.queries(name)
       val tb = minTime(fn, baseDir)
       val tx = minTime(fn, probeDir)

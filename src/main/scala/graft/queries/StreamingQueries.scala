@@ -40,6 +40,19 @@ object StreamingQueries {
       try f finally s.conf.set("spark.sql.shuffle.partitions", prev)
     }
 
+  /** Materialize the memory-sink result and DROP the sink view. The
+    * memory sink holds every emitted row in the driver heap via a
+    * catalog reference that never dies — a bench run executes the
+    * streaming catalog dozens of times in one JVM, and the leaked
+    * sinks were measured as GC pressure slowing LATER queries.
+    * `localCheckpoint` blocks, by contrast, are released by the
+    * ContextCleaner once the returned frame is unreferenced. */
+  private def drain(s: SparkSession, name: String, df: DataFrame): DataFrame = {
+    val out = df.localCheckpoint(true)
+    s.catalog.dropTempView(name)
+    out
+  }
+
   /** Per-user balance scan over the events table consumed AS A STREAM:
     * [[graft.streaming.StreamingScan.groupScanStream]] threads the
     * non-associative credit-limit kernel through `GroupState`, exactly
@@ -80,7 +93,7 @@ object StreamingQueries {
           s"stream_group_scan_balance expects exactly 1 data micro-batch (event_id order == " +
             s"arrival order precondition for the oracle); saw $dataBatches")
     } finally q.stop()
-    s.table(name).orderBy("user_id", "event_id")
+    drain(s, name, s.table(name).orderBy("user_id", "event_id"))
   }
 
   /** Re-spill a frame as `nFiles` event_id-contiguous parquet files
@@ -189,10 +202,10 @@ object StreamingQueries {
           s"stream_multibatch_balance requires >= 2 data micro-batches (cross-batch GroupState " +
             s"is the path under test); saw $dataBatches")
     } finally q.stop()
-    s.table(name)
+    drain(s, name, s.table(name)
       .groupBy("user_id")
       .agg(max_by(col("balance"), col("event_id")).as("balance"))
-      .orderBy("user_id")
+      .orderBy("user_id"))
   }
 
   /** UPDATE-MODE incremental aggregation through the oracle gate: the
@@ -231,7 +244,7 @@ object StreamingQueries {
     } finally q.stop()
     // (user_id, n_events) is unique across the update stream (counts
     // strictly increase per user), so the sort is deterministic
-    s.table(name).orderBy("user_id", "n_events")
+    drain(s, name, s.table(name).orderBy("user_id", "n_events"))
   }
 
   /** The canonical Structured-Streaming shape: watermarked tumbling-
@@ -260,7 +273,7 @@ object StreamingQueries {
       .select(col("w.start").cast("long").as("window_start"), col("event_type"), col("n"))
     val q = agg.writeStream.format("memory").queryName(name).outputMode("append").start()
     try q.processAllAvailable() finally q.stop()
-    s.table(name).orderBy("window_start", "event_type")
+    drain(s, name, s.table(name).orderBy("window_start", "event_type"))
   }
 
   /** Streaming EXACT DEDUP — the ingest-time flavor of
@@ -288,7 +301,7 @@ object StreamingQueries {
       .dropDuplicates("content_hash")
     val q = dedup.writeStream.format("memory").queryName(name).outputMode("append").start()
     try q.processAllAvailable() finally q.stop()
-    s.table(name).orderBy("content_hash")
+    drain(s, name, s.table(name).orderBy("content_hash"))
   }
 
   /** WATERMARKED streaming dedup — the bounded-state version of
@@ -332,9 +345,9 @@ object StreamingQueries {
           s"stream_dedup_watermarked requires >= 2 data micro-batches (cross-batch dedup state " +
             s"is the path under test); saw $dataBatches")
     } finally q.stop()
-    s.table(name)
+    drain(s, name, s.table(name)
       .select(col("user_id"), col("event_type"), col("hour_ts").cast("long").as("hour_start"))
-      .orderBy("user_id", "event_type", "hour_start")
+      .orderBy("user_id", "event_type", "hour_start"))
   }
 
   /** WATERMARKED STREAM-STREAM INNER JOIN through the oracle gate —
@@ -394,7 +407,7 @@ object StreamingQueries {
           s"stream_join_clicks_errors requires >= 2 data micro-batches (cross-batch join state " +
             s"is the path under test); saw $dataBatches")
     } finally q.stop()
-    s.table(name).orderBy("user_id", "click_id", "error_id")
+    drain(s, name, s.table(name).orderBy("user_id", "click_id", "error_id"))
   }
 
   /** WATERMARKED STREAM-STREAM LEFT OUTER JOIN — the eviction-driven
@@ -461,7 +474,7 @@ object StreamingQueries {
           s"stream_leftjoin_clicks_errors requires >= 2 data micro-batches (cross-batch join " +
             s"state is the path under test); saw $dataBatches")
     } finally q.stop()
-    s.table(name).orderBy("user_id", "click_id", "error_id")
+    drain(s, name, s.table(name).orderBy("user_id", "click_id", "error_id"))
   }
 
   /** STREAMING SESSION WINDOWS through the oracle gate — dynamic-gap
@@ -516,7 +529,7 @@ object StreamingQueries {
           s"stream_session_windows requires >= 2 data micro-batches (cross-batch session " +
             s"merge is the path under test); saw $dataBatches")
     } finally q.stop()
-    s.table(name).orderBy("user_id", "start_sec")
+    drain(s, name, s.table(name).orderBy("user_id", "start_sec"))
   }
 
   /** STREAM–STATIC ENRICHMENT — the stateless per-batch join shape: an
@@ -550,7 +563,7 @@ object StreamingQueries {
           s"stream_static_enrich requires >= 2 data micro-batches (per-batch broadcast " +
             s"re-join is the path under test); saw $dataBatches")
     } finally q.stop()
-    s.table(name).orderBy("event_id")
+    drain(s, name, s.table(name).orderBy("event_id"))
   }
 
   val defs: Map[String, Q] = Map(
