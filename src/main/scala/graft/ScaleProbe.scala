@@ -117,8 +117,18 @@ object ScaleProbe {
         (System.nanoTime() - t) / 1e9
       }.min
 
-    // session warmup (codegen, parquet footers) as in Bench
+    // session warmup (codegen, parquet footers) as in Bench, PLUS an
+    // untimed sf0.001 pass of the probed queries: each query's generated
+    // classes only JIT by running it, and a cold base measurement makes
+    // the 10x ratio read BELOW true (measured 0.7x for a broadcast-probe
+    // query whose base min-of-2 was all compile storm)
     spark.range(1000).selectExpr("sum(id)").collect()
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    if (new java.io.File(warmDir).isDirectory)
+      names.foreach { n =>
+        try SparkEntry.queries(n)(spark, warmDir).write.mode("overwrite").format("noop").save()
+        catch { case _: Throwable => () }
+      }
     println("query\tt_base_s\tt_10x_s\tratio\trows_base\trows_10x")
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
