@@ -560,6 +560,28 @@ object RelationalQueries {
       .orderBy("o_orderkey")
   }
 
+  /** Semi-structured extraction: parse the events table's JSON `props`
+    * column with a TYPED schema (`from_json` — one parse per row into a
+    * struct, codegen'd, no UDF and no per-field re-parse the
+    * `get_json_object`-per-field shape pays) and aggregate the
+    * extracted field per event type. Malformed rows parse to null and
+    * are counted, not dropped — the ingest-audit convention. The
+    * oracle replays the extraction with a regexp (same values on
+    * well-formed single-key objects; a malformed row would surface as
+    * a null-count mismatch rather than silently diverge). */
+  val jsonPropsStats: Q = (s, dir) => {
+    val ev = Tables(s, dir, "events")
+      .select(col("event_type"), expr("from_json(props, 'k BIGINT').k").as("k"))
+    ev.groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        count(col("k")).as("n_parsed"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy("event_type")
+  }
+
   /** Z-ORDER layout job — interleave the low 16 bits of (custkey, day)
     * into a 32-bit Morton code and order the table by it: the
     * multi-dimensional clustering pass (the OPTIMIZE ZORDER of lakehouse
@@ -612,10 +634,21 @@ object RelationalQueries {
     "concurrent_orders" -> concurrentOrders,
     "winsorized_quantity" -> winsorizedQuantity,
     "rolling_revenue_7d" -> rollingRevenue7d,
-    "zorder_layout" -> zorderLayout
+    "zorder_layout" -> zorderLayout,
+    "json_props_stats" -> jsonPropsStats
   )
 
   val oracles: Map[String, String] = Map(
+    // regexp replay of the typed JSON extraction: identical values on
+    // well-formed objects; NULLIF keeps malformed rows null on both
+    // sides so n vs n_parsed audits parity instead of diverging
+    "json_props_stats" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(NULLIF(regexp_extract(props, '"k": *(-?[0-9]+)', 1), '') AS BIGINT) AS k
+        |  FROM events)
+        |SELECT event_type, count(*) AS n, count(k) AS n_parsed,
+        |  CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k, max(k) AS max_k
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
     // the Morton interleave replays as the same 32 integer bit terms
     // (generated from one Scala loop, so Spark and SQL can't drift)
     "zorder_layout" -> {

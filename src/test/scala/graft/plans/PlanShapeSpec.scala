@@ -104,12 +104,51 @@ class PlanShapeSpec extends AnyFunSuite {
   test("flagship joins never degrade to cartesian/nested-loop products") {
     val names = Seq(
       "q5_region_revenue", "q3_top_orders", "q10_returned_items",
-      "range_band_orders", "salted_join_events", "bloom_semi_orders")
+      "range_band_orders", "salted_join_events", "bloom_semi_orders",
+      "decontaminate_docs", "distinctive_terms", "inverted_index",
+      "temperature_resample")
     for (n <- names) {
       val plan = graft.SparkEntry.queries(n)(spark, TestSpark.sfDir)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$n: cartesian product:\n$plan")
       assert(!plan.contains("BroadcastNestedLoopJoin"), s"$n: nested loop join:\n$plan")
     }
+  }
+
+  test("decontaminate_docs: the corpus probes a BROADCAST eval-gram set") {
+    val df = graft.SparkEntry.queries("decontaminate_docs")(spark, TestSpark.sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the training side must never shuffle on the gram hash — the eval
+    // set broadcasts and the probe is scan-side
+    assert(plan.contains("BroadcastHashJoin"),
+      s"eval grams must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the overlap probe must not shuffle-join the corpus:\n$plan")
+  }
+
+  test("zorder_layout: exactly one exchange — the range partition on the Morton code") {
+    val df = graft.SparkEntry.queries("zorder_layout")(spark, TestSpark.sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected exactly the zval range exchange, got $exchanges:\n$plan")
+    assert(plan.contains("rangepartitioning(zval"),
+      s"the one exchange must range-partition on the Morton code:\n$plan")
+  }
+
+  test("rolling_revenue_7d: one custkey exchange feeding the window, no extra shuffle") {
+    val df = graft.SparkEntry.queries("rolling_revenue_7d")(spark, TestSpark.sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), s"expected a WindowExec:\n$plan")
+    // exactly two exchanges: hash on o_custkey for the frame, range for
+    // the deterministic output order
+    val hashEx = "Exchange hashpartitioning\\(o_custkey".r.findAllIn(plan).size
+    assert(hashEx == 1, s"expected one custkey exchange, got $hashEx:\n$plan")
+  }
+
+  test("inverted_index: the posting cap runs map-side (GroupTopK heap above the scan)") {
+    val df = graft.SparkEntry.queries("inverted_index")(spark, TestSpark.sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert("MapPartitions".r.findAllIn(plan).size >= 2,
+      s"expected the GroupTopK mapPartitions pair:\n$plan")
   }
 }
