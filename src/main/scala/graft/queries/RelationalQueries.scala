@@ -560,6 +560,26 @@ object RelationalQueries {
       .orderBy("o_orderkey")
   }
 
+  /** Join-key skew diagnostic — the measurement that decides between
+    * the plain, salted, and AQE join paths before a 100 TB join runs:
+    * per-key row counts on the probe side's join key, the 20 heaviest
+    * keys with their exact share of the table, and a hot flag at the
+    * 1% threshold the catalog's salted paths assume. ONE partial-agg
+    * shuffle on the key (counts, never rows), a 1-row total broadcast
+    * (the plan's BroadcastNestedLoopJoin is that bounded crossJoin),
+    * and a 20-row result. The share division is a single IEEE op —
+    * exact in any engine; the flag is pure integer arithmetic. */
+  val keySkewReport: Q = (s, dir) => {
+    val ev = Tables(s, dir, "events")
+    val counts = ev.groupBy("user_id").agg(count(lit(1)).as("n"))
+    val total = ev.agg(count(lit(1)).as("total"))
+    counts.crossJoin(broadcast(total))
+      .select(col("user_id"), col("n"),
+        (col("n").cast("double") / col("total")).as("share"),
+        (col("n") * 100 >= col("total")).cast("int").as("hot"))
+      .orderBy(desc("n"), asc("user_id")).limit(20)
+  }
+
   /** Semi-structured extraction: parse the events table's JSON `props`
     * column with a TYPED schema (`from_json` — one parse per row into a
     * struct, codegen'd, no UDF and no per-field re-parse the
@@ -635,10 +655,18 @@ object RelationalQueries {
     "winsorized_quantity" -> winsorizedQuantity,
     "rolling_revenue_7d" -> rollingRevenue7d,
     "zorder_layout" -> zorderLayout,
-    "json_props_stats" -> jsonPropsStats
+    "json_props_stats" -> jsonPropsStats,
+    "key_skew_report" -> keySkewReport
   )
 
   val oracles: Map[String, String] = Map(
+    // share = one IEEE division (exact); hot flag = integer arithmetic
+    "key_skew_report" ->
+      """WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+        |t AS (SELECT count(*) AS total FROM events)
+        |SELECT user_id, n, CAST(n AS DOUBLE) / total AS share,
+        |  CAST(CASE WHEN n * 100 >= total THEN 1 ELSE 0 END AS INT) AS hot
+        |FROM c, t ORDER BY n DESC, user_id LIMIT 20""".stripMargin,
     // regexp replay of the typed JSON extraction: identical values on
     // well-formed objects; NULLIF keeps malformed rows null on both
     // sides so n vs n_parsed audits parity instead of diverging
