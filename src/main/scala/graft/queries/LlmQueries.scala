@@ -356,6 +356,45 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** INCREMENTAL dedup — the daily-increment production shape: a new
+    * batch of documents dedups against the already-ingested corpus and
+    * within itself, WITHOUT ever pairing against corpus text: only the
+    * corpus's distinct content hashes participate (at 100 TB that side
+    * is a compacted hash-table read, not a corpus rescan). Each new doc
+    * gets a status: `dup_corpus` (hash already ingested), `new` (first
+    * holder of a fresh hash in the batch), `dup_batch` (a smaller
+    * doc_id in the same batch holds it). Plan shape: ONE shuffle on the
+    * content hash serves BOTH the corpus-hash left join and the
+    * min-per-hash window (the join output is already hash-partitioned,
+    * so the window adds no exchange). The md5 hash-bucket split stands
+    * in for the corpus/batch boundary on the fixture; the synthetic
+    * corpus has NO exact dups, so the batch is salted in-plan with
+    * deterministic echoes — re-ingested corpus docs (must come back
+    * `dup_corpus`) and doubled batch docs (the copy must come back
+    * `dup_batch`) — and the oracle replays the same injection, so all
+    * three status paths are exercised by the gate. */
+  val dedupIncremental: Q = (s, dir) => {
+    val d = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text"), Sampling.hashBucket256(col("doc_id")).as("bk"))
+    val batch = d.filter(col("bk") >= 128).select("doc_id", "text")
+      .union(d.filter(col("bk") < 8)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      .union(d.filter(col("bk") >= 128 && col("bk") < 136)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+      .select(col("doc_id"), TextAnalysis.fingerprintMd5(col("text")).as("h"))
+    val oldHashes = d.filter(col("bk") < 128)
+      .select(TextAnalysis.fingerprintMd5(col("text")).as("h")).distinct()
+      .withColumn("in_corpus", lit(1))
+    val w = Window.partitionBy("h")
+    batch.join(oldHashes, Seq("h"), "left")
+      .withColumn("first_id", min(col("doc_id")).over(w))
+      .select(col("doc_id"),
+        when(col("in_corpus").isNotNull, "dup_corpus")
+          .when(col("doc_id") === col("first_id"), "new")
+          .otherwise("dup_batch").as("status"))
+      .orderBy("doc_id")
+  }
+
   /** Inverted index build — token → (df, doc-id posting list): the
     * retrieval-side artifact of a corpus pipeline. `df` is the TRUE
     * document frequency; postings are capped at the 20 smallest
@@ -614,6 +653,7 @@ object LlmQueries {
     "distinctive_terms" -> distinctiveTerms,
     "temperature_resample" -> temperatureResample,
     "inverted_index" -> invertedIndex,
+    "dedup_incremental" -> dedupIncremental,
     "split_train_val" -> splitTrainVal,
     "sample_docs_per_lang" -> sampleDocsPerLang,
     "media_features" -> mediaFeatures,
@@ -1039,6 +1079,26 @@ object LlmQueries {
         |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // md5-bucket split: first two hex chars parsed as 0..255, train
     // when below 90*256/100 = 230 — identical in any engine
+    // the same hash-bucket corpus/batch split, the same in-plan echo
+    // injection, content-hash lookup, min-per-hash first-holder rule
+    "dedup_incremental" ->
+      """WITH bkt AS (SELECT doc_id,
+        |    (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+        |    + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS bk
+        |  FROM documents),
+        |d AS (SELECT d0.doc_id, text, bk FROM documents d0 JOIN bkt USING (doc_id)),
+        |b AS (SELECT doc_id, md5(lower(text)) AS h FROM (
+        |  SELECT doc_id, text FROM d WHERE bk >= 128
+        |  UNION ALL SELECT doc_id + 1000000, text FROM d WHERE bk < 8
+        |  UNION ALL SELECT doc_id + 2000000, text FROM d WHERE bk >= 128 AND bk < 136)),
+        |old AS (SELECT DISTINCT md5(lower(text)) AS h FROM d WHERE bk < 128),
+        |m AS (SELECT doc_id, h, min(doc_id) OVER (PARTITION BY h) AS first_id FROM b)
+        |SELECT m.doc_id,
+        |  CASE WHEN o.h IS NOT NULL THEN 'dup_corpus'
+        |       WHEN m.doc_id = m.first_id THEN 'new'
+        |       ELSE 'dup_batch' END AS status
+        |FROM m LEFT JOIN old o ON m.h = o.h
+        |ORDER BY doc_id""".stripMargin,
     // df over the distinct (doc, token) pairs; postings replayed as
     // the 20 smallest doc_ids per token (GroupTopK changes the shuffle
     // volume, never the selected set)
