@@ -39,8 +39,23 @@ def main() -> int:
             continue
         spark = pd.read_parquet(f"{out}/{name}")
         duck = con.execute(oracle[name]).df()
-        s = spark.reindex(sorted(spark.columns), axis=1).astype(str).reset_index(drop=True)
-        d = duck.reindex(sorted(duck.columns), axis=1).astype(str).reset_index(drop=True)
+
+        def canon(df: pd.DataFrame) -> pd.DataFrame:
+            # List-valued cells arrive as numpy arrays (parquet) or Python
+            # lists (DuckDB) with different str() forms ('[1 2]' vs
+            # '[1, 2]') and are unhashable in pandas sort paths —
+            # canonicalize to a plain-list JSON string before compare.
+            df = df.reindex(sorted(df.columns), axis=1).reset_index(drop=True)
+            for c in df.columns:
+                if df[c].map(lambda v: hasattr(v, "__len__")
+                             and not isinstance(v, (str, bytes))).any():
+                    df[c] = df[c].map(lambda v: json.dumps(list(v))
+                                      if hasattr(v, "__len__")
+                                      and not isinstance(v, (str, bytes)) else v)
+            return df.astype(str)
+
+        s = canon(spark)
+        d = canon(duck)
         if list(s.columns) != list(d.columns):
             print(f"SCHEMA   {name}: spark={list(s.columns)} duck={list(d.columns)}")
             n_fail += 1

@@ -117,6 +117,15 @@ object ScaleProbe {
         (System.nanoTime() - t) / 1e9
       }.min
 
+    // Same self-adjudication telemetry as Bench: hypervisor CPU steal
+    // across each probe row, so a blown ratio taken under steal is
+    // visibly the host's fault in the artifact itself.
+    def stealTicks(): Long =
+      try {
+        val f = scala.io.Source.fromFile("/proc/stat").getLines().next().trim.split("\\s+")
+        if (f.length > 8) f(8).toLong else 0L
+      } catch { case scala.util.control.NonFatal(_) => 0L }
+
     // session warmup (codegen, parquet footers) as in Bench, PLUS an
     // untimed sf0.001 pass of the probed queries: each query's generated
     // classes only JIT by running it, and a cold base measurement makes
@@ -127,16 +136,18 @@ object ScaleProbe {
     if (new java.io.File(warmDir).isDirectory)
       names.foreach { n =>
         try SparkEntry.queries(n)(spark, warmDir).write.mode("overwrite").format("noop").save()
-        catch { case _: Throwable => () }
+        catch { case scala.util.control.NonFatal(_) => () }
       }
-    println("query\tt_base_s\tt_10x_s\tratio\trows_base\trows_10x")
+    println("query\tt_base_s\tt_10x_s\tratio\trows_base\trows_10x\tsteal_s")
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
+      val st0 = stealTicks()
       val tb = minTime(fn, baseDir)
       val tx = minTime(fn, probeDir)
+      val steal = (stealTicks() - st0) / 100.0 // USER_HZ
       val rb = fn(spark, baseDir).count()
       val rx = fn(spark, probeDir).count()
-      println(f"SCALE\t$name\t$tb%.2f\t$tx%.2f\t${tx / tb}%.1f\t$rb\t$rx")
+      println(f"SCALE\t$name\t$tb%.2f\t$tx%.2f\t${tx / tb}%.1f\t$rb\t$rx\t$steal%.1f")
     }
 
     // best-effort probe-dir cleanup (tmp dir; OS clears stragglers)

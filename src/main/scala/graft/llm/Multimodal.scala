@@ -19,6 +19,17 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  /** ImageIO's default `ImageInputStream` cache buffers every stream
+    * through a temp FILE on disk — one create+write+delete per decoded
+    * payload per row, which under 32 concurrent tasks is a disk-I/O
+    * lottery (the same decode query measured 2.5 s to 59 s run-to-run)
+    * and at 100 TB a per-row scale hazard in an otherwise narrow,
+    * shuffle-free map. All payloads here are already in-memory byte
+    * arrays, so the cache buys nothing: disable it once per JVM, before
+    * any ImageIO call. Runs on each executor at class-load (this object
+    * is referenced from every decode closure). */
+  private val _imageIoCacheOff: Unit = javax.imageio.ImageIO.setUseCache(false)
+
   /** Typed media column: payload + metadata, the schema every media
     * operator consumes. */
   val mediaSchema: StructType = StructType(Seq(

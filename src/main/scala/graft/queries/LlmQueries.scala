@@ -404,7 +404,10 @@ object LlmQueries {
     * rows — never a full posting list, which for a head token at
     * 100 TB IS the corpus. The (doc, token) distinct is the one
     * corpus-sized shuffle (it defines df); everything after is
-    * vocabulary-sized. */
+    * vocabulary-sized. Postings are emitted comma-joined (a varchar,
+    * not an array) so every cross-engine comparator handles the column
+    * — the list itself is bounded at k=20 entries, so the string is
+    * bounded too. */
   val invertedIndex: Q = (s, dir) => {
     val pairs = Tables(s, dir, "documents")
       .select(col("doc_id"),
@@ -414,9 +417,10 @@ object LlmQueries {
     val df = pairs.groupBy("token").agg(count(lit(1)).as("df"))
     val top = graft.operators.GroupTopK
       .topK(pairs.select("token", "doc_id"), Seq("token"), Seq(("doc_id", true)), 20)
-      .groupBy("token").agg(sort_array(collect_list(col("doc_id"))).as("postings"))
+      .groupBy("token").agg(sort_array(collect_list(col("doc_id"))).as("plist"))
     df.join(top, "token")
-      .select("token", "df", "postings")
+      .select(col("token"), col("df"),
+        array_join(col("plist").cast("array<string>"), ",").as("postings"))
       .orderBy("token")
   }
 
@@ -1101,7 +1105,8 @@ object LlmQueries {
         |ORDER BY doc_id""".stripMargin,
     // df over the distinct (doc, token) pairs; postings replayed as
     // the 20 smallest doc_ids per token (GroupTopK changes the shuffle
-    // volume, never the selected set)
+    // volume, never the selected set), comma-joined to a varchar so
+    // the cross-engine comparator never sees an array column
     "inverted_index" ->
       """WITH toks AS (SELECT DISTINCT doc_id, token FROM (
         |    SELECT doc_id, unnest(regexp_split_to_array(
@@ -1113,7 +1118,7 @@ object LlmQueries {
         |top AS (SELECT token, doc_id FROM (
         |    SELECT token, doc_id, row_number() OVER (PARTITION BY token
         |      ORDER BY doc_id) AS rk FROM toks) WHERE rk <= 20),
-        |p AS (SELECT token, list(doc_id ORDER BY doc_id) AS postings
+        |p AS (SELECT token, string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
         |  FROM top GROUP BY token)
         |SELECT df.token, df.df, p.postings FROM df JOIN p USING (token)
         |ORDER BY token""".stripMargin,
