@@ -160,17 +160,20 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
-  /** Synthesize a uniform-gray w×h PNG payload per row IN-PLAN (narrow
-    * mapPartitions, JDK ImageIO encoder — no shuffle, parallel with
-    * input splits): the deterministic payload generator for driving the
-    * REAL PNG decode path through the cross-engine gate. PNG is
-    * lossless, so the decoded pixel values — and therefore the decoded
-    * dimensions and luminance stats — are fully determined by
-    * (w, h, gray) regardless of how the encoder laid out the bytes;
-    * an oracle can state them independently without ever seeing the
-    * payload. (The BMP twin builds its payload from SQL byte literals;
-    * PNG needs zlib + CRC, hence the JVM encoder.) */
-  def synthesizePng(df: DataFrame, idCol: String, wCol: String, hCol: String, grayCol: String): DataFrame = {
+  /** Synthesize a uniform-gray w×h image payload per row IN-PLAN
+    * (narrow mapPartitions, JDK ImageIO encoder — no shuffle, parallel
+    * with input splits): the deterministic payload generator for
+    * driving the REAL decode path through the cross-engine gate.
+    * `format` is any lossless ImageIO writer ("png", "gif") — for a
+    * uniform-gray image both round-trip the pixel values exactly (GIF's
+    * palette holds the one color), so the decoded dimensions and
+    * luminance stats are fully determined by (w, h, gray) regardless of
+    * how the encoder laid out the bytes; an oracle can state them
+    * independently without ever seeing the payload. (The BMP twin
+    * builds its payload from SQL byte literals; PNG needs zlib + CRC
+    * and GIF needs LZW, hence the JVM encoder.) */
+  def synthesizeImage(df: DataFrame, idCol: String, wCol: String, hCol: String,
+                      grayCol: String, format: String, mime: String): DataFrame = {
     val sel = df.select(col(idCol), col(wCol).cast("int"), col(hCol).cast("int"), col(grayCol).cast("int"))
     val outSchema = StructType(Seq(sel.schema.head, StructField("media", mediaSchema)))
     sel.mapPartitions { it =>
@@ -185,8 +188,39 @@ object Multimodal {
           y += 1
         }
         val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "png", bos)
-        Row(r.get(0), Row(bos.toByteArray, "image/png", w, h, 1))
+        javax.imageio.ImageIO.write(img, format, bos)
+        Row(r.get(0), Row(bos.toByteArray, mime, w, h, 1))
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  def synthesizePng(df: DataFrame, idCol: String, wCol: String, hCol: String, grayCol: String): DataFrame =
+    synthesizeImage(df, idCol, wCol, hCol, grayCol, "png", "image/png")
+
+  /** Committed JPEG fixtures (src/main/resources/graft/fixtures/) —
+    * JPEG is lossy, so unlike PNG/GIF an in-plan synthesized payload
+    * has no engine-independent expected pixel values; the gate instead
+    * decodes FIXED committed files whose decoded dims + sampled
+    * luminance were pinned once (the independent-statement oracle).
+    * Loaded from the classpath once per JVM (the jar ships them to
+    * every executor); ~750 bytes each. */
+  private[llm] lazy val jpegFixtures: Array[Array[Byte]] = (0 until 3).map { i =>
+    val in = getClass.getResourceAsStream(s"/graft/fixtures/jpeg$i.jpg")
+    require(in != null, s"classpath fixture /graft/fixtures/jpeg$i.jpg missing")
+    try in.readAllBytes() finally in.close()
+  }.toArray
+
+  /** Attach media structs whose payloads are the committed JPEG
+    * fixtures, fixture `id % 3` per row — narrow map, no shuffle; the
+    * bytes live once per JVM, not once per row, until decode. */
+  def attachJpegFixture(df: DataFrame, idCol: String): DataFrame = {
+    val sel = df.select(col(idCol).cast("long"))
+    val outSchema = StructType(Seq(sel.schema.head, StructField("media", mediaSchema)))
+    sel.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val b = jpegFixtures((id % 3).toInt)
+        Row(r.get(0), Row(b, "image/jpeg", null, null, 1))
       }
     }(Encoders.row(outSchema))
   }

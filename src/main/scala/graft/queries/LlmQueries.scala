@@ -356,6 +356,50 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** REAL GIF decode through the driver gate — same pattern as the PNG
+    * twin but through the JDK's GIF encoder/decoder pair
+    * ([[Multimodal.synthesizeImage]] with format "gif"): GIF's palette
+    * holds the single gray exactly, so (w, h, gray) fully determine the
+    * decoded output and the oracle states all three independently.
+    * Dimension/gray formulas deliberately differ from the PNG query so
+    * the two gates can't mask each other. */
+  val mediaDecodeGif: Q = (s, dir) => {
+    val d = Tables(s, dir, "documents").select(
+      col("doc_id"),
+      expr("CAST(1 + doc_id % 6 AS INT)").as("w"),
+      expr("CAST(1 + doc_id % 4 AS INT)").as("h"),
+      expr("CAST((doc_id * 7) % 256 AS INT)").as("g"))
+    val media = Multimodal.synthesizeImage(d, "doc_id", "w", "h", "g", "gif", "image/gif")
+    Multimodal.extractFeatures(media, "doc_id", "media", dims = 4)
+      .select(col("doc_id"),
+        element_at(col("features"), 1).cast("int").as("width"),
+        element_at(col("features"), 2).cast("int").as("height"),
+        round(element_at(col("features"), 3) * 255).cast("int").as("gray"))
+      .orderBy("doc_id")
+  }
+
+  /** REAL JPEG decode through the driver gate. JPEG is lossy — an
+    * in-plan synthesized payload has no engine-independent expected
+    * pixels — so this gate decodes FIXED committed fixture files
+    * ([[Multimodal.attachJpegFixture]], fixture = doc_id % 3) and the
+    * oracle states each fixture's decoded dims + integer-quantized
+    * sampled luminance mean/variance as pinned constants (measured once
+    * from the committed bytes; decode of a fixed JPEG is deterministic
+    * for a fixed decoder). The stub path would emit byte-sum features —
+    * nothing like these constants — so a match proves the real decoder
+    * ran. Narrow map end-to-end; fixture bytes live once per JVM. */
+  val mediaDecodeJpeg: Q = (s, dir) => {
+    val media = Multimodal.attachJpegFixture(
+      Tables(s, dir, "documents").select("doc_id"), "doc_id")
+    Multimodal.extractFeatures(media, "doc_id", "media", dims = 4)
+      .select(col("doc_id"),
+        element_at(col("features"), 1).cast("int").as("width"),
+        element_at(col("features"), 2).cast("int").as("height"),
+        round(element_at(col("features"), 3) * 10000).cast("int").as("lum_q"),
+        round(element_at(col("features"), 4) * 10000).cast("int").as("var_q"))
+      .orderBy("doc_id")
+  }
+
   /** INCREMENTAL dedup — the daily-increment production shape: a new
     * batch of documents dedups against the already-ingested corpus and
     * within itself, WITHOUT ever pairing against corpus text: only the
@@ -663,6 +707,8 @@ object LlmQueries {
     "media_features" -> mediaFeatures,
     "media_decode_bmp" -> mediaDecodeBmp,
     "media_decode_png" -> mediaDecodePng,
+    "media_decode_gif" -> mediaDecodeGif,
+    "media_decode_jpeg" -> mediaDecodeJpeg,
     "media_frames" -> mediaFrames,
     "media_stats" -> mediaStats
   )
@@ -1210,6 +1256,21 @@ object LlmQueries {
       """SELECT doc_id, CAST(1 + doc_id % 5 AS INT) AS width,
         |  CAST(1 + doc_id % 3 AS INT) AS height,
         |  CAST(doc_id % 256 AS INT) AS gray
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "media_decode_gif" ->
+      """SELECT doc_id, CAST(1 + doc_id % 6 AS INT) AS width,
+        |  CAST(1 + doc_id % 4 AS INT) AS height,
+        |  CAST((doc_id * 7) % 256 AS INT) AS gray
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // pinned constants measured ONCE from the committed fixture bytes
+    // (decode of a fixed JPEG is deterministic for a fixed decoder);
+    // the stub path's byte-sum features could never match them
+    "media_decode_jpeg" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 16 WHEN 1 THEN 20 ELSE 9 END AS width,
+        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 12 WHEN 1 THEN 8 ELSE 9 END AS height,
+        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 4996 WHEN 1 THEN 5000 ELSE 5115 END AS lum_q,
+        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 295 WHEN 1 THEN 306 ELSE 313 END AS var_q
         |FROM documents ORDER BY doc_id""".stripMargin,
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, md5(lower(text)) AS content_hash,

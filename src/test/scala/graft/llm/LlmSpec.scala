@@ -255,4 +255,38 @@ class LlmSpec extends AnyFunSuite {
     // non-image payloads pass through unchanged
     assert(Multimodal.resizeImage("plain".getBytes, 2, 2).sameElements("plain".getBytes))
   }
+
+  test("multimodal: GIF synthesis round-trips uniform gray exactly; JPEG fixtures decode to pinned stats") {
+    // GIF: the palette holds the single gray, so encode->decode is exact
+    val d = Seq((0L, 3, 2, 37), (1L, 6, 4, 200), (2L, 1, 1, 255))
+      .toDF("doc_id", "w", "h", "g")
+    val gif = Multimodal.synthesizeImage(d, "doc_id", "w", "h", "g", "gif", "image/gif")
+    val gm = gif.collect().map(r => r.getLong(0) -> r.getStruct(1)).toMap
+    assert(new String(gm(0L).getAs[Array[Byte]](0).take(3), "ASCII") == "GIF")
+    val feats = Multimodal.extractFeatures(gif, "doc_id", "media", dims = 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(feats(0L)(0) == 3.0 && feats(0L)(1) == 2.0)
+    // uniform gray g: luminance = g/255 exactly (0.299+0.587+0.114 = 1)
+    assert(math.abs(feats(0L)(2) - 37.0 / 255.0) < 1e-9 && feats(0L)(3) == 0.0)
+    assert(feats(1L)(0) == 6.0 && math.abs(feats(1L)(2) - 200.0 / 255.0) < 1e-9)
+    assert(feats(2L)(2) == 1.0)
+    // JPEG: committed fixtures decode deterministically; dims + quantized
+    // luminance pinned (the same constants the oracle states)
+    assert(Multimodal.jpegFixtures.length == 3)
+    assert(Multimodal.jpegFixtures.forall(b =>
+      b(0) == 0xFF.toByte && b(1) == 0xD8.toByte && Multimodal.looksLikeImage(b)))
+    val expected = Seq((16.0, 12.0, 4996L, 295L), (20.0, 8.0, 5000L, 306L), (9.0, 9.0, 5115L, 313L))
+    for (((w, h, lq, vq), i) <- expected.zipWithIndex) {
+      val f = Multimodal.decode(Multimodal.jpegFixtures(i), 4)
+      assert(f(0) == w && f(1) == h, s"fixture $i dims")
+      assert(math.round(f(2) * 10000) == lq, s"fixture $i lum_q: got ${f(2)}")
+      assert(math.round(f(3) * 10000) == vq, s"fixture $i var_q: got ${f(3)}")
+    }
+    // end-to-end: attachJpegFixture is a narrow map over any id column
+    val jp = Multimodal.attachJpegFixture(Seq(0L, 1L, 2L, 3L).toDF("doc_id"), "doc_id")
+    val jf = Multimodal.extractFeatures(jp, "doc_id", "media", dims = 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(jf(0L)(0) == 16.0 && jf(3L)(0) == 16.0) // fixture id % 3 repeats
+    assert(jf(1L)(0) == 20.0 && jf(2L)(0) == 9.0)
+  }
 }
