@@ -67,10 +67,160 @@ object Similarity {
     if (portable) graft.functions.VectorFunctions.hyperplaneSignatureQ(vec, nPlanes)
     else graft.functions.VectorFunctions.hyperplaneSignature(vec, nPlanes)
 
+  // ---------------------------------------------------------------------
+  // Deterministic quantizer training (Lloyd's k-means on a bounded,
+  // md5-selected sample).
+  //
+  // Training is DRIVER-SIDE ON A SAMPLE by design — the FAISS convention:
+  // a vector quantizer needs only O(100·k) training points, so at 100 TB
+  // the train step still collects `trainSample` rows (KBs–MBs, the same
+  // boundedness class as an AQE broadcast relation) while encode/assign —
+  // the corpus-sized work — stays fully distributed. Running Lloyd's on
+  // the driver also removes the one nondeterminism hazard a distributed
+  // implementation has (float summation order across partitions): plain
+  // sequential loops over an md5-ordered sample are bit-reproducible, and
+  // each update is quantized to the 1e-3 grid (the PQ/hyperplane rule) so
+  // the trained centroids are integer-representable and replayable.
+  // ---------------------------------------------------------------------
+
+  /** The `n` corpus vectors with smallest md5(id) (the seed-free
+    * portable sampling rule used across the repo), as driver-side
+    * doubles in md5 order — the k-means training set AND its
+    * initialization prefix. */
+  private def md5Sample(corpus: DataFrame, idCol: String, vecCol: String, n: Int): Array[Array[Double]] =
+    corpus
+      .select(col(vecCol).as("v"), md5(col(idCol).cast("string")).as("h"), col(idCol).as("i"))
+      .orderBy(col("h"), col("i")).limit(n)
+      .select("v").collect()
+      .map(_.getSeq[Number](0).map(_.doubleValue()).toArray)
+
+  /** Deterministic maximin (farthest-point) seeding — the k-means++
+    * idea without its RNG: start from the first sample vector (=
+    * smallest md5), then repeatedly add the sample point farthest
+    * (by `dist`) from every centroid chosen so far, ties to the lowest
+    * index. Spreads the seeds across the data's extent, which plain
+    * first-k seeding does not (two smallest-md5 points can sit in the
+    * same cluster and strand Lloyd's in a bad local optimum). */
+  private def maximinSeed[V: scala.reflect.ClassTag](sample: Array[V], k: Int, dist: (V, V) => Double): Array[V] = {
+    val chosen = new Array[Int](k)
+    chosen(0) = 0
+    val minD = Array.fill(sample.length)(Double.PositiveInfinity)
+    var t = 1
+    while (t < k) {
+      val last = sample(chosen(t - 1))
+      var best = -1; var bestD = Double.NegativeInfinity
+      var i = 0
+      while (i < sample.length) {
+        val d = dist(sample(i), last)
+        if (d < minD(i)) minD(i) = d
+        if (minD(i) > bestD + 1e-12) { bestD = minD(i); best = i } // strict > == lowest-idx ties
+        i += 1
+      }
+      chosen(t) = best
+      t += 1
+    }
+    chosen.map(sample(_))
+  }
+
+  /** Deterministic spherical k-means: maximin-seeded from the md5
+    * sample ([[maximinSeed]] — the first seed is the smallest-md5
+    * vector, the portable rule's anchor), assignment by max cosine with
+    * ties to the lowest centroid id, update = component mean snapped to
+    * the 1e-3 grid, empty clusters keep their previous centroid. Cosine
+    * assignment matches the metric the IVF router uses, so trained
+    * cells are exactly the cells queries probe. */
+  private[llm] def kmeansCosine(sample: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] = {
+    require(sample.length >= k, s"sample ${sample.length} smaller than k=$k")
+    val dim = sample.head.length
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < dim) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0.0 || nb == 0.0) 0.0 else d / math.sqrt(na * nb)
+    }
+    var cents = maximinSeed[Array[Double]](sample, k, (a, b) => 1.0 - cos(a, b)).map(_.clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      sample.foreach { v =>
+        var best = 0; var bestC = Double.NegativeInfinity; var c = 0
+        while (c < k) {
+          val s = cos(v, cents(c))
+          if (s > bestC) { bestC = s; best = c } // strict > == lowest-id ties
+          c += 1
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
+      cents = cents.zipWithIndex.map { case (old, c) =>
+        if (counts(c) == 0) old
+        else {
+          val m = new Array[Double](dim)
+          var i = 0
+          // snap to the 1e-3 grid: integer-representable, replayable
+          while (i < dim) { m(i) = math.rint(sums(c)(i) / counts(c) * 1000.0) / 1000.0; i += 1 }
+          m
+        }
+      }
+      it += 1
+    }
+    cents
+  }
+
+  /** Deterministic k-means in quantized-integer space (exact L2 on
+    * Longs — the PQ metric), same init/tie/empty-cluster rules as
+    * [[kmeansCosine]]; centroid updates round the component mean to the
+    * nearest Long, so the codebook stays integer-exact. */
+  private[llm] def kmeansL2Long(sample: Array[Array[Long]], k: Int, iters: Int): Array[Array[Long]] = {
+    require(sample.length >= k, s"sample ${sample.length} smaller than k=$k")
+    val dim = sample.head.length
+    def d2(a: Array[Long], b: Array[Long]): Long = {
+      var d = 0L; var i = 0
+      while (i < dim) { val x = a(i) - b(i); d += x * x; i += 1 }
+      d
+    }
+    var cents = maximinSeed[Array[Long]](sample, k, (a, b) => d2(a, b).toDouble).map(_.clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k)(new Array[Long](dim))
+      val counts = new Array[Int](k)
+      sample.foreach { v =>
+        var best = 0; var bestD = Long.MaxValue; var c = 0
+        while (c < k) {
+          val dd = d2(v, cents(c))
+          if (dd < bestD) { bestD = dd; best = c } // strict < == lowest-id ties
+          c += 1
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
+      cents = cents.zipWithIndex.map { case (old, c) =>
+        if (counts(c) == 0) old
+        else {
+          val m = new Array[Long](dim)
+          var i = 0
+          while (i < dim) { m(i) = math.rint(sums(c)(i).toDouble / counts(c)).toLong; i += 1 }
+          m
+        }
+      }
+      it += 1
+    }
+    cents
+  }
+
   /** IVF-style approximate top-k: a coarse quantizer (deterministically
-    * sampled corpus vectors as centroids) partitions the corpus into
-    * `nCells` inverted lists; a query scores only the lists of its
-    * `nProbe` nearest centroids, then exact cosine re-ranks inside them.
+    * sampled — or, with `trained = true`, Lloyd's-trained — centroids)
+    * partitions the corpus into `nCells` inverted lists; a query scores
+    * only the lists of its `nProbe` nearest centroids, then exact
+    * cosine re-ranks inside them.
+    *
+    * `trained = false` (default) keeps the engine-portable smallest-md5
+    * centroid rule the DuckDB oracle replays; `trained = true` runs
+    * [[kmeansCosine]] on an md5 sample (maximin-seeded, anchored at the
+    * portable rule's first centroid) — same plan shape, measurably higher recall on real
+    * distributions (floors pinned in PqSpec).
     *
     * Scale shape: centroid assignment is a broadcast nested loop (the
     * centroid set is tiny), the corpus is shuffled ONCE by cell id (or
@@ -83,16 +233,28 @@ object Similarity {
       vecCol: String,
       k: Int = 5,
       nCells: Int = 16,
-      nProbe: Int = 4): DataFrame = {
+      nProbe: Int = 4,
+      trained: Boolean = false,
+      trainIters: Int = 4,
+      trainSample: Int = 512): DataFrame = {
     // deterministic centroids: the nCells corpus vectors with smallest
     // md5(id) — a seed-free pseudo-random sample whose selection rule is
     // engine-portable (md5 hex ordering is identical in DuckDB, so the
     // whole IVF pipeline can be replayed as oracle SQL; xxhash64 is not
     // portable)
-    val cents = corpus
-      .select(col(idCol).as("cid"), col(vecCol).as("cvec"),
-        md5(col(idCol).cast("string")).as("h"))
-      .orderBy(col("h"), col("cid")).limit(nCells).drop("h")
+    val cents =
+      if (!trained)
+        corpus
+          .select(col(idCol).as("cid"), col(vecCol).as("cvec"),
+            md5(col(idCol).cast("string")).as("h"))
+          .orderBy(col("h"), col("cid")).limit(nCells).drop("h")
+      else {
+        val spark = corpus.sparkSession
+        import spark.implicits._
+        kmeansCosine(md5Sample(corpus, idCol, vecCol, trainSample), nCells, trainIters)
+          .zipWithIndex.toSeq
+          .map { case (v, i) => (i.toLong, v.toSeq) }.toDF("cid", "cvec")
+      }
     def assign(df: DataFrame, id: String, vec: String, n: Int, out: String): DataFrame = {
       val scored = df.select(col(idCol).as(id), col(vecCol).as(vec))
         .join(broadcast(cents))
@@ -236,15 +398,17 @@ object Similarity {
     * map-side-pruned path, so the one shuffle carries at most
     * `k · queries · partitions` candidate rows.
     *
-    * Codebook: the `nCent` corpus vectors with smallest `md5(id)` (the
-    * same seed-free portable sample as [[ivfTopK]]'s coarse quantizer),
-    * split into `nSub` subvectors after integer quantization
-    * (`floor(x·1000)` — [[graft.functions.PqEncodeExpr]]). A production
-    * build would swap in k-means-trained centroids per subspace; the
-    * selection rule here is chosen so a second engine can replay the
-    * ENTIRE pipeline — encode, LUT, ADC, ranking — bit-for-bit (all
-    * distances are exact BIGINT sums). Collecting the codebook to the
-    * driver is bounded: `nCent` rows, KBs — the PQ analogue of
+    * Codebook: by default the `nCent` corpus vectors with smallest
+    * `md5(id)` (the same seed-free portable sample as [[ivfTopK]]'s
+    * coarse quantizer), split into `nSub` subvectors after integer
+    * quantization (`floor(x·1000)` — [[graft.functions.PqEncodeExpr]]);
+    * that selection rule lets a second engine replay the ENTIRE
+    * pipeline — encode, LUT, ADC, ranking — bit-for-bit (all distances
+    * are exact BIGINT sums). `trained = true` instead runs per-subspace
+    * integer-L2 Lloyd's ([[kmeansL2Long]]) on an md5 sample
+    * (maximin-seeded, anchored at the portable rule's first centroid) — higher recall, still deterministic
+    * (floors pinned in PqSpec). Collecting the sample to the driver is
+    * bounded: `trainSample` rows, KBs–MBs — the PQ analogue of
     * collecting an AQE broadcast relation. */
   def pqTopK(
       corpus: DataFrame,
@@ -253,26 +417,36 @@ object Similarity {
       vecCol: String,
       k: Int = 5,
       nSub: Int = 8,
-      nCent: Int = 16): DataFrame = {
+      nCent: Int = 16,
+      trained: Boolean = false,
+      trainIters: Int = 4,
+      trainSample: Int = 512): DataFrame = {
     import graft.functions.PqFunctions._
-    val centRows = corpus
-      .select(col(idCol).as("cid"), col(vecCol).as("cvec"),
-        md5(col(idCol).cast("string")).as("h"))
-      .orderBy(col("h"), col("cid")).limit(nCent)
-      .select("cvec").collect()
-    require(centRows.length == nCent, s"corpus smaller than nCent=$nCent")
     // Quantize driver-side with the same Float-vs-Double branch as
     // VecRead: PqEncodeExpr/PqLutExpr accept either element type, so the
     // codebook collection must too (getSeq[Float] on a double array
     // would throw ClassCastException only at runtime).
-    val centVecs: Seq[Seq[Long]] = centRows.toSeq.map(
-      _.getSeq[Number](0).map(x => math.floor(x.doubleValue() * 1000.0).toLong))
-    val dim = centVecs.head.length
+    val sampleN = if (trained) math.max(trainSample, nCent) else nCent
+    val sample: Array[Array[Long]] =
+      md5Sample(corpus, idCol, vecCol, sampleN)
+        .map(_.map(x => math.floor(x * 1000.0).toLong))
+    require(sample.length >= nCent, s"corpus smaller than nCent=$nCent")
+    val dim = sample.head.length
     require(dim % nSub == 0, s"dim $dim not divisible by nSub=$nSub")
     val subDim = dim / nSub
-    // codebook(m)(c)(j): centroid c's j-th component in subspace m
-    val codebook: Seq[Seq[Seq[Long]]] = (0 until nSub).map(m =>
-      centVecs.map(v => v.slice(m * subDim, (m + 1) * subDim)))
+    // codebook(m)(c)(j): centroid c's j-th component in subspace m.
+    // Untrained (the oracle-replayable default): the nCent smallest-md5
+    // corpus vectors, subsliced. Trained: per-subspace Lloyd's in the
+    // quantized-integer space (exact-L2 — the very metric PQ scores
+    // with), seeded by those same portable centroids.
+    val codebook: Seq[Seq[Seq[Long]]] =
+      if (!trained)
+        (0 until nSub).map(m => sample.take(nCent).toSeq.map(_.slice(m * subDim, (m + 1) * subDim).toSeq))
+      else
+        (0 until nSub).map { m =>
+          val sub = sample.map(_.slice(m * subDim, (m + 1) * subDim))
+          kmeansL2Long(sub, nCent, trainIters).toSeq.map(_.toSeq)
+        }
     val codes = corpus.select(col(idCol).as("corpus_id"),
       pqEncode(col(vecCol), codebook).as("codes"))
     val qlut = queries.select(col(idCol).as("query_id"),
