@@ -417,18 +417,63 @@ object LlmQueries {
     * `dup_corpus`) and doubled batch docs (the copy must come back
     * `dup_batch`) — and the oracle replays the same injection, so all
     * three status paths are exercised by the gate. */
-  val dedupIncremental: Q = (s, dir) => {
+  /** Echo-injection offset: the smallest power of 10 with more digits
+    * than max(doc_id) — corpus re-ingests echo at `+base`, doubled
+    * batch docs at `+2·base`, so echo ids can NEVER collide with real
+    * doc_ids at any scale factor (hardcoded +1e6/+2e6 would collide
+    * once doc_ids pass a million). The rule is replayed in the oracle
+    * integer-safely as `power(10, length(CAST(max AS VARCHAR)))`. */
+  private def echoBase(s: SparkSession, dir: String): Long = {
+    val maxId = Tables(s, dir, "documents").agg(max("doc_id")).head.getLong(0)
+    math.pow(10, maxId.toString.length).toLong
+  }
+  private val sqlEchoBase =
+    "(SELECT CAST(power(10, length(CAST(max(doc_id) AS VARCHAR))) AS BIGINT) FROM documents)"
+
+  /** Shared oracle for both incremental-dedup variants: the same
+    * md5 hash-bucket corpus/batch split, the same DERIVED echo-offset
+    * rule ([[echoBase]]), content-hash lookup, min-per-hash
+    * first-holder rule. */
+  private lazy val sqlDedupIncremental: String =
+    s"""WITH bkt AS (SELECT doc_id,
+       |    (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+       |    + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS bk
+       |  FROM documents),
+       |d AS (SELECT d0.doc_id, text, bk FROM documents d0 JOIN bkt USING (doc_id)),
+       |b AS (SELECT doc_id, md5(lower(text)) AS h FROM (
+       |  SELECT doc_id, text FROM d WHERE bk >= 128
+       |  UNION ALL SELECT doc_id + $sqlEchoBase, text FROM d WHERE bk < 8
+       |  UNION ALL SELECT doc_id + 2 * $sqlEchoBase, text FROM d WHERE bk >= 128 AND bk < 136)),
+       |old AS (SELECT DISTINCT md5(lower(text)) AS h FROM d WHERE bk < 128),
+       |m AS (SELECT doc_id, h, min(doc_id) OVER (PARTITION BY h) AS first_id FROM b)
+       |SELECT m.doc_id,
+       |  CASE WHEN o.h IS NOT NULL THEN 'dup_corpus'
+       |       WHEN m.doc_id = m.first_id THEN 'new'
+       |       ELSE 'dup_batch' END AS status
+       |FROM m LEFT JOIN old o ON m.h = o.h
+       |ORDER BY doc_id""".stripMargin
+
+  /** The echo-injected daily batch + the corpus split shared by both
+    * incremental-dedup variants (in-plan vs persisted corpus). */
+  private def incrementalFixture(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val base = echoBase(s, dir)
     val d = Tables(s, dir, "documents")
       .select(col("doc_id"), col("text"), Sampling.hashBucket256(col("doc_id")).as("bk"))
     val batch = d.filter(col("bk") >= 128).select("doc_id", "text")
       .union(d.filter(col("bk") < 8)
-        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        .select((col("doc_id") + base).as("doc_id"), col("text")))
       .union(d.filter(col("bk") >= 128 && col("bk") < 136)
-        .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+        .select((col("doc_id") + 2 * base).as("doc_id"), col("text")))
       .select(col("doc_id"), TextAnalysis.fingerprintMd5(col("text")).as("h"))
-    val oldHashes = d.filter(col("bk") < 128)
-      .select(TextAnalysis.fingerprintMd5(col("text")).as("h")).distinct()
-      .withColumn("in_corpus", lit(1))
+    val corpus = d.filter(col("bk") < 128)
+    (batch, corpus)
+  }
+
+  /** The status rule shared by both variants: one shuffle on the
+    * content hash serves BOTH the corpus-hash left join and the
+    * min-per-hash window (the join output is already hash-partitioned,
+    * so the window adds no exchange). */
+  private def incrementalStatus(batch: DataFrame, oldHashes: DataFrame): DataFrame = {
     val w = Window.partitionBy("h")
     batch.join(oldHashes, Seq("h"), "left")
       .withColumn("first_id", min(col("doc_id")).over(w))
@@ -437,6 +482,37 @@ object LlmQueries {
           .when(col("doc_id") === col("first_id"), "new")
           .otherwise("dup_batch").as("status"))
       .orderBy("doc_id")
+  }
+
+  val dedupIncremental: Q = (s, dir) => {
+    val (batch, corpus) = incrementalFixture(s, dir)
+    val oldHashes = corpus
+      .select(TextAnalysis.fingerprintMd5(col("text")).as("h")).distinct()
+      .withColumn("in_corpus", lit(1))
+    incrementalStatus(batch, oldHashes)
+  }
+
+  /** PERSISTED-corpus incremental dedup — the production daily-ingest
+    * shape: the corpus' distinct content hashes live as a COMPACTED,
+    * BUCKETED table (written once at ingest, `bucketBy(8, h)` sorted),
+    * so the daily batch's lookup join consumes the bucketed scan
+    * DIRECTLY — ZERO Exchange on the corpus side (plan-asserted in
+    * PlanShapeSpec); only the small daily batch shuffles to meet the
+    * corpus layout. At 100 TB the corpus hash table is the only
+    * corpus-derived artifact the daily job ever reads — compacted
+    * hashes, never text — and its bucketing amortizes across every
+    * future increment. Same statuses/oracle as [[dedupIncremental]]
+    * (bucketing changes layout, never results). */
+  val dedupIncrementalBucketed: Q = (s, dir) => {
+    val (batch, corpus) = incrementalFixture(s, dir)
+    val Seq(hashTable) = BucketCache.tables(s, s"corpus_hashes:$dir", { (tag, tmp) =>
+      corpus.select(TextAnalysis.fingerprintMd5(col("text")).as("h")).distinct()
+        .write.bucketBy(8, "h").sortBy("h")
+        .option("path", s"$tmp/ch").mode("overwrite").saveAsTable(s"graft_ch_b_$tag")
+      Seq(s"graft_ch_b_$tag")
+    })
+    val oldHashes = s.table(hashTable).hint("merge").withColumn("in_corpus", lit(1))
+    incrementalStatus(batch, oldHashes)
   }
 
   /** Inverted index build — token → (df, doc-id posting list): the
@@ -702,6 +778,7 @@ object LlmQueries {
     "temperature_resample" -> temperatureResample,
     "inverted_index" -> invertedIndex,
     "dedup_incremental" -> dedupIncremental,
+    "dedup_incremental_bucketed" -> dedupIncrementalBucketed,
     "split_train_val" -> splitTrainVal,
     "sample_docs_per_lang" -> sampleDocsPerLang,
     "media_features" -> mediaFeatures,
@@ -1131,24 +1208,9 @@ object LlmQueries {
     // when below 90*256/100 = 230 — identical in any engine
     // the same hash-bucket corpus/batch split, the same in-plan echo
     // injection, content-hash lookup, min-per-hash first-holder rule
-    "dedup_incremental" ->
-      """WITH bkt AS (SELECT doc_id,
-        |    (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
-        |    + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS bk
-        |  FROM documents),
-        |d AS (SELECT d0.doc_id, text, bk FROM documents d0 JOIN bkt USING (doc_id)),
-        |b AS (SELECT doc_id, md5(lower(text)) AS h FROM (
-        |  SELECT doc_id, text FROM d WHERE bk >= 128
-        |  UNION ALL SELECT doc_id + 1000000, text FROM d WHERE bk < 8
-        |  UNION ALL SELECT doc_id + 2000000, text FROM d WHERE bk >= 128 AND bk < 136)),
-        |old AS (SELECT DISTINCT md5(lower(text)) AS h FROM d WHERE bk < 128),
-        |m AS (SELECT doc_id, h, min(doc_id) OVER (PARTITION BY h) AS first_id FROM b)
-        |SELECT m.doc_id,
-        |  CASE WHEN o.h IS NOT NULL THEN 'dup_corpus'
-        |       WHEN m.doc_id = m.first_id THEN 'new'
-        |       ELSE 'dup_batch' END AS status
-        |FROM m LEFT JOIN old o ON m.h = o.h
-        |ORDER BY doc_id""".stripMargin,
+    "dedup_incremental" -> sqlDedupIncremental,
+    // bucketing changes layout, never results — same oracle
+    "dedup_incremental_bucketed" -> sqlDedupIncremental,
     // df over the distinct (doc, token) pairs; postings replayed as
     // the 20 smallest doc_ids per token (GroupTopK changes the shuffle
     // volume, never the selected set), comma-joined to a varchar so

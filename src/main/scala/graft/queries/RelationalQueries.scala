@@ -267,56 +267,15 @@ object RelationalQueries {
     * key at ingest, and every subsequent join on that key skips both
     * sides' shuffles. Oracle: plain join SQL — bucketing changes layout,
     * never results. */
-  /** The bucketed-table setup is the LAYOUT INVESTMENT the query
-    * demonstrates amortizing — write once, join many. Cache the written
-    * tables per sf dir so repeated calls (bench reps, verify + tests in
-    * one JVM) pay the write once, exactly like a real ingest would. */
-  private val bucketedTables =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
-
-  /** Temp bucket dirs awaiting JVM-exit cleanup. ONE shutdown hook
-    * drains the whole list (registered lazily on first use) — a hook
-    * per rebuild would pile up, and a dir already removed by the OS
-    * must not make the hook throw at shutdown. */
-  private val bucketTmpDirs =
-    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
-  private lazy val bucketCleanupHook: Unit = {
-    sys.addShutdownHook {
-      import scala.jdk.CollectionConverters._
-      bucketTmpDirs.asScala.foreach { tmp =>
-        try {
-          if (java.nio.file.Files.exists(tmp)) {
-            val walk = java.nio.file.Files.walk(tmp)
-            try walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
-              .foreach(p => p.toFile.delete())
-            finally walk.close()
-          }
-        } catch { case _: java.io.IOException => () }
-      }
-    }
-    ()
-  }
-
   val bucketedJoinRevenue: Q = (s, dir) => {
-    // compute() (not computeIfAbsent) so a cached entry whose tables were
-    // registered in a DIFFERENT SparkSession's catalog (same JVM, new
-    // session) is detected via tableExists and rebuilt instead of thrown.
-    val (liTable, oTable) = bucketedTables.compute(dir, { (_, cached) =>
-      if (cached != null && s.catalog.tableExists(cached._1) &&
-          s.catalog.tableExists(cached._2)) cached
-      else {
-        val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
-        val tmp = java.nio.file.Files.createTempDirectory("graft_bkt_")
-        bucketCleanupHook // register the single drain hook (idempotent)
-        bucketTmpDirs.add(tmp) // temp bucket dirs must not leak across runs
-        Tables(s, dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
-          .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-          .option("path", s"$tmp/li").mode("overwrite").saveAsTable(s"graft_li_b_$tag")
-        Tables(s, dir, "orders").select("o_orderkey", "o_orderdate")
-          .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-          .option("path", s"$tmp/o").mode("overwrite").saveAsTable(s"graft_o_b_$tag")
-        (s"graft_li_b_$tag", s"graft_o_b_$tag")
-      }
+    val Seq(liTable, oTable) = BucketCache.tables(s, s"rev:$dir", { (tag, tmp) =>
+      Tables(s, dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
+        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$tmp/li").mode("overwrite").saveAsTable(s"graft_li_b_$tag")
+      Tables(s, dir, "orders").select("o_orderkey", "o_orderdate")
+        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$tmp/o").mode("overwrite").saveAsTable(s"graft_o_b_$tag")
+      Seq(s"graft_li_b_$tag", s"graft_o_b_$tag")
     })
     s.table(liTable)
       .join(s.table(oTable).hint("merge"),

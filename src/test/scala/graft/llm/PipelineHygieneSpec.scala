@@ -84,19 +84,29 @@ class PipelineHygieneSpec extends AnyFunSuite {
   }
 
   test("incremental dedup: every status path fires and echoes land where injected") {
-    val got = graft.queries.LlmQueries.dedupIncremental(spark, graft.TestSpark.sfDir)
-      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("status")))
-    val byStatus = got.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
-    assert(byStatus.keySet == Set("new", "dup_corpus", "dup_batch"),
-      s"all three statuses must fire on the gate fixture: ${byStatus.keySet}")
-    // the in-plan echoes carry offset ids: re-ingested corpus docs live
-    // at +1_000_000 (must come back dup_corpus), doubled batch docs at
-    // +2_000_000 (must come back dup_batch — their original holds `new`)
-    assert(byStatus("dup_batch").forall(_ > 2000000L),
-      s"dup_batch must be exactly the doubled-batch echoes: ${byStatus("dup_batch").take(5).toList}")
-    assert(byStatus("dup_corpus").forall(id => id > 1000000L && id <= 2000000L),
-      s"dup_corpus must be exactly the corpus echoes: ${byStatus("dup_corpus").take(5).toList}")
-    assert(byStatus("new").forall(_ < 1000000L), "original batch docs must stay `new`")
+    // the echo offset is DERIVED from the fixture (smallest power of 10
+    // above max(doc_id)) so echoes can never collide with real ids at
+    // any scale factor; the assertions replay the same rule
+    val maxId = spark.read.parquet(s"${graft.TestSpark.sfDir}/documents.parquet")
+      .agg(org.apache.spark.sql.functions.max("doc_id")).head.getLong(0)
+    val base = math.pow(10, maxId.toString.length).toLong
+    for (variant <- Seq(
+        graft.queries.LlmQueries.dedupIncremental,
+        graft.queries.LlmQueries.dedupIncrementalBucketed)) {
+      val got = variant(spark, graft.TestSpark.sfDir)
+        .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("status")))
+      val byStatus = got.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+      assert(byStatus.keySet == Set("new", "dup_corpus", "dup_batch"),
+        s"all three statuses must fire on the gate fixture: ${byStatus.keySet}")
+      // the in-plan echoes carry offset ids: re-ingested corpus docs live
+      // at +base (must come back dup_corpus), doubled batch docs at
+      // +2·base (must come back dup_batch — their original holds `new`)
+      assert(byStatus("dup_batch").forall(_ > 2 * base),
+        s"dup_batch must be exactly the doubled-batch echoes: ${byStatus("dup_batch").take(5).toList}")
+      assert(byStatus("dup_corpus").forall(id => id > base && id <= 2 * base),
+        s"dup_corpus must be exactly the corpus echoes: ${byStatus("dup_corpus").take(5).toList}")
+      assert(byStatus("new").forall(_ <= maxId), "original batch docs must stay `new`")
+    }
   }
 
   test("PII redaction replaces emails then phones, counts match") {

@@ -24,6 +24,25 @@ class PlanShapeSpec extends AnyFunSuite {
       s"both scans must be bucketed:\n$subtree")
   }
 
+  test("dedup_incremental_bucketed: zero Exchange on the persisted corpus-hash side") {
+    val df = graft.queries.LlmQueries.dedupIncrementalBucketed(spark, TestSpark.sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    val smjAt = plan.indexOf("SortMergeJoin")
+    assert(smjAt >= 0, s"expected a SortMergeJoin against the bucketed corpus hashes:\n$plan")
+    assert(plan.contains("Bucketed: true"), s"corpus hash scan must be bucketed:\n$plan")
+    // the bucketed corpus scan's subtree (from the LAST scan line down)
+    // must contain no Exchange: only the daily batch shuffles to meet
+    // the corpus layout
+    val scanAt = plan.lastIndexOf("FileScan")
+    assert(scanAt > smjAt, s"the bucketed scan must be a join input:\n$plan")
+    assert(!plan.substring(scanAt).contains("Exchange"),
+      s"the persisted corpus side must not shuffle:\n${plan.substring(scanAt)}")
+    // exactly ONE hash Exchange on the content hash serves the batch
+    // side AND the downstream min-per-hash window
+    val hashEx = "Exchange hashpartitioning\\(h".r.findAllIn(plan).size
+    assert(hashEx == 1, s"expected exactly one batch-side hash shuffle, got $hashEx:\n$plan")
+  }
+
   test("partition_pruned_events: the scan carries a partition filter on event_type") {
     val df = graft.queries.RelationalQueries.partitionPrunedEvents(spark, TestSpark.sfDir)
     val plan = df.queryExecution.executedPlan.toString
