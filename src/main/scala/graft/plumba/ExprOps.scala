@@ -64,20 +64,37 @@ object ExprOps {
     * earlier `aggregate`+`concat` formulation re-copied the output list
     * on every step (O(n²) per group). Groups are still buffered in the
     * aggregation state; use [[GroupOps.groupScan]] for one row per input
-    * row at scale. */
+    * row at scale.
+    *
+    * MEMORY BOUND: the whole group lives in one aggregation-state row,
+    * so at 100 TB a pathological group (a bot user, a default key) is a
+    * single-task OOM. `maxGroupSize` (default 1,000,000 rows) makes
+    * that failure LOUD and early: an oversize group raises an error
+    * naming its size and first row instead of letting one task die an
+    * opaque executor death — the fix is always to route that workload
+    * to [[GroupOps.groupScan]] (one row per input, streaming pass,
+    * no group ever buffered). */
   def scanListCol(
       ord: Seq[Column],
       values: Seq[Column],
       init: Column,
       step: (Column, Column) => Column,
       emit: Column => Column = identity,
-      elemType: String = "double"): Column = {
+      elemType: String = "double",
+      maxGroupSize: Int = 1000000): Column = {
     require(values.nonEmpty, "at least one scanned column is required")
+    require(maxGroupSize > 0, "maxGroupSize must be positive")
     val fields =
       ord.zipWithIndex.map { case (c, i) => c.as(s"o$i") } ++
         values.zipWithIndex.map { case (c, i) => c.as(v(i)) } :+
         values.map(_.isNull).reduce(_ || _).as("isnull")
-    val rows = array_sort(collect_list(struct(fields: _*)))
+    val rows0 = array_sort(collect_list(struct(fields: _*)))
+    val rows = when(size(rows0) <= maxGroupSize, rows0).otherwise(
+      raise_error(concat(
+        lit("plumba scanListCol: group size "), size(rows0).cast("string"),
+        lit(s" exceeds maxGroupSize=$maxGroupSize (first row: "),
+        to_json(element_at(rows0, 1)),
+        lit("); route this workload to GroupOps.groupScan — streaming pass, no group buffered"))))
     // acc struct: (state, elem). Null rows emit a null element, keep state.
     val zero = struct(init.as("state"), lit(null).cast(elemType).as("elem"))
     val states = org.apache.spark.sql.graft.ArrayScanExpr.scan(

@@ -67,12 +67,15 @@ object syntax {
       ExprOps.foldCol(ord, Seq(c), init, step)
 
     /** SQL-expressible ordered scan over this column returning the
-      * per-group list of running values (see [[ExprOps.scanListCol]]). */
+      * per-group list of running values (see [[ExprOps.scanListCol]];
+      * `maxGroupSize` is the documented fail-loud memory bound —
+      * oversize groups belong on `GroupOps.groupScan`). */
     def plumbaScan(
         ord: Seq[Column],
         init: Column,
         step: (Column, Column) => Column,
-        elemType: String = "double"): Column =
-      ExprOps.scanListCol(ord, Seq(c), init, step, elemType = elemType)
+        elemType: String = "double",
+        maxGroupSize: Int = 1000000): Column =
+      ExprOps.scanListCol(ord, Seq(c), init, step, elemType = elemType, maxGroupSize = maxGroupSize)
   }
 }

@@ -213,4 +213,30 @@ class GroupFoldVariantsSpec extends AnyFunSuite {
       .collect()
     r.foreach(row => assert(row.getLong(1) == row.getLong(2), s"user ${row.getLong(0)}"))
   }
+
+  test("scanListCol maxGroupSize guard: oversize groups fail loudly, bounded groups unaffected") {
+    val cum = (acc: org.apache.spark.sql.Column, x: org.apache.spark.sql.Column) =>
+      acc + x.getField(ExprOps.v(0))
+    // groups of ~67 rows vs maxGroupSize=10: must raise, naming the bound
+    val e = intercept[Exception] {
+      events.groupBy("user_id")
+        .agg(ExprOps.scanListCol(Seq(col("ts"), col("event_id")), Seq(col("value")),
+          lit(0.0), cum, maxGroupSize = 10).as("s"))
+        .collect()
+    }
+    val msg = Option(e.getMessage).getOrElse("") + Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("maxGroupSize=10") && msg.contains("groupScan"),
+      s"guard must name the bound and the unbounded alternative: $msg")
+    // the same scan with the bound above the group size is untouched:
+    // identical to the unguarded default
+    val guarded = events.groupBy("user_id")
+      .agg(ExprOps.scanListCol(Seq(col("ts"), col("event_id")), Seq(col("value")),
+        lit(0.0), cum, maxGroupSize = 1000).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val default = events.groupBy("user_id")
+      .agg(ExprOps.scanListCol(Seq(col("ts"), col("event_id")), Seq(col("value")),
+        lit(0.0), cum).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(guarded == default, "a satisfied guard must not change results")
+  }
 }
