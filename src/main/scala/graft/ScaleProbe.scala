@@ -40,6 +40,7 @@ object ScaleProbe {
     "scan_running_max",
     "group_scan_cummax_salted",
     "topk_orders_per_cust",
+    "asof_large_order",        // unsalted twin: the salted-vs-plain comparison at scale
     "asof_large_order_salted",
     "concurrent_orders",
     "winsorized_quantity",
