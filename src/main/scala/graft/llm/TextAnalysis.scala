@@ -219,4 +219,55 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_tokens"),
         expr(s"CAST((cum_tokens - n_tokens) DIV $windowTokens AS BIGINT)").as("pack_id"))
   }
+
+  /** C4-style CROSS-DOCUMENT boilerplate removal, span-quantized: the
+    * normalized text is cut into disjoint `spanWords`-word spans, a
+    * span is boilerplate when it appears in ≥ `minDf` DISTINCT
+    * documents (the repeated footer / cookie banner / license header
+    * of web corpora), and every boilerplate span is removed from EVERY
+    * document — unlike keep-first chunk dedup ([[Dedup]] chunk level),
+    * which keeps one holder. Output per doc: span counts and the md5
+    * of the kept text (spans rejoined in position order) — the
+    * reconstruction witness an oracle can state independently. Words
+    * beyond the last full span are outside the span quantization and
+    * are not part of the reconstruction (documented semantics; a
+    * production deploy would pad or carry the tail verbatim).
+    *
+    * Scale shape: the span-df aggregation is the one corpus-sized
+    * shuffle, and it carries (span-hash, doc_id) pairs — never
+    * positions or full text. The boilerplate set it yields is TINY by
+    * definition (only repeated spans qualify), so membership flows
+    * back as a broadcast; the per-doc reconstruction then groups each
+    * doc's own spans (doc-sized rows, one doc_id shuffle). Nothing
+    * all-pairs, nothing position-keyed in the wide shuffle. */
+  def boilerplateSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      spanWords: Int = 8,
+      minDf: Int = 2): DataFrame = {
+    require(spanWords > 0, "spanWords must be positive")
+    require(minDf >= 2, "minDf < 2 would flag every span")
+    val words = split(normalizeText(col(textCol)), " ")
+    val spans = df.select(col(idCol).as("doc_id"), words.as("w"))
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(0), (size(col("w")) / spanWords).cast("int") - 1),
+          i => concat_ws(" ", slice(col("w"), i * spanWords + 1, lit(spanWords)))))
+        .as(Seq("pos", "span")))
+      .withColumn("sh", md5(col("span")))
+    val boiler = spans.groupBy("sh").agg(count_distinct(col("doc_id")).as("df"))
+      .filter(col("df") >= minDf).select("sh")
+      .withColumn("boiler", lit(1))
+    spans.join(broadcast(boiler), Seq("sh"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_spans"),
+        count(col("boiler")).as("n_boiler"),
+        md5(to_binary(concat_ws(" ",
+          transform(
+            filter(sort_array(collect_list(
+              struct(col("pos"), when(col("boiler").isNull, col("span")).as("kept")))),
+              x => x.getField("kept").isNotNull),
+            x => x.getField("kept"))), lit("utf-8"))).as("kept_md5"))
+  }
 }

@@ -544,6 +544,23 @@ object LlmQueries {
       .orderBy("token")
   }
 
+  /** C4-style cross-document boilerplate removal
+    * ([[TextAnalysis.boilerplateSpans]]): disjoint 8-word spans,
+    * boilerplate = span in ≥2 distinct docs, removed from EVERY doc
+    * (not keep-first). A synthetic cookie-banner is PREPENDED in-plan
+    * to every document — prepending keeps it span-aligned (span 0),
+    * so the universal-boilerplate path fires on all 500 docs while the
+    * corpus' planted duplicate passages exercise the mid-df path, and
+    * unique content stays kept; the oracle replays injection, span
+    * quantization, df rule, and the kept-text md5 reconstruction. */
+  val boilerplateRemoval: Q = (s, dir) =>
+    TextAnalysis.boilerplateSpans(
+        Tables(s, dir, "documents").select(col("doc_id"),
+          concat(lit("subscribe to our newsletter for more updates today "),
+            col("text")).as("text")),
+        "doc_id", "text", spanWords = 8, minDf = 2)
+      .orderBy("doc_id")
+
   /** Top-3 distinctive terms per doc ([[TextAnalysis.distinctiveTerms]]):
     * TF-IDF-style ranking with the idf term kept rational (tf/df — one
     * correctly-rounded IEEE division, engine-portable where log-idf's
@@ -775,6 +792,7 @@ object LlmQueries {
     "decontaminate_docs" -> decontaminateDocs,
     "pii_redaction" -> piiRedaction,
     "distinctive_terms" -> distinctiveTerms,
+    "boilerplate_removal" -> boilerplateRemoval,
     "temperature_resample" -> temperatureResample,
     "inverted_index" -> invertedIndex,
     "dedup_incremental" -> dedupIncremental,
@@ -1230,6 +1248,24 @@ object LlmQueries {
         |  FROM top GROUP BY token)
         |SELECT df.token, df.df, p.postings FROM df JOIN p USING (token)
         |ORDER BY token""".stripMargin,
+    // the oracle replays the banner injection, the disjoint 8-word
+    // span quantization, the distinct-doc df rule, and the kept-text
+    // md5 reconstruction (position-ordered string_agg)
+    "boilerplate_removal" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(
+        |    'subscribe to our newsletter for more updates today ' ||
+        |    trim(regexp_replace(regexp_replace(lower(text), '[.,;:!?]', '', 'g'), ' +', ' ', 'g')),
+        |    ' ') AS ws FROM documents),
+        |sp AS (SELECT doc_id, i AS pos, array_to_string(ws[i*8+1 : i*8+8], ' ') AS span
+        |  FROM w, unnest(range(0, len(ws) // 8)) t(i)),
+        |bo AS (SELECT span FROM (
+        |    SELECT span, count(DISTINCT doc_id) AS df FROM sp GROUP BY span) WHERE df >= 2),
+        |f AS (SELECT sp.doc_id, sp.pos, sp.span, bo.span IS NOT NULL AS b
+        |  FROM sp LEFT JOIN bo ON sp.span = bo.span)
+        |SELECT doc_id, count(*) AS n_spans,
+        |  count(CASE WHEN b THEN 1 END) AS n_boiler,
+        |  md5(COALESCE(string_agg(span, ' ' ORDER BY pos) FILTER (WHERE NOT b), '')) AS kept_md5
+        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // tf/df is ONE IEEE division — correctly rounded, so the score
     // doubles (and the rank they induce) are bit-identical
     "distinctive_terms" ->

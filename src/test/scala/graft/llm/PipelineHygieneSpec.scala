@@ -109,6 +109,26 @@ class PipelineHygieneSpec extends AnyFunSuite {
     }
   }
 
+  test("boilerplate spans: cross-doc removal hits every holder; unique and tail words behave as documented") {
+    // span width 2 for a readable fixture; "ad click here" never forms a
+    // full span in doc C (tail words are outside the quantization)
+    val docs = Seq(
+      (1L, "ad click here now buy one thing extra"), // spans: (ad click)(here now)(buy one)(thing extra)
+      (2L, "ad click other words buy one more junk"), // shares (ad click),(buy one) with doc 1
+      (3L, "totally unique content right here today x")  // 3 full spans + tail "x"
+    ).toDF("id", "text")
+    val got = TextAnalysis.boilerplateSpans(docs, "id", "text", spanWords = 2, minDf = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    def md5s(s: String) =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    // doc 1: 4 spans, (ad click) and (buy one) are in 2 docs -> removed from BOTH holders
+    assert(got(1L) == ((4L, 2L, md5s("here now thing extra"))), s"doc1: ${got(1L)}")
+    assert(got(2L) == ((4L, 2L, md5s("other words more junk"))), s"doc2: ${got(2L)}")
+    // doc 3: nothing repeated; tail word "x" is outside the span grid
+    assert(got(3L) == ((3L, 0L, md5s("totally unique content right here today"))), s"doc3: ${got(3L)}")
+  }
+
   test("PII redaction replaces emails then phones, counts match") {
     val df = Seq(
       (1L, "mail me at john.doe@example.org or call +44 20 7946 0958 now"),
