@@ -703,6 +703,31 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** Near-dup cluster REPRESENTATIVE SELECTION — the step after
+    * grouping in every production dedup: keep the highest-QUALITY doc
+    * per cluster (not the first/lowest-id one — the best copy of a
+    * boilerplate-laden page is usually not its first crawl). Composes
+    * the minhash component grouping with [[TextAnalysis.qualityScore]]
+    * and a per-component argmax via the map-side-pruned
+    * [[graft.operators.GroupTopK]] (k=1 — the CDC keep-latest shape,
+    * keyed by quality). Ties break to the smallest doc_id so the
+    * choice is total and the oracle replays it exactly. Scale: the
+    * grouping dominates (bounded by the banded pair generation); the
+    * argmax adds one component-keyed shuffle of (component, id,
+    * quality) triples. */
+  val dedupKeepBest: Q = (s, dir) => {
+    val docs = Tables(s, dir, "documents")
+    val groups = Dedup.dedupGroups(docs, "doc_id",
+      Dedup.minHashPairs(docs, "doc_id", "text", threshold = 0.3, maxBucket = MaxBucket))
+    val scored = groups.join(
+      docs.select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality")), "doc_id")
+    graft.operators.GroupTopK.topK(
+        scored.select("component", "doc_id", "quality"),
+        Seq("component"), Seq(("quality", false), ("doc_id", true)), k = 1)
+      .select(col("component"), col("doc_id").as("keep_id"), col("quality"))
+      .orderBy("component")
+  }
+
   /** LSH bucket-size histogram — the audit view for minHashPairs'
     * hot-bucket cap (buckets above maxBucket are dropped, never
     * silently): how many buckets hold n members, driver-visible.
@@ -785,6 +810,7 @@ object LlmQueries {
     "lsh_bucket_histogram" -> lshBucketHistogram,
     "dedup_components" -> dedupComponents,
     "dedup_groups_minhash" -> dedupGroupsMinhash,
+    "dedup_keep_best" -> dedupKeepBest,
     "doc_chunks" -> docChunks,
     "dedup_chunks" -> dedupChunks,
     "pack_sequences" -> packSequences,
@@ -870,6 +896,30 @@ object LlmQueries {
       |bands AS (SELECT vec_id, b::VARCHAR || ':' || substr(sig, b*4 + 1, 4) AS band
       |  FROM sg, unnest(range(0, 4)) t(b))""".stripMargin
 
+  /** Connected components over `cand` pairs as recursive SQL — shared
+    * by the groups replay and the representative-selection replay so
+    * the two oracles can never diverge. Expects `cand(id_a, id_b)` in
+    * scope (from [[minhashCtes]]) and a RECURSIVE WITH. */
+  private val componentCtes: String =
+    """e AS (SELECT id_a AS a, id_b AS b FROM cand UNION ALL SELECT id_b, id_a FROM cand),
+      |reach AS (
+      |  SELECT a AS id, b AS r FROM e
+      |  UNION
+      |  SELECT reach.id, e.b FROM reach JOIN e ON reach.r = e.a),
+      |compm AS (SELECT id, min(r) AS comp
+      |  FROM (SELECT id, r FROM reach UNION ALL SELECT a, a FROM e) GROUP BY id)""".stripMargin
+
+  /** The quality formula as DuckDB SQL — ONE source of truth shared by
+    * `quality_score` and `dedup_keep_best` (the Spark twin is
+    * [[TextAnalysis.qualityScore]]). */
+  private val sqlQualityExpr: String =
+    """round(
+      |    least(CAST(len(regexp_split_to_array(text, ' +')) AS DOUBLE) / 50.0, 1.0) * 0.4
+      |  + (CASE WHEN CAST(length(text) AS DOUBLE) / len(regexp_split_to_array(text, ' +'))
+      |          BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.3
+      |  + greatest(0.0, 1.0 - (CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+      |                         / length(text)) * 10.0) * 0.3, 6)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "dedup_minhash" ->
       s"""WITH $minhashCtes
@@ -883,15 +933,22 @@ object LlmQueries {
          |ORDER BY id_a, id_b""".stripMargin,
     "dedup_groups_minhash" ->
       s"""WITH RECURSIVE $minhashCtes,
-         |e AS (SELECT id_a AS a, id_b AS b FROM cand UNION ALL SELECT id_b, id_a FROM cand),
-         |reach AS (
-         |  SELECT a AS id, b AS r FROM e
-         |  UNION
-         |  SELECT reach.id, e.b FROM reach JOIN e ON reach.r = e.a),
-         |compm AS (SELECT id, min(r) AS comp
-         |  FROM (SELECT id, r FROM reach UNION ALL SELECT a, a FROM e) GROUP BY id)
+         |$componentCtes
          |SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS component
          |FROM documents d LEFT JOIN compm c ON c.id = d.doc_id ORDER BY doc_id""".stripMargin,
+    // representative selection composes the groups replay with the
+    // quality formula and a per-component argmax
+    "dedup_keep_best" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |$componentCtes,
+         |grp AS (SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS component
+         |  FROM documents d LEFT JOIN compm c ON c.id = d.doc_id),
+         |q AS (SELECT doc_id, $sqlQualityExpr AS quality FROM documents),
+         |r AS (SELECT grp.component, grp.doc_id, q.quality,
+         |    row_number() OVER (PARTITION BY component ORDER BY quality DESC, grp.doc_id) AS rk
+         |  FROM grp JOIN q ON grp.doc_id = q.doc_id)
+         |SELECT component, doc_id AS keep_id, quality FROM r WHERE rk = 1
+         |ORDER BY component""".stripMargin,
     "lsh_bucket_histogram" ->
       s"""WITH $minhashCtes
          |SELECT n AS bucket_size, count(*) AS n_buckets
@@ -1084,13 +1141,8 @@ object LlmQueries {
         |WHERE length(token) > 0
         |GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin,
     "quality_score" ->
-      """SELECT doc_id, round(
-        |    least(CAST(len(regexp_split_to_array(text, ' +')) AS DOUBLE) / 50.0, 1.0) * 0.4
-        |  + (CASE WHEN CAST(length(text) AS DOUBLE) / len(regexp_split_to_array(text, ' +'))
-        |          BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.3
-        |  + greatest(0.0, 1.0 - (CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
-        |                         / length(text)) * 10.0) * 0.3, 6) AS quality
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      s"""SELECT doc_id, $sqlQualityExpr AS quality
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "doc_fingerprint" ->
       "SELECT doc_id, md5(lower(text)) AS fp_md5 FROM documents ORDER BY doc_id",
     // exact counts + exact IEEE divisions of them — no rounding needed

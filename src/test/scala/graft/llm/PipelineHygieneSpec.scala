@@ -129,6 +129,28 @@ class PipelineHygieneSpec extends AnyFunSuite {
     assert(got(3L) == ((3L, 0L, md5s("totally unique content right here today"))), s"doc3: ${got(3L)}")
   }
 
+  test("dedup keep-best: highest quality wins the cluster, ties break to smallest id, singletons keep themselves") {
+    val docs = Seq(
+      // cluster {1,2}: doc 1 is punct-heavy junk (punctScore 0), doc 2
+      // is longer and clean -> doc 2 must win despite the larger id
+      (1L, "short junk!!!!!!"),
+      (2L, "a longer cleaner sentence with many plain words repeated here"),
+      // cluster {3,4}: identical text -> identical quality -> doc 3 by id
+      (3L, "identical text"),
+      (4L, "identical text"),
+      // no edge -> its own component, kept trivially
+      (5L, "standalone document")
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("id_a", "id_b")
+    val scored = Dedup.dedupGroups(docs, "doc_id", pairs).join(
+      docs.select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality")), "doc_id")
+    val keep = graft.operators.GroupTopK.topK(
+        scored.select("component", "doc_id", "quality"),
+        Seq("component"), Seq(("quality", false), ("doc_id", true)), k = 1)
+      .collect().map(r => r.getAs[Long]("component") -> r.getAs[Long]("doc_id")).toMap
+    assert(keep == Map(1L -> 2L, 3L -> 3L, 5L -> 5L), s"unexpected representatives: $keep")
+  }
+
   test("PII redaction replaces emails then phones, counts match") {
     val df = Seq(
       (1L, "mail me at john.doe@example.org or call +44 20 7946 0958 now"),
