@@ -150,6 +150,37 @@ object TextAnalysis {
       .select("id", "token", "tf", "df", "score")
   }
 
+  /** Corpus-relative word-frequency score — the engine-portable
+    * stand-in for CCNet's LM-perplexity filter: docs dominated by
+    * corpus-rare words (OCR noise, id strings, mangled encodings)
+    * score low, docs of common words score high. Each token instance
+    * contributes floor(log2 c(token)) with the corpus count c entering
+    * EXACTLY as `length(bin(c)) - 1` — an integer identity in any
+    * engine, where true log is transcendental and libm ulps differ
+    * (the same rationality discipline as [[distinctiveTerms]]). Per
+    * doc: token count, the exact integer sum of floor-log2 counts,
+    * and their mean in ONE correctly-rounded IEEE division.
+    *
+    * Scale shape: the count aggregate is VOCABULARY-sized with
+    * map-side partials; the instance⋈vocab join shuffles (token, id)
+    * pairs — proportional to corpus tokens, the same honest
+    * throughput-bound profile as [[Decontamination]]; the per-doc
+    * re-agg rides one id shuffle. The production variant broadcasts
+    * the top-V vocabulary head (head tokens cover most instances by
+    * Zipf) and floors the tail to lg 0. */
+  def unigramLogFreq(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+        explode(split(normalizeText(col(textCol)), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+    val counts = toks.groupBy("token").agg(count(lit(1)).as("c"))
+    toks.join(counts, "token")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum((length(bin(col("c"))) - 1).cast("long")).as("sum_log2"))
+      .withColumn("mean_log2",
+        round(col("sum_log2").cast("double") / col("n_tokens"), 6))
+  }
+
   /** All word n-gram repetition statistics in one compiled pass —
     * `struct(total, distinct, top)` ([[graft.functions.NgramStats]]):
     * the Gopher-style repetition quality terms (heavily repeated

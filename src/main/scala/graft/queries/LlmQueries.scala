@@ -81,6 +81,15 @@ object LlmQueries {
       .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
       .orderBy("doc_id")
 
+  /** Corpus-relative word-frequency score ([[TextAnalysis.unigramLogFreq]]):
+    * the perplexity-filter stand-in — floor-log2 corpus counts via the
+    * exact `length(bin(c)) - 1` integer identity, so the only float is
+    * one final IEEE division. */
+  val unigramLogFreqScore: Q = (s, dir) =>
+    TextAnalysis.unigramLogFreq(Tables(s, dir, "documents"), "doc_id", "text")
+      .select(col("id").as("doc_id"), col("n_tokens"), col("sum_log2"), col("mean_log2"))
+      .orderBy("doc_id")
+
   /** Context-length bucketing — the histogram a training pipeline emits
     * before packing documents into context windows: docs bucketed by
     * BPE-ish token count into fixed ranges (explicit integer CASE
@@ -793,6 +802,7 @@ object LlmQueries {
     "corpus_stats" -> corpusStats,
     "top_tokens" -> topTokens,
     "quality_score" -> qualityScore,
+    "unigram_logfreq_score" -> unigramLogFreqScore,
     "doc_repetition" -> docRepetition,
     "lang_id" -> langId,
     "doc_fingerprint" -> docFingerprint,
@@ -1143,6 +1153,21 @@ object LlmQueries {
     "quality_score" ->
       s"""SELECT doc_id, $sqlQualityExpr AS quality
          |FROM documents ORDER BY doc_id""".stripMargin,
+    // floor(log2 c) replayed as length(bin(c)) - 1 — exact integers in
+    // both engines; the mean is the only float (one division)
+    "unigram_logfreq_score" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(
+        |    trim(regexp_replace(regexp_replace(lower(text), '[.,;:!?]', '', 'g'), ' +', ' ', 'g')),
+        |    ' ')) AS token
+        |  FROM documents),
+        |t2 AS (SELECT * FROM t WHERE length(token) > 0),
+        |c AS (SELECT token, count(*) AS c FROM t2 GROUP BY token)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(sum(length(bin(c.c)) - 1) AS BIGINT) AS sum_log2,
+        |  round(CAST(sum(length(bin(c.c)) - 1) AS DOUBLE) / count(*), 6) AS mean_log2
+        |FROM t2 JOIN c USING (token)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "doc_fingerprint" ->
       "SELECT doc_id, md5(lower(text)) AS fp_md5 FROM documents ORDER BY doc_id",
     // exact counts + exact IEEE divisions of them — no rounding needed

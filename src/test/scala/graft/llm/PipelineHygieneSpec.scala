@@ -129,6 +129,22 @@ class PipelineHygieneSpec extends AnyFunSuite {
     assert(got(3L) == ((3L, 0L, md5s("totally unique content right here today"))), s"doc3: ${got(3L)}")
   }
 
+  test("unigram log-freq score: exact floor-log2 of corpus counts, normalization applied, empty docs drop") {
+    val docs = Seq(
+      (1L, "a a a a"),   // c(a)=7 -> lg 2 each: n=4 sum=8 mean=2.0
+      (2L, "a b"),       // lg(7)=2 + lg(1)=0:   n=2 sum=2 mean=1.0
+      (3L, "zz"),        // lg(1)=0:             n=1 sum=0 mean=0.0
+      (4L, "A, a!"),     // normalizes to "a a": n=2 sum=4 mean=2.0
+      (5L, "!!!")        // normalizes to "" -> no tokens -> absent
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.unigramLogFreq(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("sum_log2"), r.getAs[Double]("mean_log2")))).toMap
+    assert(got == Map(
+      1L -> ((4L, 8L, 2.0)), 2L -> ((2L, 2L, 1.0)),
+      3L -> ((1L, 0L, 0.0)), 4L -> ((2L, 4L, 2.0))), s"unexpected scores: $got")
+  }
+
   test("dedup keep-best: highest quality wins the cluster, ties break to smallest id, singletons keep themselves") {
     val docs = Seq(
       // cluster {1,2}: doc 1 is punct-heavy junk (punctScore 0), doc 2
