@@ -137,6 +137,26 @@ object Dedup {
     df.select(col(idCol).as("id"), setCol.as("hs"))
   }
 
+  /** Exploded LSH band-bucket index `(id, sig, bucket)` — one row per
+    * (doc, band) over precomputed shingle-hash sets `(id, hs)`. This is
+    * BOTH halves of streaming near-dup ingest: persisted (bucketed by
+    * `bucket`) it is the static corpus index; being all expression-based
+    * it also runs unchanged on a STREAMING DataFrame to band each
+    * arriving doc for the probe join. Batch candidate generation
+    * ([[minHashPairsFromHashes]]) groups this same frame by bucket. */
+  def bandBuckets(sets: DataFrame, k: Int = 32, bands: Int = 8,
+      portable: Boolean = true): DataFrame = {
+    val rowsPer = k / bands
+    val sigCol =
+      if (portable) minHashSignatureP(col("hs"), k)
+      else minHashSignature(col("hs"), k)
+    val bandsCol =
+      if (portable) bandKeysP(col("sig"), bands, rowsPer)
+      else bandKeys(col("sig"), bands, rowsPer)
+    sets.select(col("id"), sigCol.as("sig"))
+      .select(col("id"), col("sig"), explode(bandsCol).as("bucket"))
+  }
+
   /** [[minHashPairs]] over precomputed shingle-hash sets `(id, hs)`
     * from [[shingleHashSets]] (same `portable` flag — the per-seed
     * remix must match the hash family). */
@@ -147,16 +167,7 @@ object Dedup {
       threshold: Double = 0.5,
       maxBucket: Int = 1000,
       portable: Boolean = true): DataFrame = {
-    val rowsPer = k / bands
-    val sigCol =
-      if (portable) minHashSignatureP(col("hs"), k)
-      else minHashSignature(col("hs"), k)
-    val sigs = sets.select(col("id"), sigCol.as("sig"))
-    val bandsCol =
-      if (portable) bandKeysP(col("sig"), bands, rowsPer)
-      else bandKeys(col("sig"), bands, rowsPer)
-    val buckets = sigs
-      .select(col("id"), col("sig"), explode(bandsCol).as("bucket"))
+    val buckets = bandBuckets(sets, k, bands, portable)
     val grouped = buckets
       .groupBy("bucket")
       .agg(collect_list(struct(col("id"), col("sig"))).as("members"))

@@ -853,7 +853,7 @@ object LlmQueries {
   /** Inline DuckDB expression parsing the top 15 hex chars of an md5
     * string as a 60-bit BIGINT — the numeric twin of the Spark side's
     * `Md5.top60` (big-endian first 8 digest bytes >>> 4). */
-  private def hx60(md: String): String =
+  private[queries] def hx60(md: String): String =
     s"CAST(list_sum(list_transform(range(1, 16), i -> " +
       s"CAST(strpos('0123456789abcdef', substr($md, CAST(i AS INT), 1)) - 1 AS BIGINT) * " +
       s"(CAST(1 AS BIGINT) << CAST(4 * (15 - i) AS INT)))) AS BIGINT)"
@@ -866,7 +866,7 @@ object LlmQueries {
     * defaults: n=3, k=32, bands=8, rowsPer=4, maxBucket=1000). The JVM
     * side's wrap-around long multiply masked to 60 bits computes the
     * identical values (2^60 divides 2^64) — validated bit-exact. */
-  private val minhashCtes: String =
+  private[queries] val minhashCtes: String =
     s"""w AS (SELECT doc_id, regexp_split_to_array(lower(text), ' +') AS ws FROM documents),
       |shm AS (SELECT DISTINCT doc_id, md5(array_to_string(ws[i+1:i+3], ' ')) AS md
       |  FROM w, unnest(range(0, greatest(len(ws) - 3, 0) + 1)) t(i)),

@@ -121,21 +121,30 @@ object StreamingQueries {
       dir: String,
       ev: DataFrame,
       nFiles: Int): (java.io.File, org.apache.spark.sql.types.StructType) =
-    fixtureCache.computeIfAbsent((dir, nFiles, ev.columns.toSeq), { _ =>
-      val out = spillEventIdBuckets(s, ev, nFiles)
+    spillIdBucketsCached(s, dir, ev, "event_id", nFiles)
+
+  private def spillIdBucketsCached(
+      s: SparkSession,
+      dir: String,
+      df: DataFrame,
+      idCol: String,
+      nFiles: Int): (java.io.File, org.apache.spark.sql.types.StructType) =
+    fixtureCache.computeIfAbsent((dir, nFiles, df.columns.toSeq), { _ =>
+      val out = spillIdBuckets(s, df, idCol, nFiles)
       sys.addShutdownHook(rmTree(out._1))
       out
     })
 
-  private def spillEventIdBuckets(
+  private def spillIdBuckets(
       s: SparkSession,
       ev: DataFrame,
+      idCol: String,
       nFiles: Int): (java.io.File, org.apache.spark.sql.types.StructType) = {
     import org.apache.spark.sql.functions._
-    val maxId = ev.agg(max("event_id")).head.getLong(0)
+    val maxId = ev.agg(max(idCol)).head.getLong(0)
     val tmp = java.nio.file.Files.createTempDirectory("graft_mb_").toFile
     val stage = new java.io.File(tmp, "stage")
-    val bucket = floor(col("event_id") * lit(nFiles) / lit(maxId + 1.0)).cast("int")
+    val bucket = floor(col(idCol) * lit(nFiles) / lit(maxId + 1.0)).cast("int")
     ev.withColumn("__b", bucket).repartition(nFiles, col("__b"))
       .write.partitionBy("__b").mode("overwrite").parquet(stage.toString)
     val written = (0 until nFiles).flatMap { b =>
@@ -566,7 +575,67 @@ object StreamingQueries {
     drain(s, name, s.table(name).orderBy("event_id"))
   }
 
+  /** STREAMING NEAR-DUP PROBE — the minhash family on the ingest path:
+    * arriving documents are banded IN-STREAM (shingle→minhash→band, all
+    * expression-based so [[graft.llm.Dedup.bandBuckets]] runs unchanged
+    * on the streaming frame) and probed against a STATIC corpus LSH
+    * index by a stateless stream-static equi-join on the band bucket.
+    * Corpus/batch roles use the md5 hash-bucket split shared with
+    * `dedup_incremental`/`decontaminate_docs` (bucket < 13 ≈ 5% plays
+    * the arriving batch). Emission is per (probe doc, band, candidate)
+    * with the signature-estimated Jaccard — a pure function of the row
+    * and the static index, hence append-mode with NO watermark or
+    * state store, and batch-invariant however files chunk into
+    * micro-batches (the ≥2-batch guard proves per-batch re-probing).
+    * The corpus index applies the same hot-bucket cap as
+    * [[graft.llm.Dedup.minHashPairsFromHashes]] (boilerplate buckets
+    * would otherwise fan every probe out by the bucket size).
+    *
+    * Scale: the index is built ONCE (localCheckpoint here; a persisted
+    * table bucketed by band key in production, as
+    * `dedup_incremental_bucketed` demonstrates for exact hashes), so
+    * each micro-batch pays one narrow map + one equi-join against a
+    * pre-bucketed static side — never a corpus rescan, nothing
+    * all-pairs. Probe state is ZERO: near-dup admission control at
+    * ingest without a growing state store. */
+  val streamNeardupProbe: Q = (s, dir) => withStatePartitions(s, 8) {
+    import org.apache.spark.sql.functions._
+    import graft.llm.{Dedup, Sampling}
+    val maxBucket = 1000 // same cap as the batch minhash family
+    val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+    val isBatch = Sampling.hashBucket256(col("doc_id")) < 13
+    val corpusIdx = Dedup.bandBuckets(
+        Dedup.shingleHashSets(docs.filter(!isBatch), "doc_id", "text"))
+      .select(col("id").as("cand_id"), col("sig").as("cand_sig"), col("bucket"))
+    val okBuckets = corpusIdx.groupBy("bucket")
+      .agg(count(lit(1)).as("n")).filter(col("n") <= maxBucket).select("bucket")
+    // materialize the index once — without this every micro-batch
+    // re-runs the corpus shingle/minhash jobs
+    val idx = corpusIdx.join(okBuckets, "bucket").localCheckpoint()
+    val name = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val (tmp, schema) = spillIdBucketsCached(s, dir, docs, "doc_id", nFiles = 4)
+    val src = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp.getPath + "/*.parquet")
+    val probes = Dedup.bandBuckets(
+      Dedup.shingleHashSets(src.filter(isBatch), "doc_id", "text"))
+    val q = probes.join(broadcast(idx), "bucket")
+      .withColumn("est_jaccard", Dedup.signatureSimilarity(col("sig"), col("cand_sig")))
+      .filter(col("est_jaccard") >= 0.3)
+      .select(col("id").as("probe_id"), col("bucket"), col("cand_id"), col("est_jaccard"))
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      if (dataBatches < 2)
+        throw new IllegalStateException(
+          s"stream_neardup_probe requires >= 2 data micro-batches (per-batch probe of the " +
+            s"static index is the path under test); saw $dataBatches")
+    } finally q.stop()
+    drain(s, name, s.table(name).orderBy("probe_id", "bucket", "cand_id"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "stream_neardup_probe" -> streamNeardupProbe,
     "stream_static_enrich" -> streamStaticEnrich,
     "stream_session_windows" -> streamSessionWindows,
     "stream_leftjoin_clicks_errors" -> streamLeftJoinClicksErrors,
@@ -580,6 +649,28 @@ object StreamingQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // stateless probe is batch-invariant: the oracle replays the whole
+    // minhash/band pipeline (the CTE block SHARED with the batch dedup
+    // family) plus the md5 hash-bucket corpus/batch split and the
+    // corpus-side hot-bucket cap
+    "stream_neardup_probe" ->
+      s"""WITH ${LlmQueries.minhashCtes},
+         |bkt AS (SELECT doc_id,
+         |    (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+         |    + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS hb
+         |  FROM documents),
+         |corp AS (SELECT bk.doc_id, bk.sig, bk.bucket
+         |  FROM bk JOIN bkt USING (doc_id) WHERE bkt.hb >= 13),
+         |okbc AS (SELECT bucket FROM (SELECT bucket, count(*) AS n FROM corp GROUP BY bucket)
+         |  WHERE n <= 1000),
+         |probe AS (SELECT bk.doc_id, bk.sig, bk.bucket
+         |  FROM bk JOIN bkt USING (doc_id) WHERE bkt.hb < 13)
+         |SELECT probe_id, bucket, cand_id, est_jaccard FROM (
+         |  SELECT p.doc_id AS probe_id, p.bucket AS bucket, c.doc_id AS cand_id,
+         |    CAST(len(list_filter(range(1, 33), i -> p.sig[i] = c.sig[i])) AS DOUBLE) / 32 AS est_jaccard
+         |  FROM probe p JOIN corp c ON p.bucket = c.bucket JOIN okbc ON c.bucket = okbc.bucket)
+         |WHERE est_jaccard >= 0.3
+         |ORDER BY probe_id, bucket, cand_id""".stripMargin,
     // stateless enrichment is batch-invariant: the oracle is the plain
     // inner join (user_id ∈ customer keys at every sf)
     "stream_static_enrich" ->
