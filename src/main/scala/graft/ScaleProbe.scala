@@ -50,7 +50,12 @@ object ScaleProbe {
     // RANGE-frame rolling window — each a distinct shuffle shape
     "decontaminate_docs",
     "distinctive_terms",
-    "rolling_revenue_7d")
+    "rolling_revenue_7d",
+    // round 9: span-df corpus shuffle + doc-local reconstruction;
+    // minhash grouping + component-keyed argmax; instance⋈vocab join
+    "boilerplate_removal",
+    "dedup_keep_best",
+    "unigram_logfreq_score")
 
   private def rot(s: String, k: Int): String = s.drop(k % s.length) + s.take(k % s.length)
 

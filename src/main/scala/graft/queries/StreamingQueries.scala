@@ -105,12 +105,14 @@ object StreamingQueries {
     * domain may leave a bucket empty (no dir) — skipped, and the
     * callers assert >= 2 data batches ran. Returns (dir, schema). */
   /** Fixture cache: the spill is a deterministic function of
-    * (sf dir, nFiles, projected columns), and three catalog queries use
-    * it (×2 bench reps) — cache the spilled directory per key instead of
-    * re-running the write job each time. The three call sites project
-    * the SAME column superset so one fixture serves them all. Cached dirs live until JVM
-    * exit (shutdown hook); FileStreamSource re-reads them fresh per
-    * query because every query starts a new (temp) checkpoint. */
+    * (sf dir, nFiles, projected columns) — cache the spilled directory
+    * per key instead of re-running the write job for each of the many
+    * streaming catalog queries (×2 bench reps). The events call sites
+    * project the SAME column superset so one fixture serves them all;
+    * the documents fixture caches under its own column key. Cached
+    * dirs live until JVM exit (shutdown hook); FileStreamSource
+    * re-reads them fresh per query because every query starts a new
+    * (temp) checkpoint. */
   private val fixtureCache =
     new java.util.concurrent.ConcurrentHashMap[
       (String, Int, Seq[String]),
