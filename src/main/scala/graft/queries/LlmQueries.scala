@@ -64,6 +64,39 @@ object LlmQueries {
       .groupBy("token").agg(count(lit(1)).as("n"))
       .orderBy(desc("n"), asc("token")).limit(50)
 
+  /** Tokenizer-design metric: what share of all token INSTANCES the
+    * top-V vocabulary covers, for V ∈ {10, 20, 10000}. The exact
+    * top-V ranking runs through the map-side-pruned
+    * [[graft.operators.GroupTopK]] (constant group key — each input
+    * partition contributes at most V rows to the single-group shuffle,
+    * so there is never a corpus- or vocabulary-wide single-partition
+    * sort); the within-top-V rank is a window over ≤ V rows. The
+    * instance total is a 1-row broadcast (the `key_skew_report`
+    * pattern). Integer sums, ONE IEEE division per output row. */
+  val vocabCoverage: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables(s, dir, "documents")
+      .select(explode(split(TextAnalysis.normalizeText(col("text")), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+    val counts = toks.groupBy("token").agg(count(lit(1)).as("c"))
+    val top = graft.operators.GroupTopK.topK(
+      counts.withColumn("g", lit(1)), Seq("g"), Seq(("c", false), ("token", true)), k = 10000)
+    val ranked = top.withColumn("rk",
+      row_number().over(Window.partitionBy("g").orderBy(desc("c"), asc("token"))))
+    // tiers sized so the synthetic corpus (31 distinct tokens at
+    // sf0.01) exercises PARTIAL coverage at the low tiers and the
+    // GroupTopK cap tier stays the production V
+    val vs = s.range(1).select(explode(array(lit(10), lit(20), lit(10000))).as("v"))
+    val total = toks.agg(count(lit(1)).as("total_tokens"))
+    ranked.join(broadcast(vs), col("rk") <= col("v"))
+      .groupBy("v").agg(sum("c").as("covered_tokens"))
+      .crossJoin(broadcast(total))
+      .withColumn("share",
+        round(col("covered_tokens").cast("double") / col("total_tokens"), 6))
+      .select("v", "covered_tokens", "total_tokens", "share")
+      .orderBy("v")
+  }
+
   /** Token counting, both flavors through the gate: whitespace tokens
     * and the BPE-ish proxy (letter runs / digit runs / single other
     * non-space chars — regexp_extract_all, verified to count identically
@@ -737,6 +770,27 @@ object LlmQueries {
       .orderBy("component")
   }
 
+  /** Cross-SOURCE near-dup leakage matrix — the split-hygiene audit
+    * run before any per-source train/eval split: if near-identical
+    * documents live in two sources, splitting by source leaks train
+    * content into eval. Composes the banded candidate pairs with two
+    * id→source lookups and aggregates pair counts per unordered source
+    * pair (least/greatest normalization so each pair counts once).
+    * Scale: bounded by the banded pair generation; the source lookup
+    * joins carry (id, source) only, and the final matrix is
+    * |sources|² at most — driver-tiny. */
+  val crossSourceLeakage: Q = (s, dir) => {
+    val docs = Tables(s, dir, "documents")
+    val src = docs.select(col("doc_id"), col("source"))
+    Dedup.minHashPairs(docs, "doc_id", "text", threshold = 0.3, maxBucket = MaxBucket)
+      .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")), "id_a")
+      .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")), "id_b")
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_pairs"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** LSH bucket-size histogram — the audit view for minHashPairs'
     * hot-bucket cap (buckets above maxBucket are dropped, never
     * silently): how many buckets hold n members, driver-visible.
@@ -821,6 +875,8 @@ object LlmQueries {
     "dedup_components" -> dedupComponents,
     "dedup_groups_minhash" -> dedupGroupsMinhash,
     "dedup_keep_best" -> dedupKeepBest,
+    "cross_source_leakage" -> crossSourceLeakage,
+    "vocab_coverage" -> vocabCoverage,
     "doc_chunks" -> docChunks,
     "dedup_chunks" -> dedupChunks,
     "pack_sequences" -> packSequences,
@@ -959,6 +1015,36 @@ object LlmQueries {
          |  FROM grp JOIN q ON grp.doc_id = q.doc_id)
          |SELECT component, doc_id AS keep_id, quality FROM r WHERE rk = 1
          |ORDER BY component""".stripMargin,
+    // pair counts per unordered source pair — the cand CTE is the
+    // shared banded-pair replay, sources joined on both ids
+    "cross_source_leakage" ->
+      s"""WITH $minhashCtes
+         |SELECT least(da.source, db.source) AS source_a,
+         |  greatest(da.source, db.source) AS source_b,
+         |  count(*) AS n_pairs
+         |FROM cand
+         |JOIN documents da ON cand.id_a = da.doc_id
+         |JOIN documents db ON cand.id_b = db.doc_id
+         |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin,
+    // exact top-V instance coverage: rank over the vocabulary with the
+    // (count DESC, token ASC) total order, integer covered sums, one
+    // division per row
+    "vocab_coverage" ->
+      """WITH t AS (
+        |  SELECT unnest(regexp_split_to_array(
+        |    trim(regexp_replace(regexp_replace(lower(text), '[.,;:!?]', '', 'g'), ' +', ' ', 'g')),
+        |    ' ')) AS token
+        |  FROM documents),
+        |t2 AS (SELECT token FROM t WHERE length(token) > 0),
+        |c AS (SELECT token, count(*) AS c FROM t2 GROUP BY token),
+        |r AS (SELECT c, row_number() OVER (ORDER BY c DESC, token) AS rk FROM c),
+        |tot AS (SELECT count(*) AS total_tokens FROM t2)
+        |SELECT vs.v, CAST(sum(r.c) AS BIGINT) AS covered_tokens,
+        |  tot.total_tokens,
+        |  round(CAST(sum(r.c) AS DOUBLE) / tot.total_tokens, 6) AS share
+        |FROM (VALUES (10), (20), (10000)) AS vs(v)
+        |JOIN r ON r.rk <= vs.v CROSS JOIN tot
+        |GROUP BY vs.v, tot.total_tokens ORDER BY vs.v""".stripMargin,
     "lsh_bucket_histogram" ->
       s"""WITH $minhashCtes
          |SELECT n AS bucket_size, count(*) AS n_buckets
