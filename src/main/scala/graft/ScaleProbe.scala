@@ -55,7 +55,9 @@ object ScaleProbe {
     // minhash grouping + component-keyed argmax; instance⋈vocab join
     "boilerplate_removal",
     "dedup_keep_best",
-    "unigram_logfreq_score")
+    "unigram_logfreq_score",
+    "cross_source_leakage",
+    "vocab_coverage")
 
   private def rot(s: String, k: Int): String = s.drop(k % s.length) + s.take(k % s.length)
 

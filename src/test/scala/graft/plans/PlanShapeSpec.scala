@@ -170,4 +170,31 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("MapPartitions".r.findAllIn(plan).size >= 2,
       s"expected the GroupTopK mapPartitions pair:\n$plan")
   }
+
+  test("vocab_coverage: top-V prunes map-side, bounded-side joins broadcast, no cartesian") {
+    val df = graft.SparkEntry.queries("vocab_coverage")(spark, TestSpark.sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert("MapPartitions".r.findAllIn(plan).size >= 2,
+      s"expected the GroupTopK mapPartitions pair:\n$plan")
+    // the tier inequality join and the 1-row total both broadcast their
+    // bounded side; neither may degrade to a cartesian product
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size >= 2,
+      s"expected broadcast joins for tiers and total:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no cartesian allowed:\n$plan")
+  }
+
+  test("cross_source_leakage: banded pair generation, never a cartesian") {
+    val df = graft.SparkEntry.queries("cross_source_leakage")(spark, TestSpark.sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"pair generation must stay banded equi-joins:\n$plan")
+  }
+
+  test("boilerplate_removal: the boilerplate span set broadcasts back to the docs") {
+    val df = graft.SparkEntry.queries("boilerplate_removal")(spark, TestSpark.sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the (tiny by definition) boilerplate set must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no cartesian allowed:\n$plan")
+  }
 }
