@@ -115,7 +115,7 @@ object StreamingQueries {
     * (temp) checkpoint. */
   private val fixtureCache =
     new java.util.concurrent.ConcurrentHashMap[
-      (String, Int, Seq[String]),
+      (String, Int, Seq[String], String),
       (java.io.File, org.apache.spark.sql.types.StructType)]()
 
   private def spillEventIdBucketsCached(
@@ -131,7 +131,7 @@ object StreamingQueries {
       df: DataFrame,
       idCol: String,
       nFiles: Int): (java.io.File, org.apache.spark.sql.types.StructType) =
-    fixtureCache.computeIfAbsent((dir, nFiles, df.columns.toSeq), { _ =>
+    fixtureCache.computeIfAbsent((dir, nFiles, df.columns.toSeq, idCol), { _ =>
       val out = spillIdBuckets(s, df, idCol, nFiles)
       sys.addShutdownHook(rmTree(out._1))
       out
