@@ -57,7 +57,8 @@ object ScaleProbe {
     "dedup_keep_best",
     "unigram_logfreq_score",
     "cross_source_leakage",
-    "vocab_coverage")
+    "vocab_coverage",
+    "pipeline_disposition")
 
   private def rot(s: String, k: Int): String = s.drop(k % s.length) + s.take(k % s.length)
 

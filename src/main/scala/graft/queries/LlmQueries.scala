@@ -770,6 +770,59 @@ object LlmQueries {
       .orderBy("component")
   }
 
+  /** END-TO-END PIPELINE DISPOSITION — the capstone composition: every
+    * document (plus injected exact-duplicate echoes, the
+    * [[echoBase]] rule, so the exact stage is exercised on a corpus
+    * with no natural whole-doc dups) is labeled with its fate through
+    * the production filter chain, in precedence order:
+    *   1. `drop_quality`  — [[TextAnalysis.qualityScore]] < 0.8;
+    *   2. `drop_exact`    — a smaller surviving doc_id holds the same
+    *      content fingerprint (min-per-hash window);
+    *   3. `drop_neardup`  — in a minhash component whose best-quality
+    *      representative (ties to smallest id) is another doc;
+    *   4. `kept`          — survives all three.
+    * One row per doc with its status and quality — the per-document
+    * audit trail a data-governance review asks for ("why was this doc
+    * dropped?"). Scale: quality is a narrow map; the exact stage is
+    * one content-hash shuffle; the near-dup stage runs ONLY on exact
+    * survivors and is bounded by the banded pair generation; the
+    * disposition joins carry (id, label)-sized rows. Each stage
+    * reuses the operator the catalog verifies in isolation, and the
+    * oracle replays the whole chain over the SAME shared CTE blocks —
+    * the composition, not just the parts, is hash-verified. */
+  val pipelineDisposition: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val base = echoBase(s, dir)
+    val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+    val d0 = d.union(
+      d.filter(Sampling.hashBucket256(col("doc_id")) < 8)
+        .select((col("doc_id") + base).as("doc_id"), col("text")))
+    val scored = d0.withColumn("quality", TextAnalysis.qualityScore(col("text")))
+    val s1 = scored.filter(col("quality") >= 0.8)
+    val firstPerHash = s1
+      .withColumn("h", TextAnalysis.fingerprintMd5(col("text")))
+      .withColumn("first_id", min("doc_id").over(Window.partitionBy("h")))
+    val s2 = firstPerHash.filter(col("doc_id") === col("first_id"))
+      .select("doc_id", "text", "quality")
+    val groups = Dedup.dedupGroups(s2, "doc_id",
+      Dedup.minHashPairs(s2, "doc_id", "text", threshold = 0.3, maxBucket = MaxBucket))
+    val keep = graft.operators.GroupTopK.topK(
+        groups.join(s2.select("doc_id", "quality"), "doc_id")
+          .select("component", "doc_id", "quality"),
+        Seq("component"), Seq(("quality", false), ("doc_id", true)), k = 1)
+      .select(col("doc_id").as("keep_id"))
+    scored.select("doc_id", "quality")
+      .join(firstPerHash.select("doc_id", "first_id"), Seq("doc_id"), "left")
+      .join(keep, col("doc_id") === col("keep_id"), "left")
+      .select(col("doc_id"),
+        when(col("quality") < 0.8, "drop_quality")
+          .when(col("doc_id") =!= col("first_id"), "drop_exact")
+          .when(col("keep_id").isNotNull, "kept")
+          .otherwise("drop_neardup").as("status"),
+        col("quality"))
+      .orderBy("doc_id")
+  }
+
   /** Cross-SOURCE near-dup leakage matrix — the split-hygiene audit
     * run before any per-source train/eval split: if near-identical
     * documents live in two sources, splitting by source leaks train
@@ -876,6 +929,7 @@ object LlmQueries {
     "dedup_groups_minhash" -> dedupGroupsMinhash,
     "dedup_keep_best" -> dedupKeepBest,
     "cross_source_leakage" -> crossSourceLeakage,
+    "pipeline_disposition" -> pipelineDisposition,
     "vocab_coverage" -> vocabCoverage,
     "doc_chunks" -> docChunks,
     "dedup_chunks" -> dedupChunks,
@@ -922,8 +976,11 @@ object LlmQueries {
     * defaults: n=3, k=32, bands=8, rowsPer=4, maxBucket=1000). The JVM
     * side's wrap-around long multiply masked to 60 bits computes the
     * identical values (2^60 divides 2^64) — validated bit-exact. */
-  private[queries] val minhashCtes: String =
-    s"""w AS (SELECT doc_id, regexp_split_to_array(lower(text), ' +') AS ws FROM documents),
+  /** The minhash/band/candidate CTE block over an arbitrary relation —
+    * `rel` must expose (doc_id, text). Parameterized so pipeline
+    * oracles can replay the SAME block over a filtered survivor set. */
+  private[queries] def minhashCtesOver(rel: String): String =
+    s"""w AS (SELECT doc_id, regexp_split_to_array(lower(text), ' +') AS ws FROM $rel),
       |shm AS (SELECT DISTINCT doc_id, md5(array_to_string(ws[i+1:i+3], ' ')) AS md
       |  FROM w, unnest(range(0, greatest(len(ws) - 3, 0) + 1)) t(i)),
       |sh AS (SELECT DISTINCT doc_id, ${hx60("md")} AS h FROM shm),
@@ -943,6 +1000,8 @@ object LlmQueries {
       |    FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
       |    JOIN okb ON a.bucket = okb.bucket)
       |  WHERE est_jaccard >= 0.3 GROUP BY id_a, id_b)""".stripMargin
+
+  private[queries] val minhashCtes: String = minhashCtesOver("documents")
 
   /** Shared DuckDB CTE chain replaying the QUANTIZED hyperplane LSH:
     * floor(x*1000) integer quantization, ±1 signs from md5 parity,
@@ -1015,6 +1074,42 @@ object LlmQueries {
          |  FROM grp JOIN q ON grp.doc_id = q.doc_id)
          |SELECT component, doc_id AS keep_id, quality FROM r WHERE rk = 1
          |ORDER BY component""".stripMargin,
+    // the capstone: quality gate -> exact dedup -> near-dup keep-best,
+    // replayed stage by stage over the SAME shared CTE blocks (quality
+    // formula, echo-base rule, minhash block over the survivor set,
+    // component CTEs) so the composition is hash-verified end to end
+    "pipeline_disposition" ->
+      s"""WITH RECURSIVE bkt AS (SELECT doc_id,
+         |    (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+         |    + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS hb
+         |  FROM documents),
+         |d0 AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT d.doc_id + $sqlEchoBase AS doc_id, text
+         |  FROM documents d JOIN bkt USING (doc_id) WHERE bkt.hb < 8),
+         |qual AS (SELECT doc_id, text, $sqlQualityExpr AS quality FROM d0),
+         |s1 AS (SELECT * FROM qual WHERE quality >= 0.8),
+         |ex AS (SELECT doc_id, text, quality,
+         |    min(doc_id) OVER (PARTITION BY md5(lower(text))) AS first_id FROM s1),
+         |s2 AS (SELECT doc_id, text, quality FROM ex WHERE doc_id = first_id),
+         |${minhashCtesOver("s2")},
+         |$componentCtes,
+         |grp AS (SELECT s2.doc_id, coalesce(c.comp, s2.doc_id) AS component, s2.quality
+         |  FROM s2 LEFT JOIN compm c ON c.id = s2.doc_id),
+         |r AS (SELECT doc_id, row_number() OVER (PARTITION BY component
+         |    ORDER BY quality DESC, doc_id) AS rk FROM grp),
+         |k AS (SELECT doc_id FROM r WHERE rk = 1)
+         |SELECT q.doc_id,
+         |  CASE WHEN q.quality < 0.8 THEN 'drop_quality'
+         |       WHEN e2.doc_id <> e2.first_id THEN 'drop_exact'
+         |       WHEN k.doc_id IS NOT NULL THEN 'kept'
+         |       ELSE 'drop_neardup' END AS status,
+         |  q.quality
+         |FROM qual q
+         |LEFT JOIN ex e2 USING (doc_id)
+         |LEFT JOIN k ON k.doc_id = q.doc_id
+         |ORDER BY doc_id""".stripMargin,
     // pair counts per unordered source pair — the cand CTE is the
     // shared banded-pair replay, sources joined on both ids
     "cross_source_leakage" ->

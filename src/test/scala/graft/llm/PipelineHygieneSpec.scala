@@ -167,6 +167,31 @@ class PipelineHygieneSpec extends AnyFunSuite {
     assert(keep == Map(1L -> 2L, 3L -> 3L, 5L -> 5L), s"unexpected representatives: $keep")
   }
 
+  test("pipeline disposition: statuses partition the corpus+echoes, every class fires, drop_exact is echo-only on this corpus") {
+    val dir = graft.TestSpark.sfDir
+    val rows = graft.queries.LlmQueries.pipelineDisposition(spark, dir)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("status")))
+    val maxReal = spark.read.parquet(s"$dir/documents.parquet")
+      .agg(max("doc_id")).head.getLong(0)
+    val base = math.pow(10, maxReal.toString.length).toLong
+    val byStatus = rows.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    assert(byStatus.keySet == Set("kept", "drop_quality", "drop_exact", "drop_neardup"),
+      s"all four dispositions must fire: ${byStatus.keySet}")
+    assert(rows.map(_._1).distinct.length == rows.length, "exactly one status per doc")
+    // the synthetic corpus has no natural whole-doc dups: every
+    // drop_exact must be an injected echo (id >= base), and its
+    // original must NOT be drop_exact (min-id keeps)
+    assert(byStatus("drop_exact").forall(_ >= base),
+      s"drop_exact must be echoes only: ${byStatus("drop_exact").take(5).toList}")
+    val statusOf = rows.toMap
+    assert(byStatus("drop_exact").forall(id => statusOf(id - base) != "drop_exact"),
+      "the echo's original must keep the fingerprint (min-id rule)")
+    // echoes share their original's text, so quality verdicts agree
+    assert(byStatus("drop_quality").filter(_ >= base)
+        .forall(id => statusOf(id - base) == "drop_quality"),
+      "echo quality verdict must match its original")
+  }
+
   test("PII redaction replaces emails then phones, counts match") {
     val df = Seq(
       (1L, "mail me at john.doe@example.org or call +44 20 7946 0958 now"),
