@@ -181,6 +181,39 @@ object TextAnalysis {
         round(col("sum_log2").cast("double") / col("n_tokens"), 6))
   }
 
+  /** The HYBRID-JOIN twin of [[unigramLogFreq]] — identical result,
+    * skew-proof plan. The instance⋈vocab join is the textbook hot-key
+    * workload: by Zipf the head token joins a constant fraction of ALL
+    * corpus instances, so a plain token-keyed shuffle sends that
+    * fraction to ONE reducer at 100 TB. Split at the top-V head
+    * (exact, via the map-side-pruned [[graft.operators.GroupTopK]]
+    * constant-key path): head counts BROADCAST to the instance scan
+    * (hot instances never shuffle), tail instances — low-skew by
+    * construction — take the ordinary shuffle join, and the two
+    * disjoint halves union before the per-doc re-aggregation. Same
+    * output as the plain variant (the catalog shares one oracle);
+    * PlanShapeSpec pins the broadcast + anti-join shape. */
+  def unigramLogFreqHybrid(df: DataFrame, idCol: String, textCol: String,
+      headV: Int = 1000): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+        explode(split(normalizeText(col(textCol)), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+    val counts = toks.groupBy("token").agg(count(lit(1)).as("c"))
+    val head = graft.operators.GroupTopK.topK(
+        counts.withColumn("g", lit(1)), Seq("g"), Seq(("c", false), ("token", true)), headV)
+      .select("token", "c")
+    val tail = counts.join(broadcast(head.select("token")), Seq("token"), "left_anti")
+    val headInst = toks.join(broadcast(head), "token")
+    val tailInst = toks.join(broadcast(head.select("token")), Seq("token"), "left_anti")
+      .join(tail, "token")
+    headInst.unionByName(tailInst)
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum((length(bin(col("c"))) - 1).cast("long")).as("sum_log2"))
+      .withColumn("mean_log2",
+        round(col("sum_log2").cast("double") / col("n_tokens"), 6))
+  }
+
   /** All word n-gram repetition statistics in one compiled pass —
     * `struct(total, distinct, top)` ([[graft.functions.NgramStats]]):
     * the Gopher-style repetition quality terms (heavily repeated

@@ -123,6 +123,17 @@ object LlmQueries {
       .select(col("id").as("doc_id"), col("n_tokens"), col("sum_log2"), col("mean_log2"))
       .orderBy("doc_id")
 
+  /** The skew-proof hybrid twin of [[unigramLogFreqScore]] — identical
+    * result, head tokens broadcast instead of shuffled
+    * ([[TextAnalysis.unigramLogFreqHybrid]]); shares the plain
+    * variant's oracle. headV = 20 on the synthetic corpus (31 distinct
+    * tokens) so BOTH the broadcast head path and the shuffled tail
+    * path carry real rows through the gate. */
+  val unigramLogFreqHybridScore: Q = (s, dir) =>
+    TextAnalysis.unigramLogFreqHybrid(Tables(s, dir, "documents"), "doc_id", "text", headV = 20)
+      .select(col("id").as("doc_id"), col("n_tokens"), col("sum_log2"), col("mean_log2"))
+      .orderBy("doc_id")
+
   /** Context-length bucketing — the histogram a training pipeline emits
     * before packing documents into context windows: docs bucketed by
     * BPE-ish token count into fixed ranges (explicit integer CASE
@@ -910,6 +921,7 @@ object LlmQueries {
     "top_tokens" -> topTokens,
     "quality_score" -> qualityScore,
     "unigram_logfreq_score" -> unigramLogFreqScore,
+    "unigram_logfreq_hybrid" -> unigramLogFreqHybridScore,
     "doc_repetition" -> docRepetition,
     "lang_id" -> langId,
     "doc_fingerprint" -> docFingerprint,
@@ -1033,6 +1045,21 @@ object LlmQueries {
       |  SELECT reach.id, e.b FROM reach JOIN e ON reach.r = e.a),
       |compm AS (SELECT id, min(r) AS comp
       |  FROM (SELECT id, r FROM reach UNION ALL SELECT a, a FROM e) GROUP BY id)""".stripMargin
+
+  /** Shared by `unigram_logfreq_score` and its hybrid-join twin. */
+  private val sqlUnigramLogFreq: String =
+    """WITH t AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(
+      |    trim(regexp_replace(regexp_replace(lower(text), '[.,;:!?]', '', 'g'), ' +', ' ', 'g')),
+      |    ' ')) AS token
+      |  FROM documents),
+      |t2 AS (SELECT * FROM t WHERE length(token) > 0),
+      |c AS (SELECT token, count(*) AS c FROM t2 GROUP BY token)
+      |SELECT doc_id, count(*) AS n_tokens,
+      |  CAST(sum(length(bin(c.c)) - 1) AS BIGINT) AS sum_log2,
+      |  round(CAST(sum(length(bin(c.c)) - 1) AS DOUBLE) / count(*), 6) AS mean_log2
+      |FROM t2 JOIN c USING (token)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** The quality formula as DuckDB SQL — ONE source of truth shared by
     * `quality_score` and `dedup_keep_best` (the Spark twin is
@@ -1335,20 +1362,11 @@ object LlmQueries {
       s"""SELECT doc_id, $sqlQualityExpr AS quality
          |FROM documents ORDER BY doc_id""".stripMargin,
     // floor(log2 c) replayed as length(bin(c)) - 1 — exact integers in
-    // both engines; the mean is the only float (one division)
-    "unigram_logfreq_score" ->
-      """WITH t AS (
-        |  SELECT doc_id, unnest(regexp_split_to_array(
-        |    trim(regexp_replace(regexp_replace(lower(text), '[.,;:!?]', '', 'g'), ' +', ' ', 'g')),
-        |    ' ')) AS token
-        |  FROM documents),
-        |t2 AS (SELECT * FROM t WHERE length(token) > 0),
-        |c AS (SELECT token, count(*) AS c FROM t2 GROUP BY token)
-        |SELECT doc_id, count(*) AS n_tokens,
-        |  CAST(sum(length(bin(c.c)) - 1) AS BIGINT) AS sum_log2,
-        |  round(CAST(sum(length(bin(c.c)) - 1) AS DOUBLE) / count(*), 6) AS mean_log2
-        |FROM t2 JOIN c USING (token)
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // both engines; the mean is the only float (one division). ONE
+    // oracle serves both variants: the hybrid join changes the plan
+    // (head broadcast vs shuffle), never the result.
+    "unigram_logfreq_score" -> sqlUnigramLogFreq,
+    "unigram_logfreq_hybrid" -> sqlUnigramLogFreq,
     "doc_fingerprint" ->
       "SELECT doc_id, md5(lower(text)) AS fp_md5 FROM documents ORDER BY doc_id",
     // exact counts + exact IEEE divisions of them — no rounding needed

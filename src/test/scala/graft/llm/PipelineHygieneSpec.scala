@@ -145,6 +145,20 @@ class PipelineHygieneSpec extends AnyFunSuite {
       3L -> ((1L, 0L, 0.0)), 4L -> ((2L, 4L, 2.0))), s"unexpected scores: $got")
   }
 
+  test("unigram log-freq: hybrid (head-broadcast) join == plain join, head boundary crossed both ways") {
+    val docs = Seq(
+      (1L, "a a a a b b c"), (2L, "a b c d e"), (3L, "d e f g"), (4L, "a f g h i")
+    ).toDF("doc_id", "text")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("sum_log2"), r.getAs[Double]("mean_log2"))).toSet
+    // headV = 2 puts {a, b} in the head and the rest in the tail, so
+    // every doc exercises BOTH paths of the union
+    val hybrid = canon(TextAnalysis.unigramLogFreqHybrid(docs, "doc_id", "text", headV = 2))
+    val plain = canon(TextAnalysis.unigramLogFreq(docs, "doc_id", "text"))
+    assert(hybrid == plain, s"hybrid/plain divergence: ${hybrid.diff(plain)} vs ${plain.diff(hybrid)}")
+  }
+
   test("dedup keep-best: highest quality wins the cluster, ties break to smallest id, singletons keep themselves") {
     val docs = Seq(
       // cluster {1,2}: doc 1 is punct-heavy junk (punctScore 0), doc 2

@@ -183,6 +183,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), s"no cartesian allowed:\n$plan")
   }
 
+  test("unigram_logfreq_hybrid: head counts broadcast to the instances, tail shuffles") {
+    val df = graft.SparkEntry.queries("unigram_logfreq_hybrid")(spark, TestSpark.sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the hot-key half must be a broadcast hash join (instances never
+    // shuffle on the head tokens); the anti-join split is broadcast too
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"expected broadcast head join + anti split:\n$plan")
+    assert(plan.contains("LeftAnti"), s"expected the head/tail anti split:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no cartesian allowed:\n$plan")
+  }
+
   test("cross_source_leakage: banded pair generation, never a cartesian") {
     val df = graft.SparkEntry.queries("cross_source_leakage")(spark, TestSpark.sfDir)
     val plan = df.queryExecution.executedPlan.toString
