@@ -198,7 +198,11 @@ object TextAnalysis {
     val toks = df.select(col(idCol).as("id"),
         explode(split(normalizeText(col(textCol)), " ")).as("token"))
       .filter(length(col("token")) > 0)
-    val counts = toks.groupBy("token").agg(count(lit(1)).as("c"))
+    // four consumers (head rank, tail anti, two instance joins) —
+    // materialize the vocab aggregate once or Spark recomputes the
+    // corpus-wide count per consumer (reliable checkpoint at cluster
+    // scale, same as the shingleHashSets convention)
+    val counts = toks.groupBy("token").agg(count(lit(1)).as("c")).localCheckpoint()
     val head = graft.operators.GroupTopK.topK(
         counts.withColumn("g", lit(1)), Seq("g"), Seq(("c", false), ("token", true)), headV)
       .select("token", "c")
