@@ -58,7 +58,8 @@ object ScaleProbe {
     "unigram_logfreq_score",
     "cross_source_leakage",
     "vocab_coverage",
-    "pipeline_disposition")
+    "pipeline_disposition",
+    "unigram_logfreq_hybrid")
 
   private def rot(s: String, k: Int): String = s.drop(k % s.length) + s.take(k % s.length)
 
