@@ -912,6 +912,83 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** PCA/whitening sufficient statistics over the embedding corpus
+    * ([[Similarity.secondMoments]]): the d(d+1)/2 upper-triangular
+    * integer moment matrix in ONE corpus pass. The per-row d² expansion
+    * is absorbed by map-side partial aggregation — the shuffle carries
+    * O(partitions · d²) rows, never O(corpus) — and the 1e-3 integer
+    * quantization makes every sum exact, so the DuckDB unnest-self-join
+    * replay hashes identically. */
+  val embeddingMoments: Q = (s, dir) =>
+    Similarity.secondMoments(Tables(s, dir, "embeddings"), "embedding")
+      .orderBy("i", "j")
+
+  /** The first iteration of BPE tokenizer training: adjacent-character-
+    * pair statistics. The corpus-sized work is ONLY the word-frequency
+    * aggregate (map-side partial, the `top_tokens` shape); the pair
+    * explosion runs over the DISTINCT vocabulary weighted by frequency,
+    * so its fan-out is O(|vocab| · word_len) regardless of corpus
+    * size — the standard trick that makes BPE training feasible at
+    * 100 TB (count words once, merge pairs over the vocab table).
+    * Top-30 pairs by weighted occurrence count, ties on pair. */
+  val bpePairStats: Q = (s, dir) => {
+    val wf = Tables(s, dir, "documents")
+      .select(explode(split(TextAnalysis.normalizeText(col("text")), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("f"))
+    wf.filter(length(col("w")) >= 2)
+      .select(col("w"), col("f"), explode(expr(
+        "transform(sequence(1, length(w) - 1), k -> substring(w, k, 2))")).as("pair"))
+      .groupBy("pair")
+      .agg(sum("f").as("n_occurrences"), count_distinct(col("w")).as("n_vocab_words"))
+      .orderBy(desc("n_occurrences"), asc("pair")).limit(30)
+  }
+
+  /** Training-mixture design: per-source token budgets and sampling
+    * weights (proportional + sqrt-smoothed, the standard multi-source
+    * rebalancing knob). Integer-exact by construction: token totals are
+    * integer sums (map-side partial per source), weights are integer
+    * floor-divisions in parts-per-million, and the sqrt smoothing goes
+    * through floor(sqrt(·)) — IEEE sqrt is correctly rounded, so the
+    * floored integer is engine-portable. ONE corpus scan: the grand
+    * totals are an unpartitioned window over the ALREADY-AGGREGATED
+    * per-source rows (|sources| of them — the single-partition exchange
+    * moves a handful of rows, never the corpus). */
+  val sourceMixtureWeights: Q = (s, dir) => {
+    val w = Window.partitionBy()
+    Tables(s, dir, "documents")
+      .select(col("source"), TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_tokens"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))
+      .withColumn("isqrt_tokens", floor(sqrt(col("total_tokens").cast("double"))).cast("long"))
+      .withColumn("grand_tokens", sum("total_tokens").over(w))
+      .withColumn("grand_isqrt", sum("isqrt_tokens").over(w))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        expr("total_tokens * 1000000L div grand_tokens").as("weight_ppm"),
+        expr("isqrt_tokens * 1000000L div grand_isqrt").as("smoothed_weight_ppm"))
+      .orderBy("source")
+  }
+
+  /** Per-source quality-threshold calibration: exact decile boundaries
+    * of the quality score within each source — the cutoffs a pipeline
+    * uses to apply per-domain (not global) quality filters. Spark's
+    * exact `percentile` aggregate == DuckDB `quantile_cont` (the
+    * `corpus_stats` precedent); memory is bounded by DISTINCT quality
+    * values per source (the score rounds to 6 decimals), not rows, so
+    * a 100 TB source aggregates safely — no whole-source sort, no
+    * window. One shuffle on source. */
+  val qualityDecilesPerSource: Q = (s, dir) => {
+    val d = Tables(s, dir, "documents")
+      .select(col("source"), TextAnalysis.qualityScore(col("text")).as("q"))
+    d.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("percentile(q, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))").as("ps"))
+      .select(col("source"), col("n_docs"), posexplode(col("ps")).as(Seq("di", "threshold")))
+      .select(col("source"), (col("di") + 1).cast("int").as("decile"),
+        col("n_docs"), col("threshold"))
+      .orderBy("source", "decile")
+  }
+
   val defs: Map[String, Q] = Map(
     "text_stats" -> textStats,
     "token_counts" -> tokenCounts,
@@ -936,6 +1013,10 @@ object LlmQueries {
     "ann_pq" -> annPq,
     "dedup_embedding" -> dedupEmbedding,
     "embedding_bucket_histogram" -> embeddingBucketHistogram,
+    "embedding_moments" -> embeddingMoments,
+    "bpe_pair_stats" -> bpePairStats,
+    "source_mixture_weights" -> sourceMixtureWeights,
+    "quality_deciles_per_source" -> qualityDecilesPerSource,
     "lsh_bucket_histogram" -> lshBucketHistogram,
     "dedup_components" -> dedupComponents,
     "dedup_groups_minhash" -> dedupGroupsMinhash,
@@ -1342,6 +1423,58 @@ object LlmQueries {
         |  max(n_chars) AS max_chars, CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents, b
         |GROUP BY 1 ORDER BY len_quartile""".stripMargin,
+    // the same 1e-3 integer quantization as the Spark side, then the
+    // upper-triangular self-join — every sum is integer-exact, so
+    // aggregation order can't perturb the hash in either engine
+    "embedding_moments" ->
+      """WITH q AS (SELECT vec_id, i,
+        |    CAST(floor(CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE) * 1000) AS BIGINT) AS q
+        |  FROM embeddings, unnest(range(0, len(embedding))) t(i))
+        |SELECT a.i AS i, b.i AS j,
+        |  CAST(sum(a.q * b.q) AS BIGINT) AS sum_xy,
+        |  CAST(sum(a.q) AS BIGINT) AS sum_x_i,
+        |  CAST(sum(b.q) AS BIGINT) AS sum_x_j,
+        |  count(*) AS n
+        |FROM q a JOIN q b ON a.vec_id = b.vec_id AND b.i >= a.i
+        |GROUP BY a.i, b.i
+        |ORDER BY i, j""".stripMargin,
+    // pair counts over the DISTINCT vocabulary weighted by word
+    // frequency — replays the vocab-not-corpus explosion exactly
+    "bpe_pair_stats" ->
+      """WITH t AS (SELECT unnest(regexp_split_to_array(
+        |    trim(regexp_replace(regexp_replace(lower(text), '[.,;:!?]', '', 'g'), ' +', ' ', 'g')),
+        |    ' ')) AS w FROM documents),
+        |wf AS (SELECT w, count(*) AS f FROM t WHERE length(w) > 0 GROUP BY w),
+        |p AS (SELECT w, f, substr(w, CAST(k AS INT), 2) AS pair
+        |  FROM wf, unnest(range(1, length(w))) t2(k)
+        |  WHERE length(w) >= 2)
+        |SELECT pair, CAST(sum(f) AS BIGINT) AS n_occurrences,
+        |  count(DISTINCT w) AS n_vocab_words
+        |FROM p GROUP BY pair
+        |ORDER BY n_occurrences DESC, pair LIMIT 30""".stripMargin,
+    // integer floor-division ppm weights; floor(sqrt) of a BIGINT is
+    // engine-portable because IEEE sqrt is correctly rounded
+    "source_mixture_weights" ->
+      """WITH per AS (SELECT source, count(*) AS n_docs,
+        |    CAST(sum(len(regexp_split_to_array(text, ' +'))) AS BIGINT) AS total_tokens
+        |  FROM documents GROUP BY source),
+        |per2 AS (SELECT *, CAST(floor(sqrt(CAST(total_tokens AS DOUBLE))) AS BIGINT) AS isq FROM per),
+        |tot AS (SELECT CAST(sum(total_tokens) AS BIGINT) AS gt, CAST(sum(isq) AS BIGINT) AS gi FROM per2)
+        |SELECT source, n_docs, total_tokens,
+        |  total_tokens * 1000000 // gt AS weight_ppm,
+        |  isq * 1000000 // gi AS smoothed_weight_ppm
+        |FROM per2, tot
+        |ORDER BY source""".stripMargin,
+    // exact linear-interpolation deciles: quantile_cont == Spark's
+    // percentile (the corpus_stats precedent), replayed per source
+    "quality_deciles_per_source" ->
+      s"""WITH q AS (SELECT source, $sqlQualityExpr AS q FROM documents),
+         |p AS (SELECT source, count(*) AS n_docs,
+         |    quantile_cont(q, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS ps
+         |  FROM q GROUP BY source)
+         |SELECT source, CAST(d AS INT) AS decile, n_docs, ps[CAST(d AS INT)] AS threshold
+         |FROM p, unnest(range(1, 10)) t(d)
+         |ORDER BY source, decile""".stripMargin,
     "corpus_stats" ->
       """WITH t AS (SELECT lang, len(regexp_split_to_array(text, ' +')) AS n_tokens FROM documents)
         |SELECT lang, count(*) AS n_docs,

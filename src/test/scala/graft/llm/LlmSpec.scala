@@ -289,4 +289,76 @@ class LlmSpec extends AnyFunSuite {
     assert(jf(0L)(0) == 16.0 && jf(3L)(0) == 16.0) // fixture id % 3 repeats
     assert(jf(1L)(0) == 20.0 && jf(2L)(0) == 9.0)
   }
+
+  test("secondMoments: integer-exact moment matrix matches the naive computation") {
+    val raw = Seq(
+      Array(0.0015f, -0.0024f, 0.5f),
+      Array(0.1f, 0.2f, -0.3f),
+      Array(-1.0f, 0.0f, 0.25f))
+    val vecs = raw.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "embedding")
+    val got = Similarity.secondMoments(vecs, "embedding").collect()
+      .map(r => ((r.getInt(0), r.getInt(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val q = raw.map(_.map(x => math.floor(x.toDouble * 1000).toLong))
+    assert(got.size == 6) // d(d+1)/2 for d = 3
+    for (i <- 0 until 3; j <- i until 3) {
+      val sxy = q.map(v => v(i) * v(j)).sum
+      val (si, sj) = (q.map(_(i)).sum, q.map(_(j)).sum)
+      assert(got((i, j)) == ((sxy, si, sj, 3L)),
+        s"cell ($i,$j): got ${got((i, j))}, want ($sxy,$si,$sj,3)")
+    }
+    // diagonal cells are sums of squares — never negative
+    assert((0 until 3).forall(i => got((i, i))._1 >= 0))
+  }
+
+  test("bpe_pair_stats: pair counts are vocabulary-weighted adjacent char pairs") {
+    // "abab" f=2 -> ab:2(x2 positions? no: positions ab,ba,ab -> ab twice
+    //  per word) ; verify the weighted position counting exactly
+    val sp = spark
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.queries.LlmQueries.bpePairStats(sp, dir).collect()
+    assert(rows.nonEmpty && rows.length <= 30)
+    assert(rows.forall(_.getString(0).length == 2), "every pair is exactly 2 chars")
+    // ranking is (count desc, pair asc) — verify monotone
+    val counts = rows.map(r => (r.getLong(1), r.getString(0)))
+    assert(counts.sameElements(counts.sortBy { case (n, p) => (-n, p) }))
+    // cross-check the top pair against a direct corpus recount
+    val (topN, topPair) = (rows.head.getLong(1), rows.head.getString(0))
+    val direct = graft.queries.Tables(sp, dir, "documents")
+      .select(explode(split(TextAnalysis.normalizeText(col("text")), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(expr("transform(sequence(1, length(w) - 1), k -> substring(w, k, 2))")).as("p"))
+      .filter(col("p") === topPair).count()
+    assert(direct == topN, s"top pair $topPair: catalog $topN vs direct corpus count $direct")
+  }
+
+  test("source_mixture_weights: ppm weights are exact floor ratios that nearly sum to 1e6") {
+    val rows = graft.queries.LlmQueries.sourceMixtureWeights(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    val grand = rows.map(_.getLong(2)).sum
+    for (r <- rows) {
+      assert(r.getLong(3) == r.getLong(2) * 1000000L / grand, s"weight_ppm mismatch for ${r.getString(0)}")
+      assert(r.getLong(4) >= 0 && r.getLong(4) <= 1000000L)
+    }
+    val wsum = rows.map(_.getLong(3)).sum
+    assert(wsum <= 1000000L && wsum > 1000000L - rows.length,
+      s"floor-division ppm weights must sum to (1e6 - #sources, 1e6]: $wsum")
+    // sqrt smoothing compresses the spread: max/min ratio must not grow
+    val w = rows.map(_.getLong(3).toDouble).filter(_ > 0)
+    val sw = rows.map(_.getLong(4).toDouble).filter(_ > 0)
+    assert(sw.max / sw.min <= w.max / w.min + 1e-9, "smoothed weights must be flatter")
+  }
+
+  test("quality_deciles_per_source: 9 monotone thresholds per source") {
+    val rows = graft.queries.LlmQueries.qualityDecilesPerSource(spark, "/root/testdata/sf0.001").collect()
+    val bySource = rows.groupBy(_.getString(0))
+    assert(bySource.nonEmpty)
+    for ((src, rs) <- bySource) {
+      assert(rs.map(_.getInt(1)).toSeq.sorted == (1 to 9), s"$src: deciles must be 1..9")
+      val ts = rs.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(ts.zip(ts.tail).forall { case (a, b) => a <= b }, s"$src: thresholds must be monotone: ${ts.toSeq}")
+      assert(ts.forall(t => t >= 0.0 && t <= 1.0), s"$src: quality in [0,1]")
+    }
+  }
 }

@@ -208,4 +208,57 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the (tiny by definition) boilerplate set must broadcast:\n$plan")
     assert(!plan.contains("CartesianProduct"), s"no cartesian allowed:\n$plan")
   }
+
+  test("embedding_moments: one scan, one shuffle, partial agg absorbs the d² fan-out") {
+    val df = graft.SparkEntry.queries("embedding_moments")(spark, TestSpark.sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // first moments ride the pair aggregate: no join of any kind
+    assert(!plan.contains("Join"), s"moments must need no join:\n$plan")
+    assert("FileScan".r.findAllIn(plan).size == 1, s"exactly one corpus scan:\n$plan")
+    // one hash exchange (the d²-group aggregate) + the final sort's range
+    // exchange — nothing else moves data
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"exactly one hash shuffle:\n$plan")
+    // the partial aggregate must sit BELOW the exchange (map-side combine
+    // of the explode fan-out — the property that bounds the shuffle at
+    // O(partitions · d²))
+    val exAt = plan.indexOf("Exchange hashpartitioning")
+    assert(plan.substring(exAt).contains("partial_sum"),
+      s"partial aggregation must run scan-side, below the exchange:\n$plan")
+  }
+
+  test("bpe_pair_stats: pair explosion runs over the aggregated vocabulary, not the corpus") {
+    val df = graft.SparkEntry.queries("bpe_pair_stats")(spark, TestSpark.sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the word-frequency aggregate (with its partial below the word
+    // shuffle) must COMPLETE before the pair Generate: vocabulary-sized
+    // fan-out, corpus-sized only in the first aggregate
+    val pairGenAt = plan.indexOf("Generate explode(transform")
+    assert(pairGenAt >= 0, s"expected the pair Generate:\n$plan")
+    assert(plan.substring(pairGenAt).contains("HashAggregate(keys=[w"),
+      s"the pair explosion must consume the aggregated vocab (aggregate below it):\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-30 must be the streaming top-k operator, not a global sort:\n$plan")
+  }
+
+  test("source_mixture_weights: one corpus scan; grand totals window over per-source rows") {
+    val df = graft.SparkEntry.queries("source_mixture_weights")(spark, TestSpark.sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert("FileScan".r.findAllIn(plan).size == 1, s"exactly one corpus scan:\n$plan")
+    // the single-partition exchange below the window moves per-source
+    // aggregate rows (|sources|), never corpus rows: the per-source
+    // partial aggregate must sit below it
+    val spAt = plan.indexOf("Exchange SinglePartition")
+    assert(spAt >= 0 && plan.substring(spAt).contains("partial_"),
+      s"grand-total window must consume aggregated rows:\n$plan")
+  }
+
+  test("quality_deciles_per_source: single scan into a partial percentile aggregate") {
+    val df = graft.SparkEntry.queries("quality_deciles_per_source")(spark, TestSpark.sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert("FileScan".r.findAllIn(plan).size == 1, s"exactly one corpus scan:\n$plan")
+    assert(plan.contains("partial_percentile"),
+      s"the exact percentile must aggregate partially below its shuffle:\n$plan")
+    assert(!plan.contains("Window"), s"no whole-source sort/window allowed:\n$plan")
+  }
 }
