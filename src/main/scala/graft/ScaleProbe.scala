@@ -59,7 +59,13 @@ object ScaleProbe {
     "cross_source_leakage",
     "vocab_coverage",
     "pipeline_disposition",
-    "unigram_logfreq_hybrid")
+    "unigram_logfreq_hybrid",
+    // round 9b: the O(partitions·d²) moment shuffle, the vocab-bounded
+    // pair explosion, and the distinct-value-bounded percentile state —
+    // three different "corpus grows, shuffle doesn't" claims
+    "embedding_moments",
+    "bpe_pair_stats",
+    "quality_deciles_per_source")
 
   private def rot(s: String, k: Int): String = s.drop(k % s.length) + s.take(k % s.length)
 
@@ -95,6 +101,13 @@ object ScaleProbe {
     tenfold("documents", (df, i) => df
       .withColumn("doc_id", col("doc_id") + lit(i * KeyOff))
       .withColumn("text", remap(col("text"), i)))
+    // per-copy circular shift of the vector decorrelates copies while
+    // preserving the value distribution (moment costs are shift-blind)
+    tenfold("embeddings", (df, i) => df
+      .withColumn("vec_id", col("vec_id") + lit(i * KeyOff))
+      .withColumn("embedding",
+        expr(s"concat(slice(embedding, ${i % 7} + 1, size(embedding) - ${i % 7}), " +
+          s"slice(embedding, 1, ${i % 7}))")))
   }
 
   def main(args: Array[String]): Unit = {

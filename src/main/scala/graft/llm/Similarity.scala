@@ -208,7 +208,8 @@ object Similarity {
     * Longs — the PQ metric), same init/tie/empty-cluster rules as
     * [[kmeansCosine]]; centroid updates round the component mean to the
     * nearest Long, so the codebook stays integer-exact. */
-  private[llm] def kmeansL2Long(sample: Array[Array[Long]], k: Int, iters: Int): Array[Array[Long]] = {
+  private[llm] def kmeansL2Long(sample: Array[Array[Long]], k: Int, iters: Int,
+      floorUpdate: Boolean = false): Array[Array[Long]] = {
     require(sample.length >= k, s"sample ${sample.length} smaller than k=$k")
     val dim = sample.head.length
     def d2(a: Array[Long], b: Array[Long]): Long = {
@@ -237,13 +238,57 @@ object Similarity {
         else {
           val m = new Array[Long](dim)
           var i = 0
-          while (i < dim) { m(i) = math.rint(sums(c)(i).toDouble / counts(c)).toLong; i += 1 }
+          // floorUpdate = exact TRUNCATING integer division (== Java's
+          // `/` == DuckDB's `//`, both toward zero — verified on
+          // negatives: -7//2 = -3 in DuckDB) — the oracle-replayable
+          // rule; default keeps the nearest-Long update the PQ recall
+          // floors were pinned with
+          while (i < dim) {
+            m(i) =
+              if (floorUpdate) sums(c)(i) / counts(c).toLong
+              else math.rint(sums(c)(i).toDouble / counts(c)).toLong
+            i += 1
+          }
           m
         }
       }
       it += 1
     }
     cents
+  }
+
+  /** Distributed assignment under a Lloyd's-TRAINED integer codebook —
+    * the trained-quantizer path driven through the correctness gate
+    * (the portable-mode oracles replay md5-sampled centroids;
+    * this one replays the training itself). Training: [[md5Sample]] →
+    * 1e-3 integer grid → [[maximinSeed]] → `iters` Lloyd rounds with
+    * TRUNCATING-DIVISION centroid updates, so every value in the
+    * codebook is reachable by exact integer arithmetic in any engine
+    * (Java `/` == DuckDB `//`). Assignment: the k·d-integer codebook
+    * ships as a plan literal — each vector scores all k centroids
+    * scan-side via codegen'd HOFs (exact L2 on Longs, ties to the
+    * lowest centroid id through the (dist, id) struct-min) — so the
+    * corpus-sized stage is a NARROW map: no join, no shuffle, no
+    * broadcast exchange, one output row per vector. At 100 TB the
+    * dial is sampleN/k (driver memory, KBs) — corpus cost is one scan
+    * regardless of training size. */
+  def kmeansAssign(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int = 4, sampleN: Int = 16, iters: Int = 2): DataFrame = {
+    val sample = md5Sample(corpus, idCol, vecCol, sampleN)
+      .map(_.map(x => math.floor(x * 1000.0).toLong))
+    val cents = kmeansL2Long(sample, k, iters, floorUpdate = true)
+    val centsCol = array(cents.zipWithIndex.map { case (cv, ci) =>
+      struct(lit(ci).as("c"), array(cv.map(lit(_)): _*).as("v")) }: _*)
+    corpus
+      .select(col(idCol),
+        transform(col(vecCol), x => floor(x.cast("double") * 1000).cast("long")).as("q"))
+      .withColumn("cents", centsCol)
+      .withColumn("best", expr(
+        """array_min(transform(cents, ct -> struct(
+          |  aggregate(zip_with(ct.v, q, (a, b) -> (a - b) * (a - b)),
+          |            CAST(0 AS BIGINT), (s, x) -> s + x) AS d,
+          |  ct.c AS c)))""".stripMargin))
+      .select(col(idCol), col("best.c").as("centroid"), col("best.d").as("dist2"))
   }
 
   /** IVF-style approximate top-k: a coarse quantizer (deterministically

@@ -923,6 +923,21 @@ object LlmQueries {
     Similarity.secondMoments(Tables(s, dir, "embeddings"), "embedding")
       .orderBy("i", "j")
 
+  /** The TRAINED vector quantizer through the correctness gate
+    * ([[Similarity.kmeansAssign]]): md5-sampled 16-vector training set,
+    * maximin seeding, 2 Lloyd rounds with truncating-integer-division
+    * centroid updates, then every corpus vector assigned scan-side to
+    * its nearest trained centroid (exact integer L2, ties to the lowest
+    * centroid id). The DuckDB oracle replays the ENTIRE training loop
+    * as chained CTEs — seeding argmaxes, per-round assignments, floor
+    * updates, empty-cluster carry — so "trained mode" is no longer
+    * pinned only by recall-floor specs: its every output value is
+    * hash-verified. */
+  val embeddingKmeansAssign: Q = (s, dir) =>
+    Similarity.kmeansAssign(Tables(s, dir, "embeddings"), "vec_id", "embedding",
+      k = 4, sampleN = 16, iters = 2)
+      .orderBy("vec_id")
+
   /** The first iteration of BPE tokenizer training: adjacent-character-
     * pair statistics. The corpus-sized work is ONLY the word-frequency
     * aggregate (map-side partial, the `top_tokens` shape); the pair
@@ -1014,6 +1029,7 @@ object LlmQueries {
     "dedup_embedding" -> dedupEmbedding,
     "embedding_bucket_histogram" -> embeddingBucketHistogram,
     "embedding_moments" -> embeddingMoments,
+    "embedding_kmeans_assign" -> embeddingKmeansAssign,
     "bpe_pair_stats" -> bpePairStats,
     "source_mixture_weights" -> sourceMixtureWeights,
     "quality_deciles_per_source" -> qualityDecilesPerSource,
@@ -1438,6 +1454,58 @@ object LlmQueries {
         |FROM q a JOIN q b ON a.vec_id = b.vec_id AND b.i >= a.i
         |GROUP BY a.i, b.i
         |ORDER BY i, j""".stripMargin,
+    // the WHOLE trained-quantizer loop as chained CTEs: md5 sample →
+    // maximin seeding (argmax of running min-distance, ties to the
+    // lowest sample index) → 2 Lloyd rounds (nearest centroid ties to
+    // lowest id; truncating-division updates, DuckDB `//` == Java `/`;
+    // empty clusters carry via the LEFT JOIN coalesce) → full-corpus
+    // nearest-centroid assignment. Every value is integer-exact.
+    "embedding_kmeans_assign" ->
+      """WITH q AS (SELECT vec_id, i,
+        |    CAST(floor(CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE) * 1000) AS BIGINT) AS q
+        |  FROM embeddings, unnest(range(0, len(embedding))) t(i)),
+        |samp AS (SELECT vec_id, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS r
+        |  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+        |sq AS (SELECT samp.r, q.i, q.q FROM samp JOIN q ON samp.vec_id = q.vec_id),
+        |c0 AS (SELECT i, q FROM sq WHERE r = 0),
+        |d0 AS (SELECT sq.r, CAST(sum((sq.q - c0.q) * (sq.q - c0.q)) AS BIGINT) AS d
+        |  FROM sq JOIN c0 ON sq.i = c0.i GROUP BY sq.r),
+        |p1 AS (SELECT r FROM d0 ORDER BY d DESC, r LIMIT 1),
+        |c1 AS (SELECT i, q FROM sq WHERE r = (SELECT r FROM p1)),
+        |d1 AS (SELECT sq.r, CAST(sum((sq.q - c1.q) * (sq.q - c1.q)) AS BIGINT) AS d
+        |  FROM sq JOIN c1 ON sq.i = c1.i GROUP BY sq.r),
+        |m1 AS (SELECT d0.r, least(d0.d, d1.d) AS d FROM d0 JOIN d1 ON d0.r = d1.r),
+        |p2 AS (SELECT r FROM m1 ORDER BY d DESC, r LIMIT 1),
+        |c2 AS (SELECT i, q FROM sq WHERE r = (SELECT r FROM p2)),
+        |d2_ AS (SELECT sq.r, CAST(sum((sq.q - c2.q) * (sq.q - c2.q)) AS BIGINT) AS d
+        |  FROM sq JOIN c2 ON sq.i = c2.i GROUP BY sq.r),
+        |m2 AS (SELECT m1.r, least(m1.d, d2_.d) AS d FROM m1 JOIN d2_ ON m1.r = d2_.r),
+        |p3 AS (SELECT r FROM m2 ORDER BY d DESC, r LIMIT 1),
+        |c3 AS (SELECT i, q FROM sq WHERE r = (SELECT r FROM p3)),
+        |k0 AS (SELECT 0 AS c, i, q FROM c0 UNION ALL SELECT 1, i, q FROM c1
+        |  UNION ALL SELECT 2, i, q FROM c2 UNION ALL SELECT 3, i, q FROM c3),
+        |a1 AS (SELECT sq.r, k0.c, CAST(sum((sq.q - k0.q) * (sq.q - k0.q)) AS BIGINT) AS d
+        |  FROM sq JOIN k0 ON sq.i = k0.i GROUP BY sq.r, k0.c),
+        |b1 AS (SELECT r, c FROM (SELECT r, c,
+        |    row_number() OVER (PARTITION BY r ORDER BY d, c) AS rk FROM a1) WHERE rk = 1),
+        |u1 AS (SELECT b1.c, sq.i, CAST(sum(sq.q) AS BIGINT) // count(*) AS q
+        |  FROM sq JOIN b1 ON sq.r = b1.r GROUP BY b1.c, sq.i),
+        |k1 AS (SELECT k0.c, k0.i, coalesce(u1.q, k0.q) AS q
+        |  FROM k0 LEFT JOIN u1 ON u1.c = k0.c AND u1.i = k0.i),
+        |a2 AS (SELECT sq.r, k1.c, CAST(sum((sq.q - k1.q) * (sq.q - k1.q)) AS BIGINT) AS d
+        |  FROM sq JOIN k1 ON sq.i = k1.i GROUP BY sq.r, k1.c),
+        |b2 AS (SELECT r, c FROM (SELECT r, c,
+        |    row_number() OVER (PARTITION BY r ORDER BY d, c) AS rk FROM a2) WHERE rk = 1),
+        |u2 AS (SELECT b2.c, sq.i, CAST(sum(sq.q) AS BIGINT) // count(*) AS q
+        |  FROM sq JOIN b2 ON sq.r = b2.r GROUP BY b2.c, sq.i),
+        |k2 AS (SELECT k1.c, k1.i, coalesce(u2.q, k1.q) AS q
+        |  FROM k1 LEFT JOIN u2 ON u2.c = k1.c AND u2.i = k1.i),
+        |af AS (SELECT q.vec_id, k2.c, CAST(sum((q.q - k2.q) * (q.q - k2.q)) AS BIGINT) AS d
+        |  FROM q JOIN k2 ON q.i = k2.i GROUP BY q.vec_id, k2.c)
+        |SELECT vec_id, c AS centroid, d AS dist2
+        |FROM (SELECT vec_id, c, d,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rk FROM af)
+        |WHERE rk = 1 ORDER BY vec_id""".stripMargin,
     // pair counts over the DISTINCT vocabulary weighted by word
     // frequency — replays the vocab-not-corpus explosion exactly
     "bpe_pair_stats" ->

@@ -312,6 +312,25 @@ class LlmSpec extends AnyFunSuite {
     assert((0 until 3).forall(i => got((i, i))._1 >= 0))
   }
 
+  test("kmeansAssign: trained assignment is total, deterministic, and tighter than seeding") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val a = Similarity.kmeansAssign(e, "vec_id", "embedding", k = 4, sampleN = 16, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(a.length == e.count(), "every vector gets exactly one centroid")
+    assert(a.forall { case (_, c, d) => c >= 0 && c < 4 && d >= 0 })
+    assert(a.map(_._2).distinct.length > 1, "assignment must use more than one cell")
+    // 2 Lloyd rounds must not loosen the corpus-wide quantization error
+    // vs the raw maximin seeds (iters = 0)
+    val seeded = Similarity.kmeansAssign(e, "vec_id", "embedding", k = 4, sampleN = 16, iters = 0)
+      .collect().map(_.getLong(2))
+    assert(a.map(_._3).sum <= seeded.sum,
+      s"training loosened the codebook: ${a.map(_._3).sum} > ${seeded.sum}")
+    // deterministic: a second run is bit-identical
+    val b = Similarity.kmeansAssign(e, "vec_id", "embedding", k = 4, sampleN = 16, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(a.sameElements(b))
+  }
+
   test("bpe_pair_stats: pair counts are vocabulary-weighted adjacent char pairs") {
     // "abab" f=2 -> ab:2(x2 positions? no: positions ab,ba,ab -> ab twice
     //  per word) ; verify the weighted position counting exactly

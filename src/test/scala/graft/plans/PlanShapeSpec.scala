@@ -209,6 +209,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), s"no cartesian allowed:\n$plan")
   }
 
+  test("embedding_kmeans_assign: the codebook is a plan literal — assignment is a narrow map") {
+    val df = graft.SparkEntry.queries("embedding_kmeans_assign")(spark, TestSpark.sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"assignment must not join:\n$plan")
+    assert("FileScan".r.findAllIn(plan).size == 1, s"one corpus scan:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"no hash shuffle — only the final sort may exchange:\n$plan")
+  }
+
   test("embedding_moments: one scan, one shuffle, partial agg absorbs the d² fan-out") {
     val df = graft.SparkEntry.queries("embedding_moments")(spark, TestSpark.sfDir)
     val plan = df.queryExecution.executedPlan.toString
