@@ -49,7 +49,11 @@ def main() -> int:
             for c in df.columns:
                 if df[c].map(lambda v: hasattr(v, "__len__")
                              and not isinstance(v, (str, bytes))).any():
-                    df[c] = df[c].map(lambda v: json.dumps(list(v))
+                    # .item() unwraps numpy scalars (int64/float64) that
+                    # json.dumps otherwise rejects for integer lists.
+                    df[c] = df[c].map(lambda v: json.dumps(
+                                          [x.item() if hasattr(x, "item") else x
+                                           for x in v])
                                       if hasattr(v, "__len__")
                                       and not isinstance(v, (str, bytes)) else v)
             return df.astype(str)

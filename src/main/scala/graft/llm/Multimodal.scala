@@ -219,7 +219,7 @@ object Multimodal {
     sel.mapPartitions { it =>
       it.map { r =>
         val id = r.getLong(0)
-        val b = jpegFixtures((id % 3).toInt)
+        val b = jpegFixtures(java.lang.Math.floorMod(id, 3L).toInt)
         Row(r.get(0), Row(b, "image/jpeg", null, null, 1))
       }
     }(Encoders.row(outSchema))

@@ -75,6 +75,15 @@ object Similarity {
     * bit-identical regardless of partitioning or aggregation order —
     * which is what makes the DuckDB oracle replay hash-exact.
     *
+    * Exactness bound: each (i,j) cell accumulates |q_i·q_j| ≤ 10⁶ per
+    * row for unit-normalized input (|x| ≤ 1 → |q| ≤ 1000), so sum_xy
+    * stays inside Long for n · max|q_i·q_j| < 2⁶³ ≈ 9.2e18 — i.e. up
+    * to ~9e12 rows, comfortably past 100 TB of 64-d embeddings
+    * (~4e11 rows at 256 B/vector). Beyond that, Long addition wraps
+    * SILENTLY (and the oracle would wrap identically, so the gate
+    * cannot catch it); callers exceeding the bound must pre-aggregate
+    * per shard or widen to DecimalType.
+    *
     * Output: (i, j, sum_xy, sum_x_i, sum_x_j, n) for 0 ≤ i ≤ j < d,
     * where sum_xy = Σ q_i·q_j over all vectors, q = floor(x·1000). */
   def secondMoments(corpus: DataFrame, vecCol: String): DataFrame = {

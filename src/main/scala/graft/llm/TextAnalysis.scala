@@ -317,10 +317,15 @@ object TextAnalysis {
     require(spanWords > 0, "spanWords must be positive")
     require(minDf >= 2, "minDf < 2 would flag every span")
     val words = split(normalizeText(col(textCol)), " ")
+    // Docs shorter than one full span yield ZERO spans (and thus no
+    // output row). Without the guard, sequence(0, -1) descends with
+    // step -1 and fabricates two phantom spans per short doc.
     val spans = df.select(col(idCol).as("doc_id"), words.as("w"))
       .select(col("doc_id"), posexplode(
-        transform(sequence(lit(0), (size(col("w")) / spanWords).cast("int") - 1),
-          i => concat_ws(" ", slice(col("w"), i * spanWords + 1, lit(spanWords)))))
+        when(size(col("w")) >= spanWords,
+          transform(sequence(lit(0), (size(col("w")) / spanWords).cast("int") - 1),
+            i => concat_ws(" ", slice(col("w"), i * spanWords + 1, lit(spanWords)))))
+          .otherwise(array()))
         .as(Seq("pos", "span")))
       .withColumn("sh", md5(col("span")))
     val boiler = spans.groupBy("sh").agg(count_distinct(col("doc_id")).as("df"))

@@ -129,6 +129,23 @@ class PipelineHygieneSpec extends AnyFunSuite {
     assert(got(3L) == ((3L, 0L, md5s("totally unique content right here today"))), s"doc3: ${got(3L)}")
   }
 
+  test("boilerplate spans: docs shorter than one span yield zero spans, not phantom rows") {
+    // sub-span docs (1 word < spanWords=2) must vanish from the output —
+    // the unguarded sequence(0,-1) used to fabricate two phantom spans
+    // per short doc, which would cross-match between short docs and get
+    // flagged as boilerplate
+    val docs = Seq(
+      (1L, "x"), (2L, "y"), (3L, ""),       // all shorter than one span
+      (4L, "ad click ad click")             // control: 2 real spans, repeated within one doc only
+    ).toDF("id", "text")
+    val got = TextAnalysis.boilerplateSpans(docs, "id", "text", spanWords = 2, minDf = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // short docs produce NO output row (zero spans); doc 4's repeat is
+    // within one document, so count_distinct(doc_id)=1 < minDf
+    assert(got.keySet == Set(4L), s"only the full-span doc may appear: $got")
+    assert(got(4L) == ((2L, 0L)), s"doc4 spans: ${got(4L)}")
+  }
+
   test("unigram log-freq score: exact floor-log2 of corpus counts, normalization applied, empty docs drop") {
     val docs = Seq(
       (1L, "a a a a"),   // c(a)=7 -> lg 2 each: n=4 sum=8 mean=2.0
