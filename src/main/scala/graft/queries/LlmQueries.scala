@@ -453,6 +453,37 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** REAL resize through the driver gate — the one pipeline stage a
+    * multimodal corpus always runs. Uniform-gray PNGs with VARYING
+    * source dims (w = 2 + doc_id % 7, h = 2 + doc_id % 5, gray =
+    * (doc_id * 11) % 256 — formulas disjoint from the PNG/GIF decode
+    * gates so no gate masks another) are resized by
+    * [[Multimodal.resizeMedia]] to a fixed 5×3, then decoded by the
+    * same [[Multimodal.extractFeatures]] path. Bilinear resampling of a
+    * constant image is that constant (verified exhaustively over gray
+    * values and dim combos), and PNG re-encode is lossless, so the
+    * oracle states all three output columns independently: dims =
+    * (5, 3) — which differ from every source dim pair, so a match
+    * proves the resize actually transformed the payload — and gray
+    * preserved exactly through resize + re-encode + decode. Narrow
+    * mapPartitions end-to-end: synthesize, resize, decode are all the
+    * same no-shuffle scale shape. */
+  val mediaResize: Q = (s, dir) => {
+    val d = Tables(s, dir, "documents").select(
+      col("doc_id"),
+      expr("CAST(2 + doc_id % 7 AS INT)").as("w"),
+      expr("CAST(2 + doc_id % 5 AS INT)").as("h"),
+      expr("CAST((doc_id * 11) % 256 AS INT)").as("g"))
+    val media = Multimodal.synthesizePng(d, "doc_id", "w", "h", "g")
+    val resized = Multimodal.resizeMedia(media, "doc_id", "media", w = 5, h = 3)
+    Multimodal.extractFeatures(resized, "doc_id", "media", dims = 4)
+      .select(col("doc_id"),
+        element_at(col("features"), 1).cast("int").as("width"),
+        element_at(col("features"), 2).cast("int").as("height"),
+        round(element_at(col("features"), 3) * 255).cast("int").as("gray"))
+      .orderBy("doc_id")
+  }
+
   /** INCREMENTAL dedup — the daily-increment production shape: a new
     * batch of documents dedups against the already-ingested corpus and
     * within itself, WITHOUT ever pairing against corpus text: only the
@@ -1059,6 +1090,7 @@ object LlmQueries {
     "media_decode_png" -> mediaDecodePng,
     "media_decode_gif" -> mediaDecodeGif,
     "media_decode_jpeg" -> mediaDecodeJpeg,
+    "media_resize" -> mediaResize,
     "media_frames" -> mediaFrames,
     "media_stats" -> mediaStats
   )
@@ -1836,6 +1868,13 @@ object LlmQueries {
       """SELECT doc_id, CAST(1 + doc_id % 6 AS INT) AS width,
         |  CAST(1 + doc_id % 4 AS INT) AS height,
         |  CAST((doc_id * 7) % 256 AS INT) AS gray
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // resized dims are CONSTANTS that differ from every varying source
+    // dim pair, and the uniform gray survives bilinear resize + PNG
+    // re-encode exactly — all three stated without seeing any payload
+    "media_resize" ->
+      """SELECT doc_id, CAST(5 AS INT) AS width, CAST(3 AS INT) AS height,
+        |  CAST((doc_id * 11) % 256 AS INT) AS gray
         |FROM documents ORDER BY doc_id""".stripMargin,
     // pinned constants measured ONCE from the committed fixture bytes
     // (decode of a fixed JPEG is deterministic for a fixed decoder);
