@@ -56,7 +56,7 @@ object StreamingScaleProbe {
     val KeyOff = 1L << 32
     println("STREAMSCALE\tmult\tbatch\tinput_rows\tstate_rows\tcum_input\ttrigger_ms\tsteal_s")
     mults.foreach { m =>
-      val ev = spark.read.parquet(s"$baseDir/events.parquet")
+      val ev = graft.queries.Tables(spark, baseDir, "events")
         .select("user_id", "event_id", "event_type", "ts", "value")
       val maxId = ev.agg(max("event_id")).head.getLong(0)
       // m decorrelated copies, batch bucket from the BASE event_id

@@ -18,8 +18,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.parquet uses TIMESTAMP(NANOS); Spark 4 reads it only as
-      // bigint nanos via this legacy conf (oracle side uses epoch order).
+      // events.ts is normalized to bigint epoch nanos at load (Tables
+      // branches on the fixture's physical type; this conf covers the
+      // TIMESTAMP(NANOS) flavor, which Spark 4 only reads as long).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -65,17 +65,12 @@ object StreamingQueries {
     * each micro-batch shuffles only on user_id — same partitioning
     * story as the batch path, plus incremental arrival. */
   val streamGroupScanBalance: Q = (s, dir) => withStatePartitions(s, 8) {
-    val schema = Tables(s, dir, "events").schema // also sets the nanos conf
     val name = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val k = Kernel.Scan[Double](0.0, (acc, args) => {
       val x = args(0).asInstanceOf[Double]
       if (acc + x <= 1000.0) acc + x else acc
     })
-    // events.parquet is a single FILE: FileStreamSource force-sets
-    // basePath to the (non-glob) path itself and then rejects it for not
-    // being a directory — a glob path sidesteps that and infers the
-    // parent directory as base
-    val src = s.readStream.schema(schema).parquet(s"$dir/events.parquet*")
+    val src = Tables.streamEvents(s, dir)
     val q = graft.streaming.StreamingScan
       .groupScanStream(src, "user_id", "event_id", "value", k)
       .toDF("user_id", "event_id", "balance")
@@ -273,9 +268,8 @@ object StreamingQueries {
     * group keys only. */
   val streamWindowedCounts: Q = (s, dir) => withStatePartitions(s, 8) {
     import org.apache.spark.sql.functions._
-    val schema = Tables(s, dir, "events").schema
     val name = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val src = s.readStream.schema(schema).parquet(s"$dir/events.parquet*")
+    val src = Tables.streamEvents(s, dir)
     val agg = src
       .withColumn("tsc", expr("CAST(ts DIV 1000000000 AS TIMESTAMP)"))
       .withWatermark("tsc", "1 hour")

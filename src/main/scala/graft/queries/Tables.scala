@@ -2,16 +2,57 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Table loading + oracle-parity helpers shared by the query catalog. */
 object Tables {
 
-  /** Read a driver test table. `events.parquet` carries TIMESTAMP(NANOS),
-    * which Spark 4 only reads with the nanosAsLong legacy conf (ts then
-    * surfaces as bigint nanos; the DuckDB oracle side uses epoch_ns). */
+  /** Read a driver test table. The events fixture's PHYSICAL `ts` type
+    * has shipped in two flavors across driver versions — TIMESTAMP(NANOS)
+    * (which Spark 4 reads as bigint nanos under the nanosAsLong legacy
+    * conf) and TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ) — so `ts` is
+    * normalized HERE, at the single load point, to the repo-wide
+    * convention: bigint epoch NANOSECONDS. Downstream consumers do exact
+    * integer nanos arithmetic; the DuckDB oracle side uses epoch_ns(ts),
+    * which yields the same int64 from any timestamp precision. */
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    setTsConfs(spark)
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") normalizeTs(df) else df
+  }
+
+  /** The events table as a STREAMING source under the same normalized-ts
+    * convention as [[apply]]. The file stream must be declared with the
+    * RAW footer schema (a pre-normalized schema would mis-state the
+    * physical type and fail the scan); normalization is then a stateless
+    * projection on the streaming frame. The glob sidesteps
+    * FileStreamSource's directory check (events.parquet is one file). */
+  def streamEvents(spark: SparkSession, dir: String): DataFrame = {
+    setTsConfs(spark)
+    val raw = spark.read.parquet(s"$dir/events.parquet").schema
+    normalizeTs(spark.readStream.schema(raw).parquet(s"$dir/events.parquet*"))
+  }
+
+  /** Normalize a `ts` column to bigint epoch nanos, branching on the
+    * type ACTUALLY loaded (the TimeGap dtype-branching pattern — never
+    * assume the fixture's physical type): LongType is already nanos;
+    * TIMESTAMP/TIMESTAMP_NTZ carry micros, lifted ×1000. The NTZ→epoch
+    * cast is exact because the session time zone is pinned UTC. Works on
+    * batch and streaming frames alike (stateless projection, column
+    * position preserved). */
+  def normalizeTs(df: DataFrame): DataFrame =
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) => df
+      case Some(TimestampType) | Some(TimestampNTZType) =>
+        df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+      case _ => df
+    }
+
+  private def setTsConfs(spark: SparkSession): Unit = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/$name.parquet")
+    // the NTZ→epoch lift in normalizeTs is tz-sensitive; every entry
+    // point pins UTC already — re-pin here so no loader can miss it
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
   }
 
   /** Order-independent exact sum for double money columns, identical in

@@ -12,10 +12,9 @@ import graft.plumba.syntax._
 class GroupFoldVariantsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
-  private def events = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"${TestSpark.sfDir}/events.parquet")
-  }
+  // Tables normalizes `ts` to bigint epoch nanos whatever the fixture's
+  // physical timestamp type — the ord-column paths below require it
+  private def events = graft.queries.Tables(spark, TestSpark.sfDir, "events")
 
   test("groupFoldMergeable (range-salted partials) == groupFold for a mergeable sum") {
     val mergeable = Fold[Double](

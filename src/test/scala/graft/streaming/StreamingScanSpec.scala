@@ -20,14 +20,15 @@ class StreamingScanSpec extends AnyFunSuite {
   })
 
   test("stream (one micro-batch) matches batch groupScan on events") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val dir = TestSpark.sfDir
-    val batchDf = spark.read.parquet(s"$dir/events.parquet")
-    // the streaming file source wants a directory
+    val batchDf = graft.queries.Tables(spark, dir, "events")
+    // the streaming file source wants a directory; the stream must be
+    // declared with the RAW footer schema (Tables normalizes ts)
     val streamDir = java.nio.file.Files.createTempDirectory("stream-events")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/events.parquet"), streamDir.resolve("events.parquet"))
-    val streamDf = spark.readStream.schema(batchDf.schema).parquet(streamDir.toString)
+    val rawSchema = spark.read.parquet(streamDir.toString).schema
+    val streamDf = spark.readStream.schema(rawSchema).parquet(streamDir.toString)
 
     val q = StreamingScan.groupScanStream(streamDf, "user_id", "event_id", "value", balance)
       .toDF("user_id", "event_id", "balance")
@@ -44,7 +45,6 @@ class StreamingScanSpec extends AnyFunSuite {
   }
 
   test("stream_multibatch_balance (4 real micro-batches) == batch groupFold final balances") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val dir = TestSpark.sfDir
     val streamed = graft.queries.StreamingQueries.streamMultibatchBalance(spark, dir)
       .collect().map(r => r.getLong(0) -> r.getAs[Any](1)).toMap
@@ -52,18 +52,17 @@ class StreamingScanSpec extends AnyFunSuite {
       val x = args(0).asInstanceOf[Double]
       if (acc + x <= 1000.0) acc + x else acc
     })
-    val batch = spark.read.parquet(s"$dir/events.parquet")
+    val batch = graft.queries.Tables(spark, dir, "events")
       .groupFold(Seq("user_id"), Seq("value"), Seq("event_id"), k, DoubleType, "balance")
       .collect().map(r => r.getLong(0) -> r.getAs[Any](1)).toMap
     assert(streamed.nonEmpty && streamed == batch)
   }
 
   test("stream_dedup_watermarked (multi-batch) == batch distinct of the dedup key") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val dir = TestSpark.sfDir
     val streamed = graft.queries.StreamingQueries.streamDedupWatermarked(spark, dir)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
-    val batch = spark.read.parquet(s"$dir/events.parquet")
+    val batch = graft.queries.Tables(spark, dir, "events")
       .select(col("user_id"), col("event_type"),
         expr("ts DIV 1000000000 DIV 3600 * 3600").as("hour_start"))
       .distinct()
