@@ -458,13 +458,15 @@ object LlmQueries {
     * source dims (w = 2 + doc_id % 7, h = 2 + doc_id % 5, gray =
     * (doc_id * 11) % 256 — formulas disjoint from the PNG/GIF decode
     * gates so no gate masks another) are resized by
-    * [[Multimodal.resizeMedia]] to a fixed 5×3, then decoded by the
+    * [[Multimodal.resizeMedia]] to a fixed 9×7, then decoded by the
     * same [[Multimodal.extractFeatures]] path. Bilinear resampling of a
     * constant image is that constant (verified exhaustively over gray
     * values and dim combos), and PNG re-encode is lossless, so the
     * oracle states all three output columns independently: dims =
-    * (5, 3) — which differ from every source dim pair, so a match
-    * proves the resize actually transformed the payload — and gray
+    * (9, 7) — strictly OUTSIDE both source ranges (w ≤ 8, h ≤ 6), so
+    * for EVERY row a match proves the resize transformed the payload
+    * (5×3 would have collided with source dims at doc_id ≡ 31 mod 35,
+    * letting a no-op resize pass on those rows) — and gray
     * preserved exactly through resize + re-encode + decode. Narrow
     * mapPartitions end-to-end: synthesize, resize, decode are all the
     * same no-shuffle scale shape. */
@@ -475,7 +477,7 @@ object LlmQueries {
       expr("CAST(2 + doc_id % 5 AS INT)").as("h"),
       expr("CAST((doc_id * 11) % 256 AS INT)").as("g"))
     val media = Multimodal.synthesizePng(d, "doc_id", "w", "h", "g")
-    val resized = Multimodal.resizeMedia(media, "doc_id", "media", w = 5, h = 3)
+    val resized = Multimodal.resizeMedia(media, "doc_id", "media", w = 9, h = 7)
     Multimodal.extractFeatures(resized, "doc_id", "media", dims = 4)
       .select(col("doc_id"),
         element_at(col("features"), 1).cast("int").as("width"),
@@ -506,11 +508,17 @@ object LlmQueries {
     * batch docs at `+2·base`, so echo ids can NEVER collide with real
     * doc_ids at any scale factor (hardcoded +1e6/+2e6 would collide
     * once doc_ids pass a million). The rule is replayed in the oracle
-    * integer-safely as `power(10, length(CAST(max AS VARCHAR)))`. */
-  private def echoBase(s: SparkSession, dir: String): Long = {
-    val maxId = Tables(s, dir, "documents").agg(max("doc_id")).head.getLong(0)
-    math.pow(10, maxId.toString.length).toLong
-  }
+    * integer-safely as `power(10, length(CAST(max AS VARCHAR)))`.
+    * Cached per fixture dir (the BucketCache convention): the max-scan
+    * is a driver job, and three catalog queries × bench reps would
+    * otherwise re-run it on every build. */
+  private val echoBaseCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def echoBase(s: SparkSession, dir: String): Long =
+    echoBaseCache.computeIfAbsent(dir, { _ =>
+      val maxId = Tables(s, dir, "documents").agg(max("doc_id")).head.getLong(0)
+      math.pow(10, maxId.toString.length).toLong
+    })
   private val sqlEchoBase =
     "(SELECT CAST(power(10, length(CAST(max(doc_id) AS VARCHAR))) AS BIGINT) FROM documents)"
 
@@ -1869,11 +1877,12 @@ object LlmQueries {
         |  CAST(1 + doc_id % 4 AS INT) AS height,
         |  CAST((doc_id * 7) % 256 AS INT) AS gray
         |FROM documents ORDER BY doc_id""".stripMargin,
-    // resized dims are CONSTANTS that differ from every varying source
-    // dim pair, and the uniform gray survives bilinear resize + PNG
-    // re-encode exactly — all three stated without seeing any payload
+    // resized dims are CONSTANTS strictly outside both source ranges
+    // (w ≤ 8, h ≤ 6: no row can match without a real resize), and the
+    // uniform gray survives bilinear resize + PNG re-encode exactly —
+    // all three stated without seeing any payload
     "media_resize" ->
-      """SELECT doc_id, CAST(5 AS INT) AS width, CAST(3 AS INT) AS height,
+      """SELECT doc_id, CAST(9 AS INT) AS width, CAST(7 AS INT) AS height,
         |  CAST((doc_id * 11) % 256 AS INT) AS gray
         |FROM documents ORDER BY doc_id""".stripMargin,
     // pinned constants measured ONCE from the committed fixture bytes
