@@ -363,6 +363,61 @@ object Similarity {
     cands.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** TRAINED IVF through the correctness gate: the coarse quantizer is
+    * the [[kmeansL2Long]] integer-L2 codebook with TRUNCATING-division
+    * centroid updates — the same fully-replayable training rule
+    * [[kmeansAssign]] gates — and BOTH sides route by exact integer L2
+    * (the metric the codebook was trained in: Long distances, ties to
+    * the lowest cell id), so the whole pipeline up to the final re-rank
+    * is integer arithmetic any engine reproduces. Only the last step —
+    * exact cosine re-rank inside the probed cells — is float, and the
+    * corpus's cosine ordering is engine-portable (the `ann_ivf`
+    * precedent). [[ivfTopK]]`(trained = true)` remains the
+    * recall-tuned cosine-metric variant (floors pinned in PqSpec);
+    * this is its oracle-exact sibling.
+    *
+    * Scale shape = [[kmeansAssign]] + [[ivfTopK]]: training collects a
+    * bounded md5 sample (KBs); the codebook ships as a plan literal, so
+    * cell routing is a NARROW map (no join, no broadcast exchange —
+    * each row scores all k·d codebook integers scan-side via codegen'd
+    * HOFs); candidates meet in one equi-join on cell id. */
+  def ivfTopKTrained(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 5,
+      nCells: Int = 4,
+      nProbe: Int = 2,
+      sampleN: Int = 16,
+      iters: Int = 2): DataFrame = {
+    val sample = md5Sample(corpus, idCol, vecCol, sampleN)
+      .map(_.map(x => math.floor(x * 1000.0).toLong))
+    val cents = kmeansL2Long(sample, nCells, iters, floorUpdate = true)
+    val centsCol = array(cents.zipWithIndex.map { case (cv, ci) =>
+      struct(lit(ci).as("c"), array(cv.map(lit(_)): _*).as("v")) }: _*)
+    // integer-L2 router: score every centroid scan-side; array_sort on
+    // (d, c) structs is exactly the (distance, lowest-id) tie rule
+    def route(df: DataFrame, id: String, vec: String, n: Int): DataFrame =
+      df.select(col(idCol).as(id), col(vecCol).as(vec))
+        .withColumn("q", transform(col(vec), x => floor(x.cast("double") * 1000).cast("long")))
+        .withColumn("cents", centsCol)
+        .withColumn("cell", explode(expr(
+          s"""transform(slice(array_sort(transform(cents, ct -> struct(
+             |  aggregate(zip_with(ct.v, q, (a, b) -> (a - b) * (a - b)),
+             |            CAST(0 AS BIGINT), (s, x) -> s + x) AS d,
+             |  ct.c AS c))), 1, $n), sc -> sc.c)""".stripMargin)))
+        .select(col(id), col(vec), col("cell"))
+    val corpusCells = route(corpus, "corpus_id", "cvec", 1)
+    val queryCells = route(queries, "query_id", "qvec", nProbe)
+    val cands = corpusCells.join(broadcast(queryCells), Seq("cell"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id"), cosine(col("qvec"), col("cvec")).as("cos"))
+      .groupBy("query_id", "corpus_id").agg(max("cos").as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("corpus_id"))
+    cands.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** The banded corpus: one row per (id, vec, band-key) — the shared
     * first stage of [[cosineNearDupPairs]] and [[embeddingBuckets]]. */
   private def bandedCorpus(
@@ -510,7 +565,8 @@ object Similarity {
       nCent: Int = 16,
       trained: Boolean = false,
       trainIters: Int = 4,
-      trainSample: Int = 512): DataFrame = {
+      trainSample: Int = 512,
+      floorUpdate: Boolean = false): DataFrame = {
     import graft.functions.PqFunctions._
     // Quantize driver-side with the same Float-vs-Double branch as
     // VecRead: PqEncodeExpr/PqLutExpr accept either element type, so the
@@ -535,7 +591,9 @@ object Similarity {
       else
         (0 until nSub).map { m =>
           val sub = sample.map(_.slice(m * subDim, (m + 1) * subDim))
-          kmeansL2Long(sub, nCent, trainIters).toSeq.map(_.toSeq)
+          // floorUpdate = the truncating-division oracle-replayable rule
+          // (ann_pq_trained); default rint keeps the PqSpec recall floors
+          kmeansL2Long(sub, nCent, trainIters, floorUpdate).toSeq.map(_.toSeq)
         }
     val codes = corpus.select(col(idCol).as("corpus_id"),
       pqEncode(col(vecCol), codebook).as("codes"))

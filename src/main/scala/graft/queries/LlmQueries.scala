@@ -299,6 +299,38 @@ object LlmQueries {
       .select("query_id", "corpus_id", "adc", "rank")
   }
 
+  /** TRAINED IVF end-to-end through the gate
+    * ([[Similarity.ivfTopKTrained]]): Lloyd's-trained integer-L2
+    * codebook (16-sample, 4 cells, 2 truncating-update rounds — the
+    * `embedding_kmeans_assign` training rule), integer-L2 cell routing
+    * on both sides (2-probe), exact cosine re-rank. The oracle replays
+    * the ENTIRE pipeline — seeding argmaxes, Lloyd rounds, floor
+    * updates, corpus + query routing, candidate join, cosine ranking —
+    * so trained-IVF is hash-verified, not just recall-floored. */
+  val annIvfTrained: Q = (s, dir) => {
+    val e = Tables(s, dir, "embeddings")
+    Similarity.ivfTopKTrained(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, nCells = 4, nProbe = 2, sampleN = 16, iters = 2)
+      .orderBy("query_id", "rank")
+      .select("query_id", "corpus_id", "rank")
+  }
+
+  /** TRAINED PQ end-to-end through the gate: per-subspace integer-L2
+    * Lloyd's codebooks (16-sample, 4 centroids per subspace, 2 rounds,
+    * TRUNCATING-division updates — the oracle-replayable rule), then
+    * the standard encode → LUT → ADC pipeline on exact BIGINTs. Every
+    * code and ADC score is replayed bit-for-bit by the oracle's
+    * per-subspace training CTEs; the rint-update default keeps its
+    * PqSpec recall floors untouched. */
+  val annPqTrained: Q = (s, dir) => {
+    val e = Tables(s, dir, "embeddings")
+    Similarity.pqTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, nSub = 8, nCent = 4, trained = true, trainIters = 2, trainSample = 16,
+        floorUpdate = true)
+      .orderBy("query_id", "rank")
+      .select("query_id", "corpus_id", "adc", "rank")
+  }
+
   /** Embedding-cosine near-dup pairs (LSH candidates + exact verify).
     * Threshold 0.4 — the synthetic embeddings are near-orthogonal (max
     * pairwise cosine ≈ 0.51), so 0.4 surfaces the genuine nearest pairs;
@@ -1065,6 +1097,8 @@ object LlmQueries {
     "ann_lsh" -> annLsh,
     "ann_ivf" -> annIvf,
     "ann_pq" -> annPq,
+    "ann_ivf_trained" -> annIvfTrained,
+    "ann_pq_trained" -> annPqTrained,
     "dedup_embedding" -> dedupEmbedding,
     "embedding_bucket_histogram" -> embeddingBucketHistogram,
     "embedding_moments" -> embeddingMoments,
@@ -1151,6 +1185,58 @@ object LlmQueries {
       |  WHERE est_jaccard >= 0.3 GROUP BY id_a, id_b)""".stripMargin
 
   private[queries] val minhashCtes: String = minhashCtesOver("documents")
+
+  /** Shared DuckDB replay of the TRAINED integer-L2 vector quantizer
+    * ([[Similarity.kmeansAssign]] / [[Similarity.ivfTopKTrained]]:
+    * md5 16-sample → maximin seeding (argmax of the running min
+    * distance, ties to the lowest sample index) → 2 Lloyd rounds
+    * (nearest centroid ties to lowest id; TRUNCATING-division updates,
+    * DuckDB `//` == Java `/`; empty clusters carry via LEFT JOIN
+    * coalesce). Ends with the trained codebook `k2(c, i, q)` and `af`,
+    * the full-corpus exact-BIGINT distance table to every trained
+    * centroid — consumers rank `af` for assignment/routing. */
+  private val kmeansTrainCtes: String =
+    """q AS (SELECT vec_id, i,
+      |    CAST(floor(CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE) * 1000) AS BIGINT) AS q
+      |  FROM embeddings, unnest(range(0, len(embedding))) t(i)),
+      |samp AS (SELECT vec_id, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS r
+      |  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+      |sq AS (SELECT samp.r, q.i, q.q FROM samp JOIN q ON samp.vec_id = q.vec_id),
+      |c0 AS (SELECT i, q FROM sq WHERE r = 0),
+      |d0 AS (SELECT sq.r, CAST(sum((sq.q - c0.q) * (sq.q - c0.q)) AS BIGINT) AS d
+      |  FROM sq JOIN c0 ON sq.i = c0.i GROUP BY sq.r),
+      |p1 AS (SELECT r FROM d0 ORDER BY d DESC, r LIMIT 1),
+      |c1 AS (SELECT i, q FROM sq WHERE r = (SELECT r FROM p1)),
+      |d1 AS (SELECT sq.r, CAST(sum((sq.q - c1.q) * (sq.q - c1.q)) AS BIGINT) AS d
+      |  FROM sq JOIN c1 ON sq.i = c1.i GROUP BY sq.r),
+      |m1 AS (SELECT d0.r, least(d0.d, d1.d) AS d FROM d0 JOIN d1 ON d0.r = d1.r),
+      |p2 AS (SELECT r FROM m1 ORDER BY d DESC, r LIMIT 1),
+      |c2 AS (SELECT i, q FROM sq WHERE r = (SELECT r FROM p2)),
+      |d2_ AS (SELECT sq.r, CAST(sum((sq.q - c2.q) * (sq.q - c2.q)) AS BIGINT) AS d
+      |  FROM sq JOIN c2 ON sq.i = c2.i GROUP BY sq.r),
+      |m2 AS (SELECT m1.r, least(m1.d, d2_.d) AS d FROM m1 JOIN d2_ ON m1.r = d2_.r),
+      |p3 AS (SELECT r FROM m2 ORDER BY d DESC, r LIMIT 1),
+      |c3 AS (SELECT i, q FROM sq WHERE r = (SELECT r FROM p3)),
+      |k0 AS (SELECT 0 AS c, i, q FROM c0 UNION ALL SELECT 1, i, q FROM c1
+      |  UNION ALL SELECT 2, i, q FROM c2 UNION ALL SELECT 3, i, q FROM c3),
+      |a1 AS (SELECT sq.r, k0.c, CAST(sum((sq.q - k0.q) * (sq.q - k0.q)) AS BIGINT) AS d
+      |  FROM sq JOIN k0 ON sq.i = k0.i GROUP BY sq.r, k0.c),
+      |b1 AS (SELECT r, c FROM (SELECT r, c,
+      |    row_number() OVER (PARTITION BY r ORDER BY d, c) AS rk FROM a1) WHERE rk = 1),
+      |u1 AS (SELECT b1.c, sq.i, CAST(sum(sq.q) AS BIGINT) // count(*) AS q
+      |  FROM sq JOIN b1 ON sq.r = b1.r GROUP BY b1.c, sq.i),
+      |k1 AS (SELECT k0.c, k0.i, coalesce(u1.q, k0.q) AS q
+      |  FROM k0 LEFT JOIN u1 ON u1.c = k0.c AND u1.i = k0.i),
+      |a2 AS (SELECT sq.r, k1.c, CAST(sum((sq.q - k1.q) * (sq.q - k1.q)) AS BIGINT) AS d
+      |  FROM sq JOIN k1 ON sq.i = k1.i GROUP BY sq.r, k1.c),
+      |b2 AS (SELECT r, c FROM (SELECT r, c,
+      |    row_number() OVER (PARTITION BY r ORDER BY d, c) AS rk FROM a2) WHERE rk = 1),
+      |u2 AS (SELECT b2.c, sq.i, CAST(sum(sq.q) AS BIGINT) // count(*) AS q
+      |  FROM sq JOIN b2 ON sq.r = b2.r GROUP BY b2.c, sq.i),
+      |k2 AS (SELECT k1.c, k1.i, coalesce(u2.q, k1.q) AS q
+      |  FROM k1 LEFT JOIN u2 ON u2.c = k1.c AND u2.i = k1.i),
+      |af AS (SELECT q.vec_id, k2.c, CAST(sum((q.q - k2.q) * (q.q - k2.q)) AS BIGINT) AS d
+      |  FROM q JOIN k2 ON q.i = k2.i GROUP BY q.vec_id, k2.c)""".stripMargin
 
   /** Shared DuckDB CTE chain replaying the QUANTIZED hyperplane LSH:
     * floor(x*1000) integer quantization, ±1 signs from md5 parity,
@@ -1494,58 +1580,103 @@ object LlmQueries {
         |FROM q a JOIN q b ON a.vec_id = b.vec_id AND b.i >= a.i
         |GROUP BY a.i, b.i
         |ORDER BY i, j""".stripMargin,
-    // the WHOLE trained-quantizer loop as chained CTEs: md5 sample →
-    // maximin seeding (argmax of running min-distance, ties to the
-    // lowest sample index) → 2 Lloyd rounds (nearest centroid ties to
-    // lowest id; truncating-division updates, DuckDB `//` == Java `/`;
-    // empty clusters carry via the LEFT JOIN coalesce) → full-corpus
-    // nearest-centroid assignment. Every value is integer-exact.
+    // the WHOLE trained-quantizer loop as chained CTEs (the shared
+    // [[kmeansTrainCtes]] block) → full-corpus nearest-centroid
+    // assignment. Every value is integer-exact.
     "embedding_kmeans_assign" ->
+      (s"WITH $kmeansTrainCtes\n" +
+       """SELECT vec_id, c AS centroid, d AS dist2
+         |FROM (SELECT vec_id, c, d,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rk FROM af)
+         |WHERE rk = 1 ORDER BY vec_id""".stripMargin),
+    // trained IVF end-to-end: the SAME training replay, then both-side
+    // integer-L2 routing off `af` (corpus: nearest cell; queries:
+    // 2-probe), candidate equi-join on cell, exact cosine re-rank —
+    // the float ordering rule the untrained ann_ivf oracle validated
+    "ann_ivf_trained" ->
+      (s"WITH $kmeansTrainCtes,\n" +
+       """corpus_assign AS (SELECT vec_id AS corpus_id, c AS cell FROM (
+         |    SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rk
+         |    FROM af) WHERE rk = 1),
+         |query_assign AS (SELECT vec_id AS query_id, c AS cell FROM (
+         |    SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rk
+         |    FROM af WHERE vec_id < 10) WHERE rk <= 2),
+         |cands AS (SELECT DISTINCT qa.query_id, ca.corpus_id
+         |  FROM query_assign qa JOIN corpus_assign ca ON qa.cell = ca.cell
+         |  WHERE ca.corpus_id <> qa.query_id),
+         |scored AS (SELECT cd.query_id, cd.corpus_id,
+         |    row_number() OVER (PARTITION BY cd.query_id
+         |      ORDER BY list_cosine_similarity(qe.embedding, ce.embedding) DESC, cd.corpus_id) AS rank
+         |  FROM cands cd
+         |  JOIN embeddings qe ON qe.vec_id = cd.query_id
+         |  JOIN embeddings ce ON ce.vec_id = cd.corpus_id)
+         |SELECT query_id, corpus_id, rank FROM scored WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin),
+    // trained PQ end-to-end: the per-SUBSPACE twin of the training
+    // replay (every CTE carries the subspace key m, the seeding
+    // argmaxes become per-m windows), then the standard codes → ADC
+    // pipeline of the untrained ann_pq oracle on the trained codebook.
+    // All integer-exact: quantized components, BIGINT distances,
+    // truncating-division updates.
+    "ann_pq_trained" ->
       """WITH q AS (SELECT vec_id, i,
         |    CAST(floor(CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE) * 1000) AS BIGINT) AS q
         |  FROM embeddings, unnest(range(0, len(embedding))) t(i)),
+        |qs AS (SELECT vec_id, CAST(i // 8 AS INT) AS m, i % 8 AS j, q FROM q),
         |samp AS (SELECT vec_id, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS r
         |  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
-        |sq AS (SELECT samp.r, q.i, q.q FROM samp JOIN q ON samp.vec_id = q.vec_id),
-        |c0 AS (SELECT i, q FROM sq WHERE r = 0),
-        |d0 AS (SELECT sq.r, CAST(sum((sq.q - c0.q) * (sq.q - c0.q)) AS BIGINT) AS d
-        |  FROM sq JOIN c0 ON sq.i = c0.i GROUP BY sq.r),
-        |p1 AS (SELECT r FROM d0 ORDER BY d DESC, r LIMIT 1),
-        |c1 AS (SELECT i, q FROM sq WHERE r = (SELECT r FROM p1)),
-        |d1 AS (SELECT sq.r, CAST(sum((sq.q - c1.q) * (sq.q - c1.q)) AS BIGINT) AS d
-        |  FROM sq JOIN c1 ON sq.i = c1.i GROUP BY sq.r),
-        |m1 AS (SELECT d0.r, least(d0.d, d1.d) AS d FROM d0 JOIN d1 ON d0.r = d1.r),
-        |p2 AS (SELECT r FROM m1 ORDER BY d DESC, r LIMIT 1),
-        |c2 AS (SELECT i, q FROM sq WHERE r = (SELECT r FROM p2)),
-        |d2_ AS (SELECT sq.r, CAST(sum((sq.q - c2.q) * (sq.q - c2.q)) AS BIGINT) AS d
-        |  FROM sq JOIN c2 ON sq.i = c2.i GROUP BY sq.r),
-        |m2 AS (SELECT m1.r, least(m1.d, d2_.d) AS d FROM m1 JOIN d2_ ON m1.r = d2_.r),
-        |p3 AS (SELECT r FROM m2 ORDER BY d DESC, r LIMIT 1),
-        |c3 AS (SELECT i, q FROM sq WHERE r = (SELECT r FROM p3)),
-        |k0 AS (SELECT 0 AS c, i, q FROM c0 UNION ALL SELECT 1, i, q FROM c1
-        |  UNION ALL SELECT 2, i, q FROM c2 UNION ALL SELECT 3, i, q FROM c3),
-        |a1 AS (SELECT sq.r, k0.c, CAST(sum((sq.q - k0.q) * (sq.q - k0.q)) AS BIGINT) AS d
-        |  FROM sq JOIN k0 ON sq.i = k0.i GROUP BY sq.r, k0.c),
-        |b1 AS (SELECT r, c FROM (SELECT r, c,
-        |    row_number() OVER (PARTITION BY r ORDER BY d, c) AS rk FROM a1) WHERE rk = 1),
-        |u1 AS (SELECT b1.c, sq.i, CAST(sum(sq.q) AS BIGINT) // count(*) AS q
-        |  FROM sq JOIN b1 ON sq.r = b1.r GROUP BY b1.c, sq.i),
-        |k1 AS (SELECT k0.c, k0.i, coalesce(u1.q, k0.q) AS q
-        |  FROM k0 LEFT JOIN u1 ON u1.c = k0.c AND u1.i = k0.i),
-        |a2 AS (SELECT sq.r, k1.c, CAST(sum((sq.q - k1.q) * (sq.q - k1.q)) AS BIGINT) AS d
-        |  FROM sq JOIN k1 ON sq.i = k1.i GROUP BY sq.r, k1.c),
-        |b2 AS (SELECT r, c FROM (SELECT r, c,
-        |    row_number() OVER (PARTITION BY r ORDER BY d, c) AS rk FROM a2) WHERE rk = 1),
-        |u2 AS (SELECT b2.c, sq.i, CAST(sum(sq.q) AS BIGINT) // count(*) AS q
-        |  FROM sq JOIN b2 ON sq.r = b2.r GROUP BY b2.c, sq.i),
-        |k2 AS (SELECT k1.c, k1.i, coalesce(u2.q, k1.q) AS q
-        |  FROM k1 LEFT JOIN u2 ON u2.c = k1.c AND u2.i = k1.i),
-        |af AS (SELECT q.vec_id, k2.c, CAST(sum((q.q - k2.q) * (q.q - k2.q)) AS BIGINT) AS d
-        |  FROM q JOIN k2 ON q.i = k2.i GROUP BY q.vec_id, k2.c)
-        |SELECT vec_id, c AS centroid, d AS dist2
-        |FROM (SELECT vec_id, c, d,
-        |    row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rk FROM af)
-        |WHERE rk = 1 ORDER BY vec_id""".stripMargin,
+        |sq AS (SELECT samp.r, qs.m, qs.j, qs.q FROM samp JOIN qs ON samp.vec_id = qs.vec_id),
+        |c0 AS (SELECT m, j, q FROM sq WHERE r = 0),
+        |d0 AS (SELECT sq.m, sq.r, CAST(sum((sq.q - c0.q) * (sq.q - c0.q)) AS BIGINT) AS d
+        |  FROM sq JOIN c0 ON sq.m = c0.m AND sq.j = c0.j GROUP BY sq.m, sq.r),
+        |p1 AS (SELECT m, r FROM (SELECT m, r,
+        |    row_number() OVER (PARTITION BY m ORDER BY d DESC, r) AS rk FROM d0) WHERE rk = 1),
+        |c1 AS (SELECT sq.m, sq.j, sq.q FROM sq JOIN p1 ON sq.m = p1.m AND sq.r = p1.r),
+        |d1 AS (SELECT sq.m, sq.r, CAST(sum((sq.q - c1.q) * (sq.q - c1.q)) AS BIGINT) AS d
+        |  FROM sq JOIN c1 ON sq.m = c1.m AND sq.j = c1.j GROUP BY sq.m, sq.r),
+        |m1 AS (SELECT d0.m, d0.r, least(d0.d, d1.d) AS d
+        |  FROM d0 JOIN d1 ON d0.m = d1.m AND d0.r = d1.r),
+        |p2 AS (SELECT m, r FROM (SELECT m, r,
+        |    row_number() OVER (PARTITION BY m ORDER BY d DESC, r) AS rk FROM m1) WHERE rk = 1),
+        |c2 AS (SELECT sq.m, sq.j, sq.q FROM sq JOIN p2 ON sq.m = p2.m AND sq.r = p2.r),
+        |d2_ AS (SELECT sq.m, sq.r, CAST(sum((sq.q - c2.q) * (sq.q - c2.q)) AS BIGINT) AS d
+        |  FROM sq JOIN c2 ON sq.m = c2.m AND sq.j = c2.j GROUP BY sq.m, sq.r),
+        |m2 AS (SELECT m1.m, m1.r, least(m1.d, d2_.d) AS d
+        |  FROM m1 JOIN d2_ ON m1.m = d2_.m AND m1.r = d2_.r),
+        |p3 AS (SELECT m, r FROM (SELECT m, r,
+        |    row_number() OVER (PARTITION BY m ORDER BY d DESC, r) AS rk FROM m2) WHERE rk = 1),
+        |c3 AS (SELECT sq.m, sq.j, sq.q FROM sq JOIN p3 ON sq.m = p3.m AND sq.r = p3.r),
+        |k0 AS (SELECT 0 AS c, m, j, q FROM c0 UNION ALL SELECT 1, m, j, q FROM c1
+        |  UNION ALL SELECT 2, m, j, q FROM c2 UNION ALL SELECT 3, m, j, q FROM c3),
+        |a1 AS (SELECT sq.m, sq.r, k0.c, CAST(sum((sq.q - k0.q) * (sq.q - k0.q)) AS BIGINT) AS d
+        |  FROM sq JOIN k0 ON sq.m = k0.m AND sq.j = k0.j GROUP BY sq.m, sq.r, k0.c),
+        |b1 AS (SELECT m, r, c FROM (SELECT m, r, c,
+        |    row_number() OVER (PARTITION BY m, r ORDER BY d, c) AS rk FROM a1) WHERE rk = 1),
+        |u1 AS (SELECT b1.m, b1.c, sq.j, CAST(sum(sq.q) AS BIGINT) // count(*) AS q
+        |  FROM sq JOIN b1 ON sq.m = b1.m AND sq.r = b1.r GROUP BY b1.m, b1.c, sq.j),
+        |k1 AS (SELECT k0.c, k0.m, k0.j, coalesce(u1.q, k0.q) AS q
+        |  FROM k0 LEFT JOIN u1 ON u1.m = k0.m AND u1.c = k0.c AND u1.j = k0.j),
+        |a2 AS (SELECT sq.m, sq.r, k1.c, CAST(sum((sq.q - k1.q) * (sq.q - k1.q)) AS BIGINT) AS d
+        |  FROM sq JOIN k1 ON sq.m = k1.m AND sq.j = k1.j GROUP BY sq.m, sq.r, k1.c),
+        |b2 AS (SELECT m, r, c FROM (SELECT m, r, c,
+        |    row_number() OVER (PARTITION BY m, r ORDER BY d, c) AS rk FROM a2) WHERE rk = 1),
+        |u2 AS (SELECT b2.m, b2.c, sq.j, CAST(sum(sq.q) AS BIGINT) // count(*) AS q
+        |  FROM sq JOIN b2 ON sq.m = b2.m AND sq.r = b2.r GROUP BY b2.m, b2.c, sq.j),
+        |k2 AS (SELECT k1.c, k1.m, k1.j, coalesce(u2.q, k1.q) AS q
+        |  FROM k1 LEFT JOIN u2 ON u2.m = k1.m AND u2.c = k1.c AND u2.j = k1.j),
+        |sd AS (SELECT qs.vec_id, qs.m, k2.c, CAST(sum((qs.q - k2.q) * (qs.q - k2.q)) AS BIGINT) AS d
+        |  FROM qs JOIN k2 ON qs.m = k2.m AND qs.j = k2.j GROUP BY qs.vec_id, qs.m, k2.c),
+        |codes AS (SELECT vec_id, m, c FROM (SELECT vec_id, m, c,
+        |    row_number() OVER (PARTITION BY vec_id, m ORDER BY d, c) AS rk FROM sd) WHERE rk = 1),
+        |adc AS (SELECT qq.vec_id AS query_id, co.vec_id AS corpus_id,
+        |    CAST(sum(qq.d) AS BIGINT) AS adc
+        |  FROM codes co JOIN sd qq ON qq.m = co.m AND qq.c = co.c
+        |  WHERE qq.vec_id < 10 AND co.vec_id <> qq.vec_id GROUP BY 1, 2)
+        |SELECT query_id, corpus_id, adc, rank FROM (
+        |  SELECT query_id, corpus_id, adc,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY adc, corpus_id) AS rank
+        |  FROM adc) WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
     // pair counts over the DISTINCT vocabulary weighted by word
     // frequency — replays the vocab-not-corpus explosion exactly
     "bpe_pair_stats" ->

@@ -152,6 +152,34 @@ class PqSpec extends AnyFunSuite {
     assert(recall >= 0.4, s"IVF@10 recall of exact top-5 fell below the measured floor: $recall")
   }
 
+  test("oracle-exact trained variants at the catalog gate parameters (round 11)") {
+    // ann_ivf_trained / ann_pq_trained run tiny oracle-tractable
+    // codebooks (4 cells / 4 centroids per subspace, 16-sample, 2
+    // truncating-update Lloyd rounds) — their EXACTNESS is the driver's
+    // hash gate; this spec pins sane behavior floors so a refactor
+    // can't silently break the paths between rounds. Measured when
+    // pinned: trained-exact IVF (2/4 probe) recall 0.70 (random ~0.5);
+    // 4-centroid PQ@20 recall 0.12 (random 20/499 ~ 0.04 — a quarter
+    // of the 16-centroid default's codebook resolution, and 3x chance).
+    val e = graft.queries.Tables(spark, graft.TestSpark.sfDir, "embeddings")
+    val q = e.filter(col("vec_id") < 10L)
+    val bf = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("corpus_id"))).toSet
+    val ivfT = Similarity.ivfTopKTrained(e, q, "vec_id", "embedding",
+        k = 5, nCells = 4, nProbe = 2, sampleN = 16, iters = 2)
+    val ivfRows = ivfT.collect()
+    assert(ivfRows.length == 50, s"5 per query x 10 queries, got ${ivfRows.length}")
+    val ivfPairs = ivfRows.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("corpus_id"))).toSet
+    val ivfRecall = bf.intersect(ivfPairs).size.toDouble / bf.size
+    assert(ivfRecall >= 0.5, s"trained-exact IVF recall: $ivfRecall (measured 0.70 when pinned)")
+    val pqT = Similarity.pqTopK(e, q, "vec_id", "embedding", k = 20,
+        nSub = 8, nCent = 4, trained = true, trainIters = 2, trainSample = 16,
+        floorUpdate = true)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("corpus_id"))).toSet
+    val pqRecall = bf.intersect(pqT).size.toDouble / bf.size
+    assert(pqRecall >= 0.08, s"4-centroid trained PQ@20 recall: $pqRecall (measured 0.12 when pinned)")
+  }
+
   // --- trained-quantizer floors (round 9) ---------------------------------
   // Training cannot manufacture structure: on the near-orthogonal fixture
   // the trained mode lands within noise of the sampled mode (parity, both
