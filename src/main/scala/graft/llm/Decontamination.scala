@@ -70,4 +70,52 @@ object Decontamination {
       .withColumn("contaminated",
         (col("n_overlap") >= minOverlap).cast("int"))
   }
+
+  /** SEMANTIC decontamination — the embedding-level sibling of
+    * [[overlapReport]]: n-gram overlap misses PARAPHRASED benchmark
+    * leakage; this pass flags training vectors whose embedding is
+    * near-duplicate (exact cosine ≥ `threshold`) of ANY eval vector.
+    *
+    * Scale shape: both sides are banded by the quantized-hyperplane
+    * LSH signature ([[Similarity.hyperplaneSignature]] portable mode —
+    * candidates only on shared bands, NEVER all-pairs), and the eval
+    * side — small by construction, a benchmark suite — is BROADCAST,
+    * so the training corpus is probed scan-side: one narrow pass
+    * computing the signature, a broadcast equi-join on the band key,
+    * exact-cosine verification of the candidates inline. The only
+    * shuffles carry passing (id, eval_id) pairs — never the corpus,
+    * never vectors. False positives are removed by the exact verify;
+    * false negatives are the LSH recall dial (nPlanes/bands), same as
+    * the whole dedup family. `broadcastEval = false` degrades to a
+    * shuffle join on the band key if the eval side ever grows.
+    *
+    * @return one row per contaminated training vector:
+    *         (id, n_eval_matches, first_eval_id) */
+  def semanticOverlap(
+      vectors: DataFrame,
+      evalPred: Column,
+      idCol: String,
+      vecCol: String,
+      threshold: Double = 0.4,
+      nPlanes: Int = 16,
+      bands: Int = 4,
+      broadcastEval: Boolean = true): DataFrame = {
+    require(nPlanes % bands == 0, s"nPlanes=$nPlanes not divisible by bands=$bands")
+    val bits = nPlanes / bands
+    def banded(side: DataFrame, id: String): DataFrame = side
+      .select(col(idCol).as(id), col(vecCol).as(s"${id}_vec"))
+      .withColumn("sig", Similarity.hyperplaneSignature(col(s"${id}_vec"), nPlanes))
+      .select(col(id), col(s"${id}_vec"),
+        explode(array((0 until bands).map(b =>
+          concat_ws(":", lit(b), substring(col("sig"), b * bits + 1, bits))): _*)).as("band"))
+    val eval0 = banded(vectors.filter(evalPred), "eval_id")
+    val evalBanded = if (broadcastEval) broadcast(eval0) else eval0
+    banded(vectors.filter(!evalPred), "id")
+      .join(evalBanded, Seq("band"))
+      // verify INLINE so the dedup shuffle below carries ids, not vectors
+      .filter(Similarity.cosine(col("id_vec"), col("eval_id_vec")) >= threshold)
+      .select("id", "eval_id").distinct()
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_eval_matches"), min("eval_id").as("first_eval_id"))
+  }
 }

@@ -718,6 +718,25 @@ object LlmQueries {
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id")
 
+  /** SEMANTIC decontamination ([[Decontamination.semanticOverlap]]):
+    * the paraphrase-leakage pass n-gram overlap can't see. Embeddings
+    * whose md5 hash bucket < 13 (~5%) play the held-out benchmark;
+    * training vectors within exact cosine ≥ 0.35 of any eval vector
+    * are flagged (the near-orthogonal fixture's genuine near-pairs sit
+    * at ~0.3–0.5; no pair lands within 7e-5 of the boundary, so the
+    * float comparison is engine-portable). Candidates come from shared quantized-hyperplane LSH
+    * bands (never all-pairs), the eval side broadcasts, the corpus
+    * never shuffles (PlanShapeSpec asserts it) — and because the
+    * banding is the portable quantized signature, the oracle replays
+    * candidate generation AND exact-cosine verification end-to-end. */
+  val decontaminateSemantic: Q = (s, dir) =>
+    Decontamination.semanticOverlap(
+        Tables(s, dir, "embeddings"),
+        Sampling.hashBucket256(col("vec_id")) < 13, "vec_id", "embedding",
+        threshold = 0.35)
+      .withColumnRenamed("id", "vec_id")
+      .orderBy("vec_id")
+
   /** PII redaction ([[TextAnalysis.redactPii]]): the corpus carries no
     * PII, so a deterministic contact line (email + phone derived from
     * doc_id) is injected in-plan; the REAL patterns then redact it and
@@ -1118,6 +1137,7 @@ object LlmQueries {
     "pack_sequences" -> packSequences,
     "pipeline_clean_corpus" -> pipelineCleanCorpus,
     "decontaminate_docs" -> decontaminateDocs,
+    "decontaminate_semantic" -> decontaminateSemantic,
     "pii_redaction" -> piiRedaction,
     "distinctive_terms" -> distinctiveTerms,
     "boilerplate_removal" -> boilerplateRemoval,
@@ -1959,6 +1979,26 @@ object LlmQueries {
          |  CAST(CASE WHEN count(ev.h) >= 2 THEN 1 ELSE 0 END AS INT) AS contaminated
          |FROM tr LEFT JOIN ev ON tr.h = ev.h
          |GROUP BY tr.doc_id ORDER BY doc_id""".stripMargin,
+    // the semantic sibling: quantized-hyperplane banding (the shared
+    // hyperplaneCtes chain) generates candidates on shared bands only,
+    // exact cosine >= 0.35 verifies — candidate generation AND
+    // verification replayed value-for-value
+    "decontaminate_semantic" ->
+      (s"WITH $hyperplaneCtes,\n" +
+       """bkt AS (SELECT vec_id,
+         |    (strpos('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), 1, 1)) - 1) * 16
+         |    + (strpos('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), 2, 1)) - 1) AS bk
+         |  FROM embeddings),
+         |ev AS (SELECT bands.vec_id, band FROM bands JOIN bkt USING (vec_id) WHERE bk < 13),
+         |tr AS (SELECT bands.vec_id, band FROM bands JOIN bkt USING (vec_id) WHERE bk >= 13),
+         |cand AS (SELECT DISTINCT tr.vec_id AS id, ev.vec_id AS eval_id
+         |  FROM tr JOIN ev ON tr.band = ev.band),
+         |hits AS (SELECT c.id, c.eval_id FROM cand c
+         |  JOIN embeddings a ON a.vec_id = c.id
+         |  JOIN embeddings b ON b.vec_id = c.eval_id
+         |  WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35)
+         |SELECT id AS vec_id, count(*) AS n_eval_matches, min(eval_id) AS first_eval_id
+         |FROM hits GROUP BY id ORDER BY vec_id""".stripMargin),
     // injection + redaction replayed in RE2 ('g' = replace-all, Spark's
     // default); md5 of the redacted text pins byte-exact agreement
     "pii_redaction" ->

@@ -134,6 +134,19 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("decontaminate_semantic: eval bands broadcast, the corpus never shuffles before the probe") {
+    val df = graft.SparkEntry.queries("decontaminate_semantic")(spark, TestSpark.sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // candidate generation must be a broadcast band join (corpus
+    // probed scan-side), never a shuffle join — and never all-pairs
+    assert(plan.contains("BroadcastHashJoin"),
+      s"eval bands must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the band probe must not shuffle-join the corpus:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"semantic decontamination must never degrade to all-pairs:\n$plan")
+  }
+
   test("decontaminate_docs: the corpus probes a BROADCAST eval-gram set") {
     val df = graft.SparkEntry.queries("decontaminate_docs")(spark, TestSpark.sfDir)
     val plan = df.queryExecution.executedPlan.toString
