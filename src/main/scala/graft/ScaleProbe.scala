@@ -76,14 +76,14 @@ object ScaleProbe {
     * transforms; at 100 copies the collisions made every doc a 5-way
     * exact duplicate and the minhash "scaling" measured output
     * explosion — 1.15M pairs — instead of corpus growth.) */
-  private def remap(text: org.apache.spark.sql.Column, i: Int): org.apache.spark.sql.Column =
+  private[graft] def remap(text: org.apache.spark.sql.Column, i: Int): org.apache.spark.sql.Column =
     if (i == 0) text
     else translate(text, "aeioubcdfghjklmnpqrstvwxz",
       rot("aeiou", i % 5) + rot("bcdfghjklm", (i / 5) % 10) + rot("npqrstvwxz", (i / 50) % 10))
 
   /** Key offset per copy: 2^32 keeps every offset key far from every
     * base key (base keys < 2^31) and far from Long overflow. */
-  private val KeyOff = 1L << 32
+  private[graft] val KeyOff = 1L << 32
 
   def synthesize(s: SparkSession, baseDir: String, outDir: String, copies: Int): Unit = {
     def tenfold(name: String, f: (DataFrame, Int) => DataFrame): Unit = {

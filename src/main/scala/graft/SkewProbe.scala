@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** ZIPF-SKEW PROBE — measures the hybrid unigram join's WIN CASE, the
+  * one scenario `unigram_logfreq_hybrid` exists for and the one the
+  * uniform fixture can never produce (VERDICT r9/r10: "the hybrid's
+  * win case is unmeasured").
+  *
+  * The instance⋈vocab join is the textbook hot-key workload: under a
+  * Zipf token distribution the head tokens join a CONSTANT FRACTION of
+  * all corpus instances, so a plain token-keyed shuffle sends that
+  * fraction to a handful of reducers no matter how many there are. The
+  * fixture's synthetic documents are near-uniform (no head), so on it
+  * the hybrid's extra passes are pure overhead — this probe synthesizes
+  * the missing skew and measures the crossover.
+  *
+  * Skew synthesis (deterministic, no RNG): each document appends a
+  * hot-token block of its own token count, the token chosen per doc as
+  * `elt(doc_id % 3 + 1, 'zq', 'zx', 'zj')` — afterwards the 3 head
+  * tokens carry ~50% of ALL token instances (~16.7% each), the Zipf
+  * head profile, while every original token keeps its exact count (the
+  * tail distribution is untouched). With 32 shuffle partitions the
+  * plain join lands half the corpus on ≤3 reducers; the hybrid
+  * broadcasts the head so those instances never shuffle.
+  *
+  * Usage: `sbt "runMain graft.SkewProbe [baseDir] [copies]"` —
+  * synthesizes `copies`× decorrelated uniform AND zipf corpora from
+  * baseDir (default sf0.1), times `unigram_logfreq_score` vs
+  * `unigram_logfreq_hybrid` on each (Bench methodology: noop sink,
+  * min of warm reps, steal telemetry). One `SKEW\t...` line per
+  * (corpus, query). Results recorded in SCALE.md §hybrid-crossover. */
+object SkewProbe {
+
+  /** Append the per-doc hot block: token count doubles, half the new
+    * instances are one of 3 head tokens. */
+  private def zipfText(text: org.apache.spark.sql.Column, docId: org.apache.spark.sql.Column) =
+    concat(text, lit(" "),
+      expr("repeat(elt(CAST(doc_id % 3 AS INT) + 1, 'zq ', 'zx ', 'zj '), " +
+        "greatest(size(split(text, ' +')), 1))"))
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val copies = args.lift(1).map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft_skew_").toString
+    val dirU = s"$tmp/uniform"; val dirZ = s"$tmp/zipf"
+    val base = spark.read.parquet(s"$baseDir/documents.parquet")
+    def spill(out: String, zipf: Boolean): Unit = {
+      val all = (0 until copies).map { i =>
+        val d = base
+          .withColumn("doc_id", col("doc_id") + lit(i * ScaleProbe.KeyOff))
+          .withColumn("text", ScaleProbe.remap(col("text"), i))
+        if (zipf) d.withColumn("text", zipfText(col("text"), col("doc_id"))) else d
+      }.reduce(_ unionAll _)
+      all.repartition(32).write.mode("overwrite").parquet(s"$out/documents.parquet")
+    }
+    val t0 = System.nanoTime()
+    spill(dirU, zipf = false)
+    spill(dirZ, zipf = true)
+    println(f"SKEW_SYNTH\t${(System.nanoTime() - t0) / 1e9}%.1f s -> $tmp (x$copies)")
+
+    def stealTicks(): Long =
+      try {
+        val f = scala.io.Source.fromFile("/proc/stat").getLines().next().trim.split("\\s+")
+        if (f.length > 8) f(8).toLong else 0L
+      } catch { case scala.util.control.NonFatal(_) => 0L }
+    def minTime(fn: (SparkSession, String) => DataFrame, dir: String): Double =
+      (1 to math.max(1, reps)).map { _ =>
+        val t = System.nanoTime()
+        fn(spark, dir).write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t) / 1e9
+      }.min
+
+    val queries = Seq("unigram_logfreq_score", "unigram_logfreq_hybrid")
+    // JIT warmup on the tiny fixture (the ScaleProbe convention)
+    spark.range(1000).selectExpr("sum(id)").collect()
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    if (new java.io.File(warmDir).isDirectory)
+      queries.foreach { n =>
+        try SparkEntry.queries(n)(spark, warmDir).write.mode("overwrite").format("noop").save()
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
+    println("corpus\tquery\tt_s\tsteal_s")
+    for (corpus <- Seq("uniform" -> dirU, "zipf" -> dirZ); name <- queries) {
+      val st0 = stealTicks()
+      val t = minTime(SparkEntry.queries(name), corpus._2)
+      println(f"SKEW\t${corpus._1}\t$name\t$t%.2f\t${(stealTicks() - st0) / 100.0}%.1f")
+    }
+    def rm(f: java.io.File): Unit = { Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); () }
+    rm(new java.io.File(tmp))
+    spark.stop()
+  }
+}

@@ -182,17 +182,24 @@ object TextAnalysis {
   }
 
   /** The HYBRID-JOIN twin of [[unigramLogFreq]] — identical result,
-    * skew-proof plan. The instance⋈vocab join is the textbook hot-key
-    * workload: by Zipf the head token joins a constant fraction of ALL
-    * corpus instances, so a plain token-keyed shuffle sends that
-    * fraction to ONE reducer at 100 TB. Split at the top-V head
-    * (exact, via the map-side-pruned [[graft.operators.GroupTopK]]
-    * constant-key path): head counts BROADCAST to the instance scan
-    * (hot instances never shuffle), tail instances — low-skew by
-    * construction — take the ordinary shuffle join, and the two
-    * disjoint halves union before the per-doc re-aggregation. Same
-    * output as the plain variant (the catalog shares one oracle);
-    * PlanShapeSpec pins the broadcast + anti-join shape. */
+    * head/tail split plan: the top-V head counts BROADCAST to the
+    * instance scan (hot instances never shuffle), tail instances take
+    * the ordinary shuffle join, the two disjoint halves union before
+    * the per-doc re-aggregation. Same output as the plain variant (the
+    * catalog shares one oracle); PlanShapeSpec pins the broadcast +
+    * anti-join shape.
+    *
+    * DEMOTED TO A FALLBACK (round 11, measured — SCALE.md
+    * §hybrid-crossover): `graft.SkewProbe` synthesized the Zipf head
+    * this variant was built for (3 tokens ≈ 50% of all instances) and
+    * the PLAIN variant still won at every point (1.6–3.1× faster at
+    * 10×/100×), because the plain join's vocab side is
+    * vocabulary-sized and BROADCASTS — a broadcast probe has no
+    * reducer for a hot key to swamp, so the hot-key scenario never
+    * materializes while |vocab| fits the broadcast threshold (by
+    * Heaps' law it usually does; a BPE vocab always does). Prefer
+    * [[unigramLogFreq]]; use this only when the vocabulary exceeds the
+    * broadcast threshold AND AQE skew-join is unavailable. */
   def unigramLogFreqHybrid(df: DataFrame, idCol: String, textCol: String,
       headV: Int = 1000): DataFrame = {
     val toks = df.select(col(idCol).as("id"),
