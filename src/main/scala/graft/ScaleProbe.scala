@@ -65,7 +65,14 @@ object ScaleProbe {
     // three different "corpus grows, shuffle doesn't" claims
     "embedding_moments",
     "bpe_pair_stats",
-    "quality_deciles_per_source")
+    "quality_deciles_per_source",
+    // round 11: bounded-sample training + narrow scan-side routing
+    // (trained IVF/PQ), broadcast banded eval probe (semantic decon),
+    // and the pure narrow multimodal map
+    "ann_ivf_trained",
+    "ann_pq_trained",
+    "decontaminate_semantic",
+    "media_resize")
 
   private def rot(s: String, k: Int): String = s.drop(k % s.length) + s.take(k % s.length)
 
