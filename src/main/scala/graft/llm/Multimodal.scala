@@ -241,6 +241,78 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  /** Synthesize a 16-bit little-endian mono PCM payload per row IN-PLAN
+    * (narrow mapPartitions, no shuffle) — the audio twin of
+    * [[synthesizeImage]]: sample k of row id is the deterministic
+    * integer `((id·7919 + k·104729) mod 65536) − 32768`, so every
+    * byte of the payload is a closed-form function of (id, n) and an
+    * oracle can state the parsed stats WITHOUT seeing the bytes —
+    * the gate then proves the pack→binary→parse round trip (a wrong
+    * byte order or stride diverges immediately). */
+  def synthesizePcm(df: DataFrame, idCol: String, nCol: String): DataFrame = {
+    val sel = df.select(col(idCol).cast("long"), col(nCol).cast("int"))
+    val outSchema = StructType(Seq(sel.schema.head, StructField("media", mediaSchema)))
+    sel.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0); val n = r.getInt(1)
+        val bytes = new Array[Byte](n * 2)
+        var k = 0
+        while (k < n) {
+          val v = (((id * 7919L + k * 104729L) % 65536L) - 32768L).toInt
+          bytes(2 * k) = (v & 0xFF).toByte         // little-endian low byte
+          bytes(2 * k + 1) = ((v >> 8) & 0xFF).toByte
+          k += 1
+        }
+        Row(r.get(0), Row(bytes, "audio/pcm", null, null, n))
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Parse a 16-bit LE mono PCM payload back out of the binary column
+    * and compute integer-exact waveform stats — the audio feature
+    * extraction a training pipeline runs before filtering/captioning:
+    * sample count, peak amplitude, L1 energy (`sum_abs`), L2 energy
+    * (`sum_sq`, exact BIGINT), zero crossings (sign changes between
+    * adjacent samples), and the one IEEE division `mean_abs`. A narrow
+    * mapPartitions, one pass per payload, no shuffle — the same 100 TB
+    * shape as [[extractFeatures]]; every stat except the final
+    * division is exact 64-bit integer arithmetic, so the DuckDB oracle
+    * replays the values bit-for-bit from the closed form. */
+  def audioStats(df: DataFrame, idCol: String, mediaCol: String): DataFrame = {
+    val sel = df.select(col(idCol), col(mediaCol).getField("bytes").as("__bytes"))
+    val outSchema = StructType(Seq(
+      sel.schema.head,
+      StructField("n_samples", LongType, nullable = false),
+      StructField("peak_abs", LongType, nullable = false),
+      StructField("sum_abs", LongType, nullable = false),
+      StructField("sum_sq", LongType, nullable = false),
+      StructField("zero_crossings", LongType, nullable = false),
+      StructField("mean_abs", DoubleType, nullable = false)))
+    sel.mapPartitions { it =>
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        val b = if (bytes == null) Array.emptyByteArray else bytes
+        val n = b.length / 2
+        var peak = 0L; var sumAbs = 0L; var sumSq = 0L; var zc = 0L
+        var prevNonNeg = false
+        var k = 0
+        while (k < n) {
+          val v = (((b(2 * k + 1).toInt) << 8) | (b(2 * k) & 0xFF)).toShort.toInt
+          val a = math.abs(v.toLong)
+          if (a > peak) peak = a
+          sumAbs += a; sumSq += v.toLong * v.toLong
+          val nonNeg = v >= 0
+          if (k > 0 && nonNeg != prevNonNeg) zc += 1
+          prevNonNeg = nonNeg
+          k += 1
+        }
+        val mean = if (n == 0) 0.0
+          else BigDecimal(sumAbs.toDouble / n).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        Row(r.get(0), n.toLong, peak, sumAbs, sumSq, zc, mean)
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Frame sampling for video-like payloads: every `stride`-th chunk of
     * `frameBytes` bytes becomes a frame payload row (exploded). Pure
     * built-ins — the chunking is the real plumbing; decoding each frame

@@ -992,6 +992,24 @@ object LlmQueries {
       .select("doc_id", "content_hash")
   }
 
+  /** AUDIO through the binary gate ([[Multimodal.synthesizePcm]] →
+    * [[Multimodal.audioStats]]): per doc, a 16-bit LE mono PCM payload
+    * of `200 + doc_id % 57` closed-form samples is packed in-plan,
+    * then PARSED BACK out of the binary column and reduced to
+    * integer-exact waveform stats (peak, L1/L2 energy, zero
+    * crossings). The oracle replays the sample formula directly —
+    * payload-free — so a hash match proves the byte-level pack→parse
+    * round trip (wrong endianness, stride, or sign handling diverges
+    * on every row). Both stages are narrow maps: the 100 TB audio
+    * feature-extraction shape. */
+  val mediaAudioStats: Q = (s, dir) => {
+    val d = Tables(s, dir, "documents")
+      .select(col("doc_id"), expr("CAST(200 + doc_id % 57 AS INT)").as("n"))
+    Multimodal.audioStats(
+        Multimodal.synthesizePcm(d, "doc_id", "n"), "doc_id", "media")
+      .orderBy("doc_id")
+  }
+
   /** Byte-level media stats (no decode): engine-portable ⇒ oracle. */
   val mediaStats: Q = (s, dir) => {
     val d = Tables(s, dir, "documents")
@@ -1154,6 +1172,7 @@ object LlmQueries {
     "media_decode_jpeg" -> mediaDecodeJpeg,
     "media_resize" -> mediaResize,
     "media_frames" -> mediaFrames,
+    "media_audio_stats" -> mediaAudioStats,
     "media_stats" -> mediaStats
   )
 
@@ -2088,6 +2107,24 @@ object LlmQueries {
         |SELECT doc_id,
         |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS INT) AS frame_idx,
         |  md5(substring(text, CAST(i * 64 + 1 AS INT), 64)) AS frame_md5
-        |FROM f ORDER BY doc_id, frame_idx""".stripMargin
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+    // the PCM payload is closed-form in (doc_id, k): the oracle states
+    // every waveform stat WITHOUT seeing a byte, which is exactly what
+    // makes the gate a proof of the Spark side's pack->parse round trip
+    "media_audio_stats" ->
+      """WITH s AS (SELECT doc_id, k,
+        |    (doc_id * 7919 + k * 104729) % 65536 - 32768 AS v
+        |  FROM documents, unnest(range(0, 200 + doc_id % 57)) t(k)),
+        |p AS (SELECT doc_id, k, v,
+        |    lag(v) OVER (PARTITION BY doc_id ORDER BY k) AS pv FROM s)
+        |SELECT doc_id,
+        |  count(*) AS n_samples,
+        |  CAST(max(abs(v)) AS BIGINT) AS peak_abs,
+        |  CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+        |  CAST(sum(v * v) AS BIGINT) AS sum_sq,
+        |  CAST(count(CASE WHEN pv IS NOT NULL AND ((pv >= 0) <> (v >= 0)) THEN 1 END) AS BIGINT)
+        |    AS zero_crossings,
+        |  round(CAST(sum(abs(v)) AS DOUBLE) / count(*), 6) AS mean_abs
+        |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

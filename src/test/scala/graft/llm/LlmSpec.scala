@@ -290,6 +290,33 @@ class LlmSpec extends AnyFunSuite {
     assert(jf(1L)(0) == 20.0 && jf(2L)(0) == 9.0)
   }
 
+  test("multimodal audio: PCM pack->parse round trip matches the closed-form stats") {
+    // hand-computed on a tiny fixture: id=1, n=4 samples of
+    // ((1*7919 + k*104729) % 65536) - 32768
+    val expect = (0 until 4).map(k => (((7919L + k * 104729L) % 65536L) - 32768L).toInt)
+    val d = Seq((1L, 4)).toDF("doc_id", "n")
+    val audio = Multimodal.synthesizePcm(d, "doc_id", "n")
+    val m = audio.head.getStruct(1)
+    val bytes = m.getAs[Array[Byte]](0)
+    assert(bytes.length == 8 && m.getString(1) == "audio/pcm" && m.getInt(4) == 4)
+    // independent LE re-parse of the packed bytes
+    val parsed = (0 until 4).map(k =>
+      (((bytes(2 * k + 1).toInt) << 8) | (bytes(2 * k) & 0xFF)).toShort.toInt)
+    assert(parsed == expect, s"$parsed vs $expect")
+    val st = Multimodal.audioStats(audio, "doc_id", "media").head
+    assert(st.getLong(1) == 4, "n_samples")
+    assert(st.getLong(2) == expect.map(v => math.abs(v.toLong)).max, "peak_abs")
+    assert(st.getLong(3) == expect.map(v => math.abs(v.toLong)).sum, "sum_abs")
+    assert(st.getLong(4) == expect.map(v => v.toLong * v).sum, "sum_sq")
+    val zc = expect.sliding(2).count(p => (p(0) >= 0) != (p(1) >= 0))
+    assert(st.getLong(5) == zc, "zero_crossings")
+    // empty payload is total, not an error
+    val empty = Multimodal.audioStats(
+      Seq((9L, 0)).toDF("doc_id", "n").transform(Multimodal.synthesizePcm(_, "doc_id", "n")),
+      "doc_id", "media").head
+    assert(empty.getLong(1) == 0 && empty.getDouble(6) == 0.0)
+  }
+
   test("secondMoments: integer-exact moment matrix matches the naive computation") {
     val raw = Seq(
       Array(0.0015f, -0.0024f, 0.5f),
