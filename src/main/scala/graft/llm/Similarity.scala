@@ -101,6 +101,41 @@ object Similarity {
       .select("i", "j", "sum_xy", "sum_x_i", "sum_x_j", "n")
   }
 
+  /** Embedding OUTLIER ranking — the corpus-sanity filter a training
+    * pipeline runs before ANN/dedup trust the vectors: the `k` vectors
+    * farthest from the corpus MEAN, ranked by EXACT integer
+    * arithmetic. Distance is computed in n-scaled centered space —
+    * `Σ_i (q_i·n − S_i)²` where `q = floor(x·1000)`, `S_i = Σ q_i`
+    * over the corpus and `n` the corpus count — which orders
+    * identically to distance-from-mean (it is n²·‖q − S/n‖²) while
+    * staying in exact DECIMAL(38,0) arithmetic any engine reproduces
+    * (the squared terms pass 2⁶³ around 10⁹ rows, so Long is not
+    * enough; DuckDB replays in HUGEINT).
+    *
+    * Shape at 100 TB: the first moments are ONE map-side-partial
+    * aggregate (shuffle carries O(partitions·d) rows); the 1-row stats
+    * frame broadcasts back via the 1-row crossJoin convention; scoring
+    * is a narrow scan-side map; the final top-k is TakeOrdered (per-
+    * partition heaps, never a global sort). */
+  def embeddingOutliers(corpus: DataFrame, idCol: String, vecCol: String, k: Int = 20): DataFrame = {
+    val q = corpus.select(col(idCol).as("id"),
+      transform(col(vecCol), x => floor(x.cast("double") * 1000).cast("long")).as("q"))
+    val firstMoments = q
+      .select(posexplode(col("q")).as(Seq("i", "v")))
+      .groupBy("i").agg(sum("v").as("s"))
+      .agg(sort_array(collect_list(struct(col("i"), col("s")))).as("sv"))
+      .crossJoin(q.agg(count(lit(1)).as("n")))
+    q.crossJoin(broadcast(firstMoments))
+      .withColumn("dist2", expr(
+        """aggregate(
+          |  zip_with(q, sv, (a, p) ->
+          |    CAST(a AS DECIMAL(38,0)) * n - CAST(p.s AS DECIMAL(38,0))),
+          |  CAST(0 AS DECIMAL(38,0)), (acc, x) -> acc + x * x)""".stripMargin))
+      .orderBy(desc("dist2"), asc("id"))
+      .limit(k)
+      .select(col("id"), col("dist2").cast("string").as("dist2_scaled"))
+  }
+
   /** Sign bits of the vector against `nPlanes` deterministic pseudo-
     * random hyperplanes, as a bit string column ("101..."). Prefix bands
     * of this string are LSH bucket keys. `portable = true` (default)

@@ -1031,6 +1031,19 @@ object LlmQueries {
     Similarity.secondMoments(Tables(s, dir, "embeddings"), "embedding")
       .orderBy("i", "j")
 
+  /** Embedding outliers ([[Similarity.embeddingOutliers]]): top-20
+    * vectors by EXACT centered distance from the corpus mean in
+    * n-scaled integer space — the corpus-sanity pass that catches
+    * constant/degenerate/mis-scaled embeddings before ANN or dedup
+    * trust them. The scaled distance itself is part of the output
+    * (decimal → string, plain digits in both engines), so the gate
+    * pins the whole moment → broadcast → scan-side scoring pipeline,
+    * not just the ranking. */
+  val embeddingOutliers: Q = (s, dir) =>
+    Similarity.embeddingOutliers(Tables(s, dir, "embeddings"), "vec_id", "embedding", k = 20)
+      .withColumnRenamed("id", "vec_id")
+      .orderBy(col("vec_id"))
+
   /** The TRAINED vector quantizer through the correctness gate
     * ([[Similarity.kmeansAssign]]): md5-sampled 16-vector training set,
     * maximin seeding, 2 Lloyd rounds with truncating-integer-division
@@ -1139,6 +1152,7 @@ object LlmQueries {
     "dedup_embedding" -> dedupEmbedding,
     "embedding_bucket_histogram" -> embeddingBucketHistogram,
     "embedding_moments" -> embeddingMoments,
+    "embedding_outliers" -> embeddingOutliers,
     "embedding_kmeans_assign" -> embeddingKmeansAssign,
     "bpe_pair_stats" -> bpePairStats,
     "source_mixture_weights" -> sourceMixtureWeights,
@@ -1619,6 +1633,21 @@ object LlmQueries {
         |FROM q a JOIN q b ON a.vec_id = b.vec_id AND b.i >= a.i
         |GROUP BY a.i, b.i
         |ORDER BY i, j""".stripMargin,
+    // centered-distance ranking replayed in HUGEINT: q_i·n − S_i fits
+    // int64, its square needs int128 — the same exactness the Spark
+    // side gets from DECIMAL(38,0); plain-digit string on both sides
+    "embedding_outliers" ->
+      """WITH q AS (SELECT vec_id, i,
+        |    CAST(floor(CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE) * 1000) AS BIGINT) AS q
+        |  FROM embeddings, unnest(range(0, len(embedding))) t(i)),
+        |st AS (SELECT i, CAST(sum(q) AS BIGINT) AS s FROM q GROUP BY i),
+        |nn AS (SELECT count(*) AS n FROM embeddings),
+        |d AS (SELECT q.vec_id,
+        |    sum(CAST(q.q * nn.n - st.s AS HUGEINT) * CAST(q.q * nn.n - st.s AS HUGEINT)) AS dist
+        |  FROM q JOIN st USING (i), nn GROUP BY q.vec_id),
+        |top AS (SELECT vec_id, dist FROM d ORDER BY dist DESC, vec_id LIMIT 20)
+        |SELECT vec_id, CAST(dist AS VARCHAR) AS dist2_scaled
+        |FROM top ORDER BY vec_id""".stripMargin,
     // the WHOLE trained-quantizer loop as chained CTEs (the shared
     // [[kmeansTrainCtes]] block) → full-corpus nearest-centroid
     // assignment. Every value is integer-exact.
