@@ -37,6 +37,29 @@ class PipelineHygieneSpec extends AnyFunSuite {
     assert(run(true) == run(false))
   }
 
+  test("semantic decontamination: broadcast == shuffle eval path; flags only genuine cosine hits") {
+    val e = graft.queries.Tables(spark, TestSpark.sfDir, "embeddings")
+    val pred = Sampling.hashBucket256(col("vec_id")) < 13
+    def run(bc: Boolean) = Decontamination
+      .semanticOverlap(e, pred, "vec_id", "embedding", threshold = 0.35, broadcastEval = bc)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val b = run(true)
+    assert(b.nonEmpty, "the fixture must produce at least one semantic hit at 0.35")
+    assert(b == run(false), "broadcastEval=false must not change the result set")
+    // soundness: every flagged (id, first_eval_id) pair genuinely clears
+    // the exact-cosine threshold (LSH banding can only MISS pairs, never
+    // invent them; the inline verify must have removed band collisions)
+    val vecs = e.collect().map(r => r.getLong(0) -> r.getSeq[Number](1).map(_.doubleValue())).toMap
+    def cos(a: Seq[Double], c: Seq[Double]): Double = {
+      val dot = a.zip(c).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(c.map(x => x * x).sum))
+    }
+    b.foreach { case (id, _, firstEval) =>
+      assert(cos(vecs(id), vecs(firstEval)) >= 0.35 - 1e-9,
+        s"flagged pair ($id, $firstEval) below threshold")
+    }
+  }
+
   test("duplicated grams in a doc count once (distinct-shingle semantics)") {
     // "a b c a b c a b c" has many 3-gram INSTANCES but only 3 distinct
     val rep = Seq((1L, "a b c d"), (20L, "a b c a b c a b c")).toDF("doc_id", "text")
