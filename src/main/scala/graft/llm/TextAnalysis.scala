@@ -278,10 +278,20 @@ object TextAnalysis {
       df: DataFrame,
       idCol: String,
       textCol: String,
+      windowTokens: Int = 2048): DataFrame =
+    packSequencesBy(df, idCol, tokenCountWs(col(textCol)).cast("long"), windowTokens)
+
+  /** [[packSequences]] generalized over the token counter: `nTokens` is
+    * any per-row token-count expression — the whitespace proxy above, or
+    * the EXACT trained-BPE count ([[Bpe.tokenCount]]) for true token
+    * budgets. Same parallel two-pass prefix-scan plan. */
+  def packSequencesBy(
+      df: DataFrame,
+      idCol: String,
+      nTokens: Column,
       windowTokens: Int = 2048): DataFrame = {
     require(windowTokens > 0, "windowTokens must be positive")
-    val t = df.select(col(idCol).as("doc_id"),
-      tokenCountWs(col(textCol)).cast("long").as("n_tokens"))
+    val t = df.select(col(idCol).as("doc_id"), nTokens.as("n_tokens"))
     val add = (a: Long, b: Long) => a + b
     // n_tokens rides along as a (no-op) secondary order column: doc_id
     // is unique, so the order is unchanged, and collectScan keeps order

@@ -1,0 +1,96 @@
+package graft.queries
+
+import graft.llm.Bpe
+
+/** The DuckDB replay of the ENTIRE deterministic BPE training loop
+  * ([[graft.llm.Bpe]]) as a generated chain of MATERIALIZED CTEs — the
+  * `embedding_kmeans_assign` convention taken to an iterative trainer:
+  * nothing trained on the Spark side enters the oracle as a literal;
+  * DuckDB re-derives word frequencies, every pair-count argmax, every
+  * merge application, the alphabet, the vocabulary ids AND the per-doc
+  * encoding from the parquet alone, so a hash match verifies training
+  * and application together.
+  *
+  * Per merge iteration i the block emits three CTEs:
+  *   - `p{i}`: adjacent-pair counts over the current vocabulary
+  *     representation, weighted by word frequency (overlapping
+  *     occurrences counted, the Sennrich statistic);
+  *   - `m{i}`: the argmax pair, ties by pair string ASC;
+  *   - `v{i}`: the vocabulary with `" a  b " -> " ab "` applied — the
+  *     same double-spaced substring replacement the Spark side
+  *     compiles, byte-identical semantics in both engines.
+  * `MATERIALIZED` is load-bearing: each m/v level is referenced by
+  * every later level, and inlining would re-expand the whole chain
+  * exponentially (measured: DuckDB 1.0 exhausts file handles at
+  * M = 20 without it). */
+object BpeOracle {
+
+  private val M = Bpe.NumMerges
+  private val V = Bpe.VocabWords
+
+  /** DuckDB twin of [[graft.llm.TextAnalysis.normalizeText]]. */
+  private val Norm =
+    "trim(regexp_replace(regexp_replace(lower(text), '[.,;:!?]', '', 'g'), ' +', ' ', 'g'))"
+
+  /** Shared training + encode CTE block (no leading WITH). Ends with:
+    * `enc(doc_id, ts)` — the per-doc token array — and
+    * `vocab(tk, id)` — the token-id table. */
+  val trainCtes: String = {
+    val ctes = Seq.newBuilder[String]
+    ctes += s"tokw AS (SELECT unnest(regexp_split_to_array($Norm, ' ')) AS w FROM documents)"
+    ctes += ("wf AS MATERIALIZED (SELECT w, count(*) AS f FROM tokw " +
+      s"WHERE length(w) > 0 GROUP BY w ORDER BY f DESC, w LIMIT $V)")
+    ctes += "v0 AS MATERIALIZED (SELECT w, f, ' ' || regexp_replace(w, '(.)', '\\1  ', 'g') AS s FROM wf)"
+    (1 to M).foreach { i =>
+      val p = i - 1
+      ctes += (s"p$i AS MATERIALIZED (SELECT pr, CAST(sum(f) AS BIGINT) AS n FROM (SELECT f, " +
+        "unnest(list_transform(range(1, len(regexp_split_to_array(trim(s), ' +'))), " +
+        "k -> regexp_split_to_array(trim(s), ' +')[k] || ' ' || " +
+        s"regexp_split_to_array(trim(s), ' +')[k+1])) AS pr FROM v$p) GROUP BY pr)")
+      ctes += s"m$i AS MATERIALIZED (SELECT pr FROM p$i ORDER BY n DESC, pr LIMIT 1)"
+      ctes += (s"v$i AS MATERIALIZED (SELECT w, f, " +
+        "replace(s, ' ' || split_part(m.pr, ' ', 1) || '  ' || split_part(m.pr, ' ', 2) || ' ', " +
+        s"' ' || replace(m.pr, ' ', '') || ' ') AS s FROM v$p, m$i m)")
+    }
+    ctes += s"normd AS MATERIALIZED (SELECT doc_id, $Norm AS nt FROM documents)"
+    ctes += ("alpha AS (SELECT DISTINCT substr(nt, CAST(i AS INT), 1) AS tk FROM normd, " +
+      "unnest(range(1, length(nt) + 1)) t(i) WHERE substr(nt, CAST(i AS INT), 1) <> ' ')")
+    ctes += "vocabc AS MATERIALIZED (SELECT tk, row_number() OVER (ORDER BY tk) - 1 AS id FROM alpha)"
+    ctes += ("mlist AS (" + (1 to M).map(j =>
+      s"SELECT $j AS j, replace(pr, ' ', '') AS tk FROM m$j").mkString(" UNION ALL ") + ")")
+    ctes += ("vocab AS MATERIALIZED (SELECT tk, CAST(min(id) AS BIGINT) AS id FROM (" +
+      "SELECT tk, id FROM vocabc UNION ALL " +
+      "SELECT tk, (SELECT count(*) FROM vocabc) + j - 1 AS id FROM mlist) GROUP BY tk)")
+    val rep = (1 to M).foldLeft("' ' || regexp_replace(nt, '(.)', '\\1  ', 'g')") { (acc, j) =>
+      s"replace($acc, ' ' || split_part((SELECT pr FROM m$j), ' ', 1) || '  ' || " +
+        s"split_part((SELECT pr FROM m$j), ' ', 2) || ' ', " +
+        s"' ' || replace((SELECT pr FROM m$j), ' ', '') || ' ')"
+    }
+    ctes += s"enc AS MATERIALIZED (SELECT doc_id, regexp_split_to_array(trim($rep), ' +') AS ts FROM normd)"
+    ctes.result().mkString(",\n")
+  }
+
+  /** `bpe_encode`: per doc, exact token count plus md5 witnesses of the
+    * token string and the id sequence. */
+  val bpeEncodeSql: String =
+    s"""WITH $trainCtes,
+       |tk AS (SELECT doc_id, unnest(ts) AS tk, generate_subscripts(ts, 1) AS pos FROM enc),
+       |wid AS (SELECT t.doc_id, t.pos, t.tk, coalesce(v.id, -1) AS id
+       |  FROM tk t LEFT JOIN vocab v ON t.tk = v.tk)
+       |SELECT doc_id, CAST(count(*) AS INT) AS n_tokens,
+       |  md5(string_agg(tk, ' ' ORDER BY pos)) AS tokens_md5,
+       |  md5(string_agg(CAST(id AS VARCHAR), ',' ORDER BY pos)) AS ids_md5
+       |FROM wid GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** `pack_sequences_bpe`: the `pack_sequences` window-sum replay on
+    * EXACT BPE token counts instead of the whitespace proxy. */
+  val packSequencesBpeSql: String =
+    s"""WITH $trainCtes,
+       |nt AS (SELECT doc_id, len(ts) AS n_tokens FROM enc),
+       |c AS (SELECT doc_id, n_tokens,
+       |    sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM nt)
+       |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_id
+       |FROM c ORDER BY doc_id""".stripMargin
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.llm.{Decontamination, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.llm.{Bpe, Decontamination, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** LLM-training-data pipeline queries over the documents/embeddings
   * tables: text analysis, dedup (exact / MinHash / SimHash / n-gram
@@ -1080,6 +1080,43 @@ object LlmQueries {
       .orderBy(desc("n_occurrences"), asc("pair")).limit(30)
   }
 
+  /** REAL BPE tokenization end-to-end ([[Bpe]]): deterministic merge
+    * training (the `bpe_pair_stats` statistic iterated to a fixed
+    * vocabulary, driver-side over the bounded top-V word table — the
+    * trained-quantizer boundedness class), then every document encoded
+    * SCAN-SIDE by the compiled merge chain (literal codegen'd
+    * `replace`s, zero shuffle). Output per doc: the exact token count
+    * plus md5 witnesses of the token string and the id sequence — so
+    * the hash pins merge selection, merge ORDER, non-overlapping
+    * application and the vocabulary id assignment at once. The oracle
+    * ([[BpeOracle]]) replays the whole training loop as chained CTEs;
+    * no Spark-trained value enters it. */
+  val bpeEncode: Q = (s, dir) => {
+    val d = Tables(s, dir, "documents")
+    val trained = Bpe.train(d, "text")
+    val toks = Bpe.encode(col("text"), trained.merges)
+    d.select(col("doc_id"), toks.as("ts"))
+      .select(col("doc_id"),
+        size(col("ts")).as("n_tokens"),
+        md5(to_binary(array_join(col("ts"), " "), lit("utf-8"))).as("tokens_md5"),
+        md5(to_binary(array_join(
+          transform(Bpe.tokenIds(col("ts"), trained), i => i.cast("string")), ","),
+          lit("utf-8"))).as("ids_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** The token-BUDGET twin of `pack_sequences`: the same parallel
+    * two-pass prefix-scan packing, but over EXACT trained-BPE token
+    * counts ([[Bpe.tokenCount]]) instead of the whitespace proxy —
+    * context windows now hold true subword budgets, which is what the
+    * training job actually consumes. */
+  val packSequencesBpe: Q = (s, dir) => {
+    val d = Tables(s, dir, "documents")
+    val trained = Bpe.train(d, "text")
+    TextAnalysis.packSequencesBy(
+      d, "doc_id", Bpe.tokenCount(col("text"), trained.merges).cast("long"))
+  }
+
   /** Training-mixture design: per-source token budgets and sampling
     * weights (proportional + sqrt-smoothed, the standard multi-source
     * rebalancing knob). Integer-exact by construction: token totals are
@@ -1155,6 +1192,8 @@ object LlmQueries {
     "embedding_outliers" -> embeddingOutliers,
     "embedding_kmeans_assign" -> embeddingKmeansAssign,
     "bpe_pair_stats" -> bpePairStats,
+    "bpe_encode" -> bpeEncode,
+    "pack_sequences_bpe" -> packSequencesBpe,
     "source_mixture_weights" -> sourceMixtureWeights,
     "quality_deciles_per_source" -> qualityDecilesPerSource,
     "lsh_bucket_histogram" -> lshBucketHistogram,
@@ -1759,6 +1798,11 @@ object LlmQueries {
         |  count(DISTINCT w) AS n_vocab_words
         |FROM p GROUP BY pair
         |ORDER BY n_occurrences DESC, pair LIMIT 30""".stripMargin,
+    // the FULL BPE training loop replayed as generated MATERIALIZED
+    // CTEs (BpeOracle) — merge argmaxes, vocabulary ids and the per-doc
+    // double-spaced replace encoding all re-derived from the parquet
+    "bpe_encode" -> BpeOracle.bpeEncodeSql,
+    "pack_sequences_bpe" -> BpeOracle.packSequencesBpeSql,
     // integer floor-division ppm weights; floor(sqrt) of a BIGINT is
     // engine-portable because IEEE sqrt is correctly rounded
     "source_mixture_weights" ->
