@@ -37,8 +37,9 @@ object SkewProbe {
     * instances are one of 3 head tokens. */
   private def zipfText(text: org.apache.spark.sql.Column, docId: org.apache.spark.sql.Column) =
     concat(text, lit(" "),
-      expr("repeat(elt(CAST(doc_id % 3 AS INT) + 1, 'zq ', 'zx ', 'zj '), " +
-        "greatest(size(split(text, ' +')), 1))"))
+      repeat(
+        elt((docId % 3).cast("int") + 1, lit("zq "), lit("zx "), lit("zj ")),
+        greatest(size(split(text, " +")), lit(1))))
 
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")

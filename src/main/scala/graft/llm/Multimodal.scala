@@ -258,7 +258,10 @@ object Multimodal {
         val bytes = new Array[Byte](n * 2)
         var k = 0
         while (k < n) {
-          val v = (((id * 7919L + k * 104729L) % 65536L) - 32768L).toInt
+          // floorMod keeps the formula total over NEGATIVE ids too —
+          // truncating % would yield sub--32768 values whose low-16-bit
+          // pack wraps, silently diverging from the oracle's closed form
+          val v = (Math.floorMod(id * 7919L + k * 104729L, 65536L) - 32768L).toInt
           bytes(2 * k) = (v & 0xFF).toByte         // little-endian low byte
           bytes(2 * k + 1) = ((v >> 8) & 0xFF).toByte
           k += 1
@@ -306,11 +309,15 @@ object Multimodal {
           prevNonNeg = nonNeg
           k += 1
         }
-        val mean = if (n == 0) 0.0
-          else BigDecimal(sumAbs.toDouble / n).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val mean = if (n == 0) 0.0 else sumAbs.toDouble / n
         Row(r.get(0), n.toLong, peak, sumAbs, sumSq, zc, mean)
       }
     }(Encoders.row(outSchema))
+      // round via Spark SQL round() — the ONE rounding convention all
+      // ratio gates share (mean_log2, quality score), rather than a
+      // JVM BigDecimal half-up that can disagree with the oracle's
+      // float round() on representation-edge ties
+      .withColumn("mean_abs", org.apache.spark.sql.functions.round(col("mean_abs"), 6))
   }
 
   /** Frame sampling for video-like payloads: every `stride`-th chunk of

@@ -2186,7 +2186,7 @@ object LlmQueries {
     // makes the gate a proof of the Spark side's pack->parse round trip
     "media_audio_stats" ->
       """WITH s AS (SELECT doc_id, k,
-        |    (doc_id * 7919 + k * 104729) % 65536 - 32768 AS v
+        |    ((doc_id * 7919 + k * 104729) % 65536 + 65536) % 65536 - 32768 AS v
         |  FROM documents, unnest(range(0, 200 + doc_id % 57)) t(k)),
         |p AS (SELECT doc_id, k, v,
         |    lag(v) OVER (PARTITION BY doc_id ORDER BY k) AS pv FROM s)

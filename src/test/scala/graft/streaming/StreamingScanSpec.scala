@@ -28,7 +28,12 @@ class StreamingScanSpec extends AnyFunSuite {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/events.parquet"), streamDir.resolve("events.parquet"))
     val rawSchema = spark.read.parquet(streamDir.toString).schema
-    val streamDf = spark.readStream.schema(rawSchema).parquet(streamDir.toString)
+    // normalize ts on the stream side too (as Tables.streamEvents does):
+    // groupScanStream ignores ts today, but both sides must honor the
+    // repo-wide ts convention so a future ts-ordered variant can't see
+    // different types/values between the frames being compared
+    val streamDf = graft.queries.Tables.normalizeTs(
+      spark.readStream.schema(rawSchema).parquet(streamDir.toString))
 
     val q = StreamingScan.groupScanStream(streamDf, "user_id", "event_id", "value", balance)
       .toDF("user_id", "event_id", "balance")
