@@ -55,4 +55,48 @@ class TablesSpec extends AnyFunSuite {
     val st = Tables.streamEvents(spark, TestSpark.sfDir)
     assert(st.isStreaming && st.schema("ts").dataType == LongType)
   }
+
+  // -------------------------------------------------------------------
+  // Full-width fixture tripwire (round 12): pin the LOADED schema —
+  // names, types, nullability, column order — of every fixture table,
+  // so the next driver-side regeneration that drifts a physical type
+  // (the ts incident, twice) fails ONE spec naming the table and the
+  // exact field, instead of a scatter of query hash mismatches. The
+  // events pin is the POST-normalization contract (bigint nanos), which
+  // is what makes it flavor-independent across the two ts shipments;
+  // date columns stay pinned to the current micros/NTZ flavor on
+  // purpose — a new flavor must be triaged at the load point first.
+  // -------------------------------------------------------------------
+
+  private val expectedSchemas: Map[String, String] = Map(
+    "region" -> "r_regionkey:int,r_name:string",
+    "nation" -> "n_nationkey:int,n_name:string,n_regionkey:int",
+    "customer" -> ("c_custkey:bigint,c_name:string,c_nationkey:int," +
+      "c_acctbal:double,c_mktsegment:string"),
+    "supplier" -> "s_suppkey:bigint,s_name:string,s_nationkey:int,s_acctbal:double",
+    "part" -> ("p_partkey:bigint,p_name:string,p_brand:string,p_type:string," +
+      "p_size:int,p_retailprice:double"),
+    "orders" -> ("o_orderkey:bigint,o_custkey:bigint,o_orderstatus:string," +
+      "o_totalprice:double,o_orderdate:timestamp_ntz,o_orderpriority:string"),
+    "lineitem" -> ("l_orderkey:bigint,l_partkey:bigint,l_suppkey:bigint," +
+      "l_linenumber:int,l_quantity:double,l_extendedprice:double,l_discount:double," +
+      "l_tax:double,l_returnflag:string,l_linestatus:string,l_shipdate:timestamp_ntz"),
+    "events" -> ("event_id:bigint,ts:bigint,user_id:bigint,event_type:string," +
+      "value:double,props:string"),
+    "documents" -> "doc_id:bigint,text:string,lang:string,source:string,n_chars:bigint",
+    "embeddings" -> "vec_id:bigint,embedding:array<float>,label:int")
+
+  expectedSchemas.toSeq.sortBy(_._1).foreach { case (table, expected) =>
+    test(s"fixture tripwire: $table loads with the pinned schema") {
+      val df = Tables(spark, TestSpark.sfDir, table)
+      val got = df.schema.fields.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(",")
+      assert(got == expected,
+        s"\nfixture '$table' drifted.\n  expected: $expected\n  loaded:   $got\n" +
+          "If the driver regenerated the fixture with a new physical type, triage at " +
+          "the Tables load point (the normalizeTs precedent), then update this pin.")
+      assert(df.schema.fields.forall(_.nullable),
+        s"fixture '$table': parquet fixtures have always loaded fully nullable; " +
+          s"non-nullable fields: ${df.schema.fields.filterNot(_.nullable).map(_.name).mkString(",")}")
+    }
+  }
 }
