@@ -223,6 +223,49 @@ case class ShinglePortableHash(child: Expression, n: Int) extends UnaryExpressio
   override protected def withNewChildInternal(newChild: Expression): ShinglePortableHash = copy(child = newChild)
 }
 
+/** POSITIONAL window hashing for substring-level exact dedup: the
+  * 60-bit md5 hash ([[Md5.top60]]) of EVERY w-word sliding window, in
+  * offset order — `out(i) = hash60(words[i..i+w-1] joined by ' ')`, so
+  * `posexplode` yields 0-based (offset, hash) pairs. Unlike
+  * [[ShinglePortableHash]] this keeps positions and duplicates (a
+  * within-doc repeat IS a signal here) and emits NOTHING for documents
+  * shorter than one full window (no partial spans — an exact-span
+  * operator must not hash a truncated span as if it were full). Same
+  * portability contract: any engine replays each value by parsing the
+  * top 15 hex chars of md5(span). */
+case class WindowHash60(child: Expression, w: Int) extends UnaryExpression with CodegenFallback {
+  require(w > 0, "window width must be positive")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "window_hash60"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val words = input.asInstanceOf[ArrayData]
+    val len = words.numElements()
+    val nWin = len - w + 1
+    if (nWin <= 0) new GenericArrayData(Array.emptyLongArray)
+    else {
+      val out = new Array[Long](nWin)
+      val sb = new java.lang.StringBuilder(64)
+      var i = 0
+      while (i < nWin) {
+        sb.setLength(0)
+        var j = 0
+        while (j < w) {
+          if (j > 0) sb.append(' ')
+          val word = words.getUTF8String(i + j)
+          if (word != null) sb.append(word.toString)
+          j += 1
+        }
+        out(i) = Md5.top60(Md5.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WindowHash60 = copy(child = newChild)
+}
+
 /** ENGINE-PORTABLE MinHash over 60-bit shingle hashes: component s =
   * min over shingles of the affine remix `(A_s * h + B_s) mod 2^60`,
   * with per-seed constants `A_s = top60(md5("a:<s>")) | 1` (odd ⇒ the
@@ -354,6 +397,9 @@ object HashFunctions {
 
   def shingleHash60(words: Column, n: Int): Column =
     ColumnBridge.column(ShinglePortableHash(expr(words), n))
+
+  def windowHash60(words: Column, w: Int): Column =
+    ColumnBridge.column(WindowHash60(expr(words), w))
 
   def minHash60(hashes: Column, k: Int): Column =
     ColumnBridge.column(MinHashPortable(expr(hashes), k))

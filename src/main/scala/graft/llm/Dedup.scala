@@ -103,6 +103,40 @@ object Dedup {
       .groupBy("content_hash")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
+  /** SUBSTRING-level exact dedup — duplicate SPANS, not duplicate
+    * documents: every w-word sliding window is hashed positionally
+    * ([[graft.functions.WindowHash60]] — 60-bit md5, engine-portable),
+    * and a window whose hash occurs 2..maxBucket times ANYWHERE in the
+    * corpus (another document, or another offset of the same document)
+    * is emitted as a duplicate span (doc_id, pos). This is the
+    * train-data hygiene pass document-level dedup cannot do: shared
+    * paragraphs inside otherwise-distinct documents (quoted headers,
+    * templated intros) survive exact AND near dedup but still leak
+    * verbatim n-grams into training.
+    *
+    * Scale shape: the window expansion and hashing run scan-side in
+    * one compiled pass; the ONE corpus-sized shuffle groups
+    * (wh, doc_id, pos) — 20 bytes a row, never span text. Hot windows
+    * (boilerplate that would fan a bucket out by its square) are
+    * dropped by the same maxBucket cap as the LSH family, observable
+    * the same way. Returns (doc_id, pos, wh, n_occurrences). */
+  def substringDupSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      w: Int = 8,
+      maxBucket: Int = 1000): DataFrame = {
+    val hashes = graft.functions.HashFunctions.windowHash60(split(lower(col(textCol)), " +"), w)
+    df.select(col(idCol).as("doc_id"), posexplode(hashes).as(Seq("pos", "wh")))
+      .groupBy("wh")
+      .agg(collect_list(struct(col("doc_id"), col("pos"))).as("members"))
+      .filter(size(col("members")).between(2, maxBucket))
+      .select(col("wh"), size(col("members")).as("n_occurrences"),
+        explode(col("members")).as("m"))
+      .select(col("m.doc_id").as("doc_id"), col("m.pos").as("pos"),
+        col("wh"), col("n_occurrences"))
+  }
+
   /** MinHash+LSH near-duplicate candidate pairs with estimated Jaccard.
     *
     * @param maxBucket hot-bucket cap: buckets larger than this are

@@ -226,6 +226,17 @@ object LlmQueries {
       .orderBy("keep_id")
       .select("keep_id", "content_hash", "dup_count")
 
+  /** Substring-level exact dedup ([[Dedup.substringDupSpans]]):
+    * duplicate w-word SPANS across the corpus as (doc_id, pos) pairs —
+    * the span-hygiene pass between document-exact and chunk dedup.
+    * Positional 60-bit md5 window hashes, hot-window cap shared with
+    * the LSH family; the oracle re-derives every hash from
+    * md5(span). */
+  val dedupSubstring: Q = (s, dir) =>
+    Dedup.substringDupSpans(Tables(s, dir, "documents"), "doc_id", "text",
+        w = 8, maxBucket = MaxBucket)
+      .orderBy("doc_id", "pos", "wh")
+
   /** MinHash+LSH near-dup candidate pairs (est. Jaccard >= 0.3), in
     * PORTABLE mode: md5-derived signatures/band keys, so the whole
     * shingle→minhash→band→bucket-pair pipeline is replayed exactly by
@@ -1176,6 +1187,7 @@ object LlmQueries {
     "lang_id" -> langId,
     "doc_fingerprint" -> docFingerprint,
     "dedup_exact" -> dedupExact,
+    "dedup_substring" -> dedupSubstring,
     "bloom_prune_docs" -> bloomPruneDocs,
     "dedup_minhash" -> dedupMinhash,
     "dedup_simhash" -> dedupSimhash,
@@ -2162,6 +2174,18 @@ object LlmQueries {
       """SELECT min(doc_id) AS keep_id, md5(lower(text)) AS content_hash,
         |  count(*) AS dup_count
         |FROM documents GROUP BY md5(lower(text)) ORDER BY keep_id""".stripMargin,
+    // every positional window hash re-derived from md5(span); the
+    // 2..MaxBucket band mirrors the Spark-side hot-window cap
+    "dedup_substring" ->
+      s"""WITH w AS (SELECT doc_id, regexp_split_to_array(lower(text), ' +') AS ws FROM documents),
+         |s AS (SELECT doc_id, CAST(i AS INT) AS pos,
+         |    array_to_string(ws[CAST(i + 1 AS INT):CAST(i + 8 AS INT)], ' ') AS span
+         |  FROM w, unnest(range(0, greatest(len(ws) - 8 + 1, 0))) t(i)),
+         |h AS (SELECT doc_id, pos, ${hx60("md5(span)")} AS wh FROM s),
+         |g AS (SELECT wh, CAST(count(*) AS INT) AS n_occurrences FROM h GROUP BY wh
+         |  HAVING count(*) BETWEEN 2 AND $MaxBucket)
+         |SELECT h.doc_id, h.pos, h.wh, g.n_occurrences
+         |FROM h JOIN g USING (wh) ORDER BY doc_id, pos, wh""".stripMargin,
     // the Bloom sketch only pre-prunes; the result is the exact semi join
     "bloom_prune_docs" ->
       """SELECT doc_id, md5(lower(text)) AS content_hash FROM documents

@@ -31,6 +31,24 @@ class PortableHashSpec extends AnyFunSuite {
       753818583068856625L)) // top60(md5("c d"))
   }
 
+  test("window_hash60: positional, duplicate-preserving, full windows only") {
+    def wh(text: String, w: Int): Seq[Long] = Seq(text).toDF("text")
+      .select(HashFunctions.windowHash60(split(lower($"text"), " +"), w).as("h"))
+      .collect()(0).getSeq[Long](0)
+    // bigram windows of "a b c d" are the bigram SHINGLES with positions:
+    // same 60-bit md5 values as the shingle_hash60 goldens above
+    assert(wh("a b c d", 2) == Seq(
+      57593333306279187L, 819617748153003362L, 753818583068856625L))
+    // duplicates are KEPT (within-doc repetition is the signal):
+    // "a b a b" -> hashes of "a b", "b a", "a b"
+    val dup = wh("a b a b", 2)
+    assert(dup.length == 3 && dup(0) == dup(2) && dup(0) == 57593333306279187L)
+    // documents shorter than one window emit nothing (no partial spans,
+    // unlike shingle_hash60's min-1 rule)
+    assert(wh("a b", 3).isEmpty)
+    assert(wh("a b c", 3).length == 1)
+  }
+
   test("minhash60: per-seed affine remix mod 2^60 matches the DuckDB HUGEINT replay") {
     val got = Seq("a b c d").toDF("text")
       .select(Dedup.minHashSignatureP(Dedup.shingleMd5($"text", n = 2), k = 4).as("sig"))

@@ -94,6 +94,24 @@ class PlanShapeSpec extends AnyFunSuite {
       s"profiling must not re-scan per column:\n$plan")
   }
 
+  test("dedup_substring: the corpus shuffle carries window hashes + offsets, never span text") {
+    val df = graft.SparkEntry.queries("dedup_substring")(spark, TestSpark.sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    val exchangeAt = plan.indexOf("Exchange hashpartitioning(wh")
+    assert(exchangeAt >= 0, s"expected the window-hash exchange:\n$plan")
+    // below the exchange: the compiled window_hash60 explode over the
+    // scan — the span STRINGS must have been reduced to 60-bit hashes
+    // before the shuffle (the text column dies at the scan projection)
+    val below = plan.substring(exchangeAt)
+    assert(below.contains("window_hash60"),
+      s"window hashing must run scan-side, below the exchange:\n$below")
+    assert(!below.contains("concat_ws") && !below.contains("array_to_string"),
+      s"no span-string materialization may reach the shuffle:\n$below")
+    // and the shuffled row is (wh, doc_id, pos) — no text attribute
+    assert(!plan.substring(exchangeAt, math.min(plan.length, exchangeAt + 200)).contains("text"),
+      s"the exchange must not carry the text column:\n$below")
+  }
+
   test("concurrent_orders: interval overlap runs as an equi-join, never nested-loop") {
     val df = graft.SparkEntry.queries("concurrent_orders")(spark, TestSpark.sfDir)
     val plan = df.queryExecution.executedPlan.toString
