@@ -36,20 +36,22 @@ object TextAnalysis {
   /** Ratio of stopword tokens to all tokens (English stopword sample). */
   val defaultStopwords: Seq[String] = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is")
 
-  def stopwordRatio(text: Column, stopwords: Seq[String] = defaultStopwords): Column = {
-    // Token-exact stopword count WITHOUT the interpreted `filter` HOF
-    // (higher-order functions don't participate in whole-stage codegen):
-    // pad with spaces and count " <sw>" occurrences whose NEXT char is a
-    // space via lookahead — the lookahead keeps the trailing space
-    // unconsumed so adjacent stopwords ("the the") both match, making
-    // the count identical to filtering split(" +") tokens (verified
-    // equal on all sf0.1 documents and in the DuckDB oracle, which
-    // still uses the list_filter formulation).
+  /** Token-exact stopword count WITHOUT the interpreted `filter` HOF
+    * (higher-order functions don't participate in whole-stage codegen):
+    * pad with spaces and count " <sw>" occurrences whose NEXT char is a
+    * space via lookahead — the lookahead keeps the trailing space
+    * unconsumed so adjacent stopwords ("the the") both match, making
+    * the count identical to filtering split(" +") tokens (verified
+    * equal on all sf0.1 documents and in the DuckDB oracle, which
+    * uses the list_filter formulation). */
+  def stopwordCount(text: Column, stopwords: Seq[String] = defaultStopwords): Column = {
     val alternation = stopwords.map(java.util.regex.Pattern.quote).mkString("|")
     val rx = s" ($alternation)(?=[ ])"
-    val nStop = size(regexp_extract_all(concat(lit(" "), lower(text), lit(" ")), lit(rx), lit(0)))
-    nStop.cast("double") / tokenCountWs(text)
+    size(regexp_extract_all(concat(lit(" "), lower(text), lit(" ")), lit(rx), lit(0)))
   }
+
+  def stopwordRatio(text: Column, stopwords: Seq[String] = defaultStopwords): Column =
+    stopwordCount(text, stopwords).cast("double") / tokenCountWs(text)
 
   /** Cheap quality score in [0,1]: penalizes very short docs, very long
     * mean token length, and high punctuation density. Deterministic
@@ -303,6 +305,65 @@ object TextAnalysis {
         org.apache.spark.sql.types.LongType, "cum_tokens")
       .select(col("doc_id"), col("n_tokens"),
         expr(s"CAST((cum_tokens - n_tokens) DIV $windowTokens AS BIGINT)").as("pack_id"))
+  }
+
+  /** TRAINED linear quality classifier — the fastText-style upgrade
+    * path from rule scores ([[qualityScore]]) and corpus-relative joins
+    * ([[unigramLogFreq]]): distill an expensive teacher signal into a
+    * cheap per-doc linear scorer a 100 TB filter pass can run
+    * SCAN-SIDE. Teacher labels here are the integer form of the
+    * quality score's saturating terms (good ⟺ n_tokens ≥ 50 AND mean
+    * token length in [3, 10] ⟺ 3·n_tok ≤ n_chars ≤ 10·n_tok — exact
+    * integer comparisons, no floats); the student is a
+    * NEAREST-CENTROID classifier over four integer features
+    * (token count, char count, distinct-token count, stopword count):
+    * per-class means scaled ×1000 with truncating division, weight
+    * w_i = μG_i − μB_i, decision threshold at the midpoint, margin
+    * `2000·Σ w_i·x_i − Σ w_i·(μG_i + μB_i)` — positive ⟹ predicted
+    * good. Every step is integer arithmetic, so the trained weights
+    * AND every margin replay exactly in any engine.
+    *
+    * The whole train+apply is ONE declarative plan: a feature scan
+    * with map-side partial class aggregation (two groups), the 1-row
+    * weight relation broadcast back, and a second narrow scoring scan
+    * — no driver loop, no collect. Degenerate corpora (a class empty)
+    * fail loud: the scaled means go null and every downstream row
+    * nulls out rather than silently scoring with half-trained
+    * weights.
+    *
+    * Returns (doc_id, x1..x4, label, margin, pred). */
+  def trainedQualityScorer(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val feats = df.select(col(idCol).as("doc_id"),
+        tokenCountWs(col(textCol)).cast("long").as("x1"),
+        length(col(textCol)).cast("long").as("x2"),
+        size(array_distinct(split(lower(col(textCol)), " +"))).cast("long").as("x3"),
+        stopwordCount(col(textCol)).cast("long").as("x4"))
+      .withColumn("label",
+        (col("x1") >= 50 && col("x2") >= col("x1") * 3 && col("x2") <= col("x1") * 10)
+          .cast("int"))
+    // exact integer division (SQL `div`) — float `/` + cast truncates
+    // AFTER double rounding, which stops being exact past 2^53 (a
+    // 100 TB corpus's scaled feature sums get there)
+    def intDiv(a: Column, b: Column): Column = {
+      val cb = org.apache.spark.sql.graft.ColumnBridge
+      cb.column(new org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        cb.expression(a), cb.expression(b)))
+    }
+    def m(cls: Int, x: String): Column =
+      intDiv(sum(when(col("label") === cls, col(x))) * 1000L,
+        sum(when(col("label") === cls, 1L)))
+    val weights = feats.agg(
+      (m(1, "x1") - m(0, "x1")).as("w1"), (m(1, "x2") - m(0, "x2")).as("w2"),
+      (m(1, "x3") - m(0, "x3")).as("w3"), (m(1, "x4") - m(0, "x4")).as("w4"),
+      ((m(1, "x1") - m(0, "x1")) * (m(1, "x1") + m(0, "x1")) +
+        (m(1, "x2") - m(0, "x2")) * (m(1, "x2") + m(0, "x2")) +
+        (m(1, "x3") - m(0, "x3")) * (m(1, "x3") + m(0, "x3")) +
+        (m(1, "x4") - m(0, "x4")) * (m(1, "x4") + m(0, "x4"))).as("t"))
+    val margin = lit(2000L) * (col("w1") * col("x1") + col("w2") * col("x2") +
+      col("w3") * col("x3") + col("w4") * col("x4")) - col("t")
+    feats.crossJoin(broadcast(weights))
+      .select(col("doc_id"), col("x1"), col("x2"), col("x3"), col("x4"),
+        col("label"), margin.as("margin"), (margin > 0).cast("int").as("pred"))
   }
 
   /** C4-style CROSS-DOCUMENT boilerplate removal, span-quantized: the

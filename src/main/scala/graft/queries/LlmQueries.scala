@@ -1153,6 +1153,18 @@ object LlmQueries {
       .orderBy("source")
   }
 
+  /** TRAINED quality classifier ([[TextAnalysis.trainedQualityScorer]]):
+    * integer teacher labels (the quality score's saturating terms in
+    * exact integer form), a nearest-centroid linear student over four
+    * integer features, trained IN-PLAN (one class-conditional
+    * aggregate, 1-row weight relation broadcast back) and applied
+    * corpus-wide. The oracle re-derives features, labels, scaled class
+    * means, weights, threshold and every margin from the parquet —
+    * nothing trained crosses as a literal. */
+  val qualityClassifierTrained: Q = (s, dir) =>
+    TextAnalysis.trainedQualityScorer(Tables(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
   /** Per-source quality-threshold calibration: exact decile boundaries
     * of the quality score within each source — the cutoffs a pipeline
     * uses to apply per-domain (not global) quality filters. Spark's
@@ -1208,6 +1220,7 @@ object LlmQueries {
     "pack_sequences_bpe" -> packSequencesBpe,
     "source_mixture_weights" -> sourceMixtureWeights,
     "quality_deciles_per_source" -> qualityDecilesPerSource,
+    "quality_classifier_trained" -> qualityClassifierTrained,
     "lsh_bucket_histogram" -> lshBucketHistogram,
     "dedup_components" -> dedupComponents,
     "dedup_groups_minhash" -> dedupGroupsMinhash,
@@ -1830,6 +1843,39 @@ object LlmQueries {
         |ORDER BY source""".stripMargin,
     // exact linear-interpolation deciles: quantile_cont == Spark's
     // percentile (the corpus_stats precedent), replayed per source
+    // the whole nearest-centroid training replayed: features → integer
+    // teacher labels → scaled class means (floor division on positive
+    // sums == Spark's truncating div) → weights/threshold → margins
+    "quality_classifier_trained" -> {
+      val sw = TextAnalysis.defaultStopwords.mkString("'", "','", "'")
+      s"""WITH f AS (SELECT doc_id,
+         |    CAST(len(regexp_split_to_array(text, ' +')) AS BIGINT) AS x1,
+         |    CAST(length(text) AS BIGINT) AS x2,
+         |    CAST(len(list_distinct(regexp_split_to_array(lower(text), ' +'))) AS BIGINT) AS x3,
+         |    CAST(len(list_filter(regexp_split_to_array(lower(text), ' +'),
+         |      t -> t IN ($sw))) AS BIGINT) AS x4
+         |  FROM documents),
+         |l AS (SELECT *, CASE WHEN x1 >= 50 AND x2 >= 3*x1 AND x2 <= 10*x1
+         |    THEN 1 ELSE 0 END AS label FROM f),
+         |s AS (SELECT
+         |    sum(CASE WHEN label = 1 THEN x1 END) * 1000 // sum(CASE WHEN label = 1 THEN 1 END) AS g1,
+         |    sum(CASE WHEN label = 1 THEN x2 END) * 1000 // sum(CASE WHEN label = 1 THEN 1 END) AS g2,
+         |    sum(CASE WHEN label = 1 THEN x3 END) * 1000 // sum(CASE WHEN label = 1 THEN 1 END) AS g3,
+         |    sum(CASE WHEN label = 1 THEN x4 END) * 1000 // sum(CASE WHEN label = 1 THEN 1 END) AS g4,
+         |    sum(CASE WHEN label = 0 THEN x1 END) * 1000 // sum(CASE WHEN label = 0 THEN 1 END) AS b1,
+         |    sum(CASE WHEN label = 0 THEN x2 END) * 1000 // sum(CASE WHEN label = 0 THEN 1 END) AS b2,
+         |    sum(CASE WHEN label = 0 THEN x3 END) * 1000 // sum(CASE WHEN label = 0 THEN 1 END) AS b3,
+         |    sum(CASE WHEN label = 0 THEN x4 END) * 1000 // sum(CASE WHEN label = 0 THEN 1 END) AS b4
+         |  FROM l),
+         |w AS (SELECT g1 - b1 AS w1, g2 - b2 AS w2, g3 - b3 AS w3, g4 - b4 AS w4,
+         |    (g1 - b1) * (g1 + b1) + (g2 - b2) * (g2 + b2) +
+         |    (g3 - b3) * (g3 + b3) + (g4 - b4) * (g4 + b4) AS t FROM s)
+         |SELECT l.doc_id, l.x1, l.x2, l.x3, l.x4, l.label,
+         |  CAST(2000 * (w.w1*l.x1 + w.w2*l.x2 + w.w3*l.x3 + w.w4*l.x4) - w.t AS BIGINT) AS margin,
+         |  CAST(CASE WHEN 2000 * (w.w1*l.x1 + w.w2*l.x2 + w.w3*l.x3 + w.w4*l.x4) - w.t > 0
+         |    THEN 1 ELSE 0 END AS INT) AS pred
+         |FROM l, w ORDER BY doc_id""".stripMargin
+    },
     "quality_deciles_per_source" ->
       s"""WITH q AS (SELECT source, $sqlQualityExpr AS q FROM documents),
          |p AS (SELECT source, count(*) AS n_docs,

@@ -396,6 +396,27 @@ class LlmSpec extends AnyFunSuite {
     assert(sw.max / sw.min <= w.max / w.min + 1e-9, "smoothed weights must be flatter")
   }
 
+  test("quality_classifier_trained: the student separates the teacher (agreement floor)") {
+    val rows = graft.queries.LlmQueries
+      .qualityClassifierTrained(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length > 100)
+    val nGood = rows.count(_.getInt(5) == 1)
+    val nBad = rows.length - nGood
+    // the teacher rule must actually split the corpus — a degenerate
+    // single-class "training set" would make the scorer vacuous
+    assert(nGood > rows.length / 10 && nBad > rows.length / 10,
+      s"teacher labels degenerate: $nGood good / $nBad bad")
+    // margins must be non-null (both classes populated => trained
+    // weights are real, the fail-loud contract held) and nontrivial
+    assert(rows.forall(!_.isNullAt(6)), "margins must not be null")
+    assert(rows.map(_.getLong(6)).distinct.length > 10, "margins must vary")
+    // PqSpec-style separation floor: the 4-feature linear student must
+    // agree with the teacher on >= 90% of docs (measured 98% at sf0.001;
+    // the floor leaves room for fixture regeneration, not for drift)
+    val agree = rows.count(r => r.getInt(5) == r.getInt(7)).toDouble / rows.length
+    assert(agree >= 0.9, s"student/teacher agreement $agree below the 0.9 floor")
+  }
+
   test("quality_deciles_per_source: 9 monotone thresholds per source") {
     val rows = graft.queries.LlmQueries.qualityDecilesPerSource(spark, "/root/testdata/sf0.001").collect()
     val bySource = rows.groupBy(_.getString(0))
