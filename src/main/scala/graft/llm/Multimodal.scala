@@ -320,10 +320,101 @@ object Multimodal {
       .withColumn("mean_abs", org.apache.spark.sql.functions.round(col("mean_abs"), 6))
   }
 
+  /** Synthesize an ANIMATED multi-frame GIF payload per row IN-PLAN —
+    * the video-like fixture generator: `nCol` frames of `wCol`×`hCol`
+    * uniform gray, frame k's gray = `grayOf(id, k)`, written as one GIF
+    * sequence via the JDK ImageIO writer (prepareWriteSequence /
+    * writeToSequence — stdlib, no native deps). Uniform-gray frames
+    * round-trip GIF's palette exactly, so every decoded frame's pixels
+    * are fully determined by (id, k) and an oracle can state frame
+    * count × per-frame gray without seeing a byte (the
+    * [[synthesizeImage]] convention, lifted to sequences). Narrow
+    * mapPartitions, no shuffle. */
+  def synthesizeGifFrames(df: DataFrame, idCol: String, nCol: String, wCol: String,
+                          hCol: String)(grayOf: (Long, Int) => Int): DataFrame = {
+    val sel = df.select(col(idCol).cast("long"), col(nCol).cast("int"),
+      col(wCol).cast("int"), col(hCol).cast("int"))
+    val outSchema = StructType(Seq(sel.schema.head, StructField("media", mediaSchema)))
+    sel.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0); val n = r.getInt(1); val w = r.getInt(2); val h = r.getInt(3)
+        val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+        val bos = new java.io.ByteArrayOutputStream()
+        val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+        try {
+          writer.setOutput(ios)
+          writer.prepareWriteSequence(null)
+          var k = 0
+          while (k < n) {
+            val g = grayOf(id, k) & 0xFF
+            val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val rgb = (g << 16) | (g << 8) | g
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+              y += 1
+            }
+            writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+            k += 1
+          }
+          writer.endWriteSequence()
+        } finally { ios.close(); writer.dispose() }
+        Row(r.get(0), Row(bos.toByteArray, "image/gif", w, h, n))
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** REAL multi-frame decode: open each payload with the ImageIO
+    * sequence reader, count its frames (`getNumImages(forceRead)`), and
+    * emit every `stride`-th frame re-encoded as a single-frame PNG
+    * media struct — (id, frame_idx, frame) rows ready for the ordinary
+    * [[extractFeatures]] decode path (PNG is lossless, so re-encoding
+    * preserves each frame's exact pixels). Payloads the reader cannot
+    * open or that hold no image yield ZERO rows — frames exist only
+    * where a real decoder finds them; the byte-chunking
+    * [[sampleFrames]] below remains the codec-free fallback shape.
+    * Narrow flatMap, no shuffle: the 100 TB video feature-extraction
+    * profile (frames fan out scan-side, features reduce per frame). */
+  def sampleImageFrames(df: DataFrame, idCol: String, mediaCol: String, stride: Int = 1): DataFrame = {
+    require(stride > 0, "stride must be positive")
+    val sel = df.select(col(idCol), col(mediaCol).getField("bytes").as("__bytes"))
+    val outSchema = StructType(Seq(
+      sel.schema.head,
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("frame", mediaSchema)))
+    sel.mapPartitions { it =>
+      it.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        if (bytes == null || !looksLikeImage(bytes)) Iterator.empty
+        else {
+          val iis = javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(bytes))
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) { iis.close(); Iterator.empty }
+          else {
+            val reader = readers.next()
+            try {
+              reader.setInput(iis)
+              val n = reader.getNumImages(true)
+              (0 until n by stride).iterator.map { k =>
+                val img = reader.read(k)
+                val bos = new java.io.ByteArrayOutputStream()
+                javax.imageio.ImageIO.write(img, "png", bos)
+                Row(r.get(0), k,
+                  Row(bos.toByteArray, "image/png", img.getWidth, img.getHeight, 1))
+              }.toVector
+            } finally { reader.dispose(); iis.close() }
+          }
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Frame sampling for video-like payloads: every `stride`-th chunk of
     * `frameBytes` bytes becomes a frame payload row (exploded). Pure
     * built-ins — the chunking is the real plumbing; decoding each frame
-    * would reuse [[extractFeatures]]. */
+    * REALLY decodes via [[sampleImageFrames]] when the payload is an
+    * image sequence. */
   def sampleFrames(df: DataFrame, idCol: String, mediaCol: String, frameBytes: Int = 64, stride: Int = 4): DataFrame = {
     val bytes = col(mediaCol).getField("bytes")
     val nFrames = floor(octet_length(bytes) / frameBytes).cast("int")

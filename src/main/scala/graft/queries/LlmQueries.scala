@@ -474,6 +474,37 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** REAL multi-frame (video-like) decode through the driver gate:
+    * per doc an ANIMATED GIF of `2 + doc_id % 4` uniform-gray frames
+    * ([[Multimodal.synthesizeGifFrames]]), sampled at stride 2 by the
+    * ImageIO SEQUENCE reader ([[Multimodal.sampleImageFrames]] —
+    * frame count read from the payload, each sampled frame re-encoded
+    * lossless), then every frame through the ordinary
+    * [[Multimodal.extractFeatures]] decode path. The oracle states
+    * frame count × per-frame gray ((doc_id·13 + k·17) % 256 — formulas
+    * disjoint from every other media gate) without seeing a payload:
+    * a hash match proves sequence encode → frame count → per-frame
+    * decode end-to-end. Narrow maps throughout; the frame fan-out is
+    * scan-side. */
+  val mediaVideoFrames: Q = (s, dir) => {
+    val d = Tables(s, dir, "documents").select(
+      col("doc_id"),
+      expr("CAST(2 + doc_id % 4 AS INT)").as("nf"),
+      expr("CAST(3 + doc_id % 5 AS INT)").as("w"),
+      expr("CAST(2 + doc_id % 3 AS INT)").as("h"))
+    val media = Multimodal.synthesizeGifFrames(d, "doc_id", "nf", "w", "h")(
+      (id, k) => ((id * 13L + k * 17L) % 256L).toInt)
+    val frames = Multimodal.sampleImageFrames(media, "doc_id", "media", stride = 2)
+    val keyed = frames.select(
+      struct(col("doc_id"), col("frame_idx")).as("fid"), col("frame"))
+    Multimodal.extractFeatures(keyed, "fid", "frame", dims = 4)
+      .select(col("fid.doc_id").as("doc_id"), col("fid.frame_idx").as("frame_idx"),
+        element_at(col("features"), 1).cast("int").as("width"),
+        element_at(col("features"), 2).cast("int").as("height"),
+        round(element_at(col("features"), 3) * 255).cast("int").as("gray"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
   /** REAL JPEG decode through the driver gate. JPEG is lossy — an
     * in-plan synthesized payload has no engine-independent expected
     * pixels — so this gate decodes FIXED committed fixture files
@@ -1250,6 +1281,7 @@ object LlmQueries {
     "media_decode_jpeg" -> mediaDecodeJpeg,
     "media_resize" -> mediaResize,
     "media_frames" -> mediaFrames,
+    "media_video_frames" -> mediaVideoFrames,
     "media_audio_stats" -> mediaAudioStats,
     "media_stats" -> mediaStats
   )
@@ -2198,6 +2230,16 @@ object LlmQueries {
         |  CAST(1 + doc_id % 4 AS INT) AS height,
         |  CAST((doc_id * 7) % 256 AS INT) AS gray
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // frame count × per-frame gray stated from the closed forms alone:
+    // the sampled frame indices are range(0, n_frames, 2), and each
+    // frame's palette-exact gray is (doc_id*13 + k*17) % 256
+    "media_video_frames" ->
+      """SELECT doc_id, CAST(k AS INT) AS frame_idx,
+        |  CAST(3 + doc_id % 5 AS INT) AS width,
+        |  CAST(2 + doc_id % 3 AS INT) AS height,
+        |  CAST((doc_id * 13 + k * 17) % 256 AS INT) AS gray
+        |FROM documents, unnest(range(0, 2 + doc_id % 4, 2)) t(k)
+        |ORDER BY doc_id, frame_idx""".stripMargin,
     // resized dims are CONSTANTS strictly outside both source ranges
     // (w ≤ 8, h ≤ 6: no row can match without a real resize), and the
     // uniform gray survives bilinear resize + PNG re-encode exactly —

@@ -290,6 +290,37 @@ class LlmSpec extends AnyFunSuite {
     assert(jf(1L)(0) == 20.0 && jf(2L)(0) == 9.0)
   }
 
+  test("multimodal video: animated-GIF sequence round-trips frame count and per-frame gray") {
+    val d = Seq((0L, 4, 3, 2), (1L, 1, 5, 4), (2L, 5, 2, 2)).toDF("doc_id", "nf", "w", "h")
+    val gif = Multimodal.synthesizeGifFrames(d, "doc_id", "nf", "w", "h")(
+      (id, k) => (id * 10 + k * 7).toInt % 256)
+    // the payload is ONE animated GIF per row
+    val pay = gif.collect().map(r => r.getLong(0) -> r.getStruct(1)).toMap
+    assert(new String(pay(0L).getAs[Array[Byte]](0).take(3), "ASCII") == "GIF")
+    assert(pay(0L).getInt(4) == 4 && pay(1L).getInt(4) == 1)
+    // stride-1: the sequence reader finds every frame, exact grays
+    val all = Multimodal.sampleImageFrames(gif, "doc_id", "media", stride = 1)
+    val feats = Multimodal.extractFeatures(
+        all.select(struct($"doc_id", $"frame_idx").as("fid"), $"frame"), "fid", "frame", dims = 4)
+      .collect().map { r =>
+        val fid = r.getStruct(0); (fid.getLong(0), fid.getInt(1)) -> r.getSeq[Double](1) }.toMap
+    assert(feats.size == 4 + 1 + 5, s"frame fan-out wrong: ${feats.keys.toSeq.sorted}")
+    for (((id, k), f) <- feats) {
+      assert(f(0) == (if (id == 0L) 3.0 else if (id == 1L) 5.0 else 2.0), s"width of ($id,$k)")
+      assert(math.abs(f(2) - ((id * 10 + k * 7) % 256) / 255.0) < 1e-9,
+        s"gray of ($id,$k): got ${f(2)}")
+      assert(f(3) < 1e-12, s"uniform frame must have ~zero variance: ($id,$k)")
+    }
+    // stride-2 samples frames 0,2,4; a non-image payload yields no rows
+    val s2 = Multimodal.sampleImageFrames(gif, "doc_id", "media", stride = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(s2.sorted.toSeq == Seq((0L, 0), (0L, 2), (1L, 0), (2L, 0), (2L, 2), (2L, 4)))
+    val junk = Seq((9L, "not an image".getBytes("UTF-8"))).toDF("doc_id", "bytes")
+      .select($"doc_id", Multimodal.mediaStruct($"bytes", lit("application/octet-stream"),
+        lit(0), lit(0), lit(1)).as("media"))
+    assert(Multimodal.sampleImageFrames(junk, "doc_id", "media").count() == 0)
+  }
+
   test("multimodal audio: PCM pack->parse round trip matches the closed-form stats") {
     // hand-computed on a tiny fixture: id=1, n=4 samples of
     // ((1*7919 + k*104729) % 65536) - 32768
