@@ -58,17 +58,33 @@ object StreamingQueries {
     }
   }
 
-  private def withStatePartitions[T](s: SparkSession, n: Int)(f: => T): T =
+  /** `noDataBatches = false` additionally disables Spark's trailing
+    * no-data micro-batch for the duration of the gate. ONLY legal when
+    * the query's emitted set cannot depend on watermark-driven
+    * eviction EMISSION (inner joins, append aggregations already
+    * closed by data batches): the no-data batch then exists purely to
+    * advance state cleanup, runs a full addBatch cycle (~0.6 s here),
+    * and emits nothing. The left-outer join gate must NOT use it — its
+    * null-extended rows are emitted BY the eviction batch. */
+  private def withStatePartitions[T](s: SparkSession, n: Int,
+      noDataBatches: Boolean = true)(f: => T): T =
     statePartitionsLock.synchronized {
+      val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
       val prev = s.conf.get("spark.sql.shuffle.partitions")
       val prevCkpt = s.conf.getOption("spark.sql.streaming.checkpointLocation")
+      val prevNoData = s.conf.getOption(noDataKey)
       s.conf.set("spark.sql.shuffle.partitions", n.toString)
       checkpointBase.foreach(s.conf.set("spark.sql.streaming.checkpointLocation", _))
+      if (!noDataBatches) s.conf.set(noDataKey, "false")
       try f finally {
         s.conf.set("spark.sql.shuffle.partitions", prev)
         prevCkpt match {
           case Some(c) => s.conf.set("spark.sql.streaming.checkpointLocation", c)
           case None    => s.conf.unset("spark.sql.streaming.checkpointLocation")
+        }
+        prevNoData match {
+          case Some(c) => s.conf.set(noDataKey, c)
+          case None    => s.conf.unset(noDataKey)
         }
       }
     }
@@ -143,7 +159,7 @@ object StreamingQueries {
     * (temp) checkpoint. */
   private val fixtureCache =
     new java.util.concurrent.ConcurrentHashMap[
-      (String, Int, Seq[String], String),
+      (String, Int, Seq[String], String, String),
       (java.io.File, org.apache.spark.sql.types.StructType)]()
 
   private def spillEventIdBucketsCached(
@@ -153,17 +169,45 @@ object StreamingQueries {
       nFiles: Int): (java.io.File, org.apache.spark.sql.types.StructType) =
     spillIdBucketsCached(s, dir, ev, "event_id", nFiles)
 
+  /** `tag` disambiguates cache entries whose projected COLUMNS agree
+    * but whose rows differ (the pre-filtered click/error spills below
+    * project identical columns) — without it two filtered frames would
+    * collide on one cache key and silently share one spill. */
   private def spillIdBucketsCached(
       s: SparkSession,
       dir: String,
       df: DataFrame,
       idCol: String,
-      nFiles: Int): (java.io.File, org.apache.spark.sql.types.StructType) =
-    fixtureCache.computeIfAbsent((dir, nFiles, df.columns.toSeq, idCol), { _ =>
+      nFiles: Int,
+      tag: String = ""): (java.io.File, org.apache.spark.sql.types.StructType) =
+    fixtureCache.computeIfAbsent((dir, nFiles, df.columns.toSeq, idCol, tag), { _ =>
       val out = spillIdBuckets(s, df, idCol, nFiles)
       sys.addShutdownHook(rmTree(out._1))
       out
     })
+
+  /** The click/error sides of the stream-stream join gates as
+    * PRE-FILTERED shared spills: the `event_type` filter runs ONCE at
+    * spill time instead of per micro-batch per gate per side, and the
+    * two join gates (inner + left-outer) read the SAME two fixtures —
+    * per trigger each file source now scans only its own side's rows
+    * (~1/5 of events each) rather than re-scanning and re-filtering the
+    * full events spill twice. Emitted sets are unchanged: the filters
+    * preceded the watermark columns already, so each side's event-time
+    * maximum (hence every watermark advance) is identical. Bucketing by
+    * event_id over the FILTERED frame keeps 4 event_id-contiguous
+    * micro-batches per side. */
+  private def spillTypedEventsCached(
+      s: SparkSession,
+      dir: String,
+      eventType: String,
+      nFiles: Int): (java.io.File, org.apache.spark.sql.types.StructType) = {
+    import org.apache.spark.sql.functions.col
+    val ev = Tables(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"), col("value"))
+      .filter(col("event_type") === eventType)
+    spillIdBucketsCached(s, dir, ev, "event_id", nFiles, tag = eventType)
+  }
 
   private def spillIdBuckets(
       s: SparkSession,
@@ -390,11 +434,17 @@ object StreamingQueries {
 
   /** WATERMARKED STREAM-STREAM INNER JOIN through the oracle gate —
     * the two-unbounded-sides join (clicks ⋈ errors within 1 hour per
-    * user) that no stream-static shape can express. Both sides read
-    * the SAME 4-file event_id-contiguous fixture as independent
-    * sources (`maxFilesPerTrigger=1` → four genuine micro-batches
-    * each), so matches genuinely cross batch boundaries through the
-    * join state store. The equi-key (user_id) partitions the state;
+    * user) that no stream-static shape can express. Each side reads
+    * its own PRE-FILTERED 4-file event_id-contiguous fixture
+    * ([[spillTypedEventsCached]] — spilled once, shared with the
+    * left-outer twin) admitted 2 files per trigger → two genuine
+    * cross-batch micro-batches per side: rows arriving in batch 2
+    * must match click state retained from batch 1, which is the path
+    * under test (r12: was 4×1-file batches; the emitted set is
+    * batch-count-invariant — verified identical — and per-trigger
+    * machinery was 85% of the two gates' 9.7 s, so the gate now buys
+    * the same coverage at half the triggers).
+    * The equi-key (user_id) partitions the state;
     * the time-range condition (`e_ts ∈ [c_ts, c_ts + 1h]`) plus the
     * 48-hour watermarks bound BOTH sides' state — each side evicts
     * rows the watermark proves can no longer match, which is the only
@@ -409,22 +459,22 @@ object StreamingQueries {
     * Scale: state per side is the rows within the watermark horizon,
     * hash-partitioned on user_id; each micro-batch shuffles only its
     * own rows on the key. */
-  val streamJoinClicksErrors: Q = (s, dir) => withStatePartitions(s, 8) {
+  val streamJoinClicksErrors: Q = (s, dir) =>
+      withStatePartitions(s, 2, noDataBatches = false) {
     import org.apache.spark.sql.functions._
-    val ev = Tables(s, dir, "events")
-      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"), col("value"))
     val name = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val (tmp, schema) = spillEventIdBucketsCached(s, dir, ev, nFiles = 4)
-    def src() = s.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").parquet(tmp.getPath + "/*.parquet")
+    val (tmpC, schemaC) = spillTypedEventsCached(s, dir, "click", nFiles = 4)
+    val (tmpE, schemaE) = spillTypedEventsCached(s, dir, "error", nFiles = 4)
     // ts is bigint nanos: truncate to exact integer µs, lift to the
     // TIMESTAMP event-time columns the watermark/join-condition need
-    val clicks = src().filter(col("event_type") === "click")
+    val clicks = s.readStream.schema(schemaC)
+      .option("maxFilesPerTrigger", "2").parquet(tmpC.getPath + "/*.parquet")
       .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
         expr("ts DIV 1000").as("c_us"))
       .withColumn("c_ts", timestamp_micros(col("c_us")))
       .withWatermark("c_ts", "48 hours")
-    val errors = src().filter(col("event_type") === "error")
+    val errors = s.readStream.schema(schemaE)
+      .option("maxFilesPerTrigger", "2").parquet(tmpE.getPath + "/*.parquet")
       .select(col("user_id").as("e_user"), col("event_id").as("error_id"),
         expr("ts DIV 1000").as("e_us"))
       .withColumn("e_ts", timestamp_micros(col("e_us")))
@@ -453,8 +503,10 @@ object StreamingQueries {
     * exists only because the watermark PROVED no match can still
     * arrive, so producing it exercises state expiry as an emission
     * trigger (not just a cleanup). Clicks left-join errors within 1
-    * hour per user, both sides the 4-file event_id-contiguous fixture
-    * (four genuine micro-batches per side).
+    * hour per user, each side its own pre-filtered 4-file
+    * event_id-contiguous fixture (shared with the inner-join twin),
+    * 2 files per trigger → two genuine cross-batch micro-batches per
+    * side (the inner-join gate's r12 trim, same rationale).
     *
     * Determinism of the emitted set: matched pairs equal the batch
     * left join's matches (no row is late — event time is monotone in
@@ -474,22 +526,21 @@ object StreamingQueries {
     * Scale shape: identical to the inner join — state bounded by the
     * watermark horizon on BOTH sides, hash-partitioned on user_id;
     * left-outer adds only the per-eviction emission check. */
-  val streamLeftJoinClicksErrors: Q = (s, dir) => withStatePartitions(s, 8) {
+  val streamLeftJoinClicksErrors: Q = (s, dir) => withStatePartitions(s, 2) {
     import org.apache.spark.sql.functions._
-    val ev = Tables(s, dir, "events")
-      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"), col("value"))
     val name = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val (tmp, schema) = spillEventIdBucketsCached(s, dir, ev, nFiles = 4)
-    def src() = s.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").parquet(tmp.getPath + "/*.parquet")
+    val (tmpC, schemaC) = spillTypedEventsCached(s, dir, "click", nFiles = 4)
+    val (tmpE, schemaE) = spillTypedEventsCached(s, dir, "error", nFiles = 4)
     // ts is bigint nanos: truncate to whole seconds for the event-time
     // columns (exact under the watermark's ms floor), lift to TIMESTAMP
-    val clicks = src().filter(col("event_type") === "click")
+    val clicks = s.readStream.schema(schemaC)
+      .option("maxFilesPerTrigger", "2").parquet(tmpC.getPath + "/*.parquet")
       .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
         expr("ts DIV 1000000000").as("c_sec"))
       .withColumn("c_ts", expr("CAST(c_sec AS TIMESTAMP)"))
       .withWatermark("c_ts", "48 hours")
-    val errors = src().filter(col("event_type") === "error")
+    val errors = s.readStream.schema(schemaE)
+      .option("maxFilesPerTrigger", "2").parquet(tmpE.getPath + "/*.parquet")
       .select(col("user_id").as("e_user"), col("event_id").as("error_id"),
         expr("ts DIV 1000000000").as("e_sec"))
       .withColumn("e_ts", expr("CAST(e_sec AS TIMESTAMP)"))
