@@ -242,7 +242,19 @@ object RelationalQueries {
     * as up to `buckets` parallel tasks instead of one — the skew path
     * for as-of joins at scale. Shares the unsalted query's DuckDB
     * `ASOF JOIN` oracle verbatim, pinning both paths to identical
-    * results. */
+    * results.
+    *
+    * WIN CASE MEASURED (round 12, `graft.AsofSkewProbe` —
+    * SCALE.md §asof-crossover): with one customer owning 90% of a
+    * 15M-row corpus the salted plan is 2.2× faster (11.1 s vs 24.4 s,
+    * buckets = cores); at 50% skew the two break even; on uniform keys
+    * the salt's three-stage plan is ~2.4× overhead. Verdict: prefer
+    * [[asofLargeOrder]]'s plain carry until a single key's timeline
+    * approaches one task's capacity — past that the salted shape is
+    * not just faster but the only one that FITS (the unsalted
+    * straggler sorts the whole hot timeline in one task), which is the
+    * 100 TB case it exists for. Buckets derive from parallelism
+    * (`buckets = 0`): salted32 beat salted8 at every measured point. */
   val asofLargeOrderSalted: Q = (s, dir) => {
     val o = Tables(s, dir, "orders")
     val large = o.filter(col("o_totalprice") > 200000)
@@ -250,7 +262,7 @@ object RelationalQueries {
       .agg(max("o_totalprice").as("big_price"))
     graft.operators.AsofJoin.asofLastSalted(
         o.select("o_custkey", "o_orderdate", "o_orderkey"),
-        large, Seq("o_custkey"), "o_orderdate", Seq("big_price"), buckets = 8)
+        large, Seq("o_custkey"), "o_orderdate", Seq("big_price"), buckets = 0)
       .select(col("o_orderkey"), col("asof_big_price").as("last_big_price"))
       .orderBy("o_orderkey")
   }
