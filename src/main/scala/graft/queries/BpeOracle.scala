@@ -82,6 +82,41 @@ object BpeOracle {
        |  md5(string_agg(CAST(id AS VARCHAR), ',' ORDER BY pos)) AS ids_md5
        |FROM wid GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** `bpe_vocab`: the vocabulary table re-derived entirely from the
+    * training replay — ids pin merge order and the min-id dedup rule. */
+  val bpeVocabSql: String =
+    s"""WITH $trainCtes
+       |SELECT CAST(id AS INT) AS id, tk AS token,
+       |  CAST(CASE WHEN id >= (SELECT count(*) FROM vocabc) THEN 1 ELSE 0 END AS INT) AS is_merge
+       |FROM vocab ORDER BY id""".stripMargin
+
+  /** `token_length_histogram_bpe`: the context-length histogram on
+    * exact BPE counts (bucket boundaries shared with the ws variant). */
+  val tokenLengthHistogramBpeSql: String =
+    s"""WITH $trainCtes,
+       |nt AS (SELECT doc_id, len(ts) AS n FROM enc)
+       |SELECT CASE WHEN n <= 64 THEN 'a_0-64' WHEN n <= 128 THEN 'b_65-128'
+       |  WHEN n <= 256 THEN 'c_129-256' WHEN n <= 512 THEN 'd_257-512'
+       |  ELSE 'e_513+' END AS len_bucket,
+       |  count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS total_tokens
+       |FROM nt GROUP BY 1 ORDER BY len_bucket""".stripMargin
+
+  /** `source_mixture_weights_bpe`: the integer ppm mixture math of
+    * `source_mixture_weights`, on exact BPE token budgets. */
+  val sourceMixtureWeightsBpeSql: String =
+    s"""WITH $trainCtes,
+       |nt AS (SELECT e.doc_id, len(e.ts) AS n_tokens, d.source
+       |  FROM enc e JOIN documents d USING (doc_id)),
+       |per AS (SELECT source, count(*) AS n_docs,
+       |    CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM nt GROUP BY source),
+       |per2 AS (SELECT *, CAST(floor(sqrt(CAST(total_tokens AS DOUBLE))) AS BIGINT) AS isq FROM per),
+       |tot AS (SELECT CAST(sum(total_tokens) AS BIGINT) AS gt, CAST(sum(isq) AS BIGINT) AS gi FROM per2)
+       |SELECT source, n_docs, total_tokens,
+       |  total_tokens * 1000000 // gt AS weight_ppm,
+       |  isq * 1000000 // gi AS smoothed_weight_ppm
+       |FROM per2, tot
+       |ORDER BY source""".stripMargin
+
   /** `pack_sequences_bpe`: the `pack_sequences` window-sum replay on
     * EXACT BPE token counts instead of the whitespace proxy. */
   val packSequencesBpeSql: String =

@@ -1169,6 +1169,63 @@ object LlmQueries {
       d, "doc_id", Bpe.tokenCount(col("text"), trained.merges).cast("long"))
   }
 
+  /** The trained BPE VOCABULARY as a first-class artifact — (id, token,
+    * is_merge), the file a training job ships to its tokenizer. Tiny by
+    * construction (alphabet + NumMerges rows); emitted via a driver-side
+    * createDataFrame, which is exactly right for a KB-sized artifact.
+    * The oracle re-derives every id from the training replay, so the
+    * table pins merge ORDER and the dedup-by-min-id rule directly. */
+  val bpeVocab: Q = (s, dir) => {
+    import scala.jdk.CollectionConverters._
+    val trained = trainedBpe(s, dir)
+    val nAlpha = trained.alphabet.size
+    val rows = trained.vocab.toSeq.sortBy(_._2).map { case (tk, id) =>
+      org.apache.spark.sql.Row(id, tk, if (id >= nAlpha) 1 else 0)
+    }
+    s.createDataFrame(rows.asJava, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("token", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("is_merge", org.apache.spark.sql.types.IntegerType))))
+      .orderBy("id")
+  }
+
+  /** `token_length_histogram` on EXACT BPE token counts — the real
+    * context-length planning histogram (the whitespace variant stays as
+    * the cheap pre-tokenizer screen). Same bucket boundaries. */
+  val tokenLengthHistogramBpe: Q = (s, dir) => {
+    val d = Tables(s, dir, "documents")
+    val n = Bpe.tokenCount(col("text"), trainedBpe(s, dir).merges)
+    d.select(n.as("n"))
+      .select(
+        when(col("n") <= 64, "a_0-64").when(col("n") <= 128, "b_65-128")
+          .when(col("n") <= 256, "c_129-256").when(col("n") <= 512, "d_257-512")
+          .otherwise("e_513+").as("len_bucket"),
+        col("n"))
+      .groupBy("len_bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("n").cast("long").as("total_tokens"))
+      .orderBy("len_bucket")
+  }
+
+  /** `source_mixture_weights` on EXACT BPE token budgets — mixture
+    * design in the unit the training job actually consumes. Same
+    * integer ppm/floor-sqrt math; one corpus scan plus the |sources|-row
+    * window. */
+  val sourceMixtureWeightsBpe: Q = (s, dir) => {
+    val w = Window.partitionBy()
+    Tables(s, dir, "documents")
+      .select(col("source"),
+        Bpe.tokenCount(col("text"), trainedBpe(s, dir).merges).cast("long").as("n_tokens"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))
+      .withColumn("isqrt_tokens", floor(sqrt(col("total_tokens").cast("double"))).cast("long"))
+      .withColumn("grand_tokens", sum("total_tokens").over(w))
+      .withColumn("grand_isqrt", sum("isqrt_tokens").over(w))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        expr("total_tokens * 1000000L div grand_tokens").as("weight_ppm"),
+        expr("isqrt_tokens * 1000000L div grand_isqrt").as("smoothed_weight_ppm"))
+      .orderBy("source")
+  }
+
   /** Training-mixture design: per-source token budgets and sampling
     * weights (proportional + sqrt-smoothed, the standard multi-source
     * rebalancing knob). Integer-exact by construction: token totals are
@@ -1258,7 +1315,10 @@ object LlmQueries {
     "embedding_kmeans_assign" -> embeddingKmeansAssign,
     "bpe_pair_stats" -> bpePairStats,
     "bpe_encode" -> bpeEncode,
+    "bpe_vocab" -> bpeVocab,
     "pack_sequences_bpe" -> packSequencesBpe,
+    "token_length_histogram_bpe" -> tokenLengthHistogramBpe,
+    "source_mixture_weights_bpe" -> sourceMixtureWeightsBpe,
     "source_mixture_weights" -> sourceMixtureWeights,
     "quality_deciles_per_source" -> qualityDecilesPerSource,
     "quality_classifier_trained" -> qualityClassifierTrained,
@@ -1869,7 +1929,10 @@ object LlmQueries {
     // CTEs (BpeOracle) — merge argmaxes, vocabulary ids and the per-doc
     // double-spaced replace encoding all re-derived from the parquet
     "bpe_encode" -> BpeOracle.bpeEncodeSql,
+    "bpe_vocab" -> BpeOracle.bpeVocabSql,
     "pack_sequences_bpe" -> BpeOracle.packSequencesBpeSql,
+    "token_length_histogram_bpe" -> BpeOracle.tokenLengthHistogramBpeSql,
+    "source_mixture_weights_bpe" -> BpeOracle.sourceMixtureWeightsBpeSql,
     // integer floor-division ppm weights; floor(sqrt) of a BIGINT is
     // engine-portable because IEEE sqrt is correctly rounded
     "source_mixture_weights" ->
