@@ -137,6 +137,48 @@ object Dedup {
         col("wh"), col("n_occurrences"))
   }
 
+  /** MAXIMAL duplicate spans — [[substringDupSpans]]' window hits merged
+    * into the longest contiguous word-index intervals per document, the
+    * unit a substring-level dedup actually REMOVES (the published
+    * method — Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better" — emits maximal repeated spans, not raw
+    * window matches: cutting per-window would re-split one long
+    * duplicated paragraph into w-sized confetti).
+    *
+    * Interval merge as a window computation: windows sorted by pos per
+    * doc; a window OPENS a new span iff its start lies strictly beyond
+    * the running max end of every earlier window (overlap-or-adjacent
+    * windows merge — adjacency means the duplicated text is contiguous).
+    * The island id is the running sum of open flags. All arithmetic is
+    * integer (engine-exact); the per-doc sort adds ONE doc_id-keyed
+    * exchange of (doc_id, pos) rows on top of the window-hash shuffle —
+    * a doc's window hits always fit one task because they are bounded
+    * by the doc's own length, so the sort never needs range salting.
+    *
+    * Returns (doc_id, span_start, span_end, span_words, n_windows) with
+    * [span_start, span_end) in word indices. */
+  def substringDupMaximalSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      w: Int = 8,
+      maxBucket: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    substringDupSpans(df, idCol, textCol, w, maxBucket)
+      .select(col("doc_id"), col("pos"), (col("pos") + lit(w)).as("e"))
+      .withColumn("prev_max",
+        max(col("e")).over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("ns",
+        when(col("prev_max").isNull || col("pos") > col("prev_max"), 1).otherwise(0))
+      .withColumn("span_id", sum(col("ns")).over(byDoc))
+      .groupBy(col("doc_id"), col("span_id"))
+      .agg(min("pos").as("span_start"), max("e").as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start")).as("span_words"), col("n_windows"))
+  }
+
   /** MinHash+LSH near-duplicate candidate pairs with estimated Jaccard.
     *
     * @param maxBucket hot-bucket cap: buckets larger than this are

@@ -317,14 +317,25 @@ object Similarity {
     * dial is sampleN/k (driver memory, KBs) — corpus cost is one scan
     * regardless of training size. */
   def kmeansAssign(corpus: DataFrame, idCol: String, vecCol: String,
-      k: Int = 4, sampleN: Int = 16, iters: Int = 2): DataFrame = {
+      k: Int = 4, sampleN: Int = 16, iters: Int = 2): DataFrame =
+    kmeansAssignFull(corpus, idCol, vecCol, k, sampleN, iters)
+      .select(col(idCol), col("centroid"), col("dist2"))
+
+  /** [[kmeansAssign]] with the original vector column retained —
+    * consumers that need the vector AND the assignment ([[semDedup]])
+    * read it from one narrow map instead of joining the assignment back
+    * to the corpus by id (which would add an id-keyed shuffle of both
+    * corpus-sized sides). Catalyst prunes the vector away for callers
+    * that drop it, so [[kmeansAssign]] pays nothing for the refactor. */
+  private def kmeansAssignFull(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, sampleN: Int, iters: Int): DataFrame = {
     val sample = md5Sample(corpus, idCol, vecCol, sampleN)
       .map(_.map(x => math.floor(x * 1000.0).toLong))
     val cents = kmeansL2Long(sample, k, iters, floorUpdate = true)
     val centsCol = array(cents.zipWithIndex.map { case (cv, ci) =>
       struct(lit(ci).as("c"), array(cv.map(lit(_)): _*).as("v")) }: _*)
     corpus
-      .select(col(idCol),
+      .select(col(idCol), col(vecCol),
         transform(col(vecCol), x => floor(x.cast("double") * 1000).cast("long")).as("q"))
       .withColumn("cents", centsCol)
       .withColumn("best", expr(
@@ -332,7 +343,56 @@ object Similarity {
           |  aggregate(zip_with(ct.v, q, (a, b) -> (a - b) * (a - b)),
           |            CAST(0 AS BIGINT), (s, x) -> s + x) AS d,
           |  ct.c AS c)))""".stripMargin))
-      .select(col(idCol), col("best.c").as("centroid"), col("best.d").as("dist2"))
+      .select(col(idCol), col(vecCol),
+        col("best.c").as("centroid"), col("best.d").as("dist2"))
+  }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic dedup by
+    * cluster-then-prune: embeddings are clustered by the TRAINED integer
+    * quantizer ([[kmeansAssign]]'s Lloyd's loop, oracle-replayed
+    * end-to-end), exact cosine runs only on WITHIN-cluster pairs, and of
+    * each pair above `threshold` the member CLOSER to its centroid is
+    * dropped — the paper's keep-rule (keep the lowest
+    * centroid-similarity copy: the least prototypical example carries
+    * the most marginal information). Ties on the integer distance break
+    * to the smaller id so the kept set is total.
+    *
+    * Verdicts are emitted per vector, not per pair: (vec_id, centroid,
+    * dist2, status kept|dropped) — the disposition frame a curation
+    * pipeline joins back to the corpus. Cosine VALUES never appear in
+    * the output (their low-order float bits are not engine-portable;
+    * the ≥-threshold comparison is — the `dedup_embedding` convention),
+    * and the drop rule compares exact BIGINT centroid distances.
+    *
+    * Scale shape: this is the published method's cost model made
+    * explicit — ONE cluster-keyed exchange of (id, vector, dist2) and
+    * cluster-LOCAL pairwise verification, O(Σ cᵢ²) not O(n²). The dial
+    * is k: SemDeDup runs k ≈ n/B so expected cluster size B stays
+    * bounded (the paper uses 50k clusters for 5B embeddings); k = 4
+    * here only because the DuckDB oracle replays the whole training
+    * loop as finite CTEs. The within-cluster self-join is an equi-join
+    * on centroid — never a cartesian — and at k clusters it fans out at
+    * most max(cᵢ)·n rows, capped in production by the same
+    * oversize-cluster drop rule as the LSH bucket cap. */
+  def semDedup(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int = 4, sampleN: Int = 16, iters: Int = 2,
+      threshold: Double = 0.4): DataFrame = {
+    val a = kmeansAssignFull(corpus, idCol, vecCol, k, sampleN, iters)
+      .select(col(idCol).as("vec_id"), col(vecCol).as("v"),
+        col("centroid"), col("dist2"))
+    val losers = a.select(col("centroid"), col("vec_id").as("id_a"),
+        col("v").as("va"), col("dist2").as("da"))
+      .join(a.select(col("centroid"), col("vec_id").as("id_b"),
+        col("v").as("vb"), col("dist2").as("db")), Seq("centroid"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(cosine(col("va"), col("vb")) >= threshold)
+      .select(when(col("da") < col("db") ||
+          (col("da") === col("db") && col("id_a") > col("id_b")),
+        col("id_a")).otherwise(col("id_b")).as("vec_id"))
+      .distinct()
+    a.join(losers.withColumn("is_dup", lit(true)), Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("centroid"), col("dist2"),
+        when(col("is_dup"), lit("dropped")).otherwise(lit("kept")).as("status"))
   }
 
   /** IVF-style approximate top-k: a coarse quantizer (deterministically

@@ -237,6 +237,16 @@ object LlmQueries {
         w = 8, maxBucket = MaxBucket)
       .orderBy("doc_id", "pos", "wh")
 
+  /** The REMOVAL view of substring dedup: overlapping/adjacent duplicate
+    * windows merged into maximal per-doc spans ([[Dedup
+    * .substringDupMaximalSpans]]) — what an ExactSubstr-style pass cuts.
+    * Integer-only island merge, oracle-replayed over the SAME window
+    * CTEs as `dedup_substring` (shared block, so the two can't drift). */
+  val dedupSubstringSpans: Q = (s, dir) =>
+    Dedup.substringDupMaximalSpans(Tables(s, dir, "documents"), "doc_id", "text",
+        w = 8, maxBucket = MaxBucket)
+      .orderBy("doc_id", "span_start")
+
   /** MinHash+LSH near-dup candidate pairs (est. Jaccard >= 0.3), in
     * PORTABLE mode: md5-derived signatures/band keys, so the whole
     * shingle→minhash→band→bucket-pair pipeline is replayed exactly by
@@ -358,6 +368,19 @@ object LlmQueries {
       .select(col("id_a"), col("id_b"))
       .orderBy("id_a", "id_b")
   }
+
+  /** SemDeDup ([[Similarity.semDedup]]): cluster-then-prune semantic
+    * dedup under the TRAINED quantizer — the oracle replays Lloyd's
+    * training (the shared `kmeansTrainCtes` block of
+    * `embedding_kmeans_assign`/`ann_ivf_trained`), the within-cluster
+    * pairwise cosine, and the keep-farthest-from-centroid rule, so the
+    * whole published method is hash-verified end-to-end. Threshold 0.4
+    * surfaces the corpus's genuine near pairs (the `dedup_embedding`
+    * calibration); both statuses fire at every fixture sf. */
+  val dedupSemantic: Q = (s, dir) =>
+    Similarity.semDedup(Tables(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.4)
+      .orderBy("vec_id")
 
   /** Embedding-LSH bucket-size histogram — the audit view for
     * [[Similarity.cosineNearDupPairs]]' hot-bucket cap, the sibling of
@@ -1298,6 +1321,7 @@ object LlmQueries {
     "doc_fingerprint" -> docFingerprint,
     "dedup_exact" -> dedupExact,
     "dedup_substring" -> dedupSubstring,
+    "dedup_substring_spans" -> dedupSubstringSpans,
     "bloom_prune_docs" -> bloomPruneDocs,
     "dedup_minhash" -> dedupMinhash,
     "dedup_simhash" -> dedupSimhash,
@@ -1309,6 +1333,7 @@ object LlmQueries {
     "ann_ivf_trained" -> annIvfTrained,
     "ann_pq_trained" -> annPqTrained,
     "dedup_embedding" -> dedupEmbedding,
+    "dedup_semantic" -> dedupSemantic,
     "embedding_bucket_histogram" -> embeddingBucketHistogram,
     "embedding_moments" -> embeddingMoments,
     "embedding_outliers" -> embeddingOutliers,
@@ -1404,6 +1429,23 @@ object LlmQueries {
       |  WHERE est_jaccard >= 0.3 GROUP BY id_a, id_b)""".stripMargin
 
   private[queries] val minhashCtes: String = minhashCtesOver("documents")
+
+  /** Shared DuckDB replay of the positional w=8 window-hash pass
+    * ([[Dedup.substringDupSpans]]): span md5 → 60-bit hash, corpus-wide
+    * occurrence counts, the 2..MaxBucket hot-window cap. Ends with
+    * `hits(doc_id, pos, wh, n_occurrences)` — consumed verbatim by
+    * `dedup_substring` and merged into maximal intervals by
+    * `dedup_substring_spans`, so the two oracles share one window
+    * definition and cannot drift. */
+  private val substringWindowCtes: String =
+    s"""w AS (SELECT doc_id, regexp_split_to_array(lower(text), ' +') AS ws FROM documents),
+       |s AS (SELECT doc_id, CAST(i AS INT) AS pos,
+       |    array_to_string(ws[CAST(i + 1 AS INT):CAST(i + 8 AS INT)], ' ') AS span
+       |  FROM w, unnest(range(0, greatest(len(ws) - 8 + 1, 0))) t(i)),
+       |h AS (SELECT doc_id, pos, ${hx60("md5(span)")} AS wh FROM s),
+       |g AS (SELECT wh, CAST(count(*) AS INT) AS n_occurrences FROM h GROUP BY wh
+       |  HAVING count(*) BETWEEN 2 AND $MaxBucket),
+       |hits AS (SELECT h.doc_id, h.pos, h.wh, g.n_occurrences FROM h JOIN g USING (wh))""".stripMargin
 
   /** Shared DuckDB replay of the TRAINED integer-L2 vector quantizer
     * ([[Similarity.kmeansAssign]] / [[Similarity.ivfTopKTrained]]:
@@ -1662,6 +1704,33 @@ object LlmQueries {
          |  FROM terms GROUP BY id_a, id_b)
          |SELECT id_a, id_b FROM dots WHERE dot / (sqrt(na) * sqrt(nb)) >= 0.4
          |ORDER BY id_a, id_b""".stripMargin,
+    // SemDeDup end-to-end: the shared kmeans training replay, the
+    // within-cluster pairwise cosine (threshold-compared only — float
+    // values never emitted), and the keep-farthest-from-centroid rule
+    // on exact BIGINT distances (ties to the smaller id)
+    "dedup_semantic" ->
+      (s"WITH $kmeansTrainCtes,\n" +
+       """asg AS (SELECT vec_id, c AS centroid, d AS dist2 FROM (
+         |    SELECT vec_id, c, d, row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rk
+         |    FROM af) WHERE rk = 1),
+         |prs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.dist2 AS da, b.dist2 AS db
+         |  FROM asg a JOIN asg b ON a.centroid = b.centroid AND a.vec_id < b.vec_id),
+         |pv AS (SELECT p.id_a, p.id_b, ea.embedding AS va, eb.embedding AS vb
+         |  FROM prs p JOIN embeddings ea ON ea.vec_id = p.id_a
+         |  JOIN embeddings eb ON eb.vec_id = p.id_b),
+         |terms AS (SELECT id_a, id_b,
+         |    CAST(va[i+1] AS DOUBLE) AS xa, CAST(vb[i+1] AS DOUBLE) AS xb
+         |  FROM pv, unnest(range(0, len(va))) t(i)),
+         |dots AS (SELECT id_a, id_b, sum(xa*xb) AS dot, sum(xa*xa) AS na, sum(xb*xb) AS nb
+         |  FROM terms GROUP BY id_a, id_b),
+         |losers AS (SELECT DISTINCT CASE WHEN p.da < p.db OR (p.da = p.db AND p.id_a > p.id_b)
+         |      THEN p.id_a ELSE p.id_b END AS vec_id
+         |  FROM dots d JOIN prs p ON d.id_a = p.id_a AND d.id_b = p.id_b
+         |  WHERE d.dot / (sqrt(d.na) * sqrt(d.nb)) >= 0.4)
+         |SELECT asg.vec_id, asg.centroid, asg.dist2,
+         |  CASE WHEN losers.vec_id IS NOT NULL THEN 'dropped' ELSE 'kept' END AS status
+         |FROM asg LEFT JOIN losers ON asg.vec_id = losers.vec_id
+         |ORDER BY asg.vec_id""".stripMargin),
     // Exact top-k ranking IS oracle-able: cosines of the random corpus
     // are well-separated, and both engines' double math agrees on the
     // ordering (validated at sf0.01 and sf0.1). ann_ivf's md5-based
@@ -2338,15 +2407,26 @@ object LlmQueries {
     // every positional window hash re-derived from md5(span); the
     // 2..MaxBucket band mirrors the Spark-side hot-window cap
     "dedup_substring" ->
-      s"""WITH w AS (SELECT doc_id, regexp_split_to_array(lower(text), ' +') AS ws FROM documents),
-         |s AS (SELECT doc_id, CAST(i AS INT) AS pos,
-         |    array_to_string(ws[CAST(i + 1 AS INT):CAST(i + 8 AS INT)], ' ') AS span
-         |  FROM w, unnest(range(0, greatest(len(ws) - 8 + 1, 0))) t(i)),
-         |h AS (SELECT doc_id, pos, ${hx60("md5(span)")} AS wh FROM s),
-         |g AS (SELECT wh, CAST(count(*) AS INT) AS n_occurrences FROM h GROUP BY wh
-         |  HAVING count(*) BETWEEN 2 AND $MaxBucket)
-         |SELECT h.doc_id, h.pos, h.wh, g.n_occurrences
-         |FROM h JOIN g USING (wh) ORDER BY doc_id, pos, wh""".stripMargin,
+      s"""WITH $substringWindowCtes
+         |SELECT doc_id, pos, wh, n_occurrences
+         |FROM hits ORDER BY doc_id, pos, wh""".stripMargin,
+    // the SAME hits merged into maximal intervals: running-max-of-end
+    // island detection (a window opens a span iff it starts beyond
+    // every earlier window's end), integer arithmetic throughout
+    "dedup_substring_spans" ->
+      (s"WITH $substringWindowCtes,\n" +
+       """hw AS (SELECT doc_id, pos, pos + 8 AS e FROM hits),
+         |m AS (SELECT doc_id, pos, e,
+         |    max(e) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max FROM hw),
+         |f AS (SELECT doc_id, pos, e,
+         |    CASE WHEN prev_max IS NULL OR pos > prev_max THEN 1 ELSE 0 END AS ns FROM m),
+         |sp AS (SELECT doc_id, pos, e,
+         |    sum(ns) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS UNBOUNDED PRECEDING) AS span_id FROM f)
+         |SELECT doc_id, min(pos) AS span_start, max(e) AS span_end,
+         |  max(e) - min(pos) AS span_words, CAST(count(*) AS BIGINT) AS n_windows
+         |FROM sp GROUP BY doc_id, span_id ORDER BY doc_id, span_start""".stripMargin),
     // the Bloom sketch only pre-prunes; the result is the exact semi join
     "bloom_prune_docs" ->
       """SELECT doc_id, md5(lower(text)) AS content_hash FROM documents

@@ -448,6 +448,62 @@ class LlmSpec extends AnyFunSuite {
     assert(agree >= 0.9, s"student/teacher agreement $agree below the 0.9 floor")
   }
 
+  test("substring maximal spans: overlapping windows merge, adjacent windows merge, gaps split") {
+    // Shared 12-word block S1..S12 sits at offset 5 in doc 1 and offset 0
+    // in doc 2 -> 5 fully-contained w=8 windows each, one merged span.
+    // Doc 3 repeats S1..S8 at offsets 0 and 12 (4 junk words between):
+    // the two hits are 4 words apart -> two SEPARATE 1-window spans.
+    // Doc 4 chains two duplicated 8-blocks back to back (S-block then
+    // T-block, T planted in doc 5): hits at pos 0 and pos 8 are exactly
+    // ADJACENT (pos == running max end) -> one 16-word span of 2 windows.
+    val S = (1 to 12).map(i => s"s$i")
+    val T = (1 to 8).map(i => s"t$i")
+    val docs = Seq(
+      (1L, ((1 to 5).map(i => s"p$i") ++ S ++ (1 to 5).map(i => s"q$i")).mkString(" ")),
+      (2L, (S ++ (1 to 10).map(i => s"r$i")).mkString(" ")),
+      (3L, (S.take(8) ++ (1 to 4).map(i => s"j$i") ++ S.take(8)).mkString(" ")),
+      (4L, (S.take(8) ++ T).mkString(" ")),
+      (5L, (T ++ (1 to 8).map(i => s"v$i")).mkString(" "))).toDF("doc_id", "text")
+    val got = Dedup.substringDupMaximalSpans(docs, "doc_id", "text", w = 8)
+      .orderBy("doc_id", "span_start")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("span_start"),
+        r.getAs[Int]("span_end"), r.getAs[Int]("span_words"), r.getAs[Long]("n_windows")))
+    assert(got.toSeq == Seq(
+      (1L, 5, 17, 12, 5L),   // overlap merge: 5 windows, one 12-word span
+      (2L, 0, 12, 12, 5L),
+      (3L, 0, 8, 8, 1L),     // gap: two disjoint repeats stay two spans
+      (3L, 12, 20, 8, 1L),
+      (4L, 0, 16, 16, 2L),   // adjacency merge: contiguous duplicated text
+      (5L, 0, 8, 8, 1L)), s"got: ${got.toSeq}")
+  }
+
+  test("semDedup matches an independent driver-side replay of the keep rule") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val got = Similarity.semDedup(e, "vec_id", "embedding", threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3))).sortBy(_._1)
+    assert(got.length == e.count(), "one verdict per vector")
+    assert(got.map(_._4).toSet == Set("kept", "dropped"), "both statuses must fire")
+    // independent replay: the trained assignment (itself spec-pinned
+    // above) + brute-force within-cluster cosine + the paper's
+    // keep-farthest-from-centroid rule, all in plain Scala
+    val asg = Similarity.kmeansAssign(e, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val vecs = e.collect().map(r => (r.getLong(0),
+      r.getSeq[Float](1).map(_.toDouble).toArray)).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0 || nb == 0) 0.0 else d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val dropped = (for {
+      Array((ia, _, da), (ib, _, db)) <- asg.groupBy(_._2).values.flatMap(_.sortBy(_._1).combinations(2))
+      if cos(vecs(ia), vecs(ib)) >= 0.4
+    } yield if (da < db || (da == db && ia > ib)) ia else ib).toSet
+    val expect = asg.map { case (id, c, d) =>
+      (id, c, d, if (dropped(id)) "dropped" else "kept") }.sortBy(_._1)
+    assert(got.toSeq == expect.toSeq, "Spark semDedup diverges from the driver-side replay")
+  }
+
   test("quality_deciles_per_source: 9 monotone thresholds per source") {
     val rows = graft.queries.LlmQueries.qualityDecilesPerSource(spark, "/root/testdata/sf0.001").collect()
     val bySource = rows.groupBy(_.getString(0))

@@ -112,6 +112,16 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the exchange must not carry the text column:\n$below")
   }
 
+  test("dedup_semantic: within-cluster pairing is a centroid equi-join, never all-pairs") {
+    val df = graft.SparkEntry.queries("dedup_semantic")(spark, TestSpark.sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"SemDeDup's pairwise stage must equi-join on the cluster id:\n$plan")
+    // the pair generation must key on the centroid column — the
+    // published method's cluster-local cost model, not n² over the corpus
+    assert(plan.contains("centroid"), s"expected a centroid-keyed join:\n$plan")
+  }
+
   test("concurrent_orders: interval overlap runs as an equi-join, never nested-loop") {
     val df = graft.SparkEntry.queries("concurrent_orders")(spark, TestSpark.sfDir)
     val plan = df.queryExecution.executedPlan.toString
