@@ -72,7 +72,13 @@ object ScaleProbe {
     "ann_ivf_trained",
     "ann_pq_trained",
     "decontaminate_semantic",
-    "media_resize")
+    "media_resize",
+    // round 12: the window-hash + doc-keyed island merge, and the
+    // cluster-keyed pairwise of SemDeDup (fixed k=4 here — the probe
+    // SHOWS the cᵢ² growth the k ∝ n dial exists to cancel; the k-dial
+    // measurement is recorded separately in SCALE.md)
+    "dedup_substring_spans",
+    "dedup_semantic")
 
   private def rot(s: String, k: Int): String = s.drop(k % s.length) + s.take(k % s.length)
 
