@@ -70,4 +70,40 @@ object Sampling {
       .filter(col("__rk") <= col("__k"))
       .drop("__rk", "__k")
   }
+
+  /** 60-bit md5 id hash — the first 15 hex chars of `md5(cast(id))` as
+    * a non-negative BIGINT, bit-identical to the DuckDB `hx60` parse
+    * used across the oracle family. Codegen'd builtins only. */
+  def hash60(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** Deterministic shard id in [0, nShards): `hash60(id) % nShards`.
+    * A pure function of the id — the WebDataset-style assignment every
+    * dataloader can recompute without a lookup table. */
+  def shardAssign(id: Column, nShards: Int): Column = {
+    require(nShards > 0, "nShards must be positive")
+    (hash60(id) % nShards).cast("int")
+  }
+
+  /** Per-shard manifest of a training corpus: (shard_id, n_docs,
+    * total_chars, ids_xor) — the artifact a sharded export job writes
+    * next to its data files so any consumer can verify COMPLETENESS
+    * (xor checksum over member-id hashes) and plan io (docs/bytes per
+    * shard) without reading the shards.
+    *
+    * The checksum is `bit_xor(hash60(id))`: ORDER-INDEPENDENT and
+    * constant-state, so the aggregate keeps O(1) memory per shard and
+    * combines map-side — unlike an ordered id concatenation, whose
+    * per-shard state is the shard's whole membership (gigabytes at
+    * 100 TB) and whose value depends on a sort. Whole job = one narrow
+    * hash map over the scan + ONE aggregate with `nShards` groups
+    * (map-side partials reduce every partition to ≤ nShards rows before
+    * the only exchange). */
+  def shardManifest(df: DataFrame, idCol: String, sizeCol: String,
+      nShards: Int = 64): DataFrame =
+    df.select(shardAssign(col(idCol), nShards).as("shard_id"),
+        col(sizeCol).as("__sz"), hash60(col(idCol)).as("__h"))
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"), sum("__sz").as("total_chars"),
+        expr("bit_xor(__h)").as("ids_xor"))
 }

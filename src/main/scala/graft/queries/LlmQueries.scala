@@ -830,6 +830,15 @@ object LlmQueries {
       .select(col("doc_id"), Sampling.hashSplit(col("doc_id"), trainPct = 90).as("split"))
       .orderBy("doc_id")
 
+  /** Sharded-export manifest ([[Sampling.shardManifest]], 64 shards):
+    * per-shard doc counts, byte budgets, and the order-independent
+    * `bit_xor` membership checksum — the completeness artifact a
+    * WebDataset-style export writes next to its shards. One narrow map
+    * + one 64-group constant-state aggregate; every value integer. */
+  val shardManifest: Q = (s, dir) =>
+    Sampling.shardManifest(Tables(s, dir, "documents"), "doc_id", "n_chars", nShards = 64)
+      .orderBy("shard_id")
+
   /** Deterministic 5-per-language document sample
     * ([[Sampling.samplePerGroup]]): smallest md5(doc_id) per lang —
     * seed-free, engine-replayable selection. */
@@ -1368,6 +1377,7 @@ object LlmQueries {
     "dedup_incremental" -> dedupIncremental,
     "dedup_incremental_bucketed" -> dedupIncrementalBucketed,
     "split_train_val" -> splitTrainVal,
+    "shard_manifest" -> shardManifest,
     "sample_docs_per_lang" -> sampleDocsPerLang,
     "media_features" -> mediaFeatures,
     "media_decode_bmp" -> mediaDecodeBmp,
@@ -2347,6 +2357,16 @@ object LlmQueries {
         |          + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) < 230
         |       THEN 'train' ELSE 'val' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // hash60 = the hx60 parse of md5(id); bit_xor folds the shard
+    // membership into one 60-bit word, order-independently
+    "shard_manifest" ->
+      s"""WITH a AS (SELECT doc_id, n_chars,
+         |    ${hx60("md5(CAST(doc_id AS VARCHAR))")} AS h60
+         |  FROM documents)
+         |SELECT CAST(h60 % 64 AS INT) AS shard_id,
+         |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         |  bit_xor(h60) AS ids_xor
+         |FROM a GROUP BY 1 ORDER BY shard_id""".stripMargin,
     "sample_docs_per_lang" ->
       """SELECT lang, doc_id FROM (
         |  SELECT lang, doc_id, row_number() OVER (PARTITION BY lang

@@ -504,6 +504,25 @@ class LlmSpec extends AnyFunSuite {
     assert(got.toSeq == expect.toSeq, "Spark semDedup diverges from the driver-side replay")
   }
 
+  test("shard manifest: xor checksum localizes a dropped doc to its shard") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val full = Sampling.shardManifest(d, "doc_id", "n_chars", nShards = 64)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(full.size == 64, "all 64 shards populated on the fixture")
+    // drop one doc; its shard — and ONLY its shard — must change, and
+    // the checksum delta must be exactly the dropped id's hash60
+    val victim = d.select("doc_id").head().getLong(0)
+    val part = Sampling.shardManifest(d.filter(col("doc_id") =!= victim), "doc_id", "n_chars", 64)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val vh = d.filter(col("doc_id") === victim)
+      .select(Sampling.hash60(col("doc_id"))).head().getLong(0)
+    val vShard = (vh % 64).toInt
+    assert((full.keySet ++ part.keySet).forall { s =>
+      if (s == vShard) full(s)._1 == part(s)._1 + 1 && (full(s)._3 ^ part(s)._3) == vh
+      else full.get(s) == part.get(s)
+    }, "only the victim's shard may change, by exactly its hash")
+  }
+
   test("quality_deciles_per_source: 9 monotone thresholds per source") {
     val rows = graft.queries.LlmQueries.qualityDecilesPerSource(spark, "/root/testdata/sf0.001").collect()
     val bySource = rows.groupBy(_.getString(0))
