@@ -227,6 +227,52 @@ object TextAnalysis {
         round(col("sum_log2").cast("double") / col("n_tokens"), 6))
   }
 
+  /** Bigram conditional-log-probability scorer — the next rung of the
+    * perplexity-filter ladder above [[unigramLogFreq]]: per document,
+    * Σ over its bigrams of ⌊lg c₂(prev,next)⌋ − ⌊lg c₁(prev)⌋, an
+    * exact-integer stand-in for Σ log₂ p(next|prev) (each term within
+    * 2 bits of the true conditional, and ≤ 0 because c₂ ≤ c₁ when
+    * both are counted over the SAME bigram-instance stream — c₁ is
+    * the token's count as a bigram PREFIX, not its raw frequency, so
+    * the ratio is a genuine conditional). Uniform high-probability
+    * text scores near 0; incoherent token salad scores very negative —
+    * the discrimination a real n-gram LM filter (CCNet-style) gives,
+    * kept rational so the oracle replays it bit-for-bit. Floor-log2 is
+    * `length(bin(c)) - 1`, the repo's exact-in-any-engine identity.
+    *
+    * Scale shape: one tokenized scan feeds the bigram-instance stream;
+    * c₂ and c₁ are VOCABULARY²-/vocabulary-sized aggregates with
+    * map-side partials; the instance⋈counts joins shuffle (pair, id) —
+    * corpus-proportional, the same throughput-bound profile as
+    * [[unigramLogFreq]], and both count relations broadcast when the
+    * bigram vocabulary fits (Heaps' law keeps it far below corpus
+    * size). At 100 TB, materialize the instance stream once (it has
+    * three consumers) exactly as [[unigramLogFreqHybrid]] does its
+    * vocab aggregate. Docs with < 2 tokens have no bigrams and drop
+    * out, in both engines, by construction. */
+  def bigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = filter(split(normalizeText(col(textCol)), " "),
+      w => length(w) > 0)
+    val bg = df.select(col(idCol).as("id"), words.as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("id"), explode(expr(
+        "transform(sequence(1, size(ws) - 1), " +
+          "i -> struct(element_at(ws, CAST(i AS INT)) AS prev, " +
+          "element_at(ws, CAST(i + 1 AS INT)) AS nxt))")).as("b"))
+      .select(col("id"), col("b.prev").as("prev"), col("b.nxt").as("nxt"))
+    val c2 = bg.groupBy("prev", "nxt").agg(count(lit(1)).as("c2"))
+    val c1 = bg.groupBy("prev").agg(count(lit(1)).as("c1"))
+    def lg(c: Column): Column = (length(bin(c)) - 1).cast("long")
+    bg.join(c2, Seq("prev", "nxt")).join(c1, Seq("prev"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(lg(col("c2"))).as("sum_lg_pair"),
+        sum(lg(col("c1"))).as("sum_lg_prev"))
+      .withColumn("cond_lg", col("sum_lg_pair") - col("sum_lg_prev"))
+      .withColumn("mean_cond",
+        round(col("cond_lg").cast("double") / col("n_bigrams"), 6))
+  }
+
   /** All word n-gram repetition statistics in one compiled pass —
     * `struct(total, distinct, top)` ([[graft.functions.NgramStats]]):
     * the Gopher-style repetition quality terms (heavily repeated

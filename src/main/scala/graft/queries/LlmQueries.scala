@@ -134,6 +134,17 @@ object LlmQueries {
       .select(col("id").as("doc_id"), col("n_tokens"), col("sum_log2"), col("mean_log2"))
       .orderBy("doc_id")
 
+  /** Bigram conditional-log-prob LM scoring
+    * ([[TextAnalysis.bigramLogProb]]) — the CCNet-style n-gram
+    * language-model filter above the unigram rung: exact integer
+    * Σ(⌊lg c₂⌋ − ⌊lg c₁⌋) per doc, a rational stand-in for
+    * Σ log₂ p(next|prev) the oracle replays bit-for-bit. */
+  val bigramLogprobScore: Q = (s, dir) =>
+    TextAnalysis.bigramLogProb(Tables(s, dir, "documents"), "doc_id", "text")
+      .select(col("id").as("doc_id"), col("n_bigrams"), col("sum_lg_pair"),
+        col("sum_lg_prev"), col("cond_lg"), col("mean_cond"))
+      .orderBy("doc_id")
+
   /** Context-length bucketing — the histogram a training pipeline emits
     * before packing documents into context windows: docs bucketed by
     * BPE-ish token count into fixed ranges (explicit integer CASE
@@ -350,6 +361,34 @@ object LlmQueries {
         floorUpdate = true)
       .orderBy("query_id", "rank")
       .select("query_id", "corpus_id", "adc", "rank")
+  }
+
+  /** In-plan recall@5 audit of the LSH index against the exact
+    * brute-force answer — the acceptance gate a production pipeline
+    * runs before trusting an approximate index: per query, how many of
+    * the true top-5 the banded-LSH search returned. Both sides are the
+    * catalog's own operators ([[Similarity.bruteForceTopK]] /
+    * [[Similarity.lshTopK]]); the overlap is a LEFT SEMI join on
+    * (query, neighbor) and recall is an exact integer percentage
+    * (n_hits·100 div k). The brute side is the audit's cost — run it
+    * on a bounded query SAMPLE (here: the 10 fixed query ids), never
+    * the corpus, so the audit stays O(sample·corpus) while the index
+    * it certifies stays sub-linear. */
+  val annRecallAudit: Q = (s, dir) => {
+    val e = Tables(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+      .select("query_id", "corpus_id")
+    val approx = Similarity.lshTopK(e, q, "vec_id", "embedding", k = 5)
+      .select("query_id", "corpus_id")
+    val hits = exact.join(approx, Seq("query_id", "corpus_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    exact.groupBy("query_id").agg(count(lit(1)).as("k"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("k"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("recall_pct", expr("CAST((n_hits * 100) DIV k AS BIGINT)"))
+      .orderBy("query_id")
   }
 
   /** Embedding-cosine near-dup pairs (LSH candidates + exact verify).
@@ -1325,6 +1364,7 @@ object LlmQueries {
     "quality_score" -> qualityScore,
     "unigram_logfreq_score" -> unigramLogFreqScore,
     "unigram_logfreq_hybrid" -> unigramLogFreqHybridScore,
+    "bigram_logprob_score" -> bigramLogprobScore,
     "doc_repetition" -> docRepetition,
     "lang_id" -> langId,
     "doc_fingerprint" -> docFingerprint,
@@ -1341,6 +1381,7 @@ object LlmQueries {
     "ann_pq" -> annPq,
     "ann_ivf_trained" -> annIvfTrained,
     "ann_pq_trained" -> annPqTrained,
+    "ann_recall_audit" -> annRecallAudit,
     "dedup_embedding" -> dedupEmbedding,
     "dedup_semantic" -> dedupSemantic,
     "embedding_bucket_histogram" -> embeddingBucketHistogram,
@@ -1693,6 +1734,25 @@ object LlmQueries {
          |      ORDER BY list_cosine_similarity(qe.embedding, ce.embedding) DESC, corpus_id) AS rank
          |  FROM cands JOIN embeddings qe ON qe.vec_id = query_id JOIN embeddings ce ON ce.vec_id = corpus_id)
          |SELECT query_id, corpus_id, rank FROM scored WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "ann_recall_audit" ->
+      s"""WITH $hyperplaneCtes,
+         |cands AS (SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS corpus_id
+         |  FROM bands cb JOIN bands qb ON cb.band = qb.band AND qb.vec_id < 10 AND cb.vec_id <> qb.vec_id),
+         |lsh AS (SELECT query_id, corpus_id FROM (
+         |    SELECT query_id, corpus_id, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY list_cosine_similarity(qe.embedding, ce.embedding) DESC, corpus_id) AS rank
+         |    FROM cands JOIN embeddings qe ON qe.vec_id = query_id JOIN embeddings ce ON ce.vec_id = corpus_id)
+         |  WHERE rank <= 5),
+         |brute AS (SELECT query_id, corpus_id FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS rank
+         |    FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND c.vec_id != q.vec_id)
+         |  WHERE rank <= 5)
+         |SELECT b.query_id, count(*) AS k, count(l.corpus_id) AS n_hits,
+         |  CAST(count(l.corpus_id) * 100 // count(*) AS BIGINT) AS recall_pct
+         |FROM brute b LEFT JOIN lsh l ON b.query_id = l.query_id AND b.corpus_id = l.corpus_id
+         |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin,
     "embedding_bucket_histogram" ->
       s"""WITH $hyperplaneCtes
          |SELECT n AS bucket_size, count(*) AS n_buckets
@@ -2093,6 +2153,22 @@ object LlmQueries {
     // (head broadcast vs shuffle), never the result.
     "unigram_logfreq_score" -> sqlUnigramLogFreq,
     "unigram_logfreq_hybrid" -> sqlUnigramLogFreq,
+    "bigram_logprob_score" ->
+      """WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(
+        |    trim(regexp_replace(regexp_replace(lower(text), '[.,;:!?]', '', 'g'), ' +', ' ', 'g')),
+        |    ' '), x -> length(x) > 0) AS ws FROM documents),
+        |bg AS (SELECT doc_id, ws[i] AS prev, ws[i+1] AS nxt
+        |  FROM w, unnest(range(1, len(ws))) t(i)),
+        |c2 AS (SELECT prev, nxt, count(*) AS c2 FROM bg GROUP BY prev, nxt),
+        |c1 AS (SELECT prev, count(*) AS c1 FROM bg GROUP BY prev)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  CAST(sum(length(bin(c2.c2)) - 1) AS BIGINT) AS sum_lg_pair,
+        |  CAST(sum(length(bin(c1.c1)) - 1) AS BIGINT) AS sum_lg_prev,
+        |  CAST(sum(length(bin(c2.c2)) - 1) - sum(length(bin(c1.c1)) - 1) AS BIGINT) AS cond_lg,
+        |  round(CAST(sum(length(bin(c2.c2)) - 1) - sum(length(bin(c1.c1)) - 1) AS DOUBLE)
+        |    / count(*), 6) AS mean_cond
+        |FROM bg JOIN c2 USING (prev, nxt) JOIN c1 USING (prev)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "doc_fingerprint" ->
       "SELECT doc_id, md5(lower(text)) AS fp_md5 FROM documents ORDER BY doc_id",
     // exact counts + exact IEEE divisions of them — no rounding needed

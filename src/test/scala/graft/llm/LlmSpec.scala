@@ -534,4 +534,53 @@ class LlmSpec extends AnyFunSuite {
       assert(ts.forall(t => t >= 0.0 && t <= 1.0), s"$src: quality in [0,1]")
     }
   }
+
+  test("bigramLogProb: closed-form check on a corpus with known pair counts") {
+    // corpus: "a b a b" and "a b c". bigram stream: (a,b)x2+(a,b) -> c2(a,b)=3,
+    // c2(b,a)=1, c2(b,c)=1; c1(a)=3, c1(b)=2.
+    // doc 1 bigrams: (a,b),(b,a),(a,b) -> pair lgs 1+0+1=2, prev lgs 1+1+1=3 -> cond -1
+    // doc 2 bigrams: (a,b),(b,c)      -> pair lgs 1+0=1,  prev lgs 1+1=2   -> cond -1
+    val df = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramLogProb(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toList.sorted
+    assert(got == List((1L, 3L, 2L, 3L, -1L), (2L, 2L, 1L, 2L, -1L)),
+      s"bigram conditional-log decomposition diverged: $got")
+    // a single-token doc contributes no rows
+    val one = TextAnalysis.bigramLogProb(Seq((9L, "solo")).toDF("doc_id", "text"), "doc_id", "text")
+    assert(one.count() == 0)
+  }
+
+  test("bigramLogProb penalizes rare continuations of common prefixes") {
+    // The conditional score's discrimination target (CCNet): a COMMON
+    // prefix followed by a RARE continuation is improbable text. 40
+    // coherent docs make 'the' a frequent prefix (c1=82, lg 6); the
+    // anomaly pairs it with singleton continuations (c2=1, lg 0), so
+    // each such bigram contributes -6 and the doc means -3 vs the
+    // coherent docs' -0.4. (A doc of globally-unique tokens scores 0 —
+    // every prefix is its own only context; that absolute-rarity axis
+    // belongs to the unigram rung, not this one.)
+    val coherent = (1L to 40L).map(i => (i, "the cat sat on the mat"))
+    val anomaly = Seq((99L, "the zebra jumped the qux"))
+    val df = (coherent ++ anomaly).toDF("doc_id", "text")
+    val rows = TextAnalysis.bigramLogProb(df, "doc_id", "text")
+      .select("id", "mean_cond").collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(rows(1L) == -0.4, s"coherent mean_cond: ${rows(1L)}")
+    assert(rows(99L) == -3.0, s"anomaly mean_cond: ${rows(99L)}")
+    assert(rows(1L) > rows(99L) + 2.0, "clear separation between coherent and anomalous")
+  }
+
+  test("annRecallAudit: recall is 100 when the approximate side IS the exact side") {
+    // On the fixture, brute-force and any candidate set that contains the
+    // true top-5 agree; here we check the audit's arithmetic directly:
+    // n_hits <= k, recall_pct = n_hits*100 div k, and every query appears.
+    val rows = graft.queries.LlmQueries.annRecallAudit(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq == (0L to 9L), s"one audit row per query: ${rows.toSeq}")
+    for ((q, k, hits, pct) <- rows) {
+      assert(k == 5L, s"q$q: brute side must return exactly k rows")
+      assert(hits >= 0L && hits <= k, s"q$q: hits in [0,k]")
+      assert(pct == hits * 100L / k, s"q$q: integer recall arithmetic")
+    }
+  }
 }
