@@ -258,6 +258,61 @@ object LlmQueries {
         w = 8, maxBucket = MaxBucket)
       .orderBy("doc_id", "span_start")
 
+  /** JSONL sink→source round trip ([[graft.sources.JsonlSink]]): the
+    * documents table exported as JSON lines (Spark's distributed json
+    * writer, full string escaping), read back with the writer's schema
+    * (no inference pass), and summarized per source with an
+    * order-independent content checksum —
+    * `bit_xor(hash60(doc_id || text || lang))` over a \u0001-joined
+    * tuple (the shard-manifest xor convention: O(1) aggregate state,
+    * map-side combine). The oracle computes the SAME rollup from the
+    * parquet originals, so the gate passes iff the export is lossless
+    * byte-for-byte at the content level — any mangled escape, dropped
+    * row, or type-drifted column flips the xor or the counts. */
+  val exportJsonlRoundtrip: Q = (s, dir) => {
+    val d = Tables(s, dir, "documents")
+    val back = graft.sources.JsonlSink.roundTrip(d, "jsonl:" + dir)
+    back.select(col("source"), col("n_chars"),
+        Sampling.hash60(concat_ws("\u0001",
+          col("doc_id").cast("string"), col("text"), col("lang"))).as("__h"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"),
+        expr("bit_xor(__h)").as("content_xor"))
+      .orderBy("source")
+  }
+
+  /** The PLANNING view of substring dedup: per source, how much text an
+    * ExactSubstr pass would cut — docs affected, duplicated words inside
+    * maximal spans, and the exact ppm of the source's words those spans
+    * cover. This is the number a data-mixture owner reads BEFORE running
+    * removal at 100 TB (is the cut 0.1% or 12% of a source?), and it
+    * reuses the span islands wholesale: one extra doc-keyed rollup and
+    * one source-keyed aggregate (≤ |sources| rows) on top of
+    * [[Dedup.substringDupMaximalSpans]]. The word denominator uses the
+    * window pass's own tokenization (lower, split ' +') so numerator
+    * and denominator count the same units; unaffected docs enter the
+    * denominator via the LEFT join with zero duplicated words. */
+  val dedupSubstringBudget: Q = (s, dir) => {
+    val d = Tables(s, dir, "documents")
+    val perDoc = Dedup.substringDupMaximalSpans(d, "doc_id", "text",
+        w = 8, maxBucket = MaxBucket)
+      .groupBy("doc_id")
+      .agg(sum("span_words").cast("long").as("dup_words"),
+        count(lit(1)).as("n_spans"))
+    d.select(col("doc_id"), col("source"),
+        size(split(lower(col("text")), " +")).cast("long").as("n_words"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        count(col("dup_words")).as("n_docs_affected"),
+        sum("n_words").as("total_words"),
+        coalesce(sum("dup_words"), lit(0L)).as("dup_words"),
+        coalesce(sum("n_spans"), lit(0L)).as("n_spans"))
+      .withColumn("dup_ppm",
+        expr("CAST((dup_words * 1000000) DIV total_words AS BIGINT)"))
+      .orderBy("source")
+  }
+
   /** MinHash+LSH near-dup candidate pairs (est. Jaccard >= 0.3), in
     * PORTABLE mode: md5-derived signatures/band keys, so the whole
     * shingle→minhash→band→bucket-pair pipeline is replayed exactly by
@@ -1371,6 +1426,7 @@ object LlmQueries {
     "dedup_exact" -> dedupExact,
     "dedup_substring" -> dedupSubstring,
     "dedup_substring_spans" -> dedupSubstringSpans,
+    "dedup_substring_budget" -> dedupSubstringBudget,
     "bloom_prune_docs" -> bloomPruneDocs,
     "dedup_minhash" -> dedupMinhash,
     "dedup_simhash" -> dedupSimhash,
@@ -1419,6 +1475,7 @@ object LlmQueries {
     "dedup_incremental_bucketed" -> dedupIncrementalBucketed,
     "split_train_val" -> splitTrainVal,
     "shard_manifest" -> shardManifest,
+    "export_jsonl_roundtrip" -> exportJsonlRoundtrip,
     "sample_docs_per_lang" -> sampleDocsPerLang,
     "media_features" -> mediaFeatures,
     "media_decode_bmp" -> mediaDecodeBmp,
@@ -1497,6 +1554,22 @@ object LlmQueries {
        |g AS (SELECT wh, CAST(count(*) AS INT) AS n_occurrences FROM h GROUP BY wh
        |  HAVING count(*) BETWEEN 2 AND $MaxBucket),
        |hits AS (SELECT h.doc_id, h.pos, h.wh, g.n_occurrences FROM h JOIN g USING (wh))""".stripMargin
+
+  /** Island-merge CTEs over `hits` (running-max-of-end span detection)
+    * — shared by `dedup_substring_spans` and `dedup_substring_budget`
+    * so the removal unit and its byte budget can never drift. Expects
+    * `hits(doc_id, pos, ...)` in scope from [[substringWindowCtes]];
+    * ends with `sp(doc_id, pos, e, span_id)`. */
+  private val substringIslandCtes: String =
+    """hw AS (SELECT doc_id, pos, pos + 8 AS e FROM hits),
+      |m AS (SELECT doc_id, pos, e,
+      |    max(e) OVER (PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max FROM hw),
+      |f AS (SELECT doc_id, pos, e,
+      |    CASE WHEN prev_max IS NULL OR pos > prev_max THEN 1 ELSE 0 END AS ns FROM m),
+      |sp AS (SELECT doc_id, pos, e,
+      |    sum(ns) OVER (PARTITION BY doc_id ORDER BY pos
+      |      ROWS UNBOUNDED PRECEDING) AS span_id FROM f)""".stripMargin
 
   /** Shared DuckDB replay of the TRAINED integer-L2 vector quantizer
     * ([[Similarity.kmeansAssign]] / [[Similarity.ivfTopKTrained]]:
@@ -2443,6 +2516,16 @@ object LlmQueries {
          |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
          |  bit_xor(h60) AS ids_xor
          |FROM a GROUP BY 1 ORDER BY shard_id""".stripMargin,
+    // computed from the parquet ORIGINALS — equality with the Spark
+    // side (which reads only the JSONL re-import) proves losslessness
+    "export_jsonl_roundtrip" ->
+      s"""WITH a AS (SELECT source, n_chars,
+         |    ${hx60("md5(CAST(doc_id AS VARCHAR) || chr(1) || text || chr(1) || lang)")} AS h60
+         |  FROM documents)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         |  bit_xor(h60) AS content_xor
+         |FROM a GROUP BY source ORDER BY source""".stripMargin,
     "sample_docs_per_lang" ->
       """SELECT lang, doc_id FROM (
         |  SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
@@ -2510,19 +2593,31 @@ object LlmQueries {
     // island detection (a window opens a span iff it starts beyond
     // every earlier window's end), integer arithmetic throughout
     "dedup_substring_spans" ->
-      (s"WITH $substringWindowCtes,\n" +
-       """hw AS (SELECT doc_id, pos, pos + 8 AS e FROM hits),
-         |m AS (SELECT doc_id, pos, e,
-         |    max(e) OVER (PARTITION BY doc_id ORDER BY pos
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max FROM hw),
-         |f AS (SELECT doc_id, pos, e,
-         |    CASE WHEN prev_max IS NULL OR pos > prev_max THEN 1 ELSE 0 END AS ns FROM m),
-         |sp AS (SELECT doc_id, pos, e,
-         |    sum(ns) OVER (PARTITION BY doc_id ORDER BY pos
-         |      ROWS UNBOUNDED PRECEDING) AS span_id FROM f)
-         |SELECT doc_id, min(pos) AS span_start, max(e) AS span_end,
+      (s"WITH $substringWindowCtes,\n$substringIslandCtes\n" +
+       """SELECT doc_id, min(pos) AS span_start, max(e) AS span_end,
          |  max(e) - min(pos) AS span_words, CAST(count(*) AS BIGINT) AS n_windows
          |FROM sp GROUP BY doc_id, span_id ORDER BY doc_id, span_start""".stripMargin),
+    // the budget view: the same islands rolled up per doc, then per
+    // source over ALL docs (unaffected docs contribute zero via the
+    // LEFT JOIN) — denominator uses the identical lower/' +' split the
+    // window pass tokenizes with
+    "dedup_substring_budget" ->
+      (s"WITH $substringWindowCtes,\n$substringIslandCtes,\n" +
+       """spans AS (SELECT doc_id, max(e) - min(pos) AS span_words
+         |  FROM sp GROUP BY doc_id, span_id),
+         |pd AS (SELECT doc_id, CAST(sum(span_words) AS BIGINT) AS dup_words,
+         |    CAST(count(*) AS BIGINT) AS n_spans FROM spans GROUP BY doc_id),
+         |dw AS (SELECT doc_id, source,
+         |    CAST(len(regexp_split_to_array(lower(text), ' +')) AS BIGINT) AS n_words
+         |  FROM documents)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(pd.dup_words) AS BIGINT) AS n_docs_affected,
+         |  CAST(sum(n_words) AS BIGINT) AS total_words,
+         |  CAST(coalesce(sum(pd.dup_words), 0) AS BIGINT) AS dup_words,
+         |  CAST(coalesce(sum(pd.n_spans), 0) AS BIGINT) AS n_spans,
+         |  CAST(coalesce(sum(pd.dup_words), 0) * 1000000 // sum(n_words) AS BIGINT) AS dup_ppm
+         |FROM dw LEFT JOIN pd USING (doc_id)
+         |GROUP BY source ORDER BY source""".stripMargin),
     // the Bloom sketch only pre-prunes; the result is the exact semi join
     "bloom_prune_docs" ->
       """SELECT doc_id, md5(lower(text)) AS content_hash FROM documents

@@ -535,6 +535,35 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("substring budget agrees with the spans view it rolls up") {
+    val dir = "/root/testdata/sf0.001"
+    val budget = graft.queries.LlmQueries.dedupSubstringBudget(spark, dir).collect()
+    val spans = graft.queries.LlmQueries.dedupSubstringSpans(spark, dir)
+      .agg(sum("span_words")).collect()(0).getLong(0)
+    assert(budget.map(_.getLong(4)).sum == spans,
+      "total dup_words across sources must equal the spans view's total")
+    for (r <- budget) {
+      val (nDocs, affected, total, dup, ppm) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(6))
+      assert(affected <= nDocs && dup <= total, s"bounds: $r")
+      assert(ppm == dup * 1000000L / total, s"exact integer ppm: $r")
+    }
+    assert(budget.map(_.getLong(1)).sum == 500L, "every doc is in some source row")
+  }
+
+  test("JSONL round trip is lossless on hostile text") {
+    val nasty = Seq(
+      (1L, "line one\nline two\ttabbed", "en", "a", 24L),
+      (2L, "quotes \" and \\ backslash and {json: \"braces\"}", "en", "a", 46L),
+      (3L, "unicode é中😀 and controlchar", "zh", "b", 25L),
+      (4L, "", "en", "b", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val back = graft.sources.JsonlSink.roundTrip(nasty, "test:" + java.util.UUID.randomUUID())
+    val a = nasty.collect().map(_.toSeq).sortBy(_.head.toString)
+    val b = back.collect().map(_.toSeq).sortBy(_.head.toString)
+    assert(a.toSeq == b.toSeq, s"round trip must be exact: ${b.toSeq}")
+  }
+
   test("bigramLogProb: closed-form check on a corpus with known pair counts") {
     // corpus: "a b a b" and "a b c". bigram stream: (a,b)x2+(a,b) -> c2(a,b)=3,
     // c2(b,a)=1, c2(b,c)=1; c1(a)=3, c1(b)=2.
