@@ -1266,7 +1266,7 @@ object LlmQueries {
     * DataFrame/RDD state — unlike the neardup index cache). */
   private val bpeCache =
     new java.util.concurrent.ConcurrentHashMap[String, Bpe.Trained]()
-  private def trainedBpe(s: SparkSession, dir: String): Bpe.Trained =
+  private[graft] def trainedBpe(s: SparkSession, dir: String): Bpe.Trained =
     bpeCache.computeIfAbsent(dir, _ => Bpe.train(Tables(s, dir, "documents"), "text"))
 
   val bpeEncode: Q = (s, dir) => {

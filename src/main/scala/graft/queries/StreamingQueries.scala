@@ -386,6 +386,36 @@ object StreamingQueries {
     drain(s, name, s.table(name).orderBy("content_hash"))
   }
 
+  /** Streaming token accounting with a TRAINED BROADCAST ARTIFACT —
+    * the deploy shape of every trained operator in the catalog: the
+    * BPE merge table is trained ONCE on the batch side
+    * ([[LlmQueries.trainedBpe]], bounded aggregates + driver loop),
+    * then compiled into the stream's scan expressions like any other
+    * literal — the encoder rides whole-stage codegen inside each
+    * micro-batch, no per-batch retraining, no state beyond the running
+    * per-source totals (complete-mode aggregation state = |sources|
+    * rows). This is how a 100 TB ingest runs exact token budgets: the
+    * tokenizer is a version-pinned artifact shipped to the stream, and
+    * the budget readout is the same map-side-combined aggregate as the
+    * batch twin. Oracle: the full training replay
+    * ([[BpeOracle.trainCtes]]) + the same per-source rollup — a hash
+    * match verifies the artifact path end-to-end, training included. */
+  val streamBpeTokenBudget: Q = (s, dir) => withStatePartitions(s, 8) {
+    import org.apache.spark.sql.functions._
+    val schema = Tables(s, dir, "documents").schema
+    val trained = LlmQueries.trainedBpe(s, dir)
+    val name = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val src = s.readStream.schema(schema).parquet(s"$dir/documents.parquet*")
+    val agg = src
+      .select(col("source"),
+        graft.llm.Bpe.tokenCount(col("text"), trained.merges).cast("long").as("n"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n").as("total_tokens"))
+    val q = agg.writeStream.format("memory").queryName(name).outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    drain(s, name, s.table(name).orderBy("source"))
+  }
+
   /** WATERMARKED streaming dedup — the bounded-state version of
     * [[streamDedupDocs]], and the pattern its docstring points at: the
     * dedup key includes the event-time column (hour-truncated), and
@@ -742,6 +772,7 @@ object StreamingQueries {
     "stream_incremental_totals" -> streamIncrementalTotals,
     "stream_windowed_counts" -> streamWindowedCounts,
     "stream_dedup_docs" -> streamDedupDocs,
+    "stream_bpe_token_budget" -> streamBpeTokenBudget,
     "stream_dedup_watermarked" -> streamDedupWatermarked
   )
 
@@ -892,6 +923,14 @@ object StreamingQueries {
       """SELECT DISTINCT md5(lower(text)) AS content_hash,
         |  octet_length(encode(text)) AS n_bytes
         |FROM documents ORDER BY content_hash""".stripMargin,
+    // the stream only APPLIES the trained artifact; the oracle replays
+    // training + encoding + the rollup from the parquet alone
+    "stream_bpe_token_budget" ->
+      (s"WITH ${BpeOracle.trainCtes},\n" +
+       """nt AS (SELECT e.doc_id, len(e.ts) AS n, d.source
+         |  FROM enc e JOIN documents d USING (doc_id))
+         |SELECT source, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS total_tokens
+         |FROM nt GROUP BY source ORDER BY source""".stripMargin),
     // watermark (1000 h) > data span (720 h) => no late drops: the
     // emitted set is the exact batch DISTINCT of the dedup key
     "stream_dedup_watermarked" ->

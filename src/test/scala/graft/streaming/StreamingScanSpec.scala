@@ -140,4 +140,18 @@ class StreamingScanSpec extends AnyFunSuite {
       .collect().map(_.getAs[Double]("balance")).toSeq
     assert(got == Seq(900.0, 900.0, 950.0))
   }
+
+  test("stream_bpe_token_budget equals the batch rollup with the same trained artifact") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = graft.queries.StreamingQueries.defs("stream_bpe_token_budget")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val trained = graft.queries.LlmQueries.trainedBpe(spark, dir)
+    val batch = graft.queries.Tables(spark, dir, "documents")
+      .select(col("source"),
+        graft.llm.Bpe.tokenCount(col("text"), trained.merges).cast("long").as("n"))
+      .groupBy("source").agg(count(lit(1)).as("n_docs"), sum("n").as("total_tokens"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(streamed == batch, s"stream/batch artifact application diverged: $streamed vs $batch")
+    assert(streamed.map(_._2).sum == 500L)
+  }
 }
