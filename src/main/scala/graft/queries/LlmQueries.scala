@@ -347,6 +347,37 @@ object LlmQueries {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** MinHash ESTIMATOR-ERROR audit — `ann_recall_audit`'s twin for the
+    * dedup family: for every LSH candidate pair, the signature estimate
+    * (m agreeing rows of 32) against the exact shingle Jaccard i/u,
+    * rolled into an error histogram in units of 1/32. The bucket index
+    * is ⌊|m/32 − i/u|·32⌋ computed PURELY in integers —
+    * ⌊|m·u − 32·i| / u⌋ — so no float subtraction ever reaches the
+    * hash gate; n_over counts pairs the sketch overestimates (the side
+    * that costs verify work downstream, vs the side that loses recall).
+    * Theory says |err| concentrates around √(J(1−J)/32) ≈ 0.09, i.e.
+    * buckets 0–3 — a heavy tail here means a broken signature, band
+    * layout, or hash. Cost: candidate-proportional (two joins of the
+    * pair list against the materialized shingle sets — the same
+    * verify-pass shape as `ngram_jaccard_pairs`, never n²). */
+  val minhashEstError: Q = (s, dir) => {
+    val sets = Dedup.shingleHashSets(Tables(s, dir, "documents"), "doc_id", "text")
+      .localCheckpoint(true)
+    val pairs = Dedup.minHashPairsFromHashes(sets, threshold = 0.3, maxBucket = MaxBucket)
+    pairs
+      .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("hs", "hs_a"), "id_a")
+      .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("hs", "hs_b"), "id_b")
+      .select(
+        (col("est_jaccard") * 32).cast("long").as("m"),
+        size(array_intersect(col("hs_a"), col("hs_b"))).cast("long").as("i"),
+        size(array_union(col("hs_a"), col("hs_b"))).cast("long").as("u"))
+      .withColumn("err_bucket", expr("CAST(abs(m * u - 32 * i) DIV u AS BIGINT)"))
+      .groupBy("err_bucket")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("m") * col("u") > lit(32L) * col("i"), 1L).otherwise(0L)).as("n_over"))
+      .orderBy("err_bucket")
+  }
+
   /** Exact cosine top-5 for the first 10 embedding vectors (brute force
     * — the baseline the LSH path is measured against). Float ranking ⇒
     * rows-only check + differential ScalaTest. */
@@ -1431,6 +1462,7 @@ object LlmQueries {
     "dedup_minhash" -> dedupMinhash,
     "dedup_simhash" -> dedupSimhash,
     "ngram_jaccard_pairs" -> ngramJaccardPairs,
+    "minhash_est_error" -> minhashEstError,
     "ann_bruteforce" -> annBruteforce,
     "ann_lsh" -> annLsh,
     "ann_ivf" -> annIvf,
@@ -1691,6 +1723,19 @@ object LlmQueries {
          |  CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE) / len(list_distinct(sa.hs || sb.hs)) AS jaccard
          |FROM cand c JOIN sets sa ON sa.doc_id = c.id_a JOIN sets sb ON sb.doc_id = c.id_b
          |ORDER BY id_a, id_b""".stripMargin,
+    // integer cross-multiplication keeps the error bucket exact: no
+    // float subtraction reaches the hash gate
+    "minhash_est_error" ->
+      s"""WITH $minhashCtes,
+         |sets AS (SELECT doc_id, list(h) AS hs FROM sh GROUP BY doc_id),
+         |e AS (SELECT CAST(c.est_jaccard * 32 AS BIGINT) AS m,
+         |    CAST(len(list_intersect(sa.hs, sb.hs)) AS BIGINT) AS i,
+         |    CAST(len(list_distinct(sa.hs || sb.hs)) AS BIGINT) AS u
+         |  FROM cand c JOIN sets sa ON sa.doc_id = c.id_a JOIN sets sb ON sb.doc_id = c.id_b)
+         |SELECT CAST(abs(m * u - 32 * i) // u AS BIGINT) AS err_bucket,
+         |  count(*) AS n_pairs,
+         |  CAST(sum(CASE WHEN m * u > 32 * i THEN 1 ELSE 0 END) AS BIGINT) AS n_over
+         |FROM e GROUP BY 1 ORDER BY err_bucket""".stripMargin,
     "dedup_groups_minhash" ->
       s"""WITH RECURSIVE $minhashCtes,
          |$componentCtes

@@ -564,6 +564,20 @@ class LlmSpec extends AnyFunSuite {
     assert(a.toSeq == b.toSeq, s"round trip must be exact: ${b.toSeq}")
   }
 
+  test("minhash estimator error concentrates near zero and covers every candidate pair") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.queries.LlmQueries.minhashEstError(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    for ((b, n, over) <- rows) assert(over <= n && b >= 0, s"bucket sanity: ($b,$n,$over)")
+    val total = rows.map(_._2).sum
+    val near = rows.filter(_._1 <= 3).map(_._2).sum
+    assert(near * 10 >= total * 9,
+      s"k=32 theory: ~90% of pairs within 3/32 abs error (got $near/$total)")
+    val nPairs = graft.queries.LlmQueries.ngramJaccardPairs(spark, dir).count()
+    assert(total == nPairs, "the audit must cover exactly the candidate-pair set")
+  }
+
   test("bigramLogProb: closed-form check on a corpus with known pair counts") {
     // corpus: "a b a b" and "a b c". bigram stream: (a,b)x2+(a,b) -> c2(a,b)=3,
     // c2(b,a)=1, c2(b,c)=1; c1(a)=3, c1(b)=2.
