@@ -653,6 +653,46 @@ object LlmQueries {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** SCENE-CUT detection over the animated-GIF pipeline — the first
+    * video operator that looks ACROSS frames: every frame decoded
+    * (stride 1), per-frame mean gray, and a cut flagged where the
+    * inter-frame luminance delta exceeds 100/255 — the classic
+    * histogram/intensity-difference shot-boundary heuristic, which on
+    * the synthesized payloads fires exactly at the mod-256 wraps of
+    * the gray formula (|Δ| is 17 within a scene, 239 at a wrap). The
+    * cross-frame comparison is a per-doc window (lag over frame_idx):
+    * a doc's frames always land in one task, so the sort never needs
+    * salting — same argument as the substring island merge. Output is
+    * per-doc (n_frames, n_cuts, first_cut; −1 when none), all
+    * integers the oracle states from the closed form without seeing a
+    * payload — the hash match proves decode → per-frame feature →
+    * cross-frame windowing end-to-end. */
+  val mediaVideoScenes: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables(s, dir, "documents").select(
+      col("doc_id"),
+      expr("CAST(2 + doc_id % 4 AS INT)").as("nf"),
+      expr("CAST(3 + doc_id % 5 AS INT)").as("w"),
+      expr("CAST(2 + doc_id % 3 AS INT)").as("h"))
+    val media = Multimodal.synthesizeGifFrames(d, "doc_id", "nf", "w", "h")(
+      (id, k) => ((id * 13L + k * 17L) % 256L).toInt)
+    val frames = Multimodal.sampleImageFrames(media, "doc_id", "media", stride = 1)
+    val keyed = frames.select(
+      struct(col("doc_id"), col("frame_idx")).as("fid"), col("frame"))
+    val grays = Multimodal.extractFeatures(keyed, "fid", "frame", dims = 4)
+      .select(col("fid.doc_id").as("doc_id"), col("fid.frame_idx").as("frame_idx"),
+        round(element_at(col("features"), 3) * 255).cast("int").as("gray"))
+    val byDoc = Window.partitionBy("doc_id").orderBy("frame_idx")
+    grays
+      .withColumn("delta", abs(col("gray") - lag("gray", 1).over(byDoc)))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(col("delta") > 100, 1L).otherwise(0L)).as("n_cuts"),
+        coalesce(min(when(col("delta") > 100, col("frame_idx"))).cast("long"),
+          lit(-1L)).as("first_cut"))
+      .orderBy("doc_id")
+  }
+
   /** REAL JPEG decode through the driver gate. JPEG is lossy — an
     * in-plan synthesized payload has no engine-independent expected
     * pixels — so this gate decodes FIXED committed fixture files
@@ -1517,6 +1557,7 @@ object LlmQueries {
     "media_resize" -> mediaResize,
     "media_frames" -> mediaFrames,
     "media_video_frames" -> mediaVideoFrames,
+    "media_video_scenes" -> mediaVideoScenes,
     "media_audio_stats" -> mediaAudioStats,
     "media_stats" -> mediaStats
   )
@@ -2606,6 +2647,18 @@ object LlmQueries {
         |  CAST((doc_id * 13 + k * 17) % 256 AS INT) AS gray
         |FROM documents, unnest(range(0, 2 + doc_id % 4, 2)) t(k)
         |ORDER BY doc_id, frame_idx""".stripMargin,
+    // the cut set is stated from the closed form: |delta| = 17 within a
+    // scene, 239 at a mod-256 wrap — only wraps clear the 100 threshold
+    "media_video_scenes" ->
+      """WITH g AS (SELECT doc_id, k,
+        |    CAST((doc_id * 13 + k * 17) % 256 AS INT) AS gray
+        |  FROM documents, unnest(range(0, 2 + doc_id % 4)) t(k)),
+        |d AS (SELECT doc_id, k,
+        |    abs(gray - lag(gray) OVER (PARTITION BY doc_id ORDER BY k)) AS delta FROM g)
+        |SELECT doc_id, count(*) AS n_frames,
+        |  CAST(sum(CASE WHEN delta > 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+        |  CAST(coalesce(min(CASE WHEN delta > 100 THEN k END), -1) AS BIGINT) AS first_cut
+        |FROM d GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // resized dims are CONSTANTS strictly outside both source ranges
     // (w ≤ 8, h ≤ 6: no row can match without a real resize), and the
     // uniform gray survives bilinear resize + PNG re-encode exactly —

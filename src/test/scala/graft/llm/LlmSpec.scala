@@ -564,6 +564,20 @@ class LlmSpec extends AnyFunSuite {
     assert(a.toSeq == b.toSeq, s"round trip must be exact: ${b.toSeq}")
   }
 
+  test("media_video_scenes matches a driver-side closed-form replay") {
+    val rows = graft.queries.LlmQueries.mediaVideoScenes(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 500)
+    for ((id, nFrames, nCuts, firstCut) <- rows) {
+      val grays = (0 until (2 + id % 4).toInt).map(k => (id * 13 + k * 17) % 256)
+      val cuts = grays.zip(grays.tail).zipWithIndex
+        .collect { case ((a, b), i) if math.abs(b - a) > 100 => i + 1 }
+      assert(nFrames == grays.length, s"doc $id frame count")
+      assert(nCuts == cuts.length, s"doc $id cut count")
+      assert(firstCut == cuts.headOption.getOrElse(-1), s"doc $id first cut")
+    }
+  }
+
   test("minhash estimator error concentrates near zero and covers every candidate pair") {
     val dir = "/root/testdata/sf0.001"
     val rows = graft.queries.LlmQueries.minhashEstError(spark, dir).collect()
