@@ -78,7 +78,14 @@ object ScaleProbe {
     // SHOWS the cᵢ² growth the k ∝ n dial exists to cancel; the k-dial
     // measurement is recorded separately in SCALE.md)
     "dedup_substring_spans",
-    "dedup_semantic")
+    "dedup_semantic",
+    // round 12b: the bigram instance⋈counts joins (corpus-proportional
+    // like the unigram rung but on the larger pair vocabulary), the
+    // candidate-proportional estimator audit, and the span-island
+    // rollup (one extra doc-keyed aggregate over the spans plan)
+    "bigram_logprob_score",
+    "minhash_est_error",
+    "dedup_substring_budget")
 
   private def rot(s: String, k: Int): String = s.drop(k % s.length) + s.take(k % s.length)
 
