@@ -1448,6 +1448,39 @@ object LlmQueries {
       .orderBy("source")
   }
 
+  /** From mixture PLAN to actual training MIX — the execution step of
+    * `source_mixture_weights`: each source's smoothed ppm weight
+    * becomes an integer doc quota (ppm · S div 10⁶ for a global budget
+    * of S = 200 docs), filled deterministically by md5-rank within the
+    * source — the same portable hash order as `temperature_resample`
+    * and `split_train_val`, so ANY engine reproduces the exact member
+    * set. The weight relation is |sources| rows and broadcasts; the
+    * rank is a per-source window (at 100 TB use the two-pass
+    * hash-threshold variant — count, pick the cutoff, filter scan-side
+    * — instead of a full per-source sort; the CHOSEN SET is identical
+    * because the order is the same hash). Output (source, doc_id, rk)
+    * — the reproducible mix manifest a training run consumes. */
+  val mixturePlanSample: Q = (s, dir) => {
+    val d = Tables(s, dir, "documents")
+    val w = Window.partitionBy()
+    val targets = d
+      .select(col("source"), TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_tokens"))
+      .groupBy("source")
+      .agg(sum("n_tokens").as("total_tokens"))
+      .withColumn("isqrt_tokens", floor(sqrt(col("total_tokens").cast("double"))).cast("long"))
+      .withColumn("grand_isqrt", sum("isqrt_tokens").over(w))
+      .select(col("source"),
+        expr("isqrt_tokens * 1000000L div grand_isqrt * 200L div 1000000L").as("target_k"))
+    val rk = Window.partitionBy("source")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    d.select(col("doc_id"), col("source"))
+      .withColumn("rk", row_number().over(rk).cast("long"))
+      .join(broadcast(targets), Seq("source"))
+      .filter(col("rk") <= col("target_k"))
+      .select("source", "doc_id", "rk")
+      .orderBy("source", "rk")
+  }
+
   /** TRAINED quality classifier ([[TextAnalysis.trainedQualityScorer]]):
     * integer teacher labels (the quality score's saturating terms in
     * exact integer form), a nearest-centroid linear student over four
@@ -1523,6 +1556,7 @@ object LlmQueries {
     "token_length_histogram_bpe" -> tokenLengthHistogramBpe,
     "source_mixture_weights_bpe" -> sourceMixtureWeightsBpe,
     "source_mixture_weights" -> sourceMixtureWeights,
+    "mixture_plan_sample" -> mixturePlanSample,
     "quality_deciles_per_source" -> qualityDecilesPerSource,
     "quality_classifier_trained" -> qualityClassifierTrained,
     "lsh_bucket_histogram" -> lshBucketHistogram,
@@ -2244,6 +2278,20 @@ object LlmQueries {
         |  isq * 1000000 // gi AS smoothed_weight_ppm
         |FROM per2, tot
         |ORDER BY source""".stripMargin,
+    // quota arithmetic identical to the weights oracle; membership by
+    // the same portable md5 rank as temperature_resample
+    "mixture_plan_sample" ->
+      """WITH per AS (SELECT source,
+        |    CAST(sum(len(regexp_split_to_array(text, ' +'))) AS BIGINT) AS total_tokens
+        |  FROM documents GROUP BY source),
+        |per2 AS (SELECT *, CAST(floor(sqrt(CAST(total_tokens AS DOUBLE))) AS BIGINT) AS isq FROM per),
+        |tot AS (SELECT CAST(sum(isq) AS BIGINT) AS gi FROM per2),
+        |t AS (SELECT source, isq * 1000000 // gi * 200 // 1000000 AS target_k FROM per2, tot),
+        |r AS (SELECT source, doc_id, row_number() OVER (PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk FROM documents)
+        |SELECT r.source, r.doc_id, CAST(r.rk AS BIGINT) AS rk
+        |FROM r JOIN t USING (source) WHERE rk <= target_k
+        |ORDER BY source, rk""".stripMargin,
     // exact linear-interpolation deciles: quantile_cont == Spark's
     // percentile (the corpus_stats precedent), replayed per source
     // the whole nearest-centroid training replayed: features → integer

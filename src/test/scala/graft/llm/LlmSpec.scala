@@ -564,6 +564,27 @@ class LlmSpec extends AnyFunSuite {
     assert(a.toSeq == b.toSeq, s"round trip must be exact: ${b.toSeq}")
   }
 
+  test("mixture_plan_sample fills each source's ppm quota with the lowest md5 ranks") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.queries.LlmQueries.mixturePlanSample(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val perSource = rows.groupBy(_._1).view.mapValues(_.length).toMap
+    // replay the quota arithmetic independently
+    val docs = graft.queries.Tables(spark, dir, "documents")
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val tokens = docs.groupBy(_._1).view
+      .mapValues(_.map(_._2.split(" +").length.toLong).sum).toMap
+    val isq = tokens.view.mapValues(t => math.floor(math.sqrt(t.toDouble)).toLong).toMap
+    val gi = isq.values.sum
+    val quota = isq.view.mapValues(q => q * 1000000L / gi * 200L / 1000000L).toMap
+    for ((src, k) <- quota) assert(perSource.getOrElse(src, 0) == k.toInt,
+      s"$src quota: expected $k got ${perSource.getOrElse(src, 0)}")
+    // ranks are 1..k per source (the k lowest md5 ranks, no gaps)
+    for ((src, rs) <- rows.groupBy(_._1))
+      assert(rs.map(_._3).sorted.toSeq == (1L to rs.length), s"$src ranks must be 1..k")
+  }
+
   test("media_video_scenes matches a driver-side closed-form replay") {
     val rows = graft.queries.LlmQueries.mediaVideoScenes(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
