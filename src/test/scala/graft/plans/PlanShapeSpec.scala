@@ -311,4 +311,51 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the exact percentile must aggregate partially below its shuffle:\n$plan")
     assert(!plan.contains("Window"), s"no whole-source sort/window allowed:\n$plan")
   }
+
+  test("bigram_logprob_score: count relations aggregate partially before any exchange") {
+    val df = graft.SparkEntry.queries("bigram_logprob_score")(spark, TestSpark.sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // every Exchange must sit above a partial aggregate (the count
+    // relations reduce to vocabulary size map-side) EXCEPT the final
+    // per-doc re-agg and result sort — no raw-instance shuffle exists
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"instance joins must stay equi-joins:\n$plan")
+    val pairCountEx = "Exchange hashpartitioning\\(prev".r.findAllIn(plan).size
+    assert(pairCountEx >= 1, s"count relations must shuffle on token keys (post-partial):\n$plan")
+    assert(plan.contains("partial_count"),
+      s"map-side partial aggregation must precede the count shuffles:\n$plan")
+  }
+
+  test("minhash_est_error: verify joins consume the checkpointed sets, no shingle recompute") {
+    val df = graft.queries.LlmQueries.minhashEstError(spark, TestSpark.sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the shingle-hash pass is materialized once (localCheckpoint):
+    // the physical plan must contain NO parquet scan of documents —
+    // only the checkpoint RDD feeds both the pair generation and the
+    // set joins
+    assert(!plan.contains("FileScan parquet"),
+      s"shingle sets must come from the one materialized pass:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"the audit must stay candidate-proportional:\n$plan")
+  }
+
+  test("mixture_plan_sample: quota relation broadcasts; rank window partitions by source") {
+    val df = graft.queries.LlmQueries.mixturePlanSample(spark, TestSpark.sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"),
+      s"the |sources|-row quota relation must broadcast:\n$plan")
+    val winAt = plan.indexOf("Window")
+    assert(winAt >= 0 && plan.substring(winAt).contains("hashpartitioning(source"),
+      s"the rank window must be per-source, not global:\n$plan")
+  }
+
+  test("export_jsonl_roundtrip: read-back is a schema-pinned json scan with partial aggregation") {
+    val df = graft.SparkEntry.queries("export_jsonl_roundtrip")(spark, TestSpark.sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("FileScan json"), s"must scan the JSONL re-import:\n$plan")
+    assert(!plan.contains("FileScan parquet"),
+      s"the gate must read ONLY the round-tripped files:\n$plan")
+    assert(plan.contains("partial_"),
+      s"the source rollup must aggregate map-side:\n$plan")
+  }
 }
