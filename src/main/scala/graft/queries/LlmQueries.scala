@@ -281,6 +281,27 @@ object LlmQueries {
       .orderBy("source")
   }
 
+  /** The CSV twin of [[exportJsonlRoundtrip]] — same rollup, same
+    * oracle, but through the format whose DIALECT is the hazard
+    * ([[graft.sources.JsonlSink.roundTripCsv]]): embedded newlines
+    * force `multiLine` reads (so at 100 TB the export writes MANY
+    * moderate files — a multi-line-record CSV file is not splittable
+    * and parallelism must come from file count), quotes escape
+    * RFC-4180 style, and empty-vs-null takes an explicit sentinel.
+    * Passing the same xor gate as JSONL proves the dialect handling
+    * loses nothing on real document text. */
+  val exportCsvRoundtrip: Q = (s, dir) => {
+    val d = Tables(s, dir, "documents")
+    val back = graft.sources.JsonlSink.roundTripCsv(d, "csv:" + dir)
+    back.select(col("source"), col("n_chars"),
+        Sampling.hash60(concat_ws("\u0001",
+          col("doc_id").cast("string"), col("text"), col("lang"))).as("__h"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"),
+        expr("bit_xor(__h)").as("content_xor"))
+      .orderBy("source")
+  }
+
   /** The PLANNING view of substring dedup: per source, how much text an
     * ExactSubstr pass would cut — docs affected, duplicated words inside
     * maximal spans, and the exact ppm of the source's words those spans
@@ -1582,6 +1603,7 @@ object LlmQueries {
     "split_train_val" -> splitTrainVal,
     "shard_manifest" -> shardManifest,
     "export_jsonl_roundtrip" -> exportJsonlRoundtrip,
+    "export_csv_roundtrip" -> exportCsvRoundtrip,
     "sample_docs_per_lang" -> sampleDocsPerLang,
     "media_features" -> mediaFeatures,
     "media_decode_bmp" -> mediaDecodeBmp,
@@ -1661,6 +1683,20 @@ object LlmQueries {
        |g AS (SELECT wh, CAST(count(*) AS INT) AS n_occurrences FROM h GROUP BY wh
        |  HAVING count(*) BETWEEN 2 AND $MaxBucket),
        |hits AS (SELECT h.doc_id, h.pos, h.wh, g.n_occurrences FROM h JOIN g USING (wh))""".stripMargin
+
+  /** Per-source content rollup over the parquet originals — the shared
+    * oracle of every export round-trip gate (`export_jsonl_roundtrip`,
+    * `export_csv_roundtrip`): equality with a Spark side that read only
+    * the re-imported files proves the format round-trips content
+    * byte-for-byte. */
+  private val sqlExportRollup: String =
+    s"""WITH a AS (SELECT source, n_chars,
+       |    ${hx60("md5(CAST(doc_id AS VARCHAR) || chr(1) || text || chr(1) || lang)")} AS h60
+       |  FROM documents)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       |  bit_xor(h60) AS content_xor
+       |FROM a GROUP BY source ORDER BY source""".stripMargin
 
   /** Island-merge CTEs over `hits` (running-max-of-end span detection)
     * — shared by `dedup_substring_spans` and `dedup_substring_budget`
@@ -2651,15 +2687,10 @@ object LlmQueries {
          |  bit_xor(h60) AS ids_xor
          |FROM a GROUP BY 1 ORDER BY shard_id""".stripMargin,
     // computed from the parquet ORIGINALS — equality with the Spark
-    // side (which reads only the JSONL re-import) proves losslessness
-    "export_jsonl_roundtrip" ->
-      s"""WITH a AS (SELECT source, n_chars,
-         |    ${hx60("md5(CAST(doc_id AS VARCHAR) || chr(1) || text || chr(1) || lang)")} AS h60
-         |  FROM documents)
-         |SELECT source, count(*) AS n_docs,
-         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
-         |  bit_xor(h60) AS content_xor
-         |FROM a GROUP BY source ORDER BY source""".stripMargin,
+    // side (which reads only the re-imported files) proves losslessness;
+    // ONE shared rollup for every export format
+    "export_jsonl_roundtrip" -> sqlExportRollup,
+    "export_csv_roundtrip" -> sqlExportRollup,
     "sample_docs_per_lang" ->
       """SELECT lang, doc_id FROM (
         |  SELECT lang, doc_id, row_number() OVER (PARTITION BY lang

@@ -43,22 +43,42 @@ object JsonlSink {
     ()
   }
 
-  /** Export `df` as JSONL ONCE per cache key (bench reps / verify +
-    * tests in one JVM pay the write once, like a real export job), then
-    * read it back with the writer's own schema. The cache holds only a
-    * PATH, and the read binds to the CALLER's session — safe across
-    * session restarts in one JVM, unlike caching a DataFrame. */
-  def roundTrip(df: DataFrame, key: String): DataFrame = {
+  /** Export `df` ONCE per cache key (bench reps / verify + tests in
+    * one JVM pay the write once, like a real export job), then read it
+    * back with the writer's own schema. The cache holds only a PATH,
+    * and the read binds to the CALLER's session — safe across session
+    * restarts in one JVM, unlike caching a DataFrame. */
+  private def writeRead(df: DataFrame, key: String, format: String,
+      writeOpts: Map[String, String], readOpts: Map[String, String]): DataFrame = {
     val path = cache.compute(key, { (_, cached) =>
       if (cached != null && new java.io.File(cached).exists()) cached
       else {
-        val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl_")
+        val tmp = java.nio.file.Files.createTempDirectory("graft_export_")
         cleanupHook // register the single drain hook (idempotent)
         tmpDirs.add(tmp)
-        df.write.mode("overwrite").json(tmp.toString)
+        df.write.mode("overwrite").options(writeOpts).format(format).save(tmp.toString)
         tmp.toString
       }
     })
-    df.sparkSession.read.schema(df.schema).json(path)
+    df.sparkSession.read.schema(df.schema).options(readOpts).format(format).load(path)
   }
+
+  def roundTrip(df: DataFrame, key: String): DataFrame =
+    writeRead(df, key, "json", Map.empty, Map.empty)
+
+  /** CSV round trip — the interop format whose DIALECT, not its data
+    * model, is the hazard: embedded newlines need `multiLine` on read
+    * (a file with multi-line records is NOT splittable — at 100 TB
+    * export many moderate files so parallelism comes from file count),
+    * quotes escape RFC-4180 style (doubled, via escape='\"'), and
+    * empty-vs-null needs an explicit sentinel (`nullValue` = \\u0000,
+    * a character no document contains) because bare CSV cannot encode
+    * the difference. quoteAll keeps the writer's output unambiguous
+    * under any locale's delimiters. */
+  def roundTripCsv(df: DataFrame, key: String): DataFrame =
+    writeRead(df, key, "csv",
+      Map("header" -> "true", "quoteAll" -> "true", "escape" -> "\"",
+        "nullValue" -> "\u0000"),
+      Map("header" -> "true", "multiLine" -> "true", "escape" -> "\"",
+        "nullValue" -> "\u0000"))
 }

@@ -562,6 +562,11 @@ class LlmSpec extends AnyFunSuite {
     val a = nasty.collect().map(_.toSeq).sortBy(_.head.toString)
     val b = back.collect().map(_.toSeq).sortBy(_.head.toString)
     assert(a.toSeq == b.toSeq, s"round trip must be exact: ${b.toSeq}")
+    // the CSV dialect survives the same hostile rows: embedded newlines
+    // (multiLine), RFC-4180 doubled quotes, backslashes, empty strings
+    val csv = graft.sources.JsonlSink.roundTripCsv(nasty, "testcsv:" + java.util.UUID.randomUUID())
+    val c = csv.collect().map(_.toSeq).sortBy(_.head.toString)
+    assert(a.toSeq == c.toSeq, s"CSV round trip must be exact: ${c.toSeq}")
   }
 
   test("mixture_plan_sample fills each source's ppm quota with the lowest md5 ranks") {
