@@ -224,6 +224,19 @@ object LlmQueries {
       .select(col("doc_id"), TextAnalysis.langIdHeuristic(col("text")).as("lang_guess"))
       .orderBy("doc_id")
 
+  /** Declared `lang` label × heuristic guess — the CONFUSION MATRIX a
+    * pipeline reads before trusting either column (mislabeled sources
+    * and weak detector classes both show up as off-diagonal mass). One
+    * narrow scoring scan + one |langs|²-bounded aggregate with
+    * map-side partials; the oracle shares the score CTEs with
+    * `lang_id` so detector and audit can never drift. */
+  val langIdConfusion: Q = (s, dir) =>
+    Tables(s, dir, "documents")
+      .select(col("lang"), TextAnalysis.langIdHeuristic(col("text")).as("lang_guess"))
+      .groupBy("lang", "lang_guess")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "lang_guess")
+
   /** Content fingerprints: md5 (dedup key). */
   val docFingerprint: Q = (s, dir) =>
     Tables(s, dir, "documents")
@@ -293,6 +306,24 @@ object LlmQueries {
   val exportCsvRoundtrip: Q = (s, dir) => {
     val d = Tables(s, dir, "documents")
     val back = graft.sources.JsonlSink.roundTripCsv(d, "csv:" + dir)
+    back.select(col("source"), col("n_chars"),
+        Sampling.hash60(concat_ws("\u0001",
+          col("doc_id").cast("string"), col("text"), col("lang"))).as("__h"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"),
+        expr("bit_xor(__h)").as("content_xor"))
+      .orderBy("source")
+  }
+
+  /** The ORC twin — the columnar alternative sink
+    * ([[graft.sources.JsonlSink.roundTripOrc]]): native types, stripe
+    * splittability, and retained column pruning + predicate pushdown
+    * make it the INGEST-grade export (a downstream Spark stage reads
+    * it as efficiently as parquet), where JSONL/CSV are egress. Same
+    * rollup, same shared oracle. */
+  val exportOrcRoundtrip: Q = (s, dir) => {
+    val d = Tables(s, dir, "documents")
+    val back = graft.sources.JsonlSink.roundTripOrc(d, "orc:" + dir)
     back.select(col("source"), col("n_chars"),
         Sampling.hash60(concat_ws("\u0001",
           col("doc_id").cast("string"), col("text"), col("lang"))).as("__h"))
@@ -1547,6 +1578,7 @@ object LlmQueries {
     "bigram_logprob_score" -> bigramLogprobScore,
     "doc_repetition" -> docRepetition,
     "lang_id" -> langId,
+    "lang_id_confusion" -> langIdConfusion,
     "doc_fingerprint" -> docFingerprint,
     "dedup_exact" -> dedupExact,
     "dedup_substring" -> dedupSubstring,
@@ -1604,6 +1636,7 @@ object LlmQueries {
     "shard_manifest" -> shardManifest,
     "export_jsonl_roundtrip" -> exportJsonlRoundtrip,
     "export_csv_roundtrip" -> exportCsvRoundtrip,
+    "export_orc_roundtrip" -> exportOrcRoundtrip,
     "sample_docs_per_lang" -> sampleDocsPerLang,
     "media_features" -> mediaFeatures,
     "media_decode_bmp" -> mediaDecodeBmp,
@@ -1683,6 +1716,40 @@ object LlmQueries {
        |g AS (SELECT wh, CAST(count(*) AS INT) AS n_occurrences FROM h GROUP BY wh
        |  HAVING count(*) BETWEEN 2 AND $MaxBucket),
        |hits AS (SELECT h.doc_id, h.pos, h.wh, g.n_occurrences FROM h JOIN g USING (wh))""".stripMargin
+
+  /** Shared DuckDB replay of the marker-count language-ID heuristic —
+    * CTE block ending in `sc(doc_id, s_en..s_zh)`, used by `lang_id`
+    * and `lang_id_confusion` so the two can never drift. */
+  private val langIdCtes: String =
+    """s AS (SELECT doc_id, ' ' || lower(text) || ' ' AS t FROM documents),
+      |sc AS (SELECT doc_id,
+      |  CAST((length(t)-length(replace(t,' the ','')))/5 AS INT)
+      |    + CAST((length(t)-length(replace(t,' and ','')))/5 AS INT)
+      |    + CAST((length(t)-length(replace(t,' of ','')))/4 AS INT) AS s_en,
+      |  CAST((length(t)-length(replace(t,' el ','')))/4 AS INT)
+      |    + CAST((length(t)-length(replace(t,' la ','')))/4 AS INT)
+      |    + CAST((length(t)-length(replace(t,' de ','')))/4 AS INT) AS s_es,
+      |  CAST((length(t)-length(replace(t,' der ','')))/5 AS INT)
+      |    + CAST((length(t)-length(replace(t,' und ','')))/5 AS INT)
+      |    + CAST((length(t)-length(replace(t,' die ','')))/5 AS INT) AS s_de,
+      |  CAST((length(t)-length(replace(t,' le ','')))/4 AS INT)
+      |    + CAST((length(t)-length(replace(t,' et ','')))/4 AS INT)
+      |    + CAST((length(t)-length(replace(t,' les ','')))/5 AS INT) AS s_fr,
+      |  CAST((length(t)-length(replace(t,'的','')))/1 AS INT)
+      |    + CAST((length(t)-length(replace(t,'是','')))/1 AS INT)
+      |    + CAST((length(t)-length(replace(t,'了','')))/1 AS INT) AS s_zh
+      |FROM s)""".stripMargin
+
+  /** The argmax CASE over `sc` — `und` on all-zero scores, first-listed
+    * language wins ties (the Spark side's array_position semantics).
+    * Single-line so it splices into any SELECT position. */
+  private val langIdGuessCase: String =
+    "CASE WHEN greatest(s_en, s_es, s_de, s_fr, s_zh) <= 0 THEN 'und' " +
+      "WHEN s_en = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'en' " +
+      "WHEN s_es = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'es' " +
+      "WHEN s_de = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'de' " +
+      "WHEN s_fr = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'fr' " +
+      "ELSE 'zh' END"
 
   /** Per-source content rollup over the parquet originals — the shared
     * oracle of every export round-trip gate (`export_jsonl_roundtrip`,
@@ -2448,32 +2515,17 @@ object LlmQueries {
     // the FIRST language in the marker list, matching Spark's
     // array_position-first semantics.
     "lang_id" ->
-      """WITH s AS (SELECT doc_id, ' ' || lower(text) || ' ' AS t FROM documents),
-        |sc AS (SELECT doc_id,
-        |  CAST((length(t)-length(replace(t,' the ','')))/5 AS INT)
-        |    + CAST((length(t)-length(replace(t,' and ','')))/5 AS INT)
-        |    + CAST((length(t)-length(replace(t,' of ','')))/4 AS INT) AS s_en,
-        |  CAST((length(t)-length(replace(t,' el ','')))/4 AS INT)
-        |    + CAST((length(t)-length(replace(t,' la ','')))/4 AS INT)
-        |    + CAST((length(t)-length(replace(t,' de ','')))/4 AS INT) AS s_es,
-        |  CAST((length(t)-length(replace(t,' der ','')))/5 AS INT)
-        |    + CAST((length(t)-length(replace(t,' und ','')))/5 AS INT)
-        |    + CAST((length(t)-length(replace(t,' die ','')))/5 AS INT) AS s_de,
-        |  CAST((length(t)-length(replace(t,' le ','')))/4 AS INT)
-        |    + CAST((length(t)-length(replace(t,' et ','')))/4 AS INT)
-        |    + CAST((length(t)-length(replace(t,' les ','')))/5 AS INT) AS s_fr,
-        |  CAST((length(t)-length(replace(t,'的','')))/1 AS INT)
-        |    + CAST((length(t)-length(replace(t,'是','')))/1 AS INT)
-        |    + CAST((length(t)-length(replace(t,'了','')))/1 AS INT) AS s_zh
-        |FROM s)
-        |SELECT doc_id,
-        |  CASE WHEN greatest(s_en, s_es, s_de, s_fr, s_zh) <= 0 THEN 'und'
-        |       WHEN s_en = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'en'
-        |       WHEN s_es = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'es'
-        |       WHEN s_de = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'de'
-        |       WHEN s_fr = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'fr'
-        |       ELSE 'zh' END AS lang_guess
-        |FROM sc ORDER BY doc_id""".stripMargin,
+      (s"WITH $langIdCtes\n" +
+       s"""SELECT doc_id, $langIdGuessCase AS lang_guess
+         |FROM sc ORDER BY doc_id""".stripMargin),
+    // declared label vs heuristic guess — the audit a pipeline reads
+    // before trusting either column; shares the score CTEs with lang_id
+    "lang_id_confusion" ->
+      (s"WITH $langIdCtes,\n" +
+       s"""g AS (SELECT doc_id, $langIdGuessCase AS lang_guess FROM sc)
+         |SELECT d.lang, g.lang_guess, count(*) AS n_docs
+         |FROM documents d JOIN g USING (doc_id)
+         |GROUP BY d.lang, g.lang_guess ORDER BY d.lang, g.lang_guess""".stripMargin),
     "doc_chunks" ->
       """WITH w AS (SELECT doc_id,
         |    regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[.,;:!?]', '', 'g'), ' +', ' ', 'g')), ' +') AS words
@@ -2691,6 +2743,7 @@ object LlmQueries {
     // ONE shared rollup for every export format
     "export_jsonl_roundtrip" -> sqlExportRollup,
     "export_csv_roundtrip" -> sqlExportRollup,
+    "export_orc_roundtrip" -> sqlExportRollup,
     "sample_docs_per_lang" ->
       """SELECT lang, doc_id FROM (
         |  SELECT lang, doc_id, row_number() OVER (PARTITION BY lang

@@ -66,6 +66,14 @@ object JsonlSink {
   def roundTrip(df: DataFrame, key: String): DataFrame =
     writeRead(df, key, "json", Map.empty, Map.empty)
 
+  /** ORC round trip — the columnar ALTERNATIVE sink: unlike the text
+    * formats above it keeps types natively, splits on stripes, and
+    * retains column pruning + predicate pushdown on re-read, so it is
+    * a valid INGEST format for downstream Spark stages, not just
+    * egress. Zero dialect options by construction. */
+  def roundTripOrc(df: DataFrame, key: String): DataFrame =
+    writeRead(df, key, "orc", Map.empty, Map.empty)
+
   /** CSV round trip — the interop format whose DIALECT, not its data
     * model, is the hazard: embedded newlines need `multiLine` on read
     * (a file with multi-line records is NOT splittable — at 100 TB

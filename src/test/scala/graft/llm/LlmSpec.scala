@@ -567,6 +567,22 @@ class LlmSpec extends AnyFunSuite {
     val csv = graft.sources.JsonlSink.roundTripCsv(nasty, "testcsv:" + java.util.UUID.randomUUID())
     val c = csv.collect().map(_.toSeq).sortBy(_.head.toString)
     assert(a.toSeq == c.toSeq, s"CSV round trip must be exact: ${c.toSeq}")
+    val orc = graft.sources.JsonlSink.roundTripOrc(nasty, "testorc:" + java.util.UUID.randomUUID())
+    val o = orc.collect().map(_.toSeq).sortBy(_.head.toString)
+    assert(a.toSeq == o.toSeq, s"ORC round trip must be exact: ${o.toSeq}")
+  }
+
+  test("lang_id_confusion is the exact rollup of the per-doc detector against labels") {
+    val dir = "/root/testdata/sf0.001"
+    val conf = graft.queries.LlmQueries.langIdConfusion(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val perDoc = graft.queries.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.langIdHeuristic(col("text")).as("g")).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val expected = perDoc.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(conf == expected, s"confusion cells diverged: $conf vs $expected")
+    assert(conf.values.sum == 500L)
   }
 
   test("mixture_plan_sample fills each source's ppm quota with the lowest md5 ranks") {
