@@ -1756,7 +1756,7 @@ object LlmQueries {
     * `export_csv_roundtrip`): equality with a Spark side that read only
     * the re-imported files proves the format round-trips content
     * byte-for-byte. */
-  private val sqlExportRollup: String =
+  private[queries] val sqlExportRollup: String =
     s"""WITH a AS (SELECT source, n_chars,
        |    ${hx60("md5(CAST(doc_id AS VARCHAR) || chr(1) || text || chr(1) || lang)")} AS h60
        |  FROM documents)

@@ -102,6 +102,45 @@ object StreamingQueries {
     out
   }
 
+  /** Streaming FILE SINK — the missing half of the streaming surface
+    * (every other gate drains a memory sink): documents stream in,
+    * pass through the narrow content-hash projection, and a
+    * FileStreamSink writes JSON-lines files with exactly-once
+    * semantics (the sink's transaction log records committed files, so
+    * a restarted query never double-counts a batch — the property that
+    * makes streaming ETL safe to re-run at 100 TB). The gate then
+    * batch-reads ONLY what the sink committed and rolls it up with the
+    * export family's xor checksum against the parquet-original oracle:
+    * a hash match proves the streaming write path loses nothing.
+    * Checkpoint + output both under the tmpfs convention. */
+  val streamSinkJsonl: Q = (s, dir) => withStatePartitions(s, 8) {
+    import org.apache.spark.sql.functions._
+    val schema = Tables(s, dir, "documents").schema
+    val src = s.readStream.schema(schema).parquet(s"$dir/documents.parquet*")
+    val proj = src.select(col("source"), col("n_chars"),
+      graft.llm.Sampling.hash60(concat_ws("\u0001",
+        col("doc_id").cast("string"), col("text"), col("lang"))).as("h"))
+    val outDir = java.nio.file.Files.createTempDirectory("graft_ssink_")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ssink_ckpt_")
+    try {
+      val q = proj.writeStream.format("json")
+        .option("path", outDir.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      val back = s.read.schema(proj.schema).json(outDir.toString)
+      drain(s, "none_" + java.util.UUID.randomUUID().toString.replace("-", ""),
+        back.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"),
+            expr("bit_xor(h)").as("content_xor"))
+          .orderBy("source"))
+    } finally {
+      // drain() already materialized the result via localCheckpoint, so
+      // the sink files are safe to remove before returning
+      for (d <- Seq(ckpt, outDir)) rmTree(d.toFile)
+    }
+  }
+
   /** Per-user balance scan over the events table consumed AS A STREAM:
     * [[graft.streaming.StreamingScan.groupScanStream]] threads the
     * non-associative credit-limit kernel through `GroupState`, exactly
@@ -773,6 +812,7 @@ object StreamingQueries {
     "stream_windowed_counts" -> streamWindowedCounts,
     "stream_dedup_docs" -> streamDedupDocs,
     "stream_bpe_token_budget" -> streamBpeTokenBudget,
+    "stream_sink_jsonl" -> streamSinkJsonl,
     "stream_dedup_watermarked" -> streamDedupWatermarked
   )
 
@@ -923,6 +963,9 @@ object StreamingQueries {
       """SELECT DISTINCT md5(lower(text)) AS content_hash,
         |  octet_length(encode(text)) AS n_bytes
         |FROM documents ORDER BY content_hash""".stripMargin,
+    // the stream writes, the batch read sees only committed files, the
+    // oracle never sees either — it rolls up the parquet originals
+    "stream_sink_jsonl" -> LlmQueries.sqlExportRollup,
     // the stream only APPLIES the trained artifact; the oracle replays
     // training + encoding + the rollup from the parquet alone
     "stream_bpe_token_budget" ->
