@@ -237,6 +237,45 @@ object LlmQueries {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("lang", "lang_guess")
 
+  /** Gopher-style QUALITY GATES dashboard — per source, how many docs
+    * pass each named filter rule and how many pass ALL of them: length
+    * bounds, mean-word-length bounds (the classifier's integer form:
+    * 3·n_tok ≤ n_chars ≤ 10·n_tok), stopword floor, duplicate-trigram
+    * ceiling (10·distinct ≥ 7·total), and symbol-ratio ceiling
+    * (10·symbols ≤ chars). Every rule is an INTEGER comparison — no
+    * float ratio reaches the gate — and each reuses a verified per-doc
+    * signal (token counts, [[graft.functions.TextExpressions.ngramStats]],
+    * stopword regex, all pinned by their own gates). This is the
+    * report a mixture owner reads to see WHICH rule eats WHICH source
+    * before turning the filter on. One scan, one |sources|-group
+    * aggregate with map-side partials. */
+  val qualityGatesReport: Q = (s, dir) => {
+    val tri = TextAnalysis.ngramStats(col("text"), 3)
+    val per = Tables(s, dir, "documents").select(col("source"),
+        TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_tok"),
+        length(col("text")).cast("long").as("n_chars"),
+        TextAnalysis.stopwordCount(col("text")).cast("long").as("n_stop"),
+        length(regexp_replace(lower(col("text")), "[a-z0-9 ]", "")).cast("long").as("n_sym"),
+        tri.getField("total").cast("long").as("t3"),
+        tri.getField("distinct").cast("long").as("d3"))
+      .withColumn("p_len", (col("n_tok") >= 50 && col("n_tok") <= 100000).cast("long"))
+      .withColumn("p_word", (col("n_chars") >= col("n_tok") * 3 &&
+        col("n_chars") <= col("n_tok") * 10).cast("long"))
+      .withColumn("p_stop", (col("n_stop") >= 2).cast("long"))
+      .withColumn("p_rep", (col("t3") === 0 || col("d3") * 10 >= col("t3") * 7).cast("long"))
+      .withColumn("p_sym", (col("n_sym") * 10 <= col("n_chars")).cast("long"))
+    per.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("p_len").as("pass_len"),
+        sum("p_word").as("pass_word_len"),
+        sum("p_stop").as("pass_stopword"),
+        sum("p_rep").as("pass_repetition"),
+        sum("p_sym").as("pass_symbol"),
+        sum(when(col("p_len") + col("p_word") + col("p_stop") +
+          col("p_rep") + col("p_sym") === 5, 1L).otherwise(0L)).as("pass_all"))
+      .orderBy("source")
+  }
+
   /** Content fingerprints: md5 (dedup key). */
   val docFingerprint: Q = (s, dir) =>
     Tables(s, dir, "documents")
@@ -1577,6 +1616,7 @@ object LlmQueries {
     "unigram_logfreq_hybrid" -> unigramLogFreqHybridScore,
     "bigram_logprob_score" -> bigramLogprobScore,
     "doc_repetition" -> docRepetition,
+    "quality_gates_report" -> qualityGatesReport,
     "lang_id" -> langId,
     "lang_id_confusion" -> langIdConfusion,
     "doc_fingerprint" -> docFingerprint,
@@ -2481,6 +2521,37 @@ object LlmQueries {
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "doc_fingerprint" ->
       "SELECT doc_id, md5(lower(text)) AS fp_md5 FROM documents ORDER BY doc_id",
+    // every rule an integer comparison over signals other gates already
+    // pin (trigram CTEs shared in spirit with doc_repetition's)
+    "quality_gates_report" ->
+      """WITH w AS (SELECT doc_id, source, text,
+        |    regexp_split_to_array(lower(text), ' +') AS ws FROM documents),
+        |t3 AS (SELECT doc_id, array_to_string(ws[i+1:i+3], ' ') AS g
+        |  FROM w, unnest(range(0, greatest(len(ws) - 3, 0) + 1)) t(i)),
+        |a3 AS (SELECT doc_id, count(*) AS t3, count(DISTINCT g) AS d3 FROM t3 GROUP BY doc_id),
+        |per AS (SELECT w.doc_id, w.source,
+        |    CAST(len(regexp_split_to_array(w.text, ' +')) AS BIGINT) AS n_tok,
+        |    CAST(length(w.text) AS BIGINT) AS n_chars,
+        |    CAST(len(list_filter(regexp_split_to_array(lower(w.text), ' +'),
+        |      t -> t IN ('the','a','an','and','or','of','to','in','is'))) AS BIGINT) AS n_stop,
+        |    CAST(length(regexp_replace(lower(w.text), '[a-z0-9 ]', '', 'g')) AS BIGINT) AS n_sym,
+        |    CAST(coalesce(a3.t3, 0) AS BIGINT) AS t3, CAST(coalesce(a3.d3, 0) AS BIGINT) AS d3
+        |  FROM w LEFT JOIN a3 USING (doc_id)),
+        |fl AS (SELECT source,
+        |    CASE WHEN n_tok BETWEEN 50 AND 100000 THEN 1 ELSE 0 END AS p_len,
+        |    CASE WHEN n_chars BETWEEN n_tok*3 AND n_tok*10 THEN 1 ELSE 0 END AS p_word,
+        |    CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS p_stop,
+        |    CASE WHEN t3 = 0 OR d3*10 >= t3*7 THEN 1 ELSE 0 END AS p_rep,
+        |    CASE WHEN n_sym*10 <= n_chars THEN 1 ELSE 0 END AS p_sym
+        |  FROM per)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(p_len) AS BIGINT) AS pass_len,
+        |  CAST(sum(p_word) AS BIGINT) AS pass_word_len,
+        |  CAST(sum(p_stop) AS BIGINT) AS pass_stopword,
+        |  CAST(sum(p_rep) AS BIGINT) AS pass_repetition,
+        |  CAST(sum(p_sym) AS BIGINT) AS pass_symbol,
+        |  CAST(sum(CASE WHEN p_len+p_word+p_stop+p_rep+p_sym = 5 THEN 1 ELSE 0 END) AS BIGINT) AS pass_all
+        |FROM fl GROUP BY source ORDER BY source""".stripMargin,
     // exact counts + exact IEEE divisions of them — no rounding needed
     "doc_repetition" ->
       """WITH w AS (SELECT doc_id, regexp_split_to_array(lower(text), ' +') AS ws FROM documents),

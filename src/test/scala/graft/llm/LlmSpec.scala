@@ -572,6 +572,18 @@ class LlmSpec extends AnyFunSuite {
     assert(a.toSeq == o.toSeq, s"ORC round trip must be exact: ${o.toSeq}")
   }
 
+  test("quality_gates_report: conjunction bound and per-rule counts hold") {
+    val rows = graft.queries.LlmQueries.qualityGatesReport(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.map(_.getLong(1)).sum == 500L)
+    for (r <- rows) {
+      val (n, passes) = (r.getLong(1), (2 to 6).map(r.getLong))
+      val all = r.getLong(7)
+      assert(passes.forall(p => p >= 0 && p <= n), s"rule counts within [0,n]: $r")
+      assert(all <= passes.min, s"pass_all cannot exceed any single rule: $r")
+    }
+  }
+
   test("lang_id_confusion is the exact rollup of the per-doc detector against labels") {
     val dir = "/root/testdata/sf0.001"
     val conf = graft.queries.LlmQueries.langIdConfusion(spark, dir).collect()
