@@ -568,6 +568,33 @@ object LlmQueries {
       .orderBy("query_id")
   }
 
+  /** IVF RECALL-vs-COST CURVE — the tuning artifact behind every
+    * deployed IVF index: recall@5 against brute force at nProbe ∈
+    * {1, 2, 4} probed cells (of 16), one row per setting. The curve is
+    * what turns "approximate" into an ENGINEERED trade — at 100 TB you
+    * pick nProbe from this curve (measured on a bounded query sample,
+    * here the 10 fixed ids) rather than guessing, since cost scales
+    * linearly in probed cells while recall saturates. Each point is
+    * the `ann_recall_audit` overlap against the SAME materialized
+    * brute-force answer; integer recall percentages; the oracle
+    * replays all three probe settings from one shared assignment CTE
+    * so the curve cannot drift from the index it describes. */
+  val annIvfRecallCurve: Q = (s, dir) => {
+    val e = Tables(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+      .select("query_id", "corpus_id").localCheckpoint(true)
+    Seq(1, 2, 4).map { p =>
+      val approx = Similarity.ivfTopK(e, q, "vec_id", "embedding", k = 5, nProbe = p)
+        .select("query_id", "corpus_id")
+      val hits = exact.join(approx, Seq("query_id", "corpus_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+      exact.agg(count(lit(1)).as("n_exact")).crossJoin(hits)
+        .select(lit(p).cast("long").as("n_probe"), col("n_exact"), col("n_hits"),
+          expr("CAST((n_hits * 100) DIV n_exact AS BIGINT)").as("recall_pct"))
+    }.reduce(_ unionByName _).orderBy("n_probe")
+  }
+
   /** Embedding-cosine near-dup pairs (LSH candidates + exact verify).
     * Threshold 0.4 — the synthetic embeddings are near-orthogonal (max
     * pairwise cosine ≈ 0.51), so 0.4 surfaces the genuine nearest pairs;
@@ -1636,6 +1663,7 @@ object LlmQueries {
     "ann_ivf_trained" -> annIvfTrained,
     "ann_pq_trained" -> annPqTrained,
     "ann_recall_audit" -> annRecallAudit,
+    "ann_ivf_recall_curve" -> annIvfRecallCurve,
     "dedup_embedding" -> dedupEmbedding,
     "dedup_semantic" -> dedupSemantic,
     "embedding_bucket_histogram" -> embeddingBucketHistogram,
@@ -2171,6 +2199,46 @@ object LlmQueries {
         |  JOIN embeddings ce ON ce.vec_id = cd.corpus_id)
         |SELECT query_id, corpus_id, rank FROM scored WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+    // one shared assignment CTE feeds all three probe settings: the
+    // curve and the index cannot drift apart
+    "ann_ivf_recall_curve" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+        |corpus_assign AS (
+        |  SELECT corpus_id, cell FROM (
+        |    SELECT e.vec_id AS corpus_id, c.cid AS cell,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.embedding, c.cvec) DESC, c.cid) AS rk
+        |    FROM embeddings e, cents c) WHERE rk <= 1),
+        |qa AS (
+        |  SELECT query_id, cell, rk FROM (
+        |    SELECT e.vec_id AS query_id, c.cid AS cell,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.embedding, c.cvec) DESC, c.cid) AS rk
+        |    FROM embeddings e, cents c WHERE e.vec_id < 10) WHERE rk <= 4),
+        |brute AS (SELECT query_id, corpus_id FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS rank
+        |    FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND c.vec_id != q.vec_id)
+        |  WHERE rank <= 5),
+        |probes AS (SELECT unnest([1, 2, 4]) AS p),
+        |cands AS (SELECT DISTINCT pr.p, q.query_id, ca.corpus_id
+        |  FROM probes pr JOIN qa q ON q.rk <= pr.p JOIN corpus_assign ca ON q.cell = ca.cell
+        |  WHERE ca.corpus_id <> q.query_id),
+        |scored AS (SELECT cd.p, cd.query_id, cd.corpus_id,
+        |    row_number() OVER (PARTITION BY cd.p, cd.query_id
+        |      ORDER BY list_cosine_similarity(qe.embedding, ce.embedding) DESC, cd.corpus_id) AS rank
+        |  FROM cands cd
+        |  JOIN embeddings qe ON qe.vec_id = cd.query_id
+        |  JOIN embeddings ce ON ce.vec_id = cd.corpus_id),
+        |ivf AS (SELECT p, query_id, corpus_id FROM scored WHERE rank <= 5)
+        |SELECT pr.p AS n_probe, count(*) AS n_exact, count(i.corpus_id) AS n_hits,
+        |  CAST(count(i.corpus_id) * 100 // count(*) AS BIGINT) AS recall_pct
+        |FROM probes pr CROSS JOIN brute b
+        |LEFT JOIN ivf i ON i.p = pr.p AND i.query_id = b.query_id AND i.corpus_id = b.corpus_id
+        |GROUP BY pr.p ORDER BY n_probe""".stripMargin,
     // full PQ replay on integer-quantized vectors: portable md5 sample
     // as codebook, per-(vector, subspace, centroid) exact BIGINT
     // distances, argmin codes (ties -> lowest centroid id), ADC =

@@ -681,6 +681,19 @@ class LlmSpec extends AnyFunSuite {
     assert(rows(1L) > rows(99L) + 2.0, "clear separation between coherent and anomalous")
   }
 
+  test("annIvfRecallCurve: recall is monotone in nProbe and bounded by k per query") {
+    val rows = graft.queries.LlmQueries.annIvfRecallCurve(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 4L))
+    for ((p, nExact, hits, pct) <- rows) {
+      assert(nExact == 50L && hits >= 0 && hits <= nExact, s"p=$p bounds")
+      assert(pct == hits * 100L / nExact, s"p=$p integer recall arithmetic")
+    }
+    val recalls = rows.map(_._3)
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b },
+      s"probing more cells can only add candidates: ${recalls.toSeq}")
+  }
+
   test("annRecallAudit: recall is 100 when the approximate side IS the exact side") {
     // On the fixture, brute-force and any candidate set that contains the
     // true top-5 agree; here we check the audit's arithmetic directly:
