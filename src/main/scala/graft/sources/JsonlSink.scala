@@ -85,7 +85,12 @@ object JsonlSink {
     * under any locale's delimiters. */
   def roundTripCsv(df: DataFrame, key: String): DataFrame =
     writeRead(df, key, "csv",
+      // the WRITER trims cell whitespace by default (ignore*WhiteSpace
+      // defaults true on write, false on read — asymmetric!), so a
+      // whitespace-only document silently came back shortened. Caught
+      // by ExportSinkPropertySpec's hostile-alphabet rows.
       Map("header" -> "true", "quoteAll" -> "true", "escape" -> "\"",
+        "ignoreLeadingWhiteSpace" -> "false", "ignoreTrailingWhiteSpace" -> "false",
         "nullValue" -> "\u0000"),
       Map("header" -> "true", "multiLine" -> "true", "escape" -> "\"",
         "nullValue" -> "\u0000"))
