@@ -271,6 +271,37 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  /** Integer DECIMATION of a 16-bit LE mono PCM payload — keep every
+    * `factor`-th sample (the drop-sample resampler: exact, no filter
+    * arithmetic, so the output waveform is a pure index subsequence any
+    * engine can state in closed form; a production pipeline would
+    * low-pass first, but the PLUMBING — payload in, payload out, half
+    * the bytes, metadata updated — is what this operator exercises).
+    * Narrow mapPartitions, no shuffle, same 100 TB shape as every
+    * media transform. */
+  def decimatePcm(df: DataFrame, idCol: String, mediaCol: String,
+      factor: Int): DataFrame = {
+    require(factor > 0, "factor must be positive")
+    val sel = df.select(col(idCol), col(mediaCol))
+    val outSchema = StructType(Seq(sel.schema.head, StructField(mediaCol, mediaSchema)))
+    sel.mapPartitions { it =>
+      it.map { r =>
+        val m = r.getStruct(1)
+        val b = Option(m.getAs[Array[Byte]](0)).getOrElse(Array.emptyByteArray)
+        val n = b.length / 2
+        val outN = (n + factor - 1) / factor
+        val out = new Array[Byte](outN * 2)
+        var i = 0
+        while (i < outN) {
+          out(2 * i) = b(2 * i * factor)
+          out(2 * i + 1) = b(2 * i * factor + 1)
+          i += 1
+        }
+        Row(r.get(0), Row(out, "audio/pcm", null, null, outN))
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Parse a 16-bit LE mono PCM payload back out of the binary column
     * and compute integer-exact waveform stats — the audio feature
     * extraction a training pipeline runs before filtering/captioning:

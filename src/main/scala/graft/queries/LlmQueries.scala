@@ -1367,6 +1367,25 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** Audio RESAMPLE gate — the PCM payload decimated ×2
+    * ([[Multimodal.decimatePcm]]: keep every other sample, exact index
+    * subsequence) and re-analyzed with the same waveform stats. The
+    * oracle states every post-resample stat from the closed form over
+    * EVEN sample indices only — a hash match proves synth → decimate →
+    * re-parse end-to-end, including the halved sample count and the
+    * changed zero-crossing structure (decimation halves the sampling
+    * rate, so crossings between dropped samples disappear — real
+    * aliasing arithmetic, exactly replayed). */
+  val mediaAudioResample: Q = (s, dir) => {
+    val d = Tables(s, dir, "documents")
+      .select(col("doc_id"), expr("CAST(200 + doc_id % 57 AS INT)").as("n"))
+    Multimodal.audioStats(
+        Multimodal.decimatePcm(
+          Multimodal.synthesizePcm(d, "doc_id", "n"), "doc_id", "media", factor = 2),
+        "doc_id", "media")
+      .orderBy("doc_id")
+  }
+
   /** Byte-level media stats (no decode): engine-portable ⇒ oracle. */
   val mediaStats: Q = (s, dir) => {
     val d = Tables(s, dir, "documents")
@@ -1716,6 +1735,7 @@ object LlmQueries {
     "media_video_frames" -> mediaVideoFrames,
     "media_video_scenes" -> mediaVideoScenes,
     "media_audio_stats" -> mediaAudioStats,
+    "media_audio_resample" -> mediaAudioResample,
     "media_stats" -> mediaStats
   )
 
@@ -3013,6 +3033,23 @@ object LlmQueries {
       """WITH s AS (SELECT doc_id, k,
         |    ((doc_id * 7919 + k * 104729) % 65536 + 65536) % 65536 - 32768 AS v
         |  FROM documents, unnest(range(0, 200 + doc_id % 57)) t(k)),
+        |p AS (SELECT doc_id, k, v,
+        |    lag(v) OVER (PARTITION BY doc_id ORDER BY k) AS pv FROM s)
+        |SELECT doc_id,
+        |  count(*) AS n_samples,
+        |  CAST(max(abs(v)) AS BIGINT) AS peak_abs,
+        |  CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+        |  CAST(sum(v * v) AS BIGINT) AS sum_sq,
+        |  CAST(count(CASE WHEN pv IS NOT NULL AND ((pv >= 0) <> (v >= 0)) THEN 1 END) AS BIGINT)
+        |    AS zero_crossings,
+        |  round(CAST(sum(abs(v)) AS DOUBLE) / count(*), 6) AS mean_abs
+        |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // the same closed form restricted to EVEN sample indices: the
+    // decimated waveform is a pure index subsequence
+    "media_audio_resample" ->
+      """WITH s AS (SELECT doc_id, k,
+        |    ((doc_id * 7919 + k * 104729) % 65536 + 65536) % 65536 - 32768 AS v
+        |  FROM documents, unnest(range(0, 200 + doc_id % 57, 2)) t(k)),
         |p AS (SELECT doc_id, k, v,
         |    lag(v) OVER (PARTITION BY doc_id ORDER BY k) AS pv FROM s)
         |SELECT doc_id,

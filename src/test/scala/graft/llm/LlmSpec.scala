@@ -572,6 +572,22 @@ class LlmSpec extends AnyFunSuite {
     assert(a.toSeq == o.toSeq, s"ORC round trip must be exact: ${o.toSeq}")
   }
 
+  test("decimatePcm keeps exactly the even-index samples") {
+    val d = Seq((7L, 9)).toDF("doc_id", "n")
+    val full = Multimodal.audioStats(
+      Multimodal.synthesizePcm(d, "doc_id", "n"), "doc_id", "media").collect()(0)
+    val half = Multimodal.audioStats(
+      Multimodal.decimatePcm(Multimodal.synthesizePcm(d, "doc_id", "n"),
+        "doc_id", "media", factor = 2), "doc_id", "media").collect()(0)
+    assert(half.getLong(1) == 5L, "ceil(9/2) samples survive")
+    // replay the closed form over even k only
+    val vs = (0 until 9 by 2).map(k => Math.floorMod(7L * 7919 + k * 104729L, 65536L) - 32768L)
+    assert(half.getLong(2) == vs.map(math.abs).max, "peak over even samples")
+    assert(half.getLong(3) == vs.map(math.abs).sum, "L1 over even samples")
+    assert(half.getLong(4) == vs.map(v => v * v).sum, "L2 over even samples")
+    assert(full.getLong(1) == 9L)
+  }
+
   test("quality_gates_report: conjunction bound and per-rule counts hold") {
     val rows = graft.queries.LlmQueries.qualityGatesReport(spark, "/root/testdata/sf0.001")
       .collect()
