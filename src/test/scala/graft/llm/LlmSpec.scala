@@ -678,6 +678,33 @@ class LlmSpec extends AnyFunSuite {
     assert(one.count() == 0)
   }
 
+  test("bigramLogProb matches a driver-side replay on random small corpora") {
+    // property-style differential over 30 random corpora from a tiny
+    // vocabulary (dense bigram collisions — the interesting regime)
+    val rnd = new scala.util.Random(12012)
+    val vocab = Vector("a", "b", "c", "dd")
+    for (trial <- 1 to 30) {
+      val corpus = (1L to (2 + rnd.nextInt(5)).toLong).map { id =>
+        (id, Seq.fill(rnd.nextInt(7))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val docs = corpus.map { case (id, t) =>
+        id -> t.trim.replaceAll(" +", " ").split(" ").filter(_.nonEmpty).toSeq
+      }.toMap
+      val bg = docs.toSeq.flatMap { case (id, ws) => ws.zip(ws.drop(1)).map(p => (id, p)) }
+      val c2 = bg.groupBy(_._2).view.mapValues(_.size).toMap
+      val c1 = bg.groupBy(_._2._1).view.mapValues(_.size).toMap
+      def lg(c: Int) = 63 - java.lang.Long.numberOfLeadingZeros(c.toLong)
+      val expected = bg.groupBy(_._1).view.mapValues { ps =>
+        val pairs = ps.map(_._2)
+        (pairs.size.toLong, pairs.map(p => lg(c2(p)).toLong).sum,
+          pairs.map(p => lg(c1(p._1)).toLong).sum)
+      }.toMap
+      val got = TextAnalysis.bigramLogProb(corpus.toDF("doc_id", "text"), "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(got == expected, s"trial $trial diverged\ncorpus=$corpus\ngot=$got\nexp=$expected")
+    }
+  }
+
   test("bigramLogProb penalizes rare continuations of common prefixes") {
     // The conditional score's discrimination target (CCNet): a COMMON
     // prefix followed by a RARE continuation is improbable text. 40
