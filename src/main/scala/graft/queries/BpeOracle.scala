@@ -117,6 +117,27 @@ object BpeOracle {
        |FROM per2, tot
        |ORDER BY source""".stripMargin
 
+  /** `pack_payload_bpe`: the packed training payload itself — per
+    * pack, the md5 witness over every member doc's id sequence
+    * concatenated in doc order, re-derived from raw parquet through
+    * training, encoding, the prefix-sum assignment, and the in-pack
+    * order. */
+  val packPayloadBpeSql: String =
+    s"""WITH $trainCtes,
+       |nt AS (SELECT doc_id, len(ts) AS n_tokens FROM enc),
+       |c AS (SELECT doc_id, n_tokens,
+       |    sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM nt),
+       |pk AS (SELECT doc_id, n_tokens, CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_id FROM c),
+       |tk AS (SELECT doc_id, unnest(ts) AS tk, generate_subscripts(ts, 1) AS pos FROM enc),
+       |wid AS (SELECT t.doc_id, t.pos, coalesce(v.id, -1) AS id
+       |  FROM tk t LEFT JOIN vocab v ON t.tk = v.tk),
+       |idstr AS (SELECT doc_id, string_agg(CAST(id AS VARCHAR), ',' ORDER BY pos) AS ids
+       |  FROM wid GROUP BY doc_id)
+       |SELECT pk.pack_id, count(*) AS n_docs, CAST(sum(pk.n_tokens) AS BIGINT) AS n_tokens,
+       |  md5(string_agg(idstr.ids, ',' ORDER BY pk.doc_id)) AS payload_md5
+       |FROM pk JOIN idstr USING (doc_id)
+       |GROUP BY pk.pack_id ORDER BY pack_id""".stripMargin
+
   /** `pack_sequences_bpe`: the `pack_sequences` window-sum replay on
     * EXACT BPE token counts instead of the whitespace proxy. */
   val packSequencesBpeSql: String =

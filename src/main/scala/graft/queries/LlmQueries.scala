@@ -1540,6 +1540,35 @@ object LlmQueries {
       .orderBy("len_bucket")
   }
 
+  /** The PACKED PAYLOAD itself — the training examples, not just the
+    * assignment: every doc's exact BPE id sequence concatenated in
+    * doc order within its 2048-token pack, witnessed per pack as an
+    * md5 over the id string (the export-family convention: prove the
+    * artifact without hauling it through the gate). This is the final
+    * product of the whole tokenize→budget→pack chain, and the oracle
+    * re-derives it from raw parquet through the complete training
+    * replay — merges, vocabulary ids, per-doc encoding, the prefix-sum
+    * pack assignment, and the in-pack concatenation order. Per-pack
+    * state is bounded by the window size (≈2048 ids), the pack-keyed
+    * exchange carries id STRINGS not text, and pack count scales as
+    * corpus_tokens/2048 — linear, embarrassingly partitioned. */
+  val packPayloadBpe: Q = (s, dir) => {
+    val d = Tables(s, dir, "documents")
+    val trained = trainedBpe(s, dir)
+    val nTok = Bpe.tokenCount(col("text"), trained.merges).cast("long")
+    val packs = TextAnalysis.packSequencesBy(d, "doc_id", nTok, 2048)
+    val ids = d.select(col("doc_id"),
+      array_join(transform(Bpe.tokenIds(Bpe.encode(col("text"), trained.merges), trained),
+        i => i.cast("string")), ",").as("ids"))
+    packs.join(ids, "doc_id")
+      .groupBy("pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"),
+        md5(to_binary(array_join(
+          transform(array_sort(collect_list(struct(col("doc_id"), col("ids")))),
+            x => x.getField("ids")), ","), lit("utf-8"))).as("payload_md5"))
+      .orderBy("pack_id")
+  }
+
   /** `source_mixture_weights` on EXACT BPE token budgets — mixture
     * design in the unit the training job actually consumes. Same
     * integer ppm/floor-sqrt math; one corpus scan plus the |sources|-row
@@ -1693,6 +1722,7 @@ object LlmQueries {
     "bpe_encode" -> bpeEncode,
     "bpe_vocab" -> bpeVocab,
     "pack_sequences_bpe" -> packSequencesBpe,
+    "pack_payload_bpe" -> packPayloadBpe,
     "token_length_histogram_bpe" -> tokenLengthHistogramBpe,
     "source_mixture_weights_bpe" -> sourceMixtureWeightsBpe,
     "source_mixture_weights" -> sourceMixtureWeights,
@@ -2494,6 +2524,7 @@ object LlmQueries {
     "bpe_encode" -> BpeOracle.bpeEncodeSql,
     "bpe_vocab" -> BpeOracle.bpeVocabSql,
     "pack_sequences_bpe" -> BpeOracle.packSequencesBpeSql,
+    "pack_payload_bpe" -> BpeOracle.packPayloadBpeSql,
     "token_length_histogram_bpe" -> BpeOracle.tokenLengthHistogramBpeSql,
     "source_mixture_weights_bpe" -> BpeOracle.sourceMixtureWeightsBpeSql,
     // integer floor-division ppm weights; floor(sqrt) of a BIGINT is
