@@ -85,7 +85,11 @@ object ScaleProbe {
     // rollup (one extra doc-keyed aggregate over the spans plan)
     "bigram_logprob_score",
     "minhash_est_error",
-    "dedup_substring_budget")
+    "dedup_substring_budget",
+    // round 12d: the full tokenize→encode→pack chain (training on the
+    // probe corpus's own vocabulary, encode scan-side, pack-keyed agg)
+    "bpe_encode",
+    "pack_payload_bpe")
 
   private def rot(s: String, k: Int): String = s.drop(k % s.length) + s.take(k % s.length)
 
