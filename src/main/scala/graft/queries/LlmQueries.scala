@@ -1474,11 +1474,27 @@ object LlmQueries {
     * DataFrame/RDD state — unlike the neardup index cache). */
   private val bpeCache =
     new java.util.concurrent.ConcurrentHashMap[String, Bpe.Trained]()
+  /** Spread a SMALL corpus across cores before a COMPUTE-BOUND encode
+    * scan. The sf fixtures are single parquet files → ONE input
+    * partition → the M-merge encode loop runs on one core of 32
+    * (measured: the full encode pipeline drops 1.31 s → 0.36 s at
+    * sf0.1 with this spread — SCALE.md round-12d). This is the
+    * INVERSE of the repo's shuffle-avoidance default, and deliberately
+    * conditional: when the input already carries ≥ cores partitions
+    * (any fleet-scale corpus — file count ≫ cores), the spread is a
+    * no-op and no shuffle is added. The shuffle it does add on the
+    * small-file regime moves the corpus text ONCE to buy cores×
+    * parallelism on the heavy loop. */
+  private def spreadForCompute(s: SparkSession, df: DataFrame): DataFrame = {
+    val target = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
+
   private[graft] def trainedBpe(s: SparkSession, dir: String): Bpe.Trained =
     bpeCache.computeIfAbsent(dir, _ => Bpe.train(Tables(s, dir, "documents"), "text"))
 
   val bpeEncode: Q = (s, dir) => {
-    val d = Tables(s, dir, "documents")
+    val d = spreadForCompute(s, Tables(s, dir, "documents"))
     val trained = trainedBpe(s, dir)
     val toks = Bpe.encode(col("text"), trained.merges)
     d.select(col("doc_id"), toks.as("ts"))
@@ -1497,7 +1513,7 @@ object LlmQueries {
     * context windows now hold true subword budgets, which is what the
     * training job actually consumes. */
   val packSequencesBpe: Q = (s, dir) => {
-    val d = Tables(s, dir, "documents")
+    val d = spreadForCompute(s, Tables(s, dir, "documents"))
     val trained = trainedBpe(s, dir)
     TextAnalysis.packSequencesBy(
       d, "doc_id", Bpe.tokenCount(col("text"), trained.merges).cast("long"))
@@ -1527,7 +1543,7 @@ object LlmQueries {
     * context-length planning histogram (the whitespace variant stays as
     * the cheap pre-tokenizer screen). Same bucket boundaries. */
   val tokenLengthHistogramBpe: Q = (s, dir) => {
-    val d = Tables(s, dir, "documents")
+    val d = spreadForCompute(s, Tables(s, dir, "documents"))
     val n = Bpe.tokenCount(col("text"), trainedBpe(s, dir).merges)
     d.select(n.as("n"))
       .select(
@@ -1553,7 +1569,7 @@ object LlmQueries {
     * exchange carries id STRINGS not text, and pack count scales as
     * corpus_tokens/2048 — linear, embarrassingly partitioned. */
   val packPayloadBpe: Q = (s, dir) => {
-    val d = Tables(s, dir, "documents")
+    val d = spreadForCompute(s, Tables(s, dir, "documents"))
     val trained = trainedBpe(s, dir)
     val nTok = Bpe.tokenCount(col("text"), trained.merges).cast("long")
     val packs = TextAnalysis.packSequencesBy(d, "doc_id", nTok, 2048)
@@ -1575,7 +1591,7 @@ object LlmQueries {
     * window. */
   val sourceMixtureWeightsBpe: Q = (s, dir) => {
     val w = Window.partitionBy()
-    Tables(s, dir, "documents")
+    spreadForCompute(s, Tables(s, dir, "documents"))
       .select(col("source"),
         Bpe.tokenCount(col("text"), trainedBpe(s, dir).merges).cast("long").as("n_tokens"))
       .groupBy("source")
