@@ -253,6 +253,10 @@ object TextAnalysis {
   def bigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val words = filter(split(normalizeText(col(textCol)), " "),
       w => length(w) > 0)
+    // materialize the exploded bigram stream ONCE (localCheckpoint —
+    // the minhashEstError convention): three consumers below (c2, c1,
+    // the instance join) would otherwise each re-scan and re-explode
+    // the corpus. At 100 TB: reliable checkpoint / persist(DISK_ONLY).
     val bg = df.select(col(idCol).as("id"), words.as("ws"))
       .filter(size(col("ws")) >= 2)
       .select(col("id"), explode(expr(
@@ -260,6 +264,7 @@ object TextAnalysis {
           "i -> struct(element_at(ws, CAST(i AS INT)) AS prev, " +
           "element_at(ws, CAST(i + 1 AS INT)) AS nxt))")).as("b"))
       .select(col("id"), col("b.prev").as("prev"), col("b.nxt").as("nxt"))
+      .localCheckpoint(true)
     val c2 = bg.groupBy("prev", "nxt").agg(count(lit(1)).as("c2"))
     val c1 = bg.groupBy("prev").agg(count(lit(1)).as("c1"))
     def lg(c: Column): Column = (length(bin(c)) - 1).cast("long")

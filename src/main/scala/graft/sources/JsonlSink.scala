@@ -20,8 +20,15 @@ import org.apache.spark.sql.DataFrame
   */
 object JsonlSink {
 
+  /** One lazily-written export per key. The holder's `lazy val` runs
+    * the distributed write OUTSIDE the map's bin lock (a
+    * `compute`-closure write would hold a ConcurrentHashMap bin lock
+    * across an entire Spark job) while still guaranteeing
+    * exactly-one write per key. */
+  private final class Export(mk: () => String) { lazy val path: String = mk() }
+
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new java.util.concurrent.ConcurrentHashMap[String, Export]()
 
   private val tmpDirs =
     new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
@@ -50,16 +57,25 @@ object JsonlSink {
     * restarts in one JVM, unlike caching a DataFrame. */
   private def writeRead(df: DataFrame, key: String, format: String,
       writeOpts: Map[String, String], readOpts: Map[String, String]): DataFrame = {
-    val path = cache.compute(key, { (_, cached) =>
-      if (cached != null && new java.io.File(cached).exists()) cached
-      else {
-        val tmp = java.nio.file.Files.createTempDirectory("graft_export_")
-        cleanupHook // register the single drain hook (idempotent)
-        tmpDirs.add(tmp)
-        df.write.mode("overwrite").options(writeOpts).format(format).save(tmp.toString)
-        tmp.toString
-      }
-    })
+    // fold a schema fingerprint into the cache key so a reused caller
+    // key with a different shape can never silently return the stale
+    // export (full-data fingerprinting would cost a second job; the
+    // schema catches the reuse-with-different-query class of mistakes)
+    val fullKey = key + "|" + format + "|" +
+      df.schema.fields.map(f => s"${f.name}:${f.dataType.catalogString}").mkString(",")
+    def mk(): String = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_export_")
+      cleanupHook // register the single drain hook (idempotent)
+      tmpDirs.add(tmp)
+      df.write.mode("overwrite").options(writeOpts).format(format).save(tmp.toString)
+      tmp.toString
+    }
+    val holder = cache.computeIfAbsent(fullKey, _ => new Export(() => mk()))
+    var path = holder.path // lazy: first caller writes, outside any bin lock
+    if (!new java.io.File(path).exists()) { // swept by an external cleanup — redo
+      cache.remove(fullKey, holder)
+      path = cache.computeIfAbsent(fullKey, _ => new Export(() => mk())).path
+    }
     df.sparkSession.read.schema(df.schema).options(readOpts).format(format).load(path)
   }
 

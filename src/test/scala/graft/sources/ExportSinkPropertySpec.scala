@@ -39,11 +39,17 @@ class ExportSinkPropertySpec extends AnyFunSuite {
       case "orc"  => JsonlSink.roundTripOrc(df, key)
     }
     val a = df.collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
-    val b = back.collect().map(r => (r.getLong(0), Option(r.getString(1)).getOrElse(""))).sortBy(_._1).toSeq
-    // json/csv cannot distinguish a written empty string from absent on
-    // some readers; the catalog's documents are non-null, so normalize
-    // null-on-read of "" back to "" before comparing
-    a == b
+    val rawBack = back.collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    if (fmt == "csv") {
+      // bare CSV cannot encode empty-vs-null without the sentinel; the
+      // documented dialect limitation keeps the normalization HERE only
+      a == rawBack.map { case (i, t) => (i, Option(t).getOrElse("")) }
+    } else {
+      // json/orc must preserve the empty-string-vs-null distinction
+      // bit-exact: compare RAW and require every non-null input back
+      // non-null (a sink that reads "" back as null fails loudly)
+      rawBack.forall(_._2 != null) && a == rawBack
+    }
   }
 
   test("json round-trips arbitrary hostile unicode rows") {
