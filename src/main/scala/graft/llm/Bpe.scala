@@ -79,10 +79,114 @@ object Bpe {
     out.result()
   }
 
-  /** Driver-side reference encode of one word (used by training and as
-    * the spec twin of the Column [[encode]]). */
+  /** Driver-side reference encode of one word — the M-pass sequential
+    * fold, O(M·len): one [[applyMerge]] pass per trained merge. Kept as
+    * the SEMANTIC DEFINITION (it is literally the training loop's
+    * application order) and as the differential twin of
+    * [[heapEncodeWord]]; production encoding uses the heap encoder,
+    * whose cost is independent of M. */
   private[llm] def encodeWord(word: String, merges: Seq[(String, String)]): Vector[String] =
     merges.foldLeft(word.map(_.toString).toVector) { case (s, (a, b)) => applyMerge(s, a, b) }
+
+  /** pair -> ascending ranks. A pair normally appears once, but an
+    * arbitrary merge list may repeat one (two different merges can even
+    * emit the same token STRING), so the table keeps every rank and the
+    * encoder picks the first rank at-or-after each occurrence's
+    * creation time. */
+  type Ranks = Map[(String, String), Array[Int]]
+
+  def buildRanks(merges: Seq[(String, String)]): Ranks =
+    merges.zipWithIndex.groupBy(_._1)
+      .map { case (p, xs) => p -> xs.map(_._2).sorted.toArray }
+
+  /** Pair-heap encode of one word — O(len · log len), INDEPENDENT of
+    * the merge count M (the production-vocab regime: at M = 32k the
+    * M-pass fold does ~1600× the work of the M = 20 gate; this does the
+    * same work at any M). Output is BIT-IDENTICAL to [[encodeWord]]:
+    *
+    *  - symbols live in a doubly-linked list over the word's code
+    *    points; a min-heap orders candidate occurrences by
+    *    (rank, position) — exactly "merge list order, left-to-right
+    *    non-overlapping within each rank";
+    *  - an entry is validated at pop time by comparing its recorded
+    *    pair strings against the CURRENT symbols. Symbols only ever
+    *    grow (a merge concatenates), and a node's successor changes
+    *    only when the node itself merges, so string equality proves
+    *    the occurrence is the unchanged one the entry was created for;
+    *  - a pair occurrence CREATED while processing rank r is eligible
+    *    only for that pair's first rank ≥ r (the creation floor): in
+    *    the sequential fold, pass r' < r is already over and never
+    *    revisited. (A merge can create an occurrence of an
+    *    earlier-rank pair only via token-string collision — rare but
+    *    real, and this rule reproduces the fold exactly there too.)
+    */
+  private[graft] def heapEncodeWord(word: String, ranks: Ranks): Vector[String] = {
+    // split on CODE POINTS — the distributed twin's `regexp_replace
+    // (., "$1  ")` spacing operates on code points, so a supplementary
+    // char is one symbol there; mirror it. (For BMP text this equals
+    // the reference fold's per-char split.)
+    val cps = word.codePoints().toArray
+    val n = cps.length
+    if (n == 0) return Vector.empty
+    val sym = new Array[String](n)
+    var ci = 0
+    while (ci < n) { sym(ci) = new String(Character.toChars(cps(ci))); ci += 1 }
+    if (n == 1) return Vector(sym(0))
+    val nxt = Array.tabulate(n)(i => if (i + 1 < n) i + 1 else -1)
+    val prv = Array.tabulate(n)(i => i - 1)
+    val alive = Array.fill(n)(true)
+    // entries: (rank, leftPos, leftSym, rightSym); min-heap on (rank, pos)
+    val pq = scala.collection.mutable.PriorityQueue.empty[(Int, Int, String, String)](
+      Ordering.by[(Int, Int, String, String), (Int, Int)](e => (e._1, e._2)).reverse)
+    def push(pos: Int, floor: Int): Unit = {
+      val j = nxt(pos)
+      if (j >= 0) ranks.get((sym(pos), sym(j))).foreach { arr =>
+        var k = 0
+        while (k < arr.length && arr(k) < floor) k += 1
+        if (k < arr.length) pq.enqueue((arr(k), pos, sym(pos), sym(j)))
+      }
+    }
+    var i = 0
+    while (i < n - 1) { push(i, 0); i += 1 }
+    while (pq.nonEmpty) {
+      val (r, pos, a, b) = pq.dequeue()
+      if (alive(pos) && sym(pos) == a) {
+        val j = nxt(pos)
+        if (j >= 0 && sym(j) == b) {
+          sym(pos) = a + b
+          alive(j) = false
+          val k = nxt(j)
+          nxt(pos) = k
+          if (k >= 0) prv(k) = pos
+          if (prv(pos) >= 0) push(prv(pos), r)
+          push(pos, r)
+        }
+      }
+    }
+    val out = Vector.newBuilder[String]
+    var p = 0
+    while (p >= 0) { if (alive(p)) out += sym(p); p = nxt(p) }
+    out.result()
+  }
+
+  /** Heap-encode a whole NORMALIZED text (single-space separated, as
+    * produced by [[TextAnalysis.normalizeText]]): per-word token arrays
+    * concatenated in order — the exact output shape of the distributed
+    * [[encode]]. Empty text yields `[""]`, matching
+    * `split(trim(...), " +")` on an empty string. */
+  private[graft] def heapEncodeText(norm: String, ranks: Ranks): Array[String] = {
+    if (norm.isEmpty) return Array("")
+    val out = Array.newBuilder[String]
+    var start = 0
+    val len = norm.length
+    while (start < len) {
+      var end = norm.indexOf(' ', start)
+      if (end < 0) end = len
+      if (end > start) heapEncodeWord(norm.substring(start, end), ranks).foreach(out += _)
+      start = end + 1
+    }
+    out.result()
+  }
 
   /** Train on the corpus: two bounded collects (top-V word
     * frequencies; the distinct base alphabet) then a driver-side merge
@@ -105,8 +209,70 @@ object Bpe {
       .filter(length(col("c")) > 0 && col("c") =!= " ")
       .distinct().collect().map(_.getString(0)).sorted.toSeq
 
-    var words: Array[(Vector[String], Long)] =
+    val words: Array[(Vector[String], Long)] =
       wfRows.map(r => (r.getString(0).map(_.toString).toVector, r.getLong(1)))
+    Trained(alphabet, trainMerges(words, numMerges))
+  }
+
+  /** The driver merge loop, INCREMENTAL: pair counts and a pair→words
+    * index are maintained across iterations, so merge i re-counts only
+    * the words that actually CONTAIN the merged pair — O(affected·len)
+    * per merge instead of the naive O(V·len) full recount. At
+    * production merge counts (32k) the naive loop is O(V·M·len); this
+    * is O(V·len + M·(scan + affected·len)), which is what keeps
+    * "training stays driver-sized" true on the vocab axis too.
+    * Output is bit-identical to [[trainMergesReference]] (differential
+    * in BpeSpec): same exact integer counts, same (-count, "a b")
+    * tie-break over the same candidate set. */
+  private[graft] def trainMerges(
+      words0: Array[(Vector[String], Long)], numMerges: Int): Seq[(String, String)] = {
+    val words = words0.clone()
+    val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+    val occ = scala.collection.mutable.Map.empty[(String, String), scala.collection.mutable.Set[Int]]
+    def addWord(wi: Int, sign: Long): Unit = {
+      val (syms, f) = words(wi)
+      var i = 0
+      while (i < syms.length - 1) {
+        val k = (syms(i), syms(i + 1))
+        val n = pc.getOrElse(k, 0L) + sign * f
+        if (n == 0L) pc.remove(k) else pc.update(k, n)
+        if (sign > 0) occ.getOrElseUpdate(k, scala.collection.mutable.Set.empty) += wi
+        i += 1
+      }
+      if (sign < 0) {
+        var j = 0
+        while (j < syms.length - 1) {
+          val k = (syms(j), syms(j + 1))
+          if (!pc.contains(k)) occ.remove(k)
+          j += 1
+        }
+      }
+    }
+    var wi = 0
+    while (wi < words.length) { addWord(wi, 1L); wi += 1 }
+    val merges = Seq.newBuilder[(String, String)]
+    var it = 0
+    while (it < numMerges && pc.nonEmpty) {
+      val best = pc.iterator.minBy { case ((a, b), n) => (-n, s"$a $b") }._1
+      merges += best
+      val affected = occ.getOrElse(best, scala.collection.mutable.Set.empty).toArray
+      java.util.Arrays.sort(affected)
+      affected.foreach { w =>
+        addWord(w, -1L)
+        words(w) = (applyMerge(words(w)._1, best._1, best._2), words(w)._2)
+        addWord(w, 1L)
+      }
+      it += 1
+    }
+    merges.result()
+  }
+
+  /** The naive full-recount merge loop — the SEMANTIC DEFINITION the
+    * oracle replays CTE-by-CTE, kept as [[trainMerges]]'s differential
+    * twin. */
+  private[graft] def trainMergesReference(
+      words0: Array[(Vector[String], Long)], numMerges: Int): Seq[(String, String)] = {
+    var words = words0
     val merges = Seq.newBuilder[(String, String)]
     var it = 0
     var exhausted = false
@@ -128,7 +294,7 @@ object Bpe {
       }
       it += 1
     }
-    Trained(alphabet, merges.result())
+    merges.result()
   }
 
   /** The double-spaced symbol expansion of normalized text — one
@@ -137,11 +303,26 @@ object Bpe {
   private def spaced(text: Column): Column =
     concat(lit(" "), regexp_replace(TextAnalysis.normalizeText(text), "(.)", "$1  "))
 
-  /** Scan-side encode: the trained merge chain as literal codegen'd
-    * `replace` calls over the double-spaced expansion, then one split.
-    * Returns the array of subword tokens (all words, in order). A
-    * narrow map — zero shuffle, whole-stage codegen end to end. */
+  /** Scan-side encode — the PRODUCTION path: the pair-heap expression
+    * ([[graft.functions.BpeEncode]]), O(len·log len) per word
+    * independent of the merge count, over the normalized text. Output
+    * is bit-identical to [[encodeChain]] (differential-pinned in
+    * BpeSpec, and hash-verified end-to-end because the DuckDB oracle
+    * still replays the chain formulation). A narrow map — zero
+    * shuffle. */
   def encode(text: Column, merges: Seq[(String, String)]): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.BpeEncode(
+      ColumnBridge.expression(TextAnalysis.normalizeText(text)), merges))
+  }
+
+  /** The merge chain as literal codegen'd `replace` calls over the
+    * double-spaced expansion, then one split — the SEMANTIC DEFINITION
+    * the DuckDB oracle replays verbatim (plain `replace` has identical
+    * semantics in both engines), kept as [[encode]]'s differential
+    * twin. Whole-stage codegen, but both the work and the expression
+    * tree grow linearly with M — gate-scale only. */
+  def encodeChain(text: Column, merges: Seq[(String, String)]): Column = {
     val merged = merges.foldLeft(spaced(text)) { case (s, (a, b)) =>
       replace(s, lit(s" $a  $b "), lit(s" $a$b "))
     }

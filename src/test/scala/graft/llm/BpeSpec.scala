@@ -77,6 +77,81 @@ class BpeSpec extends AnyFunSuite {
     assert(ids == Seq(2, -1, 0))
   }
 
+  test("heapEncodeWord == the sequential fold on every trained vocabulary word") {
+    val docs = graft.queries.Tables(spark, TestSpark.sfDir, "documents")
+    val trained = Bpe.train(docs, "text")
+    val ranks = Bpe.buildRanks(trained.merges)
+    val words = docs
+      .select(explode(split(TextAnalysis.normalizeText(col("text")), " ")).as("w"))
+      .filter(length(col("w")) > 0).distinct().as[String].collect()
+    assert(words.nonEmpty)
+    words.foreach { w =>
+      assert(Bpe.heapEncodeWord(w, ranks) == Bpe.encodeWord(w, trained.merges), s"word '$w'")
+    }
+  }
+
+  test("heap encoder honors the creation floor where a naive min-rank loop diverges") {
+    // merges: rank 0 = (ab, c), rank 1 = (a, b). The sequential fold on
+    // "abc" runs pass 0 first (pair absent: symbols are single chars),
+    // then pass 1 -> [ab, c] — and NEVER revisits rank 0 even though
+    // pass 1 just created an (ab, c) adjacency. A GPT-2-style
+    // "repeatedly merge the lowest-rank pair present" loop would merge
+    // it -> [abc]. The creation-floor rule reproduces the fold.
+    val merges = Seq(("ab", "c"), ("a", "b"))
+    assert(Bpe.encodeWord("abc", merges) == Vector("ab", "c"))
+    assert(Bpe.heapEncodeWord("abc", Bpe.buildRanks(merges)) == Vector("ab", "c"))
+  }
+
+  test("heapEncodeWord == sequential fold on random words and ARBITRARY merge lists") {
+    // adversarial generator: tokens are random strings over {a,b,c}
+    // (multi-char pairs, token-string collisions, duplicate pairs all
+    // reachable) — the full space where the two formulations could
+    // disagree. Deterministic seed: differential must be replayable.
+    val rnd = new scala.util.Random(20260814L)
+    def tok() = (1 to (1 + rnd.nextInt(3))).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+    (1 to 800).foreach { i =>
+      val word = (1 to rnd.nextInt(14)).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+      val merges = (1 to rnd.nextInt(12)).map(_ => (tok(), tok()))
+      val seqr = Bpe.encodeWord(word, merges)
+      val heap = Bpe.heapEncodeWord(word, Bpe.buildRanks(merges))
+      assert(heap == seqr, s"case $i word='$word' merges=$merges: heap=$heap fold=$seqr")
+    }
+  }
+
+  test("distributed encode (pair-heap expression) == encodeChain on the fixture corpus") {
+    val docs = graft.queries.Tables(spark, TestSpark.sfDir, "documents")
+    val trained = Bpe.train(docs, "text")
+    val rows = docs.select(
+      array_join(Bpe.encode(col("text"), trained.merges), " ").as("heap"),
+      array_join(Bpe.encodeChain(col("text"), trained.merges), " ").as("chain"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getString(0) == r.getString(1)))
+  }
+
+  test("distributed encode matches encodeChain on empty and whitespace-only text") {
+    val merges = Seq(("a", "b"))
+    val rows = Seq("", "   ", "ab").toDF("text").select(
+      Bpe.encode(col("text"), merges).as("heap"),
+      Bpe.encodeChain(col("text"), merges).as("chain"))
+      .as[(Seq[String], Seq[String])].collect()
+    rows.foreach { case (h, c) => assert(h == c) }
+  }
+
+  test("incremental trainer == full-recount reference on random weighted vocabularies") {
+    val rnd = new scala.util.Random(77L)
+    (1 to 60).foreach { i =>
+      val words = Array.fill(1 + rnd.nextInt(12)) {
+        val w = (1 to (1 + rnd.nextInt(8))).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+        (w.map(_.toString).toVector, 1L + rnd.nextInt(5))
+      }
+      val m = 1 + rnd.nextInt(15)
+      val fast = Bpe.trainMerges(words.map(identity), m)
+      val ref = Bpe.trainMergesReference(words.map(identity), m)
+      assert(fast == ref, s"case $i words=${words.toSeq} m=$m")
+    }
+  }
+
   test("packSequencesBy with the ws counter reproduces packSequences") {
     val docs = graft.queries.Tables(spark, TestSpark.sfDir, "documents")
     val a = TextAnalysis.packSequences(docs, "doc_id", "text", windowTokens = 512)
