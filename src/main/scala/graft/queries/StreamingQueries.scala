@@ -800,7 +800,50 @@ object StreamingQueries {
     drain(s, name, s.table(name).orderBy("probe_id", "bucket", "cand_id"))
   }
 
+  /** STATEFUL streaming near-dup — the growing in-stream index
+    * ([[graft.streaming.StreamingNearDup]]): ALL documents stream in
+    * (4 doc_id-contiguous files → 4 micro-batches) and every arrival
+    * probes-then-joins the cumulative per-band-bucket state, so batch
+    * N+1 catches near-dups of batch N — the streaming sibling of
+    * `dedup_incremental`, with `flatMapGroupsWithState` keyed by band
+    * bucket, the hot-bucket state cap, and event-time eviction (gate
+    * horizon ≫ fixture span, so the emitted set equals the batch
+    * prefix-replay the oracle runs; the tight-horizon eviction path is
+    * measured by StreamingScaleProbe). The ≥2-batch guard plus a
+    * CROSS-BATCH-HIT guard prove the path under test: at least one
+    * emitted pair must span two different micro-batch files. */
+  val streamNeardupStateful: Q = (s, dir) => withStatePartitions(s, 8) {
+    import org.apache.spark.sql.functions._
+    val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+    val maxId = docs.agg(max("doc_id")).head.getLong(0)
+    val name = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val (tmp, schema) = spillIdBucketsCached(s, dir, docs, "doc_id", nFiles = 4)
+    val src = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp.getPath + "/*.parquet")
+    val hits = graft.streaming.StreamingNearDup.neardupStateful(
+      src, horizonSec = 100L * 24 * 3600, maxBucket = 1000, threshold = 0.3)
+    val q = hits.toDF().writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      if (dataBatches < 2)
+        throw new IllegalStateException(
+          s"stream_neardup_stateful requires >= 2 data micro-batches (cross-batch state probe " +
+            s"is the path under test); saw $dataBatches")
+    } finally q.stop()
+    val res = s.table(name)
+    def fileOf(c: org.apache.spark.sql.Column) = floor(c * 4 / (maxId + 1.0))
+    val crossBatch = res.filter(fileOf(col("cand_id")) < fileOf(col("probe_id"))).count()
+    if (crossBatch < 1)
+      throw new IllegalStateException(
+        "stream_neardup_stateful emitted no pair spanning two micro-batches — the growing-index " +
+          "path was not exercised")
+    drain(s, name, res.orderBy("probe_id", "bucket", "cand_id"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "stream_neardup_stateful" -> streamNeardupStateful,
     "stream_neardup_probe" -> streamNeardupProbe,
     "stream_static_enrich" -> streamStaticEnrich,
     "stream_session_windows" -> streamSessionWindows,
@@ -817,6 +860,22 @@ object StreamingQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // batch-invariant by construction: pair (i, j), i < j, emitted iff
+    // both band to one bucket, i is among the bucket's first 1000
+    // arrivals (the probe-then-add-if-room state cap => a ROW_NUMBER
+    // rank over doc_id order), and est >= 0.3 (an exact dyadic
+    // rational — eq/32 — so the cut is bit-identical in both engines).
+    // Reuses the minhash CTE block shared with the batch dedup family.
+    "stream_neardup_stateful" ->
+      s"""WITH ${LlmQueries.minhashCtes},
+         |rk AS (SELECT doc_id, sig, bucket,
+         |    row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn FROM bk)
+         |SELECT a.bucket, a.doc_id AS cand_id, b.doc_id AS probe_id,
+         |  CAST(len(list_filter(range(1, 33), i -> a.sig[i] = b.sig[i])) AS DOUBLE) / 32
+         |    AS est_jaccard
+         |FROM rk a JOIN rk b ON a.bucket = b.bucket AND a.doc_id < b.doc_id AND a.rn <= 1000
+         |WHERE CAST(len(list_filter(range(1, 33), i -> a.sig[i] = b.sig[i])) AS DOUBLE) / 32 >= 0.3
+         |ORDER BY probe_id, a.bucket, cand_id""".stripMargin,
     // stateless probe is batch-invariant: the oracle replays the whole
     // minhash/band pipeline (the CTE block SHARED with the batch dedup
     // family) plus the md5 hash-bucket corpus/batch split and the
