@@ -422,17 +422,8 @@ object Similarity {
       trained: Boolean = false,
       trainIters: Int = 4,
       trainSample: Int = 512): DataFrame = {
-    // deterministic centroids: the nCells corpus vectors with smallest
-    // md5(id) — a seed-free pseudo-random sample whose selection rule is
-    // engine-portable (md5 hex ordering is identical in DuckDB, so the
-    // whole IVF pipeline can be replayed as oracle SQL; xxhash64 is not
-    // portable)
     val cents =
-      if (!trained)
-        corpus
-          .select(col(idCol).as("cid"), col(vecCol).as("cvec"),
-            md5(col(idCol).cast("string")).as("h"))
-          .orderBy(col("h"), col("cid")).limit(nCells).drop("h")
+      if (!trained) ivfCentroids(corpus, idCol, vecCol, nCells)
       else {
         val spark = corpus.sparkSession
         import spark.implicits._
@@ -440,16 +431,44 @@ object Similarity {
           .zipWithIndex.toSeq
           .map { case (v, i) => (i.toLong, v.toSeq) }.toDF("cid", "cvec")
       }
-    def assign(df: DataFrame, id: String, vec: String, n: Int, out: String): DataFrame = {
-      val scored = df.select(col(idCol).as(id), col(vecCol).as(vec))
-        .join(broadcast(cents))
-        .select(col(id), col(vec), col("cid"), cosine(col(vec), col("cvec")).as("csim"))
-      val w = Window.partitionBy(id).orderBy(desc("csim"), asc("cid"))
-      scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= n)
-        .select(col(id), col(vec), col("cid").as(out))
-    }
-    val corpusCells = assign(corpus, "corpus_id", "cvec2", 1, "cell")
-    val queryCells = assign(queries, "query_id", "qvec", nProbe, "cell")
+    val corpusCells = ivfAssign(corpus, cents, idCol, vecCol, "corpus_id", "cvec2", 1, "cell")
+    val queryCells = ivfAssign(queries, cents, idCol, vecCol, "query_id", "qvec", nProbe, "cell")
+    ivfProbe(corpusCells, queryCells, k)
+  }
+
+  /** Deterministic IVF centroids: the `nCells` corpus vectors with
+    * smallest md5(id) — a seed-free pseudo-random sample whose
+    * selection rule is engine-portable (md5 hex ordering is identical
+    * in DuckDB, so the whole IVF pipeline can be replayed as oracle
+    * SQL; xxhash64 is not). Returns `(cid, cvec)`. */
+  def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String, nCells: Int): DataFrame =
+    corpus
+      .select(col(idCol).as("cid"), col(vecCol).as("cvec"),
+        md5(col(idCol).cast("string")).as("h"))
+      .orderBy(col("h"), col("cid")).limit(nCells).drop("h")
+
+  /** Cell assignment against a broadcast centroid set: each vector
+    * keeps its `n` nearest centroids by (cosine DESC, cid ASC). The
+    * corpus side (`n = 1`) of this IS the inverted-list index — write
+    * it `bucketBy(cell)` once and the per-query assignment Window
+    * disappears from every probe ([[graft.queries.LlmQueries]]'s
+    * `ann_ivf_persisted`). */
+  def ivfAssign(df: DataFrame, cents: DataFrame, idCol: String, vecCol: String,
+      idOut: String, vecOut: String, n: Int, cellOut: String): DataFrame = {
+    val scored = df.select(col(idCol).as(idOut), col(vecCol).as(vecOut))
+      .join(broadcast(cents))
+      .select(col(idOut), col(vecOut), col("cid"), cosine(col(vecOut), col("cvec")).as("csim"))
+    val w = Window.partitionBy(idOut).orderBy(desc("csim"), asc("cid"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= n)
+      .select(col(idOut), col(vecOut), col("cid").as(cellOut))
+  }
+
+  /** The IVF probe: candidates meet on cell id (query side broadcast —
+    * the index side, in-plan or persisted-bucketed, never shuffles),
+    * exact cosine re-ranks, top-k by (cos DESC, corpus_id ASC).
+    * `corpusCells` = `(corpus_id, cvec2, cell)`; `queryCells` =
+    * `(query_id, qvec, cell)`. */
+  def ivfProbe(corpusCells: DataFrame, queryCells: DataFrame, k: Int): DataFrame = {
     val cands = corpusCells.join(broadcast(queryCells), Seq("cell"))
       .filter(col("corpus_id") =!= col("query_id"))
       .select(col("query_id"), col("corpus_id"), cosine(col("qvec"), col("cvec2")).as("cos"))

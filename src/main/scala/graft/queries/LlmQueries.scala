@@ -496,6 +496,34 @@ object LlmQueries {
       .select("query_id", "corpus_id", "rank")
   }
 
+  /** PERSISTED IVF index — the deploy shape of [[annIvf]]: the
+    * inverted lists (corpus cell assignments, vectors included) are
+    * written ONCE as a `bucketBy(cell)` table (the
+    * [[dedupIncrementalBucketed]] layout-investment precedent applied
+    * to ANN), and every probe reads them with ZERO Exchange on the
+    * index side — no per-query assignment Window, no corpus shuffle,
+    * just a bucketed scan into the broadcast probe join
+    * (PlanShapeSpec pins it). Same oracle as `ann_ivf`: layout never
+    * changes results. At 100 TB this is the difference between
+    * rebuilding the index per query batch and amortizing one
+    * corpus-sized write across every retrieval job. */
+  val annIvfPersisted: Q = (s, dir) => {
+    val e = Tables(s, dir, "embeddings")
+    val Seq(idxTable) = BucketCache.tables(s, s"ivf_cells:$dir", { (tag, tmp) =>
+      val cents = Similarity.ivfCentroids(e, "vec_id", "embedding", 16)
+      Similarity.ivfAssign(e, cents, "vec_id", "embedding", "corpus_id", "cvec2", 1, "cell")
+        .write.bucketBy(8, "cell").sortBy("cell")
+        .option("path", s"$tmp/ivf").mode("overwrite").saveAsTable(s"graft_ivf_b_$tag")
+      Seq(s"graft_ivf_b_$tag")
+    })
+    val cents = Similarity.ivfCentroids(e, "vec_id", "embedding", 16)
+    val queryCells = Similarity.ivfAssign(
+      e.filter(col("vec_id") < 10), cents, "vec_id", "embedding", "query_id", "qvec", 4, "cell")
+    Similarity.ivfProbe(s.table(idxTable), queryCells, k = 5)
+      .orderBy("query_id", "rank")
+      .select("query_id", "corpus_id", "rank")
+  }
+
   /** Product-quantization approximate top-5 for the same queries —
     * integer-quantized codebook + asymmetric distance, so every code and
     * ADC score is an exact BIGINT the oracle replays bit-for-bit. The
@@ -1736,6 +1764,7 @@ object LlmQueries {
     "ann_bruteforce" -> annBruteforce,
     "ann_lsh" -> annLsh,
     "ann_ivf" -> annIvf,
+    "ann_ivf_persisted" -> annIvfPersisted,
     "ann_pq" -> annPq,
     "ann_ivf_trained" -> annIvfTrained,
     "ann_pq_trained" -> annPqTrained,
@@ -2037,6 +2066,39 @@ object LlmQueries {
       |  + greatest(0.0, 1.0 - (CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
       |                         / length(text)) * 10.0) * 0.3, 6)""".stripMargin
 
+  /** Shared by `ann_ivf` (in-plan index) and `ann_ivf_persisted`
+    * (bucketed index): layout never changes results, so one oracle
+    * serves both and the two can never drift. */
+  private val sqlAnnIvf: String =
+    """WITH cents AS (
+        |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+        |corpus_assign AS (
+        |  SELECT corpus_id, cell FROM (
+        |    SELECT e.vec_id AS corpus_id, c.cid AS cell,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.embedding, c.cvec) DESC, c.cid) AS rk
+        |    FROM embeddings e, cents c) WHERE rk <= 1),
+        |query_assign AS (
+        |  SELECT query_id, cell FROM (
+        |    SELECT e.vec_id AS query_id, c.cid AS cell,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.embedding, c.cvec) DESC, c.cid) AS rk
+        |    FROM embeddings e, cents c WHERE e.vec_id < 10) WHERE rk <= 4),
+        |cands AS (
+        |  SELECT DISTINCT q.query_id, ca.corpus_id
+        |  FROM query_assign q JOIN corpus_assign ca ON q.cell = ca.cell
+        |  WHERE ca.corpus_id <> q.query_id),
+        |scored AS (
+        |  SELECT cd.query_id, cd.corpus_id,
+        |    row_number() OVER (PARTITION BY cd.query_id
+        |      ORDER BY list_cosine_similarity(qe.embedding, ce.embedding) DESC, cd.corpus_id) AS rank
+        |  FROM cands cd
+        |  JOIN embeddings qe ON qe.vec_id = cd.query_id
+        |  JOIN embeddings ce ON ce.vec_id = cd.corpus_id)
+        |SELECT query_id, corpus_id, rank FROM scored WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "dedup_minhash" ->
       s"""WITH $minhashCtes
@@ -2249,35 +2311,8 @@ object LlmQueries {
     // ordering (validated at sf0.01 and sf0.1). ann_ivf's md5-based
     // centroid rule is portable; ann_lsh/dedup_embedding became
     // portable in round 3 via the quantized md5-sign hyperplanes above.
-    "ann_ivf" ->
-      """WITH cents AS (
-        |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
-        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
-        |corpus_assign AS (
-        |  SELECT corpus_id, cell FROM (
-        |    SELECT e.vec_id AS corpus_id, c.cid AS cell,
-        |      row_number() OVER (PARTITION BY e.vec_id
-        |        ORDER BY list_cosine_similarity(e.embedding, c.cvec) DESC, c.cid) AS rk
-        |    FROM embeddings e, cents c) WHERE rk <= 1),
-        |query_assign AS (
-        |  SELECT query_id, cell FROM (
-        |    SELECT e.vec_id AS query_id, c.cid AS cell,
-        |      row_number() OVER (PARTITION BY e.vec_id
-        |        ORDER BY list_cosine_similarity(e.embedding, c.cvec) DESC, c.cid) AS rk
-        |    FROM embeddings e, cents c WHERE e.vec_id < 10) WHERE rk <= 4),
-        |cands AS (
-        |  SELECT DISTINCT q.query_id, ca.corpus_id
-        |  FROM query_assign q JOIN corpus_assign ca ON q.cell = ca.cell
-        |  WHERE ca.corpus_id <> q.query_id),
-        |scored AS (
-        |  SELECT cd.query_id, cd.corpus_id,
-        |    row_number() OVER (PARTITION BY cd.query_id
-        |      ORDER BY list_cosine_similarity(qe.embedding, ce.embedding) DESC, cd.corpus_id) AS rank
-        |  FROM cands cd
-        |  JOIN embeddings qe ON qe.vec_id = cd.query_id
-        |  JOIN embeddings ce ON ce.vec_id = cd.corpus_id)
-        |SELECT query_id, corpus_id, rank FROM scored WHERE rank <= 5
-        |ORDER BY query_id, rank""".stripMargin,
+    "ann_ivf" -> sqlAnnIvf,
+    "ann_ivf_persisted" -> sqlAnnIvf,
     // one shared assignment CTE feeds all three probe settings: the
     // curve and the index cannot drift apart
     "ann_ivf_recall_curve" ->

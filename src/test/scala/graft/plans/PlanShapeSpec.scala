@@ -43,6 +43,31 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(hashEx == 1, s"expected exactly one batch-side hash shuffle, got $hashEx:\n$plan")
   }
 
+  test("ann_ivf_persisted: zero Exchange on the bucketed inverted-list side") {
+    val df = graft.queries.LlmQueries.annIvfPersisted(spark, TestSpark.sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Bucketed: true"),
+      s"the inverted-list scan must come from the bucketBy(cell) table:\n$plan")
+    // the probe meets the index in a broadcast join whose streamed
+    // (index) side is the bucketed scan directly — no Exchange, no
+    // per-query assignment Window between scan and join
+    val bhjAt = plan.indexOf("BroadcastHashJoin [cell")
+    assert(bhjAt >= 0, s"expected the cell-key broadcast probe join:\n$plan")
+    // the STREAMED branch (between the join and its BroadcastExchange
+    // build side) is the index: a bucketed scan with no Exchange and no
+    // assignment Window — the query-side Window lives inside the
+    // broadcast (10 vectors) where it belongs
+    val buildAt = plan.indexOf("BroadcastExchange", bhjAt)
+    assert(buildAt > bhjAt, s"probe join must build the broadcast query side:\n$plan")
+    val idxBranch = plan.substring(bhjAt, buildAt)
+    assert(idxBranch.contains("Bucketed: true"),
+      s"the streamed side of the probe join must be the bucketed scan:\n$idxBranch")
+    assert(!idxBranch.contains("Exchange"),
+      s"the persisted index side must not shuffle:\n$idxBranch")
+    assert(!idxBranch.contains("Window"),
+      s"no per-query assignment Window may remain on the index side:\n$idxBranch")
+  }
+
   test("partition_pruned_events: the scan carries a partition filter on event_type") {
     val df = graft.queries.RelationalQueries.partitionPrunedEvents(spark, TestSpark.sfDir)
     val plan = df.queryExecution.executedPlan.toString
