@@ -85,6 +85,57 @@ object Sampling {
     (hash60(id) % nShards).cast("int")
   }
 
+  /** EPOCH-AWARE sampling WITHOUT replacement — reproducible
+    * multi-epoch training mixes where successive epochs are DISJOINT
+    * while the group still has unseen docs. A per-epoch independent
+    * permutation (`md5(id || epoch)` rank ≤ k) would be reproducible
+    * but samples WITH replacement across epochs (epoch 2 may redraw
+    * epoch 1's docs); instead the permutation is keyed per PASS:
+    *
+    *  - a group with n docs and quota k holds `passLen = max(n div k,
+    *    1)` epochs per pass;
+    *  - pass p = epoch div passLen permutes the group by
+    *    `md5(id || ':' || p)` (id tie-break) — a fresh deterministic
+    *    shuffle each time the corpus is exhausted;
+    *  - epoch slot = epoch mod passLen takes ranks (slot·k, slot·k+k]
+    *    of its pass's permutation — k docs, PAIRWISE DISJOINT across
+    *    the pass's epochs by construction (slot·k + k ≤ passLen·k ≤ n).
+    *
+    * Pure function of (id, epoch) — any engine replays the exact
+    * member sets. Scale: the plan relation (group × epoch quotas,
+    * pass arithmetic) is |groups|·epochs rows and broadcasts; the
+    * corpus is ranked once per DISTINCT PASS (not per epoch — epochs
+    * within a pass share one window), so a 4-epoch job over a
+    * passLen ≥ 4 corpus pays ONE corpus-wide rank, like the
+    * single-epoch sampler. `quotas` = (groupCol, target_k); zero or
+    * negative quotas contribute no rows. Output: (epoch, group, id,
+    * rk) with rk the 1..k within-epoch rank. */
+  def epochSample(df: DataFrame, groupCol: String, idCol: String,
+      quotas: DataFrame, epochs: Int): DataFrame = {
+    require(epochs > 0, "epochs must be positive")
+    val counts = df.groupBy(groupCol).agg(count(lit(1)).as("__n"))
+    val eps = df.sparkSession.range(epochs).select(col("id").as("epoch"))
+    val plan = quotas.filter(col("target_k") > 0)
+      .join(counts, groupCol)
+      .crossJoin(eps)
+      .withColumn("__passlen", greatest(expr("__n div target_k"), lit(1L)))
+      .withColumn("pass", expr("epoch div __passlen"))
+      .withColumn("__slot", expr("epoch % __passlen"))
+      .select(col(groupCol), col("epoch"), col("pass"), col("__slot"), col("target_k"))
+    val passes = plan.select(col(groupCol), col("pass")).distinct()
+    val w = Window.partitionBy(col(groupCol), col("pass"))
+      .orderBy(md5(concat(col(idCol).cast("string"), lit(":"), col("pass").cast("string"))),
+        col(idCol))
+    val ranked = df.select(col(groupCol), col(idCol))
+      .join(broadcast(passes), Seq(groupCol))
+      .withColumn("__rk", row_number().over(w).cast("long"))
+    ranked.join(broadcast(plan), Seq(groupCol, "pass"))
+      .filter(col("__rk") > col("__slot") * col("target_k") &&
+        col("__rk") <= (col("__slot") + lit(1L)) * col("target_k"))
+      .select(col("epoch"), col(groupCol), col(idCol),
+        (col("__rk") - col("__slot") * col("target_k")).as("rk"))
+  }
+
   /** Per-shard manifest of a training corpus: (shard_id, n_docs,
     * total_chars, ids_xor) — the artifact a sharded export job writes
     * next to its data files so any consumer can verify COMPLETENESS

@@ -1704,6 +1704,33 @@ object LlmQueries {
       .orderBy("source", "rk")
   }
 
+  /** MULTI-EPOCH training mix — [[mixturePlanSample]] extended across
+    * epochs via [[Sampling.epochSample]]: per-source quotas from the
+    * same sqrt-smoothed mixture plan, filled per epoch from
+    * pass-keyed md5 permutations so consecutive epochs are DISJOINT
+    * while a source still has unseen docs (sampling without
+    * replacement across epochs — the property that stops a small
+    * high-weight source from feeding the same documents to every
+    * epoch while a big source never repeats). 4 epochs through the
+    * gate; the disjointness property itself is spec-pinned
+    * (LlmSpec). */
+  val mixtureEpochSample: Q = (s, dir) => {
+    val d = Tables(s, dir, "documents")
+    val w = Window.partitionBy()
+    val targets = d
+      .select(col("source"), TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_tokens"))
+      .groupBy("source")
+      .agg(sum("n_tokens").as("total_tokens"))
+      .withColumn("isqrt_tokens", floor(sqrt(col("total_tokens").cast("double"))).cast("long"))
+      .withColumn("grand_isqrt", sum("isqrt_tokens").over(w))
+      .select(col("source"),
+        expr("isqrt_tokens * 1000000L div grand_isqrt * 200L div 1000000L").as("target_k"))
+    Sampling.epochSample(d.select(col("doc_id"), col("source")), "source", "doc_id",
+        targets, epochs = 4)
+      .select(col("epoch"), col("source"), col("doc_id"), col("rk"))
+      .orderBy("epoch", "source", "rk")
+  }
+
   /** TRAINED quality classifier ([[TextAnalysis.trainedQualityScorer]]):
     * integer teacher labels (the quality score's saturating terms in
     * exact integer form), a nearest-centroid linear student over four
@@ -1785,6 +1812,7 @@ object LlmQueries {
     "source_mixture_weights_bpe" -> sourceMixtureWeightsBpe,
     "source_mixture_weights" -> sourceMixtureWeights,
     "mixture_plan_sample" -> mixturePlanSample,
+    "mixture_epoch_sample" -> mixtureEpochSample,
     "quality_deciles_per_source" -> qualityDecilesPerSource,
     "quality_classifier_trained" -> qualityClassifierTrained,
     "lsh_bucket_histogram" -> lshBucketHistogram,
@@ -2606,6 +2634,32 @@ object LlmQueries {
         |ORDER BY source""".stripMargin,
     // quota arithmetic identical to the weights oracle; membership by
     // the same portable md5 rank as temperature_resample
+    // the pass/slot arithmetic replayed exactly: per-source quotas from
+    // the shared sqrt-smoothed plan, passLen = max(n div k, 1), pass =
+    // epoch div passLen permutes by md5(id || ':' || pass), slot slices
+    // ranks (slot*k, slot*k + k]
+    "mixture_epoch_sample" ->
+      """WITH per AS (SELECT source,
+        |    CAST(sum(len(regexp_split_to_array(text, ' +'))) AS BIGINT) AS total_tokens
+        |  FROM documents GROUP BY source),
+        |per2 AS (SELECT *, CAST(floor(sqrt(CAST(total_tokens AS DOUBLE))) AS BIGINT) AS isq FROM per),
+        |tot AS (SELECT CAST(sum(isq) AS BIGINT) AS gi FROM per2),
+        |t AS (SELECT source, isq * 1000000 // gi * 200 // 1000000 AS target_k FROM per2, tot),
+        |cnt AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY source),
+        |pl AS (SELECT t.source, t.target_k, e.epoch,
+        |    greatest(c.n // t.target_k, 1) AS passlen
+        |  FROM t JOIN cnt c USING (source), range(0, 4) e(epoch) WHERE t.target_k > 0),
+        |pl2 AS (SELECT source, epoch, target_k,
+        |    epoch // passlen AS pass, epoch % passlen AS slot FROM pl),
+        |r AS (SELECT d.source, d.doc_id, p.pass,
+        |    CAST(row_number() OVER (PARTITION BY d.source, p.pass
+        |      ORDER BY md5(CAST(d.doc_id AS VARCHAR) || ':' || CAST(p.pass AS VARCHAR)),
+        |        d.doc_id) AS BIGINT) AS rk
+        |  FROM documents d JOIN (SELECT DISTINCT source, pass FROM pl2) p USING (source))
+        |SELECT p2.epoch, r.source, r.doc_id, r.rk - p2.slot * p2.target_k AS rk
+        |FROM r JOIN pl2 p2 ON r.source = p2.source AND r.pass = p2.pass
+        |WHERE r.rk > p2.slot * p2.target_k AND r.rk <= (p2.slot + 1) * p2.target_k
+        |ORDER BY epoch, r.source, rk""".stripMargin,
     "mixture_plan_sample" ->
       """WITH per AS (SELECT source,
         |    CAST(sum(len(regexp_split_to_array(text, ' +'))) AS BIGINT) AS total_tokens

@@ -750,4 +750,45 @@ class LlmSpec extends AnyFunSuite {
       assert(pct == hits * 100L / k, s"q$q: integer recall arithmetic")
     }
   }
+  test("epochSample: epochs within a pass are pairwise disjoint, sized to quota, deterministic") {
+    // 10 docs per source, quota 3 -> passLen = 3: epochs 0..2 form pass
+    // 0 (disjoint 3-slices of one permutation), epoch 3 starts pass 1
+    val docs = (0 until 10).flatMap(i =>
+      Seq((100L + i, "a"), (200L + i, "b"))).toDF("doc_id", "source")
+    val quotas = Seq(("a", 3L), ("b", 3L)).toDF("source", "target_k")
+    val out = Sampling.epochSample(docs, "source", "doc_id", quotas, epochs = 4)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // every epoch draws exactly quota docs per source, ranks 1..3
+    (0L to 3L).foreach { e =>
+      Seq("a", "b").foreach { src =>
+        val rows = out.filter(r => r._1 == e && r._2 == src)
+        assert(rows.length == 3, s"epoch $e source $src must fill its quota: ${rows.toSeq}")
+        assert(rows.map(_._4).sorted.toSeq == Seq(1L, 2L, 3L))
+      }
+    }
+    // pass 0 (epochs 0..2) is sampling WITHOUT replacement: 9 distinct
+    // docs per source, no overlap between its epochs
+    Seq("a", "b").foreach { src =>
+      val pass0 = out.filter(r => r._1 <= 2 && r._2 == src).map(_._3)
+      assert(pass0.length == 9 && pass0.distinct.length == 9,
+        s"pass-0 epochs must be disjoint for $src: ${pass0.toSeq.sorted}")
+    }
+    // epoch 3 re-permutes (pass 1): it may overlap pass 0, but is an
+    // exact 3-slice of the fresh permutation -- and the whole output is
+    // a pure function of (id, epoch): a second run is identical
+    val again = Sampling.epochSample(docs, "source", "doc_id", quotas, epochs = 4)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSet == again.toSet)
+  }
+
+  test("epochSample: quota above group size degrades to the whole group every epoch") {
+    val docs = (0 until 4).map(i => (i.toLong, "a")).toDF("doc_id", "source")
+    val quotas = Seq(("a", 9L)).toDF("source", "target_k")
+    val out = Sampling.epochSample(docs, "source", "doc_id", quotas, epochs = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    (0L to 1L).foreach { e =>
+      assert(out.filter(_._1 == e).map(_._2).sorted.toSeq == Seq(0L, 1L, 2L, 3L),
+        s"epoch $e must contain the whole undersized group")
+    }
+  }
 }
