@@ -30,11 +30,21 @@ object HistogramQuantile {
     * cumsum then runs single-partition over the histogram alone —
     * bounded by the value domain, never the table). Null values are
     * excluded (SQL quantile semantics). */
+  /** Loud cardinality cap (the hot-bucket-cap convention): the whole
+    * design rests on the histogram being value-domain-sized, and on a
+    * high-cardinality near-continuous column it would silently degrade
+    * into the global sort it exists to avoid — the single-partition
+    * global cumsum worst of all. The cap turns that contract from
+    * documented into ENFORCED: any group's histogram exceeding it
+    * fails the job with a pointer to the sketch path. */
+  val MaxDistinctValues: Int = 1 << 20
+
   def boundaries(
       df: DataFrame,
       groupCols: Seq[String],
       valueCol: String,
-      qs: Seq[(String, Double)]): DataFrame = {
+      qs: Seq[(String, Double)],
+      maxDistinct: Int = MaxDistinctValues): DataFrame = {
     require(qs.nonEmpty, "at least one quantile is required")
     require(qs.forall { case (_, q) => q > 0.0 && q <= 1.0 }, "quantiles must be in (0, 1]")
     // the threshold compare runs in exact integer space scaled by 1e6, so
@@ -57,8 +67,18 @@ object HistogramQuantile {
       .groupBy((gcols :+ v.as("__v")): _*).agg(count(lit(1)).as("__c"))
     val w = if (groupCols.isEmpty) Window.orderBy("__v")
             else Window.partitionBy(groupCols.map(col): _*).orderBy("__v")
+    // the cap guard rides the same window pass as the cumsum (a
+    // row_number over rows already being counted — no extra job) and is
+    // folded INTO the consumed __cum column so column pruning can never
+    // optimize the check away
+    val rn = row_number().over(w)
+    val rawCum = sum(col("__c")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
     val cum = hist
-      .withColumn("__cum", sum(col("__c")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__cum", when(rn > lit(maxDistinct), raise_error(lit(
+          s"HistogramQuantile: histogram for column '$valueCol' exceeds $maxDistinct distinct " +
+            "values — this operator is for small value domains; use approx_percentile " +
+            "(+ approx_quantile_audit) for near-continuous columns")))
+        .otherwise(rawCum))
       .withColumn("__n", sum(col("__c")).over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
     val aggs = qs.map { case (name, q) =>
       // smallest value whose running count reaches q*n — since cum is an

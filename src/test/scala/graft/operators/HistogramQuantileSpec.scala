@@ -46,4 +46,31 @@ class HistogramQuantileSpec extends AnyFunSuite {
     assert(row.getLong(row.fieldIndex("p100")) == 4L)
     assert(row.getLong(row.fieldIndex("n_rows")) == 4L) // null excluded
   }
+  test("the cardinality cap trips loudly on a high-cardinality near-continuous column") {
+    // 10k distinct values against a cap of 100: the histogram IS the
+    // table here, which is exactly the misuse the cap exists to refuse
+    val df = spark.range(10000).toDF("v")
+    val ex = intercept[Exception] {
+      HistogramQuantile.boundaries(df, Nil, "v", Seq(("p50", 0.5)), maxDistinct = 100).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
+    assert(msgs(ex).exists(m => m != null && m.contains("distinct")),
+      s"cap failure must name the cardinality contract: ${ex.getMessage}")
+    // same data under the default cap (1M) is fine
+    val ok = HistogramQuantile.boundaries(df, Nil, "v", Seq(("p50", 0.5))).collect().head
+    assert(ok.getLong(ok.fieldIndex("p50")) == 4999L)
+  }
+
+  test("the cap guards the per-group path too") {
+    import org.apache.spark.sql.functions.col
+    val df = spark.range(400).select((col("id") % 2).as("g"), col("id").as("v"))
+    intercept[Exception] {
+      HistogramQuantile.boundaries(df, Seq("g"), "v", Seq(("p50", 0.5)), maxDistinct = 50).collect()
+    }
+    // under the cap: 200 distinct per group passes
+    val rows = HistogramQuantile.boundaries(df, Seq("g"), "v", Seq(("p50", 0.5)), maxDistinct = 200)
+      .collect()
+    assert(rows.length == 2)
+  }
 }
