@@ -358,6 +358,56 @@ object TextAnalysis {
         expr(s"CAST((cum_tokens - n_tokens) DIV $windowTokens AS BIGINT)").as("pack_id"))
   }
 
+  /** FIRST-FIT-DECREASING sequence packing — the bin-packing upgrade of
+    * [[packSequences]]: where the greedy packer concatenates the doc
+    * stream and SPLITS docs across window boundaries (zero padding,
+    * but every boundary doc is torn), FFD packs WHOLE documents into
+    * fixed `windowTokens` bins — no doc ever spans two windows, at the
+    * cost of per-bin padding, which the decreasing order then
+    * minimizes (classic FFD: ≤ 11/9·OPT + 6/9 bins). Deterministic
+    * rule: docs in (n_tokens DESC, id ASC) order; each goes to the
+    * LOWEST-indexed bin with remaining capacity ≥ n_tokens, else opens
+    * the next bin. A doc larger than the window opens its own bin by
+    * the same rule (nothing fits anywhere → new bin, which then never
+    * accepts another doc — its remainder is negative), so oversized
+    * docs need no special case.
+    *
+    * Execution: the bin state is a genuine global sequential
+    * dependency (bin i's remainder depends on every earlier placement)
+    * — this runs on [[graft.plumba.CollectOps.collectScan]]'s
+    * sequential-parity path, the documented NON-mergeable regime. At
+    * 100 TB you do not global-FFD the corpus: you FFD within
+    * size-bounded shards (each shard's pack is independent — the same
+    * sharding [[graft.llm.Sampling.shardAssign]] provides), which this
+    * operator serves per-shard unchanged. The first-fit scan is
+    * O(bins) per doc (a segment tree makes it O(log bins) for huge
+    * shards; the linear scan is exact and fine at shard scale). */
+  def packSequencesFfd(
+      df: DataFrame,
+      idCol: String,
+      nTokens: Column,
+      windowTokens: Int = 2048): DataFrame = {
+    require(windowTokens > 0, "windowTokens must be positive")
+    val t = df.select(col(idCol).as("doc_id"), nTokens.as("n_tokens"))
+      .withColumn("neg_tokens", -col("n_tokens"))
+    val scan = graft.plumba.Kernel.Scan.of1[(Vector[Long], Int), Long](
+      (Vector.empty[Long], -1),
+      emit = s => s._2.toLong) { case ((bins, _), n) =>
+        var i = 0
+        var fit = -1
+        while (fit < 0 && i < bins.length) {
+          if (bins(i) >= n) fit = i
+          i += 1
+        }
+        if (fit >= 0) (bins.updated(fit, bins(fit) - n), fit)
+        else (bins :+ (windowTokens - n), bins.length)
+      }
+    graft.plumba.CollectOps.collectScan(
+        t, Seq("n_tokens"), Seq("neg_tokens", "doc_id", "n_tokens"),
+        scan, org.apache.spark.sql.types.LongType, "bin_id")
+      .select(col("doc_id"), col("n_tokens"), col("bin_id"))
+  }
+
   /** TRAINED linear quality classifier — the fastText-style upgrade
     * path from rule scores ([[qualityScore]]) and corpus-relative joins
     * ([[unigramLogFreq]]): distill an expensive teacher signal into a

@@ -1197,6 +1197,17 @@ object LlmQueries {
     TextAnalysis.packSequences(Tables(s, dir, "documents"), "doc_id", "text", 2048)
       .orderBy("doc_id")
 
+  /** First-fit-decreasing whole-doc packing
+    * ([[TextAnalysis.packSequencesFfd]]) — the no-torn-documents
+    * sibling of [[packSequences]]; the pad-ratio trade is measured in
+    * PackFfdSpec and recorded in SCALE.md. Oracle: the FFD loop
+    * replayed doc-by-doc as a recursive CTE carrying the bin-remainder
+    * list. */
+  val packSequencesFfd: Q = (s, dir) =>
+    TextAnalysis.packSequencesFfd(Tables(s, dir, "documents"), "doc_id",
+        TextAnalysis.tokenCountWs(col("text")).cast("long"), 2048)
+      .orderBy("doc_id")
+
   /** Chunk-level exact dedup — duplicate passages across documents
     * (whole-doc dedup can't see them). Same normalize+chunk parameters
     * as `doc_chunks`, so the two queries compose into one pipeline. */
@@ -1825,6 +1836,7 @@ object LlmQueries {
     "doc_chunks" -> docChunks,
     "dedup_chunks" -> dedupChunks,
     "pack_sequences" -> packSequences,
+    "pack_sequences_ffd" -> packSequencesFfd,
     "pipeline_clean_corpus" -> pipelineCleanCorpus,
     "decontaminate_docs" -> decontaminateDocs,
     "decontaminate_semantic" -> decontaminateSemantic,
@@ -2845,6 +2857,32 @@ object LlmQueries {
         |ORDER BY doc_id, chunk_idx""".stripMargin,
     // the packing assignment is pure integer arithmetic over the
     // doc_id-ordered running token count (window sum replay)
+    // the FFD loop replayed exactly: docs in (n DESC, id ASC) order,
+    // one recursion step per doc, state = the bin-remainder list;
+    // first fit via list_position over a >=-mask, else append a new
+    // bin (covers oversized docs: nothing fits, the new bin runs
+    // negative and never fits again)
+    "pack_sequences_ffd" ->
+      """WITH RECURSIVE d AS (SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(text, ' +')) AS BIGINT) AS n,
+        |    row_number() OVER (ORDER BY len(regexp_split_to_array(text, ' +')) DESC, doc_id) AS rn
+        |  FROM documents),
+        |ffd AS (
+        |  SELECT 0::BIGINT AS rn, NULL::BIGINT AS doc_id, NULL::BIGINT AS n,
+        |    NULL::BIGINT AS bin_id, []::BIGINT[] AS rem
+        |  UNION ALL
+        |  SELECT rn, doc_id, n,
+        |    CASE WHEN fit IS NULL THEN len(rem0) ELSE fit - 1 END AS bin_id,
+        |    CASE WHEN fit IS NULL THEN list_append(rem0, 2048 - n)
+        |         ELSE list_transform(range(1, len(rem0) + 1),
+        |                i -> CASE WHEN i = fit THEN rem0[i] - n ELSE rem0[i] END)
+        |    END AS rem
+        |  FROM (
+        |    SELECT d.rn, d.doc_id, d.n, f.rem AS rem0,
+        |      NULLIF(list_position(list_transform(f.rem, x -> x >= d.n), true), 0) AS fit
+        |    FROM ffd f JOIN d ON d.rn = f.rn + 1) s)
+        |SELECT doc_id, n AS n_tokens, bin_id FROM ffd WHERE rn > 0
+        |ORDER BY doc_id""".stripMargin,
     "pack_sequences" ->
       """WITH t AS (SELECT doc_id,
         |    len(regexp_split_to_array(text, ' +')) AS n_tokens FROM documents),
