@@ -358,6 +358,58 @@ object TextAnalysis {
         expr(s"CAST((cum_tokens - n_tokens) DIV $windowTokens AS BIGINT)").as("pack_id"))
   }
 
+  /** Control chars (C0 minus \t\n\r, plus DEL) — the bytes a real
+    * crawl corpus is full of and no tokenizer wants. `\x` escapes are
+    * interpreted identically by Java regex (Spark) and RE2 (DuckDB),
+    * so ONE pattern string serves both engines. */
+  val controlCharPattern: String = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
+
+  /** Zero-width / BOM codepoints (ZWSP, ZWNJ, ZWJ, U+FEFF) — invisible
+    * in rendering, poison for token statistics and exact dedup. */
+  val zeroWidthPattern: String = "[\\x{200B}-\\x{200D}\\x{FEFF}]"
+
+  /** ENCODING HYGIENE — detection and repair accounting for the
+    * mojibake classes a crawl pipeline must triage before tokenizing:
+    *
+    *  - control chars ([[controlCharPattern]]): removable noise;
+    *  - zero-width/BOM chars ([[zeroWidthPattern]]): removable noise
+    *    that silently breaks exact-hash dedup and token counts;
+    *  - U+FFFD replacement chars: NOT removable — each one marks bytes
+    *    already lost upstream (a decoder replaced an invalid sequence),
+    *    so they are COUNTED (routing the doc to quarantine/re-fetch)
+    *    but never stripped, which would hide the damage.
+    *
+    * Repair = strip the two removable classes; `residual_bad` re-scans
+    * the repaired text IN-PLAN (always 0 — the repair is verified by
+    * the same hash gate that checks the counts, not by trust). One
+    * narrow codegen'd map over the corpus + one per-group aggregate:
+    * zero extra shuffles at any scale. All outputs exact integers. */
+  def encodingHygiene(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    def cnt(pattern: String): Column =
+      size(regexp_extract_all(t, lit(pattern), lit(0)))
+    val repaired = regexp_replace(regexp_replace(t, controlCharPattern, ""),
+      zeroWidthPattern, "")
+    val scored = df.select(
+      col(groupCol),
+      cnt(controlCharPattern).as("__ctl"),
+      cnt(zeroWidthPattern).as("__zw"),
+      cnt("\\x{FFFD}").as("__rep"),
+      (length(t) - length(repaired)).as("__removed"),
+      (size(regexp_extract_all(repaired, lit(controlCharPattern), lit(0))) +
+        size(regexp_extract_all(repaired, lit(zeroWidthPattern), lit(0)))).as("__resid"))
+    scored.groupBy(groupCol)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("__ctl") + col("__zw") + col("__rep") > 0, 1L).otherwise(0L))
+          .as("docs_flagged"),
+        sum(col("__ctl").cast("long")).as("n_control"),
+        sum(col("__zw").cast("long")).as("n_zerowidth"),
+        sum(col("__rep").cast("long")).as("n_replacement"),
+        sum(col("__removed").cast("long")).as("chars_removed"),
+        sum(col("__resid").cast("long")).as("residual_bad"))
+  }
+
   /** FIRST-FIT-DECREASING sequence packing — the bin-packing upgrade of
     * [[packSequences]]: where the greedy packer concatenates the doc
     * stream and SPLITS docs across window boundaries (zero padding,

@@ -1208,6 +1208,27 @@ object LlmQueries {
         TextAnalysis.tokenCountWs(col("text")).cast("long"), 2048)
       .orderBy("doc_id")
 
+  /** ENCODING HYGIENE gate ([[TextAnalysis.encodingHygiene]]) — the
+    * fixture text is clean by construction, so hostile content is
+    * INJECTED IN-PLAN (the `boilerplate_removal` banner precedent):
+    * docs in md5-bucket < 64 (a deterministic ~25%) get one of four
+    * corruption markers (control chars, zero-width/BOM, U+FFFD,
+    * mixed) appended by bucket mod 4; both engines apply the same
+    * corruption, detect, repair, and account — the hash match covers
+    * detection AND the verified repair (`residual_bad` must be 0 and
+    * is part of the compared output). */
+  val encodingHygiene: Q = (s, dir) => {
+    val d = Tables(s, dir, "documents")
+    val b = Sampling.hashBucket256(col("doc_id"))
+    val marker = when(b % 4 === 0, lit("\u0007bell\u001f"))
+      .when(b % 4 === 1, lit("\u200bzw\ufeff"))
+      .when(b % 4 === 2, lit("\ufffd"))
+      .otherwise(lit("\u0008\u200c\ufffd"))
+    val corrupted = d.withColumn("t",
+      when(b < 64, concat(col("text"), marker)).otherwise(col("text")))
+    TextAnalysis.encodingHygiene(corrupted, "source", "t").orderBy("source")
+  }
+
   /** Chunk-level exact dedup — duplicate passages across documents
     * (whole-doc dedup can't see them). Same normalize+chunk parameters
     * as `doc_chunks`, so the two queries compose into one pipeline. */
@@ -1837,6 +1858,7 @@ object LlmQueries {
     "dedup_chunks" -> dedupChunks,
     "pack_sequences" -> packSequences,
     "pack_sequences_ffd" -> packSequencesFfd,
+    "encoding_hygiene" -> encodingHygiene,
     "pipeline_clean_corpus" -> pipelineCleanCorpus,
     "decontaminate_docs" -> decontaminateDocs,
     "decontaminate_semantic" -> decontaminateSemantic,
@@ -2862,6 +2884,40 @@ object LlmQueries {
     // first fit via list_position over a >=-mask, else append a new
     // bin (covers oversized docs: nothing fits, the new bin runs
     // negative and never fits again)
+    // same in-plan corruption (md5 bucket < 64, marker by bucket mod
+    // 4), same \x-escape regex classes (Java regex and RE2 read them
+    // identically), same repair-then-rescan accounting
+    "encoding_hygiene" ->
+      """WITH bkt AS (SELECT *,
+        |    (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+        |    + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS hb
+        |  FROM documents),
+        |c AS (SELECT source, CASE WHEN hb < 64 THEN text ||
+        |    CASE hb % 4 WHEN 0 THEN chr(7) || 'bell' || chr(31)
+        |                WHEN 1 THEN chr(8203) || 'zw' || chr(65279)
+        |                WHEN 2 THEN chr(65533)
+        |                ELSE chr(8) || chr(8204) || chr(65533) END
+        |  ELSE text END AS t FROM bkt),
+        |s AS (SELECT source,
+        |    len(regexp_extract_all(t, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]')) AS ctl,
+        |    len(regexp_extract_all(t, '[\x{200B}-\x{200D}\x{FEFF}]')) AS zw,
+        |    len(regexp_extract_all(t, '\x{FFFD}')) AS rep,
+        |    length(t) - length(regexp_replace(regexp_replace(t,
+        |      '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+        |      '[\x{200B}-\x{200D}\x{FEFF}]', '', 'g')) AS removed,
+        |    len(regexp_extract_all(regexp_replace(regexp_replace(t,
+        |      '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+        |      '[\x{200B}-\x{200D}\x{FEFF}]', '', 'g'),
+        |      '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F\x{200B}-\x{200D}\x{FEFF}]')) AS resid
+        |  FROM c)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN ctl + zw + rep > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_flagged,
+        |  CAST(sum(ctl) AS BIGINT) AS n_control,
+        |  CAST(sum(zw) AS BIGINT) AS n_zerowidth,
+        |  CAST(sum(rep) AS BIGINT) AS n_replacement,
+        |  CAST(sum(removed) AS BIGINT) AS chars_removed,
+        |  CAST(sum(resid) AS BIGINT) AS residual_bad
+        |FROM s GROUP BY source ORDER BY source""".stripMargin,
     "pack_sequences_ffd" ->
       """WITH RECURSIVE d AS (SELECT doc_id,
         |    CAST(len(regexp_split_to_array(text, ' +')) AS BIGINT) AS n,

@@ -791,4 +791,31 @@ class LlmSpec extends AnyFunSuite {
         s"epoch $e must contain the whole undersized group")
     }
   }
+  test("encodingHygiene: hand-computed counts, verified repair, FFFD never stripped") {
+    val df = Seq(
+      ("a", "clean text"),
+      ("a", "bell\u0007 and\u001f tab\tkept"),     // 2 control; \t NOT counted
+      ("b", "zw\u200bjoin\u200d bom\ufeff"),        // 3 zero-width/BOM
+      ("b", "lost\ufffdbytes\ufffd"),                 // 2 replacement chars
+      ("b", "\u0000mixed\u200c\ufffd")               // 1 control + 1 zw + 1 rep
+    ).toDF("source", "text")
+    val out = TextAnalysis.encodingHygiene(df, "source", "text")
+      .orderBy("source").collect()
+    val a = out(0); val b = out(1)
+    assert(a.getLong(a.fieldIndex("n_docs")) == 2 &&
+      a.getLong(a.fieldIndex("docs_flagged")) == 1 &&
+      a.getLong(a.fieldIndex("n_control")) == 2 &&
+      a.getLong(a.fieldIndex("n_zerowidth")) == 0 &&
+      a.getLong(a.fieldIndex("chars_removed")) == 2 &&
+      a.getLong(a.fieldIndex("residual_bad")) == 0, a.toString)
+    assert(b.getLong(b.fieldIndex("n_docs")) == 3 &&
+      b.getLong(b.fieldIndex("docs_flagged")) == 3 &&
+      b.getLong(b.fieldIndex("n_control")) == 1 &&
+      b.getLong(b.fieldIndex("n_zerowidth")) == 4 &&
+      b.getLong(b.fieldIndex("n_replacement")) == 3 &&
+      // removal strips control + zero-width but NEVER the replacement
+      // chars (each marks already-lost bytes)
+      b.getLong(b.fieldIndex("chars_removed")) == 5 &&
+      b.getLong(b.fieldIndex("residual_bad")) == 0, b.toString)
+  }
 }
