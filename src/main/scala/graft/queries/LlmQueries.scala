@@ -1598,9 +1598,8 @@ object LlmQueries {
     * createDataFrame, which is exactly right for a KB-sized artifact.
     * The oracle re-derives every id from the training replay, so the
     * table pins merge ORDER and the dedup-by-min-id rule directly. */
-  val bpeVocab: Q = (s, dir) => {
+  private def vocabDf(s: SparkSession, trained: Bpe.Trained): DataFrame = {
     import scala.jdk.CollectionConverters._
-    val trained = trainedBpe(s, dir)
     val nAlpha = trained.alphabet.size
     val rows = trained.vocab.toSeq.sortBy(_._2).map { case (tk, id) =>
       org.apache.spark.sql.Row(id, tk, if (id >= nAlpha) 1 else 0)
@@ -1610,6 +1609,38 @@ object LlmQueries {
       org.apache.spark.sql.types.StructField("token", org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField("is_merge", org.apache.spark.sql.types.IntegerType))))
       .orderBy("id")
+  }
+
+  val bpeVocab: Q = (s, dir) => vocabDf(s, trainedBpe(s, dir))
+
+  /** TOKENIZER ARTIFACT round trip — the version-pinned deploy shape
+    * every trained operator ultimately ships as: the trained tokenizer
+    * (ordered alphabet + ordered merge pairs) is serialized to a JSON
+    * artifact, read back, and RECONSTRUCTED; a loud in-query equality
+    * proves the reconstruction is bit-for-bit (merge ORDER and the
+    * a/b pair split both matter — two different splits can emit the
+    * same token string but encode differently, so vocab equality alone
+    * would under-check). The gate output is the vocabulary of the
+    * RELOADED artifact through the SHARED `bpe_vocab` oracle — the
+    * `ann_ivf_persisted` convention: the artifact path must change
+    * nothing. At 100 TB the artifact is KBs; what matters is that the
+    * stream/batch consumers load THIS file, not retrain. */
+  val bpeArtifactRoundtrip: Q = (s, dir) => {
+    import s.implicits._
+    val trained = trainedBpe(s, dir)
+    val art = (trained.alphabet.zipWithIndex.map { case (sym, i) =>
+        ("alphabet", i.toLong, sym, null.asInstanceOf[String]) } ++
+      trained.merges.zipWithIndex.map { case ((a, b), i) => ("merge", i.toLong, a, b) })
+      .toDF("kind", "ord", "a", "b")
+    val back = graft.sources.JsonlSink.roundTrip(art, s"bpe_artifact:$dir").collect()
+    val alpha = back.filter(_.getString(0) == "alphabet").sortBy(_.getLong(1))
+      .map(_.getString(2)).toSeq
+    val merges = back.filter(_.getString(0) == "merge").sortBy(_.getLong(1))
+      .map(r => (r.getString(2), r.getString(3))).toSeq
+    val reloaded = Bpe.Trained(alpha, merges)
+    require(reloaded == trained,
+      "BPE artifact round trip must reconstruct the trained tokenizer bit-for-bit")
+    vocabDf(s, reloaded)
   }
 
   /** `token_length_histogram` on EXACT BPE token counts — the real
@@ -1838,6 +1869,7 @@ object LlmQueries {
     "bpe_pair_stats" -> bpePairStats,
     "bpe_encode" -> bpeEncode,
     "bpe_vocab" -> bpeVocab,
+    "bpe_artifact_roundtrip" -> bpeArtifactRoundtrip,
     "pack_sequences_bpe" -> packSequencesBpe,
     "pack_payload_bpe" -> packPayloadBpe,
     "token_length_histogram_bpe" -> tokenLengthHistogramBpe,
@@ -2649,6 +2681,10 @@ object LlmQueries {
     // double-spaced replace encoding all re-derived from the parquet
     "bpe_encode" -> BpeOracle.bpeEncodeSql,
     "bpe_vocab" -> BpeOracle.bpeVocabSql,
+    // the artifact path must change nothing: shared oracle (the
+    // ann_ivf_persisted convention); the bit-for-bit reconstruction is
+    // additionally require()-enforced inside the query
+    "bpe_artifact_roundtrip" -> BpeOracle.bpeVocabSql,
     "pack_sequences_bpe" -> BpeOracle.packSequencesBpeSql,
     "pack_payload_bpe" -> BpeOracle.packPayloadBpeSql,
     "token_length_histogram_bpe" -> BpeOracle.tokenLengthHistogramBpeSql,
