@@ -89,7 +89,16 @@ object ScaleProbe {
     // round 12d: the full tokenize→encode→pack chain (training on the
     // probe corpus's own vocabulary, encode scan-side, pack-keyed agg)
     "bpe_encode",
-    "pack_payload_bpe")
+    "pack_payload_bpe",
+    // round 13: the bucketed-index probe (index write amortized, probe
+    // candidate-sized), the once-per-distinct-pass epoch rank, the
+    // narrow hygiene map, and the documented sequential-parity packer
+    // (the one operator EXPECTED to scale with corpus size on one
+    // core — its 100 TB shape is per-shard)
+    "ann_ivf_persisted",
+    "mixture_epoch_sample",
+    "encoding_hygiene",
+    "pack_sequences_ffd")
 
   private def rot(s: String, k: Int): String = s.drop(k % s.length) + s.take(k % s.length)
 
