@@ -112,4 +112,65 @@ class StreamNeardupStatefulSpec extends AnyFunSuite {
       spark.catalog.dropTempView(name)
     } finally rm(dir)
   }
+  test("checkpoint restart recovers bucket state: no lost and no duplicated pairs") {
+    import org.apache.spark.sql.streaming.Trigger
+    // wave A lands before the stop; wave B (with a near-dup of an
+    // A-doc) lands only after the restart — the pair can ONLY be found
+    // if the restarted query recovers wave A's band state from the
+    // checkpointed state store, and the file sink's commit log must
+    // not re-emit wave A's output
+    val dir = java.nio.file.Files.createTempDirectory("graft_nsrs_").toFile
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); () }
+    try {
+      val waveA = Seq((1L, base),
+        (2L, "early filler document with plenty of distinct words to shingle"))
+      val waveB = Seq((3L, base.replace("square", "plaza")),
+        (4L, "late filler document with plenty of other distinct words to shingle"))
+      val data = new java.io.File(dir, "data"); data.mkdirs()
+      def spillTo(rows: Seq[(Long, String)], name: String, mtime: Long): Unit = {
+        val stage = new java.io.File(dir, s"stage_$name")
+        rows.toDF("doc_id", "text").coalesce(1).write.parquet(stage.toString)
+        val part = stage.listFiles().filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(data, s"$name.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(mtime); ()
+      }
+      spillTo(waveA, "00", 1700000000000L)
+      val schema = spark.read.parquet(data + "/00.parquet").schema
+      val out = new java.io.File(dir, "out")
+      val ckpt = new java.io.File(dir, "ckpt")
+      def run(): Unit = {
+        val src = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(data.getPath + "/*.parquet")
+        val hits = StreamingNearDup.neardupStateful(src, horizonSec = 100L * 24 * 3600)
+        val q = hits.toDF().writeStream.format("json")
+          .option("path", out.toString).option("checkpointLocation", ckpt.toString)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        try q.awaitTermination() finally q.stop()
+      }
+      run() // first run: wave A only, state checkpointed
+      spillTo(waveB, "01", 1700000060000L)
+      run() // restart: wave B probes RECOVERED wave-A state
+      val emitted = spark.read
+        .schema("bucket STRING, cand_id LONG, probe_id LONG, est_jaccard DOUBLE")
+        .json(out.toString)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      // exactly the batch pairwise result, once each: the cross-restart
+      // pair (1, 3) found, nothing lost, nothing double-emitted
+      val docs = (waveA ++ waveB).toDF("doc_id", "text")
+      val bk = Dedup.bandBuckets(Dedup.shingleHashSets(docs, "doc_id", "text"))
+      val a = bk.select(col("bucket"), col("id").as("cand_id"), col("sig").as("cand_sig"))
+      val b = bk.select(col("bucket"), col("id").as("probe_id"), col("sig"))
+      val batch = a.join(b, "bucket").filter(col("cand_id") < col("probe_id"))
+        .withColumn("est", Dedup.signatureSimilarity(col("cand_sig"), col("sig")))
+        .filter(col("est") >= 0.3)
+        .select(col("bucket"), col("cand_id"), col("probe_id"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(emitted.sorted == batch.sorted,
+        s"restart must neither lose nor duplicate: emitted=${emitted.sorted} batch=${batch.sorted}")
+      assert(emitted.exists(h => h._2 == 1L && h._3 == 3L),
+        "the cross-restart near-dup (1, 3) must be caught from recovered state")
+    } finally rm(dir)
+  }
 }
