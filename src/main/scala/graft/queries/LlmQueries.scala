@@ -1794,6 +1794,41 @@ object LlmQueries {
       .orderBy("epoch", "source", "rk")
   }
 
+  /** TOKEN-budget mixture fill — the execution knob real mixtures run
+    * on: a training mix is specified in TOKENS, not documents, so each
+    * source's sqrt-smoothed ppm weight becomes an integer TOKEN budget
+    * (ppm · 20 000 div 10⁶ here) and the source is filled in the
+    * portable md5-rank order while the RUNNING token sum stays within
+    * budget (greedy hash-order prefix; the doc that would cross the
+    * line is excluded — budgets are ceilings, not targets). One
+    * source-keyed shuffle serves both the rank and the running sum
+    * (same window spec); the budget relation is |sources| rows and
+    * broadcasts. All integers; the md5 order is the same portable
+    * permutation as `mixture_plan_sample`/`split_train_val`. */
+  val mixtureTokenBudget: Q = (s, dir) => {
+    val d = Tables(s, dir, "documents")
+    val w = Window.partitionBy()
+    val targets = d
+      .select(col("source"), TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_tokens"))
+      .groupBy("source")
+      .agg(sum("n_tokens").as("total_tokens"))
+      .withColumn("isqrt_tokens", floor(sqrt(col("total_tokens").cast("double"))).cast("long"))
+      .withColumn("grand_isqrt", sum("isqrt_tokens").over(w))
+      .select(col("source"),
+        expr("isqrt_tokens * 1000000L div grand_isqrt * 20000L div 1000000L").as("budget_tokens"))
+    val rk = Window.partitionBy("source")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    d.select(col("doc_id"), col("source"),
+        TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_tokens"))
+      .withColumn("rk", row_number().over(rk).cast("long"))
+      .withColumn("cum_tokens",
+        sum("n_tokens").over(rk.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(broadcast(targets), Seq("source"))
+      .filter(col("cum_tokens") <= col("budget_tokens"))
+      .select("source", "doc_id", "rk", "n_tokens", "cum_tokens")
+      .orderBy("source", "rk")
+  }
+
   /** TRAINED quality classifier ([[TextAnalysis.trainedQualityScorer]]):
     * integer teacher labels (the quality score's saturating terms in
     * exact integer form), a nearest-centroid linear student over four
@@ -1877,6 +1912,7 @@ object LlmQueries {
     "source_mixture_weights" -> sourceMixtureWeights,
     "mixture_plan_sample" -> mixturePlanSample,
     "mixture_epoch_sample" -> mixtureEpochSample,
+    "mixture_token_budget" -> mixtureTokenBudget,
     "quality_deciles_per_source" -> qualityDecilesPerSource,
     "quality_classifier_trained" -> qualityClassifierTrained,
     "lsh_bucket_histogram" -> lshBucketHistogram,
@@ -2704,6 +2740,24 @@ object LlmQueries {
         |ORDER BY source""".stripMargin,
     // quota arithmetic identical to the weights oracle; membership by
     // the same portable md5 rank as temperature_resample
+    "mixture_token_budget" ->
+      """WITH per AS (SELECT source,
+        |    CAST(sum(len(regexp_split_to_array(text, ' +'))) AS BIGINT) AS total_tokens
+        |  FROM documents GROUP BY source),
+        |per2 AS (SELECT *, CAST(floor(sqrt(CAST(total_tokens AS DOUBLE))) AS BIGINT) AS isq FROM per),
+        |tot AS (SELECT CAST(sum(isq) AS BIGINT) AS gi FROM per2),
+        |t AS (SELECT source, isq * 1000000 // gi * 20000 // 1000000 AS budget_tokens FROM per2, tot),
+        |r AS (SELECT source, doc_id,
+        |    CAST(len(regexp_split_to_array(text, ' +')) AS BIGINT) AS n_tokens,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk,
+        |    CAST(sum(len(regexp_split_to_array(text, ' +'))) OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+        |  FROM documents)
+        |SELECT r.source, r.doc_id, r.rk, r.n_tokens, r.cum_tokens
+        |FROM r JOIN t USING (source) WHERE r.cum_tokens <= t.budget_tokens
+        |ORDER BY r.source, r.rk""".stripMargin,
     // the pass/slot arithmetic replayed exactly: per-source quotas from
     // the shared sqrt-smoothed plan, passLen = max(n div k, 1), pass =
     // epoch div passLen permutes by md5(id || ':' || pass), slot slices

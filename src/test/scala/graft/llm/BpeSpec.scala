@@ -159,4 +159,27 @@ class BpeSpec extends AnyFunSuite {
       docs, "doc_id", TextAnalysis.tokenCountWs(col("text")).cast("long"), windowTokens = 512)
     assert(a.collect().toSeq == b.collect().toSeq)
   }
+  test("heap expression == encodeChain on hostile unicode (emoji, CJK, combining marks)") {
+    // the heap encoder splits words on CODE POINTS because the chain's
+    // regexp spacing does — supplementary chars (surrogate pairs in
+    // UTF-16) must stay single symbols on both paths
+    val texts = Seq(
+      "caf\u00e9 r\u00e9sum\u00e9 \u4e2d\u6587 \ud83d\ude00\ud83d\ude00 mixed\ud83d\ude00end",
+      "e\u0301 combining e\u0301e\u0301",
+      "\ud83d\ude00", "\u4e2d", "")
+    val merges = Seq(("c", "a"), ("ca", "f"), ("\u4e2d", "\u6587"),
+      ("\ud83d\ude00", "\ud83d\ude00"), ("e", "\u0301"))
+    val rows = texts.toDF("text").select(
+      array_join(Bpe.encode(col("text"), merges), "|").as("heap"),
+      array_join(Bpe.encodeChain(col("text"), merges), "|").as("chain"))
+      .collect()
+    rows.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"heap='${r.getString(0)}' chain='${r.getString(1)}'"))
+    // the emoji-pair merge actually fired (two U+1F600 became one token)
+    val emoji = texts(0)
+    val toks = Seq(emoji).toDF("text")
+      .select(Bpe.encode(col("text"), merges)).as[Seq[String]].head()
+    assert(toks.contains("\ud83d\ude00\ud83d\ude00"),
+      s"surrogate-pair merge must fire: $toks")
+  }
 }
