@@ -1217,16 +1217,42 @@ object LlmQueries {
     * corruption, detect, repair, and account — the hash match covers
     * detection AND the verified repair (`residual_bad` must be 0 and
     * is part of the compared output). */
-  val encodingHygiene: Q = (s, dir) => {
-    val d = Tables(s, dir, "documents")
+  /** The deterministic in-plan corruption shared by the batch and
+    * streaming hygiene gates — pure expressions, so it runs unchanged
+    * on a streaming frame. */
+  private[queries] def corruptedDocs(df: DataFrame): DataFrame = {
     val b = Sampling.hashBucket256(col("doc_id"))
     val marker = when(b % 4 === 0, lit("\u0007bell\u001f"))
       .when(b % 4 === 1, lit("\u200bzw\ufeff"))
       .when(b % 4 === 2, lit("\ufffd"))
       .otherwise(lit("\u0008\u200c\ufffd"))
-    val corrupted = d.withColumn("t",
-      when(b < 64, concat(col("text"), marker)).otherwise(col("text")))
-    TextAnalysis.encodingHygiene(corrupted, "source", "t").orderBy("source")
+    df.withColumn("t", when(b < 64, concat(col("text"), marker)).otherwise(col("text")))
+  }
+
+  val encodingHygiene: Q = (s, dir) =>
+    TextAnalysis.encodingHygiene(corruptedDocs(Tables(s, dir, "documents")), "source", "t")
+      .orderBy("source")
+
+  /** The FFD layout's per-bin PAYLOAD artifact — the `pack_payload_bpe`
+    * convention applied to whole-doc packing: one row per bin with
+    * member count, used/pad token accounting, and an md5 over the
+    * member ids IN PLACEMENT ORDER (n_tokens DESC, doc_id ASC — the
+    * FFD processing order restricted to the bin), so the hash pins the
+    * full layout, not just the assignment counts. Oversized singleton
+    * bins report pad 0 (greatest clamp). One aggregate over the packed
+    * frame. */
+  val packPayloadFfd: Q = (s, dir) => {
+    val packed = TextAnalysis.packSequencesFfd(Tables(s, dir, "documents"), "doc_id",
+      TextAnalysis.tokenCountWs(col("text")).cast("long"), 2048)
+    packed.groupBy("bin_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("used_tokens"),
+        greatest(lit(2048L) - sum("n_tokens"), lit(0L)).as("pad_tokens"),
+        md5(to_binary(array_join(expr(
+          "transform(array_sort(collect_list(struct(-n_tokens AS neg, doc_id AS id))), " +
+            "x -> CAST(x.id AS STRING))"), ","), lit("utf-8"))).as("ids_md5"))
+      .orderBy("bin_id")
   }
 
   /** Chunk-level exact dedup — duplicate passages across documents
@@ -1926,6 +1952,7 @@ object LlmQueries {
     "dedup_chunks" -> dedupChunks,
     "pack_sequences" -> packSequences,
     "pack_sequences_ffd" -> packSequencesFfd,
+    "pack_payload_ffd" -> packPayloadFfd,
     "encoding_hygiene" -> encodingHygiene,
     "pipeline_clean_corpus" -> pipelineCleanCorpus,
     "decontaminate_docs" -> decontaminateDocs,
@@ -2228,6 +2255,41 @@ object LlmQueries {
         |  JOIN embeddings ce ON ce.vec_id = cd.corpus_id)
         |SELECT query_id, corpus_id, rank FROM scored WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin
+
+  /** Shared by `encoding_hygiene` (batch) and `stream_encoding_hygiene`
+    * (ingest-time, complete mode): the aggregation is batch-invariant,
+    * so one oracle serves both. */
+  private[queries] val sqlEncodingHygiene: String =
+    """WITH bkt AS (SELECT *,
+        |    (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+        |    + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS hb
+        |  FROM documents),
+        |c AS (SELECT source, CASE WHEN hb < 64 THEN text ||
+        |    CASE hb % 4 WHEN 0 THEN chr(7) || 'bell' || chr(31)
+        |                WHEN 1 THEN chr(8203) || 'zw' || chr(65279)
+        |                WHEN 2 THEN chr(65533)
+        |                ELSE chr(8) || chr(8204) || chr(65533) END
+        |  ELSE text END AS t FROM bkt),
+        |s AS (SELECT source,
+        |    len(regexp_extract_all(t, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]')) AS ctl,
+        |    len(regexp_extract_all(t, '[\x{200B}-\x{200D}\x{FEFF}]')) AS zw,
+        |    len(regexp_extract_all(t, '\x{FFFD}')) AS rep,
+        |    length(t) - length(regexp_replace(regexp_replace(t,
+        |      '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+        |      '[\x{200B}-\x{200D}\x{FEFF}]', '', 'g')) AS removed,
+        |    len(regexp_extract_all(regexp_replace(regexp_replace(t,
+        |      '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+        |      '[\x{200B}-\x{200D}\x{FEFF}]', '', 'g'),
+        |      '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F\x{200B}-\x{200D}\x{FEFF}]')) AS resid
+        |  FROM c)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN ctl + zw + rep > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_flagged,
+        |  CAST(sum(ctl) AS BIGINT) AS n_control,
+        |  CAST(sum(zw) AS BIGINT) AS n_zerowidth,
+        |  CAST(sum(rep) AS BIGINT) AS n_replacement,
+        |  CAST(sum(removed) AS BIGINT) AS chars_removed,
+        |  CAST(sum(resid) AS BIGINT) AS residual_bad
+        |FROM s GROUP BY source ORDER BY source""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "dedup_minhash" ->
@@ -2977,37 +3039,35 @@ object LlmQueries {
     // same in-plan corruption (md5 bucket < 64, marker by bucket mod
     // 4), same \x-escape regex classes (Java regex and RE2 read them
     // identically), same repair-then-rescan accounting
-    "encoding_hygiene" ->
-      """WITH bkt AS (SELECT *,
-        |    (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
-        |    + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS hb
+    "encoding_hygiene" -> sqlEncodingHygiene,
+    // the FFD recursive replay rolled up per bin; string_agg ORDER BY
+    // (n DESC, doc_id) is exactly the placement order the Spark side
+    // sorts structs by
+    "pack_payload_ffd" ->
+      """WITH RECURSIVE d AS (SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(text, ' +')) AS BIGINT) AS n,
+        |    row_number() OVER (ORDER BY len(regexp_split_to_array(text, ' +')) DESC, doc_id) AS rn
         |  FROM documents),
-        |c AS (SELECT source, CASE WHEN hb < 64 THEN text ||
-        |    CASE hb % 4 WHEN 0 THEN chr(7) || 'bell' || chr(31)
-        |                WHEN 1 THEN chr(8203) || 'zw' || chr(65279)
-        |                WHEN 2 THEN chr(65533)
-        |                ELSE chr(8) || chr(8204) || chr(65533) END
-        |  ELSE text END AS t FROM bkt),
-        |s AS (SELECT source,
-        |    len(regexp_extract_all(t, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]')) AS ctl,
-        |    len(regexp_extract_all(t, '[\x{200B}-\x{200D}\x{FEFF}]')) AS zw,
-        |    len(regexp_extract_all(t, '\x{FFFD}')) AS rep,
-        |    length(t) - length(regexp_replace(regexp_replace(t,
-        |      '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
-        |      '[\x{200B}-\x{200D}\x{FEFF}]', '', 'g')) AS removed,
-        |    len(regexp_extract_all(regexp_replace(regexp_replace(t,
-        |      '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
-        |      '[\x{200B}-\x{200D}\x{FEFF}]', '', 'g'),
-        |      '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F\x{200B}-\x{200D}\x{FEFF}]')) AS resid
-        |  FROM c)
-        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-        |  CAST(sum(CASE WHEN ctl + zw + rep > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_flagged,
-        |  CAST(sum(ctl) AS BIGINT) AS n_control,
-        |  CAST(sum(zw) AS BIGINT) AS n_zerowidth,
-        |  CAST(sum(rep) AS BIGINT) AS n_replacement,
-        |  CAST(sum(removed) AS BIGINT) AS chars_removed,
-        |  CAST(sum(resid) AS BIGINT) AS residual_bad
-        |FROM s GROUP BY source ORDER BY source""".stripMargin,
+        |ffd AS (
+        |  SELECT 0::BIGINT AS rn, NULL::BIGINT AS doc_id, NULL::BIGINT AS n,
+        |    NULL::BIGINT AS bin_id, []::BIGINT[] AS rem
+        |  UNION ALL
+        |  SELECT rn, doc_id, n,
+        |    CASE WHEN fit IS NULL THEN len(rem0) ELSE fit - 1 END AS bin_id,
+        |    CASE WHEN fit IS NULL THEN list_append(rem0, 2048 - n)
+        |         ELSE list_transform(range(1, len(rem0) + 1),
+        |                i -> CASE WHEN i = fit THEN rem0[i] - n ELSE rem0[i] END)
+        |    END AS rem
+        |  FROM (
+        |    SELECT d.rn, d.doc_id, d.n, f.rem AS rem0,
+        |      NULLIF(list_position(list_transform(f.rem, x -> x >= d.n), true), 0) AS fit
+        |    FROM ffd f JOIN d ON d.rn = f.rn + 1) s)
+        |SELECT bin_id, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n) AS BIGINT) AS used_tokens,
+        |  greatest(2048 - CAST(sum(n) AS BIGINT), 0) AS pad_tokens,
+        |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY n DESC, doc_id)) AS ids_md5
+        |FROM ffd WHERE rn > 0 GROUP BY bin_id
+        |ORDER BY bin_id""".stripMargin,
     "pack_sequences_ffd" ->
       """WITH RECURSIVE d AS (SELECT doc_id,
         |    CAST(len(regexp_split_to_array(text, ' +')) AS BIGINT) AS n,

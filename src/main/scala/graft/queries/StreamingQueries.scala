@@ -455,6 +455,29 @@ object StreamingQueries {
     drain(s, name, s.table(name).orderBy("source"))
   }
 
+  /** INGEST-TIME encoding hygiene — [[LlmQueries.encodingHygiene]]'s
+    * triage run where a production pipeline actually runs it: at the
+    * door. The same deterministic in-plan corruption, detection
+    * regexes and repair accounting (all pure expressions —
+    * [[LlmQueries.corruptedDocs]] and
+    * [[graft.llm.TextAnalysis.encodingHygiene]] run unchanged on the
+    * streaming frame); complete-mode per-source aggregation keeps
+    * |sources| rows of state, and the rollup is batch-invariant, so
+    * the BATCH oracle is shared verbatim. The quarantine decision a
+    * real ingest makes (route docs_flagged to re-fetch) keys off
+    * exactly these counters. */
+  val streamEncodingHygiene: Q = (s, dir) => withStatePartitions(s, 8) {
+    import org.apache.spark.sql.functions._
+    val schema = Tables(s, dir, "documents").schema
+    val name = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val src = s.readStream.schema(schema).parquet(s"$dir/documents.parquet*")
+    val agg = graft.llm.TextAnalysis.encodingHygiene(
+      LlmQueries.corruptedDocs(src), "source", "t")
+    val q = agg.writeStream.format("memory").queryName(name).outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    drain(s, name, s.table(name).orderBy("source"))
+  }
+
   /** WATERMARKED streaming dedup — the bounded-state version of
     * [[streamDedupDocs]], and the pattern its docstring points at: the
     * dedup key includes the event-time column (hour-truncated), and
@@ -856,10 +879,13 @@ object StreamingQueries {
     "stream_dedup_docs" -> streamDedupDocs,
     "stream_bpe_token_budget" -> streamBpeTokenBudget,
     "stream_sink_jsonl" -> streamSinkJsonl,
-    "stream_dedup_watermarked" -> streamDedupWatermarked
+    "stream_dedup_watermarked" -> streamDedupWatermarked,
+    "stream_encoding_hygiene" -> streamEncodingHygiene
   )
 
   val oracles: Map[String, String] = Map(
+    // batch-invariant complete-mode rollup: the batch oracle verbatim
+    "stream_encoding_hygiene" -> LlmQueries.sqlEncodingHygiene,
     // batch-invariant by construction: pair (i, j), i < j, emitted iff
     // both band to one bucket, i is among the bucket's first 1000
     // arrivals (the probe-then-add-if-room state cap => a ROW_NUMBER
