@@ -101,6 +101,19 @@ object BpeVocabProbe {
       val (t, n) = encTime(Bpe.encode(col("text"), trained.take(m)))
       println(f"BPEVOCAB\tencode_heap\t$m\t$t%.2f\t$n")
     }
+    // tokenIds at the largest vocab: the id map ships as a typedLit
+    // plan literal (4k merges + 16-symbol alphabet) — the probe shows
+    // the literal-map lookup stays in the same regime as encode
+    Seq(20, 4000).foreach { m =>
+      val tr = Bpe.Trained(('0' to '9').map(_.toString) ++ ('a' to 'f').map(_.toString),
+        trained.take(m))
+      val q = docs.select(sum(size(Bpe.tokenIds(
+        Bpe.encode(col("text"), tr.merges), tr))).as("n"))
+      q.collect()
+      val (t, _) = time(q.collect())
+      println(f"BPEVOCAB\tencode_ids\t$m\t$t%.2f\t${tr.vocab.size} vocab")
+    }
+
     // chain twin at the sizes where a chained plan is even reasonable —
     // past a few hundred merges the M-deep replace nest overflows the
     // analyzer stack, which IS the measurement: the chain cannot reach
