@@ -1255,6 +1255,45 @@ object LlmQueries {
       .orderBy("bin_id")
   }
 
+  /** CORPUS DRIFT monitor — the between-snapshots health check a
+    * continuously-refreshed training corpus needs: token-distribution
+    * drift between a reference snapshot and the current one (here the
+    * deterministic md5-bucket halves of the fixture — in production,
+    * yesterday's corpus vs today's). Exact integer machinery: per-
+    * snapshot token counts over the REFERENCE's top-50 vocabulary
+    * (count DESC, token ASC — the fixed panel, so a token vanishing
+    * from `cur` still reports), rates as integer ppm of each
+    * snapshot's instance total (floor division), drift = |Δppm|.
+    * Scale: one corpus scan into vocabulary-sized aggregates
+    * (map-side partials; the counts frame is localCheckpoint'd once
+    * for its three consumers), every join vocab-sized, totals a 2-row
+    * broadcast. */
+  val corpusDrift: Q = (s, dir) => {
+    val d = Tables(s, dir, "documents")
+    val counts = d.select(
+        when(Sampling.hashBucket256(col("doc_id")) < 128, "ref").otherwise("cur").as("snap"),
+        explode(split(TextAnalysis.normalizeText(col("text")), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("snap", "token").agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val totals = counts.groupBy("snap").agg(sum("n").as("tot"))
+    val tots = totals.groupBy()
+      .pivot("snap", Seq("ref", "cur")).agg(first("tot"))
+      .select(col("ref").as("ref_tot"), col("cur").as("cur_tot"))
+    val topV = counts.filter(col("snap") === "ref")
+      .orderBy(desc("n"), asc("token")).limit(50).select("token")
+    val ref = counts.filter(col("snap") === "ref").select(col("token"), col("n").as("ref_n"))
+    val cur = counts.filter(col("snap") === "cur").select(col("token"), col("n").as("cur_n"))
+    topV.join(ref, "token").join(cur, Seq("token"), "left_outer")
+      .na.fill(0L, Seq("cur_n"))
+      .crossJoin(broadcast(tots))
+      .select(col("token"), col("ref_n"), col("cur_n"),
+        expr("ref_n * 1000000L div ref_tot").as("ref_ppm"),
+        expr("cur_n * 1000000L div cur_tot").as("cur_ppm"))
+      .withColumn("drift_ppm", abs(col("ref_ppm") - col("cur_ppm")))
+      .orderBy(desc("drift_ppm"), asc("token"))
+  }
+
   /** Chunk-level exact dedup — duplicate passages across documents
     * (whole-doc dedup can't see them). Same normalize+chunk parameters
     * as `doc_chunks`, so the two queries compose into one pipeline. */
@@ -1939,6 +1978,7 @@ object LlmQueries {
     "mixture_plan_sample" -> mixturePlanSample,
     "mixture_epoch_sample" -> mixtureEpochSample,
     "mixture_token_budget" -> mixtureTokenBudget,
+    "corpus_drift" -> corpusDrift,
     "quality_deciles_per_source" -> qualityDecilesPerSource,
     "quality_classifier_trained" -> qualityClassifierTrained,
     "lsh_bucket_histogram" -> lshBucketHistogram,
@@ -2802,6 +2842,33 @@ object LlmQueries {
         |ORDER BY source""".stripMargin,
     // quota arithmetic identical to the weights oracle; membership by
     // the same portable md5 rank as temperature_resample
+    "corpus_drift" ->
+      """WITH toks AS (SELECT
+        |    CASE WHEN (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+        |      + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) < 128
+        |      THEN 'ref' ELSE 'cur' END AS snap,
+        |    unnest(regexp_split_to_array(
+        |      trim(regexp_replace(regexp_replace(lower(text), '[.,;:!?]', '', 'g'), ' +', ' ', 'g')),
+        |      ' ')) AS token
+        |  FROM documents),
+        |c AS (SELECT snap, token, CAST(count(*) AS BIGINT) AS n FROM toks
+        |  WHERE length(token) > 0 GROUP BY snap, token),
+        |tot AS (SELECT
+        |    CAST((SELECT sum(n) FROM c WHERE snap = 'ref') AS BIGINT) AS ref_tot,
+        |    CAST((SELECT sum(n) FROM c WHERE snap = 'cur') AS BIGINT) AS cur_tot),
+        |topv AS (SELECT token FROM c WHERE snap = 'ref'
+        |  ORDER BY n DESC, token LIMIT 50),
+        |j AS (SELECT v.token,
+        |    r.n AS ref_n, COALESCE(cu.n, 0) AS cur_n
+        |  FROM topv v
+        |  JOIN c r ON r.snap = 'ref' AND r.token = v.token
+        |  LEFT JOIN c cu ON cu.snap = 'cur' AND cu.token = v.token)
+        |SELECT token, ref_n, cur_n,
+        |  ref_n * 1000000 // ref_tot AS ref_ppm,
+        |  cur_n * 1000000 // cur_tot AS cur_ppm,
+        |  abs(ref_n * 1000000 // ref_tot - cur_n * 1000000 // cur_tot) AS drift_ppm
+        |FROM j, tot
+        |ORDER BY drift_ppm DESC, token""".stripMargin,
     "mixture_token_budget" ->
       """WITH per AS (SELECT source,
         |    CAST(sum(len(regexp_split_to_array(text, ' +'))) AS BIGINT) AS total_tokens
