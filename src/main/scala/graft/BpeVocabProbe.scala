@@ -78,7 +78,7 @@ object BpeVocabProbe {
       .orderBy(desc("f"), asc("w")).limit(vocab).collect()
       .map(r => (r.getString(0).map(_.toString).toVector, r.getLong(1)))
     var trained: Seq[(String, String)] = Seq.empty
-    Seq(20, 1000, 4000).foreach { m =>
+    Seq(20, 1000, 4000, 32000).filter(_ <= vocab * 8).foreach { m =>
       val (tTrain, merges) = time(Bpe.trainMerges(wfRows.map(identity), m))
       require(merges.size == m, s"pairs exhausted at ${merges.size} < $m")
       println(f"BPEVOCAB\ttrain_incremental\t$m\t$tTrain%.2f\t-")
@@ -97,14 +97,14 @@ object BpeVocabProbe {
       val (t, rows) = time(q.collect())
       (t, rows.head.getLong(0))
     }
-    Seq(20, 1000, 4000).foreach { m =>
+    Seq(20, 1000, 4000, 32000).filter(_ <= trained.size).foreach { m =>
       val (t, n) = encTime(Bpe.encode(col("text"), trained.take(m)))
       println(f"BPEVOCAB\tencode_heap\t$m\t$t%.2f\t$n")
     }
     // tokenIds at the largest vocab: the id map ships as a typedLit
     // plan literal (4k merges + 16-symbol alphabet) — the probe shows
     // the literal-map lookup stays in the same regime as encode
-    Seq(20, 4000).foreach { m =>
+    Seq(20, 4000, 32000).filter(_ <= trained.size).foreach { m =>
       val tr = Bpe.Trained(('0' to '9').map(_.toString) ++ ('a' to 'f').map(_.toString),
         trained.take(m))
       val q = docs.select(sum(size(Bpe.tokenIds(

@@ -248,21 +248,49 @@ object Bpe {
         }
       }
     }
+    // best-pair selection via a lazily-invalidated heap instead of a
+    // full pc scan per iteration: every count UPDATE pushes a fresh
+    // (count, pair) entry; a popped entry is live only if its count
+    // still matches pc — so the first live pop IS the exact
+    // (max count, min "a b" string) argmax the reference scan picks,
+    // including ties (heap order = count DESC, pair string ASC).
+    // At 32k merges the scan-per-iteration alternative is
+    // O(M · |pairs|) ≈ 10⁹; this is O(updates · log). Differential
+    // with [[trainMergesReference]] in BpeSpec covers the tie cases.
+    val heap = scala.collection.mutable.PriorityQueue.empty[(Long, String, (String, String))](
+      Ordering.by[(Long, String, (String, String)), (Long, String)](e => (-e._1, e._2)).reverse)
+    def pushPc(k: (String, String)): Unit =
+      pc.get(k).foreach(n => heap.enqueue((n, s"${k._1} ${k._2}", k)))
     var wi = 0
     while (wi < words.length) { addWord(wi, 1L); wi += 1 }
+    pc.keysIterator.foreach(pushPc)
     val merges = Seq.newBuilder[(String, String)]
     var it = 0
-    while (it < numMerges && pc.nonEmpty) {
-      val best = pc.iterator.minBy { case ((a, b), n) => (-n, s"$a $b") }._1
-      merges += best
-      val affected = occ.getOrElse(best, scala.collection.mutable.Set.empty).toArray
-      java.util.Arrays.sort(affected)
-      affected.foreach { w =>
-        addWord(w, -1L)
-        words(w) = (applyMerge(words(w)._1, best._1, best._2), words(w)._2)
-        addWord(w, 1L)
+    var exhausted = false
+    while (it < numMerges && !exhausted) {
+      var best: (String, String) = null
+      while (best == null && heap.nonEmpty) {
+        val (n, _, k) = heap.dequeue()
+        if (pc.getOrElse(k, 0L) == n) best = k // live entry
       }
-      it += 1
+      if (best == null) exhausted = true
+      else {
+        merges += best
+        val affected = occ.getOrElse(best, scala.collection.mutable.Set.empty).toArray
+        java.util.Arrays.sort(affected)
+        val touched = scala.collection.mutable.Set.empty[(String, String)]
+        affected.foreach { w =>
+          words(w)._1.sliding(2).foreach { s =>
+            if (s.length == 2) touched += ((s(0), s(1))) }
+          addWord(w, -1L)
+          words(w) = (applyMerge(words(w)._1, best._1, best._2), words(w)._2)
+          words(w)._1.sliding(2).foreach { s =>
+            if (s.length == 2) touched += ((s(0), s(1))) }
+          addWord(w, 1L)
+        }
+        touched.foreach(pushPc) // refresh heap entries for changed counts
+        it += 1
+      }
     }
     merges.result()
   }

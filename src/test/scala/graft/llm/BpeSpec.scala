@@ -139,13 +139,16 @@ class BpeSpec extends AnyFunSuite {
   }
 
   test("incremental trainer == full-recount reference on random weighted vocabularies") {
+    // {a,b,c} over short words is maximal-tie territory — the heap's
+    // lazy-invalidation argmax must match the scan's (−count, "a b")
+    // minBy on every tie
     val rnd = new scala.util.Random(77L)
-    (1 to 60).foreach { i =>
-      val words = Array.fill(1 + rnd.nextInt(12)) {
+    (1 to 200).foreach { i =>
+      val words = Array.fill(1 + rnd.nextInt(25)) {
         val w = (1 to (1 + rnd.nextInt(8))).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
         (w.map(_.toString).toVector, 1L + rnd.nextInt(5))
       }
-      val m = 1 + rnd.nextInt(15)
+      val m = 1 + rnd.nextInt(30)
       val fast = Bpe.trainMerges(words.map(identity), m)
       val ref = Bpe.trainMergesReference(words.map(identity), m)
       assert(fast == ref, s"case $i words=${words.toSeq} m=$m")
