@@ -434,15 +434,9 @@ object TextAnalysis {
     * operator serves per-shard unchanged. The first-fit scan is
     * O(bins) per doc (a segment tree makes it O(log bins) for huge
     * shards; the linear scan is exact and fine at shard scale). */
-  def packSequencesFfd(
-      df: DataFrame,
-      idCol: String,
-      nTokens: Column,
-      windowTokens: Int = 2048): DataFrame = {
-    require(windowTokens > 0, "windowTokens must be positive")
-    val t = df.select(col(idCol).as("doc_id"), nTokens.as("n_tokens"))
-      .withColumn("neg_tokens", -col("n_tokens"))
-    val scan = graft.plumba.Kernel.Scan.of1[(Vector[Long], Int), Long](
+  /** The FFD placement kernel: state = (bin remainders, last bin). */
+  private def ffdKernel(windowTokens: Int): graft.plumba.Kernel.Scan[(Vector[Long], Int)] =
+    graft.plumba.Kernel.Scan.of1[(Vector[Long], Int), Long](
       (Vector.empty[Long], -1),
       emit = s => s._2.toLong) { case ((bins, _), n) =>
         var i = 0
@@ -454,10 +448,46 @@ object TextAnalysis {
         if (fit >= 0) (bins.updated(fit, bins(fit) - n), fit)
         else (bins :+ (windowTokens - n), bins.length)
       }
+
+  def packSequencesFfd(
+      df: DataFrame,
+      idCol: String,
+      nTokens: Column,
+      windowTokens: Int = 2048): DataFrame = {
+    require(windowTokens > 0, "windowTokens must be positive")
+    val t = df.select(col(idCol).as("doc_id"), nTokens.as("n_tokens"))
+      .withColumn("neg_tokens", -col("n_tokens"))
     graft.plumba.CollectOps.collectScan(
         t, Seq("n_tokens"), Seq("neg_tokens", "doc_id", "n_tokens"),
-        scan, org.apache.spark.sql.types.LongType, "bin_id")
+        ffdKernel(windowTokens), org.apache.spark.sql.types.LongType, "bin_id")
       .select(col("doc_id"), col("n_tokens"), col("bin_id"))
+  }
+
+  /** SHARDED FFD — the 100 TB shape [[packSequencesFfd]]'s docstring
+    * promises: documents are deterministically sharded
+    * ([[Sampling.shardAssign]] — the same pure-function-of-id rule the
+    * export manifest uses), and FFD runs INDEPENDENTLY per shard via
+    * the per-group sequential scan ([[graft.plumba.GroupOps
+    * .groupScan]] — one shuffle on shard_id, secondary sort
+    * (len DESC, id ASC) inside each group, shards packed in
+    * parallel across the cluster). Bin ids are per-shard; (shard_id,
+    * bin_id) is the global window key. Pad cost vs global FFD is the
+    * per-shard last-bin remainder — nShards extra partial bins worst
+    * case, negligible against any real shard size. */
+  def packSequencesFfdSharded(
+      df: DataFrame,
+      idCol: String,
+      nTokens: Column,
+      windowTokens: Int = 2048,
+      nShards: Int = 8): DataFrame = {
+    require(windowTokens > 0, "windowTokens must be positive")
+    val t = df.select(col(idCol).as("doc_id"), nTokens.as("n_tokens"))
+      .withColumn("shard_id", Sampling.shardAssign(col("doc_id"), nShards))
+      .withColumn("neg_tokens", -col("n_tokens"))
+    graft.plumba.GroupOps.groupScan(
+        t, Seq("shard_id"), Seq("n_tokens"), Seq("neg_tokens", "doc_id", "n_tokens"),
+        ffdKernel(windowTokens), org.apache.spark.sql.types.LongType, "bin_id")
+      .select(col("shard_id"), col("doc_id"), col("n_tokens"), col("bin_id"))
   }
 
   /** TRAINED linear quality classifier — the fastText-style upgrade

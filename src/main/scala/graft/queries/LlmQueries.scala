@@ -1294,6 +1294,17 @@ object LlmQueries {
       .orderBy(desc("drift_ppm"), asc("token"))
   }
 
+  /** The 100 TB FFD shape through the gate: per-shard first-fit-
+    * decreasing ([[TextAnalysis.packSequencesFfdSharded]] — one
+    * shard_id shuffle, shards packed in parallel, (shard, bin) the
+    * global window key). Oracle: the per-shard FFD loops replayed in
+    * LOCKSTEP by one recursive CTE (each step advances every shard's
+    * rank-i doc against that shard's own bin-remainder list). */
+  val packSequencesFfdSharded: Q = (s, dir) =>
+    TextAnalysis.packSequencesFfdSharded(Tables(s, dir, "documents"), "doc_id",
+        TextAnalysis.tokenCountWs(col("text")).cast("long"), 2048, nShards = 8)
+      .orderBy("shard_id", "doc_id")
+
   /** Chunk-level exact dedup — duplicate passages across documents
     * (whole-doc dedup can't see them). Same normalize+chunk parameters
     * as `doc_chunks`, so the two queries compose into one pipeline. */
@@ -1993,6 +2004,7 @@ object LlmQueries {
     "pack_sequences" -> packSequences,
     "pack_sequences_ffd" -> packSequencesFfd,
     "pack_payload_ffd" -> packPayloadFfd,
+    "pack_sequences_ffd_sharded" -> packSequencesFfdSharded,
     "encoding_hygiene" -> encodingHygiene,
     "pipeline_clean_corpus" -> pipelineCleanCorpus,
     "decontaminate_docs" -> decontaminateDocs,
@@ -3110,6 +3122,33 @@ object LlmQueries {
     // the FFD recursive replay rolled up per bin; string_agg ORDER BY
     // (n DESC, doc_id) is exactly the placement order the Spark side
     // sorts structs by
+    // per-shard lockstep replay: one recursion advances every shard's
+    // next-ranked doc against its own remainder list; shard id is the
+    // hx60-parse of md5(doc_id) mod 8 — the shard_manifest rule
+    "pack_sequences_ffd_sharded" ->
+      s"""WITH RECURSIVE d AS (SELECT doc_id,
+         |    CAST(len(regexp_split_to_array(text, ' +')) AS BIGINT) AS n,
+         |    CAST(${hx60("md5(CAST(doc_id AS VARCHAR))")} % 8 AS INT) AS shard_id,
+         |    row_number() OVER (PARTITION BY CAST(${hx60("md5(CAST(doc_id AS VARCHAR))")} % 8 AS INT)
+         |      ORDER BY len(regexp_split_to_array(text, ' +')) DESC, doc_id) AS rn
+         |  FROM documents),
+         |ffd AS (
+         |  SELECT shard_id, 0::BIGINT AS rn, NULL::BIGINT AS doc_id, NULL::BIGINT AS n,
+         |    NULL::BIGINT AS bin_id, []::BIGINT[] AS rem
+         |  FROM (SELECT DISTINCT shard_id FROM d)
+         |  UNION ALL
+         |  SELECT shard_id, rn, doc_id, n,
+         |    CASE WHEN fit IS NULL THEN len(rem0) ELSE fit - 1 END AS bin_id,
+         |    CASE WHEN fit IS NULL THEN list_append(rem0, 2048 - n)
+         |         ELSE list_transform(range(1, len(rem0) + 1),
+         |                i -> CASE WHEN i = fit THEN rem0[i] - n ELSE rem0[i] END)
+         |    END AS rem
+         |  FROM (
+         |    SELECT d.shard_id, d.rn, d.doc_id, d.n, f.rem AS rem0,
+         |      NULLIF(list_position(list_transform(f.rem, x -> x >= d.n), true), 0) AS fit
+         |    FROM ffd f JOIN d ON d.shard_id = f.shard_id AND d.rn = f.rn + 1) s)
+         |SELECT shard_id, doc_id, n AS n_tokens, bin_id FROM ffd WHERE rn > 0
+         |ORDER BY shard_id, doc_id""".stripMargin,
     "pack_payload_ffd" ->
       """WITH RECURSIVE d AS (SELECT doc_id,
         |    CAST(len(regexp_split_to_array(text, ' +')) AS BIGINT) AS n,

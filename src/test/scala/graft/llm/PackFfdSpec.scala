@@ -85,4 +85,31 @@ class PackFfdSpec extends AnyFunSuite {
       s"at W=$wTight decreasing order must strictly beat arrival order " +
         s"($ffdTight vs $arrivalTight)")
   }
+  test("sharded FFD == per-shard global FFD; shard overhead bounded by shard count") {
+    val docs = graft.queries.Tables(spark, TestSpark.sfDir, "documents")
+    val nTok = TextAnalysis.tokenCountWs(col("text")).cast("long")
+    val sharded = TextAnalysis.packSequencesFfdSharded(docs, "doc_id", nTok, W, nShards = 8)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(3)))
+    // per shard, the assignment equals running the UNSHARDED operator
+    // on just that shard's docs (composition: shard then pack)
+    sharded.groupBy(_._1).foreach { case (shard, rows) =>
+      val ids = rows.map(_._2).toSet
+      val solo = TextAnalysis.packSequencesFfd(
+          docs.filter(graft.llm.Sampling.shardAssign(col("doc_id"), 8) === shard),
+          "doc_id", nTok, W)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+      rows.foreach { case (_, id, bin) =>
+        assert(solo(id) == bin, s"shard $shard doc $id: sharded=$bin solo=${solo(id)}")
+      }
+      assert(solo.keySet == ids)
+    }
+    // every doc packed exactly once across shards
+    assert(sharded.map(_._2).distinct.length == docs.count())
+    // shard overhead: at most nShards extra partial bins vs global FFD
+    val globalBins = TextAnalysis.packSequencesFfd(docs, "doc_id", nTok, W)
+      .agg(countDistinct("bin_id")).head.getLong(0)
+    val shardedBins = sharded.map(r => (r._1, r._3)).distinct.length
+    assert(shardedBins <= globalBins + 8,
+      s"sharded bins $shardedBins vs global $globalBins + 8 shards")
+  }
 }
