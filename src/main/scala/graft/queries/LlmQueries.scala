@@ -524,6 +524,42 @@ object LlmQueries {
       .select("query_id", "corpus_id", "rank")
   }
 
+  /** INCREMENTAL maintenance of the persisted IVF index — the day-2
+    * operation [[annIvfPersisted]] implies: a new vector batch (the
+    * fixture replayed at `max(vec_id)+1` offsets — the incremental-
+    * dedup echo convention) routes through the ORIGINAL quantizer
+    * (centroids are fixed at build time; re-clustering is a rebuild,
+    * not an append) and APPENDS to the bucketed table —
+    * `saveAsTable(Append)` lands the new files in their cell buckets,
+    * so the probe still reads one bucketed scan with zero Exchange.
+    * Oracle: the `ann_ivf` pipeline over `embeddings ∪ offset copy`
+    * with centroids drawn from the ORIGINAL table only. Appended
+    * copies tie their originals on cosine; (cos DESC, corpus_id ASC)
+    * breaks every tie deterministically. */
+  val annIvfPersistedAppend: Q = (s, dir) => {
+    val e = Tables(s, dir, "embeddings")
+    val off = e.agg(max("vec_id")).head.getLong(0) + 1L
+    val cents = Similarity.ivfCentroids(e, "vec_id", "embedding", 16)
+    val Seq(idxTable) = BucketCache.tables(s, s"ivf_cells_app:$dir", { (tag, tmp) =>
+      val name = s"graft_ivf_a_$tag"
+      Similarity.ivfAssign(e, cents, "vec_id", "embedding", "corpus_id", "cvec2", 1, "cell")
+        .write.bucketBy(8, "cell").sortBy("cell")
+        .option("path", s"$tmp/ivfa").mode("overwrite").saveAsTable(name)
+      // day-2: the new batch routes through the SAME centroids and
+      // appends into the existing buckets
+      val batch = e.select((col("vec_id") + lit(off)).as("vec_id"), col("embedding"))
+      Similarity.ivfAssign(batch, cents, "vec_id", "embedding", "corpus_id", "cvec2", 1, "cell")
+        .write.mode("append").bucketBy(8, "cell").sortBy("cell")
+        .format("parquet").saveAsTable(name)
+      Seq(name)
+    })
+    val queryCells = Similarity.ivfAssign(
+      e.filter(col("vec_id") < 10), cents, "vec_id", "embedding", "query_id", "qvec", 4, "cell")
+    Similarity.ivfProbe(s.table(idxTable), queryCells, k = 5)
+      .orderBy("query_id", "rank")
+      .select("query_id", "corpus_id", "rank")
+  }
+
   /** Product-quantization approximate top-5 for the same queries —
     * integer-quantized codebook + asymmetric distance, so every code and
     * ADC score is an exact BIGINT the oracle replays bit-for-bit. The
@@ -1966,6 +2002,7 @@ object LlmQueries {
     "ann_lsh" -> annLsh,
     "ann_ivf" -> annIvf,
     "ann_ivf_persisted" -> annIvfPersisted,
+    "ann_ivf_persisted_append" -> annIvfPersistedAppend,
     "ann_pq" -> annPq,
     "ann_ivf_trained" -> annIvfTrained,
     "ann_pq_trained" -> annPqTrained,
@@ -2555,6 +2592,42 @@ object LlmQueries {
     // ordering (validated at sf0.01 and sf0.1). ann_ivf's md5-based
     // centroid rule is portable; ann_lsh/dedup_embedding became
     // portable in round 3 via the quantized md5-sign hyperplanes above.
+    // the grown index: corpus = embeddings plus the offset replay;
+    // centroids and queries come from the ORIGINAL table only (fixed
+    // quantizer, fixed query set)
+    "ann_ivf_persisted_append" ->
+      """WITH allv AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + (SELECT max(vec_id) + 1 FROM embeddings), embedding FROM embeddings),
+        |cents AS (
+        |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+        |corpus_assign AS (
+        |  SELECT corpus_id, cell FROM (
+        |    SELECT e.vec_id AS corpus_id, c.cid AS cell,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.embedding, c.cvec) DESC, c.cid) AS rk
+        |    FROM allv e, cents c) WHERE rk <= 1),
+        |query_assign AS (
+        |  SELECT query_id, cell FROM (
+        |    SELECT e.vec_id AS query_id, c.cid AS cell,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.embedding, c.cvec) DESC, c.cid) AS rk
+        |    FROM embeddings e, cents c WHERE e.vec_id < 10) WHERE rk <= 4),
+        |cands AS (
+        |  SELECT DISTINCT q.query_id, ca.corpus_id
+        |  FROM query_assign q JOIN corpus_assign ca ON q.cell = ca.cell
+        |  WHERE ca.corpus_id <> q.query_id),
+        |scored AS (
+        |  SELECT cd.query_id, cd.corpus_id,
+        |    row_number() OVER (PARTITION BY cd.query_id
+        |      ORDER BY list_cosine_similarity(qe.embedding, ce.embedding) DESC, cd.corpus_id) AS rank
+        |  FROM cands cd
+        |  JOIN embeddings qe ON qe.vec_id = cd.query_id
+        |  JOIN allv ce ON ce.vec_id = cd.corpus_id)
+        |SELECT query_id, corpus_id, rank FROM scored WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
     "ann_ivf" -> sqlAnnIvf,
     "ann_ivf_persisted" -> sqlAnnIvf,
     // one shared assignment CTE feeds all three probe settings: the

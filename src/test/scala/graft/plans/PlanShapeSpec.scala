@@ -68,6 +68,17 @@ class PlanShapeSpec extends AnyFunSuite {
       s"no per-query assignment Window may remain on the index side:\n$idxBranch")
   }
 
+  test("ann_ivf_persisted_append: the GROWN index still probes with zero Exchange") {
+    val df = graft.queries.LlmQueries.annIvfPersistedAppend(spark, TestSpark.sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    val bhjAt = plan.indexOf("BroadcastHashJoin [cell")
+    assert(bhjAt >= 0, s"expected the cell-key broadcast probe join:\n$plan")
+    val buildAt = plan.indexOf("BroadcastExchange", bhjAt)
+    val idxBranch = plan.substring(bhjAt, buildAt)
+    assert(idxBranch.contains("Bucketed: true") && !idxBranch.contains("Exchange"),
+      s"appended files must land in the existing buckets — no index-side shuffle:\n$idxBranch")
+  }
+
   test("partition_pruned_events: the scan carries a partition filter on event_type") {
     val df = graft.queries.RelationalQueries.partitionPrunedEvents(spark, TestSpark.sfDir)
     val plan = df.queryExecution.executedPlan.toString
