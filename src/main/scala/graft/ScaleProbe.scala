@@ -98,7 +98,9 @@ object ScaleProbe {
     "ann_ivf_persisted",
     "mixture_epoch_sample",
     "encoding_hygiene",
-    "pack_sequences_ffd")
+    "pack_sequences_ffd",
+    "pack_sequences_ffd_sharded",
+    "ann_ivf_persisted_append")
 
   private def rot(s: String, k: Int): String = s.drop(k % s.length) + s.take(k % s.length)
 
