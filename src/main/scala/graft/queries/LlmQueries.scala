@@ -1341,6 +1341,39 @@ object LlmQueries {
         TextAnalysis.tokenCountWs(col("text")).cast("long"), 2048, nShards = 8)
       .orderBy("shard_id", "doc_id")
 
+  /** EMBEDDING drift monitor — [[corpusDrift]]'s vector sibling: per-
+    * DIMENSION mean shift between the md5-bucket snapshot halves of
+    * the embedding corpus (in production: yesterday's embedding run vs
+    * today's — the canary for silent encoder/preprocessing changes).
+    * Exact integer machinery: values quantize scan-side to
+    * `floor(x·1000) + 2000` (the +2000 offset keeps every per-dim sum
+    * POSITIVE, so integer division is engine-portable — Spark's `div`
+    * truncates toward zero while DuckDB's `//` floors, and they only
+    * agree on non-negative operands; the offset cancels in the drift
+    * delta). One posexplode scan into a dim-keyed aggregate
+    * (map-side partials absorb the d-way fan-out — the
+    * `embedding_moments` shuffle story), output |dims| rows. */
+  val embeddingDrift: Q = (s, dir) => {
+    val e = Tables(s, dir, "embeddings")
+    val q = (floor(col("v").cast("double") * 1000) + 2000).cast("long")
+    val d = e.select(
+        when(Sampling.hashBucket256(col("vec_id")) < 128, "ref").otherwise("cur").as("snap"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("snap"), (col("pos") + 1).as("dim"), q.as("q"))
+    d.groupBy("dim")
+      .agg(
+        sum(when(col("snap") === "ref", 1L).otherwise(0L)).as("ref_n"),
+        sum(when(col("snap") === "cur", 1L).otherwise(0L)).as("cur_n"),
+        sum(when(col("snap") === "ref", col("q")).otherwise(0L)).as("ref_sum"),
+        sum(when(col("snap") === "cur", col("q")).otherwise(0L)).as("cur_sum"))
+      .select(col("dim"),
+        col("ref_n"), col("cur_n"),
+        (expr("ref_sum div ref_n") - 2000L).as("ref_mean_milli"),
+        (expr("cur_sum div cur_n") - 2000L).as("cur_mean_milli"),
+        abs(expr("ref_sum div ref_n") - expr("cur_sum div cur_n")).as("drift_milli"))
+      .orderBy(desc("drift_milli"), asc("dim"))
+  }
+
   /** Chunk-level exact dedup — duplicate passages across documents
     * (whole-doc dedup can't see them). Same normalize+chunk parameters
     * as `doc_chunks`, so the two queries compose into one pipeline. */
@@ -2027,6 +2060,7 @@ object LlmQueries {
     "mixture_epoch_sample" -> mixtureEpochSample,
     "mixture_token_budget" -> mixtureTokenBudget,
     "corpus_drift" -> corpusDrift,
+    "embedding_drift" -> embeddingDrift,
     "quality_deciles_per_source" -> qualityDecilesPerSource,
     "quality_classifier_trained" -> qualityClassifierTrained,
     "lsh_bucket_histogram" -> lshBucketHistogram,
@@ -2927,6 +2961,26 @@ object LlmQueries {
         |ORDER BY source""".stripMargin,
     // quota arithmetic identical to the weights oracle; membership by
     // the same portable md5 rank as temperature_resample
+    "embedding_drift" ->
+      """WITH x AS (SELECT
+        |    CASE WHEN (strpos('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), 1, 1)) - 1) * 16
+        |      + (strpos('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), 2, 1)) - 1) < 128
+        |      THEN 'ref' ELSE 'cur' END AS snap,
+        |    unnest(range(1, len(embedding) + 1)) AS dim,
+        |    unnest(list_transform(embedding,
+        |      v -> CAST(floor(CAST(v AS DOUBLE) * 1000) AS BIGINT) + 2000)) AS q
+        |  FROM embeddings),
+        |a AS (SELECT dim,
+        |    CAST(sum(CASE WHEN snap = 'ref' THEN 1 ELSE 0 END) AS BIGINT) AS ref_n,
+        |    CAST(sum(CASE WHEN snap = 'cur' THEN 1 ELSE 0 END) AS BIGINT) AS cur_n,
+        |    CAST(sum(CASE WHEN snap = 'ref' THEN q ELSE 0 END) AS BIGINT) AS ref_sum,
+        |    CAST(sum(CASE WHEN snap = 'cur' THEN q ELSE 0 END) AS BIGINT) AS cur_sum
+        |  FROM x GROUP BY dim)
+        |SELECT CAST(dim AS BIGINT) AS dim, ref_n, cur_n,
+        |  ref_sum // ref_n - 2000 AS ref_mean_milli,
+        |  cur_sum // cur_n - 2000 AS cur_mean_milli,
+        |  abs(ref_sum // ref_n - cur_sum // cur_n) AS drift_milli
+        |FROM a ORDER BY drift_milli DESC, dim""".stripMargin,
     "corpus_drift" ->
       """WITH toks AS (SELECT
         |    CASE WHEN (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
