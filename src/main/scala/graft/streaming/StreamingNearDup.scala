@@ -50,8 +50,13 @@ object StreamingNearDup {
       maxBucket: Int = 1000,
       threshold: Double = 0.3): Dataset[Hit] = {
     import src.sparkSession.implicits._
+    // +1e6 s epoch offset: a doc whose synthetic event time lands
+    // EXACTLY on the initial watermark (epoch 0 — i.e. doc_id 0) is
+    // dropped as late by the stateful operator's watermark filter;
+    // shifting the whole clock is a no-op for every horizon comparison
+    // (only differences of arrival times matter) and keeps id 0 alive
     val banded = Dedup.bandBuckets(Dedup.shingleHashSets(src, "doc_id", "text"))
-      .withColumn("ets", col("id").cast("timestamp"))
+      .withColumn("ets", (col("id") + lit(1000000L)).cast("timestamp"))
       .withWatermark("ets", s"$horizonSec seconds")
     // the watermark column must reach the grouped Dataset for
     // event-time timeout eligibility, so ets rides along in the tuple.
