@@ -2001,8 +2001,12 @@ object LlmQueries {
       .agg(count(lit(1)).as("n_docs"),
         expr("percentile(q, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))").as("ps"))
       .select(col("source"), col("n_docs"), posexplode(col("ps")).as(Seq("di", "threshold")))
+      // round the INTERPOLATED value to 6 dp: percentile (Spark) and
+      // quantile_cont (DuckDB) compute lo+g·(hi−lo) in different float
+      // orders — a 1-ulp class the inputs' own 6-dp rounding cannot
+      // absorb (caught at sf0.001; sf0.01 happened to cancel)
       .select(col("source"), (col("di") + 1).cast("int").as("decile"),
-        col("n_docs"), col("threshold"))
+        col("n_docs"), round(col("threshold"), 6).as("threshold"))
       .orderBy("source", "decile")
   }
 
@@ -3104,7 +3108,7 @@ object LlmQueries {
          |p AS (SELECT source, count(*) AS n_docs,
          |    quantile_cont(q, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS ps
          |  FROM q GROUP BY source)
-         |SELECT source, CAST(d AS INT) AS decile, n_docs, ps[CAST(d AS INT)] AS threshold
+         |SELECT source, CAST(d AS INT) AS decile, n_docs, round(ps[CAST(d AS INT)], 6) AS threshold
          |FROM p, unnest(range(1, 10)) t(d)
          |ORDER BY source, decile""".stripMargin,
     "corpus_stats" ->
