@@ -173,4 +173,63 @@ class StreamNeardupStatefulSpec extends AnyFunSuite {
         "the cross-restart near-dup (1, 3) must be caught from recovered state")
     } finally rm(dir)
   }
+  test("the hot-bucket state cap: probe-then-add-if-room == the ROW_NUMBER oracle mirror") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.expressions.Window
+    // four near-identical docs share most (not all) band buckets; cap 2
+    // is PER BUCKET — the rank-cap rule the gate's oracle states: a
+    // pair (i, j) is emitted exactly through buckets where i's
+    // within-bucket arrival rank is <= 2
+    val dir = java.nio.file.Files.createTempDirectory("graft_nscap_").toFile
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); () }
+    try {
+      val docs = Seq(
+        (1L, base), (2L, base.replace("square", "plaza")),
+        (3L, base.replace("square", "court")), (4L, base.replace("square", "green")))
+      val stage = new java.io.File(dir, "stage")
+      docs.toDF("doc_id", "text").coalesce(1).write.parquet(stage.toString)
+      val part = stage.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(dir, "00.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      val schema = spark.read.parquet(dst.toString).schema
+      val src2 = spark.readStream.schema(schema).parquet(dir + "/*.parquet")
+      val hits = StreamingNearDup.neardupStateful(src2,
+        horizonSec = 100L * 24 * 3600, maxBucket = 2)
+      val name = "graft_nscap_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_nscap_ckpt_")
+      val q = hits.toDF().writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+      val streamed = spark.table(name).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      spark.catalog.dropTempView(name)
+
+      // the oracle mirror: per-bucket doc_id rank, cand rank <= cap
+      val bk = Dedup.bandBuckets(Dedup.shingleHashSets(
+        docs.toDF("doc_id", "text"), "doc_id", "text"))
+      val rk = bk.withColumn("rn",
+        row_number().over(Window.partitionBy("bucket").orderBy("id")))
+      val a = rk.filter(col("rn") <= 2)
+        .select(col("bucket"), col("id").as("cand_id"), col("sig").as("cand_sig"))
+      val b = rk.select(col("bucket"), col("id").as("probe_id"), col("sig"))
+      val expect = a.join(b, "bucket").filter(col("cand_id") < col("probe_id"))
+        .filter(Dedup.signatureSimilarity(col("cand_sig"), col("sig")) >= 0.3)
+        .select(col("bucket"), col("cand_id"), col("probe_id"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed == expect,
+        s"cap divergence: ${streamed.diff(expect)} vs ${expect.diff(streamed)}")
+      // the cap actually bit: some shared bucket refused doc 3's join,
+      // so at least one (bucket, 3, 4) row present in the UNCAPPED run
+      // is absent here
+      val allPairs = bk.select(col("bucket"), col("id").as("cand_id"), col("sig").as("cand_sig"))
+        .join(b, "bucket").filter(col("cand_id") < col("probe_id"))
+        .filter(Dedup.signatureSimilarity(col("cand_sig"), col("sig")) >= 0.3)
+        .select(col("bucket"), col("cand_id"), col("probe_id"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed.subsetOf(allPairs) && streamed != allPairs,
+        s"cap 2 must refuse at least one over-rank candidate: capped=${streamed.size} all=${allPairs.size}")
+    } finally rm(dir)
+  }
 }
