@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Compiled text-statistics expressions — same design as the hash-sketch
   * family ([[ShingleHashes]] et al.): `CodegenFallback` with a tight
@@ -62,7 +63,35 @@ case class NgramStats(child: Expression, n: Int) extends UnaryExpression with Co
     copy(child = newChild)
 }
 
+/** Unicode NFC normalization (`java.text.Normalizer`) — the canonical
+  * composition pass real crawl text needs before ANY exact-hash
+  * operation: the same visible string arrives both precomposed (U+00E9)
+  * and decomposed (e + U+0301), and without normalization the two hash
+  * apart, split dedup groups, and inflate token statistics. NFC is the
+  * Unicode-standard canonical form, implemented identically by the JDK
+  * and by DuckDB's nfc_normalize (utf8proc), so the normalized CONTENT
+  * is oracle-verifiable byte-for-byte. A narrow map; CodegenFallback by
+  * the file's convention (tight library call beside codegen'd
+  * neighbors). */
+case class NfcNormalize(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc_normalize"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) input
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
 object TextFunctions {
   def ngramStats(words: Column, n: Int): Column =
     ColumnBridge.column(NgramStats(ColumnBridge.expression(words), n))
+
+  def nfcNormalize(text: Column): Column =
+    ColumnBridge.column(NfcNormalize(ColumnBridge.expression(text)))
 }

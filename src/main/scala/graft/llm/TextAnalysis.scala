@@ -410,6 +410,30 @@ object TextAnalysis {
         sum(col("__resid").cast("long")).as("residual_bad"))
   }
 
+  /** UNICODE NORMALIZATION report — the canonical-form hygiene pass
+    * ([[graft.functions.NfcNormalize]]): per group, how many docs are
+    * NOT in NFC (the same visible text arriving precomposed vs
+    * decomposed hashes apart — splitting exact-dedup groups and
+    * inflating token stats), the total code-unit shrinkage under
+    * normalization, and an order-independent 60-bit xor checksum of
+    * the NORMALIZED content — so the oracle verifies the normalized
+    * BYTES, not just the counts. One narrow map + one per-group
+    * aggregate; zero extra shuffles at any scale. */
+  def unicodeNormalizationReport(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val nfc = graft.functions.TextFunctions.nfcNormalize(t)
+    df.select(col(groupCol),
+        (t =!= nfc).cast("long").as("__not_nfc"),
+        (length(t) - length(nfc)).cast("long").as("__delta"),
+        conv(substring(md5(to_binary(nfc, lit("utf-8"))), 1, 15), 16, 10)
+          .cast("long").as("__h60"))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_docs"),
+        sum("__not_nfc").as("docs_not_nfc"),
+        sum("__delta").as("chars_delta"),
+        expr("bit_xor(__h60)").as("nfc_xor"))
+  }
+
   /** FIRST-FIT-DECREASING sequence packing — the bin-packing upgrade of
     * [[packSequences]]: where the greedy packer concatenates the doc
     * stream and SPLITS docs across window boundaries (zero padding,

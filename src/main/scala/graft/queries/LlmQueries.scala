@@ -1374,6 +1374,22 @@ object LlmQueries {
       .orderBy(desc("drift_milli"), asc("dim"))
   }
 
+  /** NFC-normalization gate ([[TextAnalysis
+    * .unicodeNormalizationReport]]): the fixture is ASCII, so
+    * DECOMPOSED content is injected in-plan (the hygiene-gate
+    * convention) — md5-bucket < 64 docs get a suffix containing
+    * e+COMBINING-ACUTE and i+COMBINING-DIAERESIS; both engines inject,
+    * normalize (JDK Normalizer vs DuckDB nfc_normalize — both
+    * implement Unicode canonical composition), and the xor checksum
+    * over NORMALIZED text pins the normalized bytes cross-engine. */
+  val unicodeNormalization: Q = (s, dir) => {
+    val d = Tables(s, dir, "documents")
+    val b = Sampling.hashBucket256(col("doc_id"))
+    val corrupted = d.withColumn("t",
+      when(b < 64, concat(col("text"), lit(" cafe\u0301 nai\u0308ve"))).otherwise(col("text")))
+    TextAnalysis.unicodeNormalizationReport(corrupted, "source", "t").orderBy("source")
+  }
+
   /** Chunk-level exact dedup — duplicate passages across documents
     * (whole-doc dedup can't see them). Same normalize+chunk parameters
     * as `doc_chunks`, so the two queries compose into one pipeline. */
@@ -2081,6 +2097,7 @@ object LlmQueries {
     "pack_payload_ffd" -> packPayloadFfd,
     "pack_sequences_ffd_sharded" -> packSequencesFfdSharded,
     "encoding_hygiene" -> encodingHygiene,
+    "unicode_normalization" -> unicodeNormalization,
     "pipeline_clean_corpus" -> pipelineCleanCorpus,
     "decontaminate_docs" -> decontaminateDocs,
     "decontaminate_semantic" -> decontaminateSemantic,
@@ -3249,6 +3266,20 @@ object LlmQueries {
     // same in-plan corruption (md5 bucket < 64, marker by bucket mod
     // 4), same \x-escape regex classes (Java regex and RE2 read them
     // identically), same repair-then-rescan accounting
+    "unicode_normalization" ->
+      s"""WITH bkt AS (SELECT *,
+         |    (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+         |    + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS hb
+         |  FROM documents),
+         |c AS (SELECT source, CASE WHEN hb < 64
+         |    THEN text || ' cafe' || chr(769) || ' nai' || chr(776) || 've'
+         |    ELSE text END AS t FROM bkt),
+         |n AS (SELECT source, t, nfc_normalize(t) AS nt FROM c)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN t <> nt THEN 1 ELSE 0 END) AS BIGINT) AS docs_not_nfc,
+         |  CAST(sum(length(t) - length(nt)) AS BIGINT) AS chars_delta,
+         |  bit_xor(${hx60("md5(nt)")}) AS nfc_xor
+         |FROM n GROUP BY source ORDER BY source""".stripMargin,
     "encoding_hygiene" -> sqlEncodingHygiene,
     // the FFD recursive replay rolled up per bin; string_agg ORDER BY
     // (n DESC, doc_id) is exactly the placement order the Spark side

@@ -818,4 +818,22 @@ class LlmSpec extends AnyFunSuite {
       b.getLong(b.fieldIndex("chars_removed")) == 5 &&
       b.getLong(b.fieldIndex("residual_bad")) == 0, b.toString)
   }
+  test("NfcNormalize: decomposed forms compose; NFC text passes through unchanged") {
+    import graft.functions.TextFunctions
+    val rows = Seq(
+      ("e\u0301", "\u00e9"),           // e + combining acute -> precomposed
+      ("nai\u0308ve", "na\u00efve"),   // i + combining diaeresis
+      ("plain ascii", "plain ascii"),
+      ("\u00e9d\u00e9j\u00e0", "\u00e9d\u00e9j\u00e0") // already NFC
+    ).toDF("raw", "want")
+      .select(TextFunctions.nfcNormalize(col("raw")).as("got"), col("want"))
+      .collect()
+    rows.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"'${r.getString(0)}' != '${r.getString(1)}'"))
+    // the normalization actually changes hashes: the motivating failure
+    val Seq(hRaw, hNfc) = Seq("e\u0301").toDF("t")
+      .select(md5(col("t").cast("binary")), md5(TextFunctions.nfcNormalize(col("t")).cast("binary")))
+      .collect().head.toSeq.map(_.toString)
+    assert(hRaw != hNfc, "decomposed and NFC forms must hash apart (why the pass exists)")
+  }
 }
