@@ -478,6 +478,52 @@ object StreamingQueries {
     drain(s, name, s.table(name).orderBy("source"))
   }
 
+  /** SCD2 POINT-IN-TIME enrichment — the versioned-dimension join
+    * every ingest ETL needs and [[streamStaticEnrich]] (current-state
+    * dim) cannot express: each event joins the dim VERSION that was
+    * effective AT THE EVENT'S TIME. The dimension is built batch-side
+    * with two effective-dated versions per customer (the segment
+    * changes mid-fixture; boundaries derive from the events table's
+    * own [min, max] span in exact integer nanos, so both engines
+    * compute identical intervals), and the stream probes it with a
+    * broadcast range-condition join — stateless, no watermark,
+    * batch-invariant, the half-open [start, end) convention making
+    * every event match EXACTLY one version. Oracle: the plain batch
+    * join. */
+  val streamScdEnrich: Q = (s, dir) => withStatePartitions(s, 8) {
+    import org.apache.spark.sql.functions._
+    val ev = Tables(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"), col("value"))
+    val mm = ev.agg(min("ts").as("lo"), max("ts").as("hi"))
+      .withColumn("mid", expr("lo + (hi - lo) div 2"))
+    val dim = Tables(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .crossJoin(broadcast(mm))
+      .select(col("c_custkey"), explode(array(
+        struct(col("lo").as("eff_start"), col("mid").as("eff_end"),
+          concat(col("c_mktsegment"), lit("#v1")).as("segment")),
+        struct(col("mid").as("eff_start"), (col("hi") + 1).as("eff_end"),
+          concat(col("c_mktsegment"), lit("#v2")).as("segment")))).as("v"))
+      .select(col("c_custkey"), col("v.eff_start"), col("v.eff_end"), col("v.segment"))
+    val name = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val (tmp, schema) = spillEventIdBucketsCached(s, dir, ev, nFiles = 4)
+    val src = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp.getPath + "/*.parquet")
+    val q = src.join(broadcast(dim),
+        src("user_id") === dim("c_custkey") &&
+          src("ts") >= dim("eff_start") && src("ts") < dim("eff_end"))
+      .select(col("event_id"), col("user_id"), col("segment"))
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      if (dataBatches < 2)
+        throw new IllegalStateException(
+          s"stream_scd_enrich requires >= 2 data micro-batches; saw $dataBatches")
+    } finally q.stop()
+    drain(s, name, s.table(name).orderBy("event_id"))
+  }
+
   /** WATERMARKED streaming dedup — the bounded-state version of
     * [[streamDedupDocs]], and the pattern its docstring points at: the
     * dedup key includes the event-time column (hour-truncated), and
@@ -880,11 +926,27 @@ object StreamingQueries {
     "stream_bpe_token_budget" -> streamBpeTokenBudget,
     "stream_sink_jsonl" -> streamSinkJsonl,
     "stream_dedup_watermarked" -> streamDedupWatermarked,
-    "stream_encoding_hygiene" -> streamEncodingHygiene
+    "stream_encoding_hygiene" -> streamEncodingHygiene,
+    "stream_scd_enrich" -> streamScdEnrich
   )
 
   val oracles: Map[String, String] = Map(
     // batch-invariant complete-mode rollup: the batch oracle verbatim
+    // stateless + batch-invariant: the plain batch join over the same
+    // exact-integer effective intervals
+    "stream_scd_enrich" ->
+      """WITH mm AS (SELECT min(epoch_ns(ts)) AS lo, max(epoch_ns(ts)) AS hi,
+        |    min(epoch_ns(ts)) + (max(epoch_ns(ts)) - min(epoch_ns(ts))) // 2 AS mid
+        |  FROM events),
+        |dim AS (
+        |  SELECT c_custkey, lo AS eff_start, mid AS eff_end,
+        |    c_mktsegment || '#v1' AS segment FROM customer, mm
+        |  UNION ALL
+        |  SELECT c_custkey, mid, hi + 1, c_mktsegment || '#v2' FROM customer, mm)
+        |SELECT e.event_id, e.user_id, d.segment
+        |FROM events e JOIN dim d ON e.user_id = d.c_custkey
+        |  AND epoch_ns(e.ts) >= d.eff_start AND epoch_ns(e.ts) < d.eff_end
+        |ORDER BY event_id""".stripMargin,
     "stream_encoding_hygiene" -> LlmQueries.sqlEncodingHygiene,
     // batch-invariant by construction: pair (i, j), i < j, emitted iff
     // both band to one bucket, i is among the bucket's first 1000
