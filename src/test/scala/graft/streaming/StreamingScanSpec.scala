@@ -154,4 +154,58 @@ class StreamingScanSpec extends AnyFunSuite {
     assert(streamed == batch, s"stream/batch artifact application diverged: $streamed vs $batch")
     assert(streamed.map(_._2).sum == 500L)
   }
+  test("watermark late-data accounting: genuinely late rows drop, counted in telemetry") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    // file 1 advances event time to t=10000s; file 2 carries one row at
+    // t=5000s — 4900s beyond the 100s delay, so the watermark (9900s)
+    // proves it late: it must be DROPPED from the closed window AND
+    // show up in numRowsDroppedByWatermark, the telemetry a production
+    // pipeline alerts on. The on-time row in the same batch aggregates
+    // normally.
+    val dir = java.nio.file.Files.createTempDirectory("graft_late_").toFile
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); () }
+    try {
+      val spark2 = spark
+      import spark2.implicits._
+      def spill(rows: Seq[Long], name: String, mtime: Long): Unit = {
+        val stage = new java.io.File(dir, s"stage_$name")
+        rows.toDF("sec").coalesce(1).write.parquet(stage.toString)
+        val part = stage.listFiles().filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(dir, s"$name.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(mtime); ()
+      }
+      spill(Seq(5100L, 5200L, 10000L), "00", 1700000000000L)
+      // batch 2 exists so the [5000, 6000) window FINALIZES at its end
+      // (Spark emits a window at the end of the batch in which the
+      // watermark passes it — a late row arriving in that same batch
+      // still merges; only rows arriving AFTER eviction drop)
+      spill(Seq(10100L), "01", 1700000060000L)
+      spill(Seq(5000L, 10150L), "02", 1700000120000L) // 5000 is late
+      val schema = spark.read.parquet(dir + "/00.parquet").schema
+      val src2 = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir + "/*.parquet")
+      val agg = src2
+        .withColumn("ets", col("sec").cast("timestamp"))
+        .withWatermark("ets", "100 seconds")
+        .groupBy(window(col("ets"), "1000 seconds")).agg(count(lit(1)).as("n"))
+        .select(col("window.start").cast("long").as("w"), col("n"))
+      val name = "graft_late_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_late_ckpt_")
+      val q = agg.writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+      val out = spark.table(name).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      spark.catalog.dropTempView(name)
+      // the [5000, 6000) window closed with the two ON-TIME rows only
+      assert(out.get(5000L).contains(2L),
+        s"late row must not reopen or inflate the closed window: $out")
+      val dropped = q.recentProgress
+        .flatMap(_.stateOperators.headOption.map(_.numRowsDroppedByWatermark)).sum
+      assert(dropped == 1L, s"exactly the one late row counts as dropped, got $dropped")
+    } finally rm(dir)
+  }
 }
