@@ -327,14 +327,24 @@ object Similarity {
     * to the corpus by id (which would add an id-keyed shuffle of both
     * corpus-sized sides). Catalyst prunes the vector away for callers
     * that drop it, so [[kmeansAssign]] pays nothing for the refactor. */
-  private def kmeansAssignFull(corpus: DataFrame, idCol: String, vecCol: String,
-      k: Int, sampleN: Int, iters: Int): DataFrame = {
+  /** Train the integer-L2 codebook alone — the piece an INCREMENTAL
+    * consumer needs: centroids are fixed at corpus-build time and new
+    * batches route through them unchanged
+    * ([[graft.queries.LlmQueries]]'s `dedup_semantic_incremental`). */
+  private[graft] def kmeansTrainL2(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, sampleN: Int, iters: Int): Array[Array[Long]] = {
     val sample = md5Sample(corpus, idCol, vecCol, sampleN)
       .map(_.map(x => math.floor(x * 1000.0).toLong))
-    val cents = kmeansL2Long(sample, k, iters, floorUpdate = true)
+    kmeansL2Long(sample, k, iters, floorUpdate = true)
+  }
+
+  /** Assignment against a GIVEN codebook (plan-literal centroids, a
+    * narrow scan-side map — no join, no broadcast exchange). */
+  private[graft] def kmeansAssignWith(df: DataFrame, cents: Array[Array[Long]],
+      idCol: String, vecCol: String): DataFrame = {
     val centsCol = array(cents.zipWithIndex.map { case (cv, ci) =>
       struct(lit(ci).as("c"), array(cv.map(lit(_)): _*).as("v")) }: _*)
-    corpus
+    df
       .select(col(idCol), col(vecCol),
         transform(col(vecCol), x => floor(x.cast("double") * 1000).cast("long")).as("q"))
       .withColumn("cents", centsCol)
@@ -346,6 +356,11 @@ object Similarity {
       .select(col(idCol), col(vecCol),
         col("best.c").as("centroid"), col("best.d").as("dist2"))
   }
+
+  private def kmeansAssignFull(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, sampleN: Int, iters: Int): DataFrame =
+    kmeansAssignWith(corpus, kmeansTrainL2(corpus, idCol, vecCol, k, sampleN, iters),
+      idCol, vecCol)
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic dedup by
     * cluster-then-prune: embeddings are clustered by the TRAINED integer

@@ -560,6 +560,46 @@ object LlmQueries {
       .select("query_id", "corpus_id", "rank")
   }
 
+  /** INCREMENTAL SemDeDup — the persisted deploy shape of
+    * [[dedupSemantic]] (the `dedup_incremental`/`ann_ivf_persisted`
+    * convention applied to semantic dedup): the corpus's cluster
+    * assignments persist ONCE as a `bucketBy(centroid)` table with
+    * vectors; a new batch (the fixture echoed at `max(vec_id)+1`
+    * offsets — hb < 85 identical copies, the rest circular-shifted
+    * into genuinely-new vectors) routes through the SAME trained
+    * codebook (fixed at build time; re-clustering is a rebuild) and
+    * probes only its own cluster's members with exact cosine — never
+    * all-pairs, never a corpus rescan. Statuses: `dup_corpus` (cos ≥
+    * 0.4 vs ≥ 1 in-cluster member) / `new`; `n_dups` is the exact
+    * in-cluster match count. Echo copies score cos = 1 against their
+    * originals, so both statuses fire at any sf. */
+  val dedupSemanticIncremental: Q = (s, dir) => {
+    val e = Tables(s, dir, "embeddings")
+    val off = e.agg(max("vec_id")).head.getLong(0) + 1L
+    val cents = Similarity.kmeansTrainL2(e, "vec_id", "embedding", 4, 16, 2)
+    val Seq(tbl) = BucketCache.tables(s, s"semdedup_corpus:$dir", { (tag, tmp) =>
+      Similarity.kmeansAssignWith(e, cents, "vec_id", "embedding")
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"), col("centroid"))
+        .write.bucketBy(8, "centroid").sortBy("centroid")
+        .option("path", s"$tmp/sd").mode("overwrite").saveAsTable(s"graft_sd_b_$tag")
+      Seq(s"graft_sd_b_$tag")
+    })
+    val hb = Sampling.hashBucket256(col("vec_id"))
+    val shifted = expr(
+      "concat(slice(embedding, 2, size(embedding) - 1), slice(embedding, 1, 1))")
+    val batch = e.select((col("vec_id") + lit(off)).as("vec_id"),
+      when(hb < 85, col("embedding")).otherwise(shifted).as("embedding"))
+    val basg = Similarity.kmeansAssignWith(batch, cents, "vec_id", "embedding")
+      .select(col("vec_id").as("b_id"), col("embedding").as("b_vec"), col("centroid"))
+    s.table(tbl).join(broadcast(basg), Seq("centroid"))
+      .withColumn("hit",
+        (Similarity.cosine(col("b_vec"), col("c_vec")) >= 0.4).cast("long"))
+      .groupBy("b_id", "centroid").agg(sum("hit").as("n_dups"))
+      .select(col("b_id").as("vec_id"), col("centroid"), col("n_dups"),
+        when(col("n_dups") > 0, lit("dup_corpus")).otherwise(lit("new")).as("status"))
+      .orderBy("vec_id")
+  }
+
   /** Product-quantization approximate top-5 for the same queries —
     * integer-quantized codebook + asymmetric distance, so every code and
     * ADC score is an exact BIGINT the oracle replays bit-for-bit. The
@@ -2063,6 +2103,7 @@ object LlmQueries {
     "ann_ivf_recall_curve" -> annIvfRecallCurve,
     "dedup_embedding" -> dedupEmbedding,
     "dedup_semantic" -> dedupSemantic,
+    "dedup_semantic_incremental" -> dedupSemanticIncremental,
     "embedding_bucket_histogram" -> embeddingBucketHistogram,
     "embedding_moments" -> embeddingMoments,
     "embedding_outliers" -> embeddingOutliers,
@@ -2619,6 +2660,38 @@ object LlmQueries {
     // within-cluster pairwise cosine (threshold-compared only — float
     // values never emitted), and the keep-farthest-from-centroid rule
     // on exact BIGINT distances (ties to the smaller id)
+    // the trained codebook (k2) is shared with dedup_semantic's replay;
+    // the batch assigns against it, then exact cosine within cluster
+    "dedup_semantic_incremental" ->
+      (s"WITH $kmeansTrainCtes,\n" +
+       """asg AS (SELECT vec_id, c AS centroid FROM (
+         |    SELECT vec_id, c, d, row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rk
+         |    FROM af) WHERE rk = 1),
+         |bsrc AS (SELECT vec_id + (SELECT max(vec_id) + 1 FROM embeddings) AS vec_id,
+         |    CASE WHEN (strpos('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), 1, 1)) - 1) * 16
+         |      + (strpos('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), 2, 1)) - 1) < 85
+         |      THEN embedding
+         |      ELSE list_concat(embedding[2:], [embedding[1]]) END AS tv
+         |  FROM embeddings),
+         |bq AS (SELECT vec_id, i,
+         |    CAST(floor(CAST(tv[CAST(i + 1 AS INT)] AS DOUBLE) * 1000) AS BIGINT) AS q
+         |  FROM bsrc, unnest(range(0, len(tv))) t(i)),
+         |baf AS (SELECT bq.vec_id, k2.c, CAST(sum((bq.q - k2.q) * (bq.q - k2.q)) AS BIGINT) AS d
+         |  FROM bq JOIN k2 ON bq.i = k2.i GROUP BY bq.vec_id, k2.c),
+         |basg AS (SELECT vec_id, c AS centroid FROM (
+         |    SELECT vec_id, c, d, row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rk
+         |    FROM baf) WHERE rk = 1),
+         |hits AS (SELECT b.vec_id, b.centroid,
+         |    CAST(sum(CASE WHEN list_cosine_similarity(bs.tv, ce.embedding) >= 0.4
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_dups
+         |  FROM basg b
+         |  JOIN bsrc bs ON bs.vec_id = b.vec_id
+         |  JOIN asg a ON a.centroid = b.centroid
+         |  JOIN embeddings ce ON ce.vec_id = a.vec_id
+         |  GROUP BY b.vec_id, b.centroid)
+         |SELECT vec_id, CAST(centroid AS INT) AS centroid, n_dups,
+         |  CASE WHEN n_dups > 0 THEN 'dup_corpus' ELSE 'new' END AS status
+         |FROM hits ORDER BY vec_id""".stripMargin),
     "dedup_semantic" ->
       (s"WITH $kmeansTrainCtes,\n" +
        """asg AS (SELECT vec_id, c AS centroid, d AS dist2 FROM (

@@ -79,6 +79,17 @@ class PlanShapeSpec extends AnyFunSuite {
       s"appended files must land in the existing buckets — no index-side shuffle:\n$idxBranch")
   }
 
+  test("dedup_semantic_incremental: the persisted cluster table never shuffles") {
+    val df = graft.queries.LlmQueries.dedupSemanticIncremental(spark, TestSpark.sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    val bhjAt = plan.indexOf("BroadcastHashJoin [centroid")
+    assert(bhjAt >= 0, s"expected the centroid-key broadcast probe join:\n$plan")
+    val buildAt = plan.indexOf("BroadcastExchange", bhjAt)
+    val corpusBranch = plan.substring(bhjAt, buildAt)
+    assert(corpusBranch.contains("Bucketed: true") && !corpusBranch.contains("Exchange"),
+      s"the persisted cluster members must stream from the bucketed scan unshuffled:\n$corpusBranch")
+  }
+
   test("partition_pruned_events: the scan carries a partition filter on event_type") {
     val df = graft.queries.RelationalQueries.partitionPrunedEvents(spark, TestSpark.sfDir)
     val plan = df.queryExecution.executedPlan.toString
