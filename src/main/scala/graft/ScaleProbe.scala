@@ -100,7 +100,8 @@ object ScaleProbe {
     "encoding_hygiene",
     "pack_sequences_ffd",
     "pack_sequences_ffd_sharded",
-    "ann_ivf_persisted_append")
+    "ann_ivf_persisted_append",
+    "dedup_semantic_incremental")
 
   private def rot(s: String, k: Int): String = s.drop(k % s.length) + s.take(k % s.length)
 
