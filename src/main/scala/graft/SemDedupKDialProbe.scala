@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.llm.{Sampling, Similarity}
+
+/** k-DIAL measurement for the INCREMENTAL SemDeDup shape
+  * (`dedup_semantic_incremental`): the 10× probe shows ~76× growth at
+  * the gate's frozen k=4 (cluster·batch product ~100×); this probe
+  * re-times the same shape on the same 10× corpus with k scaled, the
+  * production rule. One TSV line per k: SEMK k seconds dups.
+  *
+  * Usage: `sbt "runMain graft.SemDedupKDialProbe [baseDir] [copies]"`.
+  */
+object SemDedupKDialProbe {
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val copies = args.lift(1).map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_semk_").toString
+    ScaleProbe.synthesize(spark, baseDir, dir, copies)
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val off = e.agg(max("vec_id")).head.getLong(0) + 1L
+    val hb = Sampling.hashBucket256(col("vec_id"))
+    val shifted = expr(
+      "concat(slice(embedding, 2, size(embedding) - 1), slice(embedding, 1, 1))")
+    val batch = e.select((col("vec_id") + lit(off)).as("vec_id"),
+      when(hb < 85, col("embedding")).otherwise(shifted).as("embedding"))
+
+    println("SEMK\tk\tseconds\tdup_rows")
+    Seq(4, 16, 40).foreach { k =>
+      val sampleN = math.max(16, k * 4)
+      val cents = Similarity.kmeansTrainL2(e, "vec_id", "embedding", k, sampleN, 2)
+      val corpusAsg = Similarity.kmeansAssignWith(e, cents, "vec_id", "embedding")
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"), col("centroid"))
+        .localCheckpoint(true) // the persisted-table stand-in
+      val basg = Similarity.kmeansAssignWith(batch, cents, "vec_id", "embedding")
+        .select(col("vec_id").as("b_id"), col("embedding").as("b_vec"), col("centroid"))
+      def run(): Long = corpusAsg.join(broadcast(basg), Seq("centroid"))
+        .withColumn("hit",
+          (Similarity.cosine(col("b_vec"), col("c_vec")) >= 0.4).cast("long"))
+        .groupBy("b_id").agg(sum("hit").as("n_dups"))
+        .filter(col("n_dups") > 0).count()
+      run() // warm
+      val t0 = System.nanoTime()
+      val dups = run()
+      println(f"SEMK\t$k\t${(System.nanoTime() - t0) / 1e9}%.2f\t$dups")
+    }
+    spark.stop()
+  }
+}
