@@ -38,16 +38,31 @@ case class BpeEncode(child: Expression, merges: Seq[(String, String)])
 
   /** Word → token-array memo. Executor-local, shared across the tasks
     * that hold this expression instance; bounded so an adversarial
-    * corpus (every word distinct) cannot grow it past ~64k entries. */
+    * corpus (every word distinct) cannot grow it past ~64k entries.
+    * Overflow sheds a RANDOM ~1/8 SLICE (weakly-consistent CHM
+    * iteration — hash order, uncorrelated with recency or frequency)
+    * instead of clearing: on a high-cardinality corpus a full clear
+    * throws away the hot Zipf head every ~64k distinct words and the
+    * re-encode burst shows up as periodic throughput cliffs; partial
+    * random eviction keeps the expected hit rate flat (a hot word has
+    * 7/8 survival odds per shed and re-memoizes on first miss).
+    * Concurrent check-then-evict can overshoot by at most one entry
+    * per racing task — bounded, unlike the old check-then-clear whose
+    * racer could repopulate an already-cleared map unboundedly. */
   @transient private lazy val cache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[String]]()
+  private val CacheMax = 65536
 
   private def encodeWordCached(w: String): Array[String] = {
     val hit = cache.get(w)
     if (hit != null) hit
     else {
       val toks = Bpe.heapEncodeWord(w, ranks).toArray
-      if (cache.size() > 65536) cache.clear()
+      if (cache.size() >= CacheMax) {
+        val it = cache.keySet().iterator()
+        var n = CacheMax / 8
+        while (n > 0 && it.hasNext) { it.next(); it.remove(); n -= 1 }
+      }
       cache.put(w, toks)
       toks
     }

@@ -78,10 +78,47 @@ object CollectOps {
         if (partials.isEmpty) k.init
         else partials.iterator.map(_._2).reduceLeft(m.combine)
       case None =>
-        // Parity path: partitions stream to the driver in sorted order, one
-        // at a time (bounded memory), folded sequentially like the reference.
+        // Parity path: partitions stream to the driver in sorted order,
+        // folded sequentially like the reference — with a ONE-PARTITION
+        // READ-AHEAD: `toLocalIterator` alone serializes fetch and fold
+        // (cluster idle while the driver folds partition i, driver idle
+        // while fetching i+1); prefetching the next partition on a
+        // background thread overlaps the two, at a bounded cost of at
+        // most TWO partitions resident on the driver.
         val proj = prepared(df, valueCols, orderCols)
-        Kernel.foldRows(k, proj.toLocalIterator().asScala.map(rowValues))
+        Kernel.foldRows(k, prefetchedRows(proj).map(rowValues))
+    }
+  }
+
+  /** Driver-side row stream over a DataFrame's partitions in partition
+    * order with a read-ahead of ONE: while the caller consumes partition
+    * i, partition i+1 is already being computed/fetched by a background
+    * job. Memory bound: ≤ 2 partitions resident. Used by the sequential
+    * (non-mergeable) parity fold, whose wall-clock otherwise alternates
+    * cluster-idle / driver-idle phases per partition. */
+  private def prefetchedRows(df: DataFrame): Iterator[Row] = {
+    val rdd = df.rdd
+    val sc = rdd.sparkContext
+    val n = rdd.getNumPartitions
+    if (n == 0) Iterator.empty
+    else {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      def fetch(i: Int): Future[Array[Row]] =
+        Future { sc.runJob(rdd, (it: Iterator[Row]) => it.toArray, Seq(i)).head }
+      val parts = new Iterator[Array[Row]] {
+        private var i = 0
+        private var inflight = fetch(0)
+        def hasNext: Boolean = i < n
+        def next(): Array[Row] = {
+          val cur = Await.result(inflight, Duration.Inf)
+          i += 1
+          if (i < n) inflight = fetch(i)
+          cur
+        }
+      }
+      parts.flatMap(a => a.iterator)
     }
   }
 
@@ -207,10 +244,4 @@ object CollectOps {
     }(enc)
   }
 
-  private implicit class IterAsScala[T](it: java.util.Iterator[T]) {
-    def asScala: Iterator[T] = new Iterator[T] {
-      def hasNext: Boolean = it.hasNext
-      def next(): T = it.next()
-    }
-  }
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -572,12 +572,26 @@ object LlmQueries {
     * all-pairs, never a corpus rescan. Statuses: `dup_corpus` (cos ≥
     * 0.4 vs ≥ 1 in-cluster member) / `new`; `n_dups` is the exact
     * in-cluster match count. Echo copies score cos = 1 against their
-    * originals, so both statuses fire at any sf. */
+    * originals, so both statuses fire at any sf.
+    *
+    * The cluster count rides the [[Similarity.autoK]] k ∝ n dial (the
+    * SCALE.md round-13 fix for the frozen-k quadratic): at the gate
+    * fixture (n = 500, targetClusterSize = 128) the dial resolves to
+    * exactly the oracle's pinned k = 4 / sampleN = 16 — so the hash
+    * gate certifies the SAME code path production runs, and at 10×
+    * data the dial (not a different branch) is what keeps the probe
+    * near-linear. Every batch vector is reported — a vector routed to
+    * a cluster with zero corpus members comes back `new` with
+    * n_dups = 0 via the batch-side outer join (an inner join would
+    * silently drop that class). */
   val dedupSemanticIncremental: Q = (s, dir) => {
     val e = Tables(s, dir, "embeddings")
-    val off = e.agg(max("vec_id")).head.getLong(0) + 1L
-    val cents = Similarity.kmeansTrainL2(e, "vec_id", "embedding", 4, 16, 2)
-    val Seq(tbl) = BucketCache.tables(s, s"semdedup_corpus:$dir", { (tag, tmp) =>
+    val stats = e.agg(max("vec_id"), count(lit(1))).head
+    val off = stats.getLong(0) + 1L
+    val k = Similarity.autoK(stats.getLong(1))
+    val cents = Similarity.kmeansTrainL2(e, "vec_id", "embedding",
+      k, Similarity.autoSampleN(k), 2)
+    val Seq(tbl) = BucketCache.tables(s, s"semdedup_corpus:$dir:k$k", { (tag, tmp) =>
       Similarity.kmeansAssignWith(e, cents, "vec_id", "embedding")
         .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"), col("centroid"))
         .write.bucketBy(8, "centroid").sortBy("centroid")
@@ -591,10 +605,13 @@ object LlmQueries {
       when(hb < 85, col("embedding")).otherwise(shifted).as("embedding"))
     val basg = Similarity.kmeansAssignWith(batch, cents, "vec_id", "embedding")
       .select(col("vec_id").as("b_id"), col("embedding").as("b_vec"), col("centroid"))
-    s.table(tbl).join(broadcast(basg), Seq("centroid"))
+    val hits = s.table(tbl).join(broadcast(basg), Seq("centroid"))
       .withColumn("hit",
         (Similarity.cosine(col("b_vec"), col("c_vec")) >= 0.4).cast("long"))
       .groupBy("b_id", "centroid").agg(sum("hit").as("n_dups"))
+    basg.select(col("b_id"), col("centroid"))
+      .join(hits, Seq("b_id", "centroid"), "left_outer")
+      .na.fill(0L, Seq("n_dups"))
       .select(col("b_id").as("vec_id"), col("centroid"), col("n_dups"),
         when(col("n_dups") > 0, lit("dup_corpus")).otherwise(lit("new")).as("status"))
       .orderBy("vec_id")
@@ -1360,12 +1377,19 @@ object LlmQueries {
       .orderBy(desc("n"), asc("token")).limit(50).select("token")
     val ref = counts.filter(col("snap") === "ref").select(col("token"), col("n").as("ref_n"))
     val cur = counts.filter(col("snap") === "cur").select(col("token"), col("n").as("cur_n"))
+    // Empty-snapshot guard (the embedding_drift convention): a ppm rate
+    // over a zero/absent total is undefined — raise identically in both
+    // engines instead of Spark nulling where DuckDB errors. The pivot
+    // yields NULL for a missing snapshot, so guard null-or-zero.
+    def ppm(n: String, tot: String, snap: String): Column =
+      when(col(tot) > 0, expr(s"$n * 1000000L div $tot"))
+        .otherwise(raise_error(lit(s"corpus_drift: empty '$snap' snapshot")))
     topV.join(ref, "token").join(cur, Seq("token"), "left_outer")
       .na.fill(0L, Seq("cur_n"))
       .crossJoin(broadcast(tots))
       .select(col("token"), col("ref_n"), col("cur_n"),
-        expr("ref_n * 1000000L div ref_tot").as("ref_ppm"),
-        expr("cur_n * 1000000L div cur_tot").as("cur_ppm"))
+        ppm("ref_n", "ref_tot", "ref").as("ref_ppm"),
+        ppm("cur_n", "cur_tot", "cur").as("cur_ppm"))
       .withColumn("drift_ppm", abs(col("ref_ppm") - col("cur_ppm")))
       .orderBy(desc("drift_ppm"), asc("token"))
   }
@@ -1400,6 +1424,14 @@ object LlmQueries {
         when(Sampling.hashBucket256(col("vec_id")) < 128, "ref").otherwise("cur").as("snap"),
         posexplode(col("embedding")).as(Seq("pos", "v")))
       .select(col("snap"), (col("pos") + 1).as("dim"), q.as("q"))
+    // Empty-snapshot guard: a mean over zero vectors is undefined — fail
+    // LOUDLY and identically in both engines (Spark's `div` would emit
+    // null rows while DuckDB's `//` raises, silently diverging) — the
+    // raise lives inside the output expressions so it cannot be pruned.
+    val refMean = when(col("ref_n") > 0, expr("ref_sum div ref_n"))
+      .otherwise(raise_error(lit("embedding_drift: empty 'ref' snapshot")))
+    val curMean = when(col("cur_n") > 0, expr("cur_sum div cur_n"))
+      .otherwise(raise_error(lit("embedding_drift: empty 'cur' snapshot")))
     d.groupBy("dim")
       .agg(
         sum(when(col("snap") === "ref", 1L).otherwise(0L)).as("ref_n"),
@@ -1408,9 +1440,9 @@ object LlmQueries {
         sum(when(col("snap") === "cur", col("q")).otherwise(0L)).as("cur_sum"))
       .select(col("dim"),
         col("ref_n"), col("cur_n"),
-        (expr("ref_sum div ref_n") - 2000L).as("ref_mean_milli"),
-        (expr("cur_sum div cur_n") - 2000L).as("cur_mean_milli"),
-        abs(expr("ref_sum div ref_n") - expr("cur_sum div cur_n")).as("drift_milli"))
+        (refMean - 2000L).as("ref_mean_milli"),
+        (curMean - 2000L).as("cur_mean_milli"),
+        abs(refMean - curMean).as("drift_milli"))
       .orderBy(desc("drift_milli"), asc("dim"))
   }
 
@@ -2689,9 +2721,11 @@ object LlmQueries {
          |  JOIN asg a ON a.centroid = b.centroid
          |  JOIN embeddings ce ON ce.vec_id = a.vec_id
          |  GROUP BY b.vec_id, b.centroid)
-         |SELECT vec_id, CAST(centroid AS INT) AS centroid, n_dups,
-         |  CASE WHEN n_dups > 0 THEN 'dup_corpus' ELSE 'new' END AS status
-         |FROM hits ORDER BY vec_id""".stripMargin),
+         |SELECT b.vec_id, CAST(b.centroid AS INT) AS centroid,
+         |  CAST(COALESCE(h.n_dups, 0) AS BIGINT) AS n_dups,
+         |  CASE WHEN COALESCE(h.n_dups, 0) > 0 THEN 'dup_corpus' ELSE 'new' END AS status
+         |FROM basg b LEFT JOIN hits h ON h.vec_id = b.vec_id
+         |ORDER BY b.vec_id""".stripMargin),
     "dedup_semantic" ->
       (s"WITH $kmeansTrainCtes,\n" +
        """asg AS (SELECT vec_id, c AS centroid, d AS dist2 FROM (
@@ -3071,9 +3105,14 @@ object LlmQueries {
         |    CAST(sum(CASE WHEN snap = 'cur' THEN q ELSE 0 END) AS BIGINT) AS cur_sum
         |  FROM x GROUP BY dim)
         |SELECT CAST(dim AS BIGINT) AS dim, ref_n, cur_n,
-        |  ref_sum // ref_n - 2000 AS ref_mean_milli,
-        |  cur_sum // cur_n - 2000 AS cur_mean_milli,
-        |  abs(ref_sum // ref_n - cur_sum // cur_n) AS drift_milli
+        |  CASE WHEN ref_n > 0 THEN ref_sum // ref_n
+        |    ELSE error('embedding_drift: empty ref snapshot') END - 2000 AS ref_mean_milli,
+        |  CASE WHEN cur_n > 0 THEN cur_sum // cur_n
+        |    ELSE error('embedding_drift: empty cur snapshot') END - 2000 AS cur_mean_milli,
+        |  abs(CASE WHEN ref_n > 0 THEN ref_sum // ref_n
+        |    ELSE error('embedding_drift: empty ref snapshot') END
+        |   - CASE WHEN cur_n > 0 THEN cur_sum // cur_n
+        |    ELSE error('embedding_drift: empty cur snapshot') END) AS drift_milli
         |FROM a ORDER BY drift_milli DESC, dim""".stripMargin,
     "corpus_drift" ->
       """WITH toks AS (SELECT
@@ -3097,9 +3136,14 @@ object LlmQueries {
         |  JOIN c r ON r.snap = 'ref' AND r.token = v.token
         |  LEFT JOIN c cu ON cu.snap = 'cur' AND cu.token = v.token)
         |SELECT token, ref_n, cur_n,
-        |  ref_n * 1000000 // ref_tot AS ref_ppm,
-        |  cur_n * 1000000 // cur_tot AS cur_ppm,
-        |  abs(ref_n * 1000000 // ref_tot - cur_n * 1000000 // cur_tot) AS drift_ppm
+        |  CASE WHEN COALESCE(ref_tot, 0) > 0 THEN ref_n * 1000000 // ref_tot
+        |    ELSE error('corpus_drift: empty ref snapshot') END AS ref_ppm,
+        |  CASE WHEN COALESCE(cur_tot, 0) > 0 THEN cur_n * 1000000 // cur_tot
+        |    ELSE error('corpus_drift: empty cur snapshot') END AS cur_ppm,
+        |  abs(CASE WHEN COALESCE(ref_tot, 0) > 0 THEN ref_n * 1000000 // ref_tot
+        |    ELSE error('corpus_drift: empty ref snapshot') END
+        |   - CASE WHEN COALESCE(cur_tot, 0) > 0 THEN cur_n * 1000000 // cur_tot
+        |    ELSE error('corpus_drift: empty cur snapshot') END) AS drift_ppm
         |FROM j, tot
         |ORDER BY drift_ppm DESC, token""".stripMargin,
     "mixture_token_budget" ->

@@ -22,7 +22,12 @@ import graft.llm.Dedup
   * Semantics are BATCH-INVARIANT by construction — a pair (i, j),
   * i < j, is emitted exactly when both band to the same bucket, i is
   * among the bucket's first `maxBucket` arrivals, and est ≥ threshold
-  * — regardless of how files chunk into micro-batches. The oracle is
+  * — regardless of how files chunk into micro-batches. Admission is
+  * gated on a MONOTONE per-bucket arrivals counter carried in state
+  * (never decremented by horizon pruning), so the first-maxBucket rule
+  * survives in-state eviction; only a whole-bucket idle-timeout — a
+  * full horizon of silence — removes the counter and restarts the cap
+  * epoch. The oracle is
   * therefore the plain batch pairwise band join with a ROW_NUMBER cap,
   * and est = (equal signature components)/32 is an exact dyadic
   * rational, so the ≥-threshold cut is bit-identical in both engines.
@@ -60,7 +65,20 @@ object StreamingNearDup {
       .withWatermark("ets", s"$horizonSec seconds")
     // the watermark column must reach the grouped Dataset for
     // event-time timeout eligibility, so ets rides along in the tuple.
-    // State per bucket: parallel lists of (id, sig, arrival seconds).
+    // State per bucket: parallel lists of (id, sig, arrival seconds)
+    // PLUS a MONOTONE admitted-arrivals counter. The counter — never
+    // decremented by horizon pruning — is what admission is gated on,
+    // so "i is among the bucket's first maxBucket arrivals" holds
+    // regardless of micro-batch chunking even when in-state pruning
+    // shrinks the lists between batches (admission off the CURRENT
+    // list size would re-open the cap after pruning, and which docs
+    // then slip in would depend on batch boundaries — the exact
+    // batch-variance the ROW_NUMBER oracle cannot express). The one
+    // remaining boundary: whole-bucket TIMEOUT removes the state and
+    // the counter with it — a bucket idle past the full horizon
+    // restarts its cap epoch, which is the intended production
+    // semantics (the horizon bounds every obligation, including the
+    // cap's memory).
     // The horizon is part of the MATCH semantics, not just storage: a
     // candidate matches only if it arrived within `horizonSec` of the
     // probe — a pure function of the two arrival times, so emission
@@ -70,17 +88,16 @@ object StreamingNearDup {
     banded.select(col("bucket"), col("id"), col("sig"), col("ets"))
       .as[(String, Long, Seq[Long], java.sql.Timestamp)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState[(List[Long], List[Seq[Long]], List[Long]), Hit](
+      .flatMapGroupsWithState[(List[Long], List[Seq[Long]], List[Long], Long), Hit](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (bucket: String, rows: Iterator[(String, Long, Seq[Long], java.sql.Timestamp)],
-         state: GroupState[(List[Long], List[Seq[Long]], List[Long])]) =>
+         state: GroupState[(List[Long], List[Seq[Long]], List[Long], Long)]) =>
           if (state.hasTimedOut) {
             state.remove()
             Iterator.empty
           } else {
-            var (ids, sigs, secs) = state.getOption
-              .getOrElse((List.empty[Long], List.empty[Seq[Long]], List.empty[Long]))
-            var nState = ids.size
+            var (ids, sigs, secs, admitted) = state.getOption
+              .getOrElse((List.empty[Long], List.empty[Seq[Long]], List.empty[Long], 0L))
             val out = Seq.newBuilder[Hit]
             val newRows = rows.toSeq.sortBy(_._2)
             newRows.foreach { case (_, id, sig, ets) =>
@@ -100,11 +117,11 @@ object StreamingNearDup {
                 }
                 is = is.tail; ss = ss.tail; cs = cs.tail
               }
-              if (nState < maxBucket) {
+              if (admitted < maxBucket) {
                 ids = id :: ids
                 sigs = sig :: sigs
                 secs = probeSec :: secs
-                nState += 1
+                admitted += 1L
               }
             }
             // prune entries no future probe can match (arrivals are
@@ -116,7 +133,7 @@ object StreamingNearDup {
                 ids = kept.map(_._1); sigs = kept.map(_._2); secs = kept.map(_._3)
               }
             }
-            state.update((ids, sigs, secs))
+            state.update((ids, sigs, secs, admitted))
             // store-level eviction: drop the whole bucket once the
             // watermark passes its latest arrival + horizon
             if (newRows.nonEmpty)
