@@ -37,8 +37,28 @@ object SemDedupKDialProbe {
     val batch = e.select((col("vec_id") + lit(off)).as("vec_id"),
       when(hb < 85, col("embedding")).otherwise(shifted).as("embedding"))
 
+    // Assignment-path bake-off at large k (round 15): the compiled
+    // narrow map (production) vs the broadcast-join + re-group argmin
+    // (the judged alternative). One corpus pass each; rows must match.
+    val bigK = args.lift(2).map(_.toInt).getOrElse(512)
+    val cents0 = Similarity.kmeansTrainL2(e, "vec_id", "embedding",
+      bigK, math.max(16, 4 * bigK), 2)
+    def timeCount(df: org.apache.spark.sql.DataFrame): (Double, Long) = {
+      df.count() // warm
+      val t0 = System.nanoTime()
+      val n = df.count()
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+    val (tExpr, nExpr) = timeCount(
+      Similarity.kmeansAssignWith(e, cents0, "vec_id", "embedding")
+        .groupBy("centroid").count())
+    val (tJoin, nJoin) = timeCount(
+      Similarity.kmeansAssignJoin(e, cents0, "vec_id", "embedding")
+        .groupBy("centroid").count())
+    println(f"ASSIGN\tk=$bigK\texpr=$tExpr%.2f s ($nExpr cells)\tjoin=$tJoin%.2f s ($nJoin cells)")
+
     println("SEMK\tk\tseconds\tdup_rows")
-    Seq(4, 16, 40).foreach { k =>
+    (Seq(4, 16, 40, 160) :+ bigK).foreach { k =>
       val sampleN = math.max(16, k * 4)
       val cents = Similarity.kmeansTrainL2(e, "vec_id", "embedding", k, sampleN, 2)
       val corpusAsg = Similarity.kmeansAssignWith(e, cents, "vec_id", "embedding")

@@ -189,6 +189,75 @@ case class QuantizedHyperplaneSigExpr(child: Expression, nPlanes: Int)
     copy(child = newChild)
 }
 
+/** Nearest-centroid assignment under a FIXED integer codebook — the
+  * compiled form of the k-means assignment argmin. The codebook rides
+  * along as a plain JVM field of this expression (shipped once per
+  * stage inside the broadcast task binary), NOT as k·d `Literal` AST
+  * nodes — so the plan tree stays O(1) nodes at any k, where the HOF
+  * formulation (`array_min(transform(cents, ...))` over a literal
+  * centroid array) grew the generated plan linearly with k and was
+  * capped at 4096 centroids for that reason.
+  *
+  * Arithmetic is the exact engine-portable integer rule every other
+  * quantized kernel uses: each component is quantized
+  * `floor(x * 1000)` (exact IEEE double math), distance is exact
+  * BIGINT squared-L2, and ties on distance break to the LOWEST
+  * centroid id — bit-identical to the HOF path it replaces
+  * (differential-tested in KmeansAssignSpec), so the DuckDB oracle
+  * replay is unchanged.
+  *
+  * Output: `struct<c: int, d: bigint>` — the winning centroid id and
+  * its exact squared distance. Null input array, a null element, or a
+  * dimension mismatch with the codebook yields a null struct (the HOF
+  * path nulled the distance in those cases; here the whole verdict is
+  * null rather than an arbitrary centroid with a null distance —
+  * loud, and impossible to mistake for a real assignment). */
+case class KmeansArgminExpr(child: Expression, cents: Array[Array[Long]])
+    extends UnaryExpression with CodegenFallback {
+  require(cents.nonEmpty, "codebook must be non-empty")
+
+  override def dataType: DataType =
+    StructType(Seq(StructField("c", IntegerType, nullable = false),
+      StructField("d", LongType, nullable = false)))
+  override def prettyName: String = "kmeans_argmin"
+
+  private lazy val isFloat = VecRead.isFloatArray(child.dataType)
+  private val dim = cents(0).length
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val vec = input.asInstanceOf[ArrayData]
+    val n = vec.numElements()
+    if (n != dim) return null
+    val q = new Array[Long](n)
+    var d = 0
+    while (d < n) {
+      if (vec.isNullAt(d)) return null
+      q(d) = math.floor(VecRead.get(vec, d, isFloat) * 1000.0).toLong
+      d += 1
+    }
+    var bestC = 0
+    var bestD = Long.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      val cv = cents(c)
+      var dist = 0L
+      var i = 0
+      while (i < n) {
+        val diff = cv(i) - q(i)
+        dist += diff * diff
+        i += 1
+      }
+      // strict < keeps the lowest centroid id on ties (ascending c)
+      if (dist < bestD) { bestD = dist; bestC = c }
+      c += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(bestC, bestD)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): KmeansArgminExpr =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   def cosineSim(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSimExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
@@ -198,4 +267,7 @@ object VectorFunctions {
 
   def hyperplaneSignatureQ(vec: Column, nPlanes: Int): Column =
     ColumnBridge.column(QuantizedHyperplaneSigExpr(ColumnBridge.expression(vec), nPlanes))
+
+  def kmeansArgmin(vec: Column, cents: Array[Array[Long]]): Column =
+    ColumnBridge.column(KmeansArgminExpr(ColumnBridge.expression(vec), cents))
 }

@@ -86,39 +86,59 @@ object CollectOps {
         // background thread overlaps the two, at a bounded cost of at
         // most TWO partitions resident on the driver.
         val proj = prepared(df, valueCols, orderCols)
-        Kernel.foldRows(k, prefetchedRows(proj).map(rowValues))
+        foldPrefetched(proj, k)
     }
   }
 
-  /** Driver-side row stream over a DataFrame's partitions in partition
-    * order with a read-ahead of ONE: while the caller consumes partition
-    * i, partition i+1 is already being computed/fetched by a background
-    * job. Memory bound: ≤ 2 partitions resident. Used by the sequential
-    * (non-mergeable) parity fold, whose wall-clock otherwise alternates
-    * cluster-idle / driver-idle phases per partition. */
-  private def prefetchedRows(df: DataFrame): Iterator[Row] = {
+  /** Sequential parity fold with a ONE-PARTITION READ-AHEAD: while the
+    * driver folds partition i, partition i+1 is already being
+    * computed/fetched by a background job. Memory bound: ≤ 2 partitions
+    * resident.
+    *
+    * Lifecycle discipline (round-14 advice): the prefetch runs on a
+    * DEDICATED single thread whose creation happens on the CALLING
+    * thread at first submit — so it inherits the caller's SparkContext
+    * local properties (job group, scheduler pool) via their
+    * inheritable thread-local, and a user's `cancelJobGroup` reaches
+    * the in-flight prefetch job too (the shared `ExecutionContext
+    * .global` workers are pre-created elsewhere and inherit nothing).
+    * If the fold throws or stops early, the `finally` awaits the
+    * in-flight future (bounded by one partition fetch — or by the
+    * group cancellation it now responds to) and shuts the thread down,
+    * so no orphan job outlives the call. */
+  private def foldPrefetched[A](df: DataFrame, k: Kernel.Fold[A]): A = {
     val rdd = df.rdd
     val sc = rdd.sparkContext
     val n = rdd.getNumPartitions
-    if (n == 0) Iterator.empty
-    else {
-      import scala.concurrent.{Await, ExecutionContext, Future}
-      import scala.concurrent.duration.Duration
-      implicit val ec: ExecutionContext = ExecutionContext.global
+    if (n == 0) return Kernel.foldRows(k, Iterator.empty)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val exec = java.util.concurrent.Executors.newSingleThreadExecutor { r =>
+      val t = new Thread(r, "graft-fold-prefetch")
+      t.setDaemon(true)
+      t
+    }
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(exec)
+    @volatile var inflight: Future[Array[Row]] = null
+    try {
       def fetch(i: Int): Future[Array[Row]] =
         Future { sc.runJob(rdd, (it: Iterator[Row]) => it.toArray, Seq(i)).head }
+      inflight = fetch(0)
       val parts = new Iterator[Array[Row]] {
         private var i = 0
-        private var inflight = fetch(0)
         def hasNext: Boolean = i < n
         def next(): Array[Row] = {
           val cur = Await.result(inflight, Duration.Inf)
           i += 1
-          if (i < n) inflight = fetch(i)
+          inflight = if (i < n) fetch(i) else null
           cur
         }
       }
-      parts.flatMap(a => a.iterator)
+      Kernel.foldRows(k, parts.flatMap(a => a.iterator).map(rowValues))
+    } finally {
+      val last = inflight
+      if (last != null) scala.util.Try(Await.ready(last, Duration.Inf))
+      exec.shutdown()
     }
   }
 

@@ -65,6 +65,14 @@ object StreamingNearDup {
       .withWatermark("ets", s"$horizonSec seconds")
     // the watermark column must reach the grouped Dataset for
     // event-time timeout eligibility, so ets rides along in the tuple.
+    // CHECKPOINT COMPATIBILITY: the round-14 admission fix widened the
+    // state tuple from 3 to 4 elements. A stream restarted from a
+    // checkpoint written by the 3-tuple build will fail to decode its
+    // state (Spark state encoders are positional, no schema evolution
+    // for tuple state) — restart such streams from a fresh checkpoint
+    // directory; the horizon re-warms the state within one horizonSec.
+    // Future state-shape changes should follow the same rule, stated
+    // here so the break is a documented migration, not a surprise.
     // State per bucket: parallel lists of (id, sig, arrival seconds)
     // PLUS a MONOTONE admitted-arrivals counter. The counter — never
     // decremented by horizon pruning — is what admission is gated on,

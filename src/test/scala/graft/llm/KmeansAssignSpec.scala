@@ -1,0 +1,130 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** The round-15 assignment refactor, pinned from every angle: the
+  * compiled-codebook narrow map ([[graft.functions.KmeansArgminExpr]])
+  * replaced the k·d plan-literal formulation, the k ∝ n dial clamps
+  * instead of throwing, and semDedup construction fused its count into
+  * the sample pass. Each property here is the one that would regress
+  * silently if the code drifted. */
+class KmeansAssignSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private lazy val e =
+    spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+
+  private def train(k: Int, sampleN: Int): Array[Array[Long]] =
+    Similarity.kmeansTrainL2(e, "vec_id", "embedding", k, sampleN, 2)
+
+  test("compiled argmin == broadcast-join argmin, row for row (k=4 and k=257)") {
+    for (k <- Seq(4, 257)) {
+      val n = e.count().toInt
+      val kEff = math.min(k, n) // tiny sf: sample can't exceed corpus
+      val cents = train(kEff, math.max(16, 4 * kEff))
+      val a = Similarity.kmeansAssignWith(e, cents, "vec_id", "embedding")
+        .select("vec_id", "centroid", "dist2").collect().map(_.toSeq).toSet
+      val b = Similarity.kmeansAssignJoin(e, cents, "vec_id", "embedding")
+        .select("vec_id", "centroid", "dist2").collect().map(_.toSeq).toSet
+      assert(a == b, s"narrow-map and join assignment diverge at k=$kEff")
+      assert(a.size == n, "assignment must be total")
+    }
+  }
+
+  test("fused count+sample pass == count() plus the TakeOrdered sample, in order") {
+    val (n, sample) = Similarity.md5SampleAndCount(e, "vec_id", "embedding", 32)
+    assert(n == e.count(), "fused count diverges from count()")
+    // replicate md5Sample through the public trainer at iters=0 with
+    // k=sample-size: maximin keeps seeds in sample order only for k=1,
+    // so compare through the DataFrame rule directly instead
+    val want = e
+      .select(col("embedding").as("v"), md5(col("vec_id").cast("string")).as("h"),
+        col("vec_id").as("i"))
+      .orderBy(col("h"), col("i")).limit(32)
+      .select("v").collect()
+      .map(_.getSeq[Number](0).map(_.doubleValue()).toArray)
+    assert(sample.length == want.length)
+    sample.zip(want).zipWithIndex.foreach { case ((s, w), i) =>
+      assert(s.sameElements(w), s"fused sample row $i out of order vs orderBy().limit()")
+    }
+  }
+
+  test("fused pass cap: merge keeps exactly the global smallest-md5 rows") {
+    val (_, sample) = Similarity.md5SampleAndCount(e, "vec_id", "embedding", 5)
+    val want = e
+      .select(col("embedding").as("v"), md5(col("vec_id").cast("string")).as("h"),
+        col("vec_id").as("i"))
+      .orderBy(col("h"), col("i")).limit(5)
+      .select("v").collect()
+      .map(_.getSeq[Number](0).map(_.doubleValue()).toArray)
+    assert(sample.length == 5)
+    sample.zip(want).foreach { case (s, w) => assert(s.sameElements(w)) }
+  }
+
+  test("assignment plan stays O(1) nodes at k=2048 — no join, no shuffle, no literal blowup") {
+    val dim = e.select(size(col("embedding"))).head.getInt(0)
+    // synthetic codebook: training 2048 real centroids from a tiny sf is
+    // beside the point — the property under test is plan SHAPE vs k
+    val cents = Array.tabulate(2048)(c => Array.tabulate(dim)(d => (c * 31 + d).toLong))
+    val df = Similarity.kmeansAssignWith(e, cents, "vec_id", "embedding")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"assignment must not join:\n$plan")
+    assert(!plan.contains("Exchange"), s"assignment must not shuffle:\n$plan")
+    assert(plan.length < 20000,
+      s"plan string grew with k (${plan.length} chars) — codebook is leaking into the plan")
+    assert(df.count() == e.count(), "assignment total at k=2048")
+  }
+
+  test("autoK clamps at KCap with a warning instead of throwing") {
+    assert(Similarity.autoK(500) == 4)
+    assert(Similarity.autoK(524288) == 4096)
+    assert(Similarity.autoK(10L * 1000 * 1000 * 1000) == Similarity.KCap,
+      "10B rows must clamp, not throw")
+  }
+
+  test("pinned mode (targetClusterSize=0) trains on the caller's sampleN verbatim") {
+    val got = Similarity
+      .semDedup(e, "vec_id", "embedding", k = 2, sampleN = 7, targetClusterSize = 0)
+      .select("vec_id", "centroid", "dist2")
+      .collect().map(_.toSeq).toSet
+    // the defining property: identical to assignment under a codebook
+    // trained on EXACTLY 7 rows (the old code silently grew 7 -> 8 via
+    // the 4-per-centroid floor)
+    val cents7 = train(2, 7)
+    val want = Similarity.kmeansAssignWith(e, cents7, "vec_id", "embedding")
+      .select(col("vec_id"), col("centroid"), col("dist2"))
+      .collect().map(_.toSeq).toSet
+    assert(got == want, "pinned-mode training sample drifted from the caller's sampleN")
+  }
+
+  test("semDedup construction runs at most ONE Spark job (the fused pass)") {
+    val sc = spark.sparkContext
+    def stableJobCount(group: String): Int = {
+      var last = -1
+      var same = 0
+      while (same < 5) {
+        val now = sc.statusTracker.getJobIdsForGroup(group).length
+        if (now == last) same += 1 else { same = 0; last = now }
+        Thread.sleep(50)
+      }
+      last
+    }
+    val group = s"semdedup-jobcount-${System.nanoTime()}"
+    sc.setJobGroup(group, "spec", interruptOnCancel = false)
+    try {
+      Similarity.semDedup(e, "vec_id", "embedding") // dial mode, cold: construction only
+    } finally sc.clearJobGroup()
+    assert(stableJobCount(group) == 1,
+      "dial-mode construction must fuse count+sample into one job")
+
+    val group2 = s"semdedup-jobcount2-${System.nanoTime()}"
+    sc.setJobGroup(group2, "spec", interruptOnCancel = false)
+    try {
+      Similarity.semDedup(e, "vec_id", "embedding", knownCount = 500)
+    } finally sc.clearJobGroup()
+    assert(stableJobCount(group2) == 1,
+      "knownCount construction must run the sample job alone")
+  }
+}

@@ -297,7 +297,7 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), s"no cartesian allowed:\n$plan")
   }
 
-  test("embedding_kmeans_assign: the codebook is a plan literal — assignment is a narrow map") {
+  test("embedding_kmeans_assign: the codebook rides in the compiled expression — assignment is a narrow map") {
     val df = graft.SparkEntry.queries("embedding_kmeans_assign")(spark, TestSpark.sfDir)
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("Join"), s"assignment must not join:\n$plan")
