@@ -27,8 +27,13 @@ import graft.llm.Bpe
   * .normalizeText]] — single-space separated); [[graft.llm.Bpe.encode]]
   * composes that normalization in front. A narrow map: zero shuffle,
   * scales with input splits.
+  *
+  * `byteMode` switches the initial symbol split from code points to
+  * UTF-8 hex pairs ([[graft.llm.Bpe.hexPairs]]) — the structurally
+  * zero-OOV byte-level mode; the heap algorithm is shared.
   */
-case class BpeEncode(child: Expression, merges: Seq[(String, String)])
+case class BpeEncode(child: Expression, merges: Seq[(String, String)],
+    byteMode: Boolean = false)
     extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -57,7 +62,9 @@ case class BpeEncode(child: Expression, merges: Seq[(String, String)])
     val hit = cache.get(w)
     if (hit != null) hit
     else {
-      val toks = Bpe.heapEncodeWord(w, ranks).toArray
+      val toks =
+        if (byteMode) Bpe.heapEncodeWordBytes(w, ranks).toArray
+        else Bpe.heapEncodeWord(w, ranks).toArray
       if (cache.size() >= CacheMax) {
         val it = cache.keySet().iterator()
         var n = CacheMax / 8

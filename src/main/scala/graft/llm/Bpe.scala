@@ -131,6 +131,17 @@ object Bpe {
     val sym = new Array[String](n)
     var ci = 0
     while (ci < n) { sym(ci) = new String(Character.toChars(cps(ci))); ci += 1 }
+    heapEncodeSyms(sym, ranks)
+  }
+
+  /** [[heapEncodeWord]] over an ARBITRARY initial symbol sequence —
+    * the shared core of the code-point mode (symbols = code points)
+    * and the byte mode (symbols = UTF-8 hex pairs, [[hexPairs]]). The
+    * algorithm never assumes symbols are single characters; only the
+    * initial split differs between modes. */
+  private[graft] def heapEncodeSyms(sym: Array[String], ranks: Ranks): Vector[String] = {
+    val n = sym.length
+    if (n == 0) return Vector.empty
     if (n == 1) return Vector(sym(0))
     val nxt = Array.tabulate(n)(i => if (i + 1 < n) i + 1 else -1)
     val prv = Array.tabulate(n)(i => i - 1)
@@ -367,5 +378,91 @@ object Bpe {
   def tokenIds(tokens: Column, trained: Trained): Column = {
     val vmap = typedLit(trained.vocab)
     transform(tokens, t => coalesce(element_at(vmap, t), lit(-1)))
+  }
+
+  // ---------------------------------------------------------------------
+  // BYTE-LEVEL mode (GPT-2 convention): the initial alphabet is the 256
+  // possible BYTES of the word's UTF-8 encoding, so zero-OOV is
+  // STRUCTURAL — any text whatsoever, hostile unicode included, decomposes
+  // into alphabet symbols, and `tokenIds` can never emit -1. Characters
+  // the training corpus never saw (emoji, CJK, combining marks) encode as
+  // their byte pairs instead of falling out of the vocabulary. Bytes are
+  // REPRESENTED as uppercase hex pairs — the one byte spelling that is
+  // exactly portable between engines (`hex()` of UTF-8 text is identical
+  // in Spark and DuckDB), playing the role of GPT-2's printable
+  // byte-to-unicode table. Everything else — the incremental heap
+  // trainer, the pair-heap encoder, the replace-chain oracle form — is
+  // the SAME code as code-point mode; only the initial symbol split
+  // differs.
+  // ---------------------------------------------------------------------
+
+  /** UTF-8 bytes of a word as uppercase hex pairs — the byte-mode
+    * initial symbol split. Matches `hex(w)` in both engines pair for
+    * pair. */
+  private[graft] def hexPairs(word: String): Array[String] = {
+    val bs = word.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val out = new Array[String](bs.length)
+    var i = 0
+    while (i < bs.length) { out(i) = f"${bs(i) & 0xff}%02X"; i += 1 }
+    out
+  }
+
+  /** The structural byte alphabet: all 256 hex pairs, ids 0..255 = the
+    * byte value (uppercase hex sorts lexicographically in byte order,
+    * so the generic sorted-alphabet id rule lands on exactly this). */
+  val ByteAlphabet: Seq[String] = (0 until 256).map(b => f"$b%02X")
+
+  private[graft] def heapEncodeWordBytes(word: String, ranks: Ranks): Vector[String] =
+    heapEncodeSyms(hexPairs(word), ranks)
+
+  /** Byte-mode training: the SAME bounded word-frequency collect and
+    * incremental driver merge loop as [[train]] — the words just enter
+    * as hex-pair vectors and the alphabet is [[ByteAlphabet]] (fixed,
+    * nothing to collect: byte coverage does not depend on the corpus,
+    * which is the entire point). */
+  def trainBytes(
+      df: DataFrame,
+      textCol: String,
+      vocabWords: Int = VocabWords,
+      numMerges: Int = NumMerges): Trained = {
+    val norm = TextAnalysis.normalizeText(col(textCol))
+    val wfRows = df.select(explode(split(norm, " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .orderBy(desc("f"), asc("w")).limit(vocabWords)
+      .collect()
+    val words: Array[(Vector[String], Long)] =
+      wfRows.map(r => (hexPairs(r.getString(0)).toVector, r.getLong(1)))
+    Trained(ByteAlphabet, trainMerges(words, numMerges))
+  }
+
+  /** The double-spaced HEX expansion of normalized text: each word's
+    * UTF-8 bytes as hex pairs with two spaces after each pair, words
+    * joined by a 3-space gap no ` a  b ` merge pattern can span
+    * (patterns carry exactly two inner spaces). The byte-mode twin of
+    * [[spaced]]; `hex()` + this regex replay identically in DuckDB. */
+  private def spacedBytes(text: Column): Column = {
+    val hexText = array_join(
+      transform(split(TextAnalysis.normalizeText(text), " "), w => hex(w)), " ")
+    concat(lit(" "), regexp_replace(hexText, "([0-9A-F]{2})", "$1  "))
+  }
+
+  /** Byte-mode scan-side encode — pair-heap expression over hex-pair
+    * initial symbols; bit-identical to [[encodeChainBytes]]
+    * (differential in BpeSpec; the DuckDB oracle replays the chain). */
+  def encodeBytes(text: Column, merges: Seq[(String, String)]): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.BpeEncode(
+      ColumnBridge.expression(TextAnalysis.normalizeText(text)), merges, byteMode = true))
+  }
+
+  /** Byte-mode literal replace-chain — the SEMANTIC DEFINITION the
+    * DuckDB oracle replays, kept as [[encodeBytes]]'s differential
+    * twin (gate-scale only, like [[encodeChain]]). */
+  def encodeChainBytes(text: Column, merges: Seq[(String, String)]): Column = {
+    val merged = merges.foldLeft(spacedBytes(text)) { case (s, (a, b)) =>
+      replace(s, lit(s" $a  $b "), lit(s" $a$b "))
+    }
+    split(trim(merged), " +")
   }
 }

@@ -70,6 +70,106 @@ object BpeOracle {
     ctes.result().mkString(",\n")
   }
 
+  /** BYTE-MODE twin of [[trainCtes]] (round 15): the vocabulary
+    * representation and the per-doc encode run over each word's UTF-8
+    * bytes spelled as uppercase hex pairs — `hex()` of UTF-8 text is
+    * bit-identical in Spark and DuckDB, which is what makes the
+    * byte-level tokenizer oracle-able. The alphabet is the STRUCTURAL
+    * 256-entry byte table (ids 0..255 = byte value), generated from
+    * `range(256)`, not collected from the corpus: zero-OOV by
+    * construction, which `bpe_coverage_bytes` then proves on text the
+    * training corpus never saw. The merge loop CTEs are the same
+    * argmax/replace shapes as the code-point chain. Word gaps in the
+    * double-spaced hex expansion are 3 spaces (pair + separator), which
+    * no ` a  b ` pattern (exactly two inner spaces) can span. */
+  val trainCtesBytes: String = {
+    val ctes = Seq.newBuilder[String]
+    ctes += s"tokw AS (SELECT unnest(regexp_split_to_array($Norm, ' ')) AS w FROM documents)"
+    ctes += ("wf AS MATERIALIZED (SELECT w, count(*) AS f FROM tokw " +
+      s"WHERE length(w) > 0 GROUP BY w ORDER BY f DESC, w LIMIT $V)")
+    ctes += ("v0 AS MATERIALIZED (SELECT w, f, " +
+      "' ' || regexp_replace(hex(w), '([0-9A-F]{2})', '\\1  ', 'g') AS s FROM wf)")
+    (1 to M).foreach { i =>
+      val p = i - 1
+      ctes += (s"p$i AS MATERIALIZED (SELECT pr, CAST(sum(f) AS BIGINT) AS n FROM (SELECT f, " +
+        "unnest(list_transform(range(1, len(regexp_split_to_array(trim(s), ' +'))), " +
+        "k -> regexp_split_to_array(trim(s), ' +')[k] || ' ' || " +
+        s"regexp_split_to_array(trim(s), ' +')[k+1])) AS pr FROM v$p) GROUP BY pr)")
+      ctes += s"m$i AS MATERIALIZED (SELECT pr FROM p$i ORDER BY n DESC, pr LIMIT 1)"
+      ctes += (s"v$i AS MATERIALIZED (SELECT w, f, " +
+        "replace(s, ' ' || split_part(m.pr, ' ', 1) || '  ' || split_part(m.pr, ' ', 2) || ' ', " +
+        s"' ' || replace(m.pr, ' ', '') || ' ') AS s FROM v$p, m$i m)")
+    }
+    ctes += s"normd AS MATERIALIZED (SELECT doc_id, $Norm AS nt FROM documents)"
+    ctes += ("hexd AS MATERIALIZED (SELECT doc_id, " +
+      "array_to_string(list_transform(string_split(nt, ' '), w -> hex(w)), ' ') AS ht " +
+      "FROM normd)")
+    ctes += ("vocabc AS MATERIALIZED (SELECT " +
+      "substr('0123456789ABCDEF', CAST(i // 16 AS INT) + 1, 1) || " +
+      "substr('0123456789ABCDEF', CAST(i % 16 AS INT) + 1, 1) AS tk, " +
+      "CAST(i AS BIGINT) AS id FROM range(256) t(i))")
+    ctes += ("mlist AS (" + (1 to M).map(j =>
+      s"SELECT $j AS j, replace(pr, ' ', '') AS tk FROM m$j").mkString(" UNION ALL ") + ")")
+    ctes += ("vocab AS MATERIALIZED (SELECT tk, CAST(min(id) AS BIGINT) AS id FROM (" +
+      "SELECT tk, id FROM vocabc UNION ALL " +
+      "SELECT tk, (SELECT count(*) FROM vocabc) + j - 1 AS id FROM mlist) GROUP BY tk)")
+    val rep = (1 to M).foldLeft("' ' || regexp_replace(ht, '([0-9A-F]{2})', '\\1  ', 'g')") { (acc, j) =>
+      s"replace($acc, ' ' || split_part((SELECT pr FROM m$j), ' ', 1) || '  ' || " +
+        s"split_part((SELECT pr FROM m$j), ' ', 2) || ' ', " +
+        s"' ' || replace((SELECT pr FROM m$j), ' ', '') || ' ')"
+    }
+    ctes += s"enc AS MATERIALIZED (SELECT doc_id, regexp_split_to_array(trim($rep), ' +') AS ts FROM hexd)"
+    ctes.result().mkString(",\n")
+  }
+
+  /** `bpe_encode_bytes`: the [[bpeEncodeSql]] witnesses over the
+    * byte-mode chain. */
+  val bpeEncodeBytesSql: String =
+    s"""WITH $trainCtesBytes,
+       |tk AS (SELECT doc_id, unnest(ts) AS tk, generate_subscripts(ts, 1) AS pos FROM enc),
+       |wid AS (SELECT t.doc_id, t.pos, t.tk, coalesce(v.id, -1) AS id
+       |  FROM tk t LEFT JOIN vocab v ON t.tk = v.tk)
+       |SELECT doc_id, CAST(count(*) AS INT) AS n_tokens,
+       |  md5(string_agg(tk, ' ' ORDER BY pos)) AS tokens_md5,
+       |  md5(string_agg(CAST(id AS VARCHAR), ',' ORDER BY pos)) AS ids_md5
+       |FROM wid GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** `bpe_coverage_bytes`: the zero-OOV PROOF — the byte tokenizer
+    * trained on `documents` alone, applied to documents PLUS hostile
+    * out-of-corpus unicode (emoji, CJK, Cyrillic, combining marks —
+    * [[LlmQueries.HostileTexts]] as literals, identical bytes in both
+    * engines); every token must resolve to a vocabulary id. The
+    * code-point tokenizer structurally CANNOT pass this (unseen
+    * characters are outside its collected alphabet); the byte alphabet
+    * covers any UTF-8 input by construction. */
+  def bpeCoverageBytesSql(hostile: Seq[String]): String = {
+    val lits = hostile.map(t => s"(${sqlString(t)})").mkString(", ")
+    s"""WITH $trainCtesBytes,
+       |hostile(htext) AS (VALUES $lits),
+       |corpus AS (SELECT text FROM documents UNION ALL SELECT htext FROM hostile),
+       |cnorm AS (SELECT ${Norm.replace("documents", "corpus")} AS nt FROM corpus),
+       |chex AS (SELECT array_to_string(list_transform(string_split(nt, ' '), w -> hex(w)), ' ') AS ht
+       |  FROM cnorm WHERE length(nt) > 0),
+       |cenc AS (SELECT regexp_split_to_array(trim($encRepExpr), ' +') AS ts FROM chex),
+       |ctok AS (SELECT unnest(ts) AS tk FROM cenc),
+       |cid AS (SELECT coalesce(v.id, -1) AS id FROM ctok t LEFT JOIN vocab v ON t.tk = v.tk)
+       |SELECT CAST(count(*) AS BIGINT) AS n_tokens,
+       |  CAST(sum(CASE WHEN id < 0 THEN 1 ELSE 0 END) AS BIGINT) AS unknown_tokens,
+       |  CAST(sum(CASE WHEN id >= 0 THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS coverage_ppm
+       |FROM cid ORDER BY n_tokens""".stripMargin
+  }
+
+  /** The byte-mode encode replace-chain over a column named `ht` —
+    * shared by the per-doc and the coverage CTEs. */
+  private def encRepExpr: String =
+    (1 to M).foldLeft("' ' || regexp_replace(ht, '([0-9A-F]{2})', '\\1  ', 'g')") { (acc, j) =>
+      s"replace($acc, ' ' || split_part((SELECT pr FROM m$j), ' ', 1) || '  ' || " +
+        s"split_part((SELECT pr FROM m$j), ' ', 2) || ' ', " +
+        s"' ' || replace((SELECT pr FROM m$j), ' ', '') || ' ')"
+    }
+
+  private def sqlString(s: String): String = "'" + s.replace("'", "''") + "'"
+
   /** `bpe_encode`: per doc, exact token count plus md5 witnesses of the
     * token string and the id sequence. */
   val bpeEncodeSql: String =

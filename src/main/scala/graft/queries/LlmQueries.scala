@@ -1799,6 +1799,25 @@ object LlmQueries {
   private[graft] def trainedBpe(s: SparkSession, dir: String): Bpe.Trained =
     bpeCache.computeIfAbsent(dir, _ => Bpe.train(Tables(s, dir, "documents"), "text"))
 
+  private[graft] def trainedBpeBytes(s: SparkSession, dir: String): Bpe.Trained =
+    bpeCache.computeIfAbsent("bytes:" + dir,
+      _ => Bpe.trainBytes(Tables(s, dir, "documents"), "text"))
+
+  /** Out-of-corpus unicode the byte tokenizer must cover with ZERO
+    * unknown ids — scripts and code-point classes the training corpus
+    * (ASCII-ish synthetic docs) never contains: accented latin, CJK,
+    * emoji (supplementary plane), Cyrillic, combining marks. Shared
+    * verbatim with the DuckDB oracle ([[BpeOracle.bpeCoverageBytesSql]])
+    * so both engines tokenize identical bytes. Chosen to lowercase
+    * identically in both engines (no locale-sensitive case pairs). */
+  private[graft] val HostileTexts: Seq[String] = Seq(
+    "café über straße naïve",
+    "你好世界 日本語テスト",
+    "😀🚀 emoji 🎉 mix",
+    "привет мир",
+    "á combining é marks ö",
+    "mixed ascii with émojis 🤖 tail")
+
   val bpeEncode: Q = (s, dir) => {
     val d = spreadForCompute(s, dir, Tables(s, dir, "documents"))
     val trained = trainedBpe(s, dir)
@@ -1811,6 +1830,55 @@ object LlmQueries {
           transform(Bpe.tokenIds(col("ts"), trained), i => i.cast("string")), ","),
           lit("utf-8"))).as("ids_md5"))
       .orderBy("doc_id")
+  }
+
+  /** BYTE-LEVEL BPE encode (GPT-2 convention, round 15): the same
+    * witnesses as `bpe_encode` but over [[Bpe.trainBytes]] /
+    * [[Bpe.encodeBytes]] — initial symbols are each word's UTF-8 bytes
+    * as hex pairs, the alphabet is the structural 256-byte table, so
+    * no token can fall outside the vocabulary. The oracle
+    * ([[BpeOracle.bpeEncodeBytesSql]]) re-derives the full byte-mode
+    * training loop and encode from parquet alone. */
+  val bpeEncodeBytes: Q = (s, dir) => {
+    val d = spreadForCompute(s, dir, Tables(s, dir, "documents"))
+    val trained = trainedBpeBytes(s, dir)
+    val toks = Bpe.encodeBytes(col("text"), trained.merges)
+    d.select(col("doc_id"), toks.as("ts"))
+      .select(col("doc_id"),
+        size(col("ts")).as("n_tokens"),
+        md5(to_binary(array_join(col("ts"), " "), lit("utf-8"))).as("tokens_md5"),
+        md5(to_binary(array_join(
+          transform(Bpe.tokenIds(col("ts"), trained), i => i.cast("string")), ","),
+          lit("utf-8"))).as("ids_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** The zero-OOV PROOF for the byte tokenizer: train on `documents`
+    * alone, tokenize documents PLUS [[HostileTexts]] (unicode the
+    * corpus never saw), map every token to an id — `unknown_tokens`
+    * must be 0 and `coverage_ppm` 1,000,000, structurally. The
+    * code-point tokenizer cannot pass this gate (unseen characters are
+    * outside its collected alphabet and map to -1); docs whose
+    * normalized text is empty are excluded in both engines (the empty
+    * token is a split artifact, not vocabulary). */
+  val bpeCoverageBytes: Q = (s, dir) => {
+    val trained = trainedBpeBytes(s, dir)
+    val hostile = s.createDataFrame(
+      s.sparkContext.parallelize(HostileTexts.map(org.apache.spark.sql.Row(_)), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType))))
+    val corpus = Tables(s, dir, "documents").select(col("text")).unionAll(hostile)
+    val toks = Bpe.encodeBytes(col("text"), trained.merges)
+    corpus
+      .filter(length(TextAnalysis.normalizeText(col("text"))) > 0)
+      .select(explode(Bpe.tokenIds(toks, trained)).as("id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("id") < 0, 1L).otherwise(0L)).as("unknown_tokens"),
+        expr("CAST(sum(CASE WHEN id >= 0 THEN 1 ELSE 0 END) * 1000000 DIV count(1) AS BIGINT)")
+          .as("coverage_ppm"))
+      .orderBy("n_tokens")
   }
 
   /** The token-BUDGET twin of `pack_sequences`: the same parallel
@@ -2142,6 +2210,8 @@ object LlmQueries {
     "embedding_kmeans_assign" -> embeddingKmeansAssign,
     "bpe_pair_stats" -> bpePairStats,
     "bpe_encode" -> bpeEncode,
+    "bpe_encode_bytes" -> bpeEncodeBytes,
+    "bpe_coverage_bytes" -> bpeCoverageBytes,
     "bpe_vocab" -> bpeVocab,
     "bpe_artifact_roundtrip" -> bpeArtifactRoundtrip,
     "pack_sequences_bpe" -> packSequencesBpe,
@@ -3065,6 +3135,8 @@ object LlmQueries {
     // CTEs (BpeOracle) — merge argmaxes, vocabulary ids and the per-doc
     // double-spaced replace encoding all re-derived from the parquet
     "bpe_encode" -> BpeOracle.bpeEncodeSql,
+    "bpe_encode_bytes" -> BpeOracle.bpeEncodeBytesSql,
+    "bpe_coverage_bytes" -> BpeOracle.bpeCoverageBytesSql(HostileTexts),
     "bpe_vocab" -> BpeOracle.bpeVocabSql,
     // the artifact path must change nothing: shared oracle (the
     // ann_ivf_persisted convention); the bit-for-bit reconstruction is

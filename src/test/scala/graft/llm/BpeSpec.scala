@@ -185,4 +185,52 @@ class BpeSpec extends AnyFunSuite {
     assert(toks.contains("\ud83d\ude00\ud83d\ude00"),
       s"surrogate-pair merge must fire: $toks")
   }
+
+  test("byte mode: heap expression == encodeChainBytes on hostile unicode") {
+    val texts = Seq(
+      "caf\u00e9 r\u00e9sum\u00e9 \u4e2d\u6587 \ud83d\ude00\ud83d\ude00 mixed\ud83d\ude00end",
+      "e\u0301 combining e\u0301e\u0301",
+      "\ud83d\ude00", "\u4e2d", "", "plain ascii words")
+    // merges over HEX-PAIR symbols: 'c'+'a' bytes, the e-acute UTF-8
+    // pair (C3 A9), and the first two bytes of U+1F600 (F0 9F)
+    val merges = Seq(("63", "61"), ("C3", "A9"), ("F0", "9F"), ("F09F", "98"))
+    val rows = texts.toDF("text").select(
+      array_join(Bpe.encodeBytes(col("text"), merges), "|").as("heap"),
+      array_join(Bpe.encodeChainBytes(col("text"), merges), "|").as("chain"))
+      .collect()
+    rows.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"heap='${r.getString(0)}' chain='${r.getString(1)}'"))
+  }
+
+  test("byte mode: zero-OOV is structural \u2014 every token resolves to an id; code-point mode cannot") {
+    import graft.queries.Tables
+    val docs = Tables(spark, TestSpark.sfDir, "documents")
+    val hostile = Seq("\ud83d\ude80 zalgo \u4f60\u597d \u00fcml\u00e4ut").toDF("text")
+    val corpus = docs.select(col("text")).unionAll(hostile)
+      .filter(length(TextAnalysis.normalizeText(col("text"))) > 0)
+    val byteTrained = Bpe.trainBytes(docs, "text")
+    val byteUnknown = corpus
+      .select(explode(Bpe.tokenIds(
+        Bpe.encodeBytes(col("text"), byteTrained.merges), byteTrained)).as("id"))
+      .filter(col("id") < 0).count()
+    assert(byteUnknown == 0, "byte mode must cover any UTF-8 input")
+    // contrast: the code-point tokenizer's collected alphabet cannot
+    // cover characters the corpus never contained
+    val cpTrained = Bpe.train(docs, "text")
+    val cpUnknown = corpus
+      .select(explode(Bpe.tokenIds(
+        Bpe.encode(col("text"), cpTrained.merges), cpTrained)).as("id"))
+      .filter(col("id") < 0).count()
+    assert(cpUnknown > 0, "if code-point mode covers hostile text the contrast is vacuous")
+  }
+
+  test("byte mode: trained alphabet is the full 256-byte table with ids = byte value") {
+    assert(Bpe.ByteAlphabet.length == 256)
+    assert(Bpe.ByteAlphabet(0) == "00" && Bpe.ByteAlphabet(255) == "FF")
+    val t = Bpe.Trained(Bpe.ByteAlphabet, Seq(("61", "62")))
+    assert(t.vocab("00") == 0 && t.vocab("FF") == 255 && t.vocab("6162") == 256)
+    // hexPairs round-trips multi-byte UTF-8 exactly as hex() spells it
+    assert(Bpe.hexPairs("\u00e9").toSeq == Seq("C3", "A9"))
+    assert(Bpe.hexPairs("\ud83d\ude00").toSeq == Seq("F0", "9F", "98", "80"))
+  }
 }
