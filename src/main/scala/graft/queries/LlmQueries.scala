@@ -1574,6 +1574,65 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** UNIFIED DROP-OBSERVABILITY REPORT (round-13 item #8): one frame
+    * per pipeline run — `(stage, dropped_buckets, dropped_rows)` —
+    * aggregating every place the cleaning pipeline discards work, so
+    * "covered everything" is a checkable integer claim instead of a
+    * reading of scattered logs. Stages mirror `pipeline_disposition`'s
+    * composition exactly (same echo base, same quality gate, same
+    * exact-dedup window, same banded near-dup over the survivor set):
+    *
+    *  - `a_quality`: docs failing the 0.8 quality gate;
+    *  - `b_exact`: later copies removed by the md5 fingerprint window;
+    *  - `c_lsh_bucket_cap`: the SILENT-CAP stage made loud — LSH
+    *    buckets over the survivor set whose membership exceeds
+    *    `MaxBucket` are excluded from candidate generation; the report
+    *    counts those buckets AND their member rows (bucket-membership
+    *    slots, a doc in two capped buckets counts twice — the exact
+    *    quantity of candidate work skipped);
+    *  - `d_neardup`: non-representative members of near-dup
+    *    components (keep-best keeps one per component).
+    *
+    * All four are single-row aggregates unioned — the corpus-sized
+    * stages run once each and reduce map-side; the oracle replays the
+    * same stages over the shared CTE blocks. */
+  val pipelineDropReport: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val base = echoBase(s, dir)
+    val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+    val d0 = d.union(
+      d.filter(Sampling.hashBucket256(col("doc_id")) < 8)
+        .select((col("doc_id") + base).as("doc_id"), col("text")))
+    val scored = d0.withColumn("quality", TextAnalysis.qualityScore(col("text")))
+    val s1 = scored.filter(col("quality") >= 0.8)
+    val firstPerHash = s1
+      .withColumn("h", TextAnalysis.fingerprintMd5(col("text")))
+      .withColumn("first_id", min("doc_id").over(Window.partitionBy("h")))
+    val s2 = firstPerHash.filter(col("doc_id") === col("first_id"))
+      .select("doc_id", "text", "quality")
+    val groups = Dedup.dedupGroups(s2, "doc_id",
+      Dedup.minHashPairs(s2, "doc_id", "text", threshold = 0.3, maxBucket = MaxBucket))
+    val keep = graft.operators.GroupTopK.topK(
+        groups.join(s2.select("doc_id", "quality"), "doc_id")
+          .select("component", "doc_id", "quality"),
+        Seq("component"), Seq(("quality", false), ("doc_id", true)), k = 1)
+      .select(col("doc_id").as("keep_id"))
+    def stage(name: String, buckets: Column, rows: Column, src: DataFrame): DataFrame =
+      src.agg(coalesce(buckets, lit(0L)).cast("long").as("dropped_buckets"),
+          coalesce(rows, lit(0L)).cast("long").as("dropped_rows"))
+        .select(lit(name).as("stage"), col("dropped_buckets"), col("dropped_rows"))
+    val a = stage("a_quality", lit(0L),
+      sum(when(col("quality") < 0.8, 1L).otherwise(0L)), scored)
+    val b = stage("b_exact", lit(0L),
+      sum(when(col("doc_id") =!= col("first_id"), 1L).otherwise(0L)), firstPerHash)
+    val c = stage("c_lsh_bucket_cap", count(lit(1)), sum(col("n")),
+      Dedup.lshBuckets(s2, "doc_id", "text").filter(col("n") > MaxBucket))
+    val dd = stage("d_neardup", lit(0L),
+      sum(when(col("keep_id").isNull, 1L).otherwise(0L)),
+      s2.join(keep, col("doc_id") === col("keep_id"), "left"))
+    a.unionAll(b).unionAll(c).unionAll(dd).orderBy("stage")
+  }
+
   /** Cross-SOURCE near-dup leakage matrix — the split-hygiene audit
     * run before any per-source train/eval split: if near-identical
     * documents live in two sources, splitting by source leaks train
@@ -2232,6 +2291,7 @@ object LlmQueries {
     "dedup_keep_best" -> dedupKeepBest,
     "cross_source_leakage" -> crossSourceLeakage,
     "pipeline_disposition" -> pipelineDisposition,
+    "pipeline_drop_report" -> pipelineDropReport,
     "vocab_coverage" -> vocabCoverage,
     "doc_chunks" -> docChunks,
     "dedup_chunks" -> dedupChunks,
@@ -2656,6 +2716,45 @@ object LlmQueries {
          |LEFT JOIN ex e2 USING (doc_id)
          |LEFT JOIN k ON k.doc_id = q.doc_id
          |ORDER BY doc_id""".stripMargin,
+    // the drop-observability frame: the SAME staged pipeline replay as
+    // pipeline_disposition, aggregated to per-stage drop counts, plus
+    // the bucket-cap stage read off the survivor-set bucket sizes
+    "pipeline_drop_report" ->
+      s"""WITH RECURSIVE bkt AS (SELECT doc_id,
+         |    (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+         |    + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS hb
+         |  FROM documents),
+         |d0 AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT d.doc_id + $sqlEchoBase AS doc_id, text
+         |  FROM documents d JOIN bkt USING (doc_id) WHERE bkt.hb < 8),
+         |qual AS (SELECT doc_id, text, $sqlQualityExpr AS quality FROM d0),
+         |s1 AS (SELECT * FROM qual WHERE quality >= 0.8),
+         |ex AS (SELECT doc_id, text, quality,
+         |    min(doc_id) OVER (PARTITION BY md5(lower(text))) AS first_id FROM s1),
+         |s2 AS (SELECT doc_id, text, quality FROM ex WHERE doc_id = first_id),
+         |${minhashCtesOver("s2")},
+         |$componentCtes,
+         |grp AS (SELECT s2.doc_id, coalesce(c.comp, s2.doc_id) AS component, s2.quality
+         |  FROM s2 LEFT JOIN compm c ON c.id = s2.doc_id),
+         |r AS (SELECT doc_id, row_number() OVER (PARTITION BY component
+         |    ORDER BY quality DESC, doc_id) AS rk FROM grp),
+         |k AS (SELECT doc_id FROM r WHERE rk = 1),
+         |bsz AS (SELECT bucket, count(*) AS n FROM bk GROUP BY bucket)
+         |SELECT 'a_quality' AS stage, CAST(0 AS BIGINT) AS dropped_buckets,
+         |  CAST((SELECT count(*) FROM qual WHERE quality < 0.8) AS BIGINT) AS dropped_rows
+         |UNION ALL
+         |SELECT 'b_exact', CAST(0 AS BIGINT),
+         |  CAST((SELECT count(*) FROM ex WHERE doc_id <> first_id) AS BIGINT)
+         |UNION ALL
+         |SELECT 'c_lsh_bucket_cap',
+         |  CAST((SELECT count(*) FROM bsz WHERE n > $MaxBucket) AS BIGINT),
+         |  CAST((SELECT coalesce(sum(n), 0) FROM bsz WHERE n > $MaxBucket) AS BIGINT)
+         |UNION ALL
+         |SELECT 'd_neardup', CAST(0 AS BIGINT),
+         |  CAST((SELECT count(*) FROM s2 WHERE doc_id NOT IN (SELECT doc_id FROM k)) AS BIGINT)
+         |ORDER BY stage""".stripMargin,
     // pair counts per unordered source pair — the cand CTE is the
     // shared banded-pair replay, sources joined on both ids
     "cross_source_leakage" ->
