@@ -1548,13 +1548,19 @@ object LlmQueries {
     val d0 = d.union(
       d.filter(Sampling.hashBucket256(col("doc_id")) < 8)
         .select((col("doc_id") + base).as("doc_id"), col("text")))
+    // scored feeds the survivor chain AND the final disposition join;
+    // the survivor set feeds the near-dup stage (itself multi-pass) and
+    // the verdict join — lazily checkpoint both so each computes once
+    // (see pipelineDropReport for the full rationale)
     val scored = d0.withColumn("quality", TextAnalysis.qualityScore(col("text")))
+      .localCheckpoint(false)
     val s1 = scored.filter(col("quality") >= 0.8)
     val firstPerHash = s1
       .withColumn("h", TextAnalysis.fingerprintMd5(col("text")))
       .withColumn("first_id", min("doc_id").over(Window.partitionBy("h")))
     val s2 = firstPerHash.filter(col("doc_id") === col("first_id"))
       .select("doc_id", "text", "quality")
+      .localCheckpoint(false)
     val groups = Dedup.dedupGroups(s2, "doc_id",
       Dedup.minHashPairs(s2, "doc_id", "text", threshold = 0.3, maxBucket = MaxBucket))
     val keep = graft.operators.GroupTopK.topK(
@@ -1603,13 +1609,25 @@ object LlmQueries {
     val d0 = d.union(
       d.filter(Sampling.hashBucket256(col("doc_id")) < 8)
         .select((col("doc_id") + base).as("doc_id"), col("text")))
+    // FOUR stage aggregates consume overlapping prefixes of one DAG —
+    // lazily checkpoint the two shared frames (the scored corpus and
+    // the survivor set) so each is computed ONCE, not once per
+    // consumer: the quality-regex scan feeds stages a+b+c+d and the
+    // survivor set feeds c and the (itself multi-pass) near-dup stage.
+    // `eager = false` keeps query construction action-free (the
+    // corpus_drift convention). At 100 TB the same call persists the
+    // (already heavily filtered) survivor set instead of re-running
+    // the scan+regex chain per stage — the standard multi-consumer
+    // materialization trade.
     val scored = d0.withColumn("quality", TextAnalysis.qualityScore(col("text")))
+      .localCheckpoint(false)
     val s1 = scored.filter(col("quality") >= 0.8)
     val firstPerHash = s1
       .withColumn("h", TextAnalysis.fingerprintMd5(col("text")))
       .withColumn("first_id", min("doc_id").over(Window.partitionBy("h")))
     val s2 = firstPerHash.filter(col("doc_id") === col("first_id"))
       .select("doc_id", "text", "quality")
+      .localCheckpoint(false)
     val groups = Dedup.dedupGroups(s2, "doc_id",
       Dedup.minHashPairs(s2, "doc_id", "text", threshold = 0.3, maxBucket = MaxBucket))
     val keep = graft.operators.GroupTopK.topK(
