@@ -56,6 +56,21 @@ object SemDedupKDialProbe {
       Similarity.kmeansAssignJoin(e, cents0, "vec_id", "embedding")
         .groupBy("centroid").count())
     println(f"ASSIGN\tk=$bigK\texpr=$tExpr%.2f s ($nExpr cells)\tjoin=$tJoin%.2f s ($nJoin cells)")
+    // two-level routing at the clamp boundary: O(sqrt(k)*d)/row vs the
+    // flat O(k*d)/row, plus measured agreement with the flat argmin
+    val big2 = Similarity.kmeansTrainL2(e, "vec_id", "embedding", 4096,
+      16384, 2)
+    def asgCount(df: org.apache.spark.sql.DataFrame): (Double, Long) = timeCount(
+      df.groupBy("centroid").count())
+    val (tFlat, _) = asgCount(Similarity.kmeansAssignWith(e, big2, "vec_id", "embedding"))
+    val (t2l, _) = asgCount(Similarity.kmeansAssignTwoLevel(e, big2, "vec_id", "embedding", 2))
+    val agree = Similarity.kmeansAssignWith(e, big2, "vec_id", "embedding")
+      .select(col("vec_id"), col("centroid").as("cf"))
+      .join(Similarity.kmeansAssignTwoLevel(e, big2, "vec_id", "embedding", 2)
+        .select(col("vec_id"), col("centroid").as("c2")), "vec_id")
+      .agg(sum(when(col("cf") === col("c2"), 1L).otherwise(0L)), count(lit(1))).head
+    println(f"ASSIGN2L\tk=4096\tflat=$tFlat%.2f s\ttwolevel(nProbe=2)=$t2l%.2f s\t" +
+      s"agree=${agree.getLong(0)}/${agree.getLong(1)}")
 
     println("SEMK\tk\tseconds\tdup_rows")
     (Seq(4, 16, 40, 160) :+ bigK).foreach { k =>

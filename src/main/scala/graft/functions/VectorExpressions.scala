@@ -258,6 +258,99 @@ case class KmeansArgminExpr(child: Expression, cents: Array[Array[Long]])
     copy(child = newChild)
 }
 
+/** TWO-LEVEL nearest-centroid assignment — the O(√k·d)-per-row form of
+  * [[KmeansArgminExpr]] for SemDeDup-paper cluster counts (50k clusters
+  * for 5B embeddings): a flat argmin pays O(k·d) integer ops per row,
+  * which at k=50k·d=16 is ~10⁶ ops/vector — the corpus-sized stage's
+  * dominant cost. Here the codebook is pre-grouped (driver-side, at
+  * construction) under g ≈ √k COARSE centroids; each row scores the g
+  * coarse centroids, probes its `nProbeCoarse` nearest groups, and runs
+  * the exact argmin only over those groups' members — expected cost
+  * O((g + nProbe·k/g)·d) = O(√k·d) per row at nProbe fixed.
+  *
+  * APPROXIMATE by construction (the IVF trade at assignment time): the
+  * result is exact iff the true nearest centroid's group is probed;
+  * `nProbeCoarse` is the dial (= g reproduces the flat argmin exactly).
+  * Agreement is measured, not assumed — KmeansAssignSpec pins the
+  * nProbe=g equality and the measured nProbe=2 agreement floor, and
+  * SCALE.md records the speed/agreement curve at k=4096. Same exact
+  * integer arithmetic and lowest-id tie rule within the probed set;
+  * same null semantics as the flat form. */
+case class KmeansArgminTwoLevelExpr(child: Expression,
+    coarse: Array[Array[Long]], cents: Array[Array[Long]],
+    members: Array[Array[Int]], nProbeCoarse: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(coarse.nonEmpty && cents.nonEmpty && members.length == coarse.length,
+    "coarse codebook and member lists must align")
+  require(nProbeCoarse >= 1, "nProbeCoarse must be >= 1")
+
+  override def dataType: DataType =
+    StructType(Seq(StructField("c", IntegerType, nullable = false),
+      StructField("d", LongType, nullable = false)))
+  override def prettyName: String = "kmeans_argmin_2l"
+
+  private lazy val isFloat = VecRead.isFloatArray(child.dataType)
+  private val dim = cents(0).length
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val vec = input.asInstanceOf[ArrayData]
+    val n = vec.numElements()
+    if (n != dim) return null
+    val q = new Array[Long](n)
+    var d = 0
+    while (d < n) {
+      if (vec.isNullAt(d)) return null
+      q(d) = math.floor(VecRead.get(vec, d, isFloat) * 1000.0).toLong
+      d += 1
+    }
+    def d2(cv: Array[Long]): Long = {
+      var dist = 0L; var i = 0
+      while (i < n) { val x = cv(i) - q(i); dist += x * x; i += 1 }
+      dist
+    }
+    // nearest nProbeCoarse coarse groups: insertion into a tiny sorted
+    // slate, ties to the lowest group id (strict < on (dist, id))
+    val p = math.min(nProbeCoarse, coarse.length)
+    val slateD = Array.fill(p)(Long.MaxValue)
+    val slateG = Array.fill(p)(Int.MaxValue)
+    var g = 0
+    while (g < coarse.length) {
+      val dist = d2(coarse(g))
+      var pos = p
+      while (pos > 0 && dist < slateD(pos - 1)) pos -= 1
+      if (pos < p) {
+        var m = p - 1
+        while (m > pos) { slateD(m) = slateD(m - 1); slateG(m) = slateG(m - 1); m -= 1 }
+        slateD(pos) = dist; slateG(pos) = g
+      }
+      g += 1
+    }
+    var bestC = -1
+    var bestD = Long.MaxValue
+    var s = 0
+    while (s < p) {
+      val grp = slateG(s)
+      if (grp != Int.MaxValue) {
+        val ms = members(grp)
+        var j = 0
+        while (j < ms.length) {
+          val c = ms(j)
+          val dist = d2(cents(c))
+          // ties to the LOWEST centroid id across probed groups
+          if (dist < bestD || (dist == bestD && c < bestC)) { bestD = dist; bestC = c }
+          j += 1
+        }
+      }
+      s += 1
+    }
+    if (bestC < 0) null // every probed group empty (degenerate grouping)
+    else org.apache.spark.sql.catalyst.InternalRow(bestC, bestD)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): KmeansArgminTwoLevelExpr =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   def cosineSim(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSimExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
@@ -270,4 +363,9 @@ object VectorFunctions {
 
   def kmeansArgmin(vec: Column, cents: Array[Array[Long]]): Column =
     ColumnBridge.column(KmeansArgminExpr(ColumnBridge.expression(vec), cents))
+
+  def kmeansArgminTwoLevel(vec: Column, coarse: Array[Array[Long]],
+      cents: Array[Array[Long]], members: Array[Array[Int]], nProbeCoarse: Int): Column =
+    ColumnBridge.column(KmeansArgminTwoLevelExpr(
+      ColumnBridge.expression(vec), coarse, cents, members, nProbeCoarse))
 }

@@ -480,10 +480,79 @@ object Similarity {
   private[graft] def kmeansAssignWith(df: DataFrame, cents: Array[Array[Long]],
       idCol: String, vecCol: String): DataFrame =
     df
-      .withColumn("best",
-        graft.functions.VectorFunctions.kmeansArgmin(col(vecCol), cents))
+      // inline(array(struct)) is the single-eval barrier: selecting
+      // `best.c` and `best.d` from a projected struct lets
+      // CollapseProject clone the (O(k·d)-per-row) argmin into BOTH
+      // field extractions — measured 2× the assignment cost at
+      // k=4096; a generator evaluates its child exactly once per row
+      // and emits the fields as real columns
+      // the coalesce keeps a null-vector ROW (null verdict) instead of
+      // letting the generator drop it — same behavior as field selection
       .select(col(idCol), col(vecCol),
-        col("best.c").as("centroid"), col("best.d").as("dist2"))
+        inline(array(coalesce(
+          graft.functions.VectorFunctions.kmeansArgmin(col(vecCol), cents),
+          struct(lit(null).cast("int").as("c"), lit(null).cast("long").as("d"))))))
+      .select(col(idCol), col(vecCol),
+        col("c").as("centroid"), col("d").as("dist2"))
+
+  /** TWO-LEVEL assignment for PAPER-SCALE cluster counts — SemDeDup
+    * (Abbas et al.) runs 50k clusters on 5B embeddings, where a flat
+    * argmin's O(k·d) per row becomes the corpus stage's dominant
+    * compute. The codebook is clustered DRIVER-side into g ≈ √k coarse
+    * groups (the same deterministic integer-Lloyd's used everywhere);
+    * each row routes coarse-first and scores only its `nProbeCoarse`
+    * nearest groups' members: O(√k·d) per row at fixed nProbe. Exact
+    * iff the true centroid's group is probed; `nProbeCoarse = g`
+    * reproduces the flat argmin bit-for-bit (pinned in
+    * KmeansAssignSpec); ties to the lowest centroid id within the
+    * probed set. Same narrow-map plan shape as [[kmeansAssignWith]].
+    *
+    * MEASURED VERDICT (SCALE.md round 15) — this is a dial for
+    * genuinely huge k·d, NOT the default: at k=4096, d=16 on the 10×
+    * synthetic corpus the flat compiled argmin already runs 20k rows
+    * in 0.50 s, two-level at nProbe=2 saves only 12% (per-row
+    * expression overhead, not arithmetic, dominates at this k·d) and
+    * agrees on just 53% of assignments — near-uniform synthetic
+    * vectors have no cluster separation for the coarse router to
+    * exploit, so misrouting is ~coin-flip at group boundaries. On a
+    * real embedding manifold (separated clusters — the SemDeDup
+    * setting) agreement is structurally higher (100% on the sf0.001
+    * fixture at k=120), but the honest rule stands: measure agreement
+    * on YOUR corpus before switching, and prefer the exact flat form
+    * until k·d makes it the measured bottleneck. */
+  def kmeansAssignTwoLevel(df: DataFrame, cents: Array[Array[Long]],
+      idCol: String, vecCol: String, nProbeCoarse: Int = 2): DataFrame = {
+    val g = math.max(1, math.round(math.sqrt(cents.length.toDouble)).toInt)
+    val coarse = kmeansL2Long(cents, g, iters = 2, floorUpdate = true)
+    def d2(a: Array[Long], b: Array[Long]): Long = {
+      var s = 0L; var i = 0
+      while (i < a.length) { val x = a(i) - b(i); s += x * x; i += 1 }
+      s
+    }
+    val groupOf = cents.map { cv =>
+      var best = 0; var bestD = Long.MaxValue; var gi = 0
+      while (gi < g) {
+        val dd = d2(cv, coarse(gi))
+        if (dd < bestD) { bestD = dd; best = gi } // ties to lowest group
+        gi += 1
+      }
+      best
+    }
+    val members: Array[Array[Int]] = {
+      val bs = Array.fill(g)(Array.newBuilder[Int])
+      var c = 0
+      while (c < cents.length) { bs(groupOf(c)) += c; c += 1 }
+      bs.map(_.result()) // ascending centroid ids per group
+    }
+    df
+      .select(col(idCol), col(vecCol),
+        inline(array(coalesce(
+          graft.functions.VectorFunctions.kmeansArgminTwoLevel(
+            col(vecCol), coarse, cents, members, nProbeCoarse),
+          struct(lit(null).cast("int").as("c"), lit(null).cast("long").as("d"))))))
+      .select(col(idCol), col(vecCol),
+        col("c").as("centroid"), col("d").as("dist2"))
+  }
 
   /** The broadcast-join formulation of [[kmeansAssignWith]]: centroids
     * as a RELATION, cross-joined (broadcast) against the corpus, exact

@@ -99,6 +99,38 @@ class KmeansAssignSpec extends AnyFunSuite {
     assert(got == want, "pinned-mode training sample drifted from the caller's sampleN")
   }
 
+  test("two-level assignment: nProbeCoarse = g reproduces the flat argmin bit-for-bit") {
+    val n = e.count().toInt
+    val k = math.min(120, n)
+    val cents = train(k, 4 * k)
+    val g = math.max(1, math.round(math.sqrt(k.toDouble)).toInt)
+    val flat = Similarity.kmeansAssignWith(e, cents, "vec_id", "embedding")
+      .select("vec_id", "centroid", "dist2").collect().map(_.toSeq).toSet
+    val full = Similarity.kmeansAssignTwoLevel(e, cents, "vec_id", "embedding", nProbeCoarse = g)
+      .select("vec_id", "centroid", "dist2").collect().map(_.toSeq).toSet
+    assert(full == flat, "probing every coarse group must equal the flat argmin")
+  }
+
+  test("two-level assignment at nProbeCoarse=2: total, deterministic, measured-agreement floor") {
+    val n = e.count().toInt
+    val k = math.min(120, n)
+    val cents = train(k, 4 * k)
+    val flat = Similarity.kmeansAssignWith(e, cents, "vec_id", "embedding")
+      .select("vec_id", "centroid").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val two = Similarity.kmeansAssignTwoLevel(e, cents, "vec_id", "embedding", nProbeCoarse = 2)
+      .select("vec_id", "centroid").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(two.size == n, "assignment must be total")
+    val again = Similarity.kmeansAssignTwoLevel(e, cents, "vec_id", "embedding", nProbeCoarse = 2)
+      .select("vec_id", "centroid").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(two == again, "two-level assignment must be deterministic")
+    val agree = flat.count { case (id, c) => two(id) == c }
+    // measured 100% on this fixture at nProbe=2; pinned at ≥80% so the
+    // floor fails loudly if the grouping rule ever degrades, while
+    // tolerating fixture drift (agreement is a corpus property)
+    assert(agree * 100 >= n * 80,
+      s"two-level agreement degraded: $agree/$n vs the flat argmin")
+  }
+
   test("semDedup construction runs at most ONE Spark job (the fused pass)") {
     val sc = spark.sparkContext
     def stableJobCount(group: String): Int = {
