@@ -394,9 +394,8 @@ object Similarity {
     * TRUNCATING-DIVISION centroid updates, so every value in the
     * codebook is reachable by exact integer arithmetic in any engine
     * (Java `/` == DuckDB `//`). Assignment: the k·d-integer codebook
-    * ships as a plan literal — each vector scores all k centroids
-    * scan-side via codegen'd HOFs (exact L2 on Longs, ties to the
-    * lowest centroid id through the (dist, id) struct-min) — so the
+    * rides inside the compiled [[graft.functions.KmeansArgminExpr]]
+    * (exact L2 on Longs, ties to the lowest centroid id) — so the
     * corpus-sized stage is a NARROW map: no join, no shuffle, no
     * broadcast exchange, one output row per vector. At 100 TB the
     * dial is sampleN/k (driver memory, KBs) — corpus cost is one scan
@@ -771,10 +770,10 @@ object Similarity {
     * this is its oracle-exact sibling.
     *
     * Scale shape = [[kmeansAssign]] + [[ivfTopK]]: training collects a
-    * bounded md5 sample (KBs); the codebook ships as a plan literal, so
-    * cell routing is a NARROW map (no join, no broadcast exchange —
-    * each row scores all k·d codebook integers scan-side via codegen'd
-    * HOFs); candidates meet in one equi-join on cell id. */
+    * bounded md5 sample (KBs); the codebook rides in the compiled
+    * argmin expression, so cell routing is a NARROW map (no join, no
+    * broadcast exchange); candidates meet in one equi-join on cell
+    * id. */
   def ivfTopKTrained(
       corpus: DataFrame,
       queries: DataFrame,

@@ -134,6 +134,15 @@ object BpeOracle {
        |  md5(string_agg(CAST(id AS VARCHAR), ',' ORDER BY pos)) AS ids_md5
        |FROM wid GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** `bpe_vocab_bytes`: the byte-mode vocabulary artifact re-derived
+    * from the training replay — 256 structural byte ids + merge ids in
+    * training order under the min-id dedup rule. */
+  val bpeVocabBytesSql: String =
+    s"""WITH $trainCtesBytes
+       |SELECT CAST(id AS INT) AS id, tk AS token,
+       |  CAST(CASE WHEN id >= (SELECT count(*) FROM vocabc) THEN 1 ELSE 0 END AS INT) AS is_merge
+       |FROM vocab ORDER BY id""".stripMargin
+
   /** `bpe_coverage_bytes`: the zero-OOV PROOF — the byte tokenizer
     * trained on `documents` alone, applied to documents PLUS hostile
     * out-of-corpus unicode (emoji, CJK, Cyrillic, combining marks —

@@ -1991,6 +1991,14 @@ object LlmQueries {
 
   val bpeVocab: Q = (s, dir) => vocabDf(s, trainedBpe(s, dir))
 
+  /** The byte-mode vocabulary artifact — 256 structural byte rows
+    * (ids = byte value) plus the trained merges, the file a byte-level
+    * tokenizer deployment ships. Byte tokens are even-length hex, so a
+    * merge output (≥ 4 chars) can never collide with an alphabet entry
+    * (2 chars); the min-id dedup rule still guards merge/merge
+    * collisions, identically in both engines. */
+  val bpeVocabBytes: Q = (s, dir) => vocabDf(s, trainedBpeBytes(s, dir))
+
   /** TOKENIZER ARTIFACT round trip — the version-pinned deploy shape
     * every trained operator ultimately ships as: the trained tokenizer
     * (ordered alphabet + ordered merge pairs) is serialized to a JSON
@@ -2290,6 +2298,7 @@ object LlmQueries {
     "bpe_encode_bytes" -> bpeEncodeBytes,
     "bpe_coverage_bytes" -> bpeCoverageBytes,
     "bpe_vocab" -> bpeVocab,
+    "bpe_vocab_bytes" -> bpeVocabBytes,
     "bpe_artifact_roundtrip" -> bpeArtifactRoundtrip,
     "pack_sequences_bpe" -> packSequencesBpe,
     "pack_payload_bpe" -> packPayloadBpe,
@@ -3254,6 +3263,7 @@ object LlmQueries {
     "bpe_encode" -> BpeOracle.bpeEncodeSql,
     "bpe_encode_bytes" -> BpeOracle.bpeEncodeBytesSql,
     "bpe_coverage_bytes" -> BpeOracle.bpeCoverageBytesSql(HostileTexts),
+    "bpe_vocab_bytes" -> BpeOracle.bpeVocabBytesSql,
     "bpe_vocab" -> BpeOracle.bpeVocabSql,
     // the artifact path must change nothing: shared oracle (the
     // ann_ivf_persisted convention); the bit-for-bit reconstruction is
