@@ -1234,6 +1234,30 @@ object LlmQueries {
       .select(col("doc_id"), Sampling.hashSplit(col("doc_id"), trainPct = 90).as("split"))
       .orderBy("doc_id")
 
+  /** LEAKAGE-SAFE train/val split — the per-doc hash split above lets
+    * NEAR-DUPLICATE pairs straddle the boundary (a val doc whose
+    * near-copy sits in train is evaluation leakage, the within-corpus
+    * twin of the decontamination gates). Here the split key is the
+    * near-dup COMPONENT (the minhash connected-components the dedup
+    * family already derives), so every member of a component lands on
+    * the SAME side by construction; singleton docs split exactly as
+    * the naive rule would (their component id is their own doc id, so
+    * the two splits differ only where leakage was possible). Output
+    * carries the component so downstream audits can verify the
+    * invariant. Scale shape: the banded candidate pipeline + pointer-
+    * jumping components the dedup gates already bound, then one narrow
+    * hash-split map — no new shuffle beyond the components
+    * derivation. */
+  val splitLeakageSafe: Q = (s, dir) => {
+    val d = Tables(s, dir, "documents")
+    val groups = Dedup.dedupGroups(d, "doc_id",
+      Dedup.minHashPairs(d, "doc_id", "text", threshold = 0.3, maxBucket = MaxBucket))
+    groups
+      .select(col("doc_id"), col("component"),
+        Sampling.hashSplit(col("component"), trainPct = 90).as("split"))
+      .orderBy("doc_id")
+  }
+
   /** Sharded-export manifest ([[Sampling.shardManifest]], 64 shards):
     * per-shard doc counts, byte budgets, and the order-independent
     * `bit_xor` membership checksum — the completeness artifact a
@@ -2339,6 +2363,7 @@ object LlmQueries {
     "dedup_incremental" -> dedupIncremental,
     "dedup_incremental_bucketed" -> dedupIncrementalBucketed,
     "split_train_val" -> splitTrainVal,
+    "split_leakage_safe" -> splitLeakageSafe,
     "shard_manifest" -> shardManifest,
     "export_jsonl_roundtrip" -> exportJsonlRoundtrip,
     "export_csv_roundtrip" -> exportCsvRoundtrip,
@@ -3864,6 +3889,18 @@ object LlmQueries {
         |          + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) < 230
         |       THEN 'train' ELSE 'val' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // component-keyed split: the shared minhash + components replay,
+    // then the same 256-bucket md5 rule applied to the COMPONENT id
+    "split_leakage_safe" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |$componentCtes,
+         |grp AS (SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS component
+         |  FROM documents d LEFT JOIN compm c ON c.id = d.doc_id)
+         |SELECT doc_id, component,
+         |  CASE WHEN (strpos('0123456789abcdef', substr(md5(CAST(component AS VARCHAR)), 1, 1)) - 1) * 16
+         |          + (strpos('0123456789abcdef', substr(md5(CAST(component AS VARCHAR)), 2, 1)) - 1) < 230
+         |       THEN 'train' ELSE 'val' END AS split
+         |FROM grp ORDER BY doc_id""".stripMargin,
     // hash60 = the hx60 parse of md5(id); bit_xor folds the shard
     // membership into one 60-bit word, order-independently
     "shard_manifest" ->

@@ -836,4 +836,29 @@ class LlmSpec extends AnyFunSuite {
       .collect().head.toSeq.map(_.toString)
     assert(hRaw != hNfc, "decomposed and NFC forms must hash apart (why the pass exists)")
   }
+
+  test("leakage-safe split: no near-dup component straddles train/val; the naive split does") {
+    // sf0.01: large enough that the planted near-dup structure gives the
+    // naive per-doc split real straddles to contrast against
+    val dir = "/root/testdata/sf0.01"
+    val safe = graft.SparkEntry.queries("split_leakage_safe")(spark, dir)
+    assert(safe.count() == 500, "split must be total over the corpus")
+    val safeStraddle = safe.groupBy("component")
+      .agg(countDistinct("split").as("ns")).filter(col("ns") > 1).count()
+    assert(safeStraddle == 0, "a component with members on both sides is leakage by definition")
+    val naive = graft.SparkEntry.queries("split_train_val")(spark, dir)
+      .withColumnRenamed("split", "nsplit")
+    val naiveStraddle = safe.select("doc_id", "component").join(naive, "doc_id")
+      .groupBy("component").agg(countDistinct("nsplit").as("ns"))
+      .filter(col("ns") > 1).count()
+    assert(naiveStraddle > 0,
+      "the naive split must actually leak on this fixture, else the contrast is vacuous")
+    // singleton components (component id = own doc id) split exactly as
+    // the naive rule — the two splits differ ONLY where leakage lived
+    val singletonDiff = safe
+      .join(naive, "doc_id")
+      .filter(col("component") === col("doc_id"))
+      .filter(col("split") =!= col("nsplit")).count()
+    assert(singletonDiff == 0, "singleton docs must split identically under both rules")
+  }
 }
