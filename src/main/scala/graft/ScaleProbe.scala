@@ -101,7 +101,14 @@ object ScaleProbe {
     "pack_sequences_ffd",
     "pack_sequences_ffd_sharded",
     "ann_ivf_persisted_append",
-    "dedup_semantic_incremental")
+    "dedup_semantic_incremental",
+    // round 15: the four-stage drop rollup (shares the disposition
+    // DAG), the component-keyed split (the minhash+CC chain plus one
+    // narrow map), and the byte-mode encode (narrow compute map like
+    // bpe_encode but over hex-pair symbols)
+    "pipeline_drop_report",
+    "split_leakage_safe",
+    "bpe_encode_bytes")
 
   private def rot(s: String, k: Int): String = s.drop(k % s.length) + s.take(k % s.length)
 
