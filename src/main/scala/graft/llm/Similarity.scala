@@ -61,14 +61,15 @@ object Similarity {
     * (cov(i,j) = (sum_xy − sum_x_i·sum_x_j/n) / n, derivable from the
     * output by the caller in one driver-side pass over d²/2 rows).
     *
-    * Shape at 100 TB: ONE corpus scan, ONE shuffle. Each row expands to
-    * its d(d+1)/2 upper-triangular (xy, xi, xj) products INSIDE the
-    * scan stage and the hash aggregate combines them map-side, so the
-    * shuffle carries O(partitions · d²) partial rows — never O(rows).
-    * For d = 64 that is 2,080 rows per partition regardless of corpus
-    * size; the reduce side is a 2,080-group aggregate. The first
-    * moments ride the SAME aggregate (each vector contributes its q_i
-    * to every (i, ·) cell), so there is no second scan and no join.
+    * Shape at 100 TB: ONE corpus scan, ONE shuffle. Each partition
+    * folds its vectors into a single flat d(d+1)/2 Long array
+    * ([[MomentsAggregator]] — in-place multiply-adds, no per-row
+    * struct explosion), so the shuffle carries ONE ~4·d² byte buffer
+    * per partition — never O(rows), and no O(rows·d²) allocation
+    * either (the previous explode form's constant; 6× slower on the
+    * sf0.1 fixture and O(d²) structs per row at large d). The first
+    * moments ride the SAME buffer, so there is no second scan and no
+    * join.
     * No driver-side math, no float accumulation: vectors are quantized
     * to the 1e-3 integer grid (the PQ/hyperplane rule, [[pqTopK]]), so
     * every sum is exact 64-bit integer arithmetic and the result is
@@ -89,16 +90,9 @@ object Similarity {
   def secondMoments(corpus: DataFrame, vecCol: String): DataFrame = {
     val q = corpus.select(
       transform(col(vecCol), x => floor(x.cast("double") * 1000).cast("long")).as("q"))
-    q.select(explode(expr(
-      """flatten(transform(sequence(0, size(q) - 1),
-        |  i -> transform(sequence(i, size(q) - 1),
-        |    j -> struct(i AS i, j AS j, q[i] * q[j] AS xy, q[i] AS xi, q[j] AS xj))))""".stripMargin)).as("p"))
-      .select(col("p.i").as("i"), col("p.j").as("j"),
-        col("p.xy").as("xy"), col("p.xi").as("xi"), col("p.xj").as("xj"))
-      .groupBy("i", "j")
-      .agg(sum("xy").as("sum_xy"), sum("xi").as("sum_x_i"),
-        sum("xj").as("sum_x_j"), count(lit(1)).as("n"))
-      .select("i", "j", "sum_xy", "sum_x_i", "sum_x_j", "n")
+    q.agg(MomentsAggregator.column(col("q")).as("m"))
+      .select(explode(col("m.rows")).as("r"))
+      .select("r.i", "r.j", "r.sum_xy", "r.sum_x_i", "r.sum_x_j", "r.n")
   }
 
   /** Embedding OUTLIER ranking — the corpus-sanity filter a training

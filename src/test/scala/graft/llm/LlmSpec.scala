@@ -370,6 +370,25 @@ class LlmSpec extends AnyFunSuite {
     assert((0 until 3).forall(i => got((i, i))._1 >= 0))
   }
 
+  test("secondMoments: null vectors are dropped from every cell, n counts contributors") {
+    val vecs = Seq(
+      (0L, Array(0.5f, -0.5f)),
+      (1L, null.asInstanceOf[Array[Float]]),
+      (2L, Array(0.25f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.secondMoments(vecs, "embedding").collect()
+      .map(r => ((r.getInt(0), r.getInt(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // q rows: (500, -500) and (250, 1000); the null row contributes nothing
+    assert(got.size == 3)
+    assert(got((0, 0)) == ((500L * 500 + 250L * 250, 750L, 750L, 2L)))
+    assert(got((0, 1)) == ((500L * -500 + 250L * 1000, 750L, 500L, 2L)))
+    assert(got((1, 1)) == ((500L * 500 + 1000L * 1000, 500L, 500L, 2L)))
+    // all-null corpus: zero output rows, not a crash
+    val allNull = Seq((0L, null.asInstanceOf[Array[Float]])).toDF("vec_id", "embedding")
+    assert(Similarity.secondMoments(allNull, "embedding").count() == 0L)
+  }
+
   test("kmeansAssign: trained assignment is total, deterministic, and tighter than seeding") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val a = Similarity.kmeansAssign(e, "vec_id", "embedding", k = 4, sampleN = 16, iters = 2)
