@@ -108,7 +108,10 @@ object ScaleProbe {
     // bpe_encode but over hex-pair symbols)
     "pipeline_drop_report",
     "split_leakage_safe",
-    "bpe_encode_bytes")
+    "bpe_encode_bytes",
+    // quantized BM25: the tf index build is the corpus pass; query
+    // side broadcasts; candidate volume tracks Σ df over query terms
+    "bm25_topk")
 
   private def rot(s: String, k: Int): String = s.drop(k % s.length) + s.take(k % s.length)
 

@@ -1,0 +1,126 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.operators.GroupTopK
+
+/** Lexical retrieval over the document corpus — the ranking primitive a
+  * curation pipeline uses to pull "more like this" training data or to
+  * audit what a benchmark query would surface from the corpus.
+  *
+  * [[bm25TopK]] is Okapi BM25 (Robertson/Sparck Jones; the Lucene/
+  * Elasticsearch default scorer) in the library's INTEGER-QUANTIZED
+  * form: every intermediate is 64-bit integer arithmetic —
+  *  - idf as the bit-length log2 surrogate `⌊log2(N ÷ df)⌋`
+  *    (`length(bin(N div df)) − 1`, the `unigram_logfreq` convention),
+  *  - the length norm and saturation in exact milli/micro fixed point
+  *    with truncating integer division at each step —
+  * so scores are bit-identical under any partitioning or engine
+  * (truncating division of non-negative 64-bit ints is portable), the
+  * DuckDB oracle replays the formula verbatim, and ranking needs no
+  * float-tie adjudication. Quantization moves each term's contribution
+  * by < 1 micro-point — rank-irrelevant against the ≥ 1000-point steps
+  * the integer idf produces — and mirrors the 1e-3 grid the embedding
+  * family (PQ, moments, outliers) already standardizes on.
+  */
+object Retrieval {
+
+  /** Top-`k` corpus documents per query by quantized BM25.
+    *
+    * Formula per (query term t, doc d), all integer:
+    * {{{
+    *   idf2        = length(bin(N div df_t)) − 1          // ⌊log2(N/df)⌋
+    *   dlnorm_mil  = dl_d · 1_000_000 div avgdl_milli     // ≈ dl/avgdl · 1000
+    *   denom_mil   = tf·1000 + (k1·((1000−b) + (b·dlnorm_mil) div 1000)) div 1000
+    *   score_micro = idf2 · tf · (1000 + k1) · 1000 div denom_mil
+    * }}}
+    * summed over the query's distinct terms; `N` counts docs with at
+    * least one token and `avgdl_milli = total_tokens·1000 div N` (empty
+    * docs can never match — excluding them only shifts idf by a
+    * constant). `k1Milli`/`bMilli` are BM25's k1/b in milli units
+    * (defaults 1.2 / 0.75, the textbook values).
+    *
+    * Shape at 100 TB: the (doc, token, tf) index build is the corpus
+    * pass — ONE shuffle on (doc, token), the same aggregate the
+    * `inverted_index` operator persists, so a production deployment
+    * probes the persisted index and skips the scan entirely. The query
+    * side is BROADCAST twice (its term list against the tf index — the
+    * corpus never shuffles for the probe — and against the df table to
+    * pre-shrink idf to query terms before it, too, broadcasts). The
+    * only other shuffle is doc-keyed (attaching dl to candidates), and
+    * the final ranking is [[GroupTopK]] — per-partition heaps, the
+    * shuffle carries O(k·queries·partitions) rows, never the candidate
+    * table. Candidate volume is bounded by Σ_t df_t over query terms —
+    * stopword-heavy queries should pre-filter terms by df ceiling
+    * (compose with the `top_tokens` stats), exactly as Lucene does.
+    *
+    * `excludeSelf` drops candidates whose doc id equals the query id
+    * BEFORE ranking (the corpus-as-queries evaluation convention, so a
+    * query doc cannot occupy its own top-k slot).
+    *
+    * Output: (query_id, doc_id, score_micro), top-k per query, ties
+    * broken by ascending doc id. */
+  def bm25TopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      textCol: String,
+      qIdCol: String,
+      qTextCol: String,
+      k: Int = 10,
+      k1Milli: Int = 1200,
+      bMilli: Int = 750,
+      excludeSelf: Boolean = false): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(k1Milli >= 0 && bMilli >= 0 && bMilli <= 1000,
+      s"k1Milli must be >= 0 and bMilli in [0, 1000]; got k1Milli=$k1Milli bMilli=$bMilli")
+
+    val toks = corpus
+      .select(col(idCol).as("doc_id"),
+        explode(split(TextAnalysis.normalizeText(col(textCol)), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+    // the tf index feeds three consumers (the probe, dl, df): checkpoint
+    // it lazily so the corpus scan + explode + aggregate run ONCE (the
+    // shared-stage rule); a production deployment persists this index
+    // (the `inverted_index` table) and skips the build entirely
+    val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false)
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    // 1-row corpus stats, broadcast via the crossJoin convention
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("total_tokens"))
+
+    val qterms = queries
+      .select(col(qIdCol).as("query_id"),
+        explode(array_distinct(split(TextAnalysis.normalizeText(col(qTextCol)), " ")))
+          .as("token"))
+      .filter(length(col("token")) > 0)
+
+    // df only for the query's terms: vocab-sized df never broadcasts whole
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val idfQ = df.join(broadcast(qterms.select("token").distinct()), "token")
+
+    val cand = tf
+      .join(broadcast(qterms), "token") // corpus side: no shuffle for the probe
+      .join(broadcast(idfQ), "token")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+    val selfFiltered =
+      if (excludeSelf) cand.filter(col("query_id") =!= col("doc_id")) else cand
+
+    val perTerm = selfFiltered
+      .withColumn("idf2", length(bin(expr("n_docs DIV df"))) - lit(1))
+      .withColumn("avgdl_milli", expr("total_tokens * 1000 DIV n_docs"))
+      .withColumn("dlnorm_milli", expr("dl * 1000000 DIV avgdl_milli"))
+      .withColumn("denom_milli", expr(
+        s"tf * 1000 + ($k1Milli * ((1000 - $bMilli) + ($bMilli * dlnorm_milli) DIV 1000)) DIV 1000"))
+      .withColumn("score_micro", expr(
+        s"CAST(idf2 AS BIGINT) * tf * ${1000L + k1Milli} * 1000 DIV denom_milli"))
+
+    val scores = perTerm
+      .groupBy("query_id", "doc_id")
+      .agg(sum("score_micro").as("score_micro"))
+    GroupTopK.topK(scores, Seq("query_id"),
+      Seq(("score_micro", false), ("doc_id", true)), k)
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.llm.{Bpe, Decontamination, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.llm.{Bpe, Decontamination, Dedup, Multimodal, Retrieval, Sampling, Similarity, TextAnalysis}
 
 /** LLM-training-data pipeline queries over the documents/embeddings
   * tables: text analysis, dedup (exact / MinHash / SimHash / n-gram
@@ -1135,6 +1135,23 @@ object LlmQueries {
       .select(col("token"), col("df"),
         array_join(col("plist").cast("array<string>"), ",").as("postings"))
       .orderBy("token")
+  }
+
+  /** Quantized-BM25 lexical retrieval ([[Retrieval.bm25TopK]]): the
+    * first five documents as queries against the full corpus (the ANN
+    * family's corpus-as-queries convention), self-hits excluded before
+    * ranking, top-10 each by integer fixed-point Okapi BM25 (bit-length
+    * idf, milli-unit k1=1.2 / b=0.75 length norm, micro-point scores —
+    * every step truncating 64-bit integer division, so the DuckDB
+    * replay of the formula is hash-exact and no float tie adjudication
+    * exists). Scale: the tf index build is the one corpus shuffle (the
+    * persisted `inverted_index` shape); the query side broadcasts; the
+    * ranking is [[graft.operators.GroupTopK]] map-side-pruned. */
+  val bm25Topk: Q = (s, dir) => {
+    val docs = Tables(s, dir, "documents")
+    Retrieval.bm25TopK(docs, docs.filter(col("doc_id") < 5),
+        "doc_id", "text", "doc_id", "text", k = 10, excludeSelf = true)
+      .orderBy("query_id", "doc_id")
   }
 
   /** C4-style cross-document boilerplate removal
@@ -2360,6 +2377,7 @@ object LlmQueries {
     "boilerplate_removal" -> boilerplateRemoval,
     "temperature_resample" -> temperatureResample,
     "inverted_index" -> invertedIndex,
+    "bm25_topk" -> bm25Topk,
     "dedup_incremental" -> dedupIncremental,
     "dedup_incremental_bucketed" -> dedupIncrementalBucketed,
     "split_train_val" -> splitTrainVal,
@@ -2610,6 +2628,35 @@ object LlmQueries {
       |  round(CAST(sum(length(bin(c.c)) - 1) AS DOUBLE) / count(*), 6) AS mean_log2
       |FROM t2 JOIN c USING (token)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** The quantized-BM25 scoring chain up to the per-(query, doc) score
+    * table `sc` — ONE source of truth shared by `bm25_topk` and
+    * `hybrid_rerank` (the Spark twin is [[Retrieval.bm25TopK]]):
+    * bit-length idf, milli-unit k1=1.2/b=0.75 length norm, micro-point
+    * scores, truncating integer division at every step. */
+  private val sqlBm25Ctes: String =
+    """toks AS (SELECT doc_id, unnest(regexp_split_to_array(
+      |    trim(regexp_replace(regexp_replace(lower(text), '[.,;:!?]', '', 'g'), ' +', ' ', 'g')),
+      |    ' ')) AS token FROM documents),
+      |t2 AS (SELECT doc_id, token FROM toks WHERE length(token) > 0),
+      |tf AS (SELECT doc_id, token, count(*) AS tf FROM t2 GROUP BY doc_id, token),
+      |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+      |st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total FROM dl),
+      |idf AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+      |qt AS (SELECT DISTINCT doc_id AS query_id, token FROM t2 WHERE doc_id < 5),
+      |c AS (SELECT qt.query_id, tf.doc_id, tf.tf, dl.dl,
+      |    length(bin(st.n_docs // idf.df)) - 1 AS idf2,
+      |    (st.total * 1000) // st.n_docs AS avgdl_milli
+      |  FROM tf JOIN qt USING (token) JOIN idf USING (token)
+      |  JOIN dl ON tf.doc_id = dl.doc_id, st
+      |  WHERE qt.query_id <> tf.doc_id),
+      |s1 AS (SELECT query_id, doc_id, idf2, tf,
+      |    tf * 1000 + (1200 * ((1000 - 750)
+      |      + (750 * ((dl * 1000000) // avgdl_milli)) // 1000)) // 1000 AS denom_milli
+      |  FROM c),
+      |sc AS (SELECT query_id, doc_id,
+      |    CAST(sum((idf2 * tf * 2200 * 1000) // denom_milli) AS BIGINT) AS score_micro
+      |  FROM s1 GROUP BY query_id, doc_id)""".stripMargin
 
   /** The quality formula as DuckDB SQL — ONE source of truth shared by
     * `quality_score` and `dedup_keep_best` (the Spark twin is
@@ -3782,6 +3829,15 @@ object LlmQueries {
         |  FROM top GROUP BY token)
         |SELECT df.token, df.df, p.postings FROM df JOIN p USING (token)
         |ORDER BY token""".stripMargin,
+    // quantized BM25 replayed verbatim: bit-length idf, milli/micro
+    // fixed point with truncating integer division at every step —
+    // `//` (DuckDB) and `DIV` (Spark) agree on non-negative BIGINTs
+    "bm25_topk" ->
+      s"""WITH $sqlBm25Ctes
+        |SELECT query_id, doc_id, score_micro FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score_micro DESC, doc_id) AS rk FROM sc)
+        |WHERE rk <= 10 ORDER BY query_id, doc_id""".stripMargin,
     // the oracle replays the banner injection, the disjoint 8-word
     // span quantization, the distinct-doc df rule, and the kept-text
     // md5 reconstruction (position-ordered string_agg)

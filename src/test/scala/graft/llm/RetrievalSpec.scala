@@ -1,0 +1,88 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** [[Retrieval.bm25TopK]] — the quantized-integer BM25 ranker.
+  *
+  * The main test replays the ENTIRE integer formula in plain Scala over
+  * a hand-built corpus and asserts bit-exact score equality — the same
+  * replay discipline the DuckDB oracle applies at the catalog gate, but
+  * with hand-checkable intermediate values (idf bit-lengths, the
+  * milli-unit length norm) pinned in the fixture design. */
+class RetrievalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // fixture: 8 docs, engineered df spread for the bit-length idf —
+  //   apple  df=3 → 8 div 3 = 2 → idf2 = 1
+  //   banana df=2 → 8 div 2 = 4 → idf2 = 2
+  //   common df=8 → 8 div 8 = 1 → idf2 = 0  (ubiquitous ⇒ no signal)
+  private val docs = Seq(
+    0L -> "apple banana common",
+    1L -> "apple apple apple common pad pad pad pad",
+    2L -> "apple common",
+    3L -> "banana common",
+    4L -> "common pad",
+    5L -> "common",
+    6L -> "common pad pad",
+    7L -> "common zebra")
+
+  /** The quantized formula, re-derived independently in plain Scala. */
+  private def expectedScores(qId: Long): Map[Long, Long] = {
+    val toks = docs.map { case (id, t) => id -> t.split(" ").toSeq }
+    val tf = toks.flatMap { case (id, ts) => ts.map(id -> _) }
+      .groupBy(identity).map { case ((id, t), v) => (id, t) -> v.size.toLong }
+    val dl = toks.map { case (id, ts) => id -> ts.size.toLong }.toMap
+    val n = docs.size.toLong
+    val avgdlMilli = dl.values.sum * 1000 / n
+    val df = tf.keys.groupBy(_._2).map { case (t, v) => t -> v.size.toLong }
+    val qTerms = toks.toMap.apply(qId).distinct
+    val perDoc = for {
+      (id, _) <- docs if id != qId
+      t <- qTerms if tf.contains((id, t))
+    } yield {
+      val idf2 = (63 - java.lang.Long.numberOfLeadingZeros(n / df(t))).toLong
+      val tfv = tf((id, t))
+      val dlnormMilli = dl(id) * 1000000 / avgdlMilli
+      val denomMilli = tfv * 1000 + (1200 * (250 + (750 * dlnormMilli) / 1000)) / 1000
+      id -> idf2 * tfv * 2200 * 1000 / denomMilli
+    }
+    perDoc.groupBy(_._1).map { case (id, v) => id -> v.map(_._2).sum }
+  }
+
+  private def run(k: Int): Map[Long, Long] = {
+    val df = docs.toDF("doc_id", "text")
+    Retrieval.bm25TopK(df, df.filter($"doc_id" === 0L),
+        "doc_id", "text", "doc_id", "text", k = k, excludeSelf = true)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+  }
+
+  test("bm25TopK: scores are bit-identical to an independent integer replay") {
+    val got = run(k = 10)
+    assert(got == expectedScores(0L), s"got $got, want ${expectedScores(0L)}")
+  }
+
+  test("bm25TopK: ubiquitous terms score zero, rarer term outranks commoner at equal length") {
+    val got = run(k = 10)
+    // doc 5 contains ONLY the ubiquitous term: a candidate, but score 0
+    assert(got(5L) == 0L)
+    // docs 2 and 3 have identical length and tf=1; banana (idf2=2)
+    // must outrank apple (idf2=1)
+    assert(got(3L) > got(2L))
+    // the self doc is excluded before ranking, not merely dropped after
+    assert(!got.contains(0L))
+    // every non-self doc shares "common", so all 7 are candidates —
+    // those sharing ONLY the zero-idf term score exactly 0
+    assert(got.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L, 7L) && got(7L) == 0L)
+  }
+
+  test("bm25TopK: k bounds the per-query rows; ties break by ascending doc id") {
+    val top2 = run(k = 2)
+    assert(top2.size == 2)
+    val all = run(k = 10)
+    val bestTwo = all.toSeq.sortBy { case (id, s) => (-s, id) }.take(2).toMap
+    assert(top2 == bestTwo)
+  }
+}

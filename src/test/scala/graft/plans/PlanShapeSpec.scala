@@ -306,22 +306,50 @@ class PlanShapeSpec extends AnyFunSuite {
       s"no hash shuffle — only the final sort may exchange:\n$plan")
   }
 
-  test("embedding_moments: one scan, one shuffle, partial agg absorbs the d² fan-out") {
+  test("embedding_moments: one scan, one buffer-per-partition shuffle, no per-row explode") {
     val df = graft.SparkEntry.queries("embedding_moments")(spark, TestSpark.sfDir)
     val plan = df.queryExecution.executedPlan.toString
-    // first moments ride the pair aggregate: no join of any kind
+    // first moments ride the same buffer: no join of any kind
     assert(!plan.contains("Join"), s"moments must need no join:\n$plan")
     assert("FileScan".r.findAllIn(plan).size == 1, s"exactly one corpus scan:\n$plan")
-    // one hash exchange (the d²-group aggregate) + the final sort's range
-    // exchange — nothing else moves data
-    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
-      s"exactly one hash shuffle:\n$plan")
-    // the partial aggregate must sit BELOW the exchange (map-side combine
-    // of the explode fan-out — the property that bounds the shuffle at
-    // O(partitions · d²))
-    val exAt = plan.indexOf("Exchange hashpartitioning")
-    assert(plan.substring(exAt).contains("partial_sum"),
-      s"partial aggregation must run scan-side, below the exchange:\n$plan")
+    // the typed aggregator folds each partition into ONE flat buffer;
+    // the only exchange moves those buffers to a single merge task
+    assert("Exchange SinglePartition".r.findAllIn(plan).size == 1,
+      s"exactly one single-partition buffer exchange:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"no per-cell hash shuffle may exist:\n$plan")
+    // the partial aggregate must sit BELOW the exchange (the property
+    // that bounds the shuffle at one ~4·d²-byte buffer per partition)
+    val exAt = plan.indexOf("Exchange SinglePartition")
+    assert(plan.substring(exAt).contains("partial_momentsaggregator"),
+      s"the buffer fold must run scan-side, below the exchange:\n$plan")
+    // the corpus-side Generate (per-row d² explode) is gone; the ONLY
+    // explode unpacks the final d(d+1)/2-row result ABOVE the aggregate
+    val genAt = plan.indexOf("Generate explode")
+    assert(genAt >= 0 && genAt < exAt && plan.indexOf("Generate explode", exAt) < 0,
+      s"explode must unpack the merged result only, never corpus rows:\n$plan")
+  }
+
+  test("bm25_topk: query side broadcasts; ranking is heap-pruned, not a window") {
+    val df = graft.queries.LlmQueries.bm25Topk(spark, TestSpark.sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the query-term probe, the idf attach and the dl attach all reach
+    // the candidate path as broadcasts — the corpus tf index never
+    // shuffles again to meet the query side
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3,
+      s"query-side joins must broadcast:\n$plan")
+    // the only nested-loop is the 1-row corpus-stats crossJoin
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size == 1 &&
+      !plan.contains("CartesianProduct"),
+      s"only the 1-row stats crossJoin may nest:\n$plan")
+    // self-exclusion is pushed into the probe join condition, so self
+    // rows never reach scoring
+    assert(plan.contains("NOT (query_id"), s"self filter must ride the probe join:\n$plan")
+    // GroupTopK's two passes (partition-local heap prune, then exact
+    // per-group finish) — and no row_number window over the candidates
+    assert("MapPartitions graft.operators.GroupTopK".r.findAllIn(plan).size == 2,
+      s"ranking must be the two-pass heap prune:\n$plan")
+    assert(!plan.contains("Window"), s"no window ranking allowed:\n$plan")
   }
 
   test("bpe_pair_stats: pair explosion runs over the aggregated vocabulary, not the corpus") {
