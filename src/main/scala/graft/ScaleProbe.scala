@@ -111,7 +111,10 @@ object ScaleProbe {
     "bpe_encode_bytes",
     // quantized BM25: the tf index build is the corpus pass; query
     // side broadcasts; candidate volume tracks Σ df over query terms
-    "bm25_topk")
+    "bm25_topk",
+    // stage 2 broadcasts k·|queries| candidates against the embedding
+    // scan — its cost must stay flat as the corpus grows
+    "hybrid_rerank")
 
   private def rot(s: String, k: Int): String = s.drop(k % s.length) + s.take(k % s.length)
 

@@ -123,4 +123,68 @@ object Retrieval {
     GroupTopK.topK(scores, Seq("query_id"),
       Seq(("score_micro", false), ("doc_id", true)), k)
   }
+
+  /** Hybrid retrieval: lexical candidate generation, semantic re-rank —
+    * the two-stage shape production retrieval uses (recall from the
+    * cheap inverted index, precision from embeddings). Stage 1 is
+    * [[bm25TopK]] with `candidateK` slots; stage 2 re-ranks the
+    * candidates by the QUANTIZED integer dot product of their
+    * embeddings with the query's embedding — `Σ ⌊e_i·1000⌋·⌊q_i·1000⌋`,
+    * exact 64-bit arithmetic, which on unit-norm embeddings is cosine
+    * in fixed 1e-6 units (non-normalized corpora should pre-normalize,
+    * the standard embedding-store convention). Keeping the re-rank key
+    * integer keeps the ranking bit-portable — no float tie exists for
+    * two engines to break differently.
+    *
+    * Shape at 100 TB: stage 1's shape is [[bm25TopK]]'s; stage 2 never
+    * touches the corpus — the candidate set (k·|queries| rows) is
+    * BROADCAST against the embedding table, so attaching candidate
+    * vectors is a scan-side probe of `embeddings` with no shuffle, the
+    * query vectors broadcast the same way, and the dot product is one
+    * narrow zip_with/aggregate map. The final top-k is [[GroupTopK]]
+    * over k·|queries| rows.
+    *
+    * `embeddings` must be keyed by the corpus id space (`embIdCol` ↔
+    * `idCol`). Candidates with no embedding row are dropped — a corpus
+    * row that skipped the embedding pass cannot be semantically ranked.
+    *
+    * Output: (query_id, doc_id, score_micro, dot_q), top-`k` per query
+    * by (dot_q desc, doc_id asc). */
+  def hybridRerank(
+      corpus: DataFrame,
+      queries: DataFrame,
+      embeddings: DataFrame,
+      idCol: String,
+      textCol: String,
+      qIdCol: String,
+      qTextCol: String,
+      embIdCol: String,
+      embCol: String,
+      candidateK: Int = 20,
+      k: Int = 5,
+      k1Milli: Int = 1200,
+      bMilli: Int = 750,
+      excludeSelf: Boolean = false): DataFrame = {
+    require(k > 0 && candidateK >= k, s"need candidateK >= k > 0; got candidateK=$candidateK k=$k")
+    val quant: Column => Column =
+      e => transform(e, x => floor(x.cast("double") * 1000).cast("long"))
+    val cands = bm25TopK(corpus, queries, idCol, textCol, qIdCol, qTextCol,
+      candidateK, k1Milli, bMilli, excludeSelf)
+    // candidate ids are k·|queries| rows: broadcast them against the
+    // embedding table so the corpus-sized side never shuffles
+    val docVecs = embeddings
+      .join(broadcast(cands), col(embIdCol) === col("doc_id"))
+      .select(col("query_id"), col("doc_id"), col("score_micro"),
+        quant(col(embCol)).as("dv"))
+    val queryVecs = broadcast(embeddings
+      .join(broadcast(queries.select(col(qIdCol).as("query_id")).distinct()),
+        col(embIdCol) === col("query_id"))
+      .select(col("query_id"), quant(col(embCol)).as("qv")))
+    val rescored = docVecs.join(queryVecs, "query_id")
+      .withColumn("dot_q", expr(
+        "aggregate(zip_with(dv, qv, (a, b) -> a * b), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+      .select("query_id", "doc_id", "score_micro", "dot_q")
+    GroupTopK.topK(rescored, Seq("query_id"),
+      Seq(("dot_q", false), ("doc_id", true)), k)
+  }
 }

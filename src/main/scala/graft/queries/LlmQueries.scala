@@ -1154,6 +1154,23 @@ object LlmQueries {
       .orderBy("query_id", "doc_id")
   }
 
+  /** Two-stage hybrid retrieval ([[Retrieval.hybridRerank]]): BM25
+    * recall (top-20 candidates per query, the `bm25_topk` stage) →
+    * semantic precision (re-rank by the quantized integer dot product
+    * against the query's embedding — cosine in 1e-6 units on the
+    * unit-norm fixture), top-5 each. The embeddings table shares the
+    * documents id space. Stage 2 never touches the corpus: candidates
+    * broadcast against the embedding scan; the oracle replays both
+    * stages over the shared BM25 CTE block. */
+  val hybridRerank: Q = (s, dir) => {
+    val docs = Tables(s, dir, "documents")
+    Retrieval.hybridRerank(docs, docs.filter(col("doc_id") < 5),
+        Tables(s, dir, "embeddings"),
+        "doc_id", "text", "doc_id", "text", "vec_id", "embedding",
+        candidateK = 20, k = 5, excludeSelf = true)
+      .orderBy("query_id", "doc_id")
+  }
+
   /** C4-style cross-document boilerplate removal
     * ([[TextAnalysis.boilerplateSpans]]): disjoint 8-word spans,
     * boilerplate = span in ≥2 distinct docs, removed from EVERY doc
@@ -2378,6 +2395,7 @@ object LlmQueries {
     "temperature_resample" -> temperatureResample,
     "inverted_index" -> invertedIndex,
     "bm25_topk" -> bm25Topk,
+    "hybrid_rerank" -> hybridRerank,
     "dedup_incremental" -> dedupIncremental,
     "dedup_incremental_bucketed" -> dedupIncrementalBucketed,
     "split_train_val" -> splitTrainVal,
@@ -3838,6 +3856,30 @@ object LlmQueries {
         |  SELECT *, row_number() OVER (PARTITION BY query_id
         |    ORDER BY score_micro DESC, doc_id) AS rk FROM sc)
         |WHERE rk <= 10 ORDER BY query_id, doc_id""".stripMargin,
+    // stage 1 = the shared BM25 block (top-20); stage 2 = exact integer
+    // dot of 1e-3-quantized embeddings (cosine in 1e-6 units on the
+    // unit-norm fixture), top-5 by (dot_q DESC, doc_id)
+    "hybrid_rerank" ->
+      s"""WITH $sqlBm25Ctes,
+        |cand AS (SELECT query_id, doc_id, score_micro FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score_micro DESC, doc_id) AS rk FROM sc)
+        |  WHERE rk <= 20),
+        |qv AS (SELECT vec_id AS query_id, i,
+        |    CAST(floor(CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE) * 1000) AS BIGINT) AS q
+        |  FROM embeddings, unnest(range(0, len(embedding))) t(i) WHERE vec_id < 5),
+        |dv AS (SELECT vec_id AS doc_id, i,
+        |    CAST(floor(CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE) * 1000) AS BIGINT) AS q
+        |  FROM embeddings, unnest(range(0, len(embedding))) t(i)),
+        |dots AS (SELECT c.query_id, c.doc_id, c.score_micro,
+        |    CAST(sum(dv.q * qv.q) AS BIGINT) AS dot_q
+        |  FROM cand c JOIN dv ON dv.doc_id = c.doc_id
+        |  JOIN qv ON qv.query_id = c.query_id AND qv.i = dv.i
+        |  GROUP BY c.query_id, c.doc_id, c.score_micro)
+        |SELECT query_id, doc_id, score_micro, dot_q FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY dot_q DESC, doc_id) AS rk FROM dots)
+        |WHERE rk <= 5 ORDER BY query_id, doc_id""".stripMargin,
     // the oracle replays the banner injection, the disjoint 8-word
     // span quantization, the distinct-doc df rule, and the kept-text
     // md5 reconstruction (position-ordered string_agg)

@@ -78,6 +78,56 @@ class RetrievalSpec extends AnyFunSuite {
     assert(got.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L, 7L) && got(7L) == 0L)
   }
 
+  // 2-d embeddings for the hybrid stage: query 0 points along +x;
+  // doc 2 aligns with it, doc 3 (the bm25 winner) points away — so the
+  // semantic re-rank must INVERT the lexical order of docs 2 and 3
+  private val embs = Seq(
+    0L -> Array(1.0f, 0.0f),
+    1L -> Array(0.0f, 1.0f),
+    2L -> Array(0.8f, 0.6f),
+    3L -> Array(-0.6f, 0.8f),
+    4L -> Array(0.6f, -0.8f),
+    5L -> Array(-1.0f, 0.0f),
+    6L -> Array(0.0f, -1.0f),
+    7L -> Array(0.28f, 0.96f))
+
+  private def runHybrid(candidateK: Int, k: Int): Seq[(Long, Long, Long, Long)] = {
+    val df = docs.toDF("doc_id", "text")
+    val ev = embs.toDF("vec_id", "embedding")
+    Retrieval.hybridRerank(df, df.filter($"doc_id" === 0L), ev,
+        "doc_id", "text", "doc_id", "text", "vec_id", "embedding",
+        candidateK = candidateK, k = k, excludeSelf = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+  }
+
+  test("hybridRerank: dot_q is the exact quantized integer dot; re-rank inverts lexical order") {
+    val got = runHybrid(candidateK = 7, k = 7)
+    val dots = got.map(r => r._2 -> r._4).toMap
+    // independent replay: quantize exactly as the operator does
+    val em = embs.toMap
+    def qdot(a: Long, b: Long): Long =
+      em(a).zip(em(b)).map { case (x, y) =>
+        math.floor(x.toDouble * 1000).toLong * math.floor(y.toDouble * 1000).toLong }.sum
+    for ((id, d) <- dots) assert(d == qdot(0L, id), s"doc $id: got $d, want ${qdot(0L, id)}")
+    // bm25 alone ranks doc 3 above doc 2 (rarer term); the embedding
+    // stage must flip them (doc 2 aligns with the query, doc 3 opposes)
+    val bm25 = run(k = 10)
+    assert(bm25(3L) > bm25(2L))
+    assert(dots(2L) > dots(3L))
+    val order = got.sortBy(r => (-r._4, r._2)).map(_._2)
+    assert(order.indexOf(2L) < order.indexOf(3L))
+    // bm25 scores ride through unchanged
+    assert(got.map(r => r._2 -> r._3).toMap.forall { case (id, s) => s == bm25(id) })
+  }
+
+  test("hybridRerank: candidateK gates stage 2 — a semantic winner outside the lexical top-k never appears") {
+    val bm25 = run(k = 10)
+    val lexBest = bm25.toSeq.sortBy { case (id, s) => (-s, id) }.head._1
+    val one = runHybrid(candidateK = 1, k = 1)
+    assert(one.map(_._2) == Seq(lexBest),
+      s"with candidateK=1 only the lexical best ($lexBest) may survive, got $one")
+  }
+
   test("bm25TopK: k bounds the per-query rows; ties break by ascending doc id") {
     val top2 = run(k = 2)
     assert(top2.size == 2)

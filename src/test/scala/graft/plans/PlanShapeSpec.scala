@@ -352,6 +352,22 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), s"no window ranking allowed:\n$plan")
   }
 
+  test("hybrid_rerank: stage 2 probes the embedding scan via broadcast, never shuffles it") {
+    val df = graft.queries.LlmQueries.hybridRerank(spark, TestSpark.sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the candidate set broadcasts against the embedding table: the
+    // embedding scan is the STREAMED side of a vec_id-keyed broadcast
+    // join, and no exchange ever partitions on vec_id
+    assert(plan.contains("BroadcastHashJoin [vec_id"),
+      s"candidates must broadcast against the embedding scan:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning(vec_id"),
+      s"the embedding table must never shuffle:\n$plan")
+    // both ranking stages are GroupTopK's two-pass heap prune
+    assert("MapPartitions graft.operators.GroupTopK".r.findAllIn(plan).size == 4,
+      s"stage-1 and stage-2 rankings must both heap-prune:\n$plan")
+    assert(!plan.contains("Window"), s"no window ranking allowed:\n$plan")
+  }
+
   test("bpe_pair_stats: pair explosion runs over the aggregated vocabulary, not the corpus") {
     val df = graft.SparkEntry.queries("bpe_pair_stats")(spark, TestSpark.sfDir)
     val plan = df.queryExecution.executedPlan.toString
