@@ -114,7 +114,10 @@ object ScaleProbe {
     "bm25_topk",
     // stage 2 broadcasts k·|queries| candidates against the embedding
     // scan — its cost must stay flat as the corpus grows
-    "hybrid_rerank")
+    "hybrid_rerank",
+    // the production probe path: rep 1 pays the one-time bucketed
+    // index write, the timed min reflects the index-only probe
+    "bm25_topk_persisted")
 
   private def rot(s: String, k: Int): String = s.drop(k % s.length) + s.take(k % s.length)
 

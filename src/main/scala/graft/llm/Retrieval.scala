@@ -72,21 +72,49 @@ object Retrieval {
       k1Milli: Int = 1200,
       bMilli: Int = 750,
       excludeSelf: Boolean = false): DataFrame = {
+    // the tf index feeds three consumers (the probe, dl, df): checkpoint
+    // it lazily so the corpus scan + explode + aggregate run ONCE (the
+    // shared-stage rule); a production deployment persists this index
+    // ([[buildTfIndex]] written bucketBy(token) — the
+    // `bm25_topk_persisted` gate) and probes it via [[bm25FromIndex]]
+    bm25FromIndex(buildTfIndex(corpus, idCol, textCol).localCheckpoint(false),
+      queries, qIdCol, qTextCol, k, k1Milli, bMilli, excludeSelf)
+  }
+
+  /** The (doc_id, token, tf) term-frequency index [[bm25FromIndex]]
+    * probes — ONE corpus scan + ONE (doc, token) shuffle. Persist it
+    * `bucketBy(n, "token")` so index-side aggregations (df) and future
+    * probes run with zero Exchange, exactly like the dedup family's
+    * bucketed corpus-hash table. */
+  def buildTfIndex(corpus: DataFrame, idCol: String, textCol: String): DataFrame =
+    corpus
+      .select(col(idCol).as("doc_id"),
+        explode(split(TextAnalysis.normalizeText(col(textCol)), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+
+  /** BM25 ranking against a PREBUILT tf index — the production probe
+    * path: at 100 TB the index is written once (bucketed by token) and
+    * every query batch runs this, never touching the raw corpus. `tf`
+    * must carry (doc_id, token, tf); `dlOpt` optionally supplies the
+    * persisted per-doc length table (doc_id, dl) — derived from `tf`
+    * with one doc-keyed shuffle when absent, fine for an in-memory
+    * index but corpus-scale work a deployment persists away. */
+  def bm25FromIndex(
+      tf: DataFrame,
+      queries: DataFrame,
+      qIdCol: String,
+      qTextCol: String,
+      k: Int = 10,
+      k1Milli: Int = 1200,
+      bMilli: Int = 750,
+      excludeSelf: Boolean = false,
+      dlOpt: Option[DataFrame] = None): DataFrame = {
     require(k > 0, "k must be positive")
     require(k1Milli >= 0 && bMilli >= 0 && bMilli <= 1000,
       s"k1Milli must be >= 0 and bMilli in [0, 1000]; got k1Milli=$k1Milli bMilli=$bMilli")
 
-    val toks = corpus
-      .select(col(idCol).as("doc_id"),
-        explode(split(TextAnalysis.normalizeText(col(textCol)), " ")).as("token"))
-      .filter(length(col("token")) > 0)
-    // the tf index feeds three consumers (the probe, dl, df): checkpoint
-    // it lazily so the corpus scan + explode + aggregate run ONCE (the
-    // shared-stage rule); a production deployment persists this index
-    // (the `inverted_index` table) and skips the build entirely
-    val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-      .localCheckpoint(false)
-    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val dl = dlOpt.getOrElse(tf.groupBy("doc_id").agg(sum("tf").as("dl")))
     // 1-row corpus stats, broadcast via the crossJoin convention
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("total_tokens"))
 

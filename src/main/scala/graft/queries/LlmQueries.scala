@@ -1154,6 +1154,28 @@ object LlmQueries {
       .orderBy("query_id", "doc_id")
   }
 
+  /** The PRODUCTION BM25 deployment shape ([[Retrieval.bm25FromIndex]]):
+    * the tf index is persisted ONCE, `bucketBy(8, token)` (plus the
+    * per-doc length side table), and the probe runs against the tables —
+    * the raw corpus is never scanned at query time, and the index-side
+    * df aggregation runs with ZERO Exchange on the bucketed scan
+    * (PlanShapeSpec pins both). Identical results to `bm25_topk` by
+    * construction — the shared oracle SQL makes divergence impossible. */
+  val bm25TopkPersisted: Q = (s, dir) => {
+    val docs = Tables(s, dir, "documents")
+    val Seq(tfT, dlT) = BucketCache.tables(s, s"bm25_index:$dir", { (tag, tmp) =>
+      val tf = Retrieval.buildTfIndex(docs, "doc_id", "text").localCheckpoint(false)
+      tf.write.bucketBy(8, "token").sortBy("token")
+        .option("path", s"$tmp/tf").mode("overwrite").saveAsTable(s"graft_bm25_tf_$tag")
+      tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+        .write.option("path", s"$tmp/dl").mode("overwrite").saveAsTable(s"graft_bm25_dl_$tag")
+      Seq(s"graft_bm25_tf_$tag", s"graft_bm25_dl_$tag")
+    })
+    Retrieval.bm25FromIndex(s.table(tfT), docs.filter(col("doc_id") < 5),
+        "doc_id", "text", k = 10, excludeSelf = true, dlOpt = Some(s.table(dlT)))
+      .orderBy("query_id", "doc_id")
+  }
+
   /** Two-stage hybrid retrieval ([[Retrieval.hybridRerank]]): BM25
     * recall (top-20 candidates per query, the `bm25_topk` stage) →
     * semantic precision (re-rank by the quantized integer dot product
@@ -2395,6 +2417,7 @@ object LlmQueries {
     "temperature_resample" -> temperatureResample,
     "inverted_index" -> invertedIndex,
     "bm25_topk" -> bm25Topk,
+    "bm25_topk_persisted" -> bm25TopkPersisted,
     "hybrid_rerank" -> hybridRerank,
     "dedup_incremental" -> dedupIncremental,
     "dedup_incremental_bucketed" -> dedupIncrementalBucketed,
@@ -2675,6 +2698,15 @@ object LlmQueries {
       |sc AS (SELECT query_id, doc_id,
       |    CAST(sum((idf2 * tf * 2200 * 1000) // denom_milli) AS BIGINT) AS score_micro
       |  FROM s1 GROUP BY query_id, doc_id)""".stripMargin
+
+  /** The in-memory and persisted-index BM25 gates share this ONE SQL —
+    * a layout variant cannot drift from its reference result. */
+  private val sqlBm25TopK: String =
+    s"""WITH $sqlBm25Ctes
+      |SELECT query_id, doc_id, score_micro FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY score_micro DESC, doc_id) AS rk FROM sc)
+      |WHERE rk <= 10 ORDER BY query_id, doc_id""".stripMargin
 
   /** The quality formula as DuckDB SQL — ONE source of truth shared by
     * `quality_score` and `dedup_keep_best` (the Spark twin is
@@ -3850,12 +3882,10 @@ object LlmQueries {
     // quantized BM25 replayed verbatim: bit-length idf, milli/micro
     // fixed point with truncating integer division at every step —
     // `//` (DuckDB) and `DIV` (Spark) agree on non-negative BIGINTs
-    "bm25_topk" ->
-      s"""WITH $sqlBm25Ctes
-        |SELECT query_id, doc_id, score_micro FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY query_id
-        |    ORDER BY score_micro DESC, doc_id) AS rk FROM sc)
-        |WHERE rk <= 10 ORDER BY query_id, doc_id""".stripMargin,
+    "bm25_topk" -> sqlBm25TopK,
+    // the persisted-index deployment is a LAYOUT variant: same result
+    // by construction, same oracle SQL (the shared-oracle rule)
+    "bm25_topk_persisted" -> sqlBm25TopK,
     // stage 1 = the shared BM25 block (top-20); stage 2 = exact integer
     // dot of 1e-3-quantized embeddings (cosine in 1e-6 units on the
     // unit-norm fixture), top-5 by (dot_q DESC, doc_id)

@@ -352,6 +352,31 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), s"no window ranking allowed:\n$plan")
   }
 
+  test("bm25_topk_persisted: probe reads the bucketed index, zero token shuffle, corpus text unscanned") {
+    val df = graft.queries.LlmQueries.bm25TopkPersisted(spark, TestSpark.sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the tf index scan comes from the bucketBy(token) table, and the
+    // index-side df aggregation rides the bucketing: the ONLY
+    // token-keyed exchange in the whole plan is the query side's tiny
+    // distinct-terms aggregate (its subtree scans the query slice of
+    // documents.parquet, never the index)
+    assert(plan.contains("Bucketed: true"),
+      s"the tf index scan must be bucketed:\n$plan")
+    val tokenEx = "Exchange hashpartitioning\\(token".r.findAllMatchIn(plan).toSeq
+    assert(tokenEx.size <= 1, s"at most one token shuffle (the query side):\n$plan")
+    tokenEx.headOption.foreach { m =>
+      val sub = plan.substring(m.start)
+      val scan = sub.linesIterator.find(_.contains("FileScan")).getOrElse("")
+      assert(scan.contains("documents.parquet") && scan.contains("LessThan(doc_id,5)"),
+        s"the token shuffle must sit on the query slice, not the index:\n$scan")
+    }
+    // the raw corpus is never scanned for the probe: every scan of
+    // documents.parquet is the pushed-down query-side slice
+    val docScans = plan.split("\n").filter(_.contains("documents.parquet"))
+    assert(docScans.nonEmpty && docScans.forall(_.contains("LessThan(doc_id,5)")),
+      s"only the query slice may touch the corpus:\n${docScans.mkString("\n")}")
+  }
+
   test("hybrid_rerank: stage 2 probes the embedding scan via broadcast, never shuffles it") {
     val df = graft.queries.LlmQueries.hybridRerank(spark, TestSpark.sfDir)
     val plan = df.queryExecution.executedPlan.toString
