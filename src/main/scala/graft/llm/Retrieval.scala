@@ -215,4 +215,33 @@ object Retrieval {
     GroupTopK.topK(rescored, Seq("query_id"),
       Seq(("dot_q", false), ("doc_id", true)), k)
   }
+
+  /** Reciprocal-rank fusion (Cormack/Clarke/Büttcher) over any number
+    * of ranked lists — the standard way to combine retrievers with
+    * incomparable score scales (lexical + dense being THE case). Each
+    * list contributes `1e6 div (kRrf + rank)` points per (query, doc)
+    * — the classic 1/(60+rank) in exact parts-per-million integer
+    * form, so fusion needs no float arithmetic and no tie
+    * adjudication; a doc absent from a list simply contributes 0.
+    *
+    * Shape at 100 TB: the inputs are ALREADY top-k lists
+    * (k·|queries| rows each), so fusion is a union of tiny frames, one
+    * (query, doc) aggregate, and a [[GroupTopK]] — nothing here
+    * touches a corpus. Every ranking frame must carry
+    * (query_id, doc_id, rank) with rank ≥ 1.
+    *
+    * Output: (query_id, doc_id, rrf_ppm, n_lists), top-`k` per query
+    * by (rrf_ppm desc, doc_id asc); `n_lists` counts how many input
+    * lists surfaced the doc — the fusion witness. */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int = 10, kRrf: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "at least one ranking is required")
+    require(k > 0 && kRrf >= 0, s"need k > 0 and kRrf >= 0; got k=$k kRrf=$kRrf")
+    val contribs = rankings.map(_.select(col("query_id"), col("doc_id"),
+      expr(s"CAST(1000000 AS BIGINT) DIV ($kRrf + rank)").as("contrib")))
+    val scores = contribs.reduce(_ unionAll _)
+      .groupBy("query_id", "doc_id")
+      .agg(sum("contrib").as("rrf_ppm"), count(lit(1)).as("n_lists"))
+    GroupTopK.topK(scores, Seq("query_id"),
+      Seq(("rrf_ppm", false), ("doc_id", true)), k)
+  }
 }

@@ -1193,6 +1193,31 @@ object LlmQueries {
       .orderBy("query_id", "doc_id")
   }
 
+  /** Reciprocal-rank fusion ([[Retrieval.rrfFuse]]) of the lexical and
+    * dense retrievers: BM25 top-10 (the `bm25_topk` stage, ranked) and
+    * exact-cosine top-10 ([[Similarity.bruteForceTopK]], the
+    * `ann_bruteforce` stage restricted to the shared query ids) fused
+    * with the classic 1/(60+rank) rule in exact ppm integers, top-5
+    * per query. `n_lists` witnesses which docs both retrievers agree
+    * on. The ranking windows here run over 50-row top-k frames — the
+    * corpus-sized work lives (and is plan-pinned) in the two input
+    * stages. */
+  val rrfFusion: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(s, dir, "documents")
+    val lex = Retrieval.bm25TopK(docs, docs.filter(col("doc_id") < 5),
+        "doc_id", "text", "doc_id", "text", k = 10, excludeSelf = true)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("score_micro"), asc("doc_id"))))
+      .select("query_id", "doc_id", "rank")
+    val emb = Tables(s, dir, "embeddings")
+    val dense = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 10)
+      .select(col("query_id"), col("corpus_id").as("doc_id"), col("rank"))
+    Retrieval.rrfFuse(Seq(lex, dense), k = 5)
+      .orderBy("query_id", "doc_id")
+  }
+
   /** C4-style cross-document boilerplate removal
     * ([[TextAnalysis.boilerplateSpans]]): disjoint 8-word spans,
     * boilerplate = span in ≥2 distinct docs, removed from EVERY doc
@@ -2419,6 +2444,7 @@ object LlmQueries {
     "bm25_topk" -> bm25Topk,
     "bm25_topk_persisted" -> bm25TopkPersisted,
     "hybrid_rerank" -> hybridRerank,
+    "rrf_fusion" -> rrfFusion,
     "dedup_incremental" -> dedupIncremental,
     "dedup_incremental_bucketed" -> dedupIncrementalBucketed,
     "split_train_val" -> splitTrainVal,
@@ -3886,6 +3912,29 @@ object LlmQueries {
     // the persisted-index deployment is a LAYOUT variant: same result
     // by construction, same oracle SQL (the shared-oracle rule)
     "bm25_topk_persisted" -> sqlBm25TopK,
+    // both retrievers replayed (the shared BM25 block + the
+    // ann_bruteforce cosine ranking over the shared query ids), fused
+    // with exact ppm integer 1/(60+rank) contributions
+    "rrf_fusion" ->
+      s"""WITH $sqlBm25Ctes,
+        |lex AS (SELECT query_id, doc_id, rk AS rank FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score_micro DESC, doc_id) AS rk FROM sc)
+        |  WHERE rk <= 10),
+        |dense AS (SELECT query_id, doc_id, rank FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS rank
+        |    FROM embeddings q JOIN embeddings c ON q.vec_id < 5 AND c.vec_id != q.vec_id)
+        |  WHERE rank <= 10),
+        |u AS (SELECT query_id, doc_id, 1000000 // (60 + rank) AS contrib FROM lex
+        |  UNION ALL SELECT query_id, doc_id, 1000000 // (60 + rank) FROM dense),
+        |f AS (SELECT query_id, doc_id, CAST(sum(contrib) AS BIGINT) AS rrf_ppm,
+        |    count(*) AS n_lists FROM u GROUP BY query_id, doc_id)
+        |SELECT query_id, doc_id, rrf_ppm, n_lists FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY rrf_ppm DESC, doc_id) AS rk2 FROM f)
+        |WHERE rk2 <= 5 ORDER BY query_id, doc_id""".stripMargin,
     // stage 1 = the shared BM25 block (top-20); stage 2 = exact integer
     // dot of 1e-3-quantized embeddings (cosine in 1e-6 units on the
     // unit-norm fixture), top-5 by (dot_q DESC, doc_id)

@@ -128,6 +128,28 @@ class RetrievalSpec extends AnyFunSuite {
       s"with candidateK=1 only the lexical best ($lexBest) may survive, got $one")
   }
 
+  test("rrfFuse: exact ppm contributions, agreement outranks single-list, n_lists witnesses") {
+    val lex = Seq((0L, 10L, 1), (0L, 11L, 2), (0L, 12L, 3))
+      .toDF("query_id", "doc_id", "rank")
+    val dense = Seq((0L, 12L, 1), (0L, 13L, 2), (0L, 11L, 3))
+      .toDF("query_id", "doc_id", "rank")
+    val got = Retrieval.rrfFuse(Seq(lex, dense), k = 10)
+      .collect().map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3)))).toMap
+    def c(rank: Int): Long = 1000000L / (60 + rank)
+    // independent integer replay of every fused score
+    assert(got == Map(
+      10L -> ((c(1), 1L)),
+      11L -> ((c(2) + c(3), 2L)),
+      12L -> ((c(3) + c(1), 2L)),
+      13L -> ((c(2), 1L))))
+    // both two-list docs outrank both one-list docs here — agreement wins
+    assert(got(11L)._1 > got(10L)._1 && got(12L)._1 > got(10L)._1)
+    // k truncates after fusion: top-2 must be exactly the two-list docs
+    val top2 = Retrieval.rrfFuse(Seq(lex, dense), k = 2)
+      .collect().map(_.getLong(1)).toSet
+    assert(top2 == Set(11L, 12L))
+  }
+
   test("bm25TopK: k bounds the per-query rows; ties break by ascending doc id") {
     val top2 = run(k = 2)
     assert(top2.size == 2)
