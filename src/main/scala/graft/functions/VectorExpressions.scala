@@ -219,6 +219,10 @@ case class KmeansArgminExpr(child: Expression, cents: Array[Array[Long]])
   override def dataType: DataType =
     StructType(Seq(StructField("c", IntegerType, nullable = false),
       StructField("d", LongType, nullable = false)))
+  // null is produced for NON-null input too (dimension mismatch, null
+  // element) — inheriting child.nullable would let the optimizer strip
+  // the caller's coalesce null-verdict guard on a non-nullable column
+  override def nullable: Boolean = true
   override def prettyName: String = "kmeans_argmin"
 
   private lazy val isFloat = VecRead.isFloatArray(child.dataType)
@@ -287,6 +291,8 @@ case class KmeansArgminTwoLevelExpr(child: Expression,
   override def dataType: DataType =
     StructType(Seq(StructField("c", IntegerType, nullable = false),
       StructField("d", LongType, nullable = false)))
+  // see KmeansArgminExpr: null verdicts exist for non-null input
+  override def nullable: Boolean = true
   override def prettyName: String = "kmeans_argmin_2l"
 
   private lazy val isFloat = VecRead.isFloatArray(child.dataType)

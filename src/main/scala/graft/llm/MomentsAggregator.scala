@@ -47,6 +47,12 @@ class MomentsAggregator extends Aggregator[Row, MomentsBuf, Row] {
     if (in.isNullAt(0)) return b // null vector: contribute nothing
     val q = in.getSeq[Long](0)
     val d = q.length
+    // empty vector: contribute nothing — matching the explode form,
+    // where a zero-length array emits no (i, j) rows at all. Without
+    // this, an empty array seen first would pin the width at 0 (every
+    // later row throws) or, seen after allocation, throw the uniform-
+    // width require the explode form never raised.
+    if (d == 0) return b
     if (b.dim.isEmpty && d > 0) {
       b.pair = new Array[Long](d * (d + 1) / 2)
       b.dim = new Array[Long](d)

@@ -173,11 +173,22 @@ object Retrieval {
     * over k·|queries| rows.
     *
     * `embeddings` must be keyed by the corpus id space (`embIdCol` ↔
-    * `idCol`). Candidates with no embedding row are dropped — a corpus
-    * row that skipped the embedding pass cannot be semantically ranked.
+    * `idCol`). The two sides of a missing embedding behave differently,
+    * both deliberately:
+    *  - a CANDIDATE doc with no embedding row is dropped — a corpus
+    *    row that skipped the embedding pass cannot be semantically
+    *    ranked (and silently keeping it under a fake score would
+    *    corrupt the ordering);
+    *  - a QUERY with no embedding row keeps ALL its BM25 candidates
+    *    and falls back to lexical (`score_micro`) ordering with
+    *    `dot_q` null — queries and their embeddings often ship on
+    *    different cadences, and losing every result for a
+    *    not-yet-embedded query (the inner-join behavior) is the wrong
+    *    failure mode for a retrieval endpoint.
     *
     * Output: (query_id, doc_id, score_micro, dot_q), top-`k` per query
-    * by (dot_q desc, doc_id asc). */
+    * by (dot_q desc, doc_id asc); per-query fallback order is
+    * (score_micro desc, doc_id asc) with dot_q null. */
   def hybridRerank(
       corpus: DataFrame,
       queries: DataFrame,
@@ -208,12 +219,18 @@ object Retrieval {
       .join(broadcast(queries.select(col(qIdCol).as("query_id")).distinct()),
         col(embIdCol) === col("query_id"))
       .select(col("query_id"), quant(col(embCol)).as("qv")))
-    val rescored = docVecs.join(queryVecs, "query_id")
+    // LEFT join: a query with no embedding row keeps its candidates —
+    // zip_with against the null qv makes dot_q null, and the rank key
+    // coalesces to the lexical score (per query it is all-or-nothing,
+    // so the two scales never mix within one ranking)
+    val rescored = docVecs.join(queryVecs, Seq("query_id"), "left_outer")
       .withColumn("dot_q", expr(
         "aggregate(zip_with(dv, qv, (a, b) -> a * b), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
-      .select("query_id", "doc_id", "score_micro", "dot_q")
+      .withColumn("rank_key", coalesce(col("dot_q"), col("score_micro")))
+      .select("query_id", "doc_id", "score_micro", "dot_q", "rank_key")
     GroupTopK.topK(rescored, Seq("query_id"),
-      Seq(("dot_q", false), ("doc_id", true)), k)
+        Seq(("rank_key", false), ("doc_id", true)), k)
+      .select("query_id", "doc_id", "score_micro", "dot_q")
   }
 
   /** Reciprocal-rank fusion (Cormack/Clarke/Büttcher) over any number
@@ -228,7 +245,12 @@ object Retrieval {
     * (k·|queries| rows each), so fusion is a union of tiny frames, one
     * (query, doc) aggregate, and a [[GroupTopK]] — nothing here
     * touches a corpus. Every ranking frame must carry
-    * (query_id, doc_id, rank) with rank ≥ 1.
+    * (query_id, doc_id, rank) with rank ≥ 1 — rows violating that
+    * contract are FILTERED OUT rather than scored: a rank ≤ 0 would
+    * contribute an inflated/negative score, and rank = −kRrf an
+    * integer division by zero that Spark evaluates to null and
+    * `sum()` then silently swallows — both corrupt fused scores with
+    * no error, so malformed rows never reach the contribution sum.
     *
     * Output: (query_id, doc_id, rrf_ppm, n_lists), top-`k` per query
     * by (rrf_ppm desc, doc_id asc); `n_lists` counts how many input
@@ -236,8 +258,9 @@ object Retrieval {
   def rrfFuse(rankings: Seq[DataFrame], k: Int = 10, kRrf: Int = 60): DataFrame = {
     require(rankings.nonEmpty, "at least one ranking is required")
     require(k > 0 && kRrf >= 0, s"need k > 0 and kRrf >= 0; got k=$k kRrf=$kRrf")
-    val contribs = rankings.map(_.select(col("query_id"), col("doc_id"),
-      expr(s"CAST(1000000 AS BIGINT) DIV ($kRrf + rank)").as("contrib")))
+    val contribs = rankings.map(_.filter(col("rank") >= 1)
+      .select(col("query_id"), col("doc_id"),
+        expr(s"CAST(1000000 AS BIGINT) DIV ($kRrf + rank)").as("contrib")))
     val scores = contribs.reduce(_ unionAll _)
       .groupBy("query_id", "doc_id")
       .agg(sum("contrib").as("rrf_ppm"), count(lit(1)).as("n_lists"))

@@ -41,6 +41,9 @@ object HalfFloat {
   case class HalfToFloatExpr(child: Expression)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = FloatType
+    // a non-null payload of length != 2 also yields null — never
+    // inherit non-nullability from the child
+    override def nullable: Boolean = true
     override def prettyName: String = "half_to_float"
 
     override protected def nullSafeEval(input: Any): Any = {
