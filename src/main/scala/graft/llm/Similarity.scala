@@ -620,13 +620,27 @@ object Similarity {
     * oracle's pinned k=4 / sampleN=16, so the hash gate and the
     * production dial are the same code path. The within-cluster
     * self-join is an equi-join on centroid — never a cartesian — and
-    * at k clusters it fans out at most max(cᵢ)·n rows, capped in
-    * production by the same oversize-cluster drop rule as the LSH
-    * bucket cap. */
+    * it is CAPPED: clusters with more than `maxCluster` members
+    * (default `8 × targetClusterSize` — `autoK` bounds only the
+    * EXPECTED size, and a skewed corpus of near-identical embeddings
+    * concentrates mass in one cluster whose pairing is quadratic) are
+    * EXCLUDED from pair generation, and their members come back with
+    * status `skipped_oversize` — loud, exactly like
+    * [[Dedup.minHashPairs]]' `maxBucket` + [[embeddingBuckets]] audit
+    * convention, never a silent `kept`. [[semDedupClusterSizes]] is
+    * the audit view, and the `pipeline_drop_report` catalog query
+    * surfaces the skipped volume as a stage.
+    *
+    * The assignment frame has FOUR consumers (both pair-join sides,
+    * the verdict join, the cluster-size audit); it is lazily
+    * checkpointed so the corpus scan + argmin run ONCE per call (the
+    * checkpoint-once rule — a persisted deployment materializes the
+    * assignment table instead, the `dedup_semantic_incremental`
+    * shape). */
   def semDedup(corpus: DataFrame, idCol: String, vecCol: String,
       k: Int = 4, sampleN: Int = 16, iters: Int = 2,
       threshold: Double = 0.4, targetClusterSize: Int = 128,
-      knownCount: Long = -1L): DataFrame = {
+      knownCount: Long = -1L, maxCluster: Int = 0): DataFrame = {
     // Resolve (k, training sample) in at most ONE Spark job:
     //  - pinned mode (targetClusterSize <= 0): caller's k AND sampleN
     //    VERBATIM — oracle replays pin both; auto-growing the sample
@@ -637,25 +651,26 @@ object Similarity {
     //  - dial mode cold: count and sample FUSED in one pass
     //    (md5SampleAndCount) — capped at the largest sample the
     //    clamped dial can need, so one pass always suffices
-    val (kEff, sample) =
-      if (targetClusterSize <= 0)
-        (k, md5Sample(corpus, idCol, vecCol, sampleN))
-      else if (knownCount >= 0) {
-        val ke = autoK(knownCount, k, targetClusterSize)
-        (ke, md5Sample(corpus, idCol, vecCol, autoSampleN(ke, sampleN)))
-      } else {
-        val (n, top) = md5SampleAndCount(corpus, idCol, vecCol,
-          math.max(sampleN, autoSampleN(KCap)))
-        val ke = autoK(n, k, targetClusterSize)
-        (ke, top.take(autoSampleN(ke, sampleN)))
-      }
+    val (kEff, sample) = resolveDial(corpus, idCol, vecCol, k, sampleN,
+      targetClusterSize, knownCount)
     val cents = kmeansL2Long(sample.map(quantizeGrid), kEff, iters, floorUpdate = true)
+    val capEff = resolveMaxCluster(maxCluster, targetClusterSize)
+    // checkpoint-once: FOUR consumers below (pair-join both sides, the
+    // verdict join, the cluster-size audit) — without this the corpus
+    // scan + compiled argmin would run once per consumer
     val a = kmeansAssignWith(corpus, cents, idCol, vecCol)
       .select(col(idCol).as("vec_id"), col(vecCol).as("v"),
         col("centroid"), col("dist2"))
-    val losers = a.select(col("centroid"), col("vec_id").as("id_a"),
+      .localCheckpoint(false)
+    // at most kEff rows survive the filter — broadcast back onto `a`
+    val oversize = a.groupBy("centroid").agg(count(lit(1)).as("c_n"))
+      .filter(col("c_n") > capEff)
+      .select(col("centroid"), lit(true).as("is_oversize"))
+    val flagged = a.join(broadcast(oversize), Seq("centroid"), "left_outer")
+    val paired = flagged.filter(col("is_oversize").isNull)
+    val losers = paired.select(col("centroid"), col("vec_id").as("id_a"),
         col("v").as("va"), col("dist2").as("da"))
-      .join(a.select(col("centroid"), col("vec_id").as("id_b"),
+      .join(paired.select(col("centroid"), col("vec_id").as("id_b"),
         col("v").as("vb"), col("dist2").as("db")), Seq("centroid"))
       .filter(col("id_a") < col("id_b"))
       .filter(cosine(col("va"), col("vb")) >= threshold)
@@ -663,9 +678,53 @@ object Similarity {
           (col("da") === col("db") && col("id_a") > col("id_b")),
         col("id_a")).otherwise(col("id_b")).as("vec_id"))
       .distinct()
-    a.join(losers.withColumn("is_dup", lit(true)), Seq("vec_id"), "left_outer")
+    flagged.join(losers.withColumn("is_dup", lit(true)), Seq("vec_id"), "left_outer")
       .select(col("vec_id"), col("centroid"), col("dist2"),
-        when(col("is_dup"), lit("dropped")).otherwise(lit("kept")).as("status"))
+        when(col("is_oversize"), lit("skipped_oversize"))
+          .when(col("is_dup"), lit("dropped")).otherwise(lit("kept")).as("status"))
+  }
+
+  /** The effective [[semDedup]] oversize-cluster cap: explicit when
+    * positive, else 8× the (defaulted) target cluster size — `autoK`
+    * bounds the EXPECTED size at `targetClusterSize`, so a cluster 8×
+    * past it is a skew pathology, not sampling noise. */
+  private[graft] def resolveMaxCluster(maxCluster: Int, targetClusterSize: Int): Int =
+    if (maxCluster > 0) maxCluster
+    else 8 * (if (targetClusterSize > 0) targetClusterSize else 128)
+
+  /** The (effective k, training sample) resolution shared by
+    * [[semDedup]] and [[semDedupClusterSizes]] — at most ONE Spark job
+    * (see the [[semDedup]] scaladoc for the three modes). */
+  private def resolveDial(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, sampleN: Int, targetClusterSize: Int,
+      knownCount: Long): (Int, Array[Array[Double]]) =
+    if (targetClusterSize <= 0)
+      (k, md5Sample(corpus, idCol, vecCol, sampleN))
+    else if (knownCount >= 0) {
+      val ke = autoK(knownCount, k, targetClusterSize)
+      (ke, md5Sample(corpus, idCol, vecCol, autoSampleN(ke, sampleN)))
+    } else {
+      val (n, top) = md5SampleAndCount(corpus, idCol, vecCol,
+        math.max(sampleN, autoSampleN(KCap)))
+      val ke = autoK(n, k, targetClusterSize)
+      (ke, top.take(autoSampleN(ke, sampleN)))
+    }
+
+  /** Per-cluster member counts under the [[semDedup]] dial —
+    * `(centroid, c_n)` — the audit view for the `maxCluster` cap, the
+    * embedding-space sibling of [[Dedup.lshBuckets]] /
+    * [[embeddingBuckets]]: a spike at a huge c_n is the near-identical-
+    * embedding skew signal (and exactly what the cap excludes from
+    * pairing). Same training, same assignment expression, so the sizes
+    * it reports are the sizes [[semDedup]] caps on. */
+  def semDedupClusterSizes(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int = 4, sampleN: Int = 16, iters: Int = 2,
+      targetClusterSize: Int = 128, knownCount: Long = -1L): DataFrame = {
+    val (kEff, sample) = resolveDial(corpus, idCol, vecCol, k, sampleN,
+      targetClusterSize, knownCount)
+    val cents = kmeansL2Long(sample.map(quantizeGrid), kEff, iters, floorUpdate = true)
+    kmeansAssignWith(corpus, cents, idCol, vecCol)
+      .groupBy("centroid").agg(count(lit(1)).as("c_n"))
   }
 
   /** IVF-style approximate top-k: a coarse quantizer (deterministically

@@ -584,11 +584,27 @@ object LlmQueries {
     * a cluster with zero corpus members comes back `new` with
     * n_dups = 0 via the batch-side outer join (an inner join would
     * silently drop that class). */
-  val dedupSemanticIncremental: Q = (s, dir) => {
+  val dedupSemanticIncremental: Q = (s, dir) => dedupSemanticIncrementalWith(s, dir)
+
+  /** [[dedupSemanticIncremental]] with the dials EXPOSED — a deployment
+    * tunes `targetClusterSize` (the k ∝ n dial's denominator) and
+    * `maxCluster` (the oversize-cluster probe cap, default
+    * 8 × targetClusterSize via [[Similarity.resolveMaxCluster]])
+    * instead of inheriting hard-coded defaults. The cap mirrors
+    * [[Similarity.semDedup]]'s skew guard on the PROBE side: a corpus
+    * cluster bigger than the cap would make every batch row routed to
+    * it pay an unbounded in-cluster cosine fan-out, so its members are
+    * excluded from probing and batch rows landing there come back
+    * `skipped_oversize` — loud, never a fake `new`. At the default
+    * dial the cap clears the fixture (no cluster exceeds 8×128), so
+    * the hash gate pins the same code path production runs. */
+  def dedupSemanticIncrementalWith(s: SparkSession, dir: String,
+      targetClusterSize: Int = 128, maxCluster: Int = 0,
+      threshold: Double = 0.4): DataFrame = {
     val e = Tables(s, dir, "embeddings")
     val stats = e.agg(max("vec_id"), count(lit(1))).head
     val off = stats.getLong(0) + 1L
-    val k = Similarity.autoK(stats.getLong(1))
+    val k = Similarity.autoK(stats.getLong(1), targetClusterSize = targetClusterSize)
     val cents = Similarity.kmeansTrainL2(e, "vec_id", "embedding",
       k, Similarity.autoSampleN(k), 2)
     val Seq(tbl) = BucketCache.tables(s, s"semdedup_corpus:$dir:k$k", { (tag, tmp) =>
@@ -605,15 +621,25 @@ object LlmQueries {
       when(hb < 85, col("embedding")).otherwise(shifted).as("embedding"))
     val basg = Similarity.kmeansAssignWith(batch, cents, "vec_id", "embedding")
       .select(col("vec_id").as("b_id"), col("embedding").as("b_vec"), col("centroid"))
-    val hits = s.table(tbl).join(broadcast(basg), Seq("centroid"))
+    // skew guard: corpus clusters past the cap never enter the probe
+    // join (their fan-out is the quadratic the cap exists to stop);
+    // the per-centroid count runs on the bucketed table — no Exchange
+    val capEff = Similarity.resolveMaxCluster(maxCluster, targetClusterSize)
+    val oversize = s.table(tbl).groupBy("centroid").agg(count(lit(1)).as("c_n"))
+      .filter(col("c_n") > capEff)
+      .select(col("centroid"), lit(true).as("is_oversize"))
+    val hits = s.table(tbl).join(broadcast(oversize), Seq("centroid"), "left_anti")
+      .join(broadcast(basg), Seq("centroid"))
       .withColumn("hit",
-        (Similarity.cosine(col("b_vec"), col("c_vec")) >= 0.4).cast("long"))
+        (Similarity.cosine(col("b_vec"), col("c_vec")) >= threshold).cast("long"))
       .groupBy("b_id", "centroid").agg(sum("hit").as("n_dups"))
     basg.select(col("b_id"), col("centroid"))
+      .join(broadcast(oversize), Seq("centroid"), "left_outer")
       .join(hits, Seq("b_id", "centroid"), "left_outer")
       .na.fill(0L, Seq("n_dups"))
       .select(col("b_id").as("vec_id"), col("centroid"), col("n_dups"),
-        when(col("n_dups") > 0, lit("dup_corpus")).otherwise(lit("new")).as("status"))
+        when(col("is_oversize"), lit("skipped_oversize"))
+          .when(col("n_dups") > 0, lit("dup_corpus")).otherwise(lit("new")).as("status"))
       .orderBy("vec_id")
   }
 
@@ -745,6 +771,32 @@ object LlmQueries {
     Similarity.semDedup(Tables(s, dir, "embeddings"), "vec_id", "embedding",
         threshold = 0.4)
       .orderBy("vec_id")
+
+  /** [[Similarity.semDedup]]'s OVERSIZE-CLUSTER cap under skew — the
+    * guard [[dedupSemantic]]'s fixture never fires (no cluster exceeds
+    * 8×128 there). Every third vector is replaced IN-PLAN by one
+    * constant embedding — the mass-near-identical pathology (a stuck
+    * encoder, a default-vector bug) that concentrates corpus mass in
+    * few clusters and makes uncapped within-cluster pairing quadratic.
+    * Under the pinned k=4 trainer the skewed corpus resolves to
+    * clusters of 167/323/4/6 members; `maxCluster = 200` excludes the
+    * 323-cluster from pairing (its members return `skipped_oversize` —
+    * loud, never a silent `kept`), while the 167 identical vectors
+    * still dedup to one kept representative (166 `dropped` at
+    * cosine = 1) and the small clusters pair normally — all three
+    * statuses fire from one fixture. The oracle replays the skew
+    * rewrite, the full Lloyd's training on the REWRITTEN corpus, the
+    * size census, and the cap rule. */
+  val dedupSemanticSkew: Q = (s, dir) => {
+    val e = Tables(s, dir, "embeddings")
+    val skewed = e.select(col("vec_id"),
+      when(col("vec_id") % 3 === 0, transform(col("embedding"), x => lit(0.5f)))
+        .otherwise(col("embedding")).as("embedding"))
+    Similarity.semDedup(skewed, "vec_id", "embedding",
+        k = 4, sampleN = 16, iters = 2, threshold = 0.4,
+        targetClusterSize = 0, maxCluster = 200)
+      .orderBy("vec_id")
+  }
 
   /** Embedding-LSH bucket-size histogram — the audit view for
     * [[Similarity.cosineNearDupPairs]]' hot-bucket cap, the sibling of
@@ -1702,9 +1754,19 @@ object LlmQueries {
     *    slots, a doc in two capped buckets counts twice — the exact
     *    quantity of candidate work skipped);
     *  - `d_neardup`: non-representative members of near-dup
-    *    components (keep-best keeps one per component).
+    *    components (keep-best keeps one per component);
+    *  - `e_semdedup_cluster_cap`: the semantic-dedup sibling of the
+    *    LSH cap made loud — embedding clusters (under the same dial
+    *    `dedup_semantic` runs: k=4/sampleN=16 at this fixture, cap
+    *    8×128 via [[Similarity.resolveMaxCluster]]) whose membership
+    *    exceeds `maxCluster`, which [[Similarity.semDedup]] excludes
+    *    from pairing; counts the clusters and their member rows. Zero
+    *    on this corpus — the TRUE answer (no cluster is oversize; the
+    *    `dedup_semantic_skew` gate proves the counting where it
+    *    fires) — and the oracle still replays the full training +
+    *    census + cap rule, not the constant.
     *
-    * All four are single-row aggregates unioned — the corpus-sized
+    * All five are single-row aggregates unioned — the corpus-sized
     * stages run once each and reduce map-side; the oracle replays the
     * same stages over the shared CTE blocks. */
   val pipelineDropReport: Q = (s, dir) => {
@@ -1753,7 +1815,11 @@ object LlmQueries {
     val dd = stage("d_neardup", lit(0L),
       sum(when(col("keep_id").isNull, 1L).otherwise(0L)),
       s2.join(keep, col("doc_id") === col("keep_id"), "left"))
-    a.unionAll(b).unionAll(c).unionAll(dd).orderBy("stage")
+    val capEff = Similarity.resolveMaxCluster(0, 128)
+    val ee = stage("e_semdedup_cluster_cap", count(lit(1)), sum(col("c_n")),
+      Similarity.semDedupClusterSizes(Tables(s, dir, "embeddings"),
+        "vec_id", "embedding").filter(col("c_n") > capEff))
+    a.unionAll(b).unionAll(c).unionAll(dd).unionAll(ee).orderBy("stage")
   }
 
   /** Cross-SOURCE near-dup leakage matrix — the split-hygiene audit
@@ -2393,6 +2459,7 @@ object LlmQueries {
     "ann_ivf_recall_curve" -> annIvfRecallCurve,
     "dedup_embedding" -> dedupEmbedding,
     "dedup_semantic" -> dedupSemantic,
+    "dedup_semantic_skew" -> dedupSemanticSkew,
     "dedup_semantic_incremental" -> dedupSemanticIncremental,
     "embedding_bucket_histogram" -> embeddingBucketHistogram,
     "embedding_moments" -> embeddingMoments,
@@ -2607,12 +2674,18 @@ object LlmQueries {
     * coalesce). Ends with the trained codebook `k2(c, i, q)` and `af`,
     * the full-corpus exact-BIGINT distance table to every trained
     * centroid — consumers rank `af` for assignment/routing. */
-  private val kmeansTrainCtes: String =
-    """q AS (SELECT vec_id, i,
+  private val kmeansTrainCtes: String = kmeansTrainCtesFrom("embeddings")
+
+  /** [[kmeansTrainCtes]] over an arbitrary `(vec_id, embedding)` source
+    * CTE/table — the skew-fixture gate trains on a REWRITTEN corpus, so
+    * the replay block must be source-parametric; the default-source
+    * alias above keeps every existing oracle byte-identical. */
+  private def kmeansTrainCtesFrom(src: String): String =
+    s"""q AS (SELECT vec_id, i,
       |    CAST(floor(CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE) * 1000) AS BIGINT) AS q
-      |  FROM embeddings, unnest(range(0, len(embedding))) t(i)),
+      |  FROM $src, unnest(range(0, len(embedding))) t(i)),
       |samp AS (SELECT vec_id, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS r
-      |  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+      |  FROM $src ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
       |sq AS (SELECT samp.r, q.i, q.q FROM samp JOIN q ON samp.vec_id = q.vec_id),
       |c0 AS (SELECT i, q FROM sq WHERE r = 0),
       |d0 AS (SELECT sq.r, CAST(sum((sq.q - c0.q) * (sq.q - c0.q)) AS BIGINT) AS d
@@ -2899,12 +2972,12 @@ object LlmQueries {
          |    (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
          |    + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS hb
          |  FROM documents),
-         |d0 AS (
+         |dr0 AS (
          |  SELECT doc_id, text FROM documents
          |  UNION ALL
          |  SELECT d.doc_id + $sqlEchoBase AS doc_id, text
          |  FROM documents d JOIN bkt USING (doc_id) WHERE bkt.hb < 8),
-         |qual AS (SELECT doc_id, text, $sqlQualityExpr AS quality FROM d0),
+         |qual AS (SELECT doc_id, text, $sqlQualityExpr AS quality FROM dr0),
          |s1 AS (SELECT * FROM qual WHERE quality >= 0.8),
          |ex AS (SELECT doc_id, text, quality,
          |    min(doc_id) OVER (PARTITION BY md5(lower(text))) AS first_id FROM s1),
@@ -2916,7 +2989,12 @@ object LlmQueries {
          |r AS (SELECT doc_id, row_number() OVER (PARTITION BY component
          |    ORDER BY quality DESC, doc_id) AS rk FROM grp),
          |k AS (SELECT doc_id FROM r WHERE rk = 1),
-         |bsz AS (SELECT bucket, count(*) AS n FROM bk GROUP BY bucket)
+         |bsz AS (SELECT bucket, count(*) AS n FROM bk GROUP BY bucket),
+         |$kmeansTrainCtes,
+         |sdasg AS (SELECT vec_id, c AS centroid FROM (
+         |    SELECT vec_id, c, d, row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rk
+         |    FROM af) WHERE rk = 1),
+         |sdsz AS (SELECT centroid, count(*) AS c_n FROM sdasg GROUP BY centroid)
          |SELECT 'a_quality' AS stage, CAST(0 AS BIGINT) AS dropped_buckets,
          |  CAST((SELECT count(*) FROM qual WHERE quality < 0.8) AS BIGINT) AS dropped_rows
          |UNION ALL
@@ -2929,6 +3007,10 @@ object LlmQueries {
          |UNION ALL
          |SELECT 'd_neardup', CAST(0 AS BIGINT),
          |  CAST((SELECT count(*) FROM s2 WHERE doc_id NOT IN (SELECT doc_id FROM k)) AS BIGINT)
+         |UNION ALL
+         |SELECT 'e_semdedup_cluster_cap',
+         |  CAST((SELECT count(*) FROM sdsz WHERE c_n > 1024) AS BIGINT),
+         |  CAST((SELECT coalesce(sum(c_n), 0) FROM sdsz WHERE c_n > 1024) AS BIGINT)
          |ORDER BY stage""".stripMargin,
     // pair counts per unordered source pair — the cand CTE is the
     // shared banded-pair replay, sources joined on both ids
@@ -3092,6 +3174,44 @@ object LlmQueries {
          |SELECT asg.vec_id, asg.centroid, asg.dist2,
          |  CASE WHEN losers.vec_id IS NOT NULL THEN 'dropped' ELSE 'kept' END AS status
          |FROM asg LEFT JOIN losers ON asg.vec_id = losers.vec_id
+         |ORDER BY asg.vec_id""".stripMargin),
+    // the skew fixture: rewrite → train on the REWRITTEN corpus →
+    // assign → per-cluster census → cap rule → pairing only below cap
+    "dedup_semantic_skew" ->
+      (s"""WITH skewsrc AS (SELECT vec_id,
+         |    CASE WHEN vec_id % 3 = 0
+         |      THEN list_transform(embedding, x -> CAST(0.5 AS FLOAT))
+         |      ELSE embedding END AS embedding
+         |  FROM embeddings),
+         |${kmeansTrainCtesFrom("skewsrc")},
+         |""".stripMargin +
+       """asg AS (SELECT vec_id, c AS centroid, d AS dist2 FROM (
+         |    SELECT vec_id, c, d, row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rk
+         |    FROM af) WHERE rk = 1),
+         |oversize AS (SELECT centroid FROM (
+         |    SELECT centroid, count(*) AS c_n FROM asg GROUP BY centroid)
+         |  WHERE c_n > 200),
+         |pa AS (SELECT asg.* FROM asg LEFT JOIN oversize USING (centroid)
+         |  WHERE oversize.centroid IS NULL),
+         |prs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.dist2 AS da, b.dist2 AS db
+         |  FROM pa a JOIN pa b ON a.centroid = b.centroid AND a.vec_id < b.vec_id),
+         |pv AS (SELECT p.id_a, p.id_b, ea.embedding AS va, eb.embedding AS vb
+         |  FROM prs p JOIN skewsrc ea ON ea.vec_id = p.id_a
+         |  JOIN skewsrc eb ON eb.vec_id = p.id_b),
+         |terms AS (SELECT id_a, id_b,
+         |    CAST(va[i+1] AS DOUBLE) AS xa, CAST(vb[i+1] AS DOUBLE) AS xb
+         |  FROM pv, unnest(range(0, len(va))) t(i)),
+         |dots AS (SELECT id_a, id_b, sum(xa*xb) AS dot, sum(xa*xa) AS na, sum(xb*xb) AS nb
+         |  FROM terms GROUP BY id_a, id_b),
+         |losers AS (SELECT DISTINCT CASE WHEN p.da < p.db OR (p.da = p.db AND p.id_a > p.id_b)
+         |      THEN p.id_a ELSE p.id_b END AS vec_id
+         |  FROM dots d JOIN prs p ON d.id_a = p.id_a AND d.id_b = p.id_b
+         |  WHERE d.dot / (sqrt(d.na) * sqrt(d.nb)) >= 0.4)
+         |SELECT asg.vec_id, asg.centroid, asg.dist2,
+         |  CASE WHEN oversize.centroid IS NOT NULL THEN 'skipped_oversize'
+         |       WHEN losers.vec_id IS NOT NULL THEN 'dropped' ELSE 'kept' END AS status
+         |FROM asg LEFT JOIN oversize USING (centroid)
+         |LEFT JOIN losers ON asg.vec_id = losers.vec_id
          |ORDER BY asg.vec_id""".stripMargin),
     // Exact top-k ranking IS oracle-able: cosines of the random corpus
     // are well-separated, and both engines' double math agrees on the
