@@ -52,8 +52,18 @@ object Retrieval {
     * the final ranking is [[GroupTopK]] — per-partition heaps, the
     * shuffle carries O(k·queries·partitions) rows, never the candidate
     * table. Candidate volume is bounded by Σ_t df_t over query terms —
-    * stopword-heavy queries should pre-filter terms by df ceiling
-    * (compose with the `top_tokens` stats), exactly as Lucene does.
+    * and `maxDfPpm` is the guard that KEEPS it bounded: query terms
+    * whose document frequency exceeds `maxDfPpm` parts-per-million of
+    * the corpus are dropped BEFORE the candidate join (the Lucene
+    * stopword convention), because one head token ("the") would
+    * otherwise make the candidate set corpus-sized. The ceiling test
+    * is exact integer cross-multiplication (`df · 10⁶ ≤ maxDfPpm · N`),
+    * engine-portable like every other cut in the formula. The default
+    * (1 000 000 = 100%) keeps every term; a query whose EVERY term is
+    * dropped returns no rows — exactly Lucene's all-stopwords
+    * behavior. Head terms also carry the least idf signal (idf2 hits 0
+    * once df ≥ N/2), so a sane ceiling costs little precision by
+    * construction.
     *
     * `excludeSelf` drops candidates whose doc id equals the query id
     * BEFORE ranking (the corpus-as-queries evaluation convention, so a
@@ -71,14 +81,16 @@ object Retrieval {
       k: Int = 10,
       k1Milli: Int = 1200,
       bMilli: Int = 750,
-      excludeSelf: Boolean = false): DataFrame = {
+      excludeSelf: Boolean = false,
+      maxDfPpm: Int = 1000000): DataFrame = {
     // the tf index feeds three consumers (the probe, dl, df): checkpoint
     // it lazily so the corpus scan + explode + aggregate run ONCE (the
     // shared-stage rule); a production deployment persists this index
     // ([[buildTfIndex]] written bucketBy(token) — the
     // `bm25_topk_persisted` gate) and probes it via [[bm25FromIndex]]
     bm25FromIndex(buildTfIndex(corpus, idCol, textCol).localCheckpoint(false),
-      queries, qIdCol, qTextCol, k, k1Milli, bMilli, excludeSelf)
+      queries, qIdCol, qTextCol, k, k1Milli, bMilli, excludeSelf,
+      maxDfPpm = maxDfPpm)
   }
 
   /** The (doc_id, token, tf) term-frequency index [[bm25FromIndex]]
@@ -109,24 +121,39 @@ object Retrieval {
       k1Milli: Int = 1200,
       bMilli: Int = 750,
       excludeSelf: Boolean = false,
-      dlOpt: Option[DataFrame] = None): DataFrame = {
+      dlOpt: Option[DataFrame] = None,
+      maxDfPpm: Int = 1000000): DataFrame = {
     require(k > 0, "k must be positive")
     require(k1Milli >= 0 && bMilli >= 0 && bMilli <= 1000,
       s"k1Milli must be >= 0 and bMilli in [0, 1000]; got k1Milli=$k1Milli bMilli=$bMilli")
+    require(maxDfPpm > 0 && maxDfPpm <= 1000000,
+      s"maxDfPpm must be in (0, 1000000]; got $maxDfPpm")
 
     val dl = dlOpt.getOrElse(tf.groupBy("doc_id").agg(sum("tf").as("dl")))
     // 1-row corpus stats, broadcast via the crossJoin convention
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("total_tokens"))
 
-    val qterms = queries
+    val qtermsAll = queries
       .select(col(qIdCol).as("query_id"),
         explode(array_distinct(split(TextAnalysis.normalizeText(col(qTextCol)), " ")))
           .as("token"))
       .filter(length(col("token")) > 0)
 
     // df only for the query's terms: vocab-sized df never broadcasts whole
-    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
-    val idfQ = df.join(broadcast(qterms.select("token").distinct()), "token")
+    val dfAll = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      .join(broadcast(qtermsAll.select("token").distinct()), "token")
+    // the df ceiling cuts HERE — before the tf probe join below, so a
+    // head token never fans the corpus out in the first place (the
+    // whole point of the guard); the surviving-token set is query-
+    // vocab-sized, so the semi join against it broadcasts
+    val idfQ =
+      if (maxDfPpm >= 1000000) dfAll
+      else dfAll.crossJoin(broadcast(stats.select("n_docs")))
+        .filter(col("df") * lit(1000000L) <= lit(maxDfPpm.toLong) * col("n_docs"))
+        .drop("n_docs")
+    val qterms =
+      if (maxDfPpm >= 1000000) qtermsAll
+      else qtermsAll.join(broadcast(idfQ.select("token")), Seq("token"), "left_semi")
 
     val cand = tf
       .join(broadcast(qterms), "token") // corpus side: no shuffle for the probe
@@ -203,12 +230,13 @@ object Retrieval {
       k: Int = 5,
       k1Milli: Int = 1200,
       bMilli: Int = 750,
-      excludeSelf: Boolean = false): DataFrame = {
+      excludeSelf: Boolean = false,
+      maxDfPpm: Int = 1000000): DataFrame = {
     require(k > 0 && candidateK >= k, s"need candidateK >= k > 0; got candidateK=$candidateK k=$k")
     val quant: Column => Column =
       e => transform(e, x => floor(x.cast("double") * 1000).cast("long"))
     val cands = bm25TopK(corpus, queries, idCol, textCol, qIdCol, qTextCol,
-      candidateK, k1Milli, bMilli, excludeSelf)
+      candidateK, k1Milli, bMilli, excludeSelf, maxDfPpm)
     // candidate ids are k·|queries| rows: broadcast them against the
     // embedding table so the corpus-sized side never shuffles
     val docVecs = embeddings

@@ -1189,6 +1189,28 @@ object LlmQueries {
       .orderBy("token")
   }
 
+  /** The BM25 family's IN-PLAN vocabulary enrichment. The raw synthetic
+    * corpus is 31 distinct tokens, 30 of them in ≥74% of documents —
+    * every `idf2 = ⌊log2(N/df)⌋` is 0, every score is exactly 0, and
+    * "ranking" degenerates to ascending doc_id (discovered round 16:
+    * the family's original gates were hash-green but exercised no idf
+    * arithmetic at all). Two deterministic markers are appended per
+    * document — the `boilerplate_removal` in-plan-fixture convention:
+    *
+    *  - a FINE ring `tag<doc_id % 97>`: df ≈ n/97 → idf2 ≈ 6 — the
+    *    discriminative term that makes ring-mates rank above noise;
+    *  - a PARITY token `even_mark`/`odd_mark`: df = n/2 → idf2 = 1 —
+    *    a genuine mid-frequency term, and exactly what a df ceiling
+    *    between n/2 and n drops (`bm25_topk_maxdf`), so the ceiling
+    *    gate changes real scores instead of shaving zeros.
+    *
+    * The oracle applies the identical rewrite in its `bmdocs` CTE. */
+  private def bm25Docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents").select(col("doc_id"),
+      concat(col("text"), lit(" tag"), (col("doc_id") % 97).cast("string"),
+        when(col("doc_id") % 2 === 0, lit(" even_mark"))
+          .otherwise(lit(" odd_mark"))).as("text"))
+
   /** Quantized-BM25 lexical retrieval ([[Retrieval.bm25TopK]]): the
     * first five documents as queries against the full corpus (the ANN
     * family's corpus-as-queries convention), self-hits excluded before
@@ -1196,11 +1218,13 @@ object LlmQueries {
     * idf, milli-unit k1=1.2 / b=0.75 length norm, micro-point scores —
     * every step truncating 64-bit integer division, so the DuckDB
     * replay of the formula is hash-exact and no float tie adjudication
-    * exists). Scale: the tf index build is the one corpus shuffle (the
+    * exists). Runs over the [[bm25Docs]] marker-enriched corpus so idf
+    * actually varies (6 / 1 / 0 across marker, parity, and head terms).
+    * Scale: the tf index build is the one corpus shuffle (the
     * persisted `inverted_index` shape); the query side broadcasts; the
     * ranking is [[graft.operators.GroupTopK]] map-side-pruned. */
   val bm25Topk: Q = (s, dir) => {
-    val docs = Tables(s, dir, "documents")
+    val docs = bm25Docs(s, dir)
     Retrieval.bm25TopK(docs, docs.filter(col("doc_id") < 5),
         "doc_id", "text", "doc_id", "text", k = 10, excludeSelf = true)
       .orderBy("query_id", "doc_id")
@@ -1214,7 +1238,7 @@ object LlmQueries {
     * (PlanShapeSpec pins both). Identical results to `bm25_topk` by
     * construction — the shared oracle SQL makes divergence impossible. */
   val bm25TopkPersisted: Q = (s, dir) => {
-    val docs = Tables(s, dir, "documents")
+    val docs = bm25Docs(s, dir)
     val Seq(tfT, dlT) = BucketCache.tables(s, s"bm25_index:$dir", { (tag, tmp) =>
       val tf = Retrieval.buildTfIndex(docs, "doc_id", "text").localCheckpoint(false)
       tf.write.bucketBy(8, "token").sortBy("token")
@@ -1228,6 +1252,25 @@ object LlmQueries {
       .orderBy("query_id", "doc_id")
   }
 
+  /** The DF CEILING guard ([[Retrieval.bm25FromIndex]]'s `maxDfPpm`) —
+    * the Lucene stopword cut, on the [[bm25Docs]] fixture where it
+    * changes REAL scores: at 400 000 ppm the parity marker (df = n/2 =
+    * 500 000 ppm, idf2 = 1 — a genuinely contributing mid-frequency
+    * term) and every head token are dropped BEFORE the candidate join,
+    * while the fine ring markers (df ≈ 10 000 ppm, idf2 ≈ 6) still
+    * rank — so results provably differ from `bm25_topk` and the guard
+    * is exercised on both sides of the cut. The oracle replays the
+    * exact integer cross-multiplication ceiling inside the shared BM25
+    * CTE block (the ceiling-free gates alias the same block at
+    * 1 000 000 ppm, so the formula cannot drift between them). */
+  val bm25TopkMaxdf: Q = (s, dir) => {
+    val docs = bm25Docs(s, dir)
+    Retrieval.bm25TopK(docs, docs.filter(col("doc_id") < 5),
+        "doc_id", "text", "doc_id", "text", k = 10, excludeSelf = true,
+        maxDfPpm = 400000)
+      .orderBy("query_id", "doc_id")
+  }
+
   /** Two-stage hybrid retrieval ([[Retrieval.hybridRerank]]): BM25
     * recall (top-20 candidates per query, the `bm25_topk` stage) →
     * semantic precision (re-rank by the quantized integer dot product
@@ -1237,12 +1280,52 @@ object LlmQueries {
     * broadcast against the embedding scan; the oracle replays both
     * stages over the shared BM25 CTE block. */
   val hybridRerank: Q = (s, dir) => {
-    val docs = Tables(s, dir, "documents")
+    val docs = bm25Docs(s, dir)
     Retrieval.hybridRerank(docs, docs.filter(col("doc_id") < 5),
         Tables(s, dir, "embeddings"),
         "doc_id", "text", "doc_id", "text", "vec_id", "embedding",
         candidateK = 20, k = 5, excludeSelf = true)
       .orderBy("query_id", "doc_id")
+  }
+
+  /** In-plan recall@5 audit of the TWO-STAGE retriever against the
+    * exact-cosine brute-force answer — the `ann_recall_audit` analogue
+    * for the BM25/hybrid family: per query, how many of the true
+    * cosine top-5 the lexical-recall → semantic-re-rank pipeline
+    * surfaced. The miss channel this measures is stage 1 (a true
+    * neighbor with no lexical overlap never becomes a candidate) plus
+    * the dot-vs-cosine gap on non-unit-norm vectors; both sides are
+    * the catalog's own operators, the overlap is a LEFT SEMI join on
+    * (query, neighbor), and recall is an exact integer percentage —
+    * oracle-replayable end-to-end. The brute side runs on the bounded
+    * 5-query sample (the audit cost rule of `ann_recall_audit`).
+    *
+    * The dial this audit tunes is `candidateK` — the stage-1 recall
+    * CEILING: a doc outside the lexical candidate pool can never be
+    * re-ranked in, so on a corpus whose text and embeddings are
+    * uncorrelated (this synthetic fixture — the worst case) recall
+    * tracks pool coverage (candidateK/N), the lexical analogue of the
+    * ANN family's recall-tracks-probed-fraction law. Run at
+    * candidateK = 200 (40% of the corpus) so the audit measures a
+    * non-degenerate overlap; at candidateK = 20 it reads 0 here. */
+  val retrievalRecallAudit: Q = (s, dir) => {
+    val docs = bm25Docs(s, dir)
+    val emb = Tables(s, dir, "embeddings")
+    val exact = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 5)
+      .select("query_id", "corpus_id")
+    val approx = Retrieval.hybridRerank(docs, docs.filter(col("doc_id") < 5), emb,
+        "doc_id", "text", "doc_id", "text", "vec_id", "embedding",
+        candidateK = 200, k = 5, excludeSelf = true)
+      .select(col("query_id"), col("doc_id").as("corpus_id"))
+    val hits = exact.join(approx, Seq("query_id", "corpus_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    exact.groupBy("query_id").agg(count(lit(1)).as("k"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("k"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("recall_pct", expr("CAST((n_hits * 100) DIV k AS BIGINT)"))
+      .orderBy("query_id")
   }
 
   /** Reciprocal-rank fusion ([[Retrieval.rrfFuse]]) of the lexical and
@@ -1256,7 +1339,7 @@ object LlmQueries {
     * stages. */
   val rrfFusion: Q = (s, dir) => {
     import org.apache.spark.sql.expressions.Window
-    val docs = Tables(s, dir, "documents")
+    val docs = bm25Docs(s, dir)
     val lex = Retrieval.bm25TopK(docs, docs.filter(col("doc_id") < 5),
         "doc_id", "text", "doc_id", "text", k = 10, excludeSelf = true)
       .withColumn("rank", row_number().over(
@@ -2510,7 +2593,9 @@ object LlmQueries {
     "inverted_index" -> invertedIndex,
     "bm25_topk" -> bm25Topk,
     "bm25_topk_persisted" -> bm25TopkPersisted,
+    "bm25_topk_maxdf" -> bm25TopkMaxdf,
     "hybrid_rerank" -> hybridRerank,
+    "retrieval_recall_audit" -> retrievalRecallAudit,
     "rrf_fusion" -> rrfFusion,
     "dedup_incremental" -> dedupIncremental,
     "dedup_incremental_bucketed" -> dedupIncrementalBucketed,
@@ -2774,10 +2859,23 @@ object LlmQueries {
     * `hybrid_rerank` (the Spark twin is [[Retrieval.bm25TopK]]):
     * bit-length idf, milli-unit k1=1.2/b=0.75 length norm, micro-point
     * scores, truncating integer division at every step. */
-  private val sqlBm25Ctes: String =
-    """toks AS (SELECT doc_id, unnest(regexp_split_to_array(
+  private val sqlBm25Ctes: String = sqlBm25CtesWith(1000000L)
+
+  /** [[sqlBm25Ctes]] with the df CEILING parameterized (ppm of n_docs;
+    * 1 000 000 keeps every term — the exact rule of
+    * [[Retrieval.bm25FromIndex]]'s `maxDfPpm`): the default alias above
+    * keeps the ceiling-free gates on one shared block while
+    * `bm25_topk_maxdf` replays the cut.
+    *
+    * The block opens with the [[bm25Docs]] marker enrichment (`bmdocs`)
+    * — see that scaladoc for why the raw fixture scores all-zero. */
+  private def sqlBm25CtesWith(maxDfPpm: Long): String =
+    s"""bmdocs AS (SELECT doc_id, text || ' tag' || CAST(doc_id % 97 AS VARCHAR) ||
+      |    CASE WHEN doc_id % 2 = 0 THEN ' even_mark' ELSE ' odd_mark' END AS text
+      |  FROM documents),
+      |toks AS (SELECT doc_id, unnest(regexp_split_to_array(
       |    trim(regexp_replace(regexp_replace(lower(text), '[.,;:!?]', '', 'g'), ' +', ' ', 'g')),
-      |    ' ')) AS token FROM documents),
+      |    ' ')) AS token FROM bmdocs),
       |t2 AS (SELECT doc_id, token FROM toks WHERE length(token) > 0),
       |tf AS (SELECT doc_id, token, count(*) AS tf FROM t2 GROUP BY doc_id, token),
       |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
@@ -2789,7 +2887,8 @@ object LlmQueries {
       |    (st.total * 1000) // st.n_docs AS avgdl_milli
       |  FROM tf JOIN qt USING (token) JOIN idf USING (token)
       |  JOIN dl ON tf.doc_id = dl.doc_id, st
-      |  WHERE qt.query_id <> tf.doc_id),
+      |  WHERE qt.query_id <> tf.doc_id
+      |    AND idf.df * 1000000 <= $maxDfPpm * st.n_docs),
       |s1 AS (SELECT query_id, doc_id, idf2, tf,
       |    tf * 1000 + (1200 * ((1000 - 750)
       |      + (750 * ((dl * 1000000) // avgdl_milli)) // 1000)) // 1000 AS denom_milli
@@ -4029,6 +4128,12 @@ object LlmQueries {
     // fixed point with truncating integer division at every step —
     // `//` (DuckDB) and `DIV` (Spark) agree on non-negative BIGINTs
     "bm25_topk" -> sqlBm25TopK,
+    "bm25_topk_maxdf" ->
+      s"""WITH ${sqlBm25CtesWith(400000L)}
+        |SELECT query_id, doc_id, score_micro FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score_micro DESC, doc_id) AS rk FROM sc)
+        |WHERE rk <= 10 ORDER BY query_id, doc_id""".stripMargin,
     // the persisted-index deployment is a LAYOUT variant: same result
     // by construction, same oracle SQL (the shared-oracle rule)
     "bm25_topk_persisted" -> sqlBm25TopK,
@@ -4079,6 +4184,39 @@ object LlmQueries {
         |  SELECT *, row_number() OVER (PARTITION BY query_id
         |    ORDER BY dot_q DESC, doc_id) AS rk FROM dots)
         |WHERE rk <= 5 ORDER BY query_id, doc_id""".stripMargin,
+    // the hybrid replay (shared CTE chain above) scored against the
+    // exact-cosine brute-force ground truth on the same 5-query sample
+    "retrieval_recall_audit" ->
+      s"""WITH $sqlBm25Ctes,
+        |cand AS (SELECT query_id, doc_id, score_micro FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score_micro DESC, doc_id) AS rk FROM sc)
+        |  WHERE rk <= 200),
+        |qv AS (SELECT vec_id AS query_id, i,
+        |    CAST(floor(CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE) * 1000) AS BIGINT) AS q
+        |  FROM embeddings, unnest(range(0, len(embedding))) t(i) WHERE vec_id < 5),
+        |dv AS (SELECT vec_id AS doc_id, i,
+        |    CAST(floor(CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE) * 1000) AS BIGINT) AS q
+        |  FROM embeddings, unnest(range(0, len(embedding))) t(i)),
+        |dots AS (SELECT c.query_id, c.doc_id, c.score_micro,
+        |    CAST(sum(dv.q * qv.q) AS BIGINT) AS dot_q
+        |  FROM cand c JOIN dv ON dv.doc_id = c.doc_id
+        |  JOIN qv ON qv.query_id = c.query_id AND qv.i = dv.i
+        |  GROUP BY c.query_id, c.doc_id, c.score_micro),
+        |hyb AS (SELECT query_id, doc_id AS corpus_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY dot_q DESC, doc_id) AS rk FROM dots)
+        |  WHERE rk <= 5),
+        |brute AS (SELECT query_id, corpus_id FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS rank
+        |    FROM embeddings q JOIN embeddings c ON q.vec_id < 5 AND c.vec_id != q.vec_id)
+        |  WHERE rank <= 5)
+        |SELECT b.query_id, count(*) AS k, count(h.corpus_id) AS n_hits,
+        |  CAST(count(h.corpus_id) * 100 // count(*) AS BIGINT) AS recall_pct
+        |FROM brute b LEFT JOIN hyb h ON b.query_id = h.query_id AND b.corpus_id = h.corpus_id
+        |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin,
     // the oracle replays the banner injection, the disjoint 8-word
     // span quantization, the distinct-doc df rule, and the kept-text
     // md5 reconstruction (position-ordered string_agg)

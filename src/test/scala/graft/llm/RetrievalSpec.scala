@@ -150,6 +150,26 @@ class RetrievalSpec extends AnyFunSuite {
     assert(top2 == Set(11L, 12L))
   }
 
+  test("bm25TopK maxDfPpm: head terms cut before candidacy; all-stopword queries return nothing") {
+    val df = docs.toDF("doc_id", "text")
+    def run(ppm: Int): Map[Long, Long] =
+      Retrieval.bm25TopK(df, df.filter($"doc_id" === 0L),
+          "doc_id", "text", "doc_id", "text", k = 10, excludeSelf = true,
+          maxDfPpm = ppm)
+        .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    val full = run(1000000)
+    assert(Set(1L, 2L, 3L).subsetOf(full.keySet), s"sanity — apple+banana docs rank: $full")
+    // 300000 ppm keeps banana (df 2/8 = 250000) and cuts apple (375000)
+    // and common (1000000): only the banana doc may remain a candidate
+    val capped = run(300000)
+    assert(capped.keySet == Set(3L), s"apple docs must be gone: $capped")
+    // the cut changes candidacy, never surviving terms' arithmetic
+    // (common contributes idf2 = 0 in the full run, so doc 3 is equal)
+    assert(capped(3L) == full(3L), "surviving terms' scores must be unchanged by the cut")
+    assert(run(100000).isEmpty,
+      "a query whose every term is over the ceiling returns no rows (Lucene all-stopwords)")
+  }
+
   test("bm25TopK: k bounds the per-query rows; ties break by ascending doc id") {
     val top2 = run(k = 2)
     assert(top2.size == 2)

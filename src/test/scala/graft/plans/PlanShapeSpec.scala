@@ -361,6 +361,25 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), s"no window ranking allowed:\n$plan")
   }
 
+  test("bm25_topk_maxdf: the df ceiling cuts query terms BEFORE the tf probe join") {
+    val df = graft.queries.LlmQueries.bm25TopkMaxdf(spark, TestSpark.sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the ceiling is an exact integer cross-multiplication filter on
+    // the query-term df table — it must exist, and the surviving-token
+    // SEMI join that applies it to the query side must sit INSIDE the
+    // tf probe join's build subtree: a head token has to be gone before
+    // the corpus-side fan-out, or the guard guards nothing
+    assert(plan.contains("400000"),
+      s"df-ceiling filter missing from the plan:\n$plan")
+    val probeAt = plan.indexOf("BroadcastHashJoin [token")
+    assert(probeAt >= 0, s"expected the token-keyed tf probe join:\n$plan")
+    assert(plan.indexOf("LeftSemi", probeAt) > probeAt,
+      s"the surviving-token semi join must feed the probe join's build side:\n$plan")
+    // the candidate table itself must never shuffle: same broadcast
+    // discipline as the unguarded form
+    assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
+  }
+
   test("bm25_topk_persisted: probe reads the bucketed index, zero token shuffle, corpus text unscanned") {
     val df = graft.queries.LlmQueries.bm25TopkPersisted(spark, TestSpark.sfDir)
     val plan = df.queryExecution.executedPlan.toString
