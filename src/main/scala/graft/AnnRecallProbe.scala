@@ -47,22 +47,34 @@ object AnnRecallProbe {
         val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
           .select("query_id", "corpus_id").cache()
         val denom = exact.count()
+        def run(nCells: Int, nProbe: Int, trained: Boolean): (Long, Double) = {
+          val t0 = System.nanoTime()
+          val approx = Similarity.ivfTopK(e, q, "vec_id", "embedding",
+            k = 5, nCells = nCells, nProbe = nProbe, trained = trained)
+            .select("query_id", "corpus_id")
+          val hits = exact.join(approx, Seq("query_id", "corpus_id"), "left_semi").count()
+          (hits, (System.nanoTime() - t0) / 1e9)
+        }
         for (trained <- Seq(false, true); nCells <- cellCounts;
              // past the base sweep, also scale nProbe WITH nCells — the
              // dial pair: recall tracks the probed fraction nProbe/nCells
              nProbe <- Seq(1, 2, 4) ++ (if (nCells > 16) Seq(8, 16, 40) else Nil)) {
-          def run(): (Long, Double) = {
-            val t0 = System.nanoTime()
-            val approx = Similarity.ivfTopK(e, q, "vec_id", "embedding",
-              k = 5, nCells = nCells, nProbe = nProbe, trained = trained)
-              .select("query_id", "corpus_id")
-            val hits = exact.join(approx, Seq("query_id", "corpus_id"), "left_semi").count()
-            (hits, (System.nanoTime() - t0) / 1e9)
-          }
-          run() // warm
-          val (hits, sec) = run()
+          run(nCells, nProbe, trained) // warm
+          val (hits, sec) = run(nCells, nProbe, trained)
           val pct = hits * 100 / denom
           println(f"ANNRECALL\t$label\t$trained\t$nCells\t$nProbe\t$pct\t$sec%.2f")
+        }
+        // the shipped AUTO dial (autoCells/autoProbe) at this scale —
+        // the row that certifies the API helpers land users on the
+        // recall-preserving pair, not the measured-wrong naive wiring
+        val n = e.count()
+        val autoC = Similarity.autoCells(n)
+        val autoP = Similarity.autoProbe(autoC)
+        for (trained <- Seq(false, true)) {
+          run(autoC, autoP, trained) // warm
+          val (hits, sec) = run(autoC, autoP, trained)
+          val pct = hits * 100 / denom
+          println(f"ANNRECALL\t$label-auto\t$trained\t$autoC\t$autoP\t$pct\t$sec%.2f")
         }
         exact.unpersist()
     }

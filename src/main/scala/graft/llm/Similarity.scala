@@ -456,6 +456,54 @@ object Similarity {
     * sampleN=16 at k=4 is exactly what the dial produces). */
   def autoSampleN(k: Int, floor: Int = 16): Int = math.max(floor, 4 * k)
 
+  /** Ceiling of the [[autoCells]] dial: past ~64k cells the broadcast
+    * centroid relation and the per-row routing cost stop being "tiny",
+    * and a deployment should pin nCells explicitly (compiled-argmin
+    * routing, coarser cells, or a two-level quantizer). Clamped loudly,
+    * never thrown — the [[KCap]] convention. */
+  val CellCap = 65536
+
+  /** The IVF corpus-side dial: cell count that keeps the EXPECTED
+    * inverted-list size at `targetCellSize` — `max(minCells,
+    * ceil(n / targetCellSize))` (sf0.1 fixture: 2 000 vectors → 7
+    * cells; its 10× corpus: 20 000 → 63).
+    *
+    * This is HALF of the production dial. The measured law
+    * (AnnRecallProbe, SCALE.md rounds 15–16) is that recall is a
+    * function of the PROBED FRACTION `nProbe / nCells`, not of either
+    * knob alone — scaling nCells with the corpus at a FIXED nProbe
+    * (the "obvious" wiring) HALVED recall at 10× (70% → 36–38% at
+    * nProbe=4). Always pair with [[autoProbe]], which holds the
+    * fraction: per-cell size stays bounded (probe cost per probed cell
+    * is flat as the corpus grows) while recall holds — measured
+    * round 16: the auto pair reads 46–53% at base and 72–73% at 10×
+    * (the `-auto` AnnRecallProbe rows), against 36–38% for the naive
+    * wiring at the same cell count. */
+  def autoCells(n: Long, targetCellSize: Int = 320, minCells: Int = 4): Int = {
+    require(targetCellSize > 0, "targetCellSize must be positive")
+    val c = math.max(minCells.toLong, (n + targetCellSize - 1) / targetCellSize)
+    if (c > CellCap) {
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"autoCells resolved nCells=$c > cap $CellCap for n=$n (targetCellSize=" +
+          s"$targetCellSize): clamping to $CellCap — expected cell size grows to " +
+          s"~${n / CellCap}; raise targetCellSize or pin nCells to regain the target")
+      CellCap
+    } else c.toInt
+  }
+
+  /** The probe-side HALF of the dial: probes per query holding the
+    * probed FRACTION at `targetProbedPct` percent of cells —
+    * `max(1, ceil(nCells · pct / 100))` — so recall is preserved as
+    * [[autoCells]] grows the cell count with the corpus (the measured
+    * law above). Cost scales linearly in the probed fraction — tune
+    * pct against the recall curve (`ann_ivf_recall_curve`), never
+    * nProbe in isolation. */
+  def autoProbe(nCells: Int, targetProbedPct: Int = 25): Int = {
+    require(targetProbedPct > 0 && targetProbedPct <= 100,
+      s"targetProbedPct must be in (0, 100]; got $targetProbedPct")
+    math.max(1, ((nCells.toLong * targetProbedPct + 99) / 100).toInt)
+  }
+
   /** Assignment against a GIVEN codebook — a NARROW scan-side map at
     * any k: the codebook rides inside the compiled
     * [[graft.functions.KmeansArgminExpr]] as a JVM array (shipped once

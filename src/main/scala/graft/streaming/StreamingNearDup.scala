@@ -49,11 +49,104 @@ object StreamingNearDup {
 
   final case class Hit(bucket: String, cand_id: Long, probe_id: Long, est_jaccard: Double)
 
+  /** VERSIONED per-bucket state envelope. Spark state encoders are
+    * positional with no schema evolution: the round-14 widening of the
+    * state tuple (3 → 4 fields) BROKE restarts from older checkpoints,
+    * which was only documented as a migration rule. The fix is to
+    * freeze the CHECKPOINT-visible schema at `(version int, payload
+    * binary)` forever and hand-version the payload layout — widening
+    * the logical state is now a new `version` branch in
+    * [[BucketState.decode]], and a stream restarted from an
+    * older-version checkpoint keeps its state (missing fields get
+    * documented defaults) instead of failing to decode. */
+  final case class BucketState(version: Int, payload: Array[Byte])
+
+  object BucketState {
+    /** The logical state: parallel lists of (id, signature, arrival
+      * seconds) plus the MONOTONE admitted counter (see the admission
+      * rationale in [[neardupStateful]]). */
+    final case class Fields(ids: List[Long], sigs: List[Seq[Long]],
+        secs: List[Long], admitted: Long)
+
+    /** Layout history — every shipped version stays decodable:
+      *  1: n, ids[n], (sigLen, sig[sigLen])[n], secs[n]
+      *     (the pre-admission-counter layout; `admitted` reconstructs
+      *     as ids.length — the exact rule that build gated on)
+      *  2: version 1 + trailing admitted: Long */
+    val CurrentVersion = 2
+
+    def encode(f: Fields): BucketState = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = new java.io.DataOutputStream(bos)
+      writeCommon(out, f.ids, f.sigs, f.secs)
+      out.writeLong(f.admitted)
+      out.flush()
+      BucketState(CurrentVersion, bos.toByteArray)
+    }
+
+    def decode(e: BucketState): Fields = {
+      val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(e.payload))
+      val (ids, sigs, secs) = readCommon(in)
+      e.version match {
+        case 1 => Fields(ids, sigs, secs, ids.length.toLong)
+        case 2 => Fields(ids, sigs, secs, in.readLong())
+        case v => throw new IllegalStateException(
+          s"near-dup state version $v is newer than this build (knows <= $CurrentVersion) — " +
+            "a checkpoint must never be opened by an OLDER library than wrote it")
+      }
+    }
+
+    private def writeCommon(out: java.io.DataOutputStream,
+        ids: List[Long], sigs: List[Seq[Long]], secs: List[Long]): Unit = {
+      out.writeInt(ids.length)
+      ids.foreach(out.writeLong)
+      sigs.foreach { s => out.writeInt(s.length); s.foreach(out.writeLong) }
+      secs.foreach(out.writeLong)
+    }
+
+    private def readCommon(in: java.io.DataInputStream):
+        (List[Long], List[Seq[Long]], List[Long]) = {
+      val n = in.readInt()
+      val ids = List.fill(n)(in.readLong())
+      val sigs = List.fill(n) {
+        val m = in.readInt()
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(
+          Array.fill(m)(in.readLong())): Seq[Long]
+      }
+      val secs = List.fill(n)(in.readLong())
+      (ids, sigs, secs)
+    }
+
+    /** TEST-ONLY: the version-1 writer, kept so the restart spec can
+      * author an old-layout checkpoint and prove forward decoding. */
+    private[streaming] def encodeV1(ids: List[Long], sigs: List[Seq[Long]],
+        secs: List[Long]): BucketState = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = new java.io.DataOutputStream(bos)
+      writeCommon(out, ids, sigs, secs)
+      out.flush()
+      BucketState(1, bos.toByteArray)
+    }
+  }
+
   def neardupStateful(
       src: DataFrame,
       horizonSec: Long,
       maxBucket: Int = 1000,
-      threshold: Double = 0.3): Dataset[Hit] = {
+      threshold: Double = 0.3): Dataset[Hit] =
+    neardupStatefulVersioned(src, horizonSec, maxBucket, threshold, BucketState.encode)
+
+  /** [[neardupStateful]] with the state WRITER pluggable — test-only:
+    * the StateEvolutionSpec restart test authors a checkpoint with the
+    * version-1 writer and restarts the production reader from it,
+    * proving forward decoding on a real checkpoint rather than on
+    * bytes in isolation. Production always writes [[BucketState.encode]]. */
+  private[streaming] def neardupStatefulVersioned(
+      src: DataFrame,
+      horizonSec: Long,
+      maxBucket: Int,
+      threshold: Double,
+      enc: BucketState.Fields => BucketState): Dataset[Hit] = {
     import src.sparkSession.implicits._
     // +1e6 s epoch offset: a doc whose synthetic event time lands
     // EXACTLY on the initial watermark (epoch 0 — i.e. doc_id 0) is
@@ -65,14 +158,16 @@ object StreamingNearDup {
       .withWatermark("ets", s"$horizonSec seconds")
     // the watermark column must reach the grouped Dataset for
     // event-time timeout eligibility, so ets rides along in the tuple.
-    // CHECKPOINT COMPATIBILITY: the round-14 admission fix widened the
-    // state tuple from 3 to 4 elements. A stream restarted from a
-    // checkpoint written by the 3-tuple build will fail to decode its
-    // state (Spark state encoders are positional, no schema evolution
-    // for tuple state) — restart such streams from a fresh checkpoint
-    // directory; the horizon re-warms the state within one horizonSec.
-    // Future state-shape changes should follow the same rule, stated
-    // here so the break is a documented migration, not a surprise.
+    // CHECKPOINT COMPATIBILITY: state persists as the VERSIONED
+    // [[BucketState]] envelope — the checkpoint-visible schema is
+    // frozen at (version int, payload binary), so widening the logical
+    // state is a decoder branch, not a checkpoint break (the round-14
+    // tuple widening broke restarts exactly once; this is the fix that
+    // makes the NEXT widening restart-safe, proven by the
+    // StateEvolutionSpec restart-from-v1 test). One unavoidable final
+    // break: checkpoints written by the pre-envelope tuple builds do
+    // not decode — restart those from a fresh checkpoint directory;
+    // the horizon re-warms the state within one horizonSec.
     // State per bucket: parallel lists of (id, sig, arrival seconds)
     // PLUS a MONOTONE admitted-arrivals counter. The counter — never
     // decremented by horizon pruning — is what admission is gated on,
@@ -96,16 +191,21 @@ object StreamingNearDup {
     banded.select(col("bucket"), col("id"), col("sig"), col("ets"))
       .as[(String, Long, Seq[Long], java.sql.Timestamp)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState[(List[Long], List[Seq[Long]], List[Long], Long), Hit](
+      .flatMapGroupsWithState[BucketState, Hit](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (bucket: String, rows: Iterator[(String, Long, Seq[Long], java.sql.Timestamp)],
-         state: GroupState[(List[Long], List[Seq[Long]], List[Long], Long)]) =>
+         state: GroupState[BucketState]) =>
           if (state.hasTimedOut) {
             state.remove()
             Iterator.empty
           } else {
-            var (ids, sigs, secs, admitted) = state.getOption
-              .getOrElse((List.empty[Long], List.empty[Seq[Long]], List.empty[Long], 0L))
+            val st0 = state.getOption.map(BucketState.decode)
+              .getOrElse(BucketState.Fields(
+                List.empty[Long], List.empty[Seq[Long]], List.empty[Long], 0L))
+            var ids = st0.ids
+            var sigs = st0.sigs
+            var secs = st0.secs
+            var admitted = st0.admitted
             val out = Seq.newBuilder[Hit]
             val newRows = rows.toSeq.sortBy(_._2)
             newRows.foreach { case (_, id, sig, ets) =>
@@ -141,7 +241,7 @@ object StreamingNearDup {
                 ids = kept.map(_._1); sigs = kept.map(_._2); secs = kept.map(_._3)
               }
             }
-            state.update((ids, sigs, secs, admitted))
+            state.update(enc(BucketState.Fields(ids, sigs, secs, admitted)))
             // store-level eviction: drop the whole bucket once the
             // watermark passes its latest arrival + horizon
             if (newRows.nonEmpty)

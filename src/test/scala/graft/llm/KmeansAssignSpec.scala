@@ -131,6 +131,28 @@ class KmeansAssignSpec extends AnyFunSuite {
       s"two-level agreement degraded: $agree/$n vs the flat argmin")
   }
 
+  test("autoCells/autoProbe pin the measured recall-preserving pair, not the naive wiring") {
+    // arithmetic pins near the probe geometries: the sf0.1 fixture
+    // (2k vectors) resolves to (7, 2); its 10x corpus (20k) to (63, 16)
+    // — measured round 16 at 72-73% recall where the frozen-probe
+    // naive wiring read 36-38% at the same cell count
+    assert(Similarity.autoCells(2000) == 7 && Similarity.autoProbe(7) == 2)
+    assert(Similarity.autoCells(20000) == 63 && Similarity.autoProbe(63) == 16)
+    assert(Similarity.autoCells(5000) == 16)
+    assert(Similarity.autoCells(50000) == 157)
+    assert(Similarity.autoProbe(16) == 4)
+    assert(Similarity.autoProbe(157) == 40)
+    // the pair HOLDS the probed fraction as n grows — the measured law
+    val f1 = Similarity.autoProbe(Similarity.autoCells(5000)).toDouble /
+      Similarity.autoCells(5000)
+    val f2 = Similarity.autoProbe(Similarity.autoCells(500000)).toDouble /
+      Similarity.autoCells(500000)
+    assert(math.abs(f1 - f2) < 0.02, s"probed fraction drifted: $f1 vs $f2")
+    // clamps loudly past the broadcastable-centroid ceiling, never throws
+    assert(Similarity.autoCells(100L * 1000 * 1000 * 1000) == Similarity.CellCap)
+    assert(Similarity.autoProbe(1) == 1, "at least one probe always")
+  }
+
   test("semDedup construction runs at most ONE Spark job (the fused pass)") {
     val sc = spark.sparkContext
     def stableJobCount(group: String): Int = {
