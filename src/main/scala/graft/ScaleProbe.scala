@@ -117,7 +117,13 @@ object ScaleProbe {
     "hybrid_rerank",
     // the production probe path: rep 1 pays the one-time bucketed
     // index write, the timed min reflects the index-only probe
-    "bm25_topk_persisted")
+    "bm25_topk_persisted",
+    // round 16: the df-ceiling cut must stay query-side (its cost
+    // tracks surviving-term df, not the corpus); the skew-capped
+    // SemDeDup pairs only bounded clusters (the capped giant cluster
+    // is exactly the work that must NOT grow quadratically at 10×)
+    "bm25_topk_maxdf",
+    "dedup_semantic_skew")
 
   private def rot(s: String, k: Int): String = s.drop(k % s.length) + s.take(k % s.length)
 
