@@ -157,4 +157,95 @@ object Sampling {
       .groupBy("shard_id")
       .agg(count(lit(1)).as("n_docs"), sum("__sz").as("total_chars"),
         expr("bit_xor(__h)").as("ids_xor"))
+
+  /** DSIR-style hashed n-gram importance scores — the Data Selection
+    * via Importance Resampling recipe (Xie et al., NeurIPS 2023): pick
+    * raw-corpus documents that LOOK LIKE a target domain without
+    * training a classifier, by scoring each document under the
+    * log-ratio of hashed n-gram distributions. `isTarget` marks the
+    * in-domain exemplar rows (a quality flag, a language, a trusted
+    * source — any predicate over the frame's own columns); every
+    * unigram and bigram instance hashes into one of `nBuckets` buckets
+    * ([[hash60]] mod, the portable md5 convention), and a document's
+    * score is
+    * {{{
+    *   Σ over its n-gram instances of
+    *     ⌊lg(c_target[bucket] + 1)⌋ − ⌊lg(c_raw[bucket] + 1)⌋
+    * }}}
+    * — the paper's log p_target/p_raw with floor-log2 of add-one
+    * counts standing in for the transcendental log (the
+    * `length(bin(c)) − 1` identity every scorer in this library
+    * uses), so scores are exact integers any engine reproduces.
+    * The bucket-count normalizers (ΣN_target, ΣN_raw) shift EVERY
+    * document's score by the same per-gram constant and are dropped:
+    * the ranking [[dsirSelect]] consumes is invariant to them, and
+    * keeping the sum normalizer-free keeps it integer.
+    *
+    * Scale shape: ONE tokenized corpus scan builds the n-gram
+    * instance stream (narrow explode, checkpointed once for its two
+    * consumers — the [[TextAnalysis.bigramLogProb]] convention); the
+    * bucket histogram is `nBuckets` rows with map-side partials and
+    * BROADCASTS back to the instance stream (the corpus never
+    * shuffles for the weight join); the per-doc re-aggregation rides
+    * one id-keyed shuffle of partial sums. Nothing here is
+    * vocabulary-sized — the whole point of hashing is that the weight
+    * table is O(nBuckets) at any corpus size.
+    *
+    * Output: (id, n_grams, dsir_score). Documents whose normalized
+    * text has no tokens have no n-gram instances and drop out — in
+    * any engine, by construction. */
+  def dsirScores(df: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, nBuckets: Int = 1024): DataFrame = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    val words = filter(split(TextAnalysis.normalizeText(col(textCol)), " "),
+      w => length(w) > 0)
+    // unigrams ++ bigrams in one pass; the size guard keeps
+    // sequence(1, 0) (which would DESCEND) out of the bigram builder
+    val bigrams = expr(
+      "transform(sequence(1, size(ws) - 1), " +
+        "i -> concat(element_at(ws, CAST(i AS INT)), ' ', " +
+        "element_at(ws, CAST(i + 1 AS INT))))")
+    val grams = df
+      .select(col(idCol).as("id"), isTarget.cast("boolean").as("is_target"),
+        words.as("ws"))
+      .select(col("id"), col("is_target"),
+        explode(concat(col("ws"),
+          when(size(col("ws")) >= 2, bigrams).otherwise(array()))).as("gram"))
+      .withColumn("bucket", hash60(col("gram")) % nBuckets)
+      .select("id", "is_target", "bucket")
+      .localCheckpoint(false)
+    val weights = grams.groupBy("bucket")
+      .agg(count(lit(1)).as("c_raw"),
+        sum(when(col("is_target"), 1L).otherwise(0L)).as("c_target"))
+      // ⌊lg(c_target+1)⌋ − ⌊lg(c_raw+1)⌋; the two −1 terms of the
+      // bin-length identity cancel, kept explicit for the formula
+      .withColumn("w",
+        ((length(bin(col("c_target") + 1)) - 1) -
+          (length(bin(col("c_raw") + 1)) - 1)).cast("long"))
+    grams.join(broadcast(weights.select("bucket", "w")), "bucket")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_grams"), sum("w").as("dsir_score"))
+  }
+
+  /** [[dsirScores]] plus the SELECTION step: the `topN` highest-scoring
+    * documents (doc-id tie-break) are flagged `selected = 1` — the
+    * deterministic temperature→0 limit of the paper's Gumbel-noise
+    * resampling draw (noise would need float RNG no second engine
+    * replays bit-for-bit; the ranking itself is the portable part).
+    * Selection is [[graft.operators.GroupTopK]] over one constant
+    * group — map-side heaps bound the reducer's input to
+    * topN·partitions rows — and the flag join broadcasts the topN-row
+    * id list back. Output: (id, n_grams, dsir_score, selected). */
+  def dsirSelect(df: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, topN: Int, nBuckets: Int = 1024): DataFrame = {
+    require(topN > 0, "topN must be positive")
+    val scores = dsirScores(df, idCol, textCol, isTarget, nBuckets)
+      .localCheckpoint(false) // two consumers: the top-N rank + the flag join
+    val sel = graft.operators.GroupTopK.topK(
+        scores.withColumn("__g", lit(1)), Seq("__g"),
+        Seq(("dsir_score", false), ("id", true)), topN)
+      .select(col("id"), lit(1).as("selected"))
+    scores.join(broadcast(sel), Seq("id"), "left_outer")
+      .withColumn("selected", coalesce(col("selected"), lit(0)))
+  }
 }

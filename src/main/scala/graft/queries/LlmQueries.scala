@@ -1252,6 +1252,48 @@ object LlmQueries {
       .orderBy("query_id", "doc_id")
   }
 
+  /** INCREMENTAL maintenance of the persisted BM25 index — the day-2
+    * operation [[bm25TopkPersisted]] implies, completing the
+    * persisted-index family (`dedup_incremental_bucketed`,
+    * `ann_ivf_persisted_append`): the corpus arrives in TWO batches
+    * (even doc ids at build time, odd ids on day 2), the second batch
+    * tokenizes through the SAME [[Retrieval.buildTfIndex]] pipeline
+    * and `saveAsTable(Append)`s its (doc, token, tf) rows into the
+    * bucketed table — new files land in their token buckets, so the
+    * probe still reads ONE bucketed scan with zero Exchange — and the
+    * dl side table appends the same way. Because tf rows are per
+    * (doc, token) and the batches are doc-disjoint, the appended
+    * index EQUALS the from-scratch index over the full corpus, and
+    * the corpus-level stats (df, N, avgdl) are derived inside the
+    * probe from the combined table — so the gate shares `bm25_topk`'s
+    * oracle: append-vs-rebuild divergence is structurally
+    * impossible to miss. */
+  val bm25TopkIncremental: Q = (s, dir) => {
+    val docs = bm25Docs(s, dir)
+    val Seq(tfT, dlT) = BucketCache.tables(s, s"bm25_index_app:$dir", { (tag, tmp) =>
+      val tfName = s"graft_bm25_tfa_$tag"
+      val dlName = s"graft_bm25_dla_$tag"
+      val tfA = Retrieval.buildTfIndex(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text").localCheckpoint(false)
+      tfA.write.bucketBy(8, "token").sortBy("token")
+        .option("path", s"$tmp/tfa").mode("overwrite").saveAsTable(tfName)
+      tfA.groupBy("doc_id").agg(sum("tf").as("dl"))
+        .write.option("path", s"$tmp/dla").mode("overwrite").saveAsTable(dlName)
+      // day-2: the new batch tokenizes identically and appends into
+      // the existing token buckets / the dl side table
+      val tfB = Retrieval.buildTfIndex(docs.filter(col("doc_id") % 2 =!= 0),
+        "doc_id", "text").localCheckpoint(false)
+      tfB.write.mode("append").bucketBy(8, "token").sortBy("token")
+        .format("parquet").saveAsTable(tfName)
+      tfB.groupBy("doc_id").agg(sum("tf").as("dl"))
+        .write.mode("append").format("parquet").saveAsTable(dlName)
+      Seq(tfName, dlName)
+    })
+    Retrieval.bm25FromIndex(s.table(tfT), docs.filter(col("doc_id") < 5),
+        "doc_id", "text", k = 10, excludeSelf = true, dlOpt = Some(s.table(dlT)))
+      .orderBy("query_id", "doc_id")
+  }
+
   /** The DF CEILING guard ([[Retrieval.bm25FromIndex]]'s `maxDfPpm`) —
     * the Lucene stopword cut, on the [[bm25Docs]] fixture where it
     * changes REAL scores: at 400 000 ppm the parity marker (df = n/2 =
@@ -1448,6 +1490,24 @@ object LlmQueries {
   val splitTrainVal: Q = (s, dir) =>
     Tables(s, dir, "documents")
       .select(col("doc_id"), Sampling.hashSplit(col("doc_id"), trainPct = 90).as("split"))
+      .orderBy("doc_id")
+
+  /** DSIR importance resampling ([[Sampling.dsirSelect]]) — hashed
+    * n-gram importance weights select the 100 raw-corpus docs that
+    * look most like the ENGLISH subset (the target exemplar set:
+    * `lang = 'en'`, a real 218/500 split at sf0.01). Unigram+bigram
+    * instances hash into 1024 buckets (portable md5 mod); per-doc
+    * score = Σ ⌊lg(c_en+1)⌋ − ⌊lg(c_all+1)⌋ over its instances —
+    * exact integers the oracle replays gram-for-gram, including the
+    * hash. Selection is the deterministic top-100 (score desc, id
+    * asc). Scale: one tokenized scan, a 1024-row broadcast weight
+    * table, one id shuffle of partials, map-side-pruned global
+    * top-k. */
+  val dsirImportanceSample: Q = (s, dir) =>
+    Sampling.dsirSelect(Tables(s, dir, "documents"), "doc_id", "text",
+        col("lang") === "en", topN = 100, nBuckets = 1024)
+      .select(col("id").as("doc_id"), col("n_grams"), col("dsir_score"),
+        col("selected"))
       .orderBy("doc_id")
 
   /** LEAKAGE-SAFE train/val split — the per-doc hash split above lets
@@ -2593,6 +2653,7 @@ object LlmQueries {
     "inverted_index" -> invertedIndex,
     "bm25_topk" -> bm25Topk,
     "bm25_topk_persisted" -> bm25TopkPersisted,
+    "bm25_topk_incremental" -> bm25TopkIncremental,
     "bm25_topk_maxdf" -> bm25TopkMaxdf,
     "hybrid_rerank" -> hybridRerank,
     "retrieval_recall_audit" -> retrievalRecallAudit,
@@ -2601,6 +2662,7 @@ object LlmQueries {
     "dedup_incremental_bucketed" -> dedupIncrementalBucketed,
     "split_train_val" -> splitTrainVal,
     "split_leakage_safe" -> splitLeakageSafe,
+    "dsir_importance_sample" -> dsirImportanceSample,
     "shard_manifest" -> shardManifest,
     "export_jsonl_roundtrip" -> exportJsonlRoundtrip,
     "export_csv_roundtrip" -> exportCsvRoundtrip,
@@ -4137,6 +4199,9 @@ object LlmQueries {
     // the persisted-index deployment is a LAYOUT variant: same result
     // by construction, same oracle SQL (the shared-oracle rule)
     "bm25_topk_persisted" -> sqlBm25TopK,
+    // the appended index equals the from-scratch index (doc-disjoint
+    // batches, per-(doc,token) rows): same oracle, drift impossible
+    "bm25_topk_incremental" -> sqlBm25TopK,
     // both retrievers replayed (the shared BM25 block + the
     // ann_bruteforce cosine ranking over the shared query ids), fused
     // with exact ppm integer 1/(60+rank) contributions
@@ -4336,6 +4401,32 @@ object LlmQueries {
          |          + (strpos('0123456789abcdef', substr(md5(CAST(component AS VARCHAR)), 2, 1)) - 1) < 230
          |       THEN 'train' ELSE 'val' END AS split
          |FROM grp ORDER BY doc_id""".stripMargin,
+    // the DSIR replay: the unigram family's normalize/tokenize,
+    // unigram+bigram instances, hx60(md5) mod-1024 hashed buckets,
+    // the floor-log2 add-one count ratio, deterministic top-100
+    "dsir_importance_sample" ->
+      s"""WITH w AS (SELECT doc_id, (lang = 'en') AS is_target,
+         |    list_filter(regexp_split_to_array(
+         |      trim(regexp_replace(regexp_replace(lower(text), '[.,;:!?]', '', 'g'), ' +', ' ', 'g')),
+         |      ' '), x -> length(x) > 0) AS ws FROM documents),
+         |uni AS (SELECT doc_id, is_target, unnest(ws) AS gram FROM w),
+         |big AS (SELECT doc_id, is_target, ws[i] || ' ' || ws[i+1] AS gram
+         |  FROM w, unnest(range(1, len(ws))) t(i)),
+         |g AS (SELECT doc_id, is_target,
+         |    ${hx60("md5(gram)")} % 1024 AS bucket
+         |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM big)),
+         |wt AS (SELECT bucket,
+         |    (length(bin(CAST(sum(CASE WHEN is_target THEN 1 ELSE 0 END) + 1 AS BIGINT))) - 1)
+         |      - (length(bin(CAST(count(*) + 1 AS BIGINT))) - 1) AS w
+         |  FROM g GROUP BY bucket),
+         |sc AS (SELECT doc_id, count(*) AS n_grams,
+         |    CAST(sum(w) AS BIGINT) AS dsir_score
+         |  FROM g JOIN wt USING (bucket) GROUP BY doc_id),
+         |sel AS (SELECT doc_id FROM sc ORDER BY dsir_score DESC, doc_id LIMIT 100)
+         |SELECT sc.doc_id, sc.n_grams, sc.dsir_score,
+         |  CASE WHEN sel.doc_id IS NOT NULL THEN 1 ELSE 0 END AS selected
+         |FROM sc LEFT JOIN sel ON sc.doc_id = sel.doc_id
+         |ORDER BY sc.doc_id""".stripMargin,
     // hash60 = the hx60 parse of md5(id); bit_xor folds the shard
     // membership into one 60-bit word, order-independently
     "shard_manifest" ->

@@ -405,6 +405,39 @@ class PlanShapeSpec extends AnyFunSuite {
       s"only the query slice may touch the corpus:\n${docScans.mkString("\n")}")
   }
 
+  test("bm25_topk_incremental: the appended index probes exactly like the build-once index") {
+    val df = graft.queries.LlmQueries.bm25TopkIncremental(spark, TestSpark.sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // append lands new files IN the token buckets, so day-2 state must
+    // keep the persisted gate's whole probe contract: bucketed index
+    // scan, at most the query side's tiny token shuffle, and the raw
+    // corpus touched only through the pushed-down query slice
+    assert(plan.contains("Bucketed: true"),
+      s"the appended tf index scan must stay bucketed:\n$plan")
+    val tokenEx = "Exchange hashpartitioning\\(token".r.findAllMatchIn(plan).toSeq
+    assert(tokenEx.size <= 1, s"at most one token shuffle (the query side):\n$plan")
+    val docScans = plan.split("\n").filter(_.contains("documents.parquet"))
+    assert(docScans.nonEmpty && docScans.forall(_.contains("LessThan(doc_id,5)")),
+      s"only the query slice may touch the corpus:\n${docScans.mkString("\n")}")
+  }
+
+  test("dsir_importance_sample: the bucket-weight table broadcasts back to the gram stream") {
+    val df = graft.llm.Sampling.dsirScores(
+      graft.queries.Tables(spark, TestSpark.sfDir, "documents"), "doc_id", "text",
+      org.apache.spark.sql.functions.col("lang") === "en", 1024)
+    val plan = df.queryExecution.executedPlan.toString
+    // the weight attach is a broadcast probe of the nBuckets-row
+    // histogram — the corpus-sized gram stream must NOT shuffle to
+    // meet it, and raw gram strings must never key an exchange (the
+    // only exchanges are bucket-keyed and id-keyed PARTIAL aggregates)
+    assert(plan.contains("BroadcastHashJoin [bucket"),
+      s"the weight join must broadcast:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning(gram"),
+      s"raw grams must never key a shuffle:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"no sort-merge path for the weight attach:\n$plan")
+  }
+
   test("hybrid_rerank: stage 2 probes the embedding scan via broadcast, never shuffles it") {
     val df = graft.queries.LlmQueries.hybridRerank(spark, TestSpark.sfDir)
     val plan = df.queryExecution.executedPlan.toString
