@@ -123,7 +123,18 @@ object ScaleProbe {
     // SemDeDup pairs only bounded clusters (the capped giant cluster
     // is exactly the work that must NOT grow quadratically at 10×)
     "bm25_topk_maxdf",
-    "dedup_semantic_skew")
+    "dedup_semantic_skew",
+    // round 16b: the DSIR gram stream (one tokenized scan, a 1024-row
+    // broadcast weight table — the hashed histogram must stay
+    // bucket-sized as the corpus grows) and the appended BM25 index
+    // (rep 1 pays the build+append write; the timed min is the probe,
+    // which must stay flat like the build-once persisted form)
+    "dsir_importance_sample",
+    "bm25_topk_incremental",
+    // the sketch's whole claim: the counter matrix stays depth·width
+    // rows as the corpus grows — cost must track the scan, state must
+    // not grow at all
+    "cms_heavy_hitters")
 
   private def rot(s: String, k: Int): String = s.drop(k % s.length) + s.take(k % s.length)
 

@@ -1,0 +1,99 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Count-Min Sketch over the token stream — the canonical
+  * bounded-memory frequency summary (Cormode/Muthukrishnan 2005): a
+  * depth × width counter matrix where every token instance increments
+  * one counter per row (`bucket_i = hash_i(token) mod width`), and a
+  * token's estimate is the MIN over its depth counters — always ≥ the
+  * true count, within εN with probability 1−δ for width = e/ε,
+  * depth = ln 1/δ.
+  *
+  * Everything here is exact integer arithmetic on engine-portable
+  * hashes: `hash_i(token)` is [[Sampling.hash60]] of the seed-prefixed
+  * token (`"cms:<i>:" || token` — one md5 per (row, distinct token),
+  * the portable-hash convention), counters are plain sums, and the
+  * estimate is an integer min — so the whole sketch, not just its
+  * contract, replays bit-for-bit in the DuckDB oracle.
+  *
+  * Scale shape — the POINT of the sketch: the counter matrix is
+  * depth·width rows AT ANY CORPUS SIZE. The instance stream explodes
+  * scan-side (narrow), the (row, bucket) aggregate reduces every
+  * partition to ≤ depth·width partial rows before the only exchange,
+  * and the matrix then BROADCASTS to whatever needs estimates. No
+  * vocabulary-sized state exists anywhere — this is what replaces the
+  * exact `groupBy(token)` when the vocabulary itself (urls, ids,
+  * n-grams) is too large to aggregate at 100 TB. */
+object Sketches {
+
+  /** The depth × width counter matrix: (i, bucket, c) — one row per
+    * NON-ZERO counter (absent = 0). One tokenized corpus scan; the
+    * shuffle carries ≤ depth·width partial rows per partition. */
+  def cmsCounters(df: DataFrame, textCol: String,
+      depth: Int = 4, width: Int = 256): DataFrame = {
+    require(depth > 0 && width > 0, s"need depth, width > 0; got $depth, $width")
+    val toks = df.select(
+        explode(split(TextAnalysis.normalizeText(col(textCol)), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+    toks
+      .select(posexplode(array((0 until depth).map(i =>
+        Sampling.hash60(concat(lit(s"cms:$i:"), col("token"))) % width): _*))
+        .as(Seq("i", "bucket")))
+      .groupBy("i", "bucket").agg(count(lit(1)).as("c"))
+  }
+
+  /** Point estimates for a candidate token set: min over the depth
+    * counters each candidate hashes into, appended as a `cms_est`
+    * column (every other candidate column rides through, so one pass
+    * of a candidate frame needs no re-join — `candidates` must be a
+    * SET per token). The counter matrix (depth·width rows) BROADCASTS
+    * to the probe, so estimating is one narrow pass at any corpus
+    * size. Absent counters read as true 0 (a bucket no token ever
+    * hit).
+    *
+    * CMS alone cannot ENUMERATE heavy tokens — production pairs the
+    * sketch with a candidate stream (a sample, a prior vocabulary, a
+    * per-partition head); the estimate is what the sketch answers. */
+  def cmsEstimate(counters: DataFrame, candidates: DataFrame,
+      depth: Int = 4, width: Int = 256): DataFrame = {
+    require(depth > 0 && width > 0, s"need depth, width > 0; got $depth, $width")
+    val candCols = candidates.columns.toSeq
+    candidates
+      .select(candCols.map(col) :+ posexplode(array((0 until depth).map(i =>
+        Sampling.hash60(concat(lit(s"cms:$i:"), col("token"))) % width): _*))
+        .as(Seq("i", "bucket")): _*)
+      .join(broadcast(counters), Seq("i", "bucket"), "left_outer")
+      .groupBy(candCols.map(col): _*)
+      .agg(min(coalesce(col("c"), lit(0L))).as("cms_est"))
+  }
+
+  /** The AUDIT view — sketch vs truth on the head of the
+    * distribution, the `approx_distinct_audit` convention: the exact
+    * top-`k` tokens (count desc, token asc) with their true counts
+    * next to the sketch's estimate and the signed error. CMS
+    * one-sided-ness (`cms_est ≥ exact_c`, equality iff none of the
+    * token's depth buckets collides with another token) makes
+    * `err = cms_est − exact_c ≥ 0` a structural invariant any engine
+    * can re-check. The exact side exists FOR the audit — production
+    * keeps only the sketch. */
+  def cmsHeavyHitterAudit(df: DataFrame, textCol: String,
+      depth: Int = 4, width: Int = 256, k: Int = 20): DataFrame = {
+    require(k > 0, "k must be positive")
+    val toks = df.select(
+        explode(split(TextAnalysis.normalizeText(col(textCol)), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+    val exact = toks.groupBy("token").agg(count(lit(1)).as("exact_c"))
+    // exact_c rides THROUGH the estimate probe (cmsEstimate keeps all
+    // candidate columns), so the top frame has exactly one consumer —
+    // no re-join, no duplicated vocab aggregate in the plan
+    val top = graft.operators.GroupTopK.topK(
+        exact.withColumn("__g", lit(1)), Seq("__g"),
+        Seq(("exact_c", false), ("token", true)), k)
+      .select("token", "exact_c")
+    cmsEstimate(cmsCounters(df, textCol, depth, width), top, depth, width)
+      .select(col("token"), col("exact_c"), col("cms_est"),
+        (col("cms_est") - col("exact_c")).as("err"))
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.llm.{Bpe, Decontamination, Dedup, Multimodal, Retrieval, Sampling, Similarity, TextAnalysis}
+import graft.llm.{Bpe, Decontamination, Dedup, Multimodal, Retrieval, Sampling, Similarity, Sketches, TextAnalysis}
 
 /** LLM-training-data pipeline queries over the documents/embeddings
   * tables: text analysis, dedup (exact / MinHash / SimHash / n-gram
@@ -63,6 +63,21 @@ object LlmQueries {
       .filter(length(col("token")) > 0)
       .groupBy("token").agg(count(lit(1)).as("n"))
       .orderBy(desc("n"), asc("token")).limit(50)
+
+  /** Count-Min Sketch heavy-hitter audit ([[Sketches.cmsHeavyHitterAudit]]):
+    * the exact top-20 tokens with their true counts next to the 4×256
+    * sketch's estimates and the signed error — sketch vs truth on the
+    * distribution head, the `approx_distinct_audit` convention. The
+    * sketch is exact-integer end to end (portable md5 bucket hashes,
+    * plain-sum counters, integer min), so the oracle replays the WHOLE
+    * counter matrix, not just the contract; `err ≥ 0` (CMS one-sided
+    * overcount) is a structural invariant of every row. Scale: the
+    * counter matrix is depth·width rows at any corpus size and the
+    * only vocabulary-sized state is the audit's exact side. */
+  val cmsHeavyHitters: Q = (s, dir) =>
+    Sketches.cmsHeavyHitterAudit(Tables(s, dir, "documents"), "text",
+        depth = 4, width = 256, k = 20)
+      .orderBy("token")
 
   /** Tokenizer-design metric: what share of all token INSTANCES the
     * top-V vocabulary covers, for V ∈ {10, 20, 10000}. The exact
@@ -2572,6 +2587,7 @@ object LlmQueries {
     "quantile_buckets_docs" -> quantileBucketsDocs,
     "corpus_stats" -> corpusStats,
     "top_tokens" -> topTokens,
+    "cms_heavy_hitters" -> cmsHeavyHitters,
     "quality_score" -> qualityScore,
     "unigram_logfreq_score" -> unigramLogFreqScore,
     "unigram_logfreq_hybrid" -> unigramLogFreqHybridScore,
@@ -3889,6 +3905,28 @@ object LlmQueries {
         |  FROM documents)
         |WHERE length(token) > 0
         |GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin,
+    // the WHOLE 4x256 Count-Min matrix replayed: counter(i, bucket) =
+    // Σ counts of the tokens hashing there (equal to the instance-
+    // stream sum), estimate = min over the 4 rows — exact integers
+    "cms_heavy_hitters" ->
+      s"""WITH t AS (SELECT unnest(regexp_split_to_array(
+         |    trim(regexp_replace(regexp_replace(lower(text), '[.,;:!?]', '', 'g'), ' +', ' ', 'g')),
+         |    ' ')) AS token FROM documents),
+         |t2 AS (SELECT token FROM t WHERE length(token) > 0),
+         |cnt AS (SELECT token, count(*) AS exact_c FROM t2 GROUP BY token),
+         |b AS (SELECT token, i,
+         |    ${hx60("md5('cms:' || CAST(i AS VARCHAR) || ':' || token)")} % 256 AS bucket
+         |  FROM (SELECT DISTINCT token FROM t2), unnest(range(0, 4)) r(i)),
+         |cm AS (SELECT i, bucket, CAST(sum(exact_c) AS BIGINT) AS c
+         |  FROM cnt JOIN b USING (token) GROUP BY i, bucket),
+         |top AS (SELECT token, exact_c FROM cnt ORDER BY exact_c DESC, token LIMIT 20),
+         |est AS (SELECT b.token, min(cm.c) AS cms_est
+         |  FROM b JOIN cm USING (i, bucket) JOIN top USING (token)
+         |  GROUP BY b.token)
+         |SELECT top.token, top.exact_c, est.cms_est,
+         |  est.cms_est - top.exact_c AS err
+         |FROM top JOIN est ON top.token = est.token
+         |ORDER BY top.token""".stripMargin,
     "quality_score" ->
       s"""SELECT doc_id, $sqlQualityExpr AS quality
          |FROM documents ORDER BY doc_id""".stripMargin,

@@ -1,0 +1,77 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** [[Sketches]] — the Count-Min heavy-hitter family. The main test
+  * replays the whole sketch (md5 bucket hashes, counter matrix,
+  * integer-min estimates) in plain Scala and asserts exact equality;
+  * a width-2 fixture forces collisions to show the one-sided
+  * overcount the theory promises, still bit-exactly replayed. */
+class CmsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def hash60(s: String): Long =
+    java.lang.Long.parseLong(md5hex(s).take(15), 16)
+
+  private val docs = Seq(
+    "alpha beta beta gamma",
+    "alpha alpha delta",
+    "beta gamma gamma gamma epsilon",
+    "zeta")
+
+  /** The whole pipeline re-derived: token counts → counter matrix →
+    * min-estimate per token. */
+  private def replay(depth: Int, width: Int): Map[String, (Long, Long)] = {
+    val counts = docs.flatMap(_.split(" ")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (t, v) => t -> v.size.toLong }
+    val matrix = counts.toSeq
+      .flatMap { case (t, c) =>
+        (0 until depth).map(i => (i, hash60(s"cms:$i:$t") % width) -> c) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+    counts.map { case (t, c) =>
+      t -> (c, (0 until depth).map(i => matrix((i, hash60(s"cms:$i:$t") % width))).min)
+    }
+  }
+
+  private lazy val fixture = docs.zipWithIndex
+    .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+
+  test("audit matches the plain-Scala replay bit-for-bit (4x256)") {
+    val expected = replay(4, 256)
+    val topTokens = expected.toSeq
+      .sortBy { case (t, (c, _)) => (-c, t) }.take(3).map(_._1).toSet
+    val got = Sketches.cmsHeavyHitterAudit(fixture, "text", 4, 256, k = 3)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.keySet === topTokens)
+    got.foreach { case (t, pair) => assert(pair === expected(t), s"token $t") }
+  }
+
+  test("width-2 collisions overcount, never undercount, and replay exactly") {
+    val expected = replay(4, 2)
+    val got = Sketches.cmsHeavyHitterAudit(fixture, "text", 4, 2, k = 6)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length === 6)
+    got.foreach { case (t, c, est, err) =>
+      assert((c, est) === expected(t), s"token $t")
+      assert(err === est - c && err >= 0, s"one-sided bound violated at $t")
+    }
+    // 6 tokens into 2 buckets MUST collide somewhere: some estimate
+    // strictly exceeds truth, or the fixture tests nothing
+    assert(got.exists(_._4 > 0), "expected at least one collision overcount")
+  }
+
+  test("counter matrix is partitioning-invariant") {
+    val a = Sketches.cmsCounters(fixture, "text", 4, 64)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val b = Sketches.cmsCounters(fixture.repartition(5), "text", 4, 64)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(a === b)
+  }
+}

@@ -421,6 +421,25 @@ class PlanShapeSpec extends AnyFunSuite {
       s"only the query slice may touch the corpus:\n${docScans.mkString("\n")}")
   }
 
+  test("cms_heavy_hitters: matrix aggregates partially; estimates probe a broadcast matrix") {
+    val df = graft.queries.LlmQueries.cmsHeavyHitters(spark, TestSpark.sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the (i, bucket) counter exchange must consume a PARTIAL
+    // aggregate — each partition reduces to <= depth*width rows before
+    // the shuffle, the property that makes the sketch bounded-memory
+    val ex = plan.indexOf("Exchange hashpartitioning(i")
+    assert(ex >= 0, s"expected the (i, bucket) counter exchange:\n$plan")
+    assert(plan.substring(ex).contains("Aggregate"),
+      s"a partial aggregate must sit below the counter exchange:\n$plan")
+    // the depth*width matrix BROADCASTS to the candidate probe — the
+    // estimate join must never sort-merge
+    assert(plan.contains("BroadcastHashJoin [i"),
+      s"the counter matrix must broadcast to the estimate probe:\n$plan")
+    // the exact audit side ranks through the map-side-pruned heap
+    assert("MapPartitions graft.operators.GroupTopK".r.findAllIn(plan).size == 2,
+      s"the exact top-k must heap-prune:\n$plan")
+  }
+
   test("dsir_importance_sample: the bucket-weight table broadcasts back to the gram stream") {
     val df = graft.llm.Sampling.dsirScores(
       graft.queries.Tables(spark, TestSpark.sfDir, "documents"), "doc_id", "text",
