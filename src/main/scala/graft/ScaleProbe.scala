@@ -134,7 +134,11 @@ object ScaleProbe {
     // the sketch's whole claim: the counter matrix stays depth·width
     // rows as the corpus grows — cost must track the scan, state must
     // not grow at all
-    "cms_heavy_hitters")
+    "cms_heavy_hitters",
+    // the iterative profile: 8 × (edge⋈rank + dst-keyed agg) over the
+    // LSH-capped candidate graph — rounds ride the BOUNDED edge list,
+    // so growth must track pair volume, not corpus size
+    "dedup_keep_central")
 
   private def rot(s: String, k: Int): String = s.drop(k % s.length) + s.take(k % s.length)
 

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.llm.{Bpe, Decontamination, Dedup, Multimodal, Retrieval, Sampling, Similarity, Sketches, TextAnalysis}
+import graft.llm.{Bpe, Decontamination, Dedup, Graph, Multimodal, Retrieval, Sampling, Similarity, Sketches, TextAnalysis}
 
 /** LLM-training-data pipeline queries over the documents/embeddings
   * tables: text analysis, dedup (exact / MinHash / SimHash / n-gram
@@ -1836,6 +1836,25 @@ object LlmQueries {
       .orderBy("component")
   }
 
+  /** The CENTRALITY representative ([[Graph.keepCentral]]) — the
+    * graph-aware twin of [[dedupKeepBest]]: instead of a per-doc
+    * quality score, each near-dup component keeps its highest-PageRank
+    * member — the doc sharing the most content with the rest of its
+    * cluster. Rank is exact integer fixed-point (ppm mass, truncating
+    * DIV, eight synchronous rounds), so the oracle replays the ENTIRE
+    * trajectory as eight unrolled CTEs over the shared minhash pair
+    * block. The pair frame is checkpointed once for its two consumers
+    * (ranks + components). Scale: 8 × (edge⋈rank join + dst-keyed
+    * partial-agg shuffle) over the LSH-capped candidate graph — the
+    * Pregel profile on a bounded edge list, never the corpus. */
+  val dedupKeepCentral: Q = (s, dir) => {
+    val docs = Tables(s, dir, "documents")
+    val pairs = Dedup.minHashPairs(docs, "doc_id", "text",
+        threshold = 0.3, maxBucket = MaxBucket)
+      .localCheckpoint(false)
+    Graph.keepCentral(pairs, iters = 8).orderBy("component")
+  }
+
   /** END-TO-END PIPELINE DISPOSITION — the capstone composition: every
     * document (plus injected exact-duplicate echoes, the
     * [[echoBase]] rule, so the exact stage is exercised on a corpus
@@ -2647,6 +2666,7 @@ object LlmQueries {
     "dedup_components" -> dedupComponents,
     "dedup_groups_minhash" -> dedupGroupsMinhash,
     "dedup_keep_best" -> dedupKeepBest,
+    "dedup_keep_central" -> dedupKeepCentral,
     "cross_source_leakage" -> crossSourceLeakage,
     "pipeline_disposition" -> pipelineDisposition,
     "pipeline_drop_report" -> pipelineDropReport,
@@ -3105,6 +3125,28 @@ object LlmQueries {
          |  FROM grp JOIN q ON grp.doc_id = q.doc_id)
          |SELECT component, doc_id AS keep_id, quality FROM r WHERE rk = 1
          |ORDER BY component""".stripMargin,
+    // the centrality twin: the SAME pair + component blocks, then the
+    // whole eight-round integer PageRank trajectory unrolled — each
+    // round one CTE, so the oracle replays the iteration itself, not a
+    // converged approximation of it
+    "dedup_keep_central" -> {
+      val rounds = (1 to 8).map(i =>
+        s"r$i AS (SELECT e.b AS id, " +
+          "CAST(150000 + (850000 * sum(r.r // d.deg)) // 1000000 AS BIGINT) AS r\n" +
+          s"  FROM e JOIN r${i - 1} r ON r.id = e.a JOIN deg d ON d.src = e.a " +
+          "GROUP BY e.b)").mkString(",\n")
+      s"""WITH RECURSIVE $minhashCtes,
+         |$componentCtes,
+         |deg AS (SELECT a AS src, count(*) AS deg FROM e GROUP BY a),
+         |r0 AS (SELECT src AS id, CAST(1000000 AS BIGINT) AS r FROM deg),
+         |$rounds,
+         |m AS (SELECT c.comp AS component, r8.id, r8.r AS rank_ppm
+         |  FROM r8 JOIN compm c ON c.id = r8.id)
+         |SELECT component, id AS keep_id, rank_ppm FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY component
+         |    ORDER BY rank_ppm DESC, id) AS rk FROM m)
+         |WHERE rk = 1 ORDER BY component""".stripMargin
+    },
     // the capstone: quality gate -> exact dedup -> near-dup keep-best,
     // replayed stage by stage over the SAME shared CTE blocks (quality
     // formula, echo-base rule, minhash block over the survivor set,
