@@ -138,7 +138,11 @@ object ScaleProbe {
     // the iterative profile: 8 × (edge⋈rank + dst-keyed agg) over the
     // LSH-capped candidate graph — rounds ride the BOUNDED edge list,
     // so growth must track pair volume, not corpus size
-    "dedup_keep_central")
+    "dedup_keep_central",
+    // the billion-vector layout: routing bounds candidates AND codes
+    // bound bytes — cost must track the probed fraction of codes, and
+    // no raw vector may shuffle
+    "ann_ivf_pq")
 
   private def rot(s: String, k: Int): String = s.drop(k % s.length) + s.take(k % s.length)
 

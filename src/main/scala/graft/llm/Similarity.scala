@@ -1102,4 +1102,72 @@ object Similarity {
     val w = Window.partitionBy("query_id").orderBy(asc("adc"), asc("corpus_id"))
     top.withColumn("rank", row_number().over(w))
   }
+
+  /** IVF-PQ — the production ANN layout (Jégou et al.'s IVFADC; the
+    * FAISS `IVFPQ` index): COARSE routing restricts the search to
+    * `nProbe` of `nCells` inverted lists, and within the probed lists
+    * candidates are scored from their `nSub`-byte PQ CODES — the
+    * corpus's raw vectors exist in no join, no shuffle, and (in the
+    * persisted deployment) no index file at all. [[ivfTopK]] bounds
+    * WORK but stores vectors; [[pqTopK]] bounds MEMORY but scans every
+    * code; this composition bounds both, which is why it is the
+    * default at billion-vector scale.
+    *
+    * Both stages keep the library's engine-portable discipline: the
+    * coarse quantizer is the md5-rule centroid sample routed by
+    * (cosine DESC, cid ASC) — the `ann_ivf` precedent — and the PQ
+    * codebook is the md5-rule sample over quantized integers with
+    * exact-BIGINT subspace distances, so the oracle replays the whole
+    * pipeline. Codes are of the RAW vectors, not coarse residuals
+    * (FAISS `by_residual = false`): residual encoding would subtract
+    * float centroids and surrender exact-integer ADC for ~1 bit of
+    * quantization error — the wrong trade for a hash-verified gate,
+    * and a documented FAISS mode, not an approximation of one.
+    *
+    * Scale shape: routing is [[ivfAssign]] (broadcast centroids, one
+    * window per side); the code table `(corpus_id, cell, codes)` is
+    * the persistable inverted list (`bucketBy(cell)` — the
+    * `ann_ivf_persisted` layout at nSub bytes/vector); the probe
+    * broadcasts the query LUTs against it on cell id (a corpus row is
+    * in exactly ONE list, so no candidate dedup pass exists), and the
+    * ranking is the map-side-pruned [[graft.operators.GroupTopK]].
+    *
+    * Output: (query_id, corpus_id, adc, rank), rank ≤ k by
+    * (adc ASC, corpus_id ASC). */
+  def ivfPqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 5,
+      nCells: Int = 16,
+      nProbe: Int = 4,
+      nSub: Int = 8,
+      nCent: Int = 16): DataFrame = {
+    import graft.functions.PqFunctions._
+    require(k > 0 && nProbe > 0 && nProbe <= nCells,
+      s"need 0 < nProbe <= nCells and k > 0; got k=$k nProbe=$nProbe nCells=$nCells")
+    val sample = md5Sample(corpus, idCol, vecCol, nCent)
+      .map(_.map(x => math.floor(x * 1000.0).toLong))
+    require(sample.length >= nCent, s"corpus smaller than nCent=$nCent")
+    val dim = sample.head.length
+    require(dim % nSub == 0, s"dim $dim not divisible by nSub=$nSub")
+    val subDim = dim / nSub
+    val codebook: Seq[Seq[Seq[Long]]] = (0 until nSub).map(m =>
+      sample.take(nCent).toSeq.map(_.slice(m * subDim, (m + 1) * subDim).toSeq))
+    val cents = ivfCentroids(corpus, idCol, vecCol, nCells)
+    // the inverted lists store codes, never vectors — the memory claim
+    val codes = ivfAssign(corpus, cents, idCol, vecCol, "corpus_id", "cvec2", 1, "cell")
+      .select(col("corpus_id"), col("cell"), pqEncode(col("cvec2"), codebook).as("codes"))
+    val qluts = ivfAssign(queries, cents, idCol, vecCol, "query_id", "qvec", nProbe, "cell")
+      .select(col("query_id"), col("cell"), pqLut(col("qvec"), codebook).as("lut"))
+    val scored = codes.join(broadcast(qluts), Seq("cell"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id"),
+        pqAdc(col("codes"), col("lut")).as("adc"))
+    val top = graft.operators.GroupTopK.topK(
+      scored, Seq("query_id"), Seq(("adc", true), ("corpus_id", true)), k)
+    val w = Window.partitionBy("query_id").orderBy(asc("adc"), asc("corpus_id"))
+    top.withColumn("rank", row_number().over(w))
+  }
 }

@@ -670,6 +670,22 @@ object LlmQueries {
       .select("query_id", "corpus_id", "adc", "rank")
   }
 
+  /** IVF-PQ ([[Similarity.ivfPqTopK]]) — the billion-vector production
+    * layout: `ann_ivf`'s coarse routing (md5-rule centroids, cosine
+    * cell assignment, 4-of-16 probes) restricts the search, `ann_pq`'s
+    * exact-BIGINT asymmetric distance scores the probed lists from
+    * their 8-byte codes — raw corpus vectors in no join, no shuffle.
+    * The oracle composes the two families' replay blocks verbatim, so
+    * the gate pins routing AND coding in one hash. `adc` in the
+    * output, as in `ann_pq`. */
+  val annIvfPq: Q = (s, dir) => {
+    val e = Tables(s, dir, "embeddings")
+    Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, nCells = 16, nProbe = 4, nSub = 8, nCent = 16)
+      .orderBy("query_id", "rank")
+      .select("query_id", "corpus_id", "adc", "rank")
+  }
+
   /** TRAINED IVF end-to-end through the gate
     * ([[Similarity.ivfTopKTrained]]): Lloyd's-trained integer-L2
     * codebook (16-sample, 4 cells, 2 truncating-update rounds — the
@@ -2631,6 +2647,7 @@ object LlmQueries {
     "ann_ivf_persisted" -> annIvfPersisted,
     "ann_ivf_persisted_append" -> annIvfPersistedAppend,
     "ann_pq" -> annPq,
+    "ann_ivf_pq" -> annIvfPq,
     "ann_ivf_trained" -> annIvfTrained,
     "ann_pq_trained" -> annPqTrained,
     "ann_recall_audit" -> annRecallAudit,
@@ -3547,6 +3564,56 @@ object LlmQueries {
         |  FROM codes co
         |  JOIN sd q ON q.m = co.m AND q.c = co.c
         |  WHERE q.vec_id < 10 AND co.vec_id <> q.vec_id
+        |  GROUP BY 1, 2)
+        |SELECT query_id, corpus_id, adc, rank FROM (
+        |  SELECT query_id, corpus_id, adc,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY adc, corpus_id) AS rank
+        |  FROM adc) WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+    // IVF-PQ composes the ann_ivf routing block with the ann_pq coding
+    // block: candidates come from the probed cells, scores from codes
+    "ann_ivf_pq" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+        |corpus_assign AS (
+        |  SELECT corpus_id, cell FROM (
+        |    SELECT e.vec_id AS corpus_id, c.cid AS cell,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.embedding, c.cvec) DESC, c.cid) AS rk
+        |    FROM embeddings e, cents c) WHERE rk <= 1),
+        |query_assign AS (
+        |  SELECT query_id, cell FROM (
+        |    SELECT e.vec_id AS query_id, c.cid AS cell,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.embedding, c.cvec) DESC, c.cid) AS rk
+        |    FROM embeddings e, cents c WHERE e.vec_id < 10) WHERE rk <= 4),
+        |e AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |cent AS (
+        |  SELECT row_number() OVER (
+        |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS c, qv
+        |  FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+        |sd AS (
+        |  SELECT e.vec_id, t.m, cent.c,
+        |    CAST(list_sum(list_transform(range(1, 9), j ->
+        |      (e.qv[t.m*8+j] - cent.qv[t.m*8+j]) * (e.qv[t.m*8+j] - cent.qv[t.m*8+j])
+        |    )) AS BIGINT) AS dist
+        |  FROM e, range(0, 8) t(m), cent),
+        |codes AS (
+        |  SELECT vec_id, m, c FROM (
+        |    SELECT vec_id, m, c,
+        |      row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, c) AS rk
+        |    FROM sd) WHERE rk = 1),
+        |adc AS (
+        |  SELECT qa.query_id, ca.corpus_id, CAST(sum(q.dist) AS BIGINT) AS adc
+        |  FROM query_assign qa
+        |  JOIN corpus_assign ca ON qa.cell = ca.cell
+        |  JOIN codes co ON co.vec_id = ca.corpus_id
+        |  JOIN sd q ON q.vec_id = qa.query_id AND q.m = co.m AND q.c = co.c
+        |  WHERE ca.corpus_id <> qa.query_id
         |  GROUP BY 1, 2)
         |SELECT query_id, corpus_id, adc, rank FROM (
         |  SELECT query_id, corpus_id, adc,

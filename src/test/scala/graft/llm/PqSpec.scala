@@ -287,4 +287,43 @@ class PqSpec extends AnyFunSuite {
     assert(top.length == 5)
     assert(top.forall(_ < 8L), s"all top-5 must come from the query's cluster: ${top.toSeq}")
   }
+
+  test("ivfPqTopK with a full probe degenerates to plain pqTopK") {
+    // nProbe = nCells makes every inverted list a candidate list, so
+    // the composition must reproduce the flat scan's exact ADC
+    // ranking — the differential that pins routing correctness
+    val e = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "corpus_id", "adc", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    val full = rows(Similarity.ivfPqTopK(e, q, "vec_id", "embedding",
+      k = 5, nCells = 8, nProbe = 8, nSub = 8, nCent = 16))
+    val flat = rows(Similarity.pqTopK(e, q, "vec_id", "embedding",
+      k = 5, nSub = 8, nCent = 16))
+    assert(full === flat)
+  }
+
+  test("ivfPqTopK neighbors lie only in the query's probed cells") {
+    val e = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 5)
+    val cents = Similarity.ivfCentroids(e, "vec_id", "embedding", 16)
+    val probed = Similarity.ivfAssign(q, cents, "vec_id", "embedding",
+        "query_id", "qv", 4, "cell")
+      .select("query_id", "cell").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val corpusCell = Similarity.ivfAssign(e, cents, "vec_id", "embedding",
+        "corpus_id", "cv", 1, "cell")
+      .select("corpus_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Similarity.ivfPqTopK(e, q, "vec_id", "embedding",
+        k = 5, nCells = 16, nProbe = 4, nSub = 8, nCent = 16)
+      .select("query_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.nonEmpty)
+    got.foreach { case (qid, cid) =>
+      assert(probed.contains((qid, corpusCell(cid))),
+        s"neighbor $cid of query $qid sits in an unprobed cell")
+    }
+  }
 }
