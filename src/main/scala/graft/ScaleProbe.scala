@@ -142,7 +142,11 @@ object ScaleProbe {
     // the billion-vector layout: routing bounds candidates AND codes
     // bound bytes — cost must track the probed fraction of codes, and
     // no raw vector may shuffle
-    "ann_ivf_pq")
+    "ann_ivf_pq",
+    // the frozen-weights apply path: rep 1 pays the fit+persist; the
+    // timed min is one narrow gram pass + an nBuckets-row broadcast —
+    // the training corpus must never be rescanned
+    "dsir_score_incremental")
 
   private def rot(s: String, k: Int): String = s.drop(k % s.length) + s.take(k % s.length)
 

@@ -194,8 +194,11 @@ object Sampling {
     * Output: (id, n_grams, dsir_score). Documents whose normalized
     * text has no tokens have no n-gram instances and drop out — in
     * any engine, by construction. */
-  def dsirScores(df: DataFrame, idCol: String, textCol: String,
-      isTarget: Column, nBuckets: Int = 1024): DataFrame = {
+  /** The hashed n-gram instance stream [[dsirScores]] is built on:
+    * (id, is_target, bucket) — one row per unigram/bigram INSTANCE,
+    * bucket = [[hash60]] mod `nBuckets`. A narrow explode; no state. */
+  private def dsirGrams(df: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, nBuckets: Int): DataFrame = {
     require(nBuckets > 0, "nBuckets must be positive")
     val words = filter(split(TextAnalysis.normalizeText(col(textCol)), " "),
       w => length(w) > 0)
@@ -205,16 +208,24 @@ object Sampling {
       "transform(sequence(1, size(ws) - 1), " +
         "i -> concat(element_at(ws, CAST(i AS INT)), ' ', " +
         "element_at(ws, CAST(i + 1 AS INT))))")
-    val grams = df
-      .select(col(idCol).as("id"), isTarget.cast("boolean").as("is_target"),
+    df.select(col(idCol).as("id"), isTarget.cast("boolean").as("is_target"),
         words.as("ws"))
       .select(col("id"), col("is_target"),
         explode(concat(col("ws"),
           when(size(col("ws")) >= 2, bigrams).otherwise(array()))).as("gram"))
       .withColumn("bucket", hash60(col("gram")) % nBuckets)
       .select("id", "is_target", "bucket")
-      .localCheckpoint(false)
-    val weights = grams.groupBy("bucket")
+  }
+
+  /** The DSIR importance MODEL: per hashed bucket, the target/raw
+    * instance counts and the add-one floor-log2 ratio weight — the
+    * `nBuckets`-row artifact a deployment trains ONCE and persists
+    * ([[dsirScoreFrozen]] is the apply side). Output:
+    * (bucket, c_raw, c_target, w). */
+  def dsirWeights(df: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, nBuckets: Int = 1024): DataFrame =
+    dsirGrams(df, idCol, textCol, isTarget, nBuckets)
+      .groupBy("bucket")
       .agg(count(lit(1)).as("c_raw"),
         sum(when(col("is_target"), 1L).otherwise(0L)).as("c_target"))
       // ⌊lg(c_target+1)⌋ − ⌊lg(c_raw+1)⌋; the two −1 terms of the
@@ -222,10 +233,42 @@ object Sampling {
       .withColumn("w",
         ((length(bin(col("c_target") + 1)) - 1) -
           (length(bin(col("c_raw") + 1)) - 1)).cast("long"))
+
+  def dsirScores(df: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, nBuckets: Int = 1024): DataFrame = {
+    // the gram stream feeds two consumers (the weight histogram and
+    // the scoring join): materialize it once
+    val grams = dsirGrams(df, idCol, textCol, isTarget, nBuckets)
+      .localCheckpoint(false)
+    val weights = grams.groupBy("bucket")
+      .agg(count(lit(1)).as("c_raw"),
+        sum(when(col("is_target"), 1L).otherwise(0L)).as("c_target"))
+      .withColumn("w",
+        ((length(bin(col("c_target") + 1)) - 1) -
+          (length(bin(col("c_raw") + 1)) - 1)).cast("long"))
     grams.join(broadcast(weights.select("bucket", "w")), "bucket")
       .groupBy("id")
       .agg(count(lit(1)).as("n_grams"), sum("w").as("dsir_score"))
   }
+
+  /** Day-2 DSIR — score an incoming batch under a FROZEN weight table
+    * (the [[dsirWeights]] artifact, persisted at train time): this is
+    * how the method deploys — the importance model is fitted once
+    * against the target exemplars and every arriving batch is scored
+    * without touching the training corpus. A batch gram hashing into a
+    * bucket the training corpus never populated scores that instance
+    * 0 — EXACTLY the add-one rule's value for two zero counts
+    * (lg 1 − lg 1), so the frozen path needs no smoothing special
+    * case. One narrow gram pass + the broadcast weight join + one
+    * id-keyed partial-sum shuffle; nothing rescans training data.
+    * Output: (id, n_grams, dsir_score). */
+  def dsirScoreFrozen(weights: DataFrame, batch: DataFrame, idCol: String,
+      textCol: String, nBuckets: Int = 1024): DataFrame =
+    dsirGrams(batch, idCol, textCol, lit(false), nBuckets)
+      .join(broadcast(weights.select("bucket", "w")), Seq("bucket"), "left_outer")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("w"), lit(0L))).as("dsir_score"))
 
   /** [[dsirScores]] plus the SELECTION step: the `topN` highest-scoring
     * documents (doc-id tie-break) are flagged `selected = 1` — the

@@ -1541,6 +1541,30 @@ object LlmQueries {
         col("selected"))
       .orderBy("doc_id")
 
+  /** Day-2 DSIR ([[Sampling.dsirScoreFrozen]]): the importance model
+    * ([[Sampling.dsirWeights]], the 1024-row bucket-weight artifact)
+    * is fitted ONCE on the even-id training half and PERSISTED; the
+    * odd-id batch is then scored against the frozen table — no rescan
+    * of training data, unseen buckets contribute the add-one rule's
+    * own 0. This is how DSIR deploys: fit against the target
+    * exemplars, apply to every arriving batch. Scale: the apply side
+    * is one narrow gram pass + a broadcast join against a table whose
+    * size is `nBuckets` forever. */
+  val dsirScoreIncremental: Q = (s, dir) => {
+    val docs = Tables(s, dir, "documents")
+    val Seq(wT) = BucketCache.tables(s, s"dsir_weights:$dir", { (tag, tmp) =>
+      val name = s"graft_dsir_w_$tag"
+      Sampling.dsirWeights(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+          col("lang") === "en", 1024)
+        .write.option("path", s"$tmp/dsirw").mode("overwrite").saveAsTable(name)
+      Seq(name)
+    })
+    Sampling.dsirScoreFrozen(s.table(wT), docs.filter(col("doc_id") % 2 =!= 0),
+        "doc_id", "text", 1024)
+      .select(col("id").as("doc_id"), col("n_grams"), col("dsir_score"))
+      .orderBy("doc_id")
+  }
+
   /** LEAKAGE-SAFE train/val split — the per-doc hash split above lets
     * NEAR-DUPLICATE pairs straddle the boundary (a val doc whose
     * near-copy sits in train is evaluation leakage, the within-corpus
@@ -2716,6 +2740,7 @@ object LlmQueries {
     "split_train_val" -> splitTrainVal,
     "split_leakage_safe" -> splitLeakageSafe,
     "dsir_importance_sample" -> dsirImportanceSample,
+    "dsir_score_incremental" -> dsirScoreIncremental,
     "shard_manifest" -> shardManifest,
     "export_jsonl_roundtrip" -> exportJsonlRoundtrip,
     "export_csv_roundtrip" -> exportCsvRoundtrip,
@@ -2748,6 +2773,31 @@ object LlmQueries {
     s"CAST(list_sum(list_transform(range(1, 16), i -> " +
       s"CAST(strpos('0123456789abcdef', substr($md, CAST(i AS INT), 1)) - 1 AS BIGINT) * " +
       s"(CAST(1 AS BIGINT) << CAST(4 * (15 - i) AS INT)))) AS BIGINT)"
+
+  /** The DSIR hashed-gram CTE chain over an optionally-filtered
+    * documents slice — `p` prefixes the CTE names so one oracle can
+    * hold independent train/batch streams. Produces `${p}g(doc_id,
+    * is_target, bucket)`: unigram+bigram instances, hx60(md5) mod-1024
+    * buckets (the Spark twin is the private gram stream behind
+    * [[graft.llm.Sampling.dsirScores]]). */
+  private def dsirGramCtes(p: String, whereClause: String): String =
+    s"""${p}w AS (SELECT doc_id, (lang = 'en') AS is_target,
+       |    list_filter(regexp_split_to_array(
+       |      trim(regexp_replace(regexp_replace(lower(text), '[.,;:!?]', '', 'g'), ' +', ' ', 'g')),
+       |      ' '), x -> length(x) > 0) AS ws FROM documents $whereClause),
+       |${p}uni AS (SELECT doc_id, is_target, unnest(ws) AS gram FROM ${p}w),
+       |${p}big AS (SELECT doc_id, is_target, ws[i] || ' ' || ws[i+1] AS gram
+       |  FROM ${p}w, unnest(range(1, len(ws))) t(i)),
+       |${p}g AS (SELECT doc_id, is_target,
+       |    ${hx60("md5(gram)")} % 1024 AS bucket
+       |  FROM (SELECT * FROM ${p}uni UNION ALL SELECT * FROM ${p}big))""".stripMargin
+
+  /** The DSIR add-one floor-log2 ratio weight select (shared between
+    * the in-corpus and frozen-weights oracles — one formula source). */
+  private val dsirWeightSql: String =
+    """SELECT bucket,
+      |    (length(bin(CAST(sum(CASE WHEN is_target THEN 1 ELSE 0 END) + 1 AS BIGINT))) - 1)
+      |      - (length(bin(CAST(count(*) + 1 AS BIGINT))) - 1) AS w""".stripMargin
 
   /** Shared DuckDB CTE chain replaying the PORTABLE MinHash pipeline
     * exactly: words → distinct 60-bit shingle hashes (one md5 each) →
@@ -4552,20 +4602,8 @@ object LlmQueries {
     // unigram+bigram instances, hx60(md5) mod-1024 hashed buckets,
     // the floor-log2 add-one count ratio, deterministic top-100
     "dsir_importance_sample" ->
-      s"""WITH w AS (SELECT doc_id, (lang = 'en') AS is_target,
-         |    list_filter(regexp_split_to_array(
-         |      trim(regexp_replace(regexp_replace(lower(text), '[.,;:!?]', '', 'g'), ' +', ' ', 'g')),
-         |      ' '), x -> length(x) > 0) AS ws FROM documents),
-         |uni AS (SELECT doc_id, is_target, unnest(ws) AS gram FROM w),
-         |big AS (SELECT doc_id, is_target, ws[i] || ' ' || ws[i+1] AS gram
-         |  FROM w, unnest(range(1, len(ws))) t(i)),
-         |g AS (SELECT doc_id, is_target,
-         |    ${hx60("md5(gram)")} % 1024 AS bucket
-         |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM big)),
-         |wt AS (SELECT bucket,
-         |    (length(bin(CAST(sum(CASE WHEN is_target THEN 1 ELSE 0 END) + 1 AS BIGINT))) - 1)
-         |      - (length(bin(CAST(count(*) + 1 AS BIGINT))) - 1) AS w
-         |  FROM g GROUP BY bucket),
+      s"""WITH ${dsirGramCtes("", "")},
+         |wt AS ($dsirWeightSql FROM g GROUP BY bucket),
          |sc AS (SELECT doc_id, count(*) AS n_grams,
          |    CAST(sum(w) AS BIGINT) AS dsir_score
          |  FROM g JOIN wt USING (bucket) GROUP BY doc_id),
@@ -4574,6 +4612,17 @@ object LlmQueries {
          |  CASE WHEN sel.doc_id IS NOT NULL THEN 1 ELSE 0 END AS selected
          |FROM sc LEFT JOIN sel ON sc.doc_id = sel.doc_id
          |ORDER BY sc.doc_id""".stripMargin,
+    // day-2 DSIR: the SAME gram + weight blocks, weights fitted on the
+    // even-id training half only, the odd-id batch scored frozen with
+    // unseen buckets contributing 0 (the add-one rule's own value)
+    "dsir_score_incremental" ->
+      s"""WITH ${dsirGramCtes("t", "WHERE doc_id % 2 = 0")},
+         |${dsirGramCtes("b", "WHERE doc_id % 2 = 1")},
+         |wt AS ($dsirWeightSql FROM tg GROUP BY bucket)
+         |SELECT bg.doc_id, count(*) AS n_grams,
+         |  CAST(sum(coalesce(wt.w, 0)) AS BIGINT) AS dsir_score
+         |FROM bg LEFT JOIN wt USING (bucket)
+         |GROUP BY bg.doc_id ORDER BY bg.doc_id""".stripMargin,
     // hash60 = the hx60 parse of md5(id); bit_xor folds the shard
     // membership into one 60-bit word, order-independently
     "shard_manifest" ->

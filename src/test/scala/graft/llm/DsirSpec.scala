@@ -98,6 +98,37 @@ class DsirSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("dsirScoreFrozen with in-corpus weights reproduces dsirScores exactly") {
+    val w = Sampling.dsirWeights(fixture, "doc_id", "text",
+      org.apache.spark.sql.functions.col("is_target"), nBuckets)
+    val frozen = Sampling.dsirScoreFrozen(w, fixture, "doc_id", "text", nBuckets)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(frozen === expected)
+  }
+
+  test("frozen scoring maps unseen buckets to the add-one rule's zero") {
+    // weight map replay over the training fixture
+    val trainGrams = docs.flatMap { case (_, tgt, text) =>
+      val ws = text.split(" ").filter(_.nonEmpty).toSeq
+      val big = if (ws.size >= 2) ws.sliding(2).map(_.mkString(" ")).toSeq else Seq()
+      (ws ++ big).map(g => (tgt, hash60(g) % nBuckets))
+    }
+    val wMap = trainGrams.groupBy(_._2).map { case (b, gs) =>
+      b -> (lg(gs.count(_._1) + 1L) - lg(gs.size + 1L))
+    }
+    // a novel-vocabulary batch: every gram bucket scored via the map
+    // with default 0 — the exact contract of the frozen left join
+    val novel = Seq((99L, false, "quux corge grault")).toDF("doc_id", "is_target", "text")
+    val ws = "quux corge grault".split(" ").toSeq
+    val grams = ws ++ ws.sliding(2).map(_.mkString(" ")).toSeq
+    val want = grams.map(g => wMap.getOrElse(hash60(g) % nBuckets, 0L)).sum
+    val w = Sampling.dsirWeights(fixture, "doc_id", "text",
+      org.apache.spark.sql.functions.col("is_target"), nBuckets)
+    val got = Sampling.dsirScoreFrozen(w, novel, "doc_id", "text", nBuckets)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq((99L, grams.size.toLong, want)))
+  }
+
   test("single-token and empty docs: no descending-sequence bigrams, empty drops out") {
     val tiny = Seq((0L, true, "solo"), (1L, false, ""), (2L, false, "a b"))
       .toDF("doc_id", "is_target", "text")
