@@ -2768,11 +2768,22 @@ object LlmQueries {
 
   /** Inline DuckDB expression parsing the top 15 hex chars of an md5
     * string as a 60-bit BIGINT — the numeric twin of the Spark side's
-    * `Md5.top60` (big-endian first 8 digest bytes >>> 4). */
+    * `Md5.top60` (big-endian first 8 digest bytes >>> 4).
+    *
+    * The lambda variable is deliberately collision-proof: `$md` is
+    * interpolated INSIDE the lambda body, so a caller whose expression
+    * references a column named like the lambda parameter would have
+    * that column silently captured — a plain `i` here turned the
+    * streaming CMS oracle's per-row seed (`... || CAST(i AS VARCHAR)
+    * || ...`, `i` an outer range column) into the hex-position
+    * counter, collapsing all four hash rows to one wrong value. The
+    * batch CMS gate could not see it (both engines' estimates equal
+    * the exact counts when no collision fires, wrong buckets or not);
+    * the streaming gate exposing the raw matrix did. */
   private[queries] def hx60(md: String): String =
-    s"CAST(list_sum(list_transform(range(1, 16), i -> " +
-      s"CAST(strpos('0123456789abcdef', substr($md, CAST(i AS INT), 1)) - 1 AS BIGINT) * " +
-      s"(CAST(1 AS BIGINT) << CAST(4 * (15 - i) AS INT)))) AS BIGINT)"
+    s"CAST(list_sum(list_transform(range(1, 16), __hx -> " +
+      s"CAST(strpos('0123456789abcdef', substr($md, CAST(__hx AS INT), 1)) - 1 AS BIGINT) * " +
+      s"(CAST(1 AS BIGINT) << CAST(4 * (15 - __hx) AS INT)))) AS BIGINT)"
 
   /** The DSIR hashed-gram CTE chain over an optionally-filtered
     * documents slice — `p` prefixes the CTE names so one oracle can

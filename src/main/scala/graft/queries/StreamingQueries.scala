@@ -425,6 +425,41 @@ object StreamingQueries {
     drain(s, name, s.table(name).orderBy("content_hash"))
   }
 
+  /** Streaming Count-Min maintenance —
+    * [[graft.llm.Sketches.cmsCounters]] running UNCHANGED on the
+    * documents stream: the sketch where it earns its keep, an
+    * always-on ingest-side frequency summary whose update-mode
+    * aggregation state is depth·width counters FOREVER — the batch
+    * operator's bounded-memory claim in its streaming form (no
+    * vocabulary-sized state ever accumulates, however long the stream
+    * runs). The 4-batch doc_id-contiguous fixture makes every
+    * update-mode emission closed-form: for each (i, bucket) and batch
+    * whose docs hash an instance there, the cumulative counter over
+    * batches ≤ b — the `stream_incremental_totals` discipline applied
+    * to the matrix, so the driver verifies the whole update stream,
+    * not just the final state. (i, bucket, c) is unique across the
+    * stream (counters strictly increase per cell), so the sort is
+    * deterministic. */
+  val streamCmsMatrix: Q = (s, dir) => withStatePartitions(s, 8) {
+    import org.apache.spark.sql.functions._
+    val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+    val name = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val (tmp, schema) = spillIdBucketsCached(s, dir, docs, "doc_id", 4)
+    val src = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp.getPath + "/*.parquet")
+    val agg = graft.llm.Sketches.cmsCounters(src, "text", depth = 4, width = 256)
+    val q = agg.writeStream.format("memory").queryName(name).outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      if (dataBatches < 2)
+        throw new IllegalStateException(
+          s"stream_cms_matrix requires >= 2 data micro-batches (the incremental " +
+            s"counter emissions are the path under test); saw $dataBatches")
+    } finally q.stop()
+    drain(s, name, s.table(name).orderBy("i", "bucket", "c"))
+  }
+
   /** Streaming token accounting with a TRAINED BROADCAST ARTIFACT —
     * the deploy shape of every trained operator in the catalog: the
     * BPE merge table is trained ONCE on the batch side
@@ -923,6 +958,7 @@ object StreamingQueries {
     "stream_incremental_totals" -> streamIncrementalTotals,
     "stream_windowed_counts" -> streamWindowedCounts,
     "stream_dedup_docs" -> streamDedupDocs,
+    "stream_cms_matrix" -> streamCmsMatrix,
     "stream_bpe_token_budget" -> streamBpeTokenBudget,
     "stream_sink_jsonl" -> streamSinkJsonl,
     "stream_dedup_watermarked" -> streamDedupWatermarked,
@@ -1110,6 +1146,26 @@ object StreamingQueries {
       """SELECT DISTINCT md5(lower(text)) AS content_hash,
         |  octet_length(encode(text)) AS n_bytes
         |FROM documents ORDER BY content_hash""".stripMargin,
+    // every update-mode counter emission replayed: per (i, bucket,
+    // batch-with-instances), the cumulative count over batches <= b —
+    // the identical bucket formula the fixture spill used, the
+    // identical cms hash the batch gate pins
+    "stream_cms_matrix" ->
+      s"""WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+        |d AS (SELECT doc_id, text,
+        |    CAST(floor(doc_id * 4 / (m + 1.0)) AS INT) AS b FROM documents, mx),
+        |t AS (SELECT b, unnest(regexp_split_to_array(
+        |    trim(regexp_replace(regexp_replace(lower(text), '[.,;:!?]', '', 'g'), ' +', ' ', 'g')),
+        |    ' ')) AS token FROM d),
+        |t2 AS (SELECT b, token FROM t WHERE length(token) > 0),
+        |inst AS (SELECT b, CAST(i AS INT) AS i,
+        |    ${LlmQueries.hx60("md5('cms:' || CAST(i AS VARCHAR) || ':' || token)")} % 256 AS bucket
+        |  FROM t2, range(0, 4) r(i)),
+        |g AS (SELECT b, i, bucket, count(*) AS c FROM inst GROUP BY b, i, bucket),
+        |cum AS (SELECT i, bucket,
+        |    CAST(sum(c) OVER (PARTITION BY i, bucket ORDER BY b) AS BIGINT) AS c
+        |  FROM g)
+        |SELECT i, bucket, c FROM cum ORDER BY i, bucket, c""".stripMargin,
     // the stream writes, the batch read sees only committed files, the
     // oracle never sees either — it rolls up the parquet originals
     "stream_sink_jsonl" -> LlmQueries.sqlExportRollup,
