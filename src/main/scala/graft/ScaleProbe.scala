@@ -146,7 +146,10 @@ object ScaleProbe {
     // the frozen-weights apply path: rep 1 pays the fit+persist; the
     // timed min is one narrow gram pass + an nBuckets-row broadcast —
     // the training corpus must never be rescanned
-    "dsir_score_incremental")
+    "dsir_score_incremental",
+    // sketched join-size estimation: cost = the two key scans; the
+    // matrices and the inner product stay depth·width at any |table|
+    "cms_join_estimate")
 
   private def rot(s: String, k: Int): String = s.drop(k % s.length) + s.take(k % s.length)
 

@@ -28,21 +28,58 @@ import org.apache.spark.sql.functions._
   * n-grams) is too large to aggregate at 100 TB. */
 object Sketches {
 
-  /** The depth × width counter matrix: (i, bucket, c) — one row per
-    * NON-ZERO counter (absent = 0). One tokenized corpus scan; the
-    * shuffle carries ≤ depth·width partial rows per partition. */
-  def cmsCounters(df: DataFrame, textCol: String,
-      depth: Int = 4, width: Int = 256): DataFrame = {
+  /** The counter matrix over an arbitrary string-instance frame
+    * (`token` column): the shared core of [[cmsCounters]] (text
+    * tokens) and [[cmsKeyCounters]] (join keys). */
+  private def matrixOf(instances: DataFrame, depth: Int, width: Int): DataFrame = {
     require(depth > 0 && width > 0, s"need depth, width > 0; got $depth, $width")
-    val toks = df.select(
-        explode(split(TextAnalysis.normalizeText(col(textCol)), " ")).as("token"))
-      .filter(length(col("token")) > 0)
-    toks
+    instances
       .select(posexplode(array((0 until depth).map(i =>
         Sampling.hash60(concat(lit(s"cms:$i:"), col("token"))) % width): _*))
         .as(Seq("i", "bucket")))
       .groupBy("i", "bucket").agg(count(lit(1)).as("c"))
   }
+
+  /** The depth × width counter matrix: (i, bucket, c) — one row per
+    * NON-ZERO counter (absent = 0). One tokenized corpus scan; the
+    * shuffle carries ≤ depth·width partial rows per partition. */
+  def cmsCounters(df: DataFrame, textCol: String,
+      depth: Int = 4, width: Int = 256): DataFrame =
+    matrixOf(df.select(
+        explode(split(TextAnalysis.normalizeText(col(textCol)), " ")).as("token"))
+      .filter(length(col("token")) > 0), depth, width)
+
+  /** The counter matrix over a JOIN-KEY column — one instance per row,
+    * the key rendered through `CAST(key AS STRING)` (callers with
+    * non-integral key types should pre-cast to a canonical form; a
+    * DECIMAL's string rendering is not engine-portable). NULL keys are
+    * dropped, mirroring equi-join semantics where null never matches.
+    * This is the sketch a table scan leaves behind for the PLANNER:
+    * depth·width counters summarizing the key distribution. */
+  def cmsKeyCounters(df: DataFrame, keyCol: String,
+      depth: Int = 4, width: Int = 256): DataFrame =
+    matrixOf(df.select(col(keyCol).cast("string").as("token"))
+      .filter(col("token").isNotNull), depth, width)
+
+  /** Equi-join CARDINALITY estimate from two counter matrices — the
+    * classic sketched inner product: per hash row,
+    * `Σ_bucket cA[i][b] · cB[i][b]` over-counts the true
+    * `Σ_key nA(k) · nB(k)` by only the collision cross-terms
+    * (non-negative), so `min` over the depth rows is a ONE-SIDED upper
+    * estimate, within `(e/width) · |A| · |B|` of truth with
+    * probability 1 − e^−depth. The estimator a planner calls to size a
+    * join (pick broadcast vs shuffle, pre-provision partitions) from
+    * two depth·width summaries WITHOUT scanning either table again —
+    * sharp when the join size is dominated by heavy keys, noise-bound
+    * when keys are near-unique (the docplan trade every sketch
+    * carries). Both matrices must share (depth, width, hash family) —
+    * i.e. come from [[cmsKeyCounters]] with the same dials. Exact
+    * integer arithmetic end to end. Output: one row, (cms_est). */
+  def cmsJoinSizeEstimate(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("i"), col("bucket"), col("c").as("ca"))
+      .join(b.select(col("i"), col("bucket"), col("c").as("cb")), Seq("i", "bucket"))
+      .groupBy("i").agg(sum(col("ca") * col("cb")).as("ip"))
+      .agg(min("ip").as("cms_est"))
 
   /** Point estimates for a candidate token set: min over the depth
     * counters each candidate hashes into, appended as a `cms_est`

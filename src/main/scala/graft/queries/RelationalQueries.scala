@@ -551,6 +551,46 @@ object RelationalQueries {
       .orderBy(desc("n"), asc("user_id")).limit(20)
   }
 
+  /** Join-cardinality estimation from key sketches
+    * ([[graft.llm.Sketches.cmsKeyCounters]] +
+    * [[graft.llm.Sketches.cmsJoinSizeEstimate]]) — the planner-side
+    * sibling of [[keySkewReport]]: each table scan leaves a 4×4096
+    * counter matrix behind, and a join's output size is estimated from
+    * the matrices' sketched inner product WITHOUT scanning either
+    * table again — how an optimizer sizes broadcast-vs-shuffle and
+    * pre-provisions partitions at 100 TB. Two audits, both with the
+    * one-sided `err = cms_est − exact ≥ 0` invariant (collision
+    * cross-terms only add):
+    *  - `custkey_self`: the orders-per-customer fan-out (skew-heavy —
+    *    where the estimator is sharp);
+    *  - `orderkey_ol`: orders ⋈ lineitem on the near-unique orderkey
+    *    (the noise-bound regime: est − exact ≈ |A|·|B|/width, the
+    *    documented ε bound, visible in the gate's own numbers).
+    * Everything is exact integer arithmetic, so the oracle replays the
+    * matrices and both estimates bit-for-bit. */
+  val cmsJoinEstimate: Q = (s, dir) => {
+    import graft.llm.Sketches
+    val o = Tables(s, dir, "orders")
+    val l = Tables(s, dir, "lineitem")
+    val (d, w) = (4, 4096)
+    val mc = Sketches.cmsKeyCounters(o, "o_custkey", d, w).localCheckpoint(false)
+    val mo = Sketches.cmsKeyCounters(o, "o_orderkey", d, w)
+    val ml = Sketches.cmsKeyCounters(l, "l_orderkey", d, w)
+    val exactSelf = o.groupBy("o_custkey").agg(count(lit(1)).as("n"))
+      .agg(sum(col("n") * col("n")).as("exact_pairs"))
+    val exactJoin = o.groupBy("o_orderkey").agg(count(lit(1)).as("na"))
+      .join(l.groupBy("l_orderkey").agg(count(lit(1)).as("nb")),
+        col("o_orderkey") === col("l_orderkey"))
+      .agg(sum(col("na") * col("nb")).as("exact_pairs"))
+    val r1 = exactSelf.crossJoin(Sketches.cmsJoinSizeEstimate(mc, mc))
+      .select(lit("custkey_self").as("join_key"), col("exact_pairs"), col("cms_est"))
+    val r2 = exactJoin.crossJoin(Sketches.cmsJoinSizeEstimate(mo, ml))
+      .select(lit("orderkey_ol").as("join_key"), col("exact_pairs"), col("cms_est"))
+    r1.unionAll(r2)
+      .withColumn("err", col("cms_est") - col("exact_pairs"))
+      .orderBy("join_key")
+  }
+
   /** Semi-structured extraction: parse the events table's JSON `props`
     * column with a TYPED schema (`from_json` — one parse per row into a
     * struct, codegen'd, no UDF and no per-field re-parse the
@@ -627,7 +667,8 @@ object RelationalQueries {
     "rolling_revenue_7d" -> rollingRevenue7d,
     "zorder_layout" -> zorderLayout,
     "json_props_stats" -> jsonPropsStats,
-    "key_skew_report" -> keySkewReport
+    "key_skew_report" -> keySkewReport,
+    "cms_join_estimate" -> cmsJoinEstimate
   )
 
   val oracles: Map[String, String] = Map(
@@ -638,6 +679,36 @@ object RelationalQueries {
         |SELECT user_id, n, CAST(n AS DOUBLE) / total AS share,
         |  CAST(CASE WHEN n * 100 >= total THEN 1 ELSE 0 END AS INT) AS hot
         |FROM c, t ORDER BY n DESC, user_id LIMIT 20""".stripMargin,
+    // both counter matrices and both sketched inner products replayed
+    // in full — the estimate, not just its error bound, is pinned
+    "cms_join_estimate" -> {
+      def mat(cntCte: String, p: String): String =
+        s"""${p}b AS (SELECT token, CAST(i AS INT) AS i,
+           |    ${LlmQueries.hx60("md5('cms:' || CAST(i AS VARCHAR) || ':' || token)")} % 4096 AS bucket
+           |  FROM $cntCte, range(0, 4) r(i)),
+           |${p}m AS (SELECT i, bucket, CAST(sum(c) AS BIGINT) AS c
+           |  FROM $cntCte JOIN ${p}b USING (token) GROUP BY i, bucket)""".stripMargin
+      s"""WITH oc AS (SELECT CAST(o_custkey AS VARCHAR) AS token, count(*) AS c FROM orders GROUP BY 1),
+         |ok AS (SELECT CAST(o_orderkey AS VARCHAR) AS token, count(*) AS c FROM orders GROUP BY 1),
+         |lk AS (SELECT CAST(l_orderkey AS VARCHAR) AS token, count(*) AS c FROM lineitem GROUP BY 1),
+         |${mat("oc", "x")},
+         |${mat("ok", "y")},
+         |${mat("lk", "z")},
+         |e1 AS (SELECT min(ip) AS cms_est FROM (
+         |  SELECT i, CAST(sum(c * c) AS BIGINT) AS ip FROM xm GROUP BY i)),
+         |e2 AS (SELECT min(ip) AS cms_est FROM (
+         |  SELECT ym.i, CAST(sum(ym.c * zm.c) AS BIGINT) AS ip
+         |  FROM ym JOIN zm ON ym.i = zm.i AND ym.bucket = zm.bucket GROUP BY ym.i)),
+         |x1 AS (SELECT CAST(sum(c * c) AS BIGINT) AS exact_pairs FROM oc),
+         |x2 AS (SELECT CAST(sum(ok.c * lk.c) AS BIGINT) AS exact_pairs
+         |  FROM ok JOIN lk USING (token))
+         |SELECT 'custkey_self' AS join_key, x1.exact_pairs, e1.cms_est,
+         |  e1.cms_est - x1.exact_pairs AS err FROM x1, e1
+         |UNION ALL
+         |SELECT 'orderkey_ol', x2.exact_pairs, e2.cms_est,
+         |  e2.cms_est - x2.exact_pairs FROM x2, e2
+         |ORDER BY join_key""".stripMargin
+    },
     // regexp replay of the typed JSON extraction: identical values on
     // well-formed objects; NULLIF keeps malformed rows null on both
     // sides so n vs n_parsed audits parity instead of diverging

@@ -67,6 +67,42 @@ class CmsSpec extends AnyFunSuite {
     assert(got.exists(_._4 > 0), "expected at least one collision overcount")
   }
 
+  test("join-size estimate matches the replay and never undercounts") {
+    val a = Seq(1L, 1L, 1L, 2L, 3L, 3L).toDF("k")
+    val b = Seq(1L, 2L, 2L, 2L, 4L).toDF("k")
+    // exact |a join b| on k: 3*1 + 1*3 = 6
+    def matrix(df: org.apache.spark.sql.DataFrame, depth: Int,
+        width: Int): Map[(Int, Long), Long] =
+      df.select(org.apache.spark.sql.functions.col("k").cast("string"))
+        .collect().map(_.getString(0)).toSeq
+        .flatMap(t => (0 until depth).map(i => (i, hash60(s"cms:$i:$t") % width)))
+        .groupBy(x => x).map { case (cell, v) => cell -> v.size.toLong }
+    def est(depth: Int, width: Int): Long = {
+      val (ma, mb) = (matrix(a, depth, width), matrix(b, depth, width))
+      (0 until depth).map(i =>
+        ma.collect { case ((r, bk), c) if r == i && mb.contains((r, bk)) =>
+          c * mb((r, bk)) }.sum).min
+    }
+    for ((d, w) <- Seq((4, 256), (4, 2), (2, 4))) {
+      val got = Sketches.cmsJoinSizeEstimate(
+          Sketches.cmsKeyCounters(a, "k", d, w), Sketches.cmsKeyCounters(b, "k", d, w))
+        .collect()(0).getLong(0)
+      assert(got === est(d, w), s"depth=$d width=$w")
+      assert(got >= 6L, s"one-sided bound violated at depth=$d width=$w")
+    }
+    // a roomy sketch has no collisions: the estimate IS the exact size
+    assert(Sketches.cmsJoinSizeEstimate(
+      Sketches.cmsKeyCounters(a, "k", 4, 4096),
+      Sketches.cmsKeyCounters(b, "k", 4, 4096)).collect()(0).getLong(0) === 6L)
+  }
+
+  test("null join keys are dropped like equi-join semantics") {
+    val withNulls = Seq(Some(1L), None, Some(1L), None).toDF("k")
+    val m = Sketches.cmsKeyCounters(withNulls, "k", 4, 64)
+      .agg(org.apache.spark.sql.functions.sum("c")).collect()(0).getLong(0)
+    assert(m === 8L) // 2 non-null instances x depth 4
+  }
+
   test("counter matrix is partitioning-invariant") {
     val a = Sketches.cmsCounters(fixture, "text", 4, 64)
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
