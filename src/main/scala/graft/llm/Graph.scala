@@ -38,8 +38,13 @@ object Graph {
     * ONCE (`localCheckpoint`; reliable checkpoint at cluster scale) and
     * each round is one edge⋈rank join + one dst-keyed partial-agg
     * shuffle — the Pregel profile, `iters`× the cost of one degree
-    * count, with per-round lineage truncation so the plan tree stays
-    * flat ([[Dedup.connectedComponents]] learned this the hard way).
+    * count. Unlike [[Dedup.connectedComponents]] (whose labels feed
+    * BOTH sides of its per-round join, doubling the plan per round),
+    * `ranks` has exactly ONE consumer per round, so lineage grows
+    * LINEARLY and the rounds chain inside one job — checkpointing
+    * every round would only buy 8 needless materializations (measured
+    * ~0.2 s each in local mode). Lineage is truncated every
+    * `checkpointEvery` rounds (default 16) as the long-run guard.
     * Overflow bound: a node's inbound sum is ≤ in-degree · 10^6-scale
     * ranks, so `damping · s` stays under 2^63 while max degree
     * < ~10^7 — guaranteed here because the LSH bucket cap
@@ -48,10 +53,11 @@ object Graph {
     *
     * Output: (id, rank_ppm) for every node of the pair graph. */
   def pageRankPpm(pairs: DataFrame, iters: Int = 8,
-      dampingPpm: Long = 850000L): DataFrame = {
+      dampingPpm: Long = 850000L, checkpointEvery: Int = 16): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     require(dampingPpm >= 0 && dampingPpm <= 1000000L,
       s"dampingPpm must be in [0, 1000000]; got $dampingPpm")
+    require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
     val base = 1000000L - dampingPpm
     val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
@@ -60,14 +66,17 @@ object Graph {
     val edges = sym.join(deg, "src").localCheckpoint(false)
     var ranks = edges.select(col("src").as("id")).distinct()
       .select(col("id"), lit(1000000L).as("r"))
-    for (_ <- 1 to iters) {
+    for (it <- 1 to iters) {
       ranks = edges.join(ranks, edges("src") === ranks("id"))
         .select(col("dst"), expr("r DIV deg").as("c"))
         .groupBy("dst")
         .agg(sum("c").as("s"))
         .select(col("dst").as("id"),
           expr(s"CAST($base + ($dampingPpm * s) DIV 1000000 AS BIGINT)").as("r"))
-        .localCheckpoint(false) // flat lineage per round
+      // single-consumer lineage grows linearly — truncate only on the
+      // long-run cadence, never per round
+      if (it % checkpointEvery == 0 && it < iters)
+        ranks = ranks.localCheckpoint(false)
     }
     ranks.select(col("id"), col("r").as("rank_ppm"))
   }
