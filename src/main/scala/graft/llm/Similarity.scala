@@ -843,6 +843,34 @@ object Similarity {
       .select(col(idOut), col(vecOut), col("cid").as(cellOut))
   }
 
+  /** Window-free nProbe ROUTER for STREAMING query frames — the
+    * expression-only twin of [[ivfAssign]]: a `row_number` window
+    * cannot run on an unbounded stream, but an `array_sort` over a
+    * bounded centroid literal can, and it encodes the identical
+    * (cosine DESC, cid ASC) rule (struct sort on (−cos, cid) — the
+    * [[ivfTopKTrained]] router's trick in the cosine metric), so batch
+    * and stream route the same vector to the same cells bit-for-bit
+    * (spec-pinned equality). `cents` is the COLLECTED centroid set —
+    * nCells rows, the same bounded driver-side artifact every trained
+    * operator ships — and rides the plan as a small literal. Output
+    * columns mirror [[ivfAssign]]: (idOut, vecOut, cellOut), one row
+    * per (vector, probed cell). */
+  def ivfRouteCells(df: DataFrame, cents: Seq[(Long, Seq[Float])],
+      idCol: String, vecCol: String, idOut: String, vecOut: String,
+      n: Int, cellOut: String): DataFrame = {
+    require(cents.nonEmpty, "centroid set must be non-empty")
+    require(n >= 1 && n <= cents.size,
+      s"need 1 <= n <= ${cents.size}; got $n")
+    val centArr = array(cents.map { case (cid, v) =>
+      struct(typedlit(v).as("cv"), lit(cid).as("cid")) }: _*)
+    df.select(col(idCol).as(idOut), col(vecCol).as(vecOut))
+      .withColumn(cellOut, explode(transform(
+        slice(array_sort(transform(centArr, c => struct(
+          (-cosine(col(vecOut), c.getField("cv"))).as("negcos"),
+          c.getField("cid").as("cid")))), 1, n),
+        s => s.getField("cid"))))
+  }
+
   /** The IVF probe: candidates meet on cell id (query side broadcast —
     * the index side, in-plan or persisted-bucketed, never shuffles),
     * exact cosine re-ranks, top-k by (cos DESC, corpus_id ASC).

@@ -522,15 +522,23 @@ object LlmQueries {
     * changes results. At 100 TB this is the difference between
     * rebuilding the index per query batch and amortizing one
     * corpus-sized write across every retrieval job. */
-  val annIvfPersisted: Q = (s, dir) => {
+  /** The persisted `bucketBy(cell)` inverted-list table — built once
+    * per (dir), shared by [[annIvfPersisted]] and the streaming probe
+    * gate (same cache key: one layout investment, two probe paths). */
+  private[queries] def ivfIndexTable(s: SparkSession, dir: String): String = {
     val e = Tables(s, dir, "embeddings")
-    val Seq(idxTable) = BucketCache.tables(s, s"ivf_cells:$dir", { (tag, tmp) =>
+    BucketCache.tables(s, s"ivf_cells:$dir", { (tag, tmp) =>
       val cents = Similarity.ivfCentroids(e, "vec_id", "embedding", 16)
       Similarity.ivfAssign(e, cents, "vec_id", "embedding", "corpus_id", "cvec2", 1, "cell")
         .write.bucketBy(8, "cell").sortBy("cell")
         .option("path", s"$tmp/ivf").mode("overwrite").saveAsTable(s"graft_ivf_b_$tag")
       Seq(s"graft_ivf_b_$tag")
-    })
+    }).head
+  }
+
+  val annIvfPersisted: Q = (s, dir) => {
+    val e = Tables(s, dir, "embeddings")
+    val idxTable = ivfIndexTable(s, dir)
     val cents = Similarity.ivfCentroids(e, "vec_id", "embedding", 16)
     val queryCells = Similarity.ivfAssign(
       e.filter(col("vec_id") < 10), cents, "vec_id", "embedding", "query_id", "qvec", 4, "cell")
@@ -3096,7 +3104,7 @@ object LlmQueries {
   /** Shared by `ann_ivf` (in-plan index) and `ann_ivf_persisted`
     * (bucketed index): layout never changes results, so one oracle
     * serves both and the two can never drift. */
-  private val sqlAnnIvf: String =
+  private[queries] val sqlAnnIvf: String =
     """WITH cents AS (
         |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
         |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),

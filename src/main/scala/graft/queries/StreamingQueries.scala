@@ -460,6 +460,62 @@ object StreamingQueries {
     drain(s, name, s.table(name).orderBy("i", "bucket", "c"))
   }
 
+  /** STREAMING ANN — query vectors arrive as a stream and probe the
+    * persisted bucketed IVF index (the SAME table `ann_ivf_persisted`
+    * reads — one layout investment, batch and streaming probe paths):
+    * the retrieval-endpoint deployment, where embeddings of incoming
+    * requests rank against a corpus index that never rescans. Three
+    * streaming-legal pieces replace the batch plan's windows:
+    *  - routing is [[graft.llm.Similarity.ivfRouteCells]] — the
+    *    expression-only (cos DESC, cid ASC) router over the collected
+    *    centroid literal (a row_number window cannot run on a stream);
+    *  - candidates meet in a STREAM-STATIC join on cell id (the
+    *    bucketed index is the static side — per micro-batch one
+    *    bucketed scan, no state);
+    *  - ranking is [[graft.streaming.CosTopKAgg]] — per-query top-k
+    *    state of k (cos, id) pairs, update mode.
+    * Each query's rows live in one doc_id-contiguous micro-batch (2
+    * spill files over 10 queries), so each query updates exactly once
+    * and the final table IS the per-query answer — which equals the
+    * batch `ann_ivf` result by construction, so the gate SHARES its
+    * oracle: any batch/stream routing or ranking divergence
+    * hash-fails. */
+  val streamAnnIvfProbe: Q = (s, dir) => withStatePartitions(s, 8) {
+    import org.apache.spark.sql.functions._
+    val e = Tables(s, dir, "embeddings")
+    val idxTable = LlmQueries.ivfIndexTable(s, dir)
+    val cents = graft.llm.Similarity.ivfCentroids(e, "vec_id", "embedding", 16)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val name = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val (tmp, schema) = spillIdBucketsCached(s, dir,
+      e.filter(col("vec_id") < 10).select("vec_id", "embedding"), "vec_id", 2,
+      tag = "annq")
+    val src = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp.getPath + "/*.parquet")
+    val routed = graft.llm.Similarity.ivfRouteCells(
+      src, cents, "vec_id", "embedding", "query_id", "qvec", 4, "cell")
+    val scored = routed.join(s.table(idxTable), Seq("cell"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"),
+        graft.llm.Similarity.cosine(col("qvec"), col("cvec2")).as("cos"),
+        col("corpus_id"))
+    val agg = scored.groupBy("query_id")
+      .agg(graft.streaming.CosTopKAgg.column(5, col("cos"), col("corpus_id")).as("top"))
+    val q = agg.writeStream.format("memory").queryName(name).outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      if (dataBatches < 2)
+        throw new IllegalStateException(
+          s"stream_ann_ivf_probe requires >= 2 data micro-batches; saw $dataBatches")
+    } finally q.stop()
+    drain(s, name, s.table(name)
+      .select(col("query_id"),
+        posexplode(col("top").getField("ids")).as(Seq("pos", "corpus_id")))
+      .select(col("query_id"), col("corpus_id"), (col("pos") + 1).cast("int").as("rank"))
+      .orderBy("query_id", "rank"))
+  }
+
   /** Streaming token accounting with a TRAINED BROADCAST ARTIFACT —
     * the deploy shape of every trained operator in the catalog: the
     * BPE merge table is trained ONCE on the batch side
@@ -959,6 +1015,7 @@ object StreamingQueries {
     "stream_windowed_counts" -> streamWindowedCounts,
     "stream_dedup_docs" -> streamDedupDocs,
     "stream_cms_matrix" -> streamCmsMatrix,
+    "stream_ann_ivf_probe" -> streamAnnIvfProbe,
     "stream_bpe_token_budget" -> streamBpeTokenBudget,
     "stream_sink_jsonl" -> streamSinkJsonl,
     "stream_dedup_watermarked" -> streamDedupWatermarked,
@@ -1146,6 +1203,10 @@ object StreamingQueries {
       """SELECT DISTINCT md5(lower(text)) AS content_hash,
         |  octet_length(encode(text)) AS n_bytes
         |FROM documents ORDER BY content_hash""".stripMargin,
+    // the streaming probe equals the batch ivf by construction (same
+    // index, same routing rule, same ranking) — shared oracle, so any
+    // batch/stream divergence hash-fails rather than drifting
+    "stream_ann_ivf_probe" -> LlmQueries.sqlAnnIvf,
     // every update-mode counter emission replayed: per (i, bucket,
     // batch-with-instances), the cumulative count over batches <= b —
     // the identical bucket formula the fixture spill used, the

@@ -304,6 +304,20 @@ class PqSpec extends AnyFunSuite {
     assert(full === flat)
   }
 
+  test("ivfRouteCells (streaming router) routes exactly like the ivfAssign window") {
+    val e = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+    val cents = Similarity.ivfCentroids(e, "vec_id", "embedding", 16)
+    val collected = cents.collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    def cells(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "cell").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val win = cells(Similarity.ivfAssign(e, cents, "vec_id", "embedding",
+      "query_id", "qvec", 4, "cell"))
+    val expr = cells(Similarity.ivfRouteCells(e, collected, "vec_id", "embedding",
+      "query_id", "qvec", 4, "cell"))
+    assert(expr === win)
+  }
+
   test("ivfPqTopK neighbors lie only in the query's probed cells") {
     val e = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
     val q = e.filter(col("vec_id") < 5)
