@@ -73,13 +73,24 @@ object Sketches {
     * sharp when the join size is dominated by heavy keys, noise-bound
     * when keys are near-unique (the docplan trade every sketch
     * carries). Both matrices must share (depth, width, hash family) —
-    * i.e. come from [[cmsKeyCounters]] with the same dials. Exact
-    * integer arithmetic end to end. Output: one row, (cms_est). */
-  def cmsJoinSizeEstimate(a: DataFrame, b: DataFrame): DataFrame =
+    * i.e. come from [[cmsKeyCounters]] with the same dials, and
+    * `depth` must be passed again here: a hash row whose bucket sets
+    * are DISJOINT has inner product 0 — the sharpest answer the sketch
+    * can give ("this join is empty") — but such a row vanishes from
+    * the bucket equi-join entirely, so the min must know how many rows
+    * it should be over; without the count, near-disjoint key sets
+    * would estimate from only their collision rows and overcount
+    * without bound. Exact integer arithmetic end to end. Output: one
+    * row, (cms_est). */
+  def cmsJoinSizeEstimate(a: DataFrame, b: DataFrame, depth: Int = 4): DataFrame = {
+    require(depth > 0, "depth must be positive")
     a.select(col("i"), col("bucket"), col("c").as("ca"))
       .join(b.select(col("i"), col("bucket"), col("c").as("cb")), Seq("i", "bucket"))
       .groupBy("i").agg(sum(col("ca") * col("cb")).as("ip"))
-      .agg(min("ip").as("cms_est"))
+      .agg(min("ip").as("m"), count(lit(1)).as("nr"))
+      .select(when(col("nr") < depth, lit(0L))
+        .otherwise(coalesce(col("m"), lit(0L))).as("cms_est"))
+  }
 
   /** Point estimates for a candidate token set: min over the depth
     * counters each candidate hashes into, appended as a `cms_est`

@@ -582,9 +582,9 @@ object RelationalQueries {
       .join(l.groupBy("l_orderkey").agg(count(lit(1)).as("nb")),
         col("o_orderkey") === col("l_orderkey"))
       .agg(sum(col("na") * col("nb")).as("exact_pairs"))
-    val r1 = exactSelf.crossJoin(Sketches.cmsJoinSizeEstimate(mc, mc))
+    val r1 = exactSelf.crossJoin(Sketches.cmsJoinSizeEstimate(mc, mc, d))
       .select(lit("custkey_self").as("join_key"), col("exact_pairs"), col("cms_est"))
-    val r2 = exactJoin.crossJoin(Sketches.cmsJoinSizeEstimate(mo, ml))
+    val r2 = exactJoin.crossJoin(Sketches.cmsJoinSizeEstimate(mo, ml, d))
       .select(lit("orderkey_ol").as("join_key"), col("exact_pairs"), col("cms_est"))
     r1.unionAll(r2)
       .withColumn("err", col("cms_est") - col("exact_pairs"))

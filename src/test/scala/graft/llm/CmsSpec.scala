@@ -85,7 +85,7 @@ class CmsSpec extends AnyFunSuite {
     }
     for ((d, w) <- Seq((4, 256), (4, 2), (2, 4))) {
       val got = Sketches.cmsJoinSizeEstimate(
-          Sketches.cmsKeyCounters(a, "k", d, w), Sketches.cmsKeyCounters(b, "k", d, w))
+          Sketches.cmsKeyCounters(a, "k", d, w), Sketches.cmsKeyCounters(b, "k", d, w), d)
         .collect()(0).getLong(0)
       assert(got === est(d, w), s"depth=$d width=$w")
       assert(got >= 6L, s"one-sided bound violated at depth=$d width=$w")
@@ -94,6 +94,18 @@ class CmsSpec extends AnyFunSuite {
     assert(Sketches.cmsJoinSizeEstimate(
       Sketches.cmsKeyCounters(a, "k", 4, 4096),
       Sketches.cmsKeyCounters(b, "k", 4, 4096)).collect()(0).getLong(0) === 6L)
+  }
+
+  test("disjoint key sets estimate zero when any hash row has no shared bucket") {
+    val a = Seq(1L, 2L, 3L).toDF("k")
+    val b = Seq(100L, 200L, 300L).toDF("k")
+    // a roomy sketch separates the six keys: at least one of the four
+    // hash rows has disjoint buckets, and the estimate must read the
+    // empty join as 0 — not a min over collision rows only
+    val est = Sketches.cmsJoinSizeEstimate(
+      Sketches.cmsKeyCounters(a, "k", 4, 4096),
+      Sketches.cmsKeyCounters(b, "k", 4, 4096), 4).collect()(0).getLong(0)
+    assert(est === 0L)
   }
 
   test("null join keys are dropped like equi-join semantics") {
