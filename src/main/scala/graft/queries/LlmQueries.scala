@@ -1558,17 +1558,24 @@ object LlmQueries {
     * exemplars, apply to every arriving batch. Scale: the apply side
     * is one narrow gram pass + a broadcast join against a table whose
     * size is `nBuckets` forever. */
-  val dsirScoreIncremental: Q = (s, dir) => {
-    val docs = Tables(s, dir, "documents")
-    val Seq(wT) = BucketCache.tables(s, s"dsir_weights:$dir", { (tag, tmp) =>
+  /** The persisted DSIR weight table (fitted on the even-id half,
+    * `lang = 'en'` target) — built once per dir, shared by the batch
+    * apply gate and the streaming scorer (one trained artifact, two
+    * apply paths — the [[ivfIndexTable]] convention). */
+  private[queries] def dsirWeightsTable(s: SparkSession, dir: String): String =
+    BucketCache.tables(s, s"dsir_weights:$dir", { (tag, tmp) =>
       val name = s"graft_dsir_w_$tag"
-      Sampling.dsirWeights(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
-          col("lang") === "en", 1024)
+      Sampling.dsirWeights(
+          Tables(s, dir, "documents").filter(col("doc_id") % 2 === 0),
+          "doc_id", "text", col("lang") === "en", 1024)
         .write.option("path", s"$tmp/dsirw").mode("overwrite").saveAsTable(name)
       Seq(name)
-    })
-    Sampling.dsirScoreFrozen(s.table(wT), docs.filter(col("doc_id") % 2 =!= 0),
-        "doc_id", "text", 1024)
+    }).head
+
+  val dsirScoreIncremental: Q = (s, dir) => {
+    val docs = Tables(s, dir, "documents")
+    Sampling.dsirScoreFrozen(s.table(dsirWeightsTable(s, dir)),
+        docs.filter(col("doc_id") % 2 =!= 0), "doc_id", "text", 1024)
       .select(col("id").as("doc_id"), col("n_grams"), col("dsir_score"))
       .orderBy("doc_id")
   }

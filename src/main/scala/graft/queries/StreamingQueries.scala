@@ -460,6 +460,40 @@ object StreamingQueries {
     drain(s, name, s.table(name).orderBy("i", "bucket", "c"))
   }
 
+  /** INGEST-TIME DSIR — [[graft.llm.Sampling.dsirScoreFrozen]] running
+    * UNCHANGED on the documents stream: importance scoring where a
+    * deployment actually applies it, at the door, against the
+    * persisted frozen weight table (the SAME artifact the batch
+    * `dsir_score_incremental` gate probes — one trained model, two
+    * apply paths). The gram explode is a narrow map, the weight attach
+    * a stream-static broadcast join, and the per-doc aggregation
+    * update-mode state of one (count, sum) per doc in flight. Each
+    * doc's grams live in one doc_id-contiguous micro-batch, so every
+    * doc updates exactly once and the final table equals the batch
+    * apply — shared oracle, divergence hash-fails. */
+  val streamDsirScore: Q = (s, dir) => withStatePartitions(s, 8) {
+    import org.apache.spark.sql.functions._
+    val wT = LlmQueries.dsirWeightsTable(s, dir)
+    val name = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val (tmp, schema) = spillIdBucketsCached(s, dir,
+      Tables(s, dir, "documents").filter(col("doc_id") % 2 =!= 0)
+        .select("doc_id", "text"), "doc_id", 2, tag = "dsirb")
+    val src = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp.getPath + "/*.parquet")
+    val scored = graft.llm.Sampling.dsirScoreFrozen(s.table(wT), src,
+        "doc_id", "text", 1024)
+      .select(col("id").as("doc_id"), col("n_grams"), col("dsir_score"))
+    val q = scored.writeStream.format("memory").queryName(name).outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      if (dataBatches < 2)
+        throw new IllegalStateException(
+          s"stream_dsir_score requires >= 2 data micro-batches; saw $dataBatches")
+    } finally q.stop()
+    drain(s, name, s.table(name).orderBy("doc_id"))
+  }
+
   /** STREAMING ANN — query vectors arrive as a stream and probe the
     * persisted bucketed IVF index (the SAME table `ann_ivf_persisted`
     * reads — one layout investment, batch and streaming probe paths):
@@ -1016,6 +1050,7 @@ object StreamingQueries {
     "stream_dedup_docs" -> streamDedupDocs,
     "stream_cms_matrix" -> streamCmsMatrix,
     "stream_ann_ivf_probe" -> streamAnnIvfProbe,
+    "stream_dsir_score" -> streamDsirScore,
     "stream_bpe_token_budget" -> streamBpeTokenBudget,
     "stream_sink_jsonl" -> streamSinkJsonl,
     "stream_dedup_watermarked" -> streamDedupWatermarked,
@@ -1207,6 +1242,8 @@ object StreamingQueries {
     // index, same routing rule, same ranking) — shared oracle, so any
     // batch/stream divergence hash-fails rather than drifting
     "stream_ann_ivf_probe" -> LlmQueries.sqlAnnIvf,
+    // the frozen-weights apply is batch-equivalent per doc: shared oracle
+    "stream_dsir_score" -> LlmQueries.oracles("dsir_score_incremental"),
     // every update-mode counter emission replayed: per (i, bucket,
     // batch-with-instances), the cumulative count over batches <= b —
     // the identical bucket formula the fixture spill used, the
