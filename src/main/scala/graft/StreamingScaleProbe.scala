@@ -54,19 +54,11 @@ object StreamingScaleProbe {
       } catch { case scala.util.control.NonFatal(_) => 0L }
 
     val KeyOff = 1L << 32
-    println("STREAMSCALE\tmult\tbatch\tinput_rows\tstate_rows\tcum_input\ttrigger_ms\tsteal_s")
-    mults.foreach { m =>
-      val ev = graft.queries.Tables(spark, baseDir, "events")
-        .select("user_id", "event_id", "event_type", "ts", "value")
-      val maxId = ev.agg(max("event_id")).head.getLong(0)
-      // m decorrelated copies, batch bucket from the BASE event_id
-      val all: DataFrame = (0 until m).map { i =>
-        ev.withColumn("__b", floor(col("event_id") * lit(4) / lit(maxId + 1.0)).cast("int"))
-          .withColumn("user_id", col("user_id") + lit(i * KeyOff))
-          .withColumn("event_id", col("event_id") + lit(i * KeyOff))
-      }.reduce(_ unionAll _)
-      // spill as 4 contiguous-time files with ascending mtimes so
-      // FileStreamSource + maxFilesPerTrigger=1 replays 4 micro-batches
+
+    // spill as 4 contiguous files with ascending mtimes so
+    // FileStreamSource + maxFilesPerTrigger=1 replays 4 micro-batches;
+    // `all` must carry an int `__b` batch column in [0, 4)
+    def spill4(all: DataFrame): (java.io.File, org.apache.spark.sql.types.StructType) = {
       val tmp = java.nio.file.Files.createTempDirectory("graft_sscale_").toFile
       val stage = new java.io.File(tmp, "stage")
       all.repartition(4, col("__b")).write.partitionBy("__b").mode("overwrite")
@@ -81,7 +73,24 @@ object StreamingScaleProbe {
             dst
           }
       }
-      val schema = spark.read.parquet(files.head.toString).schema
+      (tmp, spark.read.parquet(files.head.toString).schema)
+    }
+    def rmTree(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
+    }
+
+    println("STREAMSCALE\tmult\tbatch\tinput_rows\tstate_rows\tcum_input\ttrigger_ms\tsteal_s")
+    mults.foreach { m =>
+      val ev = graft.queries.Tables(spark, baseDir, "events")
+        .select("user_id", "event_id", "event_type", "ts", "value")
+      val maxId = ev.agg(max("event_id")).head.getLong(0)
+      // m decorrelated copies, batch bucket from the BASE event_id
+      val all: DataFrame = (0 until m).map { i =>
+        ev.withColumn("__b", floor(col("event_id") * lit(4) / lit(maxId + 1.0)).cast("int"))
+          .withColumn("user_id", col("user_id") + lit(i * KeyOff))
+          .withColumn("event_id", col("event_id") + lit(i * KeyOff))
+      }.reduce(_ unionAll _)
+      val (tmp, schema) = spill4(all)
       val name = "graft_sscale_" + m
       val st0 = stealTicks()
       // watermarked tumbling-window count: 1 h windows per event_type,
@@ -107,8 +116,40 @@ object StreamingScaleProbe {
         println(s"STREAMSCALE\t$m\t$b\t${p.numInputRows}\t$stateRows\t$cum\t$trigMs\t${(stealTicks() - st0) / 100.0}")
       }
       spark.catalog.dropTempView(name)
-      def rm(f: java.io.File): Unit = { Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); () }
-      rm(tmp)
+      rmTree(tmp)
+    }
+
+    // ——— bounded-state probe: the streaming CMS matrix ———
+    // documents at ×m with ScaleProbe's per-copy TEXT REMAP, so token
+    // volume AND vocabulary both grow ×m — and the sketch's update-mode
+    // state must still never exceed depth·width rows on any batch (the
+    // claim that lets it replace a vocabulary-sized streaming groupBy)
+    println("CMSSCALE\tmult\tbatch\tinput_rows\tstate_rows\ttrigger_ms\tsteal_s")
+    mults.foreach { m =>
+      val docs = graft.queries.Tables(spark, baseDir, "documents")
+        .select("doc_id", "text")
+      val maxId = docs.agg(max("doc_id")).head.getLong(0)
+      val all: DataFrame = (0 until m).map { i =>
+        docs.withColumn("__b", floor(col("doc_id") * lit(4) / lit(maxId + 1.0)).cast("int"))
+          .withColumn("doc_id", col("doc_id") + lit(i * KeyOff))
+          .withColumn("text", ScaleProbe.remap(col("text"), i))
+      }.reduce(_ unionAll _)
+      val (tmp, schema) = spill4(all)
+      val name = "graft_cmsscale_" + m
+      val st0 = stealTicks()
+      val src = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(tmp.getPath + "/*.parquet")
+      val agg = graft.llm.Sketches.cmsCounters(src, "text", depth = 4, width = 256)
+      val q = agg.writeStream.format("memory").queryName(name).outputMode("update").start()
+      try q.processAllAvailable() finally q.stop()
+      q.recentProgress.filter(_.numInputRows > 0).zipWithIndex.foreach { case (p, b) =>
+        val stateRows = p.stateOperators.headOption.map(_.numRowsTotal).getOrElse(-1L)
+        val trigMs = Option(p.durationMs.get("triggerExecution")).map(_.toLong).getOrElse(-1L)
+        println(s"CMSSCALE\t$m\t$b\t${p.numInputRows}\t$stateRows\t$trigMs\t${(stealTicks() - st0) / 100.0}")
+      }
+      spark.catalog.dropTempView(name)
+      rmTree(tmp)
     }
     spark.stop()
   }
