@@ -387,6 +387,25 @@ object LlmQueries {
       .orderBy("source")
   }
 
+  /** The WEBDATASET-SHARD export ([[graft.sources.TarShardSink]]):
+    * documents written as 8 POSIX-ustar tar shards — the packaging a
+    * multimodal dataloader streams — then read back with the
+    * distributed archive walker. The gate pins FOUR things per doc:
+    * its shard (the md5 `shardAssign` rule the oracle replays as
+    * hx60 mod 8), its presence (row count), its exact byte length
+    * (the header size field), and its CONTENT (md5 over the entry
+    * bytes vs DuckDB's `md5(text)` — identical utf-8 digests iff the
+    * tar framing round-trips every byte). Write is one hash shuffle +
+    * a partition-parallel archive stream; read is a binaryFile scan +
+    * per-archive walk. */
+  val exportTarRoundtrip: Q = (s, dir) => {
+    val d = Tables(s, dir, "documents")
+    graft.sources.TarShardSink.roundTrip(d, "doc_id", "text", "tar:" + dir, nShards = 8)
+      .select(expr("CAST(regexp_extract(name, '^([0-9]+)', 1) AS BIGINT)").as("doc_id"),
+        col("shard_id"), col("n_bytes"), col("content_md5"))
+      .orderBy("doc_id")
+  }
+
   /** The PLANNING view of substring dedup: per source, how much text an
     * ExactSubstr pass would cut — docs affected, duplicated words inside
     * maximal spans, and the exact ppm of the source's words those spans
@@ -2760,6 +2779,7 @@ object LlmQueries {
     "export_jsonl_roundtrip" -> exportJsonlRoundtrip,
     "export_csv_roundtrip" -> exportCsvRoundtrip,
     "export_orc_roundtrip" -> exportOrcRoundtrip,
+    "export_tar_roundtrip" -> exportTarRoundtrip,
     "sample_docs_per_lang" -> sampleDocsPerLang,
     "media_features" -> mediaFeatures,
     "media_decode_bmp" -> mediaDecodeBmp,
@@ -4665,6 +4685,15 @@ object LlmQueries {
     "export_jsonl_roundtrip" -> sqlExportRollup,
     "export_csv_roundtrip" -> sqlExportRollup,
     "export_orc_roundtrip" -> sqlExportRollup,
+    // shard rule, byte length, and content digest replayed per doc:
+    // md5(text) in DuckDB is the digest of the same utf-8 bytes the
+    // tar entry carries, so the hash matches iff framing is lossless
+    "export_tar_roundtrip" ->
+      s"""SELECT doc_id,
+         |  CAST(${hx60("md5(CAST(doc_id AS VARCHAR))")} % 8 AS INT) AS shard_id,
+         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         |  md5(text) AS content_md5
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "sample_docs_per_lang" ->
       """SELECT lang, doc_id FROM (
         |  SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
