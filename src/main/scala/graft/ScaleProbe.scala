@@ -149,7 +149,11 @@ object ScaleProbe {
     "dsir_score_incremental",
     // sketched join-size estimation: cost = the two key scans; the
     // matrices and the inner product stay depth·width at any |table|
-    "cms_join_estimate")
+    "cms_join_estimate",
+    // the tar shard export: rep 1 pays the archive write (the
+    // partition-parallel rewrite), the timed min is the distributed
+    // read-back walk — both must track bytes, not doc count
+    "export_tar_roundtrip")
 
   private def rot(s: String, k: Int): String = s.drop(k % s.length) + s.take(k % s.length)
 

@@ -421,6 +421,19 @@ class PlanShapeSpec extends AnyFunSuite {
       s"only the query slice may touch the corpus:\n${docScans.mkString("\n")}")
   }
 
+  test("dsir_score_incremental: the frozen apply never rescans the training corpus") {
+    val df = graft.queries.LlmQueries.dsirScoreIncremental(spark, TestSpark.sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the apply side scans documents ONCE (the incoming batch); the
+    // even-id training half exists only through the persisted weight
+    // table, which BROADCASTS to the gram stream
+    val docScans = plan.split("\n").filter(_.contains("documents.parquet"))
+    assert(docScans.length == 1,
+      s"exactly one documents scan (the batch) allowed:\n${docScans.mkString("\n")}")
+    assert(plan.contains("BroadcastHashJoin [bucket"),
+      s"the frozen weights must broadcast:\n$plan")
+  }
+
   test("cms_heavy_hitters: matrix aggregates partially; estimates probe a broadcast matrix") {
     val df = graft.queries.LlmQueries.cmsHeavyHitters(spark, TestSpark.sfDir)
     val plan = df.queryExecution.executedPlan.toString
