@@ -406,6 +406,29 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** The MULTIMODAL shard layout
+    * ([[graft.sources.TarShardSink.writeShardEntries]]): each key
+    * contributes TWO adjacent entries — `<id>.txt` (the payload) and
+    * `<id>.json` (its metadata record) — the WebDataset pairing a
+    * multimodal dataloader reassembles from one sequential read (an
+    * image corpus ships `.jpg` + `.json` through the identical path;
+    * the payload column is opaque bytes to the writer either way).
+    * Both entries' byte lengths AND content digests replay: the json
+    * is built by the same concatenation in both engines, so its md5
+    * pins the metadata framing as hard as the payload's. */
+  val exportTarMultimodal: Q = (s, dir) => {
+    val d = Tables(s, dir, "documents").select(col("doc_id"),
+      to_binary(col("text"), lit("utf-8")).as("payload"),
+      to_binary(concat(lit("{\"mime\":\"application/octet-stream\",\"n_chars\":"),
+        col("n_chars").cast("string"), lit("}")), lit("utf-8")).as("meta"))
+    graft.sources.TarShardSink.roundTripEntries(d, "doc_id",
+        Seq(("txt", "payload"), ("json", "meta")), "tarmm:" + dir, nShards = 8)
+      .select(expr("CAST(regexp_extract(name, '^([0-9]+)', 1) AS BIGINT)").as("doc_id"),
+        expr("regexp_extract(name, '\\\\.([a-z]+)$', 1)").as("ext"),
+        col("shard_id"), col("n_bytes"), col("content_md5"))
+      .orderBy("doc_id", "ext")
+  }
+
   /** The PLANNING view of substring dedup: per source, how much text an
     * ExactSubstr pass would cut — docs affected, duplicated words inside
     * maximal spans, and the exact ppm of the source's words those spans
@@ -2780,6 +2803,7 @@ object LlmQueries {
     "export_csv_roundtrip" -> exportCsvRoundtrip,
     "export_orc_roundtrip" -> exportOrcRoundtrip,
     "export_tar_roundtrip" -> exportTarRoundtrip,
+    "export_tar_multimodal" -> exportTarMultimodal,
     "sample_docs_per_lang" -> sampleDocsPerLang,
     "media_features" -> mediaFeatures,
     "media_decode_bmp" -> mediaDecodeBmp,
@@ -4688,6 +4712,21 @@ object LlmQueries {
     // shard rule, byte length, and content digest replayed per doc:
     // md5(text) in DuckDB is the digest of the same utf-8 bytes the
     // tar entry carries, so the hash matches iff framing is lossless
+    "export_tar_multimodal" ->
+      s"""WITH m AS (
+         |  SELECT doc_id, 'txt' AS ext,
+         |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         |    md5(text) AS content_md5 FROM documents
+         |  UNION ALL
+         |  SELECT doc_id, 'json',
+         |    CAST(octet_length(encode(j)) AS BIGINT), md5(j) FROM (
+         |    SELECT doc_id,
+         |      '{"mime":"application/octet-stream","n_chars":' ||
+         |        CAST(n_chars AS VARCHAR) || '}' AS j FROM documents))
+         |SELECT doc_id, ext,
+         |  CAST(${hx60("md5(CAST(doc_id AS VARCHAR))")} % 8 AS INT) AS shard_id,
+         |  n_bytes, content_md5
+         |FROM m ORDER BY doc_id, ext""".stripMargin,
     "export_tar_roundtrip" ->
       s"""SELECT doc_id,
          |  CAST(${hx60("md5(CAST(doc_id AS VARCHAR))")} % 8 AS INT) AS shard_id,

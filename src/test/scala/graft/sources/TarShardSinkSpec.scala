@@ -56,6 +56,41 @@ class TarShardSinkSpec extends AnyFunSuite {
     assert(new String(h, 263, 2, UTF_8) === "00")
   }
 
+  test("multi-entry keys write adjacent modality pairs per key") {
+    import org.apache.spark.sql.functions._
+    val mm = fixture.select(col("doc_id"),
+      to_binary(col("text"), lit("utf-8")).as("payload"),
+      to_binary(concat(lit("meta:"), col("doc_id").cast("string")), lit("utf-8")).as("meta"))
+    val back = TarShardSink.roundTripEntries(mm, "doc_id",
+        Seq(("txt", "payload"), ("json", "meta")), "spec_mm", 2)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(3)))
+    assert(back.length === docs.size * 2)
+    // a key's modalities are ADJACENT in their shard: within each
+    // archive the walker sees txt immediately followed by json of the
+    // SAME key (the property a streaming dataloader depends on)
+    val dirPath = TarShardSink.writeShardEntries(mm, "doc_id",
+      Seq(("txt", "payload"), ("json", "meta")), "spec_mm", 2)
+    val names = TarShardSink.readShards(spark, dirPath)
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+    names.groupBy(_._1).values.foreach { shardEntries =>
+      shardEntries.map(_._2).grouped(2).foreach { pair =>
+        assert(pair.length === 2, s"odd entry count in shard: ${shardEntries.toSeq}")
+        val (a, b) = (pair(0), pair(1))
+        assert(a.endsWith(".txt") && b.endsWith(".json") &&
+          a.takeWhile(_ != '.') === b.takeWhile(_ != '.'),
+          s"modalities must pair adjacently: $a / $b")
+      }
+    }
+    // the json entry digests its constructed record
+    val metaMd5 = back.filter(_._2.endsWith(".json")).map { case (_, n, md) =>
+      n.takeWhile(_ != '.').toLong -> md }.toMap
+    docs.foreach { case (id, _) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val want = md.digest(s"meta:$id".getBytes(UTF_8)).map("%02x".format(_)).mkString
+      assert(metaMd5(id) === want, s"doc $id json digest")
+    }
+  }
+
   test("a stock tar binary lists and extracts the shards") {
     import scala.sys.process._
     assume(scala.util.Try("tar --version".!!).isSuccess, "no tar binary")
