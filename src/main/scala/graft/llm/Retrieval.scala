@@ -261,6 +261,133 @@ object Retrieval {
       .select("query_id", "doc_id", "score_micro", "dot_q")
   }
 
+  /** Maximal Marginal Relevance (Carbonell & Goldstein 1998) — the
+    * diversified top-k: greedily pick the candidate that maximizes
+    * `λ·relevance − (1−λ)·max-similarity-to-already-picked`, so the
+    * result set trades pure relevance for coverage. THE selection rule
+    * for diverse few-shot exemplars, dataset diversification, and
+    * dedup-aware retrieval — a plain top-k returns k near-copies when
+    * the corpus has them; MMR returns one copy plus k−1 genuinely
+    * different neighbors.
+    *
+    * All integer, bit-portable: relevance is the exact BIGINT dot
+    * product of 1e-3-quantized embeddings (1e-6 cosine units on unit
+    * vectors, the [[hybridRerank]] rule), pairwise similarity the same,
+    * and the marginal score is `λmilli·rel − (1000−λmilli)·maxSim` —
+    * no division, no floats, ties to the smaller doc id, so the DuckDB
+    * oracle replays the greedy TRAJECTORY itself (the
+    * `select_kcenter`/`dedup_keep_central` convention). λmilli=1000 is
+    * pure relevance (= plain top-k); 0 is pure diversity.
+    *
+    * Shape at 100 TB: stage 1 is the [[graft.operators.GroupTopK]]
+    * candidate cut — the query side broadcasts, the corpus never
+    * shuffles, map-side heaps bound the exchange to
+    * O(candidateK·queries·partitions) rows. Stage 2 — the inherently
+    * sequential greedy — runs PER QUERY on its ≤ candidateK candidate
+    * rows after ONE query-keyed shuffle of the (tiny) candidate frame:
+    * O(k·candidateK) integer dots per query, local to its task,
+    * distributed across queries. The corpus-sized work is entirely in
+    * stage 1; the quadratic work is entirely bounded by candidateK.
+    *
+    * Output: (query_id, doc_id, rank 1..k, rel, max_sim) — `max_sim`
+    * is the winning candidate's similarity to the already-selected set
+    * at selection time (the diversity witness), null for rank 1.
+    * Requires numeric ids; queries carry (idCol, vecCol) in the
+    * embedding id space. */
+  def mmrTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      candidateK: Int = 12,
+      k: Int = 4,
+      lambdaMilli: Int = 700,
+      excludeSelf: Boolean = true): DataFrame = {
+    require(k > 0 && candidateK >= k, s"need candidateK >= k > 0; got candidateK=$candidateK k=$k")
+    require(lambdaMilli >= 0 && lambdaMilli <= 1000,
+      s"lambdaMilli must be in [0, 1000]; got $lambdaMilli")
+    val quant: Column => Column =
+      e => transform(e, x => floor(x.cast("double") * 1000).cast("long"))
+    val q = broadcast(queries
+      .select(col(idCol).cast("long").as("query_id"), quant(col(vecCol)).as("qv")))
+    val scored = corpus
+      .select(col(idCol).cast("long").as("doc_id"), quant(col(vecCol)).as("dv"))
+      .join(q, if (excludeSelf) col("doc_id") =!= col("query_id") else lit(true))
+      .withColumn("rel", expr(
+        "aggregate(zip_with(dv, qv, (a, b) -> a * b), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+      .select("query_id", "doc_id", "rel", "dv")
+    val cands = GroupTopK.topK(scored, Seq("query_id"),
+      Seq(("rel", false), ("doc_id", true)), candidateK)
+
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("query_id", org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("rank", org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("rel", org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("max_sim", org.apache.spark.sql.types.LongType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val lam = lambdaMilli.toLong
+    // one query-keyed shuffle of the candidate frame (already cut to
+    // ≤ candidateK rows per query, so a partition holds only its
+    // queries' bounded candidate lists — eager grouping is O(that)
+    cands.repartition(col("query_id"))
+      .mapPartitions { it =>
+        val byQuery = scala.collection.mutable.LinkedHashMap
+          .empty[Long, scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]]
+        it.foreach { r =>
+          byQuery.getOrElseUpdate(r.getLong(0),
+            scala.collection.mutable.ArrayBuffer.empty) += r
+        }
+        byQuery.iterator.flatMap { case (qid, rs) =>
+          val n = rs.length
+          val ids = new Array[Long](n); val rels = new Array[Long](n)
+          val vecs = new Array[Array[Long]](n)
+          var i = 0
+          while (i < n) {
+            ids(i) = rs(i).getLong(1); rels(i) = rs(i).getLong(2)
+            vecs(i) = rs(i).getSeq[Long](3).toArray
+            i += 1
+          }
+          val taken = new Array[Boolean](n)
+          val maxSim = Array.fill(n)(Long.MinValue) // max dot to selected set
+          val res = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+          var step = 1
+          val kk = math.min(k, n)
+          while (step <= kk) {
+            var best = -1; var bestScore = Long.MinValue
+            var j = 0
+            while (j < n) {
+              if (!taken(j)) {
+                // step 1 scores pure relevance (no selected set yet)
+                val s = if (step == 1) rels(j)
+                        else lam * rels(j) - (1000L - lam) * maxSim(j)
+                if (s > bestScore || (s == bestScore && (best < 0 || ids(j) < ids(best)))) {
+                  bestScore = s; best = j
+                }
+              }
+              j += 1
+            }
+            res += org.apache.spark.sql.Row(qid, ids(best), step, rels(best),
+              if (step == 1) null else java.lang.Long.valueOf(maxSim(best)))
+            taken(best) = true
+            // fold the new pick into every remaining candidate's max-sim
+            val bv = vecs(best)
+            j = 0
+            while (j < n) {
+              if (!taken(j)) {
+                var d = 0L; var t = 0
+                while (t < bv.length) { d += bv(t) * vecs(j)(t); t += 1 }
+                if (d > maxSim(j)) maxSim(j) = d
+              }
+              j += 1
+            }
+            step += 1
+          }
+          res
+        }
+      }(enc)
+  }
+
   /** Reciprocal-rank fusion (Cormack/Clarke/Büttcher) over any number
     * of ranked lists — the standard way to combine retrievers with
     * incomparable score scales (lexical + dense being THE case). Each

@@ -130,6 +130,69 @@ object Similarity {
       .select(col("id"), col("dist2").cast("string").as("dist2_scaled"))
   }
 
+  /** Greedy farthest-point k-center selection (Gonzalez 1985) — the
+    * deterministic coreset/diverse-subset rule a curation pipeline uses
+    * to pick k MAXIMALLY-SPREAD exemplars from an embedding corpus
+    * (annotation seeds, eval-set anchors, cluster initialization): the
+    * classic 2-approximation of the k-center objective, and the
+    * selection step behind facility-location-style data pruning.
+    *
+    * Rule, all integer-exact on the 1e-3 quantized grid: the SEED is
+    * the corpus row with the smallest `(md5(id), id)` (the repo's
+    * seed-free portable sampling rule); each subsequent pick is the
+    * row whose exact BIGINT L2 distance to its NEAREST already-selected
+    * center is LARGEST (ties to the smaller id) — so every engine
+    * replays the identical trajectory, and the DuckDB oracle unrolls
+    * the rounds as CTEs exactly like the PageRank/PQ-training replays.
+    *
+    * Shape at 100 TB: k−1 rounds, each ONE job — a narrow scan-side
+    * pass of the compiled [[graft.functions.KmeansArgminExpr]] argmin
+    * (the selected set rides inside the expression as a JVM array, the
+    * [[kmeansAssignWith]] shape: no join, no fan-out, O(1) plan nodes)
+    * into a TakeOrdered(1) (per-partition top-1 heaps; the driver
+    * merges ONE candidate per partition). The corpus never shuffles;
+    * cross-round state is the k quantized vectors. k here is a
+    * SELECTION size (tens–hundreds), not a cluster dial — the honest
+    * iterative shape, like the PageRank rounds: wall-clock is
+    * k−1 scans, the price of a greedy rule whose every pick depends on
+    * the last. Rows with null/mismatched vectors can never be selected
+    * (their distance is the expression's null verdict).
+    *
+    * `dist2` is the selection-time distance to the nearest earlier
+    * center — nondecreasing coverage radii whose LAST value bounds the
+    * k-center objective within 2× — and is null for the seed row (no
+    * earlier center exists; 0 would claim an exact duplicate).
+    * Output: (rank 1..k, id, dist2), requires a numeric id. */
+  def kCenterSelect(corpus: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val seed = corpus
+      .select(md5(col(idCol).cast("string")).as("h"), col(idCol).cast("long").as("i"),
+        col(vecCol).as("v"))
+      .orderBy(col("h"), col("i")).limit(1)
+      .select(col("i"), col("v")).collect()
+    require(seed.nonEmpty, "kCenterSelect on an empty corpus")
+    val picked = scala.collection.mutable.ArrayBuffer[(Int, Long, Option[Long])](
+      (1, seed(0).getLong(0), None))
+    val centers = scala.collection.mutable.ArrayBuffer[Array[Long]](
+      quantizeGrid(seed(0).getSeq[Number](1).map(_.doubleValue()).toArray))
+    while (picked.length < k) {
+      val selectedIds = picked.map(_._2).toSeq
+      val next = kmeansAssignWith(corpus, centers.toArray, idCol, vecCol)
+        .filter(col("dist2").isNotNull && !col(idCol).cast("long").isin(selectedIds: _*))
+        .select(col(idCol).cast("long").as("i"), col(vecCol).as("v"), col("dist2"))
+        .orderBy(desc("dist2"), asc("i")).limit(1)
+        .collect()
+      if (next.isEmpty) { // corpus exhausted before k picks
+        return picked.toSeq.toDF("rank", idCol, "dist2")
+      }
+      picked += ((picked.length + 1, next(0).getLong(0), Some(next(0).getLong(2))))
+      centers += quantizeGrid(next(0).getSeq[Number](1).map(_.doubleValue()).toArray)
+    }
+    picked.toSeq.toDF("rank", idCol, "dist2")
+  }
+
   /** Sign bits of the vector against `nPlanes` deterministic pseudo-
     * random hyperplanes, as a bit string column ("101..."). Prefix bands
     * of this string are LSH bucket keys. `portable = true` (default)

@@ -536,6 +536,30 @@ object LlmQueries {
       .select("query_id", "corpus_id", "rank")
   }
 
+  /** Greedy farthest-point k-center selection of 6 maximally-spread
+    * exemplar vectors — integer-exact trajectory (md5 seed rule,
+    * BIGINT L2, id tie-breaks), so the oracle unrolls all five greedy
+    * rounds as CTEs and the HASH of the selection order itself is the
+    * gate (the `dedup_keep_central` trajectory-replay convention). */
+  val selectKcenter: Q = (s, dir) => {
+    val e = Tables(s, dir, "embeddings")
+    Similarity.kCenterSelect(e, "vec_id", "embedding", k = 6)
+      .orderBy("rank")
+  }
+
+  /** MMR-diversified top-4 retrieval over the embedding corpus
+    * (λ=0.7, 12-candidate pool, first 10 vectors as queries) — the
+    * greedy marginal-relevance trajectory is all-integer (BIGINT dot
+    * relevance/similarity, no division), so the oracle unrolls the
+    * three post-seed selection rounds as CTEs and hash-verifies the
+    * picked ORDER, relevance, and each pick's diversity witness. */
+  val retrievalMmr: Q = (s, dir) => {
+    val e = Tables(s, dir, "embeddings")
+    Retrieval.mmrTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+        candidateK = 12, k = 4, lambdaMilli = 700)
+      .orderBy("query_id", "rank")
+  }
+
   /** LSH-bucketed approximate top-5 for the same queries — quantized
     * md5-sign hyperplanes, so candidate generation is oracle-replayed. */
   val annLsh: Q = (s, dir) => {
@@ -2733,6 +2757,8 @@ object LlmQueries {
     "ann_pq_trained" -> annPqTrained,
     "ann_recall_audit" -> annRecallAudit,
     "ann_ivf_recall_curve" -> annIvfRecallCurve,
+    "select_kcenter" -> selectKcenter,
+    "retrieval_mmr" -> retrievalMmr,
     "dedup_embedding" -> dedupEmbedding,
     "dedup_semantic" -> dedupSemantic,
     "dedup_semantic_skew" -> dedupSemanticSkew,
@@ -2839,6 +2865,96 @@ object LlmQueries {
     * batch CMS gate could not see it (both engines' estimates equal
     * the exact counts when no collision fires, wrong buckets or not);
     * the streaming gate exposing the raw matrix did. */
+  /** The k-center greedy trajectory unrolled as CTEs (the PageRank/
+    * PQ-training replay convention): s1 = smallest-(md5, id) seed;
+    * round t computes each point's exact BIGINT L2 to the round's new
+    * center (dT), folds it into the running min-distance frame (mT,
+    * selected ids excluded), and s(t+1) takes the (d DESC, id ASC)
+    * argmax — the exact trajectory [[graft.llm.Similarity.kCenterSelect]]
+    * walks, so the selection ORDER itself is hash-verified. */
+  private def kCenterOracle(k: Int): String = {
+    def dCte(t: Int): String =
+      s"""d$t AS (SELECT a.vec_id, CAST(sum((a.q - c.q) * (a.q - c.q)) AS BIGINT) AS d
+         |  FROM q a JOIN q c ON c.i = a.i JOIN s$t s ON c.vec_id = s.vec_id
+         |  GROUP BY a.vec_id)""".stripMargin
+    def sCte(t: Int): String = // pick t from the min-distance frame m(t-1)
+      s"""s$t AS (SELECT vec_id, d FROM (SELECT vec_id, d,
+         |    row_number() OVER (ORDER BY d DESC, vec_id) AS rk FROM m${t - 1}) WHERE rk = 1)""".stripMargin
+    val rounds = (1 until k).map { t =>
+      val m =
+        if (t == 1)
+          s"""m1 AS (SELECT vec_id, d FROM d1
+             |  WHERE vec_id NOT IN (SELECT vec_id FROM s1))""".stripMargin
+        else
+          s"""m$t AS (SELECT p.vec_id, least(p.d, d$t.d) AS d
+             |  FROM m${t - 1} p JOIN d$t ON p.vec_id = d$t.vec_id
+             |  WHERE p.vec_id NOT IN (SELECT vec_id FROM s$t))""".stripMargin
+      s"${dCte(t)},\n$m,\n${sCte(t + 1)}"
+    }.mkString(",\n")
+    val sel = (2 to k).map(t => s"UNION ALL SELECT $t, vec_id, d FROM s$t").mkString("\n")
+    s"""WITH q AS (SELECT vec_id, i,
+       |    CAST(floor(CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE) * 1000) AS BIGINT) AS q
+       |  FROM embeddings, unnest(range(0, len(embedding))) t(i)),
+       |s1 AS (SELECT vec_id FROM embeddings
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 1),
+       |$rounds
+       |SELECT CAST(rank AS INT) AS rank, vec_id, dist2 FROM (
+       |  SELECT 1 AS rank, vec_id, CAST(NULL AS BIGINT) AS dist2 FROM s1
+       |  $sel)
+       |ORDER BY rank""".stripMargin
+  }
+
+  /** The MMR greedy trajectory unrolled as CTEs: integer dot
+    * relevance over the quantized grid, the per-query candidateK cut,
+    * pairwise candidate similarities, then k−1 selection rounds — each
+    * takes per-candidate `max(sim to selected)` and the
+    * `(λ·rel − (1−λ)·maxSim) DESC, doc_id` argmax, exactly the local
+    * greedy [[graft.llm.Retrieval.mmrTopK]] runs per query. */
+  private def mmrOracle(candidateK: Int, k: Int, lamMilli: Int): String = {
+    val co = 1000 - lamMilli
+    def selCte(t: Int): String =
+      if (t == 1) "sel1 AS (SELECT query_id, doc_id FROM p1)"
+      else s"sel$t AS (SELECT query_id, doc_id FROM sel${t - 1} UNION ALL SELECT query_id, doc_id FROM p$t)"
+    val rounds = (2 to k).map { t =>
+      s"""${selCte(t - 1)},
+         |m${t - 1} AS (SELECT c.query_id, c.doc_id, c.rel, max(s.sim) AS ms
+         |  FROM cand c JOIN sims s ON s.query_id = c.query_id AND s.da = c.doc_id
+         |  JOIN sel${t - 1} sl ON sl.query_id = s.query_id AND sl.doc_id = s.db
+         |  WHERE NOT EXISTS (SELECT 1 FROM sel${t - 1} x
+         |    WHERE x.query_id = c.query_id AND x.doc_id = c.doc_id)
+         |  GROUP BY 1, 2, 3),
+         |p$t AS (SELECT query_id, doc_id, rel, ms FROM (SELECT query_id, doc_id, rel, ms,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY $lamMilli * rel - $co * ms DESC, doc_id) AS rk FROM m${t - 1}) WHERE rk = 1)""".stripMargin
+    }.mkString(",\n")
+    val union = (2 to k)
+      .map(t => s"UNION ALL SELECT query_id, doc_id, $t, rel, ms FROM p$t").mkString("\n")
+    s"""WITH qv AS (SELECT vec_id, i,
+       |    CAST(floor(CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE) * 1000) AS BIGINT) AS q
+       |  FROM embeddings, unnest(range(0, len(embedding))) t(i)),
+       |rel0 AS (SELECT qq.vec_id AS query_id, cc.vec_id AS doc_id,
+       |    CAST(sum(qq.q * cc.q) AS BIGINT) AS rel
+       |  FROM qv qq JOIN qv cc ON qq.i = cc.i AND qq.vec_id < 10 AND cc.vec_id <> qq.vec_id
+       |  GROUP BY 1, 2),
+       |cand AS (SELECT query_id, doc_id, rel FROM (SELECT query_id, doc_id, rel,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, doc_id) AS rk
+       |  FROM rel0) WHERE rk <= $candidateK),
+       |sims AS (SELECT a.query_id, a.doc_id AS da, b.doc_id AS db,
+       |    CAST(sum(va.q * vb.q) AS BIGINT) AS sim
+       |  FROM cand a JOIN cand b ON a.query_id = b.query_id AND a.doc_id <> b.doc_id
+       |  JOIN qv va ON va.vec_id = a.doc_id
+       |  JOIN qv vb ON vb.vec_id = b.doc_id AND vb.i = va.i
+       |  GROUP BY 1, 2, 3),
+       |p1 AS (SELECT query_id, doc_id, rel FROM (SELECT query_id, doc_id, rel,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, doc_id) AS rk
+       |  FROM cand) WHERE rk = 1),
+       |$rounds
+       |SELECT query_id, doc_id, CAST(rank AS INT) AS rank, rel, max_sim FROM (
+       |  SELECT query_id, doc_id, 1 AS rank, rel, CAST(NULL AS BIGINT) AS max_sim FROM p1
+       |  $union)
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   private[queries] def hx60(md: String): String =
     s"CAST(list_sum(list_transform(range(1, 16), __hx -> " +
       s"CAST(strpos('0123456789abcdef', substr($md, CAST(__hx AS INT), 1)) - 1 AS BIGINT) * " +
@@ -3740,6 +3856,8 @@ object LlmQueries {
         |    row_number() OVER (PARTITION BY query_id ORDER BY adc, corpus_id) AS rank
         |  FROM adc) WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+    "select_kcenter" -> kCenterOracle(6),
+    "retrieval_mmr" -> mmrOracle(12, 4, 700),
     "ann_bruteforce" ->
       """SELECT query_id, corpus_id, rank FROM (
         |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
