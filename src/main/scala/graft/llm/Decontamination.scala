@@ -118,4 +118,53 @@ object Decontamination {
       .groupBy("id")
       .agg(count(lit(1)).as("n_eval_matches"), min("eval_id").as("first_eval_id"))
   }
+
+  /** The reference corpus's distinct n-gram hash universe — the
+    * artifact [[noveltyReport]] probes. Unlike [[overlapReport]]'s
+    * eval set this side is CORPUS-SIZED by design, so it is a real
+    * relation (one distinct aggregate over the gram stream, map-side
+    * partials first), and a deployment PERSISTS it `bucketBy` on `h`
+    * — the [[graft.llm.Retrieval.buildTfIndex]] layout investment —
+    * so every future batch probes it without re-scanning the
+    * reference corpus. Output: (h) distinct. */
+  def referenceGramSet(ref: DataFrame, textCol: String, n: Int = 3): DataFrame =
+    ref.select(explode(Dedup.shingleMd5(col(textCol), n)).as("h")).distinct()
+
+  /** N-gram NOVELTY of a batch against a corpus-sized reference — the
+    * memorization/novelty metric a synthetic-data pipeline gates on
+    * (how much of a generated document is regurgitated reference
+    * text?) and the sub-document sibling of incremental dedup: exact
+    * dedup asks "is this WHOLE doc new", novelty asks "what FRACTION
+    * of its n-grams is". Per batch doc, over its DISTINCT 3-gram
+    * shingle hashes ([[Dedup.shingleMd5]] — 60-bit md5, every value
+    * engine-replayable): `n_novel` = grams absent from the reference
+    * universe, `novelty_ppm = n_novel·10⁶ div n_grams` (truncating
+    * integer division, bit-portable). A doc of entirely-unseen text
+    * scores 1 000 000; a verbatim copy scores 0.
+    *
+    * Scale shape: this is [[overlapReport]] with the BIG side on the
+    * right — the reference universe cannot broadcast, so the probe is
+    * an h-keyed shuffle join (both sides partitioned by the gram
+    * hash; batch grams are (id, h) pairs only, never text), followed
+    * by one id-keyed partial-sum aggregate. With `refGrams` persisted
+    * bucketed on `h` the reference side joins with zero Exchange and
+    * only the (small) day-2 batch shuffles — the
+    * `dedup_incremental_bucketed`/`bm25_topk_incremental` convention.
+    * Docs too short to form a shingle have no gram rows and drop out,
+    * in any engine, by construction.
+    *
+    * Output: (id, n_grams, n_novel, novelty_ppm). */
+  def noveltyReport(
+      refGrams: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3): DataFrame =
+    batch
+      .select(col(idCol).as("id"), explode(Dedup.shingleMd5(col(textCol), n)).as("h"))
+      .join(refGrams.select(col("h")).withColumn("hit", lit(1)), Seq("h"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("hit").isNull, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty_ppm", expr("n_novel * 1000000 DIV n_grams"))
 }

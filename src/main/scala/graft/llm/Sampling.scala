@@ -158,6 +158,43 @@ object Sampling {
       .agg(count(lit(1)).as("n_docs"), sum("__sz").as("total_chars"),
         expr("bit_xor(__h)").as("ids_xor"))
 
+  /** CLUSTER-BALANCED sampling — at most `quota` documents per
+    * semantic cluster: the corpus is assigned to k clusters by the
+    * trained integer quantizer ([[Similarity.kmeansAssign]]'s
+    * deterministic Lloyd's, the SemDeDup machinery reused for
+    * BALANCE instead of dedup) and each cluster keeps its `quota`
+    * smallest-md5 members (id tie-break) — the seed-free uniform
+    * within-cluster draw every engine replays. This is the
+    * topic-rebalancing step of a curation pipeline: a raw crawl is
+    * dominated by its head topics, and capping per-cluster mass
+    * flattens the topical distribution the way
+    * [[temperatureSample]] flattens a LABELED group column — here
+    * with no labels needed.
+    *
+    * Scale shape: assignment is the compiled-codebook NARROW map
+    * (no join, no shuffle, O(1) plan nodes at any k); selection is
+    * [[graft.operators.GroupTopK]] — per-partition bounded heaps,
+    * the only corpus exchange carries O(quota·k·partitions) rows,
+    * never the corpus; the rank decoration is a window over the
+    * already-selected quota·k rows. Rows whose vector fails
+    * assignment (null/mismatched dims → null centroid) are excluded
+    * — a balance cap must not invent a cluster for them.
+    *
+    * Output: (centroid, id, sel_rk 1..quota). `targetClusterSize`
+    * semantics follow [[Similarity.kmeansAssign]]'s pinned-dial
+    * convention: the (k, sampleN) given here are used verbatim. */
+  def clusterBalancedSample(corpus: DataFrame, idCol: String, vecCol: String,
+      quota: Int, k: Int = 4, sampleN: Int = 16, iters: Int = 2): DataFrame = {
+    require(quota > 0, "quota must be positive")
+    val assigned = Similarity.kmeansAssign(corpus, idCol, vecCol, k, sampleN, iters)
+      .filter(col("centroid").isNotNull)
+      .select(col("centroid"), col(idCol), md5(col(idCol).cast("string")).as("__h"))
+    val w = Window.partitionBy("centroid").orderBy(col("__h"), col(idCol))
+    graft.operators.GroupTopK.topK(assigned, Seq("centroid"), Seq(("__h", true), (idCol, true)), quota)
+      .withColumn("sel_rk", row_number().over(w))
+      .drop("__h")
+  }
+
   /** DSIR-style hashed n-gram importance scores — the Data Selection
     * via Importance Resampling recipe (Xie et al., NeurIPS 2023): pick
     * raw-corpus documents that LOOK LIKE a target domain without

@@ -1550,6 +1550,22 @@ object LlmQueries {
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id")
 
+  /** N-gram novelty vs a corpus-sized reference
+    * ([[Decontamination.noveltyReport]]): even doc ids play the
+    * reference universe, odd ids the incoming (generated) batch; each
+    * batch doc reports what fraction of its distinct 3-gram shingles
+    * the reference has never seen — the memorization metric, with the
+    * shuffle-join shape (the reference side is too big to broadcast
+    * by design). All 60-bit md5 shingle hashes + truncating integer
+    * ppm — the oracle replays both gram universes and the ratio. */
+  val noveltyScore: Q = (s, dir) => {
+    val d = Tables(s, dir, "documents")
+    val ref = Decontamination.referenceGramSet(d.filter(col("doc_id") % 2 === 0), "text")
+    Decontamination.noveltyReport(ref, d.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
   /** SEMANTIC decontamination ([[Decontamination.semanticOverlap]]):
     * the paraphrase-leakage pass n-gram overlap can't see. Embeddings
     * whose md5 hash bucket < 13 (~5%) play the held-out benchmark;
@@ -2274,6 +2290,16 @@ object LlmQueries {
       k = 4, sampleN = 16, iters = 2)
       .orderBy("vec_id")
 
+  /** Cluster-balanced sampling ([[Sampling.clusterBalancedSample]]):
+    * the SAME pinned-dial k-means assignment as
+    * `embedding_kmeans_assign`, then at most 16 smallest-md5 members
+    * per cluster — the label-free topic-rebalancing cap. The oracle
+    * replays training, assignment, AND the within-cluster md5 rank. */
+  val clusterBalancedSample: Q = (s, dir) =>
+    Sampling.clusterBalancedSample(Tables(s, dir, "embeddings"),
+        "vec_id", "embedding", quota = 16, k = 4, sampleN = 16, iters = 2)
+      .orderBy("centroid", "sel_rk")
+
   /** The first iteration of BPE tokenizer training: adjacent-character-
     * pair statistics. The corpus-sized work is ONLY the word-frequency
     * aggregate (map-side partial, the `top_tokens` shape); the pair
@@ -2767,6 +2793,7 @@ object LlmQueries {
     "embedding_moments" -> embeddingMoments,
     "embedding_outliers" -> embeddingOutliers,
     "embedding_kmeans_assign" -> embeddingKmeansAssign,
+    "cluster_balanced_sample" -> clusterBalancedSample,
     "bpe_pair_stats" -> bpePairStats,
     "bpe_encode" -> bpeEncode,
     "bpe_encode_bytes" -> bpeEncodeBytes,
@@ -2805,6 +2832,7 @@ object LlmQueries {
     "unicode_normalization" -> unicodeNormalization,
     "pipeline_clean_corpus" -> pipelineCleanCorpus,
     "decontaminate_docs" -> decontaminateDocs,
+    "novelty_score" -> noveltyScore,
     "decontaminate_semantic" -> decontaminateSemantic,
     "pii_redaction" -> piiRedaction,
     "distinctive_terms" -> distinctiveTerms,
@@ -3947,6 +3975,20 @@ object LlmQueries {
          |FROM (SELECT vec_id, c, d,
          |    row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rk FROM af)
          |WHERE rk = 1 ORDER BY vec_id""".stripMargin),
+    // the same training + assignment replay, then the within-cluster
+    // smallest-md5 quota rank — selection membership AND order verified
+    "cluster_balanced_sample" ->
+      (s"WITH $kmeansTrainCtes,\n" +
+       """assign AS (SELECT vec_id, c AS centroid
+         |  FROM (SELECT vec_id, c,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rk FROM af)
+         |  WHERE rk = 1),
+         |ranked AS (SELECT centroid, vec_id,
+         |    row_number() OVER (PARTITION BY centroid
+         |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS sel_rk
+         |  FROM assign)
+         |SELECT centroid, vec_id, CAST(sel_rk AS INT) AS sel_rk FROM ranked
+         |WHERE sel_rk <= 16 ORDER BY centroid, sel_rk""".stripMargin),
     // trained IVF end-to-end: the SAME training replay, then both-side
     // integer-L2 routing off `af` (corpus: nearest cell; queries:
     // 2-probe), candidate equi-join on cell, exact cosine re-rank —
@@ -4730,6 +4772,27 @@ object LlmQueries {
          |  CAST(CASE WHEN count(ev.h) >= 2 THEN 1 ELSE 0 END AS INT) AS contaminated
          |FROM tr LEFT JOIN ev ON tr.h = ev.h
          |GROUP BY tr.doc_id ORDER BY doc_id""".stripMargin,
+    // the inverse framing with the big side on the right: the
+    // reference gram universe (even ids), the batch's distinct gram
+    // sets (odd ids), the null-hit novel count, and the truncating
+    // integer ppm ratio — all replayed
+    "novelty_score" ->
+      s"""WITH rw AS (SELECT regexp_split_to_array(lower(text), ' +') AS ws
+         |  FROM documents WHERE doc_id % 2 = 0),
+         |rmd AS (SELECT DISTINCT md5(array_to_string(ws[i+1:i+3], ' ')) AS md
+         |  FROM rw, unnest(range(0, greatest(len(ws) - 3, 0) + 1)) t(i)),
+         |refs AS (SELECT DISTINCT ${hx60("md")} AS h FROM rmd),
+         |bw AS (SELECT doc_id, regexp_split_to_array(lower(text), ' +') AS ws
+         |  FROM documents WHERE doc_id % 2 = 1),
+         |bmd AS (SELECT DISTINCT doc_id, md5(array_to_string(ws[i+1:i+3], ' ')) AS md
+         |  FROM bw, unnest(range(0, greatest(len(ws) - 3, 0) + 1)) t(i)),
+         |bsh AS (SELECT DISTINCT doc_id, ${hx60("md")} AS h FROM bmd)
+         |SELECT b.doc_id, count(*) AS n_grams,
+         |  CAST(sum(CASE WHEN r.h IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+         |  CAST(sum(CASE WHEN r.h IS NULL THEN 1 ELSE 0 END) AS BIGINT) * 1000000
+         |    // count(*) AS novelty_ppm
+         |FROM bsh b LEFT JOIN refs r ON b.h = r.h
+         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
     // the semantic sibling: quantized-hyperplane banding (the shared
     // hyperplaneCtes chain) generates candidates on shared bands only,
     // exact cosine >= 0.35 verifies — candidate generation AND
