@@ -153,7 +153,21 @@ object ScaleProbe {
     // the tar shard export: rep 1 pays the archive write (the
     // partition-parallel rewrite), the timed min is the distributed
     // read-back walk — both must track bytes, not doc count
-    "export_tar_roundtrip")
+    "export_tar_roundtrip",
+    // round 16c: the iterative coreset profile — 5 × (compiled-argmin
+    // narrow scan + TakeOrdered(1)); per-round cost tracks the scan,
+    // cross-round state is six vectors
+    "select_kcenter",
+    // stage 1 is the broadcast-query corpus scan into GroupTopK; the
+    // greedy stage 2 rides the BOUNDED candidate frame — 10× corpus
+    // must grow only the scan, never the per-query quadratic
+    "retrieval_mmr",
+    // both gram streams grow with the corpus (the honest linear op)
+    // but the probe join shuffles (id, h) pairs only, never text
+    "novelty_score",
+    // narrow assignment + map-side-pruned quota: output stays
+    // quota·k rows however large the corpus grows
+    "cluster_balanced_sample")
 
   private def rot(s: String, k: Int): String = s.drop(k % s.length) + s.take(k % s.length)
 
