@@ -195,6 +195,72 @@ object Sampling {
       .drop("__h")
   }
 
+  /** CURRICULUM ordering: a deterministic training order that feeds the
+    * cleanest quartile of the corpus first (phase 0 = top quality) and
+    * the noisiest last — the quality-first curriculum schedule — with a
+    * reproducible md5 shuffle WITHIN each phase so a phase is not
+    * accidentally ordered by ingest time or id.
+    *
+    * The output is NOT a single global ordinal (materializing one means
+    * a global sort — the thing a 100 TB curriculum job must not do) but
+    * the distributed form every dataloader actually consumes:
+    * `(phase, shard, pos)` where `shard` is the [[shardAssign]] md5
+    * rule and `pos` is the 1-based position within `(phase, shard)`.
+    * Consumption order = phases ascending, shards round-robin, `pos`
+    * within shard — a total order, reconstructible by any engine,
+    * without any engine ever sorting the corpus globally.
+    *
+    * Exactness: quality enters as exact micro units
+    * (`round(q · 1e6)` of the 6-dp [[TextAnalysis.qualityScore]]);
+    * phase boundaries are the EXACT discrete quartiles of q_micro from
+    * [[graft.operators.HistogramQuantile]] (a value-histogram pass —
+    * the boundary shuffle carries distinct scores, never the corpus);
+    * the within-phase shuffle key is `md5(id)` with id tie-break. Every
+    * output column is an integer, so the oracle replays the whole order.
+    * Phase membership is `q >= boundary` (not `>`): real quality scores
+    * have a point mass at the top (a clean long no-punctuation doc
+    * scores exactly 1.0 — 74% of the synthetic corpus does), and with
+    * strict comparison that mass would fall OUT of phase 0 entirely,
+    * leaving the curriculum's first phases empty. With `>=`, a top-heavy
+    * score assigns the tied-at-the-top class to phase 0 and degrades to
+    * fewer, larger phases — never to an empty leading phase.
+    *
+    * Scale shape: one narrow scoring scan; one histogram-sized boundary
+    * aggregate broadcast back (1 row); ONE corpus shuffle on
+    * `(phase, shard)` for the position window — `4 · nShards` balanced
+    * partitions (the md5 shard rule equidistributes within each phase),
+    * each holding ~`n / (4 · nShards)` rows. A naive global
+    * `row_number()` curriculum is ONE partition holding all 100 TB;
+    * a `Window.partitionBy(phase)` alone is 4 partitions of 25 TB each
+    * — the shard axis is what makes the window parallel. Docs whose
+    * quality is null (empty text) land in the last phase: a curriculum
+    * must place every doc, and unknown quality is not evidence of
+    * cleanliness. Output: (doc_id, q_micro, phase, shard, pos). */
+  def curriculumOrder(df: DataFrame, idCol: String, textCol: String,
+      nShards: Int = 8): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    // empty docs guard: qualityScore divides by length(text) (ANSI mode
+    // throws on /0), and a 100 TB corpus WILL contain empty docs — they
+    // get null quality and therefore the last phase, not a crashed job
+    val scored = df.select(col(idCol).cast("long").as("doc_id"),
+      when(length(col(textCol)) > 0,
+        round(TextAnalysis.qualityScore(col(textCol)) * 1000000).cast("long"))
+        .as("q_micro"))
+    val b = graft.operators.HistogramQuantile.boundaries(
+        scored, Nil, "q_micro", Seq(("p1", 0.25), ("p2", 0.5), ("p3", 0.75)))
+      .select("p1", "p2", "p3")
+    val q = col("q_micro")
+    val w = Window.partitionBy("phase", "shard")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    scored.crossJoin(broadcast(b))
+      .withColumn("phase",
+        when(q >= col("p3"), 0).when(q >= col("p2"), 1)
+          .when(q >= col("p1"), 2).otherwise(3).cast("int"))
+      .withColumn("shard", shardAssign(col("doc_id"), nShards))
+      .withColumn("pos", row_number().over(w))
+      .select("doc_id", "q_micro", "phase", "shard", "pos")
+  }
+
   /** DSIR-style hashed n-gram importance scores — the Data Selection
     * via Importance Resampling recipe (Xie et al., NeurIPS 2023): pick
     * raw-corpus documents that LOOK LIKE a target domain without

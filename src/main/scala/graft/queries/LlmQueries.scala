@@ -2746,11 +2746,23 @@ object LlmQueries {
       .orderBy("source", "decile")
   }
 
+  /** Quality-first curriculum ordering ([[Sampling.curriculumOrder]]):
+    * exact quartile phases of the micro-unit quality score, md5 shard
+    * assignment, and the 1-based position within each (phase, shard) —
+    * the distributed training order a dataloader consumes (phases
+    * ascending, shards round-robin) with no global sort anywhere. All
+    * integers; the oracle replays boundary rule, phase, shard, and the
+    * within-partition md5 permutation itself. */
+  val curriculumOrder: Q = (s, dir) =>
+    Sampling.curriculumOrder(Tables(s, dir, "documents"), "doc_id", "text", nShards = 8)
+      .orderBy("doc_id")
+
   val defs: Map[String, Q] = Map(
     "text_stats" -> textStats,
     "token_counts" -> tokenCounts,
     "token_length_histogram" -> tokenLengthHistogram,
     "quantile_buckets_docs" -> quantileBucketsDocs,
+    "curriculum_order" -> curriculumOrder,
     "corpus_stats" -> corpusStats,
     "top_tokens" -> topTokens,
     "cms_heavy_hitters" -> cmsHeavyHitters,
@@ -4319,6 +4331,34 @@ object LlmQueries {
     "quality_score" ->
       s"""SELECT doc_id, $sqlQualityExpr AS quality
          |FROM documents ORDER BY doc_id""".stripMargin,
+    // the HistogramQuantile discrete-quartile rule (the
+    // quantile_buckets_docs CTE block) over micro-unit quality, then
+    // phase/shard/pos all replayed — including the md5 permutation that
+    // IS the within-phase shuffle, so the training order itself is the
+    // hashed artifact
+    "curriculum_order" ->
+      s"""WITH s AS (SELECT doc_id,
+         |    CASE WHEN length(text) > 0
+         |      THEN CAST(round($sqlQualityExpr * 1000000) AS BIGINT) END AS q_micro
+         |  FROM documents),
+         |h AS (SELECT q_micro AS v, count(*) AS c FROM s GROUP BY 1),
+         |cum AS (SELECT v,
+         |    sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm,
+         |    sum(c) OVER () AS n FROM h),
+         |b AS (SELECT
+         |    min(CASE WHEN cm * 1000000 >= n * 250000 THEN v END) AS p1,
+         |    min(CASE WHEN cm * 1000000 >= n * 500000 THEN v END) AS p2,
+         |    min(CASE WHEN cm * 1000000 >= n * 750000 THEN v END) AS p3
+         |  FROM cum),
+         |p AS (SELECT doc_id, q_micro,
+         |    CAST(CASE WHEN q_micro >= p3 THEN 0 WHEN q_micro >= p2 THEN 1
+         |      WHEN q_micro >= p1 THEN 2 ELSE 3 END AS INT) AS phase,
+         |    CAST(${hx60("md5(CAST(doc_id AS VARCHAR))")} % 8 AS INT) AS shard
+         |  FROM s, b)
+         |SELECT doc_id, q_micro, phase, shard,
+         |  CAST(row_number() OVER (PARTITION BY phase, shard
+         |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS pos
+         |FROM p ORDER BY doc_id""".stripMargin,
     // floor(log2 c) replayed as length(bin(c)) - 1 — exact integers in
     // both engines; the mean is the only float (one division). ONE
     // oracle serves both variants: the hybrid join changes the plan
