@@ -152,6 +152,55 @@ object TextAnalysis {
       .select("id", "token", "tf", "df", "score")
   }
 
+  /** VOCABULARY GROWTH CURVE (Heaps' law measurement): distinct-vocab
+    * size as a function of corpus prefix size, at `nPoints` equal-
+    * frequency id boundaries — the curve that tells a tokenizer team
+    * whether vocabulary is saturating (train the tokenizer now) or
+    * still growing linearly (the corpus is noisier than it looks:
+    * unbounded vocab growth at constant rate usually means ids, OCR
+    * noise, or mangled encodings masquerading as words).
+    *
+    * The prefix order is ascending id (the ingest-order stand-in);
+    * boundaries are the EXACT discrete quantiles of the id column from
+    * [[graft.operators.HistogramQuantile]]. The key identity making one
+    * pass suffice: the vocab size at prefix P is the count of tokens
+    * whose FIRST-SEEN doc id ≤ P — so one vocabulary-sized
+    * `min(id) GROUP BY token` aggregate answers every point, instead of
+    * nPoints separate distinct-counts over growing prefixes (which
+    * would rescan the corpus nPoints times).
+    *
+    * Scale shape: one narrow tokenize scan; ONE token-keyed shuffle
+    * with map-side partial min (vocabulary-sized, the [[topTokens]]
+    * profile); the ≤-join against the broadcast nPoints boundary rows
+    * fans each vocab/doc row to ≤ nPoints — a bounded constant, not a
+    * corpus blowup. No window touches the corpus. All outputs exact
+    * integers. Output: (point 1..nPoints, boundary_id, n_docs,
+    * n_tokens, vocab) — n_tokens counts token INSTANCES ≤ boundary
+    * (Heaps' N), vocab counts distinct tokens ≤ boundary (Heaps' V). */
+  def vocabGrowthCurve(df: DataFrame, idCol: String, textCol: String,
+      nPoints: Int = 10): DataFrame = {
+    require(nPoints > 0 && 1000000 % nPoints == 0,
+      s"nPoints must divide 1e6 so boundaries are exact ppm quantiles; got $nPoints")
+    val ws = filter(split(normalizeText(col(textCol)), " "), x => length(x) > 0)
+    val base = df.select(col(idCol).cast("long").as("__id"), ws.as("__ws"))
+    val firstSeen = base.select(col("__id"), explode(col("__ws")).as("token"))
+      .groupBy("token").agg(min("__id").as("first_id"))
+    val qs = (1 to nPoints).map(k => (s"b$k", k.toDouble / nPoints))
+    val b = graft.operators.HistogramQuantile.boundaries(base, Nil, "__id", qs)
+    val points = broadcast(b
+      .select(posexplode(array(qs.map(q => col(q._1)): _*)).as(Seq("__k0", "boundary_id")))
+      .select((col("__k0") + 1).cast("int").as("point"), col("boundary_id")))
+    val vocab = firstSeen.join(points, col("first_id") <= col("boundary_id"))
+      .groupBy("point").agg(count(lit(1)).as("vocab"))
+    base.select(col("__id"), size(col("__ws")).cast("long").as("__n"))
+      .join(points, col("__id") <= col("boundary_id"))
+      .groupBy("point", "boundary_id")
+      .agg(count(lit(1)).as("n_docs"), sum("__n").as("n_tokens"))
+      .join(vocab, Seq("point"), "left")
+      .select(col("point"), col("boundary_id"), col("n_docs"), col("n_tokens"),
+        coalesce(col("vocab"), lit(0L)).as("vocab"))
+  }
+
   /** Corpus-relative word-frequency score — the engine-portable
     * stand-in for CCNet's LM-perplexity filter: docs dominated by
     * corpus-rare words (OCR noise, id strings, mangled encodings)

@@ -2757,12 +2757,21 @@ object LlmQueries {
     Sampling.curriculumOrder(Tables(s, dir, "documents"), "doc_id", "text", nShards = 8)
       .orderBy("doc_id")
 
+  /** Heaps-law vocabulary growth ([[TextAnalysis.vocabGrowthCurve]]):
+    * distinct-vocab size vs corpus prefix size at the ten exact id
+    * deciles — all integer counts off ONE first-seen aggregate, so the
+    * oracle replays the whole curve. */
+  val vocabGrowthCurve: Q = (s, dir) =>
+    TextAnalysis.vocabGrowthCurve(Tables(s, dir, "documents"), "doc_id", "text", nPoints = 10)
+      .orderBy("point")
+
   val defs: Map[String, Q] = Map(
     "text_stats" -> textStats,
     "token_counts" -> tokenCounts,
     "token_length_histogram" -> tokenLengthHistogram,
     "quantile_buckets_docs" -> quantileBucketsDocs,
     "curriculum_order" -> curriculumOrder,
+    "vocab_growth_curve" -> vocabGrowthCurve,
     "corpus_stats" -> corpusStats,
     "top_tokens" -> topTokens,
     "cms_heavy_hitters" -> cmsHeavyHitters,
@@ -4359,6 +4368,28 @@ object LlmQueries {
          |  CAST(row_number() OVER (PARTITION BY phase, shard
          |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS pos
          |FROM p ORDER BY doc_id""".stripMargin,
+    // the first-seen identity (vocab at prefix P = tokens whose min doc
+    // id <= P) replayed over the decile boundaries of the id histogram
+    "vocab_growth_curve" ->
+      """WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(
+        |    trim(regexp_replace(regexp_replace(lower(text), '[.,;:!?]', '', 'g'), ' +', ' ', 'g')),
+        |    ' '), x -> length(x) > 0) AS ws FROM documents),
+        |tf AS (SELECT token, min(doc_id) AS first_id
+        |  FROM (SELECT doc_id, unnest(ws) AS token FROM w) GROUP BY token),
+        |h AS (SELECT doc_id AS v, count(*) AS c FROM documents GROUP BY 1),
+        |cum AS (SELECT v,
+        |    sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm,
+        |    sum(c) OVER () AS n FROM h),
+        |bb AS (SELECT k, min(CASE WHEN cm * 1000000 >= n * k * 100000 THEN v END) AS boundary_id
+        |  FROM cum, unnest(range(1, 11)) t(k) GROUP BY k),
+        |g2 AS (SELECT k, boundary_id, count(*) AS n_docs,
+        |    CAST(sum(len(ws)) AS BIGINT) AS n_tokens
+        |  FROM w, bb WHERE doc_id <= boundary_id GROUP BY k, boundary_id),
+        |g1 AS (SELECT k, count(*) AS vocab FROM tf, bb
+        |  WHERE first_id <= boundary_id GROUP BY k)
+        |SELECT CAST(k AS INT) AS point, boundary_id, n_docs, n_tokens,
+        |  COALESCE(vocab, 0) AS vocab
+        |FROM g2 LEFT JOIN g1 USING (k) ORDER BY point""".stripMargin,
     // floor(log2 c) replayed as length(bin(c)) - 1 — exact integers in
     // both engines; the mean is the only float (one division). ONE
     // oracle serves both variants: the hybrid join changes the plan
