@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.operators.GroupTopK
@@ -386,6 +387,72 @@ object Retrieval {
           res
         }
       }(enc)
+  }
+
+  /** HARD-NEGATIVE MINING for contrastive embedding training (the
+    * DPR/ANCE recipe): for each query, the top-ranked corpus item is
+    * the presumed positive, and the hard negatives are the next-best
+    * candidates — EXCLUDING any candidate scoring within a margin of
+    * the positive, because a near-tied "negative" is far more likely an
+    * unlabeled duplicate or paraphrase than a true negative, and
+    * training against it teaches the model to separate synonyms (the
+    * false-negative problem every hard-negative pipeline guards).
+    *
+    * The margin rule is exact-integer: candidate c is excluded iff
+    * `pos_dot > 0 AND dot(c) · 1e6 > pos_dot · marginPpm` — the
+    * standard "score > 0.95 × positive" filter in ppm cross-
+    * multiplication (no division, no floats). When even the positive
+    * is anti-correlated (pos_dot ≤ 0) nothing is near-duplicate-close
+    * and the filter passes everything through.
+    *
+    * Scale shape: stage 1 is the ONE corpus scan — quantized milli
+    * vectors against the broadcast query side, cut to candidateK+1 per
+    * query by the map-side-pruned [[graft.operators.GroupTopK]] (the
+    * [[mmrTopK]] stage-1 profile). Everything after rides candidate
+    * frames of ≤ (candidateK+1)·|queries| rows: the positive extraction
+    * window, the margin anti-filter, the final re-rank. A query whose
+    * surviving negatives number < k returns fewer rows — underfill is
+    * visible in the output, not silently padded; size candidateK at a
+    * few × k to absorb the margin's cut.
+    *
+    * Output: (query_id, neg_id, neg_rank 1..≤k, dot, pos_id, pos_dot).
+    * All integers; any engine replays the exact mining decisions. */
+  def hardNegatives(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 5,
+      candidateK: Int = 20,
+      marginPpm: Long = 950000L): DataFrame = {
+    require(k > 0 && candidateK >= k, s"need candidateK >= k > 0; got candidateK=$candidateK k=$k")
+    require(marginPpm >= 0 && marginPpm <= 1000000L,
+      s"marginPpm must be in [0, 1e6]; got $marginPpm")
+    val quant: Column => Column =
+      e => transform(e, x => floor(x.cast("double") * 1000).cast("long"))
+    val q = broadcast(queries
+      .select(col(idCol).cast("long").as("query_id"), quant(col(vecCol)).as("qv")))
+    val scored = corpus
+      .select(col(idCol).cast("long").as("doc_id"), quant(col(vecCol)).as("dv"))
+      .join(q, col("doc_id") =!= col("query_id"))
+      .withColumn("dot", expr(
+        "aggregate(zip_with(dv, qv, (a, b) -> a * b), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+      .select("query_id", "doc_id", "dot")
+    val cands = graft.operators.GroupTopK.topK(scored, Seq("query_id"),
+      Seq(("dot", false), ("doc_id", true)), candidateK + 1)
+    val w = Window.partitionBy("query_id").orderBy(desc("dot"), asc("doc_id"))
+    val ranked = cands.withColumn("__rk", row_number().over(w))
+    val pos = ranked.filter(col("__rk") === 1)
+      .select(col("query_id"), col("doc_id").as("pos_id"), col("dot").as("pos_dot"))
+    val wN = Window.partitionBy("query_id").orderBy(desc("dot"), asc("doc_id"))
+    ranked.filter(col("__rk") > 1).drop("__rk")
+      .join(pos, "query_id")
+      .filter(!(col("pos_dot") > 0 && col("dot") * 1000000L > col("pos_dot") * marginPpm))
+      .withColumn("neg_rank", row_number().over(wN))
+      .filter(col("neg_rank") <= k)
+      .select(col("query_id"), col("doc_id").as("neg_id"),
+        col("neg_rank").cast("int").as("neg_rank"), col("dot"),
+        col("pos_id"), col("pos_dot"))
   }
 
   /** Reciprocal-rank fusion (Cormack/Clarke/Büttcher) over any number

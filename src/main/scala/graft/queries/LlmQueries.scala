@@ -560,6 +560,18 @@ object LlmQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** Hard-negative mining ([[Retrieval.hardNegatives]]): top-1 as the
+    * presumed positive, next-best candidates as negatives, candidates
+    * within 95% (ppm cross-multiplication) of the positive excluded as
+    * probable false negatives. All-integer trajectory — the oracle
+    * replays ranking, margin cut, and re-rank. */
+  val hardNegativesQ: Q = (s, dir) => {
+    val e = Tables(s, dir, "embeddings")
+    Retrieval.hardNegatives(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, candidateK = 20, marginPpm = 950000L)
+      .orderBy("query_id", "neg_rank")
+  }
+
   /** LSH-bucketed approximate top-5 for the same queries — quantized
     * md5-sign hyperplanes, so candidate generation is oracle-replayed. */
   val annLsh: Q = (s, dir) => {
@@ -2806,6 +2818,7 @@ object LlmQueries {
     "ann_ivf_recall_curve" -> annIvfRecallCurve,
     "select_kcenter" -> selectKcenter,
     "retrieval_mmr" -> retrievalMmr,
+    "hard_negatives" -> hardNegativesQ,
     "dedup_embedding" -> dedupEmbedding,
     "dedup_semantic" -> dedupSemantic,
     "dedup_semantic_skew" -> dedupSemanticSkew,
@@ -3907,6 +3920,28 @@ object LlmQueries {
         |ORDER BY query_id, rank""".stripMargin,
     "select_kcenter" -> kCenterOracle(6),
     "retrieval_mmr" -> mmrOracle(12, 4, 700),
+    // the mining trajectory replayed: candidate ranking, positive
+    // extraction, the ppm margin anti-filter, and the negative re-rank
+    "hard_negatives" ->
+      """WITH qv AS (SELECT vec_id, i,
+        |    CAST(floor(CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE) * 1000) AS BIGINT) AS q
+        |  FROM embeddings, unnest(range(0, len(embedding))) t(i)),
+        |rel0 AS (SELECT qq.vec_id AS query_id, cc.vec_id AS doc_id,
+        |    CAST(sum(qq.q * cc.q) AS BIGINT) AS dot
+        |  FROM qv qq JOIN qv cc ON qq.i = cc.i AND qq.vec_id < 10 AND cc.vec_id <> qq.vec_id
+        |  GROUP BY 1, 2),
+        |cand AS (SELECT * FROM (SELECT query_id, doc_id, dot,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, doc_id) AS rk
+        |  FROM rel0) WHERE rk <= 21),
+        |pos AS (SELECT query_id, doc_id AS pos_id, dot AS pos_dot FROM cand WHERE rk = 1),
+        |neg AS (SELECT c.query_id, c.doc_id AS neg_id, c.dot, p.pos_id, p.pos_dot
+        |  FROM cand c JOIN pos p USING (query_id)
+        |  WHERE c.rk > 1
+        |    AND NOT (p.pos_dot > 0 AND c.dot * 1000000 > p.pos_dot * 950000))
+        |SELECT query_id, neg_id, CAST(neg_rank AS INT) AS neg_rank, dot, pos_id, pos_dot
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY dot DESC, neg_id) AS neg_rank FROM neg)
+        |WHERE neg_rank <= 5 ORDER BY query_id, neg_rank""".stripMargin,
     "ann_bruteforce" ->
       """SELECT query_id, corpus_id, rank FROM (
         |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
