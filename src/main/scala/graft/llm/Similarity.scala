@@ -95,6 +95,45 @@ object Similarity {
       .select("r.i", "r.j", "r.sum_xy", "r.sum_x_i", "r.sum_x_j", "r.n")
   }
 
+  /** INT8 QUANTIZATION calibration report — the sizing study a team
+    * runs before committing a 100 TB embedding corpus to int8 storage
+    * (4× the float32 footprint cut; the FAISS `SQ8` / vector-DB
+    * "scalar quantization" layout): per dimension, the symmetric
+    * max-abs scale and the EXACT distortion the 8-bit grid costs.
+    *
+    * Everything is integer: values enter as the library's milli grid
+    * `q = floor(x·1000)`; the per-dim scale is `amax = max(|q|)`; the
+    * int8 code is the truncating division `code = (q·127) div amax`
+    * (⇒ code ∈ [−127, 127] since |q| ≤ amax; an all-zero dimension
+    * gets amax = 0 and code 0 — guarded, not divided). The distortion
+    * is reported in EXACT scaled units: `err = |q·127 − code·amax|`
+    * is the reconstruction error times 127/milli — integer, engine-
+    * portable, and zero exactly when the value sits on the grid.
+    *
+    * Scale shape: two corpus scans (the scale pass, then the report
+    * pass re-deriving codes under the broadcast d-row scale frame) —
+    * both aggregate per dimension with MAP-SIDE PARTIALS, so each
+    * shuffle carries O(partitions·d) partial rows, never the n·d
+    * element stream; the d-row amax frame broadcasts. Output:
+    * (i, amax_milli, n, sum_abs_err, max_abs_err, sum_abs_code). */
+  def int8QuantizeReport(corpus: DataFrame, vecCol: String): DataFrame = {
+    val q = corpus.select(posexplode(
+      transform(col(vecCol), x => floor(x.cast("double") * 1000).cast("long")))
+      .as(Seq("i", "q")))
+    val amax = q.groupBy("i").agg(max(abs(col("q"))).as("amax_milli"))
+    val code = when(col("amax_milli") === 0, lit(0L))
+      .otherwise(expr("(q * 127) DIV amax_milli"))
+    q.join(broadcast(amax), "i")
+      .withColumn("code", code)
+      .withColumn("err", abs(col("q") * 127 - col("code") * col("amax_milli")))
+      .groupBy("i", "amax_milli")
+      .agg(count(lit(1)).as("n"),
+        sum("err").as("sum_abs_err"),
+        max("err").as("max_abs_err"),
+        sum(abs(col("code"))).as("sum_abs_code"))
+      .select("i", "amax_milli", "n", "sum_abs_err", "max_abs_err", "sum_abs_code")
+  }
+
   /** Embedding OUTLIER ranking — the corpus-sanity filter a training
     * pipeline runs before ANN/dedup trust the vectors: the `k` vectors
     * farthest from the corpus MEAN, ranked by EXACT integer

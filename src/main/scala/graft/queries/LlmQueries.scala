@@ -560,6 +560,13 @@ object LlmQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** Int8 calibration report ([[Similarity.int8QuantizeReport]]):
+    * per-dim max-abs scale + exact integer distortion of the 8-bit
+    * grid — the audit before an int8 storage commit. */
+  val embeddingInt8Quantize: Q = (s, dir) =>
+    Similarity.int8QuantizeReport(Tables(s, dir, "embeddings"), "embedding")
+      .orderBy("i")
+
   /** Hard-negative mining ([[Retrieval.hardNegatives]]): top-1 as the
     * presumed positive, next-best candidates as negatives, candidates
     * within 95% (ppm cross-multiplication) of the positive excluded as
@@ -2826,6 +2833,7 @@ object LlmQueries {
     "embedding_bucket_histogram" -> embeddingBucketHistogram,
     "embedding_moments" -> embeddingMoments,
     "embedding_outliers" -> embeddingOutliers,
+    "embedding_int8_quantize" -> embeddingInt8Quantize,
     "embedding_kmeans_assign" -> embeddingKmeansAssign,
     "cluster_balanced_sample" -> clusterBalancedSample,
     "bpe_pair_stats" -> bpePairStats,
@@ -4007,6 +4015,21 @@ object LlmQueries {
         |FROM q a JOIN q b ON a.vec_id = b.vec_id AND b.i >= a.i
         |GROUP BY a.i, b.i
         |ORDER BY i, j""".stripMargin,
+    // per-dim max-abs scale, truncating-DIV codes (DuckDB // truncates
+    // for integers like Java), and the exact scaled reconstruction error
+    "embedding_int8_quantize" ->
+      """WITH q AS (SELECT vec_id, i,
+        |    CAST(floor(CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE) * 1000) AS BIGINT) AS q
+        |  FROM embeddings, unnest(range(0, len(embedding))) t(i)),
+        |am AS (SELECT i, max(abs(q)) AS amax FROM q GROUP BY i),
+        |c AS (SELECT q.i, am.amax, q.q,
+        |    CASE WHEN am.amax = 0 THEN 0 ELSE (q.q * 127) // am.amax END AS code
+        |  FROM q JOIN am USING (i))
+        |SELECT CAST(i AS INT) AS i, amax AS amax_milli, count(*) AS n,
+        |  CAST(sum(abs(q * 127 - code * amax)) AS BIGINT) AS sum_abs_err,
+        |  CAST(max(abs(q * 127 - code * amax)) AS BIGINT) AS max_abs_err,
+        |  CAST(sum(abs(code)) AS BIGINT) AS sum_abs_code
+        |FROM c GROUP BY i, amax ORDER BY i""".stripMargin,
     // centered-distance ranking replayed in HUGEINT: q_i·n − S_i fits
     // int64, its square needs int128 — the same exactness the Spark
     // side gets from DECIMAL(38,0); plain-digit string on both sides
