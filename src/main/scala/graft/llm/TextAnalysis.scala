@@ -152,6 +152,41 @@ object TextAnalysis {
       .select("id", "token", "tf", "df", "score")
   }
 
+  /** CLUSTER TOPIC LABELING: the top-k distinctive tokens of each
+    * latent cluster — how a pipeline names the topics a label-free
+    * k-means split of the embedding space found (cluster 3 is "legal
+    * boilerplate", cluster 7 is "code"), turning an opaque centroid id
+    * into something a curation decision can cite. The score is the
+    * [[distinctiveTerms]] lift, per CLUSTER instead of per doc:
+    * `n_ct / n_t` — the token's in-cluster count over its corpus count,
+    * exact integers into ONE correctly-rounded IEEE division, ties
+    * broken by token. `assigned` is any (id, centroid) frame —
+    * typically [[Similarity.kmeansAssign]] with null verdicts filtered.
+    *
+    * Scale shape: the doc⋈assignment join shuffles by id BEFORE
+    * tokenizing, so the exploded token stream never crosses the wire
+    * un-aggregated; both count aggregates are (clusters·vocab)- and
+    * vocab-sized with map-side partials; the rank window partitions by
+    * centroid over the already-aggregated vocab frame, never the
+    * corpus. Output: (centroid, token, n_ct, n_t, score, rk 1..k). */
+  def clusterTopicTerms(assigned: DataFrame, docs: DataFrame,
+      idCol: String, textCol: String, k: Int = 3): DataFrame = {
+    require(k > 0, "k must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val dd = docs.select(col(idCol).as("__id"), col(textCol).as("__t"))
+      .join(assigned.select(col(idCol).as("__id"), col("centroid")), "__id")
+    val toks = dd.select(col("centroid"),
+        explode(filter(split(normalizeText(col("__t")), " "), x => length(x) > 0)).as("token"))
+    val ct = toks.groupBy("centroid", "token").agg(count(lit(1)).as("n_ct"))
+    val gt = toks.groupBy("token").agg(count(lit(1)).as("n_t"))
+    val w = Window.partitionBy("centroid").orderBy(desc("score"), asc("token"))
+    ct.join(gt, "token")
+      .withColumn("score", col("n_ct").cast("double") / col("n_t"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("centroid"), col("token"), col("n_ct"), col("n_t"),
+        col("score"), col("rk").cast("int").as("rk"))
+  }
+
   /** VOCABULARY GROWTH CURVE (Heaps' law measurement): distinct-vocab
     * size as a function of corpus prefix size, at `nPoints` equal-
     * frequency id boundaries — the curve that tells a tokenizer team

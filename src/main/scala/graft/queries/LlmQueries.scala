@@ -2309,6 +2309,21 @@ object LlmQueries {
       k = 4, sampleN = 16, iters = 2)
       .orderBy("vec_id")
 
+  /** Cluster topic labeling ([[TextAnalysis.clusterTopicTerms]]): the
+    * SAME pinned-dial k-means assignment as `embedding_kmeans_assign`
+    * joined to the documents (vec_id = doc_id on the shared fixture id
+    * space, the `hybrid_rerank` convention), then top-3 lift-scored
+    * tokens per cluster. The oracle replays training, assignment, both
+    * counts, and the ranked selection. */
+  val clusterTopicTerms: Q = (s, dir) => {
+    val assign = Similarity.kmeansAssign(Tables(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 4, sampleN = 16, iters = 2)
+      .filter(col("centroid").isNotNull)
+      .select(col("vec_id").as("doc_id"), col("centroid"))
+    TextAnalysis.clusterTopicTerms(assign, Tables(s, dir, "documents"), "doc_id", "text", k = 3)
+      .orderBy("centroid", "rk")
+  }
+
   /** Cluster-balanced sampling ([[Sampling.clusterBalancedSample]]):
     * the SAME pinned-dial k-means assignment as
     * `embedding_kmeans_assign`, then at most 16 smallest-md5 members
@@ -2836,6 +2851,7 @@ object LlmQueries {
     "embedding_int8_quantize" -> embeddingInt8Quantize,
     "embedding_kmeans_assign" -> embeddingKmeansAssign,
     "cluster_balanced_sample" -> clusterBalancedSample,
+    "cluster_topic_terms" -> clusterTopicTerms,
     "bpe_pair_stats" -> bpePairStats,
     "bpe_encode" -> bpeEncode,
     "bpe_encode_bytes" -> bpeEncodeBytes,
@@ -4068,6 +4084,28 @@ object LlmQueries {
          |  FROM assign)
          |SELECT centroid, vec_id, CAST(sel_rk AS INT) AS sel_rk FROM ranked
          |WHERE sel_rk <= 16 ORDER BY centroid, sel_rk""".stripMargin),
+    // the same training+assignment replay joined to the documents, then
+    // the per-cluster lift (n_ct / n_t — one exact IEEE division, the
+    // distinctive_terms rationality rule) and the tie-broken top-3 rank
+    "cluster_topic_terms" ->
+      (s"WITH $kmeansTrainCtes,\n" +
+       """assign AS (SELECT vec_id, c AS centroid
+         |  FROM (SELECT vec_id, c,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rk FROM af)
+         |  WHERE rk = 1),
+         |w AS (SELECT a.centroid, unnest(list_filter(regexp_split_to_array(
+         |    trim(regexp_replace(regexp_replace(lower(d.text), '[.,;:!?]', '', 'g'), ' +', ' ', 'g')),
+         |    ' '), x -> length(x) > 0)) AS token
+         |  FROM assign a JOIN documents d ON d.doc_id = a.vec_id),
+         |ct AS (SELECT centroid, token, count(*) AS n_ct FROM w GROUP BY 1, 2),
+         |gt AS (SELECT token, count(*) AS n_t FROM w GROUP BY 1)
+         |SELECT centroid, token, n_ct, n_t, CAST(n_ct AS DOUBLE) / n_t AS score,
+         |  CAST(rk AS INT) AS rk
+         |FROM (SELECT ct.centroid, ct.token, ct.n_ct, gt.n_t,
+         |    row_number() OVER (PARTITION BY ct.centroid
+         |      ORDER BY CAST(ct.n_ct AS DOUBLE) / gt.n_t DESC, ct.token) AS rk
+         |  FROM ct JOIN gt USING (token))
+         |WHERE rk <= 3 ORDER BY centroid, rk""".stripMargin),
     // trained IVF end-to-end: the SAME training replay, then both-side
     // integer-L2 routing off `af` (corpus: nearest cell; queries:
     // 2-probe), candidate equi-join on cell, exact cosine re-rank —
