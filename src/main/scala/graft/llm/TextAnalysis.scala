@@ -152,6 +152,43 @@ object TextAnalysis {
       .select("id", "token", "tf", "df", "score")
   }
 
+  /** HTML EXTRACTION + link-density signals — the CommonCrawl-style
+    * main-content pass (the trafilatura/jusText family, reduced to the
+    * regex subset both Java and RE2 interpret identically): strip tags
+    * to recover text, and report the markup statistics boilerplate
+    * filters key on — link density (anchor-text chars over text chars)
+    * is THE classic navigation/footer detector, markup ratio separates
+    * template-heavy pages from content pages.
+    *
+    * All arithmetic is exact-integer ppm (`x · 1e6 div y` — truncating
+    * division, the BM25 convention); tag stripping is
+    * `<[^>]*>` → space, then whitespace collapse — no lookaround, no
+    * backreference, identical under Java regex and RE2. One NARROW map:
+    * no shuffle, no state, scan-side at any corpus size.
+    *
+    * Output: (id, text, n_tags, n_links, text_chars, link_chars,
+    * link_density_ppm, markup_ratio_ppm). */
+  def htmlExtract(df: DataFrame, idCol: String, htmlCol: String): DataFrame = {
+    val html = col(htmlCol)
+    val text = trim(regexp_replace(regexp_replace(html, "<[^>]*>", " "), " +", " "))
+    val linkChars = expr(
+      s"aggregate(transform(regexp_extract_all($htmlCol, '<a [^>]*>([^<]*)</a>', 1), " +
+        "x -> length(x)), 0, (a, b) -> a + b)").cast("long")
+    df.select(col(idCol).as("id"), text.as("text"),
+        size(regexp_extract_all(html, lit("<[^>]*>"), lit(0))).cast("long").as("n_tags"),
+        substrCount(html, "<a ").as("n_links"),
+        length(text).cast("long").as("text_chars"),
+        linkChars.as("link_chars"),
+        length(html).cast("long").as("html_chars"))
+      .withColumn("link_density_ppm",
+        when(col("text_chars") === 0, 0L)
+          .otherwise(expr("(link_chars * 1000000) DIV text_chars")))
+      .withColumn("markup_ratio_ppm",
+        when(col("html_chars") === 0, 0L)
+          .otherwise(expr("((html_chars - text_chars) * 1000000) DIV html_chars")))
+      .drop("html_chars")
+  }
+
   /** CLUSTER TOPIC LABELING: the top-k distinctive tokens of each
     * latent cluster — how a pipeline names the topics a label-free
     * k-means split of the embedding space found (cluster 3 is "legal

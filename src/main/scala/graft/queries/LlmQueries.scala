@@ -2791,6 +2791,26 @@ object LlmQueries {
     Sampling.curriculumOrder(Tables(s, dir, "documents"), "doc_id", "text", nShards = 8)
       .orderBy("doc_id")
 
+  /** HTML extraction + link-density report ([[TextAnalysis.htmlExtract]])
+    * over a deterministic in-plan HTML wrapping of the fixture (the
+    * `bm25Docs` enrichment convention — the raw corpus carries no
+    * markup): title/head boilerplate, sentence `<p>` splits, a
+    * per-doc link, and a nav block on every third doc. Both engines
+    * build the SAME page string, so extraction, tag counts, and the
+    * ppm densities all hash-verify. */
+  val htmlExtractQ: Q = (s, dir) => {
+    val d = Tables(s, dir, "documents")
+    val page = concat(
+      lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+      lit("</title></head><body><p>"),
+      regexp_replace(col("text"), "\\. ", ".</p><p>"),
+      lit("</p><a href=\"/d"), col("doc_id").cast("string"), lit("\">more</a>"),
+      when(col("doc_id") % 3 === 0, lit("<a href=\"/nav\">nav nav nav</a>")).otherwise(lit("")),
+      lit("</body></html>"))
+    TextAnalysis.htmlExtract(d.select(col("doc_id"), page.as("page")), "doc_id", "page")
+      .orderBy("id")
+  }
+
   /** Heaps-law vocabulary growth ([[TextAnalysis.vocabGrowthCurve]]):
     * distinct-vocab size vs corpus prefix size at the ten exact id
     * deciles — all integer counts off ONE first-seen aggregate, so the
@@ -2806,6 +2826,7 @@ object LlmQueries {
     "quantile_buckets_docs" -> quantileBucketsDocs,
     "curriculum_order" -> curriculumOrder,
     "vocab_growth_curve" -> vocabGrowthCurve,
+    "html_extract" -> htmlExtractQ,
     "corpus_stats" -> corpusStats,
     "top_tokens" -> topTokens,
     "cms_heavy_hitters" -> cmsHeavyHitters,
@@ -4464,6 +4485,34 @@ object LlmQueries {
          |  CAST(row_number() OVER (PARTITION BY phase, shard
          |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS pos
          |FROM p ORDER BY doc_id""".stripMargin,
+    // the same deterministic page build, the same <[^>]*> strip (Java
+    // regex and RE2 agree on this subset), ppm via truncating //
+    "html_extract" ->
+      """WITH p AS (SELECT doc_id,
+        |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+        |    '</title></head><body><p>' ||
+        |    regexp_replace(text, '\. ', '.</p><p>', 'g') ||
+        |    '</p><a href="/d' || CAST(doc_id AS VARCHAR) || '">more</a>' ||
+        |    CASE WHEN doc_id % 3 = 0 THEN '<a href="/nav">nav nav nav</a>' ELSE '' END ||
+        |    '</body></html>' AS page
+        |  FROM documents),
+        |e AS (SELECT doc_id AS id, page,
+        |    trim(regexp_replace(regexp_replace(page, '<[^>]*>', ' ', 'g'), ' +', ' ', 'g')) AS text
+        |  FROM p),
+        |m AS (SELECT id, text,
+        |    CAST(len(regexp_extract_all(page, '<[^>]*>')) AS BIGINT) AS n_tags,
+        |    CAST((length(page) - length(replace(page, '<a ', ''))) / 3 AS INT) AS n_links,
+        |    CAST(length(text) AS BIGINT) AS text_chars,
+        |    CAST(COALESCE(list_sum(list_transform(
+        |      regexp_extract_all(page, '<a [^>]*>([^<]*)</a>', 1), x -> length(x))), 0) AS BIGINT) AS link_chars,
+        |    CAST(length(page) AS BIGINT) AS html_chars
+        |  FROM e)
+        |SELECT id, text, n_tags, n_links, text_chars, link_chars,
+        |  CASE WHEN text_chars = 0 THEN 0
+        |    ELSE (link_chars * 1000000) // text_chars END AS link_density_ppm,
+        |  CASE WHEN html_chars = 0 THEN 0
+        |    ELSE ((html_chars - text_chars) * 1000000) // html_chars END AS markup_ratio_ppm
+        |FROM m ORDER BY id""".stripMargin,
     // the first-seen identity (vocab at prefix P = tokens whose min doc
     // id <= P) replayed over the decile boundaries of the id histogram
     "vocab_growth_curve" ->
