@@ -3367,7 +3367,7 @@ object LlmQueries {
   /** The quality formula as DuckDB SQL — ONE source of truth shared by
     * `quality_score` and `dedup_keep_best` (the Spark twin is
     * [[TextAnalysis.qualityScore]]). */
-  private val sqlQualityExpr: String =
+  private[queries] val sqlQualityExpr: String =
     """round(
       |    least(CAST(len(regexp_split_to_array(text, ' +')) AS DOUBLE) / 50.0, 1.0) * 0.4
       |  + (CASE WHEN CAST(length(text) AS DOUBLE) / len(regexp_split_to_array(text, ' +'))

@@ -141,6 +141,53 @@ object StreamingQueries {
     }
   }
 
+  /** Streaming QUALITY ROUTER — the ingest-time accept/reject split
+    * every curation pipeline runs at the front door: documents stream
+    * through the quality scorer and ONE exactly-once file sink
+    * `partitionBy(disposition)` lands accepted and rejected docs in
+    * separate directories a downstream job can consume independently
+    * (accepted → training mix, rejected → audit queue). One query, one
+    * sink transaction log — no dual-write race, no doc counted twice,
+    * no doc lost between two sinks; the partition layout IS the router.
+    *
+    * The gate batch-reads ONLY what the sink committed and rolls up
+    * per (disposition, source) with the export family's xor checksum;
+    * the oracle recomputes the SAME disposition rule
+    * ([[graft.llm.TextAnalysis.qualityScore]] ≥ 0.8, the
+    * `pipeline_disposition` drop_quality threshold) from the parquet
+    * originals — a hash match proves both the routing decision and the
+    * framing survived the streaming write path. Scale: the scorer is a
+    * narrow map; the sink adds one directory level; state is the sink
+    * log, not rows. */
+  val streamQualityRouter: Q = (s, dir) => withStatePartitions(s, 8) {
+    import org.apache.spark.sql.functions._
+    val schema = Tables(s, dir, "documents").schema
+    val src = s.readStream.schema(schema).parquet(s"$dir/documents.parquet*")
+    val proj = src.select(col("source"), col("n_chars"),
+        graft.llm.Sampling.hash60(concat_ws("\u0001",
+          col("doc_id").cast("string"), col("text"), col("lang"))).as("h"),
+        when(graft.llm.TextAnalysis.qualityScore(col("text")) >= 0.8, "accept")
+          .otherwise("reject").as("disposition"))
+    val outDir = java.nio.file.Files.createTempDirectory("graft_srout_")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_srout_ckpt_")
+    try {
+      val q = proj.writeStream.format("json")
+        .partitionBy("disposition")
+        .option("path", outDir.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      val back = s.read.schema(proj.schema).json(outDir.toString)
+      drain(s, "none_" + java.util.UUID.randomUUID().toString.replace("-", ""),
+        back.groupBy("disposition", "source")
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"),
+            expr("bit_xor(h)").as("content_xor"))
+          .orderBy("disposition", "source"))
+    } finally {
+      for (d <- Seq(ckpt, outDir)) rmTree(d.toFile)
+    }
+  }
+
   /** Per-user balance scan over the events table consumed AS A STREAM:
     * [[graft.streaming.StreamingScan.groupScanStream]] threads the
     * non-associative credit-limit kernel through `GroupState`, exactly
@@ -1053,6 +1100,7 @@ object StreamingQueries {
     "stream_dsir_score" -> streamDsirScore,
     "stream_bpe_token_budget" -> streamBpeTokenBudget,
     "stream_sink_jsonl" -> streamSinkJsonl,
+    "stream_quality_router" -> streamQualityRouter,
     "stream_dedup_watermarked" -> streamDedupWatermarked,
     "stream_encoding_hygiene" -> streamEncodingHygiene,
     "stream_scd_enrich" -> streamScdEnrich
@@ -1267,6 +1315,19 @@ object StreamingQueries {
     // the stream writes, the batch read sees only committed files, the
     // oracle never sees either — it rolls up the parquet originals
     "stream_sink_jsonl" -> LlmQueries.sqlExportRollup,
+    // same rollup split by the recomputed disposition rule: a match
+    // proves routing AND framing survived the partitioned sink
+    "stream_quality_router" ->
+      s"""WITH a AS (SELECT source, n_chars,
+         |    CASE WHEN ${LlmQueries.sqlQualityExpr} >= 0.8
+         |      THEN 'accept' ELSE 'reject' END AS disposition,
+         |    ${LlmQueries.hx60("md5(CAST(doc_id AS VARCHAR) || chr(1) || text || chr(1) || lang)")} AS h60
+         |  FROM documents)
+         |SELECT disposition, source, count(*) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         |  bit_xor(h60) AS content_xor
+         |FROM a GROUP BY disposition, source
+         |ORDER BY disposition, source""".stripMargin,
     // the stream only APPLIES the trained artifact; the oracle replays
     // training + encoding + the rollup from the parquet alone
     "stream_bpe_token_budget" ->
