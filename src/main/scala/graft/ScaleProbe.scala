@@ -167,7 +167,26 @@ object ScaleProbe {
     "novelty_score",
     // narrow assignment + map-side-pruned quota: output stays
     // quota·k rows however large the corpus grows
-    "cluster_balanced_sample")
+    "cluster_balanced_sample",
+    // round 16d: boundary pass is value-histogram-sized; the position
+    // window partitions by (phase, shard) — 10× corpus must grow the
+    // scan and the per-partition sort, never a single-partition sort
+    "curriculum_order",
+    // vocab-sized first-seen min-aggregate + a 10-row broadcast
+    // ≤-join: the only corpus-proportional stage is the tokenize scan
+    "vocab_growth_curve",
+    // stage 1 is the broadcast-query corpus scan into GroupTopK (the
+    // retrieval_mmr profile); margin cut + re-rank ride the bounded
+    // candidate frame
+    "hard_negatives",
+    // two per-dim partial-agg shuffles (O(partitions·d) rows each) +
+    // a d-row broadcast — state must stay dimension-sized at 10×
+    "embedding_int8_quantize",
+    // doc⋈assignment join BEFORE tokenize (ids cross the wire, tokens
+    // don't); both count aggregates vocab-bounded
+    "cluster_topic_terms",
+    // pure narrow map: strip + counts + ppm, no shuffle at any scale
+    "html_extract")
 
   private def rot(s: String, k: Int): String = s.drop(k % s.length) + s.take(k % s.length)
 

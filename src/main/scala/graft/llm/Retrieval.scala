@@ -441,12 +441,16 @@ object Retrieval {
     val cands = graft.operators.GroupTopK.topK(scored, Seq("query_id"),
       Seq(("dot", false), ("doc_id", true)), candidateK + 1)
     val w = Window.partitionBy("query_id").orderBy(desc("dot"), asc("doc_id"))
+    // the positive rides the SAME candidate frame as a whole-partition
+    // window (not a second branch joining back — that shape re-runs the
+    // corpus scan + GroupTopK per consumer, the semDedup three-pass
+    // lesson; one-scan pinned in PlanShapeSpec)
+    val wAll = Window.partitionBy("query_id")
     val ranked = cands.withColumn("__rk", row_number().over(w))
-    val pos = ranked.filter(col("__rk") === 1)
-      .select(col("query_id"), col("doc_id").as("pos_id"), col("dot").as("pos_dot"))
+      .withColumn("pos_id", max(when(col("__rk") === 1, col("doc_id"))).over(wAll))
+      .withColumn("pos_dot", max(when(col("__rk") === 1, col("dot"))).over(wAll))
     val wN = Window.partitionBy("query_id").orderBy(desc("dot"), asc("doc_id"))
     ranked.filter(col("__rk") > 1).drop("__rk")
-      .join(pos, "query_id")
       .filter(!(col("pos_dot") > 0 && col("dot") * 1000000L > col("pos_dot") * marginPpm))
       .withColumn("neg_rank", row_number().over(wN))
       .filter(col("neg_rank") <= k)

@@ -567,4 +567,76 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("partial_"),
       s"the source rollup must aggregate map-side:\n$plan")
   }
+
+  test("curriculum_order: position window partitions by (phase, shard) — never global") {
+    val df = graft.queries.LlmQueries.curriculumOrder(spark, TestSpark.sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    val winAts = "Window".r.findAllMatchIn(plan).map(_.start).toSeq
+    assert(winAts.nonEmpty, s"expected the position window:\n$plan")
+    // the corpus-touching pos window must hash-partition by phase+shard;
+    // the only permitted single-partition window is the boundary pass's
+    // cumsum over the VALUE HISTOGRAM (bounded by distinct scores)
+    assert(plan.contains("hashpartitioning(phase"),
+      s"pos window must partition by (phase, shard):\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"the 1-row boundary frame must broadcast:\n$plan")
+  }
+
+  test("vocab_growth_curve: boundary rows broadcast; counts aggregate map-side") {
+    val df = graft.queries.LlmQueries.vocabGrowthCurve(spark, TestSpark.sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"the nPoints boundary frame must broadcast into the <= join:\n$plan")
+    assert(plan.contains("partial_min") || plan.contains("partial_count"),
+      s"the first-seen aggregate must run map-side partials:\n$plan")
+  }
+
+  test("hard_negatives: one broadcast-query corpus scan cut by GroupTopK before any window") {
+    val df = graft.queries.LlmQueries.hardNegativesQ(spark, TestSpark.sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"the query side must broadcast against the corpus scan:\n$plan")
+    val topkAt = plan.indexOf("MapPartitions")
+    val winAt = plan.indexOf("Window")
+    assert(topkAt >= 0, s"expected the GroupTopK map-side prune:\n$plan")
+    assert(winAt >= 0 && topkAt > winAt,
+      s"GroupTopK must cut candidates BELOW the rank windows (plan prints top-down):\n$plan")
+    // one scan pair only — corpus + broadcast queries; the positive is a
+    // window over the SAME candidate frame, so the margin/re-rank stages
+    // never rescan the embeddings
+    val scans = "FileScan parquet".r.findAllIn(plan).size
+    assert(scans <= 2, s"margin/re-rank must ride the candidate frame, got $scans scans:\n$plan")
+  }
+
+  test("embedding_int8_quantize: d-row scale frame broadcasts; both aggregates partial") {
+    val df = graft.queries.LlmQueries.embeddingInt8Quantize(spark, TestSpark.sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the per-dim amax frame must broadcast back:\n$plan")
+    assert(plan.contains("partial_max"),
+      s"the scale pass must aggregate map-side:\n$plan")
+    assert(plan.contains("partial_sum") || plan.contains("partial_count"),
+      s"the report pass must aggregate map-side:\n$plan")
+  }
+
+  test("cluster_topic_terms: docs join the assignment by id before any token explodes") {
+    val df = graft.queries.LlmQueries.clusterTopicTerms(spark, TestSpark.sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    val genAt = plan.indexOf("Generate explode")
+    assert(genAt >= 0, s"expected the tokenize explode:\n$plan")
+    // the join must sit BELOW the explode in the tree (later in the
+    // printout): tokens never cross the doc⋈assignment wire
+    val joinBelow = plan.indexOf("Join", genAt)
+    assert(joinBelow >= 0,
+      s"doc⋈assignment join must feed the explode, not consume it:\n$plan")
+  }
+
+  test("html_extract: a single narrow stage — no Exchange before the ordering sort") {
+    val df = graft.queries.LlmQueries.htmlExtractQ(spark, TestSpark.sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    // the only allowed exchange is the final ORDER BY range partitioning
+    assert(exchanges <= 1 && plan.contains("rangepartitioning"),
+      s"extraction must be scan-side narrow compute:\n$plan")
+  }
 }
