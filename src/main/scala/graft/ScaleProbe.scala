@@ -186,7 +186,11 @@ object ScaleProbe {
     // don't); both count aggregates vocab-bounded
     "cluster_topic_terms",
     // pure narrow map: strip + counts + ppm, no shuffle at any scale
-    "html_extract")
+    "html_extract",
+    // cut discovery is scan-side O(len) md5s per doc (the algorithm's
+    // honest cost); the shuffle carries (hash, partials) only — 10×
+    // corpus must grow the scan linearly, never the shuffle shape
+    "dedup_cdc_chunks")
 
   private def rot(s: String, k: Int): String = s.drop(k % s.length) + s.take(k % s.length)
 

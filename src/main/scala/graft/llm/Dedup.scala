@@ -453,5 +453,69 @@ object Dedup {
       .select(col("chunk_md5"), col("n_copies"),
         col("keep.doc_id").as("keep_doc_id"), col("keep.chunk_idx").as("keep_chunk_idx"))
   }
+
+  /** CONTENT-DEFINED CHUNKING (the rsync/LBFS/restic family): chunk
+    * boundaries are picked by the CONTENT — position `i` ends a chunk
+    * when the md5 of the `window`-char substring starting at `i` lands
+    * in the boundary class (`hash60 % maskMod == 0`, expected chunk
+    * length ≈ maskMod chars past the window) — so an insertion near the
+    * head of a re-crawled page shifts every byte yet the chunks after
+    * the next boundary are BIT-IDENTICAL and still dedup. That
+    * shift-robustness is exactly what [[chunkDedup]]'s fixed word grid
+    * cannot give: one leading word added re-frames every fixed chunk.
+    *
+    * The boundary rule is the library's portable md5: any engine
+    * recomputes the same cut points, chunk texts, and chunk hashes —
+    * no rolling-polynomial state, no engine-specific byte order.
+    * Production CDC adds min/max chunk clamps against pathological
+    * content (a run of boundary windows → 1-char chunks); this is the
+    * pure rule, documented as such, and the REPORT is what bounds
+    * downstream work, not the chunker.
+    *
+    * Scale shape: cut-point + span discovery is ONE compiled narrow
+    * expression ([[graft.functions.CdcSpans]]: one thread-local digest,
+    * O(len) md5s per doc — the algorithm's honest cost in any engine —
+    * consumed once by the posexplode; see its scaladoc for the two
+    * measured formulation traps it avoids); the explode streams
+    * (doc, chunk) rows out of the scan with the text dropped right
+    * after hashing, so nothing corpus-sized shuffles.
+    * Output: one row per chunk — (doc_id, chunk_idx, start 1-based,
+    * clen, chunk_md5). */
+  def cdcChunks(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      window: Int = 16,
+      maskMod: Int = 64): DataFrame = {
+    require(window > 0 && maskMod > 0, s"need window > 0, maskMod > 0; got $window, $maskMod")
+    df.select(col(idCol).as("doc_id"), col(textCol).as("__t"))
+      .select(col("doc_id"), col("__t"),
+        posexplode(graft.functions.HashFunctions.cdcSpans(col("__t"), window, maskMod))
+          .as(Seq("chunk_idx", "sp")))
+      .select(col("doc_id"), col("chunk_idx"),
+        col("sp.s").as("start"),
+        (col("sp.e") - col("sp.s") + 1).cast("long").as("clen"),
+        expr("md5(substring(__t, sp.s, sp.e - sp.s + 1))").as("chunk_md5"))
+  }
+
+  /** Cross-document duplicated-chunk report over [[cdcChunks]]: one row
+    * per chunk CONTENT seen ≥ 2 times — copy count, distinct docs, and
+    * the byte mass the duplication costs. The groupBy combines
+    * map-side, so the shuffle carries (hash, partials), never chunks. */
+  def cdcDedup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      window: Int = 16,
+      maskMod: Int = 64): DataFrame =
+    cdcChunks(df, idCol, textCol, window, maskMod)
+      .groupBy("chunk_md5")
+      .agg(count(lit(1)).as("n_copies"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        sum("clen").as("total_chars"),
+        min(struct(col("doc_id"), col("chunk_idx"))).as("keep"))
+      .filter(col("n_copies") >= 2)
+      .select(col("chunk_md5"), col("n_copies"), col("n_docs"), col("total_chars"),
+        col("keep.doc_id").as("keep_doc_id"), col("keep.chunk_idx").as("keep_chunk_idx"))
 }
 

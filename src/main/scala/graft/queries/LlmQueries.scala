@@ -2791,6 +2791,14 @@ object LlmQueries {
     Sampling.curriculumOrder(Tables(s, dir, "documents"), "doc_id", "text", nShards = 8)
       .orderBy("doc_id")
 
+  /** Content-defined chunk dedup ([[Dedup.cdcDedup]]): md5-window
+    * boundary rule (portable — the oracle recomputes every cut point,
+    * chunk text, and chunk hash), then the cross-doc duplicated-chunk
+    * report. The shift-robust twin of `dedup_chunks`. */
+  val dedupCdcChunks: Q = (s, dir) =>
+    Dedup.cdcDedup(Tables(s, dir, "documents"), "doc_id", "text", window = 16, maskMod = 64)
+      .orderBy("chunk_md5")
+
   /** HTML extraction + link-density report ([[TextAnalysis.htmlExtract]])
     * over a deterministic in-plan HTML wrapping of the fixture (the
     * `bm25Docs` enrichment convention — the raw corpus carries no
@@ -2903,6 +2911,7 @@ object LlmQueries {
     "vocab_coverage" -> vocabCoverage,
     "doc_chunks" -> docChunks,
     "dedup_chunks" -> dedupChunks,
+    "dedup_cdc_chunks" -> dedupCdcChunks,
     "pack_sequences" -> packSequences,
     "pack_sequences_ffd" -> packSequencesFfd,
     "pack_payload_ffd" -> packPayloadFfd,
@@ -4773,6 +4782,35 @@ object LlmQueries {
         |FROM (SELECT chunk_md5, n_copies, doc_id AS keep_doc_id,
         |        chunk_idx AS keep_chunk_idx FROM r WHERE rn = 1 AND n_copies >= 2)
         |ORDER BY chunk_md5""".stripMargin,
+    // the CDC boundary rule, cut list, span framing, and chunk hashes
+    // all recomputed — the md5-window rule needs no rolling state, so
+    // the replay is a plain per-position scan
+    "dedup_cdc_chunks" ->
+      s"""WITH cuts AS (SELECT doc_id, i + 15 AS c
+         |  FROM documents, unnest(range(1, length(text) - 14)) t(i)
+         |  WHERE ${hx60("md5(substr(text, CAST(i AS INT), 16))")} % 64 = 0),
+         |cl AS (SELECT doc_id, list_sort(list(c)) AS cs FROM cuts GROUP BY doc_id),
+         |d2 AS (SELECT d.doc_id, d.text, COALESCE(cl.cs, []) AS cs
+         |  FROM documents d LEFT JOIN cl USING (doc_id)),
+         |ch AS (SELECT doc_id, j,
+         |    CASE WHEN j = 0 THEN 1 ELSE cs[CAST(j AS INT)] + 1 END AS s,
+         |    CASE WHEN j = len(cs) THEN length(text)
+         |         ELSE cs[CAST(j + 1 AS INT)] END AS e, text
+         |  FROM d2, unnest(range(0, len(cs) + 1)) t(j)),
+         |chunks AS (SELECT doc_id, CAST(j AS INT) AS chunk_idx,
+         |    md5(substr(text, CAST(s AS INT), CAST(e - s + 1 AS INT))) AS h,
+         |    e - s + 1 AS clen
+         |  FROM ch WHERE e >= s),
+         |g AS (SELECT h, count(*) AS n_copies, count(DISTINCT doc_id) AS n_docs,
+         |    CAST(sum(clen) AS BIGINT) AS total_chars
+         |  FROM chunks GROUP BY h HAVING count(*) >= 2),
+         |k AS (SELECT h, doc_id AS keep_doc_id, chunk_idx AS keep_chunk_idx
+         |  FROM (SELECT h, doc_id, chunk_idx,
+         |      row_number() OVER (PARTITION BY h ORDER BY doc_id, chunk_idx) AS rk
+         |    FROM chunks) WHERE rk = 1)
+         |SELECT h AS chunk_md5, n_copies, n_docs, total_chars,
+         |  keep_doc_id, keep_chunk_idx
+         |FROM g JOIN k USING (h) ORDER BY chunk_md5""".stripMargin,
     "pipeline_clean_corpus" ->
       """WITH q AS (
         |  SELECT doc_id, text, round(
