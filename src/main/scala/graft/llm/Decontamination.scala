@@ -71,6 +71,43 @@ object Decontamination {
         (col("n_overlap") >= minOverlap).cast("int"))
   }
 
+  /** Per-BENCHMARK contamination attribution — [[overlapReport]] tells
+    * a pipeline THAT a training doc overlaps the eval suite; this tells
+    * it WHICH benchmark leaked (the per-suite report every model card
+    * publishes: "n-gram overlap with GSM8K: 0.3%, with MMLU: 1.1%").
+    * `benchCol` names the benchmark each eval row belongs to; the
+    * output has one row per (training doc, benchmark) WITH overlap —
+    * non-overlapping pairs are never materialized, so the frame is
+    * hit-sized, not |docs|·|benchmarks|-sized.
+    *
+    * Scale shape: identical to [[overlapReport]] — the (bench, gram)
+    * universe is benchmark-suite-sized and broadcasts; the training
+    * side probes it scan-side with an INNER join (misses produce
+    * nothing), and the per-(doc, bench) count aggregates map-side.
+    * Output: (id, bench, n_overlap, contaminated). */
+  def overlapByBenchmark(
+      docs: DataFrame,
+      evalPred: Column,
+      benchCol: String,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      minOverlap: Int = 2,
+      broadcastEval: Boolean = true): DataFrame = {
+    require(n > 0 && minOverlap > 0, "need n > 0 and minOverlap > 0")
+    val ev0 = docs.filter(evalPred)
+      .select(col(benchCol).as("bench"), Dedup.shingleMd5(col(textCol), n).as("hs"))
+      .select(col("bench"), explode(col("hs")).as("h")).distinct()
+    val ev = if (broadcastEval) broadcast(ev0) else ev0
+    docs.filter(!evalPred)
+      .select(col(idCol).as("id"), Dedup.shingleMd5(col(textCol), n).as("hs"))
+      .select(col("id"), explode(col("hs")).as("h"))
+      .join(ev, "h")
+      .groupBy("id", "bench")
+      .agg(count(lit(1)).as("n_overlap"))
+      .withColumn("contaminated", (col("n_overlap") >= minOverlap).cast("int"))
+  }
+
   /** SEMANTIC decontamination — the embedding-level sibling of
     * [[overlapReport]]: n-gram overlap misses PARAPHRASED benchmark
     * leakage; this pass flags training vectors whose embedding is

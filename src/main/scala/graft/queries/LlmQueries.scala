@@ -1569,6 +1569,23 @@ object LlmQueries {
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id")
 
+  /** Per-benchmark contamination rollup
+    * ([[Decontamination.overlapByBenchmark]]): the eval slice split by
+    * lang plays the benchmark suite; per benchmark, how many training
+    * docs overlap it at all, how many cross the contamination
+    * threshold, and the total shared-gram mass — the model-card table.
+    * All integer counts over md5 shingles ⇒ hash-exact oracle. */
+  val decontaminateReport: Q = (s, dir) =>
+    Decontamination.overlapByBenchmark(
+        Tables(s, dir, "documents"),
+        Sampling.hashBucket256(col("doc_id")) < 13, "lang", "doc_id", "text",
+        n = 3, minOverlap = 2)
+      .groupBy("bench")
+      .agg(count(lit(1)).as("n_docs_hit"),
+        sum(col("contaminated").cast("long")).as("n_contaminated"),
+        sum("n_overlap").as("total_overlap"))
+      .orderBy("bench")
+
   /** N-gram novelty vs a corpus-sized reference
     * ([[Decontamination.noveltyReport]]): even doc ids play the
     * reference universe, odd ids the incoming (generated) batch; each
@@ -2920,6 +2937,7 @@ object LlmQueries {
     "unicode_normalization" -> unicodeNormalization,
     "pipeline_clean_corpus" -> pipelineCleanCorpus,
     "decontaminate_docs" -> decontaminateDocs,
+    "decontaminate_report" -> decontaminateReport,
     "novelty_score" -> noveltyScore,
     "decontaminate_semantic" -> decontaminateSemantic,
     "pii_redaction" -> piiRedaction,
@@ -5026,6 +5044,26 @@ object LlmQueries {
          |  CAST(CASE WHEN count(ev.h) >= 2 THEN 1 ELSE 0 END AS INT) AS contaminated
          |FROM tr LEFT JOIN ev ON tr.h = ev.h
          |GROUP BY tr.doc_id ORDER BY doc_id""".stripMargin,
+    // the same shingle blocks keyed by the eval slice's lang label,
+    // inner-joined (hits only), then the per-benchmark model-card rollup
+    "decontaminate_report" ->
+      s"""WITH bkt AS (SELECT doc_id,
+         |    (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+         |    + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS bk
+         |  FROM documents),
+         |w AS (SELECT doc_id, regexp_split_to_array(lower(text), ' +') AS ws FROM documents),
+         |shm AS (SELECT DISTINCT doc_id, md5(array_to_string(ws[i+1:i+3], ' ')) AS md
+         |  FROM w, unnest(range(0, greatest(len(ws) - 3, 0) + 1)) t(i)),
+         |sh AS (SELECT DISTINCT doc_id, ${hx60("md")} AS h FROM shm),
+         |ev AS (SELECT DISTINCT d.lang AS bench, sh.h
+         |  FROM sh JOIN bkt USING (doc_id) JOIN documents d USING (doc_id) WHERE bk < 13),
+         |tr AS (SELECT sh.doc_id, sh.h FROM sh JOIN bkt USING (doc_id) WHERE bk >= 13),
+         |per AS (SELECT tr.doc_id, ev.bench, count(*) AS n_overlap
+         |  FROM tr JOIN ev ON tr.h = ev.h GROUP BY tr.doc_id, ev.bench)
+         |SELECT bench, count(*) AS n_docs_hit,
+         |  CAST(sum(CASE WHEN n_overlap >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+         |  CAST(sum(n_overlap) AS BIGINT) AS total_overlap
+         |FROM per GROUP BY bench ORDER BY bench""".stripMargin,
     // the inverse framing with the big side on the right: the
     // reference gram universe (even ids), the batch's distinct gram
     // sets (odd ids), the null-hit novel count, and the truncating
