@@ -134,6 +134,58 @@ object Similarity {
       .select("i", "amax_milli", "n", "sum_abs_err", "max_abs_err", "sum_abs_code")
   }
 
+  /** TOP PRINCIPAL COMPONENT of the embedding corpus by INTEGER power
+    * iteration — the anisotropy diagnostic (Mu & Viswanath 2018, "All-
+    * but-the-Top"; Ethayarajh 2019): contextual embedding spaces
+    * collapse toward one dominant direction, and a corpus whose top PC
+    * explains most of the variance gives cosine similarity very little
+    * signal — the check a team runs BEFORE trusting ANN/semantic-dedup
+    * verdicts on a new embedding model.
+    *
+    * Exactness: the covariance enters as the EXACT integer-scaled
+    * matrix `C[i][j] = n·Σq_iq_j − Σq_i·Σq_j` off ONE
+    * [[secondMoments]] pass (q = the milli grid); `iters` rounds of
+    * `v ← (C·v)·10⁶ div max|C·v|` run in BigInt on the d×d DRIVER
+    * artifact (the bounded-codebook convention — d² values, never
+    * corpus data), with truncating division matching DuckDB's HUGEINT
+    * `//`, so the oracle replays the whole trajectory round by round.
+    * The all-ones starting vector makes the sign deterministic. The
+    * Rayleigh quotient over the trace — `(vᵀCv·10⁶) div (vᵀv·tr C)` —
+    * is the explained-variance fraction in exact ppm.
+    *
+    * Scale shape: the corpus is touched by exactly the secondMoments
+    * aggregate (one buffer-per-partition shuffle); everything after is
+    * O(iters·d²) driver arithmetic. Output: (i, pc_micro ∈ [−10⁶,10⁶],
+    * rayleigh_ppm — repeated per row for the flat schema). */
+  def topPrincipalComponent(corpus: DataFrame, vecCol: String, iters: Int = 8): DataFrame = {
+    require(iters > 0, "iters must be positive")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val rows = secondMoments(corpus, vecCol).collect()
+    val d = rows.map(_.getInt(1)).max + 1
+    val c = Array.ofDim[BigInt](d, d)
+    rows.foreach { r =>
+      val (i, j) = (r.getInt(0), r.getInt(1))
+      val v = BigInt(r.getLong(5)) * BigInt(r.getLong(2)) -
+        BigInt(r.getLong(3)) * BigInt(r.getLong(4))
+      c(i)(j) = v; c(j)(i) = v
+    }
+    val scale = BigInt(1000000)
+    var v = Array.fill(d)(scale)
+    var t = 0
+    while (t < iters) {
+      val w = Array.tabulate(d)(i => (0 until d).map(j => c(i)(j) * v(j)).sum)
+      val mx = w.map(_.abs).max
+      v = if (mx == 0) w else w.map(x => x * scale / mx)
+      t += 1
+    }
+    val num = (for (i <- 0 until d; j <- 0 until d) yield v(i) * c(i)(j) * v(j)).sum
+    val den = v.map(x => x * x).sum * (0 until d).map(i => c(i)(i)).sum
+    val ray = if (den == 0) 0L else (num * scale / den).toLong
+    (0 until d).map(i => (i, v(i).toLong, ray))
+      .toDF("i", "pc_micro", "rayleigh_ppm")
+  }
+
   /** Embedding OUTLIER ranking — the corpus-sanity filter a training
     * pipeline runs before ANN/dedup trust the vectors: the `k` vectors
     * farthest from the corpus MEAN, ranked by EXACT integer

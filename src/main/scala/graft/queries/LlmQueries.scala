@@ -560,6 +560,14 @@ object LlmQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** Embedding anisotropy report ([[Similarity.topPrincipalComponent]]):
+    * 8 integer power-iteration rounds over the exact moments matrix;
+    * the oracle unrolls every round in HUGEINT (the trajectory-replay
+    * convention), so direction AND explained-variance ppm hash-verify. */
+  val embeddingTopPc: Q = (s, dir) =>
+    Similarity.topPrincipalComponent(Tables(s, dir, "embeddings"), "embedding", iters = 8)
+      .orderBy("i")
+
   /** Int8 calibration report ([[Similarity.int8QuantizeReport]]):
     * per-dim max-abs scale + exact integer distortion of the 8-bit
     * grid — the audit before an int8 storage commit. */
@@ -2895,6 +2903,7 @@ object LlmQueries {
     "embedding_moments" -> embeddingMoments,
     "embedding_outliers" -> embeddingOutliers,
     "embedding_int8_quantize" -> embeddingInt8Quantize,
+    "embedding_top_pc" -> embeddingTopPc,
     "embedding_kmeans_assign" -> embeddingKmeansAssign,
     "cluster_balanced_sample" -> clusterBalancedSample,
     "cluster_topic_terms" -> clusterTopicTerms,
@@ -3087,6 +3096,41 @@ object LlmQueries {
        |  SELECT query_id, doc_id, 1 AS rank, rel, CAST(NULL AS BIGINT) AS max_sim FROM p1
        |  $union)
        |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** The integer power-iteration replay for `embedding_top_pc`: the
+    * full covariance in HUGEINT off the shared milli-grid block, then
+    * `iters` unrolled rounds of (matrix·vector, max-abs rescale by
+    * truncating `//`) — bit-identical to the driver-side BigInt loop in
+    * [[graft.llm.Similarity.topPrincipalComponent]]. */
+  private def topPcOracle(iters: Int): String = {
+    // MATERIALIZED is load-bearing (the BpeOracle lesson): w_t is
+    // referenced by BOTH m_t and v_t — inlined, each round would double
+    // the plan and 8 rounds explode 2^8
+    val rounds = (1 to iters).map { t =>
+      s"""w$t AS MATERIALIZED (SELECT c.i, sum(c.c * v${t - 1}.v) AS s
+         |  FROM c JOIN v${t - 1} ON c.j = v${t - 1}.i GROUP BY c.i),
+         |m$t AS MATERIALIZED (SELECT max(abs(s)) AS mx FROM w$t),
+         |v$t AS MATERIALIZED (SELECT i, CASE WHEN mx = 0 THEN s ELSE (s * 1000000) // mx END AS v
+         |  FROM w$t, m$t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS MATERIALIZED (SELECT vec_id, i,
+       |    CAST(floor(CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE) * 1000) AS BIGINT) AS q
+       |  FROM embeddings, unnest(range(0, len(embedding))) t(i)),
+       |mm AS MATERIALIZED (SELECT a.i AS i, b.i AS j,
+       |    count(*) AS n, CAST(sum(a.q * b.q) AS HUGEINT) AS sxy,
+       |    CAST(sum(a.q) AS HUGEINT) AS sxi, CAST(sum(b.q) AS HUGEINT) AS sxj
+       |  FROM q a JOIN q b ON a.vec_id = b.vec_id GROUP BY a.i, b.i),
+       |c AS MATERIALIZED (SELECT i, j, CAST(n AS HUGEINT) * sxy - sxi * sxj AS c FROM mm),
+       |v0 AS MATERIALIZED (SELECT i, CAST(1000000 AS HUGEINT) AS v FROM (SELECT DISTINCT i FROM c)),
+       |$rounds,
+       |num AS (SELECT sum(va.v * c.c * vb.v) AS nu
+       |  FROM c JOIN v$iters va ON c.i = va.i JOIN v$iters vb ON c.j = vb.i),
+       |den AS (SELECT (SELECT sum(v * v) FROM v$iters)
+       |    * (SELECT sum(c) FROM c WHERE i = j) AS de)
+       |SELECT CAST(i AS INT) AS i, CAST(v AS BIGINT) AS pc_micro,
+       |  CAST(CASE WHEN de = 0 THEN 0 ELSE (nu * 1000000) // de END AS BIGINT) AS rayleigh_ppm
+       |FROM v$iters, num, den ORDER BY i""".stripMargin
   }
 
   private[queries] def hx60(md: String): String =
@@ -4079,6 +4123,9 @@ object LlmQueries {
         |FROM q a JOIN q b ON a.vec_id = b.vec_id AND b.i >= a.i
         |GROUP BY a.i, b.i
         |ORDER BY i, j""".stripMargin,
+    // all 8 power-iteration rounds unrolled in HUGEINT over the full
+    // integer covariance — the trajectory itself is hash-verified
+    "embedding_top_pc" -> topPcOracle(8),
     // per-dim max-abs scale, truncating-DIV codes (DuckDB // truncates
     // for integers like Java), and the exact scaled reconstruction error
     "embedding_int8_quantize" ->
