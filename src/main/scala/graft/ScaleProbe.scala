@@ -190,7 +190,11 @@ object ScaleProbe {
     // cut discovery is scan-side O(len) md5s per doc (the algorithm's
     // honest cost); the shuffle carries (hash, partials) only — 10×
     // corpus must grow the scan linearly, never the shuffle shape
-    "dedup_cdc_chunks")
+    "dedup_cdc_chunks",
+    // day-2 CDC: rep 1 pays the one-time bucketed chunk-hash index
+    // write; the timed min is the batch chunk scan + zero-Exchange
+    // index probe (plan-pinned)
+    "dedup_cdc_incremental")
 
   private def rot(s: String, k: Int): String = s.drop(k % s.length) + s.take(k % s.length)
 

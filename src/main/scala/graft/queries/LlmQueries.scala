@@ -2824,6 +2824,43 @@ object LlmQueries {
     Dedup.cdcDedup(Tables(s, dir, "documents"), "doc_id", "text", window = 16, maskMod = 64)
       .orderBy("chunk_md5")
 
+  /** Day-2 CDC — partial-duplication detection against a PERSISTED
+    * chunk-hash index: the corpus's distinct CDC chunk hashes live as a
+    * compacted `bucketBy(h)` table (the [[dedupIncrementalBucketed]]
+    * layout investment at CHUNK granularity); the daily batch chunks
+    * probe it with zero Exchange on the index side, and each batch doc
+    * reports how much of its CONTENT the corpus has already seen
+    * (`dup_ppm`) — the "this new crawl is 80% old text" signal exact
+    * dedup can't give (the doc hash differs) and near-dup may miss
+    * (the new framing dilutes the shingle set). Echoed corpus docs in
+    * the batch read dup_ppm = 1e6 by construction. */
+  val dedupCdcIncremental: Q = (s, dir) => {
+    val base = echoBase(s, dir)
+    val d = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text"), Sampling.hashBucket256(col("doc_id")).as("bk"))
+    val corpus = d.filter(col("bk") < 128).select("doc_id", "text")
+    val batch = d.filter(col("bk") >= 128).select("doc_id", "text")
+      .union(d.filter(col("bk") < 8)
+        .select((col("doc_id") + base).as("doc_id"), col("text")))
+    val Seq(idxTable) = BucketCache.tables(s, s"cdc_chunk_hashes:$dir", { (tag, tmp) =>
+      Dedup.cdcChunks(corpus, "doc_id", "text")
+        .select(col("chunk_md5").as("h")).distinct()
+        .write.bucketBy(8, "h").sortBy("h")
+        .option("path", s"$tmp/cdch").mode("overwrite").saveAsTable(s"graft_cdch_b_$tag")
+      Seq(s"graft_cdch_b_$tag")
+    })
+    val idx = s.table(idxTable).hint("merge").withColumn("known", lit(1))
+    Dedup.cdcChunks(batch, "doc_id", "text")
+      .join(idx, col("chunk_md5") === col("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        count(col("known")).as("n_known"),
+        sum("clen").as("total_chars"),
+        coalesce(sum(when(col("known").isNotNull, col("clen"))), lit(0L)).as("known_chars"))
+      .withColumn("dup_ppm", expr("(known_chars * 1000000) DIV total_chars"))
+      .orderBy("doc_id")
+  }
+
   /** HTML extraction + link-density report ([[TextAnalysis.htmlExtract]])
     * over a deterministic in-plan HTML wrapping of the fixture (the
     * `bm25Docs` enrichment convention — the raw corpus carries no
@@ -2938,6 +2975,7 @@ object LlmQueries {
     "doc_chunks" -> docChunks,
     "dedup_chunks" -> dedupChunks,
     "dedup_cdc_chunks" -> dedupCdcChunks,
+    "dedup_cdc_incremental" -> dedupCdcIncremental,
     "pack_sequences" -> packSequences,
     "pack_sequences_ffd" -> packSequencesFfd,
     "pack_payload_ffd" -> packPayloadFfd,
@@ -3132,6 +3170,28 @@ object LlmQueries {
        |  CAST(CASE WHEN de = 0 THEN 0 ELSE (nu * 1000000) // de END AS BIGINT) AS rayleigh_ppm
        |FROM v$iters, num, den ORDER BY i""".stripMargin
   }
+
+  /** The CDC chunk replay block ([[graft.llm.Dedup.cdcChunks]], window
+    * 16 / mask 64) over any `(doc_id, text)` source — `p` prefixes the
+    * CTE names so one oracle can hold independent corpus/batch streams;
+    * ends with `${p}chunks(doc_id, chunk_idx, h, clen)`. ONE formula
+    * source for every CDC oracle. */
+  private def cdcChunkCtes(p: String, src: String): String =
+    s"""${p}cuts AS (SELECT doc_id, i + 15 AS c
+       |  FROM $src, unnest(range(1, length(text) - 14)) t(i)
+       |  WHERE ${hx60("md5(substr(text, CAST(i AS INT), 16))")} % 64 = 0),
+       |${p}cl AS (SELECT doc_id, list_sort(list(c)) AS cs FROM ${p}cuts GROUP BY doc_id),
+       |${p}d2 AS (SELECT s0.doc_id, s0.text, COALESCE(${p}cl.cs, []) AS cs
+       |  FROM $src s0 LEFT JOIN ${p}cl USING (doc_id)),
+       |${p}ch AS (SELECT doc_id, j,
+       |    CASE WHEN j = 0 THEN 1 ELSE cs[CAST(j AS INT)] + 1 END AS s,
+       |    CASE WHEN j = len(cs) THEN length(text)
+       |         ELSE cs[CAST(j + 1 AS INT)] END AS e, text
+       |  FROM ${p}d2, unnest(range(0, len(cs) + 1)) t(j)),
+       |${p}chunks AS (SELECT doc_id, CAST(j AS INT) AS chunk_idx,
+       |    md5(substr(text, CAST(s AS INT), CAST(e - s + 1 AS INT))) AS h,
+       |    e - s + 1 AS clen
+       |  FROM ${p}ch WHERE e >= s)""".stripMargin
 
   private[queries] def hx60(md: String): String =
     s"CAST(list_sum(list_transform(range(1, 16), __hx -> " +
@@ -4848,25 +4908,11 @@ object LlmQueries {
         |        chunk_idx AS keep_chunk_idx FROM r WHERE rn = 1 AND n_copies >= 2)
         |ORDER BY chunk_md5""".stripMargin,
     // the CDC boundary rule, cut list, span framing, and chunk hashes
-    // all recomputed — the md5-window rule needs no rolling state, so
-    // the replay is a plain per-position scan
+    // all recomputed via the shared cdcChunkCtes block — the md5-window
+    // rule needs no rolling state, so the replay is a per-position scan
     "dedup_cdc_chunks" ->
-      s"""WITH cuts AS (SELECT doc_id, i + 15 AS c
-         |  FROM documents, unnest(range(1, length(text) - 14)) t(i)
-         |  WHERE ${hx60("md5(substr(text, CAST(i AS INT), 16))")} % 64 = 0),
-         |cl AS (SELECT doc_id, list_sort(list(c)) AS cs FROM cuts GROUP BY doc_id),
-         |d2 AS (SELECT d.doc_id, d.text, COALESCE(cl.cs, []) AS cs
-         |  FROM documents d LEFT JOIN cl USING (doc_id)),
-         |ch AS (SELECT doc_id, j,
-         |    CASE WHEN j = 0 THEN 1 ELSE cs[CAST(j AS INT)] + 1 END AS s,
-         |    CASE WHEN j = len(cs) THEN length(text)
-         |         ELSE cs[CAST(j + 1 AS INT)] END AS e, text
-         |  FROM d2, unnest(range(0, len(cs) + 1)) t(j)),
-         |chunks AS (SELECT doc_id, CAST(j AS INT) AS chunk_idx,
-         |    md5(substr(text, CAST(s AS INT), CAST(e - s + 1 AS INT))) AS h,
-         |    e - s + 1 AS clen
-         |  FROM ch WHERE e >= s),
-         |g AS (SELECT h, count(*) AS n_copies, count(DISTINCT doc_id) AS n_docs,
+      (s"WITH ${cdcChunkCtes("", "documents")},\n" +
+       """g AS (SELECT h, count(*) AS n_copies, count(DISTINCT doc_id) AS n_docs,
          |    CAST(sum(clen) AS BIGINT) AS total_chars
          |  FROM chunks GROUP BY h HAVING count(*) >= 2),
          |k AS (SELECT h, doc_id AS keep_doc_id, chunk_idx AS keep_chunk_idx
@@ -4875,7 +4921,30 @@ object LlmQueries {
          |    FROM chunks) WHERE rk = 1)
          |SELECT h AS chunk_md5, n_copies, n_docs, total_chars,
          |  keep_doc_id, keep_chunk_idx
-         |FROM g JOIN k USING (h) ORDER BY chunk_md5""".stripMargin,
+         |FROM g JOIN k USING (h) ORDER BY chunk_md5""".stripMargin),
+    // day-2 CDC: the corpus chunk-hash universe (the persisted bucketed
+    // index on the Spark side — layout never changes results) probed by
+    // the batch's chunk stream; per batch doc, the known-content mass
+    "dedup_cdc_incremental" ->
+      (s"""WITH bkt AS (SELECT doc_id,
+         |    (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+         |    + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS bk
+         |  FROM documents),
+         |corp AS (SELECT d.doc_id, d.text FROM documents d JOIN bkt USING (doc_id) WHERE bk < 128),
+         |src AS (SELECT d.doc_id, d.text FROM documents d JOIN bkt USING (doc_id) WHERE bk >= 128
+         |  UNION ALL
+         |  SELECT d.doc_id + $sqlEchoBase, d.text
+         |  FROM documents d JOIN bkt USING (doc_id) WHERE bk < 8),
+         |""".stripMargin +
+       cdcChunkCtes("c", "corp") + ",\n" + cdcChunkCtes("b", "src") + ",\n" +
+       """idx AS (SELECT DISTINCT h FROM cchunks)
+         |SELECT b.doc_id, count(*) AS n_chunks, count(idx.h) AS n_known,
+         |  CAST(sum(b.clen) AS BIGINT) AS total_chars,
+         |  CAST(COALESCE(sum(CASE WHEN idx.h IS NOT NULL THEN b.clen END), 0) AS BIGINT) AS known_chars,
+         |  (CAST(COALESCE(sum(CASE WHEN idx.h IS NOT NULL THEN b.clen END), 0) AS BIGINT)
+         |    * 1000000) // CAST(sum(b.clen) AS BIGINT) AS dup_ppm
+         |FROM bchunks b LEFT JOIN idx ON b.h = idx.h
+         |GROUP BY b.doc_id ORDER BY doc_id""".stripMargin),
     "pipeline_clean_corpus" ->
       """WITH q AS (
         |  SELECT doc_id, text, round(

@@ -64,6 +64,26 @@ class CdcSpec extends AnyFunSuite {
       s"shift robustness is the point: cdc=$dupes fixed=$fixed")
   }
 
+  test("incremental probe: echoed corpus docs read dup_ppm = 1e6, invariants hold") {
+    val out = graft.queries.LlmQueries.dedupCdcIncremental(spark, TestSpark.sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.nonEmpty)
+    out.foreach { case (id, nChunks, nKnown, total, known, ppm) =>
+      assert(nKnown <= nChunks && known <= total, s"doc $id")
+      assert(ppm === known * 1000000L / total, s"doc $id ppm")
+    }
+    // echoed docs (id >= echo base) are byte-identical to corpus docs:
+    // every chunk is known, dup_ppm is exactly 1e6
+    val maxBase = graft.queries.Tables(spark, TestSpark.sfDir, "documents")
+      .agg(org.apache.spark.sql.functions.max("doc_id")).head.getLong(0)
+    val echoes = out.filter(_._1 > maxBase)
+    assert(echoes.nonEmpty, "fixture must contain echoed docs")
+    echoes.foreach { case (id, n, k, _, _, ppm) =>
+      assert(k === n && ppm === 1000000L, s"echoed doc $id must be fully known")
+    }
+  }
+
   test("a doc shorter than the window is one whole-text chunk") {
     val out = Dedup.cdcChunks(Seq((1L, "short")).toDF("doc_id", "text"),
         "doc_id", "text").collect()

@@ -631,6 +631,16 @@ class PlanShapeSpec extends AnyFunSuite {
       s"doc⋈assignment join must feed the explode, not consume it:\n$plan")
   }
 
+  test("dedup_cdc_incremental: the persisted chunk-hash index never shuffles") {
+    val df = graft.queries.LlmQueries.dedupCdcIncremental(spark, TestSpark.sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Bucketed: true"),
+      s"the chunk-hash scan must come from the bucketBy(h) table:\n$plan")
+    val scanAt = plan.lastIndexOf("FileScan")
+    assert(!plan.substring(scanAt).contains("Exchange"),
+      s"the index side must not shuffle:\n${plan.substring(scanAt)}")
+  }
+
   test("html_extract: a single narrow stage — no Exchange before the ordering sort") {
     val df = graft.queries.LlmQueries.htmlExtractQ(spark, TestSpark.sfDir)
     val plan = df.queryExecution.executedPlan.toString
