@@ -134,6 +134,58 @@ object Similarity {
       .select("i", "amax_milli", "n", "sum_abs_err", "max_abs_err", "sum_abs_code")
   }
 
+  /** INT8-QUANTIZED brute-force top-k — the retrieval path that
+    * justifies [[int8QuantizeReport]]'s storage commit: both sides
+    * quantize through the SAME per-dim max-abs scales (`code =
+    * (q·127) div amax`, the report's rule exactly), ranking is the
+    * exact BIGINT dot over codes — so this gate IS the end-to-end
+    * proof that the 4×-smaller vectors still rank. Recall vs the
+    * exact-dot ranking is measured in Int8QuantizeSpec; this operator
+    * pins the quantized ranking itself as an oracle-exact artifact.
+    *
+    * Scale shape: the d-row scale vector is a driver artifact (the
+    * codebook convention) folded into a literal array — corpus codes
+    * are a narrow scan-side map, the broadcast query side joins in,
+    * and the map-side-pruned [[graft.operators.GroupTopK]] cuts to k
+    * before any shuffle. At 100 TB the win is the scan itself: int8
+    * codes read 4× fewer bytes than float32 vectors. */
+  def int8TopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 5): DataFrame = {
+    require(k > 0, "k must be positive")
+    val quant: Column => Column =
+      e => transform(e, x => floor(x.cast("double") * 1000).cast("long"))
+    val amax = corpus
+      .select(posexplode(quant(col(vecCol))).as(Seq("i", "q")))
+      .groupBy("i").agg(max(abs(col("q"))).as("a"))
+      .orderBy("i").collect().map(_.getLong(1))
+    val amaxLit = array(amax.map(lit): _*)
+    // DIV (truncating) has no Column-API form — the code rule stays in
+    // SQL text so it is literally the int8QuantizeReport rule
+    val codeExpr: String =
+      "zip_with(transform(__v, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)), __am, " +
+        "(q, a) -> CASE WHEN a = 0 THEN CAST(0 AS BIGINT) ELSE (q * 127) DIV a END)"
+    def coded(df: DataFrame, outId: String, outCode: String): DataFrame =
+      df.select(col(idCol).cast("long").as(outId), col(vecCol).as("__v"))
+        .withColumn("__am", amaxLit)
+        .withColumn(outCode, expr(codeExpr))
+        .drop("__v", "__am")
+    val q = broadcast(coded(queries, "query_id", "qc"))
+    val scored = coded(corpus, "corpus_id", "cc")
+      .join(q, col("corpus_id") =!= col("query_id"))
+      .withColumn("dot8", expr(
+        "aggregate(zip_with(cc, qc, (a, b) -> a * b), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+      .select("query_id", "corpus_id", "dot8")
+    val top = graft.operators.GroupTopK.topK(scored, Seq("query_id"),
+      Seq(("dot8", false), ("corpus_id", true)), k)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("dot8"), asc("corpus_id"))
+    top.withColumn("rank", row_number().over(w).cast("int"))
+  }
+
   /** TOP PRINCIPAL COMPONENT of the embedding corpus by INTEGER power
     * iteration — the anisotropy diagnostic (Mu & Viswanath 2018, "All-
     * but-the-Top"; Ethayarajh 2019): contextual embedding spaces

@@ -575,6 +575,17 @@ object LlmQueries {
     Similarity.int8QuantizeReport(Tables(s, dir, "embeddings"), "embedding")
       .orderBy("i")
 
+  /** Int8-quantized top-5 ([[Similarity.int8TopK]]): both sides coded
+    * through the calibration scales, exact BIGINT code dots — the
+    * end-to-end proof the 4×-smaller vectors still rank; the oracle
+    * replays scales, codes, dots, and ranking. */
+  val annInt8: Q = (s, dir) => {
+    val e = Tables(s, dir, "embeddings")
+    Similarity.int8TopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+      .orderBy("query_id", "rank")
+      .select("query_id", "corpus_id", "rank", "dot8")
+  }
+
   /** Hard-negative mining ([[Retrieval.hardNegatives]]): top-1 as the
     * presumed positive, next-best candidates as negatives, candidates
     * within 95% (ppm cross-multiplication) of the positive excluded as
@@ -2941,6 +2952,7 @@ object LlmQueries {
     "embedding_outliers" -> embeddingOutliers,
     "embedding_int8_quantize" -> embeddingInt8Quantize,
     "embedding_top_pc" -> embeddingTopPc,
+    "ann_int8" -> annInt8,
     "embedding_kmeans_assign" -> embeddingKmeansAssign,
     "cluster_balanced_sample" -> clusterBalancedSample,
     "cluster_topic_terms" -> clusterTopicTerms,
@@ -4186,6 +4198,24 @@ object LlmQueries {
     // all 8 power-iteration rounds unrolled in HUGEINT over the full
     // integer covariance — the trajectory itself is hash-verified
     "embedding_top_pc" -> topPcOracle(8),
+    // the calibration scales, the truncating-DIV codes, the BIGINT code
+    // dots, and the ranking — the whole quantized retrieval replayed
+    "ann_int8" ->
+      """WITH q AS (SELECT vec_id, i,
+        |    CAST(floor(CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE) * 1000) AS BIGINT) AS q
+        |  FROM embeddings, unnest(range(0, len(embedding))) t(i)),
+        |am AS (SELECT i, max(abs(q)) AS a FROM q GROUP BY i),
+        |c AS (SELECT vec_id, i,
+        |    CASE WHEN a = 0 THEN 0 ELSE (q * 127) // a END AS code
+        |  FROM q JOIN am USING (i)),
+        |d AS (SELECT cq.vec_id AS query_id, cc.vec_id AS corpus_id,
+        |    CAST(sum(cq.code * cc.code) AS BIGINT) AS dot8
+        |  FROM c cq JOIN c cc ON cq.i = cc.i AND cq.vec_id < 10 AND cc.vec_id <> cq.vec_id
+        |  GROUP BY 1, 2)
+        |SELECT query_id, corpus_id, CAST(rank AS INT) AS rank, dot8 FROM (
+        |  SELECT query_id, corpus_id, dot8, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY dot8 DESC, corpus_id) AS rank FROM d)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     // per-dim max-abs scale, truncating-DIV codes (DuckDB // truncates
     // for integers like Java), and the exact scaled reconstruction error
     "embedding_int8_quantize" ->

@@ -62,6 +62,24 @@ class Int8QuantizeSpec extends AnyFunSuite {
     assert(z.getLong(3) === 0L && z.getLong(5) === 0L) // errors, codes
   }
 
+  test("int8TopK replays exactly: same scales, same codes, same ranking") {
+    val amax = got.map(_._2)
+    def codes(v: Array[Long]): Array[Long] =
+      v.indices.map(i => if (amax(i) == 0) 0L else v(i) * 127 / amax(i)).toArray
+    val coded = vecs.map { case (id, v) => id -> codes(v) }
+    val want = coded.keys.filter(_ < 10).toSeq.flatMap { qid =>
+      coded.toSeq.filter(_._1 != qid)
+        .map { case (id, v) => (id, coded(qid).zip(v).map { case (a, b) => a * b }.sum) }
+        .sortBy { case (id, d) => (-d, id) }.take(5).zipWithIndex
+        .map { case ((id, d), r) => (qid, id, r + 1, d) }
+    }.toSet
+    val got2 = Similarity.int8TopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5)
+      .select("query_id", "corpus_id", "rank", "dot8")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet
+    assert(got2 === want)
+  }
+
   test("int8-dot retrieval agrees with exact-dot retrieval on most of top-5") {
     val amax = got.map(_._2)
     def codes(v: Array[Long]): Array[Long] =
