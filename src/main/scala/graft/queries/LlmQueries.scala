@@ -2816,6 +2816,34 @@ object LlmQueries {
       .orderBy("source", "decile")
   }
 
+  /** Per-source NORMALIZED quality: each doc's decile WITHIN ITS OWN
+    * source (exact per-group histogram boundaries), making one global
+    * threshold meaningful across domains — "keep decile ≥ 3" drops the
+    * worst 30% of EVERY source, where a raw global cutoff silently
+    * deletes entire low-scoring domains (the per-domain-filter lesson
+    * `quality_deciles_per_source` computes thresholds for; this gate
+    * APPLIES it per doc). decile 9 = best, 0 = worst; null quality
+    * (empty text) lands in decile 0. Scale: the boundary pass is one
+    * (source × distinct-score) histogram shuffle; application is a
+    * broadcast join of 9 boundaries per source + a narrow count of
+    * exceeded boundaries. All integers ⇒ exact oracle. */
+  val qualityNormalized: Q = (s, dir) => {
+    val scored = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        when(length(col("text")) > 0,
+          round(TextAnalysis.qualityScore(col("text")) * 1000000).cast("long"))
+          .as("q_micro"))
+    val qs = (1 to 9).map(k => (s"d$k", k / 10.0))
+    val b = graft.operators.HistogramQuantile.boundaries(scored, Seq("source"), "q_micro", qs)
+    scored
+      .join(broadcast(b.select(col("source") +: qs.map(q => col(q._1)): _*)), Seq("source"), "left")
+      .withColumn("decile",
+        (1 to 9).map(k => when(col("q_micro") > col(s"d$k"), 1).otherwise(0))
+          .reduce(_ + _).cast("int"))
+      .select("doc_id", "source", "q_micro", "decile")
+      .orderBy("doc_id")
+  }
+
   /** Quality-first curriculum ordering ([[Sampling.curriculumOrder]]):
     * exact quartile phases of the micro-unit quality score, md5 shard
     * assignment, and the 1-based position within each (phase, shard) —
@@ -2906,6 +2934,7 @@ object LlmQueries {
     "token_length_histogram" -> tokenLengthHistogram,
     "quantile_buckets_docs" -> quantileBucketsDocs,
     "curriculum_order" -> curriculumOrder,
+    "quality_normalized" -> qualityNormalized,
     "vocab_growth_curve" -> vocabGrowthCurve,
     "html_extract" -> htmlExtractQ,
     "corpus_stats" -> corpusStats,
@@ -4677,6 +4706,27 @@ object LlmQueries {
         |  CASE WHEN html_chars = 0 THEN 0
         |    ELSE ((html_chars - text_chars) * 1000000) // html_chars END AS markup_ratio_ppm
         |FROM m ORDER BY id""".stripMargin,
+    // the per-source discrete decile boundaries + the exceeded-boundary
+    // count — null quality joins through the CASE to decile 0
+    "quality_normalized" ->
+      s"""WITH s AS (SELECT doc_id, source,
+         |    CASE WHEN length(text) > 0
+         |      THEN CAST(round($sqlQualityExpr * 1000000) AS BIGINT) END AS q_micro
+         |  FROM documents),
+         |h AS (SELECT source, q_micro AS v, count(*) AS c FROM s
+         |  WHERE q_micro IS NOT NULL GROUP BY 1, 2),
+         |cum AS (SELECT source, v,
+         |    sum(c) OVER (PARTITION BY source ORDER BY v
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm,
+         |    sum(c) OVER (PARTITION BY source) AS n FROM h),
+         |b AS (SELECT source, k,
+         |    min(CASE WHEN cm * 1000000 >= n * k * 100000 THEN v END) AS bv
+         |  FROM cum, unnest(range(1, 10)) t(k) GROUP BY source, k)
+         |SELECT s.doc_id, s.source, s.q_micro,
+         |  CAST(COALESCE(sum(CASE WHEN s.q_micro > b.bv THEN 1 ELSE 0 END), 0) AS INT) AS decile
+         |FROM s LEFT JOIN b USING (source)
+         |GROUP BY s.doc_id, s.source, s.q_micro
+         |ORDER BY doc_id""".stripMargin,
     // the first-seen identity (vocab at prefix P = tokens whose min doc
     // id <= P) replayed over the decile boundaries of the id histogram
     "vocab_growth_curve" ->

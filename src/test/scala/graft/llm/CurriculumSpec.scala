@@ -76,6 +76,37 @@ class CurriculumSpec extends AnyFunSuite {
     }
   }
 
+  test("quality_normalized: per-source deciles replay and calibrate across sources") {
+    val out = graft.queries.LlmQueries.qualityNormalized(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3)))
+    // replay: per source, decile = #(boundaries strictly below q)
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      val qs = rows.map(_._3).sorted
+      val n = qs.length.toLong
+      def boundary(k: Int): Long = {
+        var cum = 0L
+        val hist = qs.groupBy(identity).toSeq.sortBy(_._1)
+        hist.foreach { case (v, g) =>
+          cum += g.length
+          if (cum * 1000000L >= n * k * 100000L) return v
+        }
+        qs.last
+      }
+      val bs = (1 to 9).map(boundary)
+      rows.foreach { case (id, _, q, d) =>
+        assert(d === bs.count(q > _), s"doc $id")
+      }
+      // calibration invariants: deciles in range and MONOTONE in q
+      // within the source (a point mass at the top — common at tiny sf —
+      // legitimately compresses the upper deciles, so no span claim)
+      assert(rows.forall(r => r._4 >= 0 && r._4 <= 9))
+      val sortedByQ = rows.sortBy(_._3)
+      sortedByQ.sliding(2).foreach { case Array(a, b) =>
+        assert(a._4 <= b._4, s"decile not monotone in q: $a -> $b")
+      }
+    }
+  }
+
   test("empty docs get null quality and the LAST phase — no ANSI /0 crash") {
     val withEmpty = docs.select(col("doc_id"), col("text"))
       .unionByName(Seq((99001L, "")).toDF("doc_id", "text"))
