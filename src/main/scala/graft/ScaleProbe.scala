@@ -194,7 +194,13 @@ object ScaleProbe {
     // day-2 CDC: rep 1 pays the one-time bucketed chunk-hash index
     // write; the timed min is the batch chunk scan + zero-Exchange
     // index probe (plan-pinned)
-    "dedup_cdc_incremental")
+    "dedup_cdc_incremental",
+    // both sides code through a d-length literal scale vector (driver
+    // artifact): the corpus pass is a narrow coded scan into GroupTopK
+    "ann_int8",
+    // per-source histogram boundaries + a broadcast 9-boundary apply:
+    // the shuffle is (source × distinct-score)-sized at any corpus
+    "quality_normalized")
 
   private def rot(s: String, k: Int): String = s.drop(k % s.length) + s.take(k % s.length)
 
