@@ -2816,6 +2816,30 @@ object LlmQueries {
       .orderBy("source", "decile")
   }
 
+  /** COMPACTION PLAN — the small-files housekeeping op a 100 TB lake
+    * runs nightly: FFD-pack the shard manifest's 64 (shard, bytes)
+    * rows into merge groups of ≤ 12 000 bytes each
+    * ([[TextAnalysis.packSequencesFfd]] applied to FILES instead of
+    * token sequences — one packer, two jobs). The PLAN is
+    * metadata-sized at any corpus (nShards rows — the corpus never
+    * enters; executing the merges is the distributed rewrite, and the
+    * plan tells each rewrite task exactly which inputs it owns).
+    * Output: (shard_id, shard_bytes, merge_group, group_bytes,
+    * n_shards_in_group) — the oracle replays manifest, FFD trajectory
+    * (recursive CTE), and the rollup. */
+  val compactionPlan: Q = (s, dir) => {
+    val manifest = Sampling.shardManifest(Tables(s, dir, "documents"), "doc_id", "n_chars", 64)
+    val plan0 = TextAnalysis.packSequencesFfd(
+      manifest.select(col("shard_id"), col("total_chars")),
+      "shard_id", col("total_chars"), windowTokens = 12000)
+    val w = Window.partitionBy("merge_group")
+    plan0.select(col("doc_id").as("shard_id"), col("n_tokens").as("shard_bytes"),
+        col("bin_id").as("merge_group"))
+      .withColumn("group_bytes", sum("shard_bytes").over(w))
+      .withColumn("n_shards_in_group", count(lit(1)).over(w).cast("int"))
+      .orderBy("shard_id")
+  }
+
   /** Per-source NORMALIZED quality: each doc's decile WITHIN ITS OWN
     * source (exact per-group histogram boundaries), making one global
     * threshold meaningful across domains — "keep decile ≥ 3" drops the
@@ -3047,6 +3071,7 @@ object LlmQueries {
     "dsir_importance_sample" -> dsirImportanceSample,
     "dsir_score_incremental" -> dsirScoreIncremental,
     "shard_manifest" -> shardManifest,
+    "compaction_plan" -> compactionPlan,
     "export_jsonl_roundtrip" -> exportJsonlRoundtrip,
     "export_csv_roundtrip" -> exportCsvRoundtrip,
     "export_orc_roundtrip" -> exportOrcRoundtrip,
@@ -5372,6 +5397,37 @@ object LlmQueries {
          |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
          |  bit_xor(h60) AS ids_xor
          |FROM a GROUP BY 1 ORDER BY shard_id""".stripMargin,
+    // the manifest block + the pack_sequences_ffd recursive-CTE FFD
+    // replay over (bytes DESC, shard ASC), then the group rollup
+    "compaction_plan" ->
+      s"""WITH RECURSIVE a AS (SELECT doc_id, n_chars,
+         |    ${hx60("md5(CAST(doc_id AS VARCHAR))")} AS h60
+         |  FROM documents),
+         |m AS (SELECT CAST(h60 % 64 AS INT) AS shard_id,
+         |    CAST(sum(n_chars) AS BIGINT) AS bytes
+         |  FROM a GROUP BY 1),
+         |d AS (SELECT shard_id, bytes,
+         |    row_number() OVER (ORDER BY bytes DESC, shard_id) AS rn FROM m),
+         |ffd AS (
+         |  SELECT 0::BIGINT AS rn, NULL::INT AS shard_id, NULL::BIGINT AS bytes,
+         |    NULL::BIGINT AS bin_id, []::BIGINT[] AS rem
+         |  UNION ALL
+         |  SELECT rn, shard_id, bytes,
+         |    CASE WHEN fit IS NULL THEN len(rem0) ELSE fit - 1 END AS bin_id,
+         |    CASE WHEN fit IS NULL THEN list_append(rem0, 12000 - bytes)
+         |         ELSE list_transform(range(1, len(rem0) + 1),
+         |                i -> CASE WHEN i = fit THEN rem0[i] - bytes ELSE rem0[i] END)
+         |    END AS rem
+         |  FROM (
+         |    SELECT d.rn, d.shard_id, d.bytes, f.rem AS rem0,
+         |      NULLIF(list_position(list_transform(f.rem, x -> x >= d.bytes), true), 0) AS fit
+         |    FROM ffd f JOIN d ON d.rn = f.rn + 1) s),
+         |p AS (SELECT shard_id, bytes AS shard_bytes, bin_id AS merge_group
+         |  FROM ffd WHERE rn > 0)
+         |SELECT shard_id, shard_bytes, merge_group,
+         |  CAST(sum(shard_bytes) OVER (PARTITION BY merge_group) AS BIGINT) AS group_bytes,
+         |  CAST(count(*) OVER (PARTITION BY merge_group) AS INT) AS n_shards_in_group
+         |FROM p ORDER BY shard_id""".stripMargin,
     // computed from the parquet ORIGINALS — equality with the Spark
     // side (which reads only the re-imported files) proves losslessness;
     // ONE shared rollup for every export format

@@ -112,4 +112,27 @@ class PackFfdSpec extends AnyFunSuite {
     assert(shardedBins <= globalBins + 8,
       s"sharded bins $shardedBins vs global $globalBins + 8 shards")
   }
+
+  test("compaction_plan: FFD over the manifest replays; groups respect the target") {
+    val out = graft.queries.LlmQueries.compactionPlan(spark, graft.TestSpark.sfDir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+    // every shard planned exactly once
+    assert(out.map(_._1).distinct.length === out.length)
+    // group rollup is consistent and within the 12000-byte target
+    out.groupBy(_._3).foreach { case (g, rows) =>
+      val bytes = rows.map(_._2).sum
+      assert(rows.forall(r => r._4 == bytes && r._5 == rows.length), s"group $g rollup")
+      assert(bytes <= 12000 || rows.length == 1,
+        s"group $g at $bytes bytes must be one oversized shard or within target")
+    }
+    // the plan IS first-fit-decreasing: replay in plain Scala
+    val sizes = out.map(r => (r._1, r._2)).sortBy { case (id, b) => (-b, id) }
+    val bins = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val want = sizes.map { case (id, b) =>
+      val fit = bins.indexWhere(_ >= b)
+      if (fit >= 0) { bins(fit) -= b; (id, fit.toLong) }
+      else { bins += (12000L - b); (id, (bins.length - 1).toLong) }
+    }.toMap
+    out.foreach { case (id, _, g, _, _) => assert(want(id) === g, s"shard $id") }
+  }
 }
