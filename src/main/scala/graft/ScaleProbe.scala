@@ -200,7 +200,11 @@ object ScaleProbe {
     "ann_int8",
     // per-source histogram boundaries + a broadcast 9-boundary apply:
     // the shuffle is (source × distinct-score)-sized at any corpus
-    "quality_normalized")
+    "quality_normalized",
+    // the plan is metadata-sized: one manifest aggregate (nShards rows)
+    // + a 64-row sequential FFD — 10× corpus must change NOTHING but
+    // the manifest scan
+    "compaction_plan")
 
   private def rot(s: String, k: Int): String = s.drop(k % s.length) + s.take(k % s.length)
 
