@@ -331,12 +331,20 @@ object Retrieval {
     // one query-keyed shuffle of the candidate frame (already cut to
     // ≤ candidateK rows per query, so a partition holds only its
     // queries' bounded candidate lists — eager grouping is O(that)
-    cands.repartition(col("query_id"))
+    val candFrame = cands.repartition(col("query_id"))
+    // resolve ordinals by NAME once on the driver — the mapPartitions
+    // must not silently couple to whatever column order GroupTopK
+    // happens to preserve from the upstream select
+    val qIdx = candFrame.schema.fieldIndex("query_id")
+    val dIdx = candFrame.schema.fieldIndex("doc_id")
+    val rIdx = candFrame.schema.fieldIndex("rel")
+    val vIdx = candFrame.schema.fieldIndex("dv")
+    candFrame
       .mapPartitions { it =>
         val byQuery = scala.collection.mutable.LinkedHashMap
           .empty[Long, scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]]
         it.foreach { r =>
-          byQuery.getOrElseUpdate(r.getLong(0),
+          byQuery.getOrElseUpdate(r.getLong(qIdx),
             scala.collection.mutable.ArrayBuffer.empty) += r
         }
         byQuery.iterator.flatMap { case (qid, rs) =>
@@ -345,8 +353,12 @@ object Retrieval {
           val vecs = new Array[Array[Long]](n)
           var i = 0
           while (i < n) {
-            ids(i) = rs(i).getLong(1); rels(i) = rs(i).getLong(2)
-            vecs(i) = rs(i).getSeq[Long](3).toArray
+            ids(i) = rs(i).getLong(dIdx); rels(i) = rs(i).getLong(rIdx)
+            vecs(i) = rs(i).getSeq[Long](vIdx).toArray
+            if (vecs(i).length != vecs(0).length)
+              throw new IllegalArgumentException(
+                s"mmrTopK: ragged corpus vectors for query $qid — doc ${ids(i)} has " +
+                  s"dim ${vecs(i).length}, doc ${ids(0)} has dim ${vecs(0).length}")
             i += 1
           }
           val taken = new Array[Boolean](n)

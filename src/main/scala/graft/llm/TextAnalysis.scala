@@ -171,9 +171,12 @@ object TextAnalysis {
   def htmlExtract(df: DataFrame, idCol: String, htmlCol: String): DataFrame = {
     val html = col(htmlCol)
     val text = trim(regexp_replace(regexp_replace(html, "<[^>]*>", " "), " +", " "))
-    val linkChars = expr(
-      s"aggregate(transform(regexp_extract_all($htmlCol, '<a [^>]*>([^<]*)</a>', 1), " +
-        "x -> length(x)), 0, (a, b) -> a + b)").cast("long")
+    // Column API (not a raw-name expr string): a column name needing
+    // backticks or containing expression syntax must still resolve
+    val linkChars = aggregate(
+      transform(regexp_extract_all(html, lit("<a [^>]*>([^<]*)</a>"), lit(1)),
+        x => length(x)),
+      lit(0), (a, b) => a + b).cast("long")
     df.select(col(idCol).as("id"), text.as("text"),
         size(regexp_extract_all(html, lit("<[^>]*>"), lit(0))).cast("long").as("n_tags"),
         substrCount(html, "<a ").as("n_links"),

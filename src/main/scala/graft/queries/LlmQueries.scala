@@ -4685,7 +4685,8 @@ object LlmQueries {
          |    CASE WHEN length(text) > 0
          |      THEN CAST(round($sqlQualityExpr * 1000000) AS BIGINT) END AS q_micro
          |  FROM documents),
-         |h AS (SELECT q_micro AS v, count(*) AS c FROM s GROUP BY 1),
+         |h AS (SELECT q_micro AS v, count(*) AS c FROM s
+         |  WHERE q_micro IS NOT NULL GROUP BY 1),
          |cum AS (SELECT v,
          |    sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm,
          |    sum(c) OVER () AS n FROM h),

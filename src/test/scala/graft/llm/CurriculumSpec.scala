@@ -107,6 +107,25 @@ class CurriculumSpec extends AnyFunSuite {
     }
   }
 
+  test("empty docs do NOT shift the quartile boundaries (nulls excluded from n)") {
+    // the oracle's h CTE must filter null q_micro exactly like
+    // HistogramQuantile.boundaries does — otherwise the NULL group
+    // inflates the denominator and every boundary drifts. Pin it
+    // structurally: adding empty docs must leave every non-empty doc's
+    // phase unchanged.
+    val withEmpty = docs.select(col("doc_id"), col("text"))
+      .unionByName(Seq((99101L, ""), (99102L, ""), (99103L, ""))
+        .toDF("doc_id", "text"))
+    val base = Sampling.curriculumOrder(docs, "doc_id", "text", nShards = 4)
+      .select("doc_id", "phase").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    val mixed = Sampling.curriculumOrder(withEmpty, "doc_id", "text", nShards = 4)
+      .filter(col("doc_id") < 99000L)
+      .select("doc_id", "phase").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(mixed === base, "empty docs shifted the phase boundaries")
+  }
+
   test("empty docs get null quality and the LAST phase — no ANSI /0 crash") {
     val withEmpty = docs.select(col("doc_id"), col("text"))
       .unionByName(Seq((99001L, "")).toDF("doc_id", "text"))
