@@ -204,7 +204,12 @@ object ScaleProbe {
     // the plan is metadata-sized: one manifest aggregate (nShards rows)
     // + a 64-row sequential FFD — 10× corpus must change NOTHING but
     // the manifest scan
-    "compaction_plan")
+    "compaction_plan",
+    // round 17: the per-partition planner — the manifest FFD-packs
+    // in parallel per source (no SinglePartition exchange, plan-
+    // pinned); 10× corpus grows the manifest scan only, and the pack
+    // stage stays flat in shard count
+    "compaction_plan_sharded")
 
   private def rot(s: String, k: Int): String = s.drop(k % s.length) + s.take(k % s.length)
 

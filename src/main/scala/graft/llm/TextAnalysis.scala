@@ -627,15 +627,42 @@ object TextAnalysis {
       idCol: String,
       nTokens: Column,
       windowTokens: Int = 2048,
-      nShards: Int = 8): DataFrame = {
+      nShards: Int = 8): DataFrame =
+    packSequencesFfdByGroup(
+        df.select(col(idCol), nTokens.as("__nt"))
+          .withColumn("__shard", Sampling.shardAssign(col(idCol), nShards)),
+        Seq("__shard"), idCol, col("__nt"), windowTokens)
+      .withColumnRenamed("__shard", "shard_id")
+      .select(col("shard_id"), col("doc_id"), col("n_tokens"), col("bin_id"))
+
+  /** FFD WITHIN CALLER-PROVIDED GROUPS — the general form behind
+    * [[packSequencesFfdSharded]] (which supplies an md5 shard as the
+    * group): FFD runs independently inside each distinct `groupCols`
+    * value via the per-group sequential scan ([[graft.plumba.GroupOps
+    * .groupScan]] — ONE shuffle on the group key, secondary sort
+    * (len DESC, id ASC) within each group, groups packed in parallel
+    * across the cluster; no SinglePartition exchange anywhere). This
+    * is the shape a compaction planner needs: a lake's merge groups
+    * never cross table-partition boundaries, so the partition column
+    * IS the group and the nightly plan parallelizes over partitions
+    * instead of funnelling the whole file manifest through one task.
+    * Bin ids are per-group; (groupCols..., bin_id) is the global key.
+    * Output: (groupCols..., doc_id, n_tokens, bin_id). */
+  def packSequencesFfdByGroup(
+      df: DataFrame,
+      groupCols: Seq[String],
+      idCol: String,
+      nTokens: Column,
+      windowTokens: Int = 2048): DataFrame = {
     require(windowTokens > 0, "windowTokens must be positive")
-    val t = df.select(col(idCol).as("doc_id"), nTokens.as("n_tokens"))
-      .withColumn("shard_id", Sampling.shardAssign(col("doc_id"), nShards))
+    require(groupCols.nonEmpty, "at least one group column is required")
+    val t = df.select((groupCols.map(col) :+ col(idCol).as("doc_id")
+        :+ nTokens.as("n_tokens")): _*)
       .withColumn("neg_tokens", -col("n_tokens"))
     graft.plumba.GroupOps.groupScan(
-        t, Seq("shard_id"), Seq("n_tokens"), Seq("neg_tokens", "doc_id", "n_tokens"),
+        t, groupCols, Seq("n_tokens"), Seq("neg_tokens", "doc_id", "n_tokens"),
         ffdKernel(windowTokens), org.apache.spark.sql.types.LongType, "bin_id")
-      .select(col("shard_id"), col("doc_id"), col("n_tokens"), col("bin_id"))
+      .select((groupCols.map(col) ++ Seq(col("doc_id"), col("n_tokens"), col("bin_id"))): _*)
   }
 
   /** TRAINED linear quality classifier — the fastText-style upgrade

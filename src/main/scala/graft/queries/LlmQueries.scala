@@ -2840,6 +2840,35 @@ object LlmQueries {
       .orderBy("shard_id")
   }
 
+  /** SHARDED COMPACTION PLAN — the 100 TB form of [[compactionPlan]]:
+    * a real lake's file manifest is 10⁶–10⁷ rows and merges NEVER
+    * cross table-partition boundaries, so the FFD plan runs
+    * independently per partition ([[TextAnalysis
+    * .packSequencesFfdByGroup]] keyed on the partition column — ONE
+    * shuffle on `source`, partitions packed in parallel, no
+    * SinglePartition exchange anywhere; plan-pinned). The manifest
+    * here is per-(source, shard) file sizes (16 md5 shards per
+    * source); within each source the files FFD-pack into merge
+    * groups of ≤ 2 000 bytes. Output: (source, shard_id, shard_bytes,
+    * merge_group, group_bytes, n_shards_in_group) — the oracle
+    * replays every per-source FFD trajectory (recursive CTE whose
+    * chains advance each source independently). */
+  val compactionPlanSharded: Q = (s, dir) => {
+    val manifest = Tables(s, dir, "documents")
+      .select(col("source"),
+        Sampling.shardAssign(col("doc_id"), 16).as("shard_id"), col("n_chars"))
+      .groupBy("source", "shard_id")
+      .agg(sum("n_chars").as("shard_bytes"))
+    val plan0 = TextAnalysis.packSequencesFfdByGroup(
+      manifest, Seq("source"), "shard_id", col("shard_bytes"), windowTokens = 2000)
+    val w = Window.partitionBy("source", "merge_group")
+    plan0.select(col("source"), col("doc_id").as("shard_id"),
+        col("n_tokens").as("shard_bytes"), col("bin_id").as("merge_group"))
+      .withColumn("group_bytes", sum("shard_bytes").over(w))
+      .withColumn("n_shards_in_group", count(lit(1)).over(w).cast("int"))
+      .orderBy("source", "shard_id")
+  }
+
   /** Per-source NORMALIZED quality: each doc's decile WITHIN ITS OWN
     * source (exact per-group histogram boundaries), making one global
     * threshold meaningful across domains — "keep decile ≥ 3" drops the
@@ -3072,6 +3101,7 @@ object LlmQueries {
     "dsir_score_incremental" -> dsirScoreIncremental,
     "shard_manifest" -> shardManifest,
     "compaction_plan" -> compactionPlan,
+    "compaction_plan_sharded" -> compactionPlanSharded,
     "export_jsonl_roundtrip" -> exportJsonlRoundtrip,
     "export_csv_roundtrip" -> exportCsvRoundtrip,
     "export_orc_roundtrip" -> exportOrcRoundtrip,
@@ -5429,6 +5459,41 @@ object LlmQueries {
          |  CAST(sum(shard_bytes) OVER (PARTITION BY merge_group) AS BIGINT) AS group_bytes,
          |  CAST(count(*) OVER (PARTITION BY merge_group) AS INT) AS n_shards_in_group
          |FROM p ORDER BY shard_id""".stripMargin,
+    // the per-source FFD trajectories, all replayed at once: the
+    // recursive CTE's chains advance each source independently (the
+    // join keys on source AND step), so partition-local bin state
+    // never mixes across sources — exactly the operator's groupScan
+    "compaction_plan_sharded" ->
+      s"""WITH RECURSIVE a AS (SELECT doc_id, source, n_chars,
+         |    ${hx60("md5(CAST(doc_id AS VARCHAR))")} AS h60
+         |  FROM documents),
+         |m AS (SELECT source, CAST(h60 % 16 AS INT) AS shard_id,
+         |    CAST(sum(n_chars) AS BIGINT) AS bytes
+         |  FROM a GROUP BY 1, 2),
+         |d AS (SELECT source, shard_id, bytes,
+         |    row_number() OVER (PARTITION BY source ORDER BY bytes DESC, shard_id) AS rn
+         |  FROM m),
+         |ffd AS (
+         |  SELECT source, 0::BIGINT AS rn, NULL::INT AS shard_id,
+         |    NULL::BIGINT AS bytes, NULL::BIGINT AS bin_id, []::BIGINT[] AS rem
+         |  FROM (SELECT DISTINCT source FROM m)
+         |  UNION ALL
+         |  SELECT source, rn, shard_id, bytes,
+         |    CASE WHEN fit IS NULL THEN len(rem0) ELSE fit - 1 END AS bin_id,
+         |    CASE WHEN fit IS NULL THEN list_append(rem0, 2000 - bytes)
+         |         ELSE list_transform(range(1, len(rem0) + 1),
+         |                i -> CASE WHEN i = fit THEN rem0[i] - bytes ELSE rem0[i] END)
+         |    END AS rem
+         |  FROM (
+         |    SELECT d.source, d.rn, d.shard_id, d.bytes, f.rem AS rem0,
+         |      NULLIF(list_position(list_transform(f.rem, x -> x >= d.bytes), true), 0) AS fit
+         |    FROM ffd f JOIN d ON d.source = f.source AND d.rn = f.rn + 1) s),
+         |p AS (SELECT source, shard_id, bytes AS shard_bytes, bin_id AS merge_group
+         |  FROM ffd WHERE rn > 0)
+         |SELECT source, shard_id, shard_bytes, merge_group,
+         |  CAST(sum(shard_bytes) OVER (PARTITION BY source, merge_group) AS BIGINT) AS group_bytes,
+         |  CAST(count(*) OVER (PARTITION BY source, merge_group) AS INT) AS n_shards_in_group
+         |FROM p ORDER BY source, shard_id""".stripMargin,
     // computed from the parquet ORIGINALS — equality with the Spark
     // side (which reads only the re-imported files) proves losslessness;
     // ONE shared rollup for every export format

@@ -135,4 +135,32 @@ class PackFfdSpec extends AnyFunSuite {
     }.toMap
     out.foreach { case (id, _, g, _, _) => assert(want(id) === g, s"shard $id") }
   }
+
+  test("compaction_plan_sharded: per-source FFD replays; groups never cross sources") {
+    val out = graft.queries.LlmQueries.compactionPlanSharded(spark, graft.TestSpark.sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getInt(5)))
+    assert(out.nonEmpty)
+    // every (source, shard) planned exactly once
+    assert(out.map(r => (r._1, r._2)).distinct.length === out.length)
+    out.groupBy(_._1).foreach { case (src, rows) =>
+      // rollup consistent and within the 2000-byte target per group
+      rows.groupBy(_._4).foreach { case (g, grp) =>
+        val bytes = grp.map(_._3).sum
+        assert(grp.forall(r => r._5 == bytes && r._6 == grp.length), s"$src group $g rollup")
+        assert(bytes <= 2000 || grp.length == 1,
+          s"$src group $g at $bytes bytes must be one oversized file or within target")
+      }
+      // the per-source trajectory IS first-fit-decreasing, independent
+      // of every other source's state
+      val sizes = rows.map(r => (r._2, r._3)).sortBy { case (id, b) => (-b, id) }
+      val bins = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val want = sizes.map { case (id, b) =>
+        val fit = bins.indexWhere(_ >= b)
+        if (fit >= 0) { bins(fit) -= b; (id, fit.toLong) }
+        else { bins += (2000L - b); (id, (bins.length - 1).toLong) }
+      }.toMap
+      rows.foreach { case (_, id, _, g, _, _) => assert(want(id) === g, s"$src shard $id") }
+    }
+  }
 }

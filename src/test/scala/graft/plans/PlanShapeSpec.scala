@@ -641,6 +641,18 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the index side must not shuffle:\n${plan.substring(scanAt)}")
   }
 
+  test("compaction_plan_sharded: the planner parallelizes over partitions — no SinglePartition funnel") {
+    val df = graft.queries.LlmQueries.compactionPlanSharded(spark, TestSpark.sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the global FFD's defining bottleneck — the whole manifest routed
+    // through ONE task — must be absent: every exchange is hash (per
+    // source / per group) or the final ordering range partition
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"the sharded planner must never funnel the manifest:\n$plan")
+    assert(plan.contains("Exchange hashpartitioning(source"),
+      s"FFD groups must shuffle by the table-partition column:\n$plan")
+  }
+
   test("html_extract: a single narrow stage — no Exchange before the ordering sort") {
     val df = graft.queries.LlmQueries.htmlExtractQ(spark, TestSpark.sfDir)
     val plan = df.queryExecution.executedPlan.toString
