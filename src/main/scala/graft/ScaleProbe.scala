@@ -209,7 +209,11 @@ object ScaleProbe {
     // in parallel per source (no SinglePartition exchange, plan-
     // pinned); 10× corpus grows the manifest scan only, and the pack
     // stage stays flat in shard count
-    "compaction_plan_sharded")
+    "compaction_plan_sharded",
+    // image near-dup: synth+decode+dHash are one narrow scan; the one
+    // corpus exchange carries (id, 56-bit sig) per band — pair volume
+    // rides bucket sizes (capped), never corpus²
+    "media_dedup_features")
 
   private def rot(s: String, k: Int): String = s.drop(k % s.length) + s.take(k % s.length)
 

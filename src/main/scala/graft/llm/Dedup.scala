@@ -306,16 +306,59 @@ object Dedup {
     * faster xxhash64 64-bit long. */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3, maxBucket: Int = 1000,
       portable: Boolean = true): DataFrame = {
-    val sigCol = if (portable) simHashBits(col(textCol)) else simHash64(col(textCol))
-    val sigs = df.select(col(idCol).as("id"), sigCol.as("sig"))
+    if (portable)
+      bitSignaturePairs(df.select(col(idCol).as("id"), simHashBits(col(textCol)).as("sig")),
+        "id", "sig", nBits = 64, bands = 4, maxHamming = maxHamming, maxBucket = maxBucket)
+    else {
+      val sigs = df.select(col(idCol).as("id"), simHash64(col(textCol)).as("sig"))
+      def bandKey(b: Int): Column =
+        concat_ws(":", lit(b).cast("string"),
+          shiftright(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL)).cast("string"))
+      val banded = sigs.select(col("id"), col("sig"),
+        explode(array((0 until 4).map(bandKey): _*)).as("bucket"))
+      val grouped = banded.groupBy("bucket")
+        .agg(collect_list(struct(col("id"), col("sig"))).as("members"))
+        .filter(size(col("members")).between(2, maxBucket))
+      grouped.select(explode(
+        flatten(transform(col("members"), (m, i) =>
+          transform(slice(col("members"), i + 2, size(col("members"))), o =>
+            struct(
+              least(m.getField("id"), o.getField("id")).as("id_a"),
+              greatest(m.getField("id"), o.getField("id")).as("id_b"),
+              hamming64(m.getField("sig"), o.getField("sig")).cast("int").as("hamming")))))).as("p"))
+        .select("p.*")
+        .filter(col("hamming") <= maxHamming)
+        .groupBy("id_a", "id_b")
+        .agg(min("hamming").as("hamming"))
+    }
+  }
+
+  /** Banded near-dup pairs over ANY '0'/'1' bit-string signature — the
+    * LSH machinery behind [[simHashPairs]]' portable path, factored out
+    * so other fingerprints ride it (a text SimHash, an image dHash
+    * ([[Multimodal.imageDHash]]), any future perceptual hash): the
+    * `nBits` signature splits into `bands` equal substrings; any
+    * exact-matching band makes a candidate pair (guaranteed recall for
+    * Hamming < bands); candidates verify with the full Hamming
+    * distance. Rows with a NULL signature (decode failures) are
+    * excluded — a fingerprint that doesn't exist must not bucket.
+    *
+    * Scale shape: ONE shuffle on the band key; buckets cap at
+    * `maxBucket` (oversize buckets — degenerate signatures — drop,
+    * loud in the audit histograms, never a quadratic); pairs emit via
+    * the in-bucket i<j transform, so nothing is ever all-pairs.
+    * Output: (id_a, id_b, hamming), one row per surviving pair. */
+  def bitSignaturePairs(df: DataFrame, idCol: String, sigCol: String,
+      nBits: Int, bands: Int = 4, maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
+    require(bands > 0 && nBits % bands == 0,
+      s"nBits ($nBits) must split evenly into bands ($bands)")
+    val bandLen = nBits / bands
+    val sigs = df.select(col(idCol).as("id"), col(sigCol).as("sig"))
+      .filter(col("sig").isNotNull)
     def bandKey(b: Int): Column =
-      if (portable) concat_ws(":", lit(b).cast("string"), substring(col("sig"), b * 16 + 1, 16))
-      else concat_ws(":", lit(b).cast("string"),
-        shiftright(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL)).cast("string"))
+      concat_ws(":", lit(b).cast("string"), substring(col("sig"), b * bandLen + 1, bandLen))
     val banded = sigs.select(col("id"), col("sig"),
-      explode(array((0 until 4).map(bandKey): _*)).as("bucket"))
-    def ham(a: Column, b: Column): Column =
-      if (portable) hammingBits(a, b).cast("int") else hamming64(a, b).cast("int")
+      explode(array((0 until bands).map(bandKey): _*)).as("bucket"))
     val grouped = banded.groupBy("bucket")
       .agg(collect_list(struct(col("id"), col("sig"))).as("members"))
       .filter(size(col("members")).between(2, maxBucket))
@@ -325,7 +368,7 @@ object Dedup {
           struct(
             least(m.getField("id"), o.getField("id")).as("id_a"),
             greatest(m.getField("id"), o.getField("id")).as("id_b"),
-            ham(m.getField("sig"), o.getField("sig")).as("hamming")))))).as("p"))
+            hammingBits(m.getField("sig"), o.getField("sig")).cast("int").as("hamming")))))).as("p"))
       .select("p.*")
       .filter(col("hamming") <= maxHamming)
       .groupBy("id_a", "id_b")

@@ -241,6 +241,71 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  /** PERCEPTUAL dHASH over a decoded image — the difference-hash
+    * fingerprint every image-dedup pipeline computes first (the
+    * LAION-style curation stage): the image is decoded (real ImageIO),
+    * sampled to a `grid × grid` INTEGER luminance grid (lum = 299·R +
+    * 587·G + 114·B — the Rec.601 weights in integer milli-units, no
+    * floats anywhere), and the signature is the horizontal gradient
+    * sign: bit (y, x) = 1 iff lum(x+1, y) > lum(x, y), for y in
+    * 0..grid−1, x in 0..grid−2 — `grid·(grid−1)` bits as a '0'/'1'
+    * string (the portable bit-string convention [[Dedup.simHashBits]]
+    * uses, so [[Dedup.bitSignaturePairs]] bands and Hamming-verifies
+    * it with the same machinery). A dHash is robust to uniform
+    * brightness shifts and small noise — exactly the invariance a
+    * re-encoded or slightly-edited duplicate image needs.
+    *
+    * Grid sampling is integer: cell (x, y) reads the pixel at
+    * (x·w div grid, y·h div grid) — exact, so any engine that can
+    * state the pixels states the signature. Non-image payloads and
+    * codec misses return a NULL signature (excluded from pairing —
+    * loud, never a fake fingerprint). Narrow map, no shuffle. */
+  def imageDHash(df: DataFrame, idCol: String, mediaCol: String, grid: Int = 8): DataFrame = {
+    require(grid >= 2, s"grid must be >= 2; got $grid")
+    val sel = df.select(col(idCol), col(mediaCol).getField("bytes").as("__bytes"))
+    val outSchema = StructType(Seq(sel.schema.head, StructField("sig", StringType)))
+    sel.mapPartitions { it =>
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        val sig: String =
+          if (bytes == null || !looksLikeImage(bytes)) null
+          else {
+            val img =
+              try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+              catch { case _: java.io.IOException => null }
+            if (img == null) null
+            else {
+              val (w, h) = (img.getWidth, img.getHeight)
+              val lum = Array.ofDim[Long](grid, grid)
+              var y = 0
+              while (y < grid) {
+                var x = 0
+                while (x < grid) {
+                  val rgb = img.getRGB(math.min(w - 1, x * w / grid), math.min(h - 1, y * h / grid))
+                  lum(y)(x) = 299L * ((rgb >> 16) & 0xFF) + 587L * ((rgb >> 8) & 0xFF) +
+                    114L * (rgb & 0xFF)
+                  x += 1
+                }
+                y += 1
+              }
+              val sb = new java.lang.StringBuilder(grid * (grid - 1))
+              y = 0
+              while (y < grid) {
+                var x = 0
+                while (x < grid - 1) {
+                  sb.append(if (lum(y)(x + 1) > lum(y)(x)) '1' else '0')
+                  x += 1
+                }
+                y += 1
+              }
+              sb.toString
+            }
+          }
+        Row(r.get(0), sig)
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Synthesize a 16-bit little-endian mono PCM payload per row IN-PLAN
     * (narrow mapPartitions, no shuffle) — the audio twin of
     * [[synthesizeImage]]: sample k of row id is the deterministic

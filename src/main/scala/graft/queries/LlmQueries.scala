@@ -972,6 +972,62 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** IMAGE NEAR-DUP — the first stage of every image-text curation
+    * pipeline (the LAION recipe), composing the multimodal decode path
+    * with the banded-fingerprint dedup machinery: deterministic 8×8
+    * 24-bit BMPs are synthesized IN-PLAN (md5-textured, one texture
+    * per 8-doc CLUSTER `doc_id DIV 8`, plus ONE per-doc noisy pixel —
+    * so cluster-mates are NEAR-duplicate images, not byte-identical),
+    * REALLY decoded ([[Multimodal.imageDHash]] — ImageIO, integer
+    * Rec.601 luminance, horizontal-gradient dHash), and paired by
+    * [[Dedup.bitSignaturePairs]] (4×14-bit LSH bands, bucket-capped,
+    * exact Hamming ≤ 4 verify — never all-pairs). A noisy pixel flips
+    * at most 2 dHash bits, so within-cluster Hamming ≤ 4 by
+    * construction; the md5 pixel textures make cross-cluster dHash
+    * collisions vanish (the first-revision XOR mix left correlated
+    * low bits — 307k phantom cross-cluster pairs at 10×, caught by
+    * the probe; md5: zero). Cluster SIZE is fixed at 8 and cluster
+    * COUNT grows with the corpus — the realistic duplication shape
+    * (each image has O(1) dups), so pair volume scales LINEARLY and
+    * buckets never approach the cap. Every pixel, bit, band, and
+    * distance is closed-form integer arithmetic — the oracle states
+    * the decoded pixels independently, so the gate only passes when
+    * the REAL decoder ran. */
+  val mediaDedupFeatures: Q = (s, dir) => {
+    val d = Tables(s, dir, "documents").select(col("doc_id"),
+      expr("CAST(doc_id DIV 8 AS BIGINT)").as("p"),
+      expr("CAST(doc_id % 8 AS BIGINT)").as("nx"),
+      expr("CAST((doc_id DIV 8) % 8 AS BIGINT)").as("ny"))
+    // stored BMP rows are bottom-up: byte position i covers stored row
+    // i DIV 8 = image row 7 - (i DIV 8), column i % 8; grays stay in
+    // 1..126 so utf-8 encodes each as ONE byte. The texture hash is
+    // the portable hash60 rule (first 15 md5 hex chars as BIGINT)
+    val pix = expr(
+      "array_join(transform(sequence(0, 63), i -> repeat(chr(" +
+        "1 + CAST((CAST(conv(substring(md5(concat('img:', CAST(p AS STRING), ':', " +
+        "CAST(i % 8 AS STRING), ':', CAST(7 - i DIV 8 AS STRING))), 1, 15), 16, 10) AS BIGINT) % 126 + " +
+        "IF((i % 8) = nx AND (7 - i DIV 8) = ny, 63, 0)) % 126 AS INT)), 3)), '')")
+    val header: Array[Byte] = Array[Byte](
+      'B', 'M',
+      246.toByte, 0, 0, 0, // file size 54 + 192, LE
+      0, 0, 0, 0,          // reserved
+      54, 0, 0, 0,         // pixel data offset
+      40, 0, 0, 0,         // info header size
+      8, 0, 0, 0,          // width
+      8, 0, 0, 0,          // height
+      1, 0, 24, 0,         // planes, bpp
+      0, 0, 0, 0,          // BI_RGB
+      192.toByte, 0, 0, 0  // image size
+    ) ++ new Array[Byte](16) // ppm + palette fields
+    val bmp = concat(lit(header), to_binary(pix, lit("utf-8")))
+    val media = d.select(col("doc_id"),
+      Multimodal.mediaStruct(bmp, lit("image/bmp"), lit(8), lit(8), lit(1)).as("media"))
+    val sigs = Multimodal.imageDHash(media, "doc_id", "media", grid = 8)
+    Dedup.bitSignaturePairs(sigs, "doc_id", "sig",
+        nBits = 56, bands = 4, maxHamming = 4, maxBucket = MaxBucket)
+      .orderBy("id_a", "id_b")
+  }
+
   /** REAL image decode through the driver gate: a deterministic 24-bit
     * BMP payload is synthesized IN-PLAN for every document (fixed
     * 54-byte header via binary literals + chr()-built variable bytes;
@@ -3109,6 +3165,7 @@ object LlmQueries {
     "export_tar_multimodal" -> exportTarMultimodal,
     "sample_docs_per_lang" -> sampleDocsPerLang,
     "media_features" -> mediaFeatures,
+    "media_dedup_features" -> mediaDedupFeatures,
     "media_decode_bmp" -> mediaDecodeBmp,
     "media_decode_png" -> mediaDecodePng,
     "media_decode_gif" -> mediaDecodeGif,
@@ -5530,6 +5587,32 @@ object LlmQueries {
         |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
         |  FROM documents)
         |WHERE rk <= 5 ORDER BY lang, doc_id""".stripMargin,
+    // every decoded pixel stated independently (the XOR texture +
+    // noise closed form), then dHash bits, 4×14 LSH bands, the bucket
+    // cap, and exact Hamming — the whole image-dedup pipeline replayed
+    "media_dedup_features" ->
+      s"""WITH px AS (SELECT doc_id, x, y,
+         |    1 + CAST((${hx60("md5('img:' || CAST(doc_id // 8 AS VARCHAR) || ':' || CAST(x AS VARCHAR) || ':' || CAST(y AS VARCHAR))")} % 126 +
+         |      CASE WHEN x = doc_id % 8 AND y = (doc_id // 8) % 8
+         |        THEN 63 ELSE 0 END) % 126 AS INT) AS g
+         |  FROM documents, unnest(range(0, 8)) tx(x), unnest(range(0, 8)) ty(y)),
+         |bits AS (SELECT a.doc_id, a.y, a.x, CASE WHEN b.g > a.g THEN '1' ELSE '0' END AS bit
+         |  FROM px a JOIN px b ON b.doc_id = a.doc_id AND b.y = a.y AND b.x = a.x + 1
+         |  WHERE a.x < 7),
+         |sg AS (SELECT doc_id, string_agg(bit, '' ORDER BY y, x) AS sig FROM bits GROUP BY doc_id),
+         |bb AS (SELECT doc_id, sig, i,
+         |    CAST(i AS VARCHAR) || ':' || substr(sig, CAST(i*14 + 1 AS INT), 14) AS k
+         |  FROM sg, unnest(range(0, 4)) t(i)),
+         |okb AS (SELECT k FROM (SELECT k, count(*) AS n FROM bb GROUP BY k)
+         |  WHERE n BETWEEN 2 AND $MaxBucket),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sa, b.sig AS sb
+         |  FROM bb a JOIN bb b ON a.k = b.k AND a.doc_id < b.doc_id JOIN okb ON a.k = okb.k),
+         |ham AS (SELECT id_a, id_b,
+         |    CAST(sum(CASE WHEN substr(sa, CAST(j AS INT), 1) <> substr(sb, CAST(j AS INT), 1)
+         |      THEN 1 ELSE 0 END) AS INT) AS hamming
+         |  FROM cand, unnest(range(1, 57)) t(j) GROUP BY id_a, id_b)
+         |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 4
+         |ORDER BY id_a, id_b""".stripMargin,
     // the oracle states the EXPECTED decoded dimensions of the
     // synthesized BMPs — Spark only matches if ImageIO actually decoded
     // the payloads (the stub fallback would emit byte sums, not (4, h))

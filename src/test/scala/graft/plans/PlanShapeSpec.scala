@@ -641,6 +641,19 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the index side must not shuffle:\n${plan.substring(scanAt)}")
   }
 
+  test("media_dedup_features: banded/bucketed pairing — never all-pairs, decode stays narrow") {
+    val df = graft.queries.LlmQueries.mediaDedupFeatures(spark, TestSpark.sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"pairing must ride LSH buckets, never a corpus self-join:\n$plan")
+    // the ONLY corpus-sized exchange keys on the band bucket; pairs emit
+    // from the in-bucket transform above the capped collect_list
+    assert(plan.contains("Exchange hashpartitioning(bucket"),
+      s"candidates must bucket on the signature band:\n$plan")
+    assert("FileScan".r.findAllIn(plan).size == 1,
+      s"one corpus scan — synthesis, decode and dHash are all narrow:\n$plan")
+  }
+
   test("compaction_plan_sharded: the planner parallelizes over partitions — no SinglePartition funnel") {
     val df = graft.queries.LlmQueries.compactionPlanSharded(spark, TestSpark.sfDir)
     val plan = df.queryExecution.executedPlan.toString
