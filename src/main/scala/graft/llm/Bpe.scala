@@ -381,6 +381,58 @@ object Bpe {
   }
 
   // ---------------------------------------------------------------------
+  // DECODE — the inspection/debug direction of a tokenized corpus: token
+  // ids back to token strings back to text. The lossless twin of encode:
+  // in BYTE mode decode(encode(x)) == x structurally for ANY x (every id
+  // resolves, every token is hex pairs of x's own UTF-8 bytes); in
+  // code-point mode an id of -1 (a char outside the trained alphabet)
+  // NULLs the decode — loud, never a silently-wrong reconstruction.
+  // ---------------------------------------------------------------------
+
+  /** id → token, one entry per ASSIGNED id (the exact inverse of the
+    * id assignment: alphabet 0..A−1 in sorted order, merge outputs
+    * A, A+1, … in training order). Two merges concatenating to the same
+    * token string both keep their ids here — [[tokenIds]] only ever
+    * emits the min (the [[Trained.vocab]] dedup rule), but any stored
+    * id stream that carries the later id still decodes to the same
+    * string, which is the correct inverse. */
+  def idToToken(trained: Trained): Map[Int, String] =
+    (trained.alphabet ++ trained.merges.map { case (a, b) => a + b })
+      .zipWithIndex.map { case (tk, id) => id -> tk }.toMap
+
+  /** ids → token strings via the broadcast inverse table; an id with no
+    * vocabulary entry (the -1 unknown marker, a corrupted id) maps to
+    * NULL. */
+  def idsToTokens(ids: Column, trained: Trained): Column = {
+    val m = typedLit(idToToken(trained))
+    transform(ids, i => element_at(m, i.cast("int")))
+  }
+
+  /** Code-point-mode token array → text of ONE word: plain
+    * concatenation (every token IS a substring of the word). NULL if
+    * any token is null — a partial decode is worse than no decode. */
+  def decodeTokens(tokens: Column): Column =
+    when(exists(tokens, t => t.isNull), lit(null).cast("string"))
+      .otherwise(array_join(tokens, ""))
+
+  /** Byte-mode token array → text of ONE word: tokens are uppercase
+    * hex pairs of the word's UTF-8 bytes — concatenate, unhex, decode
+    * UTF-8. NULL on any null token. */
+  def decodeTokensBytes(tokens: Column): Column =
+    when(exists(tokens, t => t.isNull), lit(null).cast("string"))
+      .otherwise(decode(unhex(array_join(tokens, "")), "UTF-8"))
+
+  /** Full id round trip for one word, code-point mode:
+    * `decodeIds(tokenIds(encode(w)))` reconstructs w (or NULL on any
+    * unknown id). */
+  def decodeIds(ids: Column, trained: Trained): Column =
+    decodeTokens(idsToTokens(ids, trained))
+
+  /** Byte-mode twin of [[decodeIds]]. */
+  def decodeIdsBytes(ids: Column, trained: Trained): Column =
+    decodeTokensBytes(idsToTokens(ids, trained))
+
+  // ---------------------------------------------------------------------
   // BYTE-LEVEL mode (GPT-2 convention): the initial alphabet is the 256
   // possible BYTES of the word's UTF-8 encoding, so zero-OOV is
   // STRUCTURAL — any text whatsoever, hostile unicode included, decomposes

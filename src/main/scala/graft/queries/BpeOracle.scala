@@ -179,6 +179,43 @@ object BpeOracle {
 
   private def sqlString(s: String): String = "'" + s.replace("'", "''") + "'"
 
+  /** `bpe_decode_roundtrip`: the oracle states `md5(normalized text)`
+    * INDEPENDENTLY per doc — it never simulates the Spark side's
+    * decode; the hash only matches when ids → hex tokens → bytes →
+    * text → word re-join reproduced the input exactly. `n_tokens_bytes`
+    * replays through the byte-mode chain; `cp_decodable` replays the
+    * code-point contrast: 0 iff the doc contains any character outside
+    * the alphabet collected from `documents` (exactly when the
+    * code-point id stream carries a -1 and the decode nulls). */
+  def bpeDecodeRoundtripSql(hostile: Seq[String]): String = {
+    val lits = hostile.zipWithIndex
+      .map { case (t, i) => s"(${1000000L + i}, ${sqlString(t)})" }.mkString(", ")
+    s"""WITH $trainCtesBytes,
+       |hostile(doc_id, text) AS (VALUES $lits),
+       |corpus AS (SELECT doc_id, text FROM documents UNION ALL
+       |  SELECT doc_id, text FROM hostile),
+       |cnorm AS MATERIALIZED (SELECT doc_id, $Norm AS nt FROM corpus),
+       |cfil AS (SELECT doc_id, nt FROM cnorm WHERE length(nt) > 0),
+       |chex AS (SELECT doc_id, array_to_string(list_transform(string_split(nt, ' '), w -> hex(w)), ' ') AS ht
+       |  FROM cfil),
+       |cenc AS (SELECT doc_id, regexp_split_to_array(trim($encRepExpr), ' +') AS ts FROM chex),
+       |cpalpha AS MATERIALIZED (SELECT DISTINCT substr(nt, CAST(i AS INT), 1) AS ch
+       |  FROM (SELECT $Norm AS nt FROM documents) d, unnest(range(1, length(nt) + 1)) t(i)
+       |  WHERE substr(nt, CAST(i AS INT), 1) <> ' '),
+       |cpch AS (SELECT doc_id, substr(nt, CAST(i AS INT), 1) AS ch
+       |  FROM cfil, unnest(range(1, length(nt) + 1)) t(i)
+       |  WHERE substr(nt, CAST(i AS INT), 1) <> ' '),
+       |cpok AS (SELECT doc_id,
+       |    CAST(CASE WHEN sum(CASE WHEN ch IN (SELECT ch FROM cpalpha) THEN 0 ELSE 1 END) > 0
+       |      THEN 0 ELSE 1 END AS INT) AS cp_decodable
+       |  FROM cpch GROUP BY doc_id)
+       |SELECT f.doc_id, CAST(len(e.ts) AS INT) AS n_tokens_bytes,
+       |  md5(f.nt) AS decoded_bytes_md5, cpok.cp_decodable
+       |FROM cfil f JOIN cenc e ON f.doc_id = e.doc_id
+       |JOIN cpok ON f.doc_id = cpok.doc_id
+       |ORDER BY f.doc_id""".stripMargin
+  }
+
   /** `bpe_encode`: per doc, exact token count plus md5 witnesses of the
     * token string and the id sequence. */
   val bpeEncodeSql: String =

@@ -2579,6 +2579,52 @@ object LlmQueries {
       .orderBy("n_tokens")
   }
 
+  /** DECODE ROUND TRIP — the inspection/debug direction a tokenized
+    * corpus needs ([[Bpe.decodeIdsBytes]]): every doc (documents PLUS
+    * the [[HostileTexts]] unicode) is word-segmented, byte-mode
+    * encoded, mapped to vocabulary IDS, and decoded back
+    * ids → hex tokens → bytes → text. The emitted `decoded_bytes_md5`
+    * is compared against the oracle's INDEPENDENT `md5(normalized)` —
+    * hash equality IS the `decode(encode(x)) == x` proof, per doc, on
+    * text the tokenizer never trained on (the structural-lossless twin
+    * of `bpe_coverage_bytes`). `cp_decodable` carries the contrast:
+    * the code-point tokenizer's id round trip NULLs on any character
+    * outside its trained alphabet (-1 ids — loud, never a silently
+    * wrong reconstruction), so hostile rows read 0 where byte mode
+    * reads a matching hash. Scan-side narrow compute; the word
+    * re-join restores the single-space segmentation exactly. */
+  val bpeDecodeRoundtrip: Q = (s, dir) => {
+    val trainedB = trainedBpeBytes(s, dir)
+    val trainedC = trainedBpe(s, dir)
+    val hostile = s.createDataFrame(
+      s.sparkContext.parallelize(HostileTexts.zipWithIndex.map { case (t, i) =>
+        org.apache.spark.sql.Row(1000000L + i, t)
+      }, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType))))
+    val corpus = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      .unionAll(hostile)
+    val norm = TextAnalysis.normalizeText(col("text"))
+    // per word: encode → ids → decode; NULL words poison the whole doc
+    // (array_join would silently SKIP nulls — guard first)
+    def decodedPerWord(f: Column => Column): Column = {
+      val arr = transform(split(norm, " "), f)
+      when(exists(arr, a => a.isNull), lit(null).cast("string"))
+        .otherwise(array_join(arr, " "))
+    }
+    val decB = decodedPerWord(w =>
+      Bpe.decodeIdsBytes(Bpe.tokenIds(Bpe.encodeBytes(w, trainedB.merges), trainedB), trainedB))
+    val decC = decodedPerWord(w =>
+      Bpe.decodeIds(Bpe.tokenIds(Bpe.encode(w, trainedC.merges), trainedC), trainedC))
+    corpus.filter(length(norm) > 0)
+      .select(col("doc_id"),
+        size(Bpe.encodeBytes(col("text"), trainedB.merges)).cast("int").as("n_tokens_bytes"),
+        md5(decB).as("decoded_bytes_md5"),
+        decC.isNotNull.cast("int").as("cp_decodable"))
+      .orderBy("doc_id")
+  }
+
   /** The token-BUDGET twin of `pack_sequences`: the same parallel
     * two-pass prefix-scan packing, but over EXACT trained-BPE token
     * counts ([[Bpe.tokenCount]]) instead of the whitespace proxy —
@@ -3098,6 +3144,7 @@ object LlmQueries {
     "bpe_encode" -> bpeEncode,
     "bpe_encode_bytes" -> bpeEncodeBytes,
     "bpe_coverage_bytes" -> bpeCoverageBytes,
+    "bpe_decode_roundtrip" -> bpeDecodeRoundtrip,
     "bpe_vocab" -> bpeVocab,
     "bpe_vocab_bytes" -> bpeVocabBytes,
     "bpe_artifact_roundtrip" -> bpeArtifactRoundtrip,
@@ -4540,6 +4587,7 @@ object LlmQueries {
     "bpe_encode" -> BpeOracle.bpeEncodeSql,
     "bpe_encode_bytes" -> BpeOracle.bpeEncodeBytesSql,
     "bpe_coverage_bytes" -> BpeOracle.bpeCoverageBytesSql(HostileTexts),
+    "bpe_decode_roundtrip" -> BpeOracle.bpeDecodeRoundtripSql(HostileTexts),
     "bpe_vocab_bytes" -> BpeOracle.bpeVocabBytesSql,
     "bpe_vocab" -> BpeOracle.bpeVocabSql,
     // the artifact path must change nothing: shared oracle (the
