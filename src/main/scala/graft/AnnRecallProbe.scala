@@ -77,6 +77,41 @@ object AnnRecallProbe {
           println(f"ANNRECALL\t$label-auto\t$trained\t$autoC\t$autoP\t$pct\t$sec%.2f")
         }
         exact.unpersist()
+
+        // POST-APPEND AUDIT (round 17): a batch (the echo convention —
+        // hb < 85 identical, rest circular-shifted) routes through the
+        // FROZEN build-time centroids; report the balance signal (max
+        // cell share, ppm) and recall@5 before vs after — the
+        // re-train trigger the ann_ivf_append_audit gate pins at
+        // fixture scale, measured here at probe scale.
+        val eve = e.select("vec_id", "embedding")
+        val off = eve.agg(max("vec_id")).head.getLong(0) + 1L
+        val hb = graft.llm.Sampling.hashBucket256(col("vec_id"))
+        val shifted = expr(
+          "concat(slice(embedding, 2, size(embedding) - 1), slice(embedding, 1, 1))")
+        val batch = eve.select((col("vec_id") + lit(off)).as("vec_id"),
+          when(hb < 85, col("embedding")).otherwise(shifted).as("embedding"))
+        val cents = Similarity.ivfCentroids(eve, "vec_id", "embedding", 16)
+        val qv = eve.filter(col("vec_id") < 50)
+        val qc = Similarity.ivfAssign(qv, cents, "vec_id", "embedding",
+          "query_id", "qvec", 4, "cell")
+        def audit(tag: String, corpus: org.apache.spark.sql.DataFrame): Unit = {
+          val t0 = System.nanoTime()
+          val assigned = Similarity.ivfAssign(corpus, cents, "vec_id", "embedding",
+            "corpus_id", "cvec2", 1, "cell")
+          val share = assigned.groupBy("cell").agg(count(lit(1)).as("n"))
+            .agg(expr("CAST(max(n) * 1000000 DIV sum(n) AS BIGINT)").as("s"))
+            .head.getLong(0)
+          val approx = Similarity.ivfProbe(assigned, qc, 5).select("query_id", "corpus_id")
+          val ex = Similarity.bruteForceTopK(corpus, qv, "vec_id", "embedding", 5)
+            .select("query_id", "corpus_id")
+          val den = ex.count()
+          val hits = ex.join(approx, Seq("query_id", "corpus_id"), "left_semi").count()
+          val sec = (System.nanoTime() - t0) / 1e9
+          println(f"ANNAPPEND\t$label\t$tag\tmax_share_ppm=$share\trecall_pct=${hits * 100 / den}\t$sec%.2f")
+        }
+        audit("built", eve)
+        audit("appended", eve.unionByName(batch))
     }
     spark.stop()
   }

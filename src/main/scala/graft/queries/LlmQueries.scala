@@ -687,6 +687,57 @@ object LlmQueries {
       .select("query_id", "corpus_id", "rank")
   }
 
+  /** POST-APPEND IVF HEALTH AUDIT — the re-train trigger signal
+    * [[annIvfPersistedAppend]] implies but never reports: after a
+    * batch routes through the FROZEN build-time centroids, is the
+    * layout still balanced and is recall still holding? Per phase
+    * (`built` = the original corpus, `appended` = corpus ∪ batch,
+    * where the batch is the [[dedupSemanticIncremental]] echo
+    * convention — hb < 85 identical copies, the rest circular-shifted
+    * into genuinely-new vectors that may route DIFFERENTLY): the
+    * cell-occupancy census (vector count, nonempty cells, max cell
+    * share in ppm — the balance signal FAISS's re-train-when-
+    * unbalanced rule watches) and recall@5 of the nProbe=4 probe
+    * against exact brute force over that phase's corpus. A share
+    * drifting up or recall drifting down after N appends is the
+    * signal to re-train centroids (a rebuild, not an append). All
+    * counts and ratios are exact integers; the oracle replays
+    * routing, census, probe, and brute force for both phases. */
+  val annIvfAppendAudit: Q = (s, dir) => {
+    val e = Tables(s, dir, "embeddings").select("vec_id", "embedding")
+    val off = e.agg(max("vec_id")).head.getLong(0) + 1L
+    val cents = Similarity.ivfCentroids(e, "vec_id", "embedding", 16)
+    val hb = Sampling.hashBucket256(col("vec_id"))
+    val shifted = expr(
+      "concat(slice(embedding, 2, size(embedding) - 1), slice(embedding, 1, 1))")
+    val batch = e.select((col("vec_id") + lit(off)).as("vec_id"),
+      when(hb < 85, col("embedding")).otherwise(shifted).as("embedding"))
+    val queries = e.filter(col("vec_id") < 10)
+    val queryCells = Similarity.ivfAssign(
+      queries, cents, "vec_id", "embedding", "query_id", "qvec", 4, "cell")
+    def phase(name: String, corpus: DataFrame): DataFrame = {
+      val assigned = Similarity.ivfAssign(
+        corpus, cents, "vec_id", "embedding", "corpus_id", "cvec2", 1, "cell")
+      val cellStats = assigned.groupBy("cell").agg(count(lit(1)).as("n"))
+        .agg(sum("n").as("n_vectors"), count(lit(1)).as("nonempty_cells"),
+          expr("CAST(max(n) * 1000000 DIV sum(n) AS BIGINT)").as("max_cell_share_ppm"))
+      val approx = Similarity.ivfProbe(assigned, queryCells, 5)
+        .select("query_id", "corpus_id")
+      val brute = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", 5)
+        .select("query_id", "corpus_id")
+      val hits = brute.join(approx, Seq("query_id", "corpus_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+      val rec = brute.agg(count(lit(1)).as("n_exact")).crossJoin(hits)
+        .select(col("n_exact"), col("n_hits"),
+          expr("CAST(n_hits * 100 DIV n_exact AS BIGINT)").as("recall_pct"))
+      cellStats.crossJoin(rec)
+        .select(lit(name).as("phase"), col("n_vectors"), col("nonempty_cells"),
+          col("max_cell_share_ppm"), col("n_exact"), col("n_hits"), col("recall_pct"))
+    }
+    phase("built", e).unionByName(phase("appended", e.unionByName(batch)))
+      .orderBy("phase")
+  }
+
   /** INCREMENTAL SemDeDup — the persisted deploy shape of
     * [[dedupSemantic]] (the `dedup_incremental`/`ann_ivf_persisted`
     * convention applied to semantic dedup): the corpus's cluster
@@ -3118,6 +3169,7 @@ object LlmQueries {
     "ann_ivf" -> annIvf,
     "ann_ivf_persisted" -> annIvfPersisted,
     "ann_ivf_persisted_append" -> annIvfPersistedAppend,
+    "ann_ivf_append_audit" -> annIvfAppendAudit,
     "ann_pq" -> annPq,
     "ann_ivf_pq" -> annIvfPq,
     "ann_ivf_trained" -> annIvfTrained,
@@ -4131,6 +4183,61 @@ object LlmQueries {
     // the grown index: corpus = embeddings plus the offset replay;
     // centroids and queries come from the ORIGINAL table only (fixed
     // quantizer, fixed query set)
+    // both phases replayed at once: routing census + probe recall vs
+    // brute force, the batch echo rule shared with
+    // dedup_semantic_incremental (hb < 85 identical, rest shifted)
+    "ann_ivf_append_audit" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+        |bsrc AS (SELECT vec_id + (SELECT max(vec_id) + 1 FROM embeddings) AS vec_id,
+        |    CASE WHEN (strpos('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), 1, 1)) - 1) * 16
+        |      + (strpos('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), 2, 1)) - 1) < 85
+        |      THEN embedding
+        |      ELSE list_concat(embedding[2:], [embedding[1]]) END AS embedding
+        |  FROM embeddings),
+        |corpus AS (
+        |  SELECT 'built' AS phase, vec_id, embedding FROM embeddings
+        |  UNION ALL SELECT 'appended', vec_id, embedding FROM embeddings
+        |  UNION ALL SELECT 'appended', vec_id, embedding FROM bsrc),
+        |asg AS (SELECT phase, corpus_id, cell FROM (
+        |    SELECT cp.phase, cp.vec_id AS corpus_id, c.cid AS cell,
+        |      row_number() OVER (PARTITION BY cp.phase, cp.vec_id
+        |        ORDER BY list_cosine_similarity(cp.embedding, c.cvec) DESC, c.cid) AS rk
+        |    FROM corpus cp, cents c) WHERE rk <= 1),
+        |cellstats AS (SELECT phase, CAST(sum(n) AS BIGINT) AS n_vectors,
+        |    CAST(count(*) AS BIGINT) AS nonempty_cells,
+        |    CAST(max(n) * 1000000 // sum(n) AS BIGINT) AS max_cell_share_ppm
+        |  FROM (SELECT phase, cell, count(*) AS n FROM asg GROUP BY 1, 2) GROUP BY phase),
+        |qa AS (SELECT query_id, cell FROM (
+        |    SELECT e.vec_id AS query_id, c.cid AS cell,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.embedding, c.cvec) DESC, c.cid) AS rk
+        |    FROM embeddings e, cents c WHERE e.vec_id < 10) WHERE rk <= 4),
+        |cands AS (SELECT DISTINCT a.phase, q.query_id, a.corpus_id
+        |  FROM qa q JOIN asg a ON q.cell = a.cell WHERE a.corpus_id <> q.query_id),
+        |scored AS (SELECT cd.phase, cd.query_id, cd.corpus_id,
+        |    row_number() OVER (PARTITION BY cd.phase, cd.query_id
+        |      ORDER BY list_cosine_similarity(qe.embedding, ce.embedding) DESC, cd.corpus_id) AS rank
+        |  FROM cands cd
+        |  JOIN embeddings qe ON qe.vec_id = cd.query_id
+        |  JOIN corpus ce ON ce.phase = cd.phase AND ce.vec_id = cd.corpus_id),
+        |approx AS (SELECT phase, query_id, corpus_id FROM scored WHERE rank <= 5),
+        |bscored AS (SELECT cp.phase, q.vec_id AS query_id, cp.vec_id AS corpus_id,
+        |    row_number() OVER (PARTITION BY cp.phase, q.vec_id
+        |      ORDER BY list_cosine_similarity(q.embedding, cp.embedding) DESC, cp.vec_id) AS rank
+        |  FROM embeddings q JOIN corpus cp ON q.vec_id < 10 AND cp.vec_id <> q.vec_id),
+        |brute AS (SELECT phase, query_id, corpus_id FROM bscored WHERE rank <= 5),
+        |rec AS (SELECT b.phase, CAST(count(*) AS BIGINT) AS n_exact,
+        |    CAST(count(a.corpus_id) AS BIGINT) AS n_hits,
+        |    CAST(count(a.corpus_id) * 100 // count(*) AS BIGINT) AS recall_pct
+        |  FROM brute b LEFT JOIN approx a
+        |    ON a.phase = b.phase AND a.query_id = b.query_id AND a.corpus_id = b.corpus_id
+        |  GROUP BY b.phase)
+        |SELECT cs.phase, n_vectors, nonempty_cells, max_cell_share_ppm,
+        |  n_exact, n_hits, recall_pct
+        |FROM cellstats cs JOIN rec ON cs.phase = rec.phase
+        |ORDER BY cs.phase""".stripMargin,
     "ann_ivf_persisted_append" ->
       """WITH allv AS (
         |  SELECT vec_id, embedding FROM embeddings
