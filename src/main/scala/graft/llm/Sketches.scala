@@ -92,6 +92,28 @@ object Sketches {
         .otherwise(coalesce(col("m"), lit(0L))).as("cms_est"))
   }
 
+  /** ACT on the estimate — the planner hook [[cmsJoinSizeEstimate]]'s
+    * docstring promises: size the `left ⋈ right ON keyCol` join from
+    * the two key sketches and CHOOSE the physical strategy before any
+    * table is scanned for the join itself. An estimated output at or
+    * under `maxBroadcastEst` picks a broadcast hash join (the matched
+    * key mass is small — ship the right side); anything larger forces
+    * the shuffle merge join (`hint("merge")` — never let a size
+    * mis-guess broadcast a side that blows the driver). The sketches
+    * are depth·width artifacts, so the decision costs two bounded
+    * driver reads, not a scan; at 100 TB this is exactly the
+    * re-planning a nightly pipeline does from yesterday's scan
+    * leavings. Both regimes are plan-pinned (PlanShapeSpec). */
+  def joinSizedByCms(left: DataFrame, right: DataFrame, keyCol: String,
+      maxBroadcastEst: Long, depth: Int = 4, width: Int = 256): DataFrame = {
+    require(maxBroadcastEst >= 0, "maxBroadcastEst must be non-negative")
+    val est = cmsJoinSizeEstimate(
+      cmsKeyCounters(left, keyCol, depth, width),
+      cmsKeyCounters(right, keyCol, depth, width), depth).head.getLong(0)
+    if (est <= maxBroadcastEst) left.join(broadcast(right), Seq(keyCol))
+    else left.join(right.hint("merge"), Seq(keyCol))
+  }
+
   /** Point estimates for a candidate token set: min over the depth
     * counters each candidate hashes into, appended as a `cms_est`
     * column (every other candidate column rides through, so one pass

@@ -1,5 +1,6 @@
 package graft.plans
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
@@ -639,6 +640,30 @@ class PlanShapeSpec extends AnyFunSuite {
     val scanAt = plan.lastIndexOf("FileScan")
     assert(!plan.substring(scanAt).contains("Exchange"),
       s"the index side must not shuffle:\n${plan.substring(scanAt)}")
+  }
+
+  test("cms planner hook: a small estimated join picks the broadcast regime") {
+    val orders = graft.queries.Tables(spark, TestSpark.sfDir, "orders")
+      .select(col("o_orderkey").as("k"), col("o_totalprice"))
+    val few = orders.filter(col("k") % 500 === 0).select(col("k"), col("o_totalprice").as("p2"))
+    val joined = graft.llm.Sketches.joinSizedByCms(orders, few, "k", maxBroadcastEst = 100000)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"a small sketch estimate must route to broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"no shuffle join in the small regime:\n$plan")
+  }
+
+  test("cms planner hook: a large estimated join refuses broadcast") {
+    val orders = graft.queries.Tables(spark, TestSpark.sfDir, "orders")
+      .select(col("o_orderkey").as("k"), col("o_totalprice"))
+    val lineitem = graft.queries.Tables(spark, TestSpark.sfDir, "lineitem")
+      .select(col("l_orderkey").as("k"), col("l_quantity"))
+    val joined = graft.llm.Sketches.joinSizedByCms(lineitem, orders, "k", maxBroadcastEst = 100)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"),
+      s"a large sketch estimate must route to the shuffle merge join:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"the large regime must never broadcast:\n$plan")
   }
 
   test("media_dedup_features: banded/bucketed pairing — never all-pairs, decode stays narrow") {
