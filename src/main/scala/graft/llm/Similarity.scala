@@ -754,19 +754,18 @@ object Similarity {
     * KmeansAssignSpec); ties to the lowest centroid id within the
     * probed set. Same narrow-map plan shape as [[kmeansAssignWith]].
     *
-    * MEASURED VERDICT (SCALE.md round 15) — this is a dial for
-    * genuinely huge k·d, NOT the default: at k=4096, d=16 on the 10×
-    * synthetic corpus the flat compiled argmin already runs 20k rows
-    * in 0.50 s, two-level at nProbe=2 saves only 12% (per-row
-    * expression overhead, not arithmetic, dominates at this k·d) and
-    * agrees on just 53% of assignments — near-uniform synthetic
-    * vectors have no cluster separation for the coarse router to
-    * exploit, so misrouting is ~coin-flip at group boundaries. On a
-    * real embedding manifold (separated clusters — the SemDeDup
-    * setting) agreement is structurally higher (100% on the sf0.001
-    * fixture at k=120), but the honest rule stands: measure agreement
-    * on YOUR corpus before switching, and prefer the exact flat form
-    * until k·d makes it the measured bottleneck. */
+    * MEASURED VERDICT (SCALE.md rounds 15 + 17) — a KEPT dial, not the
+    * default. Round 15 (near-uniform synthetic vectors, k=4096, d=16):
+    * only 12% wall saved and 53% agreement — boundary coin-flips on a
+    * corpus with no separation. Round 17 ([[graft.TwoLevelProbe]],
+    * SEPARATED clusters at ±1000 milli vs ±10 noise, d ∈ {16, 64,
+    * 256}): 2.1–2.3× faster than the flat argmin at EVERY d (d=256:
+    * 0.98 s → 0.43 s per 20k rows) with 99% agreement — the r15
+    * number was the corpus, not the operator. The honest rule stands:
+    * default to the exact flat form; switch to this dial when k·d is
+    * the measured bottleneck AND your corpus shows separation —
+    * measure agreement on YOUR data first (both regimes now have
+    * numbers in SCALE.md). */
   def kmeansAssignTwoLevel(df: DataFrame, cents: Array[Array[Long]],
       idCol: String, vecCol: String, nProbeCoarse: Int = 2): DataFrame = {
     val g = math.max(1, math.round(math.sqrt(cents.length.toDouble)).toInt)
