@@ -131,7 +131,14 @@ object Bench {
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     val rerunsJson = outlierReruns.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","steal_s":$stealS,"load_before":$loadBefore,"load_after":$loadAfter,"outlier_rule":"extra rep when min > 2x anchor ($anchorFile)","outlier_reruns":$rerunsJson,"steal_per_query_s":$stealQs}"""
+    // The clean-anchor comparison travels INSIDE the artifact (round-17
+    // verdict item): when the DRIVER times the catalog with its own
+    // harness (no outlier rule), any consumer of bench_results.json can
+    // still self-adjudicate a suspicious number against the committed
+    // clean anchor without hunting for BENCH_LOCAL.
+    val anchorQs = results.keys.toSeq.sorted.flatMap(k => anchor.get(k).map(a =>
+      s"\"" + k + "\":" + a)).mkString("{", ",", "}")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","steal_s":$stealS,"load_before":$loadBefore,"load_after":$loadAfter,"outlier_rule":"extra rep when min > 2x anchor ($anchorFile)","outlier_reruns":$rerunsJson,"anchor_file":"$anchorFile","anchor_per_query":$anchorQs,"steal_per_query_s":$stealQs}"""
     // file first (survives stdout truncation) at full precision
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] could not write $outFile: $e") }
