@@ -213,7 +213,11 @@ object ScaleProbe {
     // image near-dup: synth+decode+dHash are one narrow scan; the one
     // corpus exchange carries (id, 56-bit sig) per band — pair volume
     // rides bucket sizes (capped), never corpus²
-    "media_dedup_features")
+    "media_dedup_features",
+    // day-2 image dedup: rep 1 pays the one-time bucketed signature
+    // index write; the timed min is the batch decode + zero-Exchange
+    // band probe (plan-pinned)
+    "media_dedup_incremental")
 
   private def rot(s: String, k: Int): String = s.drop(k % s.length) + s.take(k % s.length)
 

@@ -1044,15 +1044,14 @@ object LlmQueries {
     * distance is closed-form integer arithmetic — the oracle states
     * the decoded pixels independently, so the gate only passes when
     * the REAL decoder ran. */
-  val mediaDedupFeatures: Q = (s, dir) => {
-    val d = Tables(s, dir, "documents").select(col("doc_id"),
-      expr("CAST(doc_id DIV 8 AS BIGINT)").as("p"),
-      expr("CAST(doc_id % 8 AS BIGINT)").as("nx"),
-      expr("CAST((doc_id DIV 8) % 8 AS BIGINT)").as("ny"))
-    // stored BMP rows are bottom-up: byte position i covers stored row
-    // i DIV 8 = image row 7 - (i DIV 8), column i % 8; grays stay in
-    // 1..126 so utf-8 encodes each as ONE byte. The texture hash is
-    // the portable hash60 rule (first 15 md5 hex chars as BIGINT)
+  /** Synthesized 8×8 BMPs → dHash signatures for a frame carrying
+    * (doc_id, p, nx, ny): texture cluster p, noise pixel (nx, ny).
+    * Stored BMP rows are bottom-up: byte position i covers stored row
+    * i DIV 8 = image row 7 − (i DIV 8), column i % 8; grays stay in
+    * 1..126 so utf-8 encodes each as ONE byte. The texture hash is
+    * the portable hash60 rule (first 15 md5 hex chars as BIGINT).
+    * Shared by [[mediaDedupFeatures]] and the incremental probe. */
+  private def mediaSigsFor(d: DataFrame): DataFrame = {
     val pix = expr(
       "array_join(transform(sequence(0, 63), i -> repeat(chr(" +
         "1 + CAST((CAST(conv(substring(md5(concat('img:', CAST(p AS STRING), ':', " +
@@ -1073,10 +1072,78 @@ object LlmQueries {
     val bmp = concat(lit(header), to_binary(pix, lit("utf-8")))
     val media = d.select(col("doc_id"),
       Multimodal.mediaStruct(bmp, lit("image/bmp"), lit(8), lit(8), lit(1)).as("media"))
-    val sigs = Multimodal.imageDHash(media, "doc_id", "media", grid = 8)
+    Multimodal.imageDHash(media, "doc_id", "media", grid = 8)
+  }
+
+  /** The corpus image frame: one texture per 8-doc cluster, one noisy
+    * pixel per doc (BIGINT p: p·hash-mix overflows INT under ANSI). */
+  private def mediaCorpusParams(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents").select(col("doc_id"),
+      expr("CAST(doc_id DIV 8 AS BIGINT)").as("p"),
+      expr("CAST(doc_id % 8 AS BIGINT)").as("nx"),
+      expr("CAST((doc_id DIV 8) % 8 AS BIGINT)").as("ny"))
+
+  val mediaDedupFeatures: Q = (s, dir) => {
+    val sigs = mediaSigsFor(mediaCorpusParams(s, dir))
     Dedup.bitSignaturePairs(sigs, "doc_id", "sig",
         nBits = 56, bands = 4, maxHamming = 4, maxBucket = MaxBucket)
       .orderBy("id_a", "id_b")
+  }
+
+  /** DAY-2 IMAGE DEDUP — the persisted deploy shape of
+    * [[mediaDedupFeatures]] (the `dedup_incremental_bucketed` /
+    * `ann_ivf_persisted` layout investment applied to perceptual
+    * signatures): the corpus's dHash band keys persist ONCE as a
+    * `bucketBy(bucket)` table carrying (bucket, id, sig); a new image
+    * batch (the echo convention — hb < 85 re-encodes of EXISTING
+    * corpus images under new ids, the rest genuinely-new textures)
+    * computes signatures scan-side, explodes its own band keys, and
+    * probes the index with ZERO Exchange on the index side
+    * (plan-pinned). Per batch image: the count of DISTINCT corpus
+    * images within Hamming ≤ 4 and the `dup_corpus`/`new` status —
+    * the first question an image-crawl ingest asks. Every pixel, bit,
+    * band, and distance replays in the oracle. */
+  val mediaDedupIncremental: Q = (s, dir) => {
+    val corpus = mediaCorpusParams(s, dir)
+    val off = Tables(s, dir, "documents").agg(max("doc_id")).head.getLong(0) + 1L
+    def bandKeys(df: DataFrame): DataFrame =
+      df.select(col("doc_id"), col("sig"),
+        explode(array((0 until 4).map(b =>
+          concat_ws(":", lit(b).cast("string"), substring(col("sig"), b * 14 + 1, 14))): _*))
+          .as("bucket"))
+    val Seq(idxTable) = BucketCache.tables(s, s"media_sigs:$dir", { (tag, tmp) =>
+      val name = s"graft_msig_b_$tag"
+      bandKeys(mediaSigsFor(corpus))
+        .select(col("bucket"), col("doc_id").as("c_id"), col("sig").as("c_sig"))
+        .write.bucketBy(8, "bucket").sortBy("bucket")
+        .option("path", s"$tmp/msig").mode("overwrite").saveAsTable(name)
+      Seq(name)
+    })
+    // echo rule: hb < 85 re-encodes the ORIGINAL image (same texture
+    // cluster, same noise pixel) under a new id; the rest are new
+    // textures (their own p DIV 8 — beyond every corpus cluster)
+    val hb = Sampling.hashBucket256(col("doc_id"))
+    val batchParams = Tables(s, dir, "documents").select(
+      (col("doc_id") + lit(off)).as("doc_id"),
+      when(hb < 85, expr("CAST(doc_id DIV 8 AS BIGINT)"))
+        .otherwise(expr(s"CAST((doc_id + $off) DIV 8 AS BIGINT)")).as("p"),
+      when(hb < 85, expr("CAST(doc_id % 8 AS BIGINT)"))
+        .otherwise(expr(s"CAST((doc_id + $off) % 8 AS BIGINT)")).as("nx"),
+      when(hb < 85, expr("CAST((doc_id DIV 8) % 8 AS BIGINT)"))
+        .otherwise(expr(s"CAST(((doc_id + $off) DIV 8) % 8 AS BIGINT)")).as("ny"))
+    val batchSigs = mediaSigsFor(batchParams)
+    val hits = bandKeys(batchSigs)
+      .join(s.table(idxTable), Seq("bucket"))
+      .filter(graft.functions.HashFunctions.hammingBits(col("sig"), col("c_sig"))
+        .cast("int") <= 4)
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("c_id")).as("n_dups"))
+    batchSigs.select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left_outer")
+      .na.fill(0L, Seq("n_dups"))
+      .select(col("doc_id"), col("n_dups"),
+        when(col("n_dups") > 0, lit("dup_corpus")).otherwise(lit("new")).as("status"))
+      .orderBy("doc_id")
   }
 
   /** REAL image decode through the driver gate: a deterministic 24-bit
@@ -3265,6 +3332,7 @@ object LlmQueries {
     "sample_docs_per_lang" -> sampleDocsPerLang,
     "media_features" -> mediaFeatures,
     "media_dedup_features" -> mediaDedupFeatures,
+    "media_dedup_incremental" -> mediaDedupIncremental,
     "media_decode_bmp" -> mediaDecodeBmp,
     "media_decode_png" -> mediaDecodePng,
     "media_decode_gif" -> mediaDecodeGif,
@@ -5768,6 +5836,52 @@ object LlmQueries {
          |  FROM cand, unnest(range(1, 57)) t(j) GROUP BY id_a, id_b)
          |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 4
          |ORDER BY id_a, id_b""".stripMargin,
+    // the day-2 probe: corpus AND batch pixels both stated closed-form
+    // (the echo rule on the original doc ids), signatures, band keys,
+    // the bucket join, Hamming, and the distinct-corpus-dup census
+    "media_dedup_incremental" ->
+      s"""WITH params AS (
+         |  SELECT doc_id, 'c' AS side, doc_id // 8 AS p, doc_id % 8 AS nx,
+         |    (doc_id // 8) % 8 AS ny
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents), 'b',
+         |    CASE WHEN hb < 85 THEN doc_id // 8
+         |      ELSE (doc_id + (SELECT max(doc_id) + 1 FROM documents)) // 8 END,
+         |    CASE WHEN hb < 85 THEN doc_id % 8
+         |      ELSE (doc_id + (SELECT max(doc_id) + 1 FROM documents)) % 8 END,
+         |    CASE WHEN hb < 85 THEN (doc_id // 8) % 8
+         |      ELSE ((doc_id + (SELECT max(doc_id) + 1 FROM documents)) // 8) % 8 END
+         |  FROM (SELECT doc_id,
+         |      (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+         |      + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS hb
+         |    FROM documents)),
+         |px AS (SELECT side, doc_id, x, y,
+         |    1 + CAST((${hx60("md5('img:' || CAST(p AS VARCHAR) || ':' || CAST(x AS VARCHAR) || ':' || CAST(y AS VARCHAR))")} % 126 +
+         |      CASE WHEN x = nx AND y = ny THEN 63 ELSE 0 END) % 126 AS INT) AS g
+         |  FROM params, unnest(range(0, 8)) tx(x), unnest(range(0, 8)) ty(y)),
+         |bits AS (SELECT a.side, a.doc_id, a.y, a.x,
+         |    CASE WHEN b.g > a.g THEN '1' ELSE '0' END AS bit
+         |  FROM px a JOIN px b ON b.side = a.side AND b.doc_id = a.doc_id
+         |    AND b.y = a.y AND b.x = a.x + 1
+         |  WHERE a.x < 7),
+         |sg AS (SELECT side, doc_id, string_agg(bit, '' ORDER BY y, x) AS sig
+         |  FROM bits GROUP BY side, doc_id),
+         |bb AS (SELECT side, doc_id, sig, i,
+         |    CAST(i AS VARCHAR) || ':' || substr(sig, CAST(i*14 + 1 AS INT), 14) AS k
+         |  FROM sg, unnest(range(0, 4)) t(i)),
+         |cand AS (SELECT DISTINCT b.doc_id AS bid, c.doc_id AS cid, b.sig AS sb, c.sig AS sc
+         |  FROM bb b JOIN bb c ON b.k = c.k AND b.side = 'b' AND c.side = 'c'),
+         |ham AS (SELECT bid, cid,
+         |    CAST(sum(CASE WHEN substr(sb, CAST(j AS INT), 1) <> substr(sc, CAST(j AS INT), 1)
+         |      THEN 1 ELSE 0 END) AS INT) AS hamming
+         |  FROM cand, unnest(range(1, 57)) t(j) GROUP BY bid, cid),
+         |hits AS (SELECT bid, CAST(count(DISTINCT cid) AS BIGINT) AS n_dups
+         |  FROM ham WHERE hamming <= 4 GROUP BY bid)
+         |SELECT p.doc_id, COALESCE(h.n_dups, 0) AS n_dups,
+         |  CASE WHEN COALESCE(h.n_dups, 0) > 0 THEN 'dup_corpus' ELSE 'new' END AS status
+         |FROM params p LEFT JOIN hits h ON p.doc_id = h.bid
+         |WHERE p.side = 'b' ORDER BY p.doc_id""".stripMargin,
     // the oracle states the EXPECTED decoded dimensions of the
     // synthesized BMPs — Spark only matches if ImageIO actually decoded
     // the payloads (the stub fallback would emit byte sums, not (4, h))

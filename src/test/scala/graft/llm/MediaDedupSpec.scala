@@ -102,6 +102,30 @@ class MediaDedupSpec extends AnyFunSuite {
     assert(viaText.nonEmpty)
   }
 
+  test("media_dedup_incremental: echoes hit the corpus index, new textures come back new") {
+    val off = graft.queries.Tables(spark, TestSpark.sfDir, "documents")
+      .agg(max("doc_id")).head.getLong(0) + 1L
+    val out = graft.queries.LlmQueries.mediaDedupIncremental(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.nonEmpty)
+    def hb(id: Long): Int = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      Integer.parseInt(h.take(2), 16)
+    }
+    out.foreach { case (id, nDups, status) =>
+      val orig = id - off
+      assert(status === (if (nDups > 0) "dup_corpus" else "new"), s"doc $id")
+      if (hb(orig) < 85)
+        // an echo is pixel-identical to its original: at least that one
+        // corpus image (hamming 0) must be found
+        assert(nDups >= 1, s"echo of $orig must hit the index")
+    }
+    // both statuses fire, and echoes can match multiple cluster-mates
+    assert(out.exists(_._3 == "new") && out.exists(_._3 == "dup_corpus"))
+    assert(out.exists(_._2 > 1), "cluster-mates within hamming 4 should also match")
+  }
+
   test("media_dedup_features: pairs are exactly the planted same-pattern near-dups") {
     val out = graft.queries.LlmQueries.mediaDedupFeatures(spark, TestSpark.sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
