@@ -1051,7 +1051,7 @@ object LlmQueries {
     * 1..126 so utf-8 encodes each as ONE byte. The texture hash is
     * the portable hash60 rule (first 15 md5 hex chars as BIGINT).
     * Shared by [[mediaDedupFeatures]] and the incremental probe. */
-  private def mediaSigsFor(d: DataFrame): DataFrame = {
+  private[queries] def mediaSigsFor(d: DataFrame): DataFrame = {
     val pix = expr(
       "array_join(transform(sequence(0, 63), i -> repeat(chr(" +
         "1 + CAST((CAST(conv(substring(md5(concat('img:', CAST(p AS STRING), ':', " +
@@ -1077,7 +1077,7 @@ object LlmQueries {
 
   /** The corpus image frame: one texture per 8-doc cluster, one noisy
     * pixel per doc (BIGINT p: p·hash-mix overflows INT under ANSI). */
-  private def mediaCorpusParams(s: SparkSession, dir: String): DataFrame =
+  private[queries] def mediaCorpusParams(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents").select(col("doc_id"),
       expr("CAST(doc_id DIV 8 AS BIGINT)").as("p"),
       expr("CAST(doc_id % 8 AS BIGINT)").as("nx"),

@@ -472,6 +472,36 @@ object StreamingQueries {
     drain(s, name, s.table(name).orderBy("content_hash"))
   }
 
+  /** Streaming IMAGE dedup — the multimodal ingest path end-to-end on
+    * an unbounded stream: images arrive (the synthesized-BMP frame the
+    * batch image-dedup gates share), are REALLY decoded and
+    * fingerprinted scan-side ([[graft.llm.Multimodal.imageDHash]] —
+    * a narrow mapPartitions runs unchanged on a streaming Dataset),
+    * and `dropDuplicates` on the perceptual signature keeps state of
+    * every dHash seen — a re-encoded or pixel-identical duplicate
+    * image never passes the door twice. The output projects only the
+    * signature (which duplicate arrives first is arrival-order, so no
+    * per-doc column may leak into the result — the
+    * `stream_dedup_docs` determinism rule). State is one 56-char
+    * bit-string per DISTINCT image fingerprint — bounded by content
+    * diversity, not stream length; production bounds it further with
+    * a watermark in the dedup key. Oracle: the batch distinct-sig
+    * set, every pixel/bit replayed. */
+  val streamMediaDedup: Q = (s, dir) => withStatePartitions(s, 8) {
+    import org.apache.spark.sql.functions._
+    val name = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val (tmp, schema) = spillIdBucketsCached(s, dir,
+      LlmQueries.mediaCorpusParams(s, dir), "doc_id", 4, tag = "msig")
+    val src = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp.getPath + "/*.parquet")
+    val dedup = LlmQueries.mediaSigsFor(src)
+      .dropDuplicates("sig")
+      .select(col("sig"))
+    val q = dedup.writeStream.format("memory").queryName(name).outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    drain(s, name, s.table(name).orderBy("sig"))
+  }
+
   /** Streaming Count-Min maintenance —
     * [[graft.llm.Sketches.cmsCounters]] running UNCHANGED on the
     * documents stream: the sketch where it earns its keep, an
@@ -1095,6 +1125,7 @@ object StreamingQueries {
     "stream_incremental_totals" -> streamIncrementalTotals,
     "stream_windowed_counts" -> streamWindowedCounts,
     "stream_dedup_docs" -> streamDedupDocs,
+    "stream_media_dedup" -> streamMediaDedup,
     "stream_cms_matrix" -> streamCmsMatrix,
     "stream_ann_ivf_probe" -> streamAnnIvfProbe,
     "stream_dsir_score" -> streamDsirScore,
@@ -1286,6 +1317,19 @@ object StreamingQueries {
       """SELECT DISTINCT md5(lower(text)) AS content_hash,
         |  octet_length(encode(text)) AS n_bytes
         |FROM documents ORDER BY content_hash""".stripMargin,
+    // the distinct perceptual-fingerprint set: pixels, dHash bits, and
+    // the signature replayed — arrival order can never change a SET
+    "stream_media_dedup" ->
+      s"""WITH px AS (SELECT doc_id, x, y,
+         |    1 + CAST((${LlmQueries.hx60("md5('img:' || CAST(doc_id // 8 AS VARCHAR) || ':' || CAST(x AS VARCHAR) || ':' || CAST(y AS VARCHAR))")} % 126 +
+         |      CASE WHEN x = doc_id % 8 AND y = (doc_id // 8) % 8
+         |        THEN 63 ELSE 0 END) % 126 AS INT) AS g
+         |  FROM documents, unnest(range(0, 8)) tx(x), unnest(range(0, 8)) ty(y)),
+         |bits AS (SELECT a.doc_id, a.y, a.x, CASE WHEN b.g > a.g THEN '1' ELSE '0' END AS bit
+         |  FROM px a JOIN px b ON b.doc_id = a.doc_id AND b.y = a.y AND b.x = a.x + 1
+         |  WHERE a.x < 7),
+         |sg AS (SELECT doc_id, string_agg(bit, '' ORDER BY y, x) AS sig FROM bits GROUP BY doc_id)
+         |SELECT DISTINCT sig FROM sg ORDER BY sig""".stripMargin,
     // the streaming probe equals the batch ivf by construction (same
     // index, same routing rule, same ranking) — shared oracle, so any
     // batch/stream divergence hash-fails rather than drifting
