@@ -66,9 +66,12 @@ object Bench {
       try {
         val txt = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get(anchorFile)))
-        val qPart = txt.substring(txt.indexOf("\"queries\":{"))
-        "\"([A-Za-z0-9_]+)\":(-?[0-9][0-9.eE+-]*)".r.findAllMatchIn(
-            qPart.substring(0, qPart.indexOf("}")))
+        // whitespace-tolerant: the r16 merged anchor was written by an
+        // external tool as `"queries": {` and the exact-match parse
+        // silently disabled the outlier rule for a whole round
+        val braceAt = txt.indexOf("{", txt.indexOf("\"queries\"") + 9)
+        "\"([A-Za-z0-9_]+)\"\\s*:\\s*(-?[0-9][0-9.eE+-]*)".r.findAllMatchIn(
+            txt.substring(braceAt, txt.indexOf("}", braceAt)))
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       } catch { case scala.util.control.NonFatal(_) => Map.empty }
     val outlierReruns = scala.collection.mutable.ListBuffer.empty[String]
