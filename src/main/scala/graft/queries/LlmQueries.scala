@@ -1090,6 +1090,25 @@ object LlmQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** IMAGE DUPLICATE CLUSTERS — the transitive closure of
+    * [[mediaDedupFeatures]]' pair graph ([[Dedup.connectedComponents]]
+    * — the same pointer-jumping min-label CC every text dedup family
+    * uses), plus the keep-one rule: each cluster keeps its minimum
+    * member id (`keep = 1`). This is the decision output of the image
+    * pipeline — pairs say "these two look alike", clusters say "store
+    * one of these eight". The oracle replays the pair chain and the
+    * closure itself (a recursive reachability CTE taking min labels),
+    * so the component ids are hash-verified, not just the pairs. */
+  val mediaDedupClusters: Q = (s, dir) => {
+    val sigs = mediaSigsFor(mediaCorpusParams(s, dir))
+    val pairs = Dedup.bitSignaturePairs(sigs, "doc_id", "sig",
+      nBits = 56, bands = 4, maxHamming = 4, maxBucket = MaxBucket)
+    Dedup.connectedComponents(pairs.select("id_a", "id_b"))
+      .select(col("id").as("doc_id"), col("comp").as("component"),
+        (col("id") === col("comp")).cast("int").as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** DAY-2 IMAGE DEDUP — the persisted deploy shape of
     * [[mediaDedupFeatures]] (the `dedup_incremental_bucketed` /
     * `ann_ivf_persisted` layout investment applied to perceptual
@@ -3333,6 +3352,7 @@ object LlmQueries {
     "media_features" -> mediaFeatures,
     "media_dedup_features" -> mediaDedupFeatures,
     "media_dedup_incremental" -> mediaDedupIncremental,
+    "media_dedup_clusters" -> mediaDedupClusters,
     "media_decode_bmp" -> mediaDecodeBmp,
     "media_decode_png" -> mediaDecodePng,
     "media_decode_gif" -> mediaDecodeGif,
@@ -5836,6 +5856,39 @@ object LlmQueries {
          |  FROM cand, unnest(range(1, 57)) t(j) GROUP BY id_a, id_b)
          |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 4
          |ORDER BY id_a, id_b""".stripMargin,
+    // the pair chain + the closure itself: recursive reachability with
+    // min labels — component ids hash-verified, not just pairs
+    "media_dedup_clusters" ->
+      s"""WITH RECURSIVE px AS (SELECT doc_id, x, y,
+         |    1 + CAST((${hx60("md5('img:' || CAST(doc_id // 8 AS VARCHAR) || ':' || CAST(x AS VARCHAR) || ':' || CAST(y AS VARCHAR))")} % 126 +
+         |      CASE WHEN x = doc_id % 8 AND y = (doc_id // 8) % 8
+         |        THEN 63 ELSE 0 END) % 126 AS INT) AS g
+         |  FROM documents, unnest(range(0, 8)) tx(x), unnest(range(0, 8)) ty(y)),
+         |bits AS (SELECT a.doc_id, a.y, a.x, CASE WHEN b.g > a.g THEN '1' ELSE '0' END AS bit
+         |  FROM px a JOIN px b ON b.doc_id = a.doc_id AND b.y = a.y AND b.x = a.x + 1
+         |  WHERE a.x < 7),
+         |sg AS (SELECT doc_id, string_agg(bit, '' ORDER BY y, x) AS sig FROM bits GROUP BY doc_id),
+         |bb AS (SELECT doc_id, sig, i,
+         |    CAST(i AS VARCHAR) || ':' || substr(sig, CAST(i*14 + 1 AS INT), 14) AS k
+         |  FROM sg, unnest(range(0, 4)) t(i)),
+         |okb AS (SELECT k FROM (SELECT k, count(*) AS n FROM bb GROUP BY k)
+         |  WHERE n BETWEEN 2 AND $MaxBucket),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sa, b.sig AS sb
+         |  FROM bb a JOIN bb b ON a.k = b.k AND a.doc_id < b.doc_id JOIN okb ON a.k = okb.k),
+         |ham AS (SELECT id_a, id_b,
+         |    CAST(sum(CASE WHEN substr(sa, CAST(j AS INT), 1) <> substr(sb, CAST(j AS INT), 1)
+         |      THEN 1 ELSE 0 END) AS INT) AS hamming
+         |  FROM cand, unnest(range(1, 57)) t(j) GROUP BY id_a, id_b),
+         |p2 AS (SELECT id_a, id_b FROM ham WHERE hamming <= 4),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM p2 UNION SELECT id_b, id_a FROM p2),
+         |verts AS (SELECT DISTINCT a AS v FROM edges),
+         |reach AS (
+         |  SELECT v, v AS r FROM verts
+         |  UNION
+         |  SELECT e.a AS v, reach.r FROM edges e JOIN reach ON reach.v = e.b)
+         |SELECT v AS doc_id, CAST(min(r) AS BIGINT) AS component,
+         |  CAST(CASE WHEN v = min(r) THEN 1 ELSE 0 END AS INT) AS keep
+         |FROM reach GROUP BY v ORDER BY doc_id""".stripMargin,
     // the day-2 probe: corpus AND batch pixels both stated closed-form
     // (the echo rule on the original doc ids), signatures, band keys,
     // the bucket join, Hamming, and the distinct-corpus-dup census

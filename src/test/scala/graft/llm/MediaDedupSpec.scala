@@ -126,6 +126,22 @@ class MediaDedupSpec extends AnyFunSuite {
     assert(out.exists(_._2 > 1), "cluster-mates within hamming 4 should also match")
   }
 
+  test("media_dedup_clusters: closure stays inside texture clusters; keep = min id") {
+    val out = graft.queries.LlmQueries.mediaDedupClusters(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(out.nonEmpty)
+    out.foreach { case (id, compo, keep) =>
+      assert(id / 8 === compo / 8, s"component $compo crosses texture cluster of $id")
+      assert(keep === (if (id == compo) 1 else 0))
+    }
+    // every component's label IS its minimum member
+    out.groupBy(_._2).foreach { case (compo, members) =>
+      assert(members.map(_._1).min === compo, s"component $compo label is not the min member")
+    }
+    // dedup actually deduplicates: strictly fewer keepers than members
+    assert(out.count(_._3 == 1) < out.length)
+  }
+
   test("media_dedup_features: pairs are exactly the planted same-pattern near-dups") {
     val out = graft.queries.LlmQueries.mediaDedupFeatures(spark, TestSpark.sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
