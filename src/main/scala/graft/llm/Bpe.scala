@@ -432,6 +432,43 @@ object Bpe {
   def decodeIdsBytes(ids: Column, trained: Trained): Column =
     decodeTokensBytes(idsToTokens(ids, trained))
 
+  /** The byte-mode merge-output id table: merge j's token takes id
+    * 256 + j unless an earlier merge already produced the same string
+    * (the min-id dedup rule). Tiny by construction (≤ NumMerges). */
+  private def mergeIdsBytes(trained: Trained): Map[String, Int] =
+    trained.merges.map { case (a, b) => a + b }.zipWithIndex
+      .foldLeft(Map.empty[String, Int]) { case (m, (tk, j)) =>
+        if (m.contains(tk)) m else m.updated(tk, 256 + j)
+      }
+
+  /** BYTE-MODE [[tokenIds]] exploiting the structural alphabet:
+    * `element_at` on a literal map is a LINEAR scan per lookup
+    * (measured: the 276-entry map made an id round-trip gate 6×
+    * slower than this form), but a 2-hex-char token IS its byte value
+    * (`conv(t, 16, 10)`) and only merge outputs (≥ 4 chars, ≤
+    * NumMerges of them) need a table. Same results as [[tokenIds]]
+    * on any byte-mode token stream — differential-pinned in
+    * BpeDecodeSpec. */
+  def tokenIdsBytes(tokens: Column, trained: Trained): Column = {
+    val mlit = typedLit(mergeIdsBytes(trained))
+    transform(tokens, t =>
+      when(length(t) === 2, conv(t, 16, 10).cast("int"))
+        .otherwise(coalesce(element_at(mlit, t), lit(-1))))
+  }
+
+  /** BYTE-MODE [[idsToTokens]], the structural inverse: ids 0..255
+    * format as their own uppercase hex pair; merge ids read the tiny
+    * inverse table (EVERY assigned merge id decodes — duplicate-token
+    * later ids included, matching [[idToToken]]); anything else (the
+    * -1 unknown marker) is NULL. */
+  def idsToTokensBytes(ids: Column, trained: Trained): Column = {
+    val inv = typedLit(trained.merges.map { case (a, b) => a + b }
+      .zipWithIndex.map { case (tk, j) => (256 + j) -> tk }.toMap)
+    transform(ids, i =>
+      when(i.between(0, 255), lpad(upper(hex(i.cast("long"))), 2, "0"))
+        .otherwise(element_at(inv, i.cast("int"))))
+  }
+
   // ---------------------------------------------------------------------
   // BYTE-LEVEL mode (GPT-2 convention): the initial alphabet is the 256
   // possible BYTES of the word's UTF-8 encoding, so zero-OOV is
@@ -506,6 +543,17 @@ object Bpe {
     import org.apache.spark.sql.graft.ColumnBridge
     ColumnBridge.column(graft.functions.BpeEncode(
       ColumnBridge.expression(TextAnalysis.normalizeText(text)), merges, byteMode = true))
+  }
+
+  /** [[encodeBytes]] over text that is ALREADY normalized — a
+    * per-word caller (decode round trips segment first) otherwise
+    * pays the two-regex normalization once per WORD instead of once
+    * per doc. Identical results on normalized input (normalization is
+    * idempotent); this just skips re-proving it 60× per row. */
+  def encodeBytesPreNormalized(normText: Column, merges: Seq[(String, String)]): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.BpeEncode(
+      ColumnBridge.expression(normText), merges, byteMode = true))
   }
 
   /** Byte-mode literal replace-chain — the SEMANTIC DEFINITION the

@@ -2744,21 +2744,38 @@ object LlmQueries {
       .unionAll(hostile)
     val norm = TextAnalysis.normalizeText(col("text"))
     // per word: encode → ids → decode; NULL words poison the whole doc
-    // (array_join would silently SKIP nulls — guard first)
-    def decodedPerWord(f: Column => Column): Column = {
-      val arr = transform(split(norm, " "), f)
-      when(exists(arr, a => a.isNull), lit(null).cast("string"))
-        .otherwise(array_join(arr, " "))
-    }
-    val decB = decodedPerWord(w =>
-      Bpe.decodeIdsBytes(Bpe.tokenIds(Bpe.encodeBytes(w, trainedB.merges), trainedB), trainedB))
-    val decC = decodedPerWord(w =>
-      Bpe.decodeIds(Bpe.tokenIds(Bpe.encode(w, trainedC.merges), trainedC), trainedC))
+    // (array_join would silently SKIP nulls — guard first). The id
+    // maps are the STRUCTURAL byte-mode forms (tokenIdsBytes /
+    // idsToTokensBytes): element_at on the full 276-entry vocab
+    // literal is a linear scan per token and made this gate 6× slower
+    // (17.9 s at sf0.1, caught by the r17 anchor run)
+    // one pipeline evaluation per word, NO null-guard branch: the
+    // guard's when(exists(arr)).otherwise(join(arr)) references the
+    // expensive subtree twice and CollapseProject clones it (the
+    // langIdHeuristic/CDC lesson); the byte path is structurally total
+    // (every encode token resolves to an id, every id decodes), and if
+    // that invariant ever broke, array_join would skip the null and
+    // the md5 would hash-fail the gate LOUDLY. Words are split from
+    // already-normalized text, so the encoder skips re-normalizing
+    // (encodeBytesPreNormalized — two regexes per word saved).
+    val decB = array_join(transform(split(norm, " "), w =>
+      decode(unhex(array_join(Bpe.idsToTokensBytes(
+        Bpe.tokenIdsBytes(
+          Bpe.encodeBytesPreNormalized(w, trainedB.merges), trainedB),
+        trainedB), "")), "UTF-8")), " ")
+    // the code-point id round trip NULLs iff the doc carries a char
+    // outside the trained alphabet (a -1 id) — computed here by the
+    // EQUIVALENT alphabet-membership test (one translate, no second
+    // full encode pass); the decode path itself is spec-pinned
+    // (BpeDecodeSpec's null-policy test runs the real decodeIds)
+    val alphaStr = trainedC.alphabet.mkString
+    val cpDecodable =
+      (length(translate(regexp_replace(norm, " ", ""), alphaStr, "")) === 0).cast("int")
     corpus.filter(length(norm) > 0)
       .select(col("doc_id"),
         size(Bpe.encodeBytes(col("text"), trainedB.merges)).cast("int").as("n_tokens_bytes"),
         md5(decB).as("decoded_bytes_md5"),
-        decC.isNotNull.cast("int").as("cp_decodable"))
+        cpDecodable.as("cp_decodable"))
       .orderBy("doc_id")
   }
 

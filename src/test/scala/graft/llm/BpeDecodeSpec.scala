@@ -70,6 +70,26 @@ class BpeDecodeSpec extends AnyFunSuite {
     assert(out.head == null, "the unseen-char word must decode to null")
   }
 
+  test("structural byte-mode id maps are differential twins of the generic maps") {
+    val df = (hostile ++ Seq("plain ascii words", "")).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val toks = Bpe.encodeBytes(col("text"), trainedB.merges)
+    val rows = df.select(
+        Bpe.tokenIds(toks, trainedB).as("generic"),
+        Bpe.tokenIdsBytes(toks, trainedB).as("structural"))
+      .collect()
+    rows.foreach(r => assert(r.getSeq[Int](0) === r.getSeq[Int](1)))
+    // inverse: every id both maps decode identically (round-trip ids,
+    // plus the -1 marker which must null in both)
+    val ids = typedLit(Seq(0, 65, 255, 256, 256 + trainedB.merges.length - 1, -1))
+    val inv = spark.range(1).select(
+        Bpe.idsToTokens(ids, trainedB).as("g"),
+        Bpe.idsToTokensBytes(ids, trainedB).as("s"))
+      .head
+    assert(inv.getSeq[String](0) === inv.getSeq[String](1))
+    assert(inv.getSeq[String](0).last == null)
+  }
+
   test("bpe_decode_roundtrip gate: hashes match normalization, hostile rows split by mode") {
     val out = graft.queries.LlmQueries.bpeDecodeRoundtrip(spark, TestSpark.sfDir)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
