@@ -217,7 +217,14 @@ object ScaleProbe {
     // day-2 image dedup: rep 1 pays the one-time bucketed signature
     // index write; the timed min is the batch decode + zero-Exchange
     // band probe (plan-pinned)
-    "media_dedup_incremental")
+    "media_dedup_incremental",
+    // pairs + pointer-jumping CC + keep rule: rounds ride the bounded
+    // pair graph (the dedup_keep_central iterative profile)
+    "media_dedup_clusters",
+    // the id round trip is a narrow per-word compute map (structural
+    // byte ids, no vocab-map scans — the r17 8.5× lesson); cost must
+    // track the token stream linearly
+    "bpe_decode_roundtrip")
 
   private def rot(s: String, k: Int): String = s.drop(k % s.length) + s.take(k % s.length)
 
