@@ -224,7 +224,10 @@ object ScaleProbe {
     // the id round trip is a narrow per-word compute map (structural
     // byte ids, no vocab-map scans — the r17 8.5× lesson); cost must
     // track the token stream linearly
-    "bpe_decode_roundtrip")
+    "bpe_decode_roundtrip",
+    // denoising data prep: tokenize + per-block hash + assemble, one
+    // narrow map — no shuffle at any corpus size
+    "span_corruption")
 
   private def rot(s: String, k: Int): String = s.drop(k % s.length) + s.take(k % s.length)
 

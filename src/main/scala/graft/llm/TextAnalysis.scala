@@ -103,6 +103,63 @@ object TextAnalysis {
   def normalizeText(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[.,;:!?]", ""), " +", " "))
 
+  /** T5-STYLE SPAN CORRUPTION — the denoising-objective data prep
+    * (Raffel et al., JMLR 2020): mask contiguous word spans with
+    * sentinel tokens, emit (input, target) pairs where the input
+    * carries `<extra_id_k>` at each masked span and the target lists
+    * `<extra_id_k>` followed by the masked words. The randomness is
+    * the seed-free portable rule every sampler in this library uses:
+    * words partition into fixed `spanWords`-blocks and block b of doc
+    * d masks iff `hash60("span:" + d + ":" + b) mod 1000 < maskMilli`
+    * — non-overlapping spans BY CONSTRUCTION (block granularity), mean
+    * span length = spanWords, expected corruption rate = maskMilli/1000,
+    * and any engine replays every masking decision, sentinel index,
+    * and assembled string (the oracle does).
+    *
+    * Scale shape: ONE narrow map — tokenize, per-block hash, assemble —
+    * no shuffle, no state; the per-doc HOF work is O(blocks²) from the
+    * sentinel-rank prefix count, bounded by (len/spanWords)² which at
+    * typical doc lengths is noise against the tokenize itself.
+    * Output: (id, n_words, n_spans, n_masked_words, input, target). */
+  def spanCorruption(df: DataFrame, idCol: String, textCol: String,
+      spanWords: Int = 3, maskMilli: Int = 150): DataFrame = {
+    require(spanWords > 0, "spanWords must be positive")
+    require(maskMilli >= 0 && maskMilli <= 1000, s"maskMilli in [0,1000]; got $maskMilli")
+    val d = df.select(col(idCol).as("id"),
+      split(normalizeText(col(textCol)), " ").as("ws"))
+    // per block: masked iff hash60 of (id, block) under the threshold
+    def maskedCol(b: Column, id: Column): Column =
+      Sampling.hash60(concat(lit("span:"), id.cast("string"), lit(":"), b.cast("string"))) %
+        1000 < lit(maskMilli)
+    d.select(col("id"), col("ws"),
+        expr(s"transform(sequence(0, (size(ws) - 1) DIV $spanWords), b -> b)").as("bs"))
+      .select(col("id"), col("ws"),
+        transform(col("bs"), b => maskedCol(b, col("id"))).as("mask"))
+      .select(col("id"), col("ws"), col("mask"),
+        // sentinel index of block b = masked blocks before it
+        transform(col("mask"), (_, i) =>
+          size(filter(slice(col("mask"), lit(1), i), m => m))).as("sent"))
+      .select(col("id"),
+        size(col("ws")).cast("int").as("n_words"),
+        size(filter(col("mask"), m => m)).cast("int").as("n_spans"),
+        expr(s"CAST(aggregate(transform(ws, (w, i) -> " +
+          s"IF(element_at(mask, CAST(i DIV $spanWords + 1 AS INT)), 1, 0)), 0, (a, x) -> a + x) AS INT)")
+          .as("n_masked_words"),
+        // input: block starts of masked blocks become the sentinel;
+        // other masked words drop; unmasked words pass through
+        array_join(expr(s"filter(transform(ws, (w, i) -> CASE " +
+          s"WHEN NOT element_at(mask, CAST(i DIV $spanWords + 1 AS INT)) THEN w " +
+          s"WHEN i % $spanWords = 0 OR i = 0 THEN concat('<extra_id_', " +
+          s"CAST(element_at(sent, CAST(i DIV $spanWords + 1 AS INT)) AS STRING), '>') " +
+          s"ELSE NULL END), x -> x IS NOT NULL)"), " ").as("input"),
+        // target: sentinel then the span's words, for each masked block
+        array_join(expr(s"filter(transform(ws, (w, i) -> CASE " +
+          s"WHEN NOT element_at(mask, CAST(i DIV $spanWords + 1 AS INT)) THEN NULL " +
+          s"WHEN i % $spanWords = 0 THEN concat('<extra_id_', " +
+          s"CAST(element_at(sent, CAST(i DIV $spanWords + 1 AS INT)) AS STRING), '> ', w) " +
+          s"ELSE w END), x -> x IS NOT NULL)"), " ").as("target"))
+  }
+
   /** Conservative PII patterns, restricted to the regex subset that
     * Java's engine (Spark) and RE2 (the DuckDB oracle) interpret
     * identically: explicit character classes, greedy quantifiers, no

@@ -1090,6 +1090,16 @@ object LlmQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** T5-style span corruption ([[TextAnalysis.spanCorruption]]): the
+    * denoising-objective (input, target) pairs with sentinel tokens,
+    * masking decided by the portable per-(doc, block) hash rule — the
+    * oracle replays every mask bit, sentinel index, and assembled
+    * string. One narrow scan-side map. */
+  val spanCorruptionQ: Q = (s, dir) =>
+    TextAnalysis.spanCorruption(Tables(s, dir, "documents"), "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
   /** IMAGE DUPLICATE CLUSTERS — the transitive closure of
     * [[mediaDedupFeatures]]' pair graph ([[Dedup.connectedComponents]]
     * — the same pointer-jumping min-label CC every text dedup family
@@ -3370,6 +3380,7 @@ object LlmQueries {
     "media_dedup_features" -> mediaDedupFeatures,
     "media_dedup_incremental" -> mediaDedupIncremental,
     "media_dedup_clusters" -> mediaDedupClusters,
+    "span_corruption" -> spanCorruptionQ,
     "media_decode_bmp" -> mediaDecodeBmp,
     "media_decode_png" -> mediaDecodePng,
     "media_decode_gif" -> mediaDecodeGif,
@@ -5873,6 +5884,39 @@ object LlmQueries {
          |  FROM cand, unnest(range(1, 57)) t(j) GROUP BY id_a, id_b)
          |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 4
          |ORDER BY id_a, id_b""".stripMargin,
+    // every mask bit (the per-(doc, block) hash rule), sentinel index
+    // (running masked-block count), and assembled string replayed;
+    // string_agg skips NULL pieces exactly like Spark's filter
+    "span_corruption" ->
+      s"""WITH n AS (SELECT doc_id,
+         |    trim(regexp_replace(regexp_replace(lower(text), '[.,;:!?]', '', 'g'), ' +', ' ', 'g')) AS nt
+         |  FROM documents),
+         |w AS (SELECT doc_id, string_split(nt, ' ') AS ws FROM n),
+         |wi AS (SELECT doc_id, i - 1 AS i, ws[CAST(i AS INT)] AS word,
+         |    (i - 1) // 3 AS b
+         |  FROM w, unnest(range(1, len(ws) + 1)) r(i)),
+         |mk AS (SELECT DISTINCT doc_id, b,
+         |    ${hx60("md5('span:' || CAST(doc_id AS VARCHAR) || ':' || CAST(b AS VARCHAR))")} % 1000 < 150 AS m
+         |  FROM wi),
+         |sent AS (SELECT doc_id, b, m,
+         |    CAST(COALESCE(sum(CASE WHEN m THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id
+         |      ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INT) AS k
+         |  FROM mk),
+         |pieces AS (SELECT wi.doc_id, wi.i, wi.b, wi.word, s.m, s.k,
+         |    CASE WHEN NOT s.m THEN wi.word
+         |      WHEN wi.i % 3 = 0 THEN '<extra_id_' || CAST(s.k AS VARCHAR) || '>'
+         |      ELSE NULL END AS inp_piece,
+         |    CASE WHEN NOT s.m THEN NULL
+         |      WHEN wi.i % 3 = 0 THEN '<extra_id_' || CAST(s.k AS VARCHAR) || '> ' || wi.word
+         |      ELSE wi.word END AS tgt_piece
+         |  FROM wi JOIN sent s ON wi.doc_id = s.doc_id AND wi.b = s.b)
+         |SELECT doc_id,
+         |  CAST(count(*) AS INT) AS n_words,
+         |  CAST(count(DISTINCT CASE WHEN m THEN b END) AS INT) AS n_spans,
+         |  CAST(sum(CASE WHEN m THEN 1 ELSE 0 END) AS INT) AS n_masked_words,
+         |  COALESCE(string_agg(inp_piece, ' ' ORDER BY i), '') AS input,
+         |  COALESCE(string_agg(tgt_piece, ' ' ORDER BY i), '') AS target
+         |FROM pieces GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // the pair chain + the closure itself: recursive reachability with
     // min labels — component ids hash-verified, not just pairs
     "media_dedup_clusters" ->
