@@ -179,6 +179,24 @@ object BpeOracle {
 
   private def sqlString(s: String): String = "'" + s.replace("'", "''") + "'"
 
+  /** `bpe_fertility_by_source`: per-source tokens-per-word and
+    * bytes-per-token of the byte-mode tokenizer — training and every
+    * per-doc token count replayed through the chain. */
+  val bpeFertilityBySourceSql: String =
+    s"""WITH $trainCtesBytes,
+       |src AS (SELECT d.doc_id, d.source, n.nt
+       |  FROM documents d JOIN normd n ON d.doc_id = n.doc_id),
+       |m AS (SELECT s.source,
+       |    CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(len(string_split(s.nt, ' '))) AS BIGINT) AS n_words,
+       |    CAST(sum(len(e.ts)) AS BIGINT) AS n_tokens,
+       |    CAST(sum(octet_length(encode(s.nt))) AS BIGINT) AS n_bytes
+       |  FROM src s JOIN enc e ON s.doc_id = e.doc_id GROUP BY s.source)
+       |SELECT source, n_docs, n_words, n_tokens, n_bytes,
+       |  CAST(n_tokens * 1000000 // n_words AS BIGINT) AS fertility_ppm,
+       |  CAST(n_bytes * 1000000 // n_tokens AS BIGINT) AS bytes_per_token_ppm
+       |FROM m ORDER BY source""".stripMargin
+
   /** `bpe_decode_roundtrip`: the oracle states `md5(normalized text)`
     * INDEPENDENTLY per doc — it never simulates the Spark side's
     * decode; the hash only matches when ids → hex tokens → bytes →

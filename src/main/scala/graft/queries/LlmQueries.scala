@@ -2789,6 +2789,32 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** TOKENIZER FERTILITY by source — the standard tokenizer-eval
+    * report: tokens-per-word (fertility) and bytes-per-token of the
+    * trained byte-mode BPE, per corpus source. High fertility on a
+    * source means the tokenizer fragments its text (under-trained for
+    * that domain — the signal that drives per-domain vocab tuning);
+    * bytes-per-token is the compression rate a context window
+    * actually buys. Exact integers in ppm; ONE tokenize scan with a
+    * map-side-partial source aggregate; the oracle replays training
+    * AND every per-doc token count through the chain CTEs. */
+  val bpeFertilityBySource: Q = (s, dir) => {
+    val trained = trainedBpeBytes(s, dir)
+    val norm = TextAnalysis.normalizeText(col("text"))
+    Tables(s, dir, "documents")
+      .select(col("source"),
+        size(split(norm, " ")).cast("long").as("w"),
+        size(Bpe.encodeBytes(col("text"), trained.merges)).cast("long").as("t"),
+        octet_length(to_binary(norm, lit("utf-8"))).cast("long").as("b"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("w").as("n_words"),
+        sum("t").as("n_tokens"), sum("b").as("n_bytes"))
+      .select(col("source"), col("n_docs"), col("n_words"), col("n_tokens"), col("n_bytes"),
+        expr("CAST(n_tokens * 1000000 DIV n_words AS BIGINT)").as("fertility_ppm"),
+        expr("CAST(n_bytes * 1000000 DIV n_tokens AS BIGINT)").as("bytes_per_token_ppm"))
+      .orderBy("source")
+  }
+
   /** The token-BUDGET twin of `pack_sequences`: the same parallel
     * two-pass prefix-scan packing, but over EXACT trained-BPE token
     * counts ([[Bpe.tokenCount]]) instead of the whitespace proxy —
@@ -3310,6 +3336,7 @@ object LlmQueries {
     "bpe_encode_bytes" -> bpeEncodeBytes,
     "bpe_coverage_bytes" -> bpeCoverageBytes,
     "bpe_decode_roundtrip" -> bpeDecodeRoundtrip,
+    "bpe_fertility_by_source" -> bpeFertilityBySource,
     "bpe_vocab" -> bpeVocab,
     "bpe_vocab_bytes" -> bpeVocabBytes,
     "bpe_artifact_roundtrip" -> bpeArtifactRoundtrip,
@@ -4811,6 +4838,7 @@ object LlmQueries {
     "bpe_encode_bytes" -> BpeOracle.bpeEncodeBytesSql,
     "bpe_coverage_bytes" -> BpeOracle.bpeCoverageBytesSql(HostileTexts),
     "bpe_decode_roundtrip" -> BpeOracle.bpeDecodeRoundtripSql(HostileTexts),
+    "bpe_fertility_by_source" -> BpeOracle.bpeFertilityBySourceSql,
     "bpe_vocab_bytes" -> BpeOracle.bpeVocabBytesSql,
     "bpe_vocab" -> BpeOracle.bpeVocabSql,
     // the artifact path must change nothing: shared oracle (the

@@ -90,6 +90,22 @@ class BpeDecodeSpec extends AnyFunSuite {
     assert(inv.getSeq[String](0).last == null)
   }
 
+  test("bpe_fertility_by_source: ppm arithmetic replays; byte mode always >= 1 token per word") {
+    val out = graft.queries.LlmQueries.bpeFertilityBySource(spark, TestSpark.sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6)))
+    assert(out.nonEmpty)
+    out.foreach { case (src, nDocs, w, t, b, fert, bpt) =>
+      assert(nDocs > 0 && w > 0 && t > 0 && b > 0, s"$src empties")
+      assert(fert === t * 1000000L / w, s"$src fertility arithmetic")
+      assert(bpt === b * 1000000L / t, s"$src bytes-per-token arithmetic")
+      // a word is at least one byte-mode token; a token covers >= 1 byte
+      assert(fert >= 1000000L, s"$src fertility below 1 token/word")
+      assert(bpt >= 1000000L, s"$src token covering more bytes than exist")
+    }
+  }
+
   test("bpe_decode_roundtrip gate: hashes match normalization, hostile rows split by mode") {
     val out = graft.queries.LlmQueries.bpeDecodeRoundtrip(spark, TestSpark.sfDir)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
