@@ -227,7 +227,10 @@ object ScaleProbe {
     "bpe_decode_roundtrip",
     // denoising data prep: tokenize + per-block hash + assemble, one
     // narrow map — no shuffle at any corpus size
-    "span_corruption")
+    "span_corruption",
+    // one tokenize scan + a |sources|-row aggregate: the report must
+    // track the scan, never the vocabulary
+    "bpe_fertility_by_source")
 
   private def rot(s: String, k: Int): String = s.drop(k % s.length) + s.take(k % s.length)
 
