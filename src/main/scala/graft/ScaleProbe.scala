@@ -230,7 +230,13 @@ object ScaleProbe {
     "span_corruption",
     // one tokenize scan + a |sources|-row aggregate: the report must
     // track the scan, never the vocabulary
-    "bpe_fertility_by_source")
+    "bpe_fertility_by_source",
+    // four bounded aggregates unioned: the card must track the scans,
+    // never a row explosion
+    "dataset_card",
+    // train + confuse in one declarative plan: two scans' worth of
+    // bounded aggregates at any corpus size
+    "quality_classifier_confusion")
 
   private def rot(s: String, k: Int): String = s.drop(k % s.length) + s.take(k % s.length)
 

@@ -1090,6 +1090,46 @@ object LlmQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** DATASET CARD — the summary bundle a published dataset ships
+    * (the HF dataset-card / Datasheets-for-Datasets numbers), computed
+    * as ONE declarative union of bounded aggregates: corpus size
+    * (docs, chars, whitespace words, distinct sources), the language
+    * distribution, the exact discrete quality quartiles (micro units —
+    * the curriculum boundary rule), and the exact-duplicate census.
+    * Every row is (section, metric, value) in exact integers; each
+    * fragment reuses an already-gated oracle pattern, so the card can
+    * never drift from the operators it summarizes. Scale: four
+    * bounded aggregates over two corpus scans' worth of work — no row
+    * explosion, no collect. */
+  val datasetCard: Q = (s, dir) => {
+    val d = Tables(s, dir, "documents")
+    val sizeRows = d.agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_chars").as("n_chars"),
+        sum(size(split(col("text"), " +")).cast("long")).as("n_words"),
+        countDistinct("source").as("n_sources"))
+      .selectExpr("stack(4, 'size', 'n_docs', n_docs, 'size', 'n_chars', n_chars, " +
+        "'size', 'n_words', n_words, 'size', 'n_sources', n_sources) AS (section, metric, value)")
+    val langs = d.groupBy(col("lang").as("metric"))
+      .agg(count(lit(1)).as("value"))
+      .select(lit("lang").as("section"), col("metric"), col("value"))
+    val scored = d.select(
+      when(length(col("text")) > 0,
+        round(TextAnalysis.qualityScore(col("text")) * 1000000).cast("long")).as("q_micro"))
+    val qb = graft.operators.HistogramQuantile.boundaries(
+        scored, Nil, "q_micro", Seq(("p25", 0.25), ("p50", 0.5), ("p75", 0.75)))
+      .selectExpr("stack(3, 'quality', 'q_p25_micro', p25, 'quality', 'q_p50_micro', p50, " +
+        "'quality', 'q_p75_micro', p75) AS (section, metric, value)")
+    val dup = d.groupBy(TextAnalysis.fingerprintMd5(col("text")).as("h"))
+      .agg(count(lit(1)).as("n"))
+      .agg(sum(when(col("n") > 1, 1L).otherwise(0L)).as("dup_groups"),
+        sum(when(col("n") > 1, col("n") - 1).otherwise(0L)).as("redundant_docs"))
+      .selectExpr("stack(2, 'dedup', 'n_exact_dup_groups', dup_groups, " +
+        "'dedup', 'n_redundant_docs', redundant_docs) AS (section, metric, value)")
+    sizeRows.unionByName(langs).unionByName(qb).unionByName(dup)
+      .orderBy("section", "metric")
+  }
+
   /** T5-style span corruption ([[TextAnalysis.spanCorruption]]): the
     * denoising-objective (input, target) pairs with sentinel tokens,
     * masking decided by the portable per-(doc, block) hash rule — the
@@ -3352,6 +3392,10 @@ object LlmQueries {
     "embedding_drift" -> embeddingDrift,
     "quality_deciles_per_source" -> qualityDecilesPerSource,
     "quality_classifier_trained" -> qualityClassifierTrained,
+    "quality_classifier_confusion" -> ((s, dir) =>
+      TextAnalysis.trainedQualityScorer(Tables(s, dir, "documents"), "doc_id", "text")
+        .groupBy("label", "pred").agg(count(lit(1)).as("n_docs"))
+        .orderBy("label", "pred")),
     "lsh_bucket_histogram" -> lshBucketHistogram,
     "dedup_components" -> dedupComponents,
     "dedup_groups_minhash" -> dedupGroupsMinhash,
@@ -3408,6 +3452,7 @@ object LlmQueries {
     "media_dedup_incremental" -> mediaDedupIncremental,
     "media_dedup_clusters" -> mediaDedupClusters,
     "span_corruption" -> spanCorruptionQ,
+    "dataset_card" -> datasetCard,
     "media_decode_bmp" -> mediaDecodeBmp,
     "media_decode_png" -> mediaDecodePng,
     "media_decode_gif" -> mediaDecodeGif,
@@ -3587,6 +3632,36 @@ object LlmQueries {
        |    md5(substr(text, CAST(s AS INT), CAST(e - s + 1 AS INT))) AS h,
        |    e - s + 1 AS clen
        |  FROM ${p}ch WHERE e >= s)""".stripMargin
+
+  /** The trained-quality-classifier replay CTE chain (features,
+    * teacher labels, scaled class means, weights) — shared by the
+    * per-doc gate and the confusion audit. Ends with `l` (features +
+    * label) and `w` (weights + threshold term). */
+  private lazy val qualityClassifierCtes: String = {
+    val sw = TextAnalysis.defaultStopwords.mkString("'", "','", "'")
+    s"""f AS (SELECT doc_id,
+       |    CAST(len(regexp_split_to_array(text, ' +')) AS BIGINT) AS x1,
+       |    CAST(length(text) AS BIGINT) AS x2,
+       |    CAST(len(list_distinct(regexp_split_to_array(lower(text), ' +'))) AS BIGINT) AS x3,
+       |    CAST(len(list_filter(regexp_split_to_array(lower(text), ' +'),
+       |      t -> t IN ($sw))) AS BIGINT) AS x4
+       |  FROM documents),
+       |l AS (SELECT *, CASE WHEN x1 >= 50 AND x2 >= 3*x1 AND x2 <= 10*x1
+       |    THEN 1 ELSE 0 END AS label FROM f),
+       |s AS (SELECT
+       |    sum(CASE WHEN label = 1 THEN x1 END) * 1000 // sum(CASE WHEN label = 1 THEN 1 END) AS g1,
+       |    sum(CASE WHEN label = 1 THEN x2 END) * 1000 // sum(CASE WHEN label = 1 THEN 1 END) AS g2,
+       |    sum(CASE WHEN label = 1 THEN x3 END) * 1000 // sum(CASE WHEN label = 1 THEN 1 END) AS g3,
+       |    sum(CASE WHEN label = 1 THEN x4 END) * 1000 // sum(CASE WHEN label = 1 THEN 1 END) AS g4,
+       |    sum(CASE WHEN label = 0 THEN x1 END) * 1000 // sum(CASE WHEN label = 0 THEN 1 END) AS b1,
+       |    sum(CASE WHEN label = 0 THEN x2 END) * 1000 // sum(CASE WHEN label = 0 THEN 1 END) AS b2,
+       |    sum(CASE WHEN label = 0 THEN x3 END) * 1000 // sum(CASE WHEN label = 0 THEN 1 END) AS b3,
+       |    sum(CASE WHEN label = 0 THEN x4 END) * 1000 // sum(CASE WHEN label = 0 THEN 1 END) AS b4
+       |  FROM l),
+       |w AS (SELECT g1 - b1 AS w1, g2 - b2 AS w2, g3 - b3 AS w3, g4 - b4 AS w4,
+       |    (g1 - b1) * (g1 + b1) + (g2 - b2) * (g2 + b2) +
+       |    (g3 - b3) * (g3 + b3) + (g4 - b4) * (g4 + b4) AS t FROM s)""".stripMargin
+  }
 
   private[queries] def hx60(md: String): String =
     s"CAST(list_sum(list_transform(range(1, 16), __hx -> " +
@@ -4982,36 +5057,24 @@ object LlmQueries {
     // the whole nearest-centroid training replayed: features → integer
     // teacher labels → scaled class means (floor division on positive
     // sums == Spark's truncating div) → weights/threshold → margins
-    "quality_classifier_trained" -> {
-      val sw = TextAnalysis.defaultStopwords.mkString("'", "','", "'")
-      s"""WITH f AS (SELECT doc_id,
-         |    CAST(len(regexp_split_to_array(text, ' +')) AS BIGINT) AS x1,
-         |    CAST(length(text) AS BIGINT) AS x2,
-         |    CAST(len(list_distinct(regexp_split_to_array(lower(text), ' +'))) AS BIGINT) AS x3,
-         |    CAST(len(list_filter(regexp_split_to_array(lower(text), ' +'),
-         |      t -> t IN ($sw))) AS BIGINT) AS x4
-         |  FROM documents),
-         |l AS (SELECT *, CASE WHEN x1 >= 50 AND x2 >= 3*x1 AND x2 <= 10*x1
-         |    THEN 1 ELSE 0 END AS label FROM f),
-         |s AS (SELECT
-         |    sum(CASE WHEN label = 1 THEN x1 END) * 1000 // sum(CASE WHEN label = 1 THEN 1 END) AS g1,
-         |    sum(CASE WHEN label = 1 THEN x2 END) * 1000 // sum(CASE WHEN label = 1 THEN 1 END) AS g2,
-         |    sum(CASE WHEN label = 1 THEN x3 END) * 1000 // sum(CASE WHEN label = 1 THEN 1 END) AS g3,
-         |    sum(CASE WHEN label = 1 THEN x4 END) * 1000 // sum(CASE WHEN label = 1 THEN 1 END) AS g4,
-         |    sum(CASE WHEN label = 0 THEN x1 END) * 1000 // sum(CASE WHEN label = 0 THEN 1 END) AS b1,
-         |    sum(CASE WHEN label = 0 THEN x2 END) * 1000 // sum(CASE WHEN label = 0 THEN 1 END) AS b2,
-         |    sum(CASE WHEN label = 0 THEN x3 END) * 1000 // sum(CASE WHEN label = 0 THEN 1 END) AS b3,
-         |    sum(CASE WHEN label = 0 THEN x4 END) * 1000 // sum(CASE WHEN label = 0 THEN 1 END) AS b4
-         |  FROM l),
-         |w AS (SELECT g1 - b1 AS w1, g2 - b2 AS w2, g3 - b3 AS w3, g4 - b4 AS w4,
-         |    (g1 - b1) * (g1 + b1) + (g2 - b2) * (g2 + b2) +
-         |    (g3 - b3) * (g3 + b3) + (g4 - b4) * (g4 + b4) AS t FROM s)
+    "quality_classifier_trained" ->
+      s"""WITH $qualityClassifierCtes
          |SELECT l.doc_id, l.x1, l.x2, l.x3, l.x4, l.label,
          |  CAST(2000 * (w.w1*l.x1 + w.w2*l.x2 + w.w3*l.x3 + w.w4*l.x4) - w.t AS BIGINT) AS margin,
          |  CAST(CASE WHEN 2000 * (w.w1*l.x1 + w.w2*l.x2 + w.w3*l.x3 + w.w4*l.x4) - w.t > 0
          |    THEN 1 ELSE 0 END AS INT) AS pred
-         |FROM l, w ORDER BY doc_id""".stripMargin
-    },
+         |FROM l, w ORDER BY doc_id""".stripMargin,
+    // the calibration view of the same trained classifier: the
+    // confusion cells over teacher labels — reuses the training CTEs
+    // verbatim, so classifier and audit can never drift apart
+    "quality_classifier_confusion" ->
+      s"""WITH $qualityClassifierCtes,
+         |p AS (SELECT l.label,
+         |    CAST(CASE WHEN 2000 * (w.w1*l.x1 + w.w2*l.x2 + w.w3*l.x3 + w.w4*l.x4) - w.t > 0
+         |      THEN 1 ELSE 0 END AS INT) AS pred
+         |  FROM l, w)
+         |SELECT label, pred, CAST(count(*) AS BIGINT) AS n_docs
+         |FROM p GROUP BY label, pred ORDER BY label, pred""".stripMargin,
     "quality_deciles_per_source" ->
       s"""WITH q AS (SELECT source, $sqlQualityExpr AS q FROM documents),
          |p AS (SELECT source, count(*) AS n_docs,
@@ -5912,6 +5975,38 @@ object LlmQueries {
          |  FROM cand, unnest(range(1, 57)) t(j) GROUP BY id_a, id_b)
          |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 4
          |ORDER BY id_a, id_b""".stripMargin,
+    // each card section replays its already-gated pattern: size
+    // aggregates, lang histogram, the discrete-quartile rule
+    // (curriculum's null-filtered h CTE), the md5 exact-dup census
+    "dataset_card" ->
+      s"""WITH sq AS (SELECT CASE WHEN length(text) > 0
+         |    THEN CAST(round($sqlQualityExpr * 1000000) AS BIGINT) END AS q
+         |  FROM documents),
+         |h AS (SELECT q AS v, count(*) AS c FROM sq WHERE q IS NOT NULL GROUP BY 1),
+         |cum AS (SELECT v,
+         |    sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm,
+         |    sum(c) OVER () AS n FROM h),
+         |b AS (SELECT
+         |    min(CASE WHEN cm * 1000000 >= n * 250000 THEN v END) AS p25,
+         |    min(CASE WHEN cm * 1000000 >= n * 500000 THEN v END) AS p50,
+         |    min(CASE WHEN cm * 1000000 >= n * 750000 THEN v END) AS p75
+         |  FROM cum),
+         |dg AS (SELECT md5(lower(text)) AS hh, count(*) AS n FROM documents GROUP BY 1),
+         |card AS (
+         |  SELECT 'size' AS section, 'n_docs' AS metric, CAST(count(*) AS BIGINT) AS value FROM documents
+         |  UNION ALL SELECT 'size', 'n_chars', CAST(sum(n_chars) AS BIGINT) FROM documents
+         |  UNION ALL SELECT 'size', 'n_words',
+         |    CAST(sum(len(regexp_split_to_array(text, ' +'))) AS BIGINT) FROM documents
+         |  UNION ALL SELECT 'size', 'n_sources', CAST(count(DISTINCT source) AS BIGINT) FROM documents
+         |  UNION ALL SELECT 'lang', lang, CAST(count(*) AS BIGINT) FROM documents GROUP BY lang
+         |  UNION ALL SELECT 'quality', 'q_p25_micro', p25 FROM b
+         |  UNION ALL SELECT 'quality', 'q_p50_micro', p50 FROM b
+         |  UNION ALL SELECT 'quality', 'q_p75_micro', p75 FROM b
+         |  UNION ALL SELECT 'dedup', 'n_exact_dup_groups',
+         |    CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) FROM dg
+         |  UNION ALL SELECT 'dedup', 'n_redundant_docs',
+         |    CAST(sum(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) AS BIGINT) FROM dg)
+         |SELECT section, metric, value FROM card ORDER BY section, metric""".stripMargin,
     // every mask bit (the per-(doc, block) hash rule), sentinel index
     // (running masked-block count), and assembled string replayed;
     // string_agg skips NULL pieces exactly like Spark's filter
