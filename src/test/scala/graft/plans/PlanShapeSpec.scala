@@ -679,6 +679,24 @@ class PlanShapeSpec extends AnyFunSuite {
       s"one corpus scan — synthesis, decode and dHash are all narrow:\n$plan")
   }
 
+  test("span_corruption: one narrow stage — no Exchange before the ordering sort") {
+    val df = graft.queries.LlmQueries.spanCorruptionQ(spark, TestSpark.sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 1 && plan.contains("rangepartitioning"),
+      s"denoising prep must be scan-side narrow compute:\n$plan")
+    assert("FileScan".r.findAllIn(plan).size == 1, s"one corpus scan:\n$plan")
+  }
+
+  test("dataset_card: bounded aggregates only — partial aggregation below every exchange") {
+    val df = graft.queries.LlmQueries.datasetCard(spark, TestSpark.sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"the card must need no join:\n$plan")
+    // every corpus-sized aggregate runs partially below its shuffle
+    assert(plan.contains("partial_"), s"expected map-side partial aggregates:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
+  }
+
   test("media_dedup_incremental: the persisted signature index never shuffles") {
     val df = graft.queries.LlmQueries.mediaDedupIncremental(spark, TestSpark.sfDir)
     val plan = df.queryExecution.executedPlan.toString
