@@ -680,6 +680,27 @@ object StreamingQueries {
     drain(s, name, s.table(name).orderBy("source"))
   }
 
+  /** Streaming SPAN CORRUPTION — the denoising data prep running at
+    * ingest ([[graft.llm.TextAnalysis.spanCorruption]] unchanged on
+    * the documents stream): a purely narrow transform needs no state,
+    * no watermark, and emits per micro-batch exactly what the batch
+    * plan emits per partition — so the gate SHARES the batch oracle
+    * and any batch/stream divergence (a mask bit, a sentinel index, a
+    * string) hash-fails. This is the deploy shape of every stateless
+    * scan-side operator in the catalog: the same Column expressions,
+    * readStream in, writeStream out. */
+  val streamSpanCorruption: Q = (s, dir) => withStatePartitions(s, 8) {
+    import org.apache.spark.sql.functions._
+    val schema = Tables(s, dir, "documents").schema
+    val name = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val src = s.readStream.schema(schema).parquet(s"$dir/documents.parquet*")
+    val out = graft.llm.TextAnalysis.spanCorruption(src, "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+    val q = out.writeStream.format("memory").queryName(name).outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    drain(s, name, s.table(name).orderBy("doc_id"))
+  }
+
   /** SCD2 POINT-IN-TIME enrichment — the versioned-dimension join
     * every ingest ETL needs and [[streamStaticEnrich]] (current-state
     * dim) cannot express: each event joins the dim VERSION that was
@@ -1134,6 +1155,7 @@ object StreamingQueries {
     "stream_quality_router" -> streamQualityRouter,
     "stream_dedup_watermarked" -> streamDedupWatermarked,
     "stream_encoding_hygiene" -> streamEncodingHygiene,
+    "stream_span_corruption" -> streamSpanCorruption,
     "stream_scd_enrich" -> streamScdEnrich
   )
 
@@ -1155,6 +1177,8 @@ object StreamingQueries {
         |  AND epoch_ns(e.ts) >= d.eff_start AND epoch_ns(e.ts) < d.eff_end
         |ORDER BY event_id""".stripMargin,
     "stream_encoding_hygiene" -> LlmQueries.sqlEncodingHygiene,
+    // stateless narrow transform: batch ≡ stream by construction — shared oracle
+    "stream_span_corruption" -> LlmQueries.oracles("span_corruption"),
     // batch-invariant by construction: pair (i, j), i < j, emitted iff
     // both band to one bucket, i is among the bucket's first 1000
     // arrivals (the probe-then-add-if-room state cap => a ROW_NUMBER
