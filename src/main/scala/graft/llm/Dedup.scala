@@ -309,28 +309,44 @@ object Dedup {
     if (portable)
       bitSignaturePairs(df.select(col(idCol).as("id"), simHashBits(col(textCol)).as("sig")),
         "id", "sig", nBits = 64, bands = 4, maxHamming = maxHamming, maxBucket = maxBucket)
-    else {
-      val sigs = df.select(col(idCol).as("id"), simHash64(col(textCol)).as("sig"))
-      def bandKey(b: Int): Column =
-        concat_ws(":", lit(b).cast("string"),
-          shiftright(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL)).cast("string"))
-      val banded = sigs.select(col("id"), col("sig"),
-        explode(array((0 until 4).map(bandKey): _*)).as("bucket"))
-      val grouped = banded.groupBy("bucket")
-        .agg(collect_list(struct(col("id"), col("sig"))).as("members"))
-        .filter(size(col("members")).between(2, maxBucket))
-      grouped.select(explode(
-        flatten(transform(col("members"), (m, i) =>
-          transform(slice(col("members"), i + 2, size(col("members"))), o =>
-            struct(
-              least(m.getField("id"), o.getField("id")).as("id_a"),
-              greatest(m.getField("id"), o.getField("id")).as("id_b"),
-              hamming64(m.getField("sig"), o.getField("sig")).cast("int").as("hamming")))))).as("p"))
-        .select("p.*")
-        .filter(col("hamming") <= maxHamming)
-        .groupBy("id_a", "id_b")
-        .agg(min("hamming").as("hamming"))
-    }
+    else
+      // same banded skeleton as the portable path — only the band key
+      // (16-bit slices of the long) and the hamming verifier differ
+      bandedPairs(
+        df.select(col(idCol).as("id"), simHash64(col(textCol)).as("sig")),
+        bands = 4,
+        bandKey = b => shiftright(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL)).cast("string"),
+        hamming = (a, o) => hamming64(a, o).cast("int"),
+        maxHamming = maxHamming, maxBucket = maxBucket)
+  }
+
+  /** The banded-LSH pairing skeleton both signature families ride:
+    * explode each row into `bands` bucket keys, group on the bucket
+    * (the ONE corpus shuffle), cap oversize buckets at `maxBucket`,
+    * emit in-bucket i<j pairs verified by `hamming`, and dedup the pair
+    * globally to its minimum distance. `sigs` must be `(id, sig)`;
+    * NULL signatures (decode failures) are dropped — a fingerprint that
+    * doesn't exist must not bucket. */
+  private def bandedPairs(sigs: DataFrame, bands: Int, bandKey: Int => Column,
+      hamming: (Column, Column) => Column, maxHamming: Int, maxBucket: Int): DataFrame = {
+    val banded = sigs.filter(col("sig").isNotNull)
+      .select(col("id"), col("sig"),
+        explode(array((0 until bands).map(b =>
+          concat_ws(":", lit(b).cast("string"), bandKey(b))): _*)).as("bucket"))
+    val grouped = banded.groupBy("bucket")
+      .agg(collect_list(struct(col("id"), col("sig"))).as("members"))
+      .filter(size(col("members")).between(2, maxBucket))
+    grouped.select(explode(
+      flatten(transform(col("members"), (m, i) =>
+        transform(slice(col("members"), i + 2, size(col("members"))), o =>
+          struct(
+            least(m.getField("id"), o.getField("id")).as("id_a"),
+            greatest(m.getField("id"), o.getField("id")).as("id_b"),
+            hamming(m.getField("sig"), o.getField("sig")).as("hamming")))))).as("p"))
+      .select("p.*")
+      .filter(col("hamming") <= maxHamming)
+      .groupBy("id_a", "id_b")
+      .agg(min("hamming").as("hamming"))
   }
 
   /** Banded near-dup pairs over ANY '0'/'1' bit-string signature — the
@@ -343,6 +359,16 @@ object Dedup {
     * distance. Rows with a NULL signature (decode failures) are
     * excluded — a fingerprint that doesn't exist must not bucket.
     *
+    * RECALL WARNING: for `maxHamming >= bands` the pigeonhole guarantee
+    * is GONE — a true pair whose differing bits land one per band has
+    * no exact-matching band and is silently missed. Callers in that
+    * regime must either raise `bands` (shorter bands, more candidates)
+    * or know their noise is band-confined (see
+    * [[graft.queries.LlmQueries]] mediaDedupFeatures, whose corruption
+    * model flips bits within a single 14-bit dHash row). A require
+    * would reject that documented caller, so this is a contract note,
+    * not a crash.
+    *
     * Scale shape: ONE shuffle on the band key; buckets cap at
     * `maxBucket` (oversize buckets — degenerate signatures — drop,
     * loud in the audit histograms, never a quadratic); pairs emit via
@@ -353,26 +379,12 @@ object Dedup {
     require(bands > 0 && nBits % bands == 0,
       s"nBits ($nBits) must split evenly into bands ($bands)")
     val bandLen = nBits / bands
-    val sigs = df.select(col(idCol).as("id"), col(sigCol).as("sig"))
-      .filter(col("sig").isNotNull)
-    def bandKey(b: Int): Column =
-      concat_ws(":", lit(b).cast("string"), substring(col("sig"), b * bandLen + 1, bandLen))
-    val banded = sigs.select(col("id"), col("sig"),
-      explode(array((0 until bands).map(bandKey): _*)).as("bucket"))
-    val grouped = banded.groupBy("bucket")
-      .agg(collect_list(struct(col("id"), col("sig"))).as("members"))
-      .filter(size(col("members")).between(2, maxBucket))
-    grouped.select(explode(
-      flatten(transform(col("members"), (m, i) =>
-        transform(slice(col("members"), i + 2, size(col("members"))), o =>
-          struct(
-            least(m.getField("id"), o.getField("id")).as("id_a"),
-            greatest(m.getField("id"), o.getField("id")).as("id_b"),
-            hammingBits(m.getField("sig"), o.getField("sig")).cast("int").as("hamming")))))).as("p"))
-      .select("p.*")
-      .filter(col("hamming") <= maxHamming)
-      .groupBy("id_a", "id_b")
-      .agg(min("hamming").as("hamming"))
+    bandedPairs(
+      df.select(col(idCol).as("id"), col(sigCol).as("sig")),
+      bands = bands,
+      bandKey = b => substring(col("sig"), b * bandLen + 1, bandLen),
+      hamming = (a, o) => hammingBits(a, o).cast("int"),
+      maxHamming = maxHamming, maxBucket = maxBucket)
   }
 
   /** Connected components over an undirected edge list (id_a, id_b) —

@@ -103,14 +103,38 @@ object Sketches {
     * are depth·width artifacts, so the decision costs two bounded
     * driver reads, not a scan; at 100 TB this is exactly the
     * re-planning a nightly pipeline does from yesterday's scan
-    * leavings. Both regimes are plan-pinned (PlanShapeSpec). */
+    * leavings. Both regimes are plan-pinned (PlanShapeSpec).
+    *
+    * Broadcast needs BOTH gates: the join-output estimate says how much
+    * matched key mass exists, but says nothing about |right| — a huge
+    * right table whose keys barely intersect left's estimates ~0 and
+    * would be shipped to every executor in full, the exact driver OOM
+    * this hook exists to prevent. The right side's own row count falls
+    * out of the SAME sketch for free (every non-null-key row increments
+    * exactly one counter per hash row, so Σ_bucket c[i][b] = |right|
+    * for any i), so `maxBroadcastRows` bounds |right| from the already
+    * collected matrix — still zero extra scans. */
   def joinSizedByCms(left: DataFrame, right: DataFrame, keyCol: String,
-      maxBroadcastEst: Long, depth: Int = 4, width: Int = 256): DataFrame = {
+      maxBroadcastEst: Long, depth: Int = 4, width: Int = 256,
+      maxBroadcastRows: Long = 1000000L): DataFrame = {
     require(maxBroadcastEst >= 0, "maxBroadcastEst must be non-negative")
-    val est = cmsJoinSizeEstimate(
-      cmsKeyCounters(left, keyCol, depth, width),
-      cmsKeyCounters(right, keyCol, depth, width), depth).head.getLong(0)
-    if (est <= maxBroadcastEst) left.join(broadcast(right), Seq(keyCol))
+    require(maxBroadcastRows >= 0, "maxBroadcastRows must be non-negative")
+    // one bounded collect per side (≤ depth·width rows each); the
+    // estimate is then plain driver arithmetic, so the right matrix is
+    // read ONCE and answers both questions
+    val lc = cmsKeyCounters(left, keyCol, depth, width).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val rc = cmsKeyCounters(right, keyCol, depth, width).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val rightRows = rc.iterator.filter(_._1 == 0).map(_._3).sum
+    // sketched inner product per hash row, min over rows (see
+    // cmsJoinSizeEstimate — same math, local because both sides are
+    // already bounded driver arrays)
+    val ip = Array.fill(depth)(0L)
+    rc.foreach { case (i, b, c) => ip(i) += c * lc.getOrElse((i, b), 0L) }
+    val est = ip.min
+    if (est <= maxBroadcastEst && rightRows <= maxBroadcastRows)
+      left.join(broadcast(right), Seq(keyCol))
     else left.join(right.hint("merge"), Seq(keyCol))
   }
 

@@ -125,7 +125,11 @@ object TextAnalysis {
       spanWords: Int = 3, maskMilli: Int = 150): DataFrame = {
     require(spanWords > 0, "spanWords must be positive")
     require(maskMilli >= 0 && maskMilli <= 1000, s"maskMilli in [0,1000]; got $maskMilli")
-    val d = df.select(col(idCol).as("id"),
+    // NULL text drops the doc (a SQL engine's unnest-over-NULL emits no
+    // rows, so the doc vanishes there too — r17 verdict flag: without
+    // this filter Spark kept a row of NULLs and the two engines
+    // diverged on any fixture with a NULL text)
+    val d = df.filter(col(textCol).isNotNull).select(col(idCol).as("id"),
       split(normalizeText(col(textCol)), " ").as("ws"))
     // per block: masked iff hash60 of (id, block) under the threshold
     def maskedCol(b: Column, id: Column): Column =

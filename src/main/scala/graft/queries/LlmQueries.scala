@@ -1174,6 +1174,12 @@ object LlmQueries {
     * band, and distance replays in the oracle. */
   val mediaDedupIncremental: Q = (s, dir) => {
     val corpus = mediaCorpusParams(s, dir)
+    // GATE-ONLY bootstrap: deriving the batch id offset from max(doc_id)
+    // is one bounded driver read (a parquet max-statistics scan), but a
+    // production ingest gets the offset from its ingest CONTRACT (batch
+    // sequence number / ingestion timestamp) — never a corpus scan per
+    // arriving batch. The scan exists here so the synthetic echo batch
+    // is reproducible from the fixture alone.
     val off = Tables(s, dir, "documents").agg(max("doc_id")).head.getLong(0) + 1L
     def bandKeys(df: DataFrame): DataFrame =
       df.select(col("doc_id"), col("sig"),
@@ -2793,13 +2799,12 @@ object LlmQueries {
     val corpus = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
       .unionAll(hostile)
     val norm = TextAnalysis.normalizeText(col("text"))
-    // per word: encode → ids → decode; NULL words poison the whole doc
-    // (array_join would silently SKIP nulls — guard first). The id
-    // maps are the STRUCTURAL byte-mode forms (tokenIdsBytes /
-    // idsToTokensBytes): element_at on the full 276-entry vocab
-    // literal is a linear scan per token and made this gate 6× slower
-    // (17.9 s at sf0.1, caught by the r17 anchor run)
-    // one pipeline evaluation per word, NO null-guard branch: the
+    // per word: encode → ids → decode. The id maps are the STRUCTURAL
+    // byte-mode forms (tokenIdsBytes / idsToTokensBytes): element_at
+    // on the full 276-entry vocab literal is a linear scan per token
+    // and made this gate 6× slower (17.9 s at sf0.1, caught by the
+    // r17 anchor run).
+    // One pipeline evaluation per word, NO null-guard branch: the
     // guard's when(exists(arr)).otherwise(join(arr)) references the
     // expensive subtree twice and CollapseProject clones it (the
     // langIdHeuristic/CDC lesson); the byte path is structurally total

@@ -71,6 +71,17 @@ class SpanCorruptionSpec extends AnyFunSuite {
     }
   }
 
+  test("NULL text drops the doc — matching a SQL engine's unnest-over-NULL") {
+    import spark.implicits._
+    val withNull = docs.select(col("doc_id"), col("text"))
+      .unionAll(Seq((9999999L, null.asInstanceOf[String]),
+                    (9999998L, "alpha beta gamma delta")).toDF("doc_id", "text"))
+    val ids = TextAnalysis.spanCorruption(withNull, "doc_id", "text")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(9999999L), "NULL-text doc must vanish, not emit a NULL row")
+    assert(ids.contains(9999998L), "non-null sibling must survive the guard")
+  }
+
   test("corruption rate lands near maskMilli and spans never overlap by construction") {
     val total = out.map(_._2).sum.toDouble
     val masked = out.map(_._4).sum.toDouble

@@ -666,6 +666,22 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the large regime must never broadcast:\n$plan")
   }
 
+  test("cms planner hook: a tiny OUTPUT estimate must not broadcast a huge right side") {
+    // disjoint keys: the join-output estimate is ~0, but |right| is the
+    // whole lineitem table — broadcasting it is the driver OOM the hook
+    // exists to prevent, so the row gate must force the merge join
+    val lineitem = graft.queries.Tables(spark, TestSpark.sfDir, "lineitem")
+      .select(col("l_orderkey").as("k"), col("l_quantity"))
+    val shifted = lineitem.select((col("k") + 1000000000L).as("k"), col("l_quantity").as("q2"))
+    val joined = graft.llm.Sketches.joinSizedByCms(
+      lineitem, shifted, "k", maxBroadcastEst = 100000, maxBroadcastRows = 10000)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"),
+      s"an oversize right side must route to the shuffle merge join regardless of estimate:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"never broadcast a side bigger than maxBroadcastRows:\n$plan")
+  }
+
   test("media_dedup_features: banded/bucketed pairing — never all-pairs, decode stays narrow") {
     val df = graft.queries.LlmQueries.mediaDedupFeatures(spark, TestSpark.sfDir)
     val plan = df.queryExecution.executedPlan.toString
