@@ -236,7 +236,12 @@ object ScaleProbe {
     "dataset_card",
     // train + confuse in one declarative plan: two scans' worth of
     // bounded aggregates at any corpus size
-    "quality_classifier_confusion")
+    "quality_classifier_confusion",
+    // round 18: the tensor-ready layout rides the packer's one shard
+    // shuffle (kernel-emitted seq/offset, plan-pinned no-Window); the
+    // 2048-slot expansion runs over BIN rows, so 10× corpus grows the
+    // scan and the bin count linearly, never a slot² term
+    "pack_sequences_layout")
 
   private def rot(s: String, k: Int): String = s.drop(k % s.length) + s.take(k % s.length)
 

@@ -726,6 +726,73 @@ object TextAnalysis {
       .select((groupCols.map(col) ++ Seq(col("doc_id"), col("n_tokens"), col("bin_id"))): _*)
   }
 
+  /** The layout-emitting FFD kernel: same placement rule as
+    * [[ffdKernel]], but the emitted value is the full placement record
+    * `[bin_id, seq_in_bin, token_offset]` — all three are known AT
+    * PLACEMENT TIME from the bin's running state (seq = docs already
+    * in the bin, offset = tokens already in the bin), so the layout
+    * costs nothing beyond the assignment itself. */
+  private def ffdLayoutKernel(windowTokens: Int)
+      : graft.plumba.Kernel.Scan[(Vector[(Long, Long)], Array[Long])] =
+    graft.plumba.Kernel.Scan.of1[(Vector[(Long, Long)], Array[Long]), Long](
+      (Vector.empty[(Long, Long)], null),
+      emit = s => s._2) { case ((bins, _), n) =>
+        var i = 0
+        var fit = -1
+        while (fit < 0 && i < bins.length) {
+          if (bins(i)._1 >= n) fit = i
+          i += 1
+        }
+        if (fit >= 0) {
+          val (rem, cnt) = bins(fit)
+          (bins.updated(fit, (rem - n, cnt + 1)),
+            Array(fit.toLong, cnt, windowTokens - rem))
+        } else
+          (bins :+ ((windowTokens - n, 1L)), Array(bins.length.toLong, 0L, 0L))
+      }
+
+  /** TENSOR-READY packed-window layout — the artifact a training
+    * loader actually consumes after FFD packing, which
+    * [[packSequencesFfdByGroup]] stops one step short of: per member,
+    * the placement order inside its bin (`seq_in_bin`) and the token
+    * offset where the doc starts inside the fixed window
+    * (`token_offset`). Those two columns fully determine the
+    * loader-side tensors — position ids reset at every `token_offset`
+    * (slot t of the owning doc has position `t − token_offset`) and
+    * the document-boundary attention mask is the per-slot segment id
+    * (slots `[token_offset, token_offset + n_tokens)` belong to
+    * `seq_in_bin`; slots past the bin's fill are padding).
+    *
+    * Scale shape — the REASON this lives in the kernel instead of a
+    * post-pass: the FFD scan already knows each bin's fill and member
+    * count at placement time, so the layout rides the SAME single
+    * group-key shuffle as the assignment ([[graft.plumba.GroupOps
+    * .groupScan]]); deriving seq/offset afterwards would re-window on
+    * (group, bin) — a second full exchange of the packed frame for
+    * state the packer just threw away. Output: (groupCols..., doc_id,
+    * n_tokens, bin_id, seq_in_bin, token_offset). */
+  def packedWindowLayout(
+      df: DataFrame,
+      groupCols: Seq[String],
+      idCol: String,
+      nTokens: Column,
+      windowTokens: Int = 2048): DataFrame = {
+    require(windowTokens > 0, "windowTokens must be positive")
+    require(groupCols.nonEmpty, "at least one group column is required")
+    val t = df.select((groupCols.map(col) :+ col(idCol).as("doc_id")
+        :+ nTokens.as("n_tokens")): _*)
+      .withColumn("neg_tokens", -col("n_tokens"))
+    graft.plumba.GroupOps.groupScan(
+        t, groupCols, Seq("n_tokens"), Seq("neg_tokens", "doc_id", "n_tokens"),
+        ffdLayoutKernel(windowTokens),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType),
+        "layout")
+      .select((groupCols.map(col) ++ Seq(col("doc_id"), col("n_tokens"),
+        element_at(col("layout"), 1).as("bin_id"),
+        element_at(col("layout"), 2).as("seq_in_bin"),
+        element_at(col("layout"), 3).as("token_offset"))): _*)
+  }
+
   /** TRAINED linear quality classifier — the fastText-style upgrade
     * path from rule scores ([[qualityScore]]) and corpus-relative joins
     * ([[unigramLogFreq]]): distill an expensive teacher signal into a

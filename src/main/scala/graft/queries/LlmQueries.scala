@@ -2161,6 +2161,43 @@ object LlmQueries {
         TextAnalysis.tokenCountWs(col("text")).cast("long"), 2048, nShards = 8)
       .orderBy("shard_id", "doc_id")
 
+  /** TENSOR-READY window artifact ([[TextAnalysis.packedWindowLayout]])
+    * — the per-bin record a training loader mmaps: member ids and
+    * token offsets IN PLACEMENT ORDER, used/pad accounting, and
+    * `slots_md5`, an md5 over all `windowTokens` per-slot
+    * `segment/position` labels (pad slots read `p`) — so the hash pins
+    * the document-boundary attention mask and every position-id reset
+    * bit-for-bit, not just the assignment. The slot expansion runs
+    * over BIN rows (corpus/window-sized cardinality), never corpus
+    * rows; the layout itself rides the packer's single shard shuffle
+    * (plan-pinned). Oracle: the per-shard FFD recursion extended with
+    * placement-order windows, then the same 2048-slot expansion. */
+  val packSequencesLayout: Q = (s, dir) => {
+    val docs = Tables(s, dir, "documents")
+      .withColumn("shard_id", Sampling.shardAssign(col("doc_id"), 8))
+    val lay = TextAnalysis.packedWindowLayout(docs, Seq("shard_id"), "doc_id",
+      TextAnalysis.tokenCountWs(col("text")).cast("long"), 2048)
+    val perBin = lay.groupBy("shard_id", "bin_id").agg(
+      count(lit(1)).as("n_docs"),
+      sum("n_tokens").as("used_tokens"),
+      greatest(lit(2048L) - sum("n_tokens"), lit(0L)).as("pad_tokens"),
+      // placement order = seq_in_bin ASC (struct field 1 leads the sort)
+      array_sort(collect_list(struct(col("seq_in_bin").as("s"), col("doc_id").as("id"),
+        col("token_offset").as("off"), col("n_tokens").as("len")))).as("ms"))
+    perBin.select(col("shard_id"), col("bin_id"), col("n_docs"),
+      col("used_tokens"), col("pad_tokens"),
+      array_join(transform(col("ms"), m => m.getField("id").cast("string")), ",").as("doc_ids"),
+      array_join(transform(col("ms"), m => m.getField("off").cast("string")), ",").as("offsets"),
+      md5(to_binary(array_join(transform(sequence(lit(0L), lit(2047L)), t => {
+        val own = element_at(filter(col("ms"), m =>
+          m.getField("off") <= t && t < m.getField("off") + m.getField("len")), 1)
+        when(t >= col("used_tokens"), lit("p"))
+          .otherwise(concat(own.getField("s").cast("string"), lit("/"),
+            (t - own.getField("off")).cast("string")))
+      }), " "), lit("utf-8"))).as("slots_md5"))
+      .orderBy("shard_id", "bin_id")
+  }
+
   /** EMBEDDING drift monitor — [[corpusDrift]]'s vector sibling: per-
     * DIMENSION mean shift between the md5-bucket snapshot halves of
     * the embedding corpus (in production: yesterday's embedding run vs
@@ -3418,6 +3455,7 @@ object LlmQueries {
     "pack_sequences_ffd" -> packSequencesFfd,
     "pack_payload_ffd" -> packPayloadFfd,
     "pack_sequences_ffd_sharded" -> packSequencesFfdSharded,
+    "pack_sequences_layout" -> packSequencesLayout,
     "encoding_hygiene" -> encodingHygiene,
     "unicode_normalization" -> unicodeNormalization,
     "pipeline_clean_corpus" -> pipelineCleanCorpus,
@@ -5393,6 +5431,57 @@ object LlmQueries {
          |    FROM ffd f JOIN d ON d.shard_id = f.shard_id AND d.rn = f.rn + 1) s)
          |SELECT shard_id, doc_id, n AS n_tokens, bin_id FROM ffd WHERE rn > 0
          |ORDER BY shard_id, doc_id""".stripMargin,
+    // the sharded FFD recursion, extended with placement-order windows
+    // (seq = rank by FFD order within the bin, offset = running fill),
+    // then the full 2048-slot segment/position expansion per bin —
+    // `lay` and `b` are each consumed twice, so MATERIALIZED (the
+    // BpeOracle CTE-inlining lesson)
+    "pack_sequences_layout" ->
+      s"""WITH RECURSIVE d AS (SELECT doc_id,
+         |    CAST(len(regexp_split_to_array(text, ' +')) AS BIGINT) AS n,
+         |    CAST(${hx60("md5(CAST(doc_id AS VARCHAR))")} % 8 AS INT) AS shard_id,
+         |    row_number() OVER (PARTITION BY CAST(${hx60("md5(CAST(doc_id AS VARCHAR))")} % 8 AS INT)
+         |      ORDER BY len(regexp_split_to_array(text, ' +')) DESC, doc_id) AS rn
+         |  FROM documents),
+         |ffd AS (
+         |  SELECT shard_id, 0::BIGINT AS rn, NULL::BIGINT AS doc_id, NULL::BIGINT AS n,
+         |    NULL::BIGINT AS bin_id, []::BIGINT[] AS rem
+         |  FROM (SELECT DISTINCT shard_id FROM d)
+         |  UNION ALL
+         |  SELECT shard_id, rn, doc_id, n,
+         |    CASE WHEN fit IS NULL THEN len(rem0) ELSE fit - 1 END AS bin_id,
+         |    CASE WHEN fit IS NULL THEN list_append(rem0, 2048 - n)
+         |         ELSE list_transform(range(1, len(rem0) + 1),
+         |                i -> CASE WHEN i = fit THEN rem0[i] - n ELSE rem0[i] END)
+         |    END AS rem
+         |  FROM (
+         |    SELECT d.shard_id, d.rn, d.doc_id, d.n, f.rem AS rem0,
+         |      NULLIF(list_position(list_transform(f.rem, x -> x >= d.n), true), 0) AS fit
+         |    FROM ffd f JOIN d ON d.shard_id = f.shard_id AND d.rn = f.rn + 1) s),
+         |lay AS MATERIALIZED (SELECT shard_id, bin_id, doc_id, n, rn,
+         |    CAST(row_number() OVER (PARTITION BY shard_id, bin_id ORDER BY rn) - 1 AS BIGINT) AS s,
+         |    CAST(COALESCE(sum(n) OVER (PARTITION BY shard_id, bin_id ORDER BY rn
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+         |  FROM ffd WHERE rn > 0),
+         |b AS MATERIALIZED (SELECT shard_id, bin_id,
+         |    CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(n) AS BIGINT) AS used_tokens,
+         |    greatest(2048 - CAST(sum(n) AS BIGINT), 0) AS pad_tokens,
+         |    string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY s) AS doc_ids,
+         |    string_agg(CAST(off AS VARCHAR), ',' ORDER BY s) AS offsets
+         |  FROM lay GROUP BY shard_id, bin_id),
+         |slots AS (SELECT b.shard_id, b.bin_id, t.tt,
+         |    CASE WHEN t.tt >= b.used_tokens THEN 'p'
+         |      ELSE CAST(l.s AS VARCHAR) || '/' || CAST(t.tt - l.off AS VARCHAR) END AS lab
+         |  FROM b CROSS JOIN unnest(range(0, 2048)) t(tt)
+         |  LEFT JOIN lay l ON l.shard_id = b.shard_id AND l.bin_id = b.bin_id
+         |    AND l.off <= t.tt AND t.tt < l.off + l.n),
+         |sm AS (SELECT shard_id, bin_id, md5(string_agg(lab, ' ' ORDER BY tt)) AS slots_md5
+         |  FROM slots GROUP BY shard_id, bin_id)
+         |SELECT b.shard_id, b.bin_id, b.n_docs, b.used_tokens, b.pad_tokens,
+         |  b.doc_ids, b.offsets, sm.slots_md5
+         |FROM b JOIN sm ON b.shard_id = sm.shard_id AND b.bin_id = sm.bin_id
+         |ORDER BY b.shard_id, b.bin_id""".stripMargin,
     "pack_payload_ffd" ->
       """WITH RECURSIVE d AS (SELECT doc_id,
         |    CAST(len(regexp_split_to_array(text, ' +')) AS BIGINT) AS n,

@@ -736,6 +736,20 @@ class PlanShapeSpec extends AnyFunSuite {
       s"FFD groups must shuffle by the table-partition column:\n$plan")
   }
 
+  test("pack_sequences_layout: layout rides the packer's shard shuffle — no (shard, bin) re-window") {
+    val df = graft.queries.LlmQueries.packSequencesLayout(spark, TestSpark.sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"per-shard layout must never funnel through one task:\n$plan")
+    // seq/offset come from the FFD kernel state, so no Window operator
+    // (a post-pass row_number over (shard, bin) would add one plus its
+    // exchange) may appear anywhere in the plan
+    assert(!plan.contains("Window"),
+      s"placement order must be kernel-emitted, not re-windowed:\n$plan")
+    assert(plan.contains("Exchange hashpartitioning(shard_id"),
+      s"the one corpus shuffle keys on the shard:\n$plan")
+  }
+
   test("html_extract: a single narrow stage — no Exchange before the ordering sort") {
     val df = graft.queries.LlmQueries.htmlExtractQ(spark, TestSpark.sfDir)
     val plan = df.queryExecution.executedPlan.toString
