@@ -241,7 +241,10 @@ object ScaleProbe {
     // shuffle (kernel-emitted seq/offset, plan-pinned no-Window); the
     // 2048-slot expansion runs over BIN rows, so 10× corpus grows the
     // scan and the bin count linearly, never a slot² term
-    "pack_sequences_layout")
+    "pack_sequences_layout",
+    // SFT prep: derive + splice + mask is one narrow map, no shuffle
+    // at any corpus size (the span_corruption profile)
+    "sft_examples")
 
   private def rot(s: String, k: Int): String = s.drop(k % s.length) + s.take(k % s.length)
 

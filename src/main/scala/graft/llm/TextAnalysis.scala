@@ -793,6 +793,67 @@ object TextAnalysis {
         element_at(col("layout"), 3).as("token_offset"))): _*)
   }
 
+  /** SFT / CHAT-TEMPLATE data prep — the instruction-tuning twin of
+    * [[spanCorruption]] and the second-most-common text→training-example
+    * transform after plain packing: splice (prompt, response) pairs
+    * into a chat-template token stream
+    * `<|user|> prompt… <|assistant|> response… <|end|>` and emit the
+    * LOSS MASK a trainer applies — 0 over the user tag, every prompt
+    * token and the assistant tag (context is conditioned on, never
+    * learned), 1 over every response token and the end tag (the model
+    * must learn to stop).
+    *
+    * Deterministic truncation policy, exact integer arithmetic: when
+    * `3 + |prompt| + |response| > maxTokens`, prompt tokens drop FIRST
+    * and from the LEFT (chat truncation keeps the most recent context
+    * and never sacrifices supervised tokens while unsupervised ones
+    * remain), then response tokens drop from the RIGHT; the three
+    * template tags always survive. NULL or empty prompt/response read
+    * as zero tokens (a missing prompt is a valid completion-only
+    * example — it must not drop the row or poison the splice).
+    *
+    * Scale shape: ONE narrow map — normalize, split, slice, join — no
+    * shuffle, no state, codegen-friendly; at 100 TB this runs entirely
+    * scan-side like every other prep in this family. Output: (id,
+    * n_prompt_tokens, n_response_tokens, n_tokens, drop_prompt,
+    * drop_response, text, loss_mask) — `loss_mask` is the per-token
+    * '0'/'1' string aligned with `text`'s whitespace tokens. */
+  def sftExamples(df: DataFrame, idCol: String, promptCol: String,
+      responseCol: String, maxTokens: Int = 512): DataFrame = {
+    require(maxTokens >= 3, s"maxTokens must fit the three template tags; got $maxTokens")
+    def toks(c: Column): Column = coalesce(
+      filter(split(normalizeText(c), " "), w => length(w) > 0),
+      array().cast("array<string>"))
+    // each toks() pipeline (regex+split+filter) is aliased ONCE and every
+    // later projection reads the attribute — CollapseProject discipline
+    // (langIdHeuristic/CDC lesson); the explain is re-checked in
+    // SftExamplesSpec's plan pin (exactly two normalize pipelines)
+    val t = df.select(col(idCol).as("id"),
+        toks(col(promptCol)).as("pw"), toks(col(responseCol)).as("rw"))
+      .select(col("id"), col("pw"), col("rw"),
+        size(col("pw")).as("np"), size(col("rw")).as("nr"))
+      .select(col("id"), col("pw"), col("rw"), col("np"), col("nr"),
+        greatest(col("np") + col("nr") + lit(3) - lit(maxTokens), lit(0)).as("over"))
+      .select(col("id"), col("pw"), col("rw"), col("np"), col("nr"),
+        least(col("over"), col("np")).as("drop_prompt"),
+        (col("over") - least(col("over"), col("np"))).as("drop_response"))
+    t.select(col("id"),
+      (col("np") - col("drop_prompt")).as("n_prompt_tokens"),
+      (col("nr") - col("drop_response")).as("n_response_tokens"),
+      (col("np") - col("drop_prompt") + col("nr") - col("drop_response") + lit(3))
+        .as("n_tokens"),
+      col("drop_prompt"), col("drop_response"),
+      array_join(concat(
+        array(lit("<|user|>")),
+        slice(col("pw"), col("drop_prompt") + lit(1), col("np") - col("drop_prompt")),
+        array(lit("<|assistant|>")),
+        slice(col("rw"), lit(1), col("nr") - col("drop_response")),
+        array(lit("<|end|>"))), " ").as("text"),
+      concat(
+        repeat(lit("0"), col("np") - col("drop_prompt") + lit(2)),
+        repeat(lit("1"), col("nr") - col("drop_response") + lit(1))).as("loss_mask"))
+  }
+
   /** TRAINED linear quality classifier — the fastText-style upgrade
     * path from rule scores ([[qualityScore]]) and corpus-relative joins
     * ([[unigramLogFreq]]): distill an expensive teacher signal into a

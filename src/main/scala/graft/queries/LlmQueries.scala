@@ -1140,6 +1140,31 @@ object LlmQueries {
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id")
 
+  /** SFT / CHAT-TEMPLATE prep gate ([[TextAnalysis.sftExamples]]) —
+    * the instruction-tuning twin of `span_corruption`. The fixture has
+    * no (prompt, response) pairs, so the gate derives them
+    * deterministically (the `boilerplate_removal` in-plan convention):
+    * the first `n DIV 3` normalized words are the prompt, the rest the
+    * response — both engines split identically. `maxTokens = 64`
+    * makes the truncation policy FIRE on roughly the longer half of
+    * the fixture (docs run 10–99 tokens), so both the truncated and
+    * untruncated regimes are inside the hash. The compared output
+    * includes the assembled template string AND the aligned '0'/'1'
+    * loss mask — a mask off by one token anywhere hash-fails. */
+  val sftExamplesQ: Q = (s, dir) => {
+    val paired = Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        filter(split(TextAnalysis.normalizeText(col("text")), " "),
+          w => length(w) > 0).as("w"))
+      .select(col("doc_id"),
+        array_join(slice(col("w"), lit(1), expr("size(w) DIV 3")), " ").as("prompt"),
+        array_join(slice(col("w"), expr("size(w) DIV 3 + 1"),
+          expr("size(w) - size(w) DIV 3")), " ").as("response"))
+    TextAnalysis.sftExamples(paired, "doc_id", "prompt", "response", maxTokens = 64)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
   /** IMAGE DUPLICATE CLUSTERS — the transitive closure of
     * [[mediaDedupFeatures]]' pair graph ([[Dedup.connectedComponents]]
     * — the same pointer-jumping min-label CC every text dedup family
@@ -3495,6 +3520,7 @@ object LlmQueries {
     "media_dedup_incremental" -> mediaDedupIncremental,
     "media_dedup_clusters" -> mediaDedupClusters,
     "span_corruption" -> spanCorruptionQ,
+    "sft_examples" -> sftExamplesQ,
     "dataset_card" -> datasetCard,
     "media_decode_bmp" -> mediaDecodeBmp,
     "media_decode_png" -> mediaDecodePng,
@@ -6134,6 +6160,34 @@ object LlmQueries {
          |  COALESCE(string_agg(inp_piece, ' ' ORDER BY i), '') AS input,
          |  COALESCE(string_agg(tgt_piece, ' ' ORDER BY i), '') AS target
          |FROM pieces GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // prompt/response derivation, the integer truncation plan, the
+    // template splice and the aligned loss mask all replayed exactly
+    "sft_examples" ->
+      """WITH n AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(
+        |      trim(regexp_replace(regexp_replace(lower(text), '[.,;:!?]', '', 'g'), ' +', ' ', 'g')),
+        |      ' '), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |pr AS (SELECT doc_id,
+        |    w[1 : CAST(len(w) // 3 AS INT)] AS pw,
+        |    w[CAST(len(w) // 3 + 1 AS INT) : CAST(len(w) AS INT)] AS rw
+        |  FROM n),
+        |d AS (SELECT doc_id, pw, rw,
+        |    CAST(len(pw) AS INT) AS np, CAST(len(rw) AS INT) AS nr,
+        |    CAST(greatest(len(pw) + len(rw) + 3 - 64, 0) AS INT) AS ov
+        |  FROM pr),
+        |e AS (SELECT doc_id, pw, rw, np, nr,
+        |    least(ov, np) AS dp, ov - least(ov, np) AS dr
+        |  FROM d)
+        |SELECT doc_id,
+        |  np - dp AS n_prompt_tokens,
+        |  nr - dr AS n_response_tokens,
+        |  np - dp + nr - dr + 3 AS n_tokens,
+        |  dp AS drop_prompt, dr AS drop_response,
+        |  array_to_string(['<|user|>'] || pw[dp + 1 : np] || ['<|assistant|>'] ||
+        |    rw[1 : nr - dr] || ['<|end|>'], ' ') AS text,
+        |  repeat('0', np - dp + 2) || repeat('1', nr - dr + 1) AS loss_mask
+        |FROM e ORDER BY doc_id""".stripMargin,
     // the pair chain + the closure itself: recursive reachability with
     // min labels — component ids hash-verified, not just pairs
     "media_dedup_clusters" ->

@@ -701,6 +701,32 @@ object StreamingQueries {
     drain(s, name, s.table(name).orderBy("doc_id"))
   }
 
+  /** SFT PREP AT INGEST — [[streamSpanCorruption]]'s instruction-tuning
+    * sibling: the same prompt/response derivation and
+    * [[graft.llm.TextAnalysis.sftExamples]] Column expressions on a
+    * readStream frame. Stateless, watermark-free, append-mode — the
+    * gate SHARES the batch oracle, so a batch/stream divergence in any
+    * truncation decision, template token or mask bit hash-fails. */
+  val streamSftExamples: Q = (s, dir) => withStatePartitions(s, 8) {
+    import org.apache.spark.sql.functions._
+    val schema = Tables(s, dir, "documents").schema
+    val name = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val src = s.readStream.schema(schema).parquet(s"$dir/documents.parquet*")
+    val paired = src
+      .select(col("doc_id"),
+        filter(split(graft.llm.TextAnalysis.normalizeText(col("text")), " "),
+          w => length(w) > 0).as("w"))
+      .select(col("doc_id"),
+        array_join(slice(col("w"), lit(1), expr("size(w) DIV 3")), " ").as("prompt"),
+        array_join(slice(col("w"), expr("size(w) DIV 3 + 1"),
+          expr("size(w) - size(w) DIV 3")), " ").as("response"))
+    val out = graft.llm.TextAnalysis.sftExamples(paired, "doc_id", "prompt", "response", 64)
+      .withColumnRenamed("id", "doc_id")
+    val q = out.writeStream.format("memory").queryName(name).outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    drain(s, name, s.table(name).orderBy("doc_id"))
+  }
+
   /** SCD2 POINT-IN-TIME enrichment — the versioned-dimension join
     * every ingest ETL needs and [[streamStaticEnrich]] (current-state
     * dim) cannot express: each event joins the dim VERSION that was
@@ -1156,6 +1182,7 @@ object StreamingQueries {
     "stream_dedup_watermarked" -> streamDedupWatermarked,
     "stream_encoding_hygiene" -> streamEncodingHygiene,
     "stream_span_corruption" -> streamSpanCorruption,
+    "stream_sft_examples" -> streamSftExamples,
     "stream_scd_enrich" -> streamScdEnrich
   )
 
@@ -1179,6 +1206,8 @@ object StreamingQueries {
     "stream_encoding_hygiene" -> LlmQueries.sqlEncodingHygiene,
     // stateless narrow transform: batch ≡ stream by construction — shared oracle
     "stream_span_corruption" -> LlmQueries.oracles("span_corruption"),
+    // stateless scan-side prep: the batch oracle verbatim
+    "stream_sft_examples" -> LlmQueries.oracles("sft_examples"),
     // batch-invariant by construction: pair (i, j), i < j, emitted iff
     // both band to one bucket, i is among the bucket's first 1000
     // arrivals (the probe-then-add-if-room state cap => a ROW_NUMBER
