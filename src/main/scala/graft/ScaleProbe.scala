@@ -244,7 +244,15 @@ object ScaleProbe {
     "pack_sequences_layout",
     // SFT prep: derive + splice + mask is one narrow map, no shuffle
     // at any corpus size (the span_corruption profile)
-    "sft_examples")
+    "sft_examples",
+    // audio near-dup: synth+parse+fingerprint narrow; the one corpus
+    // exchange carries (id, 56-bit sig) per band — the image family's
+    // scale shape on the PCM path
+    "media_audio_dedup",
+    // video near-dup: GIF encode/decode narrow; ONE doc-keyed majority
+    // shuffle of (id, sig) + the band exchange — pair volume rides
+    // fixed-size clusters, never corpus²
+    "media_video_dedup")
 
   private def rot(s: String, k: Int): String = s.drop(k % s.length) + s.take(k % s.length)
 

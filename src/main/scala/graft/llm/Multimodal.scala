@@ -336,6 +336,97 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  /** TWO-SEED PCM synthesizer — the audio-dedup fixture generator:
+    * like [[synthesizePcm]], sample k is a closed-form function, but
+    * the seeds arrive as COLUMNS (so the caller can feed md5-mixed
+    * cluster seeds — the r17 texture lesson: linear mixes leave
+    * correlated low bits that manufacture phantom cross-cluster
+    * signature collisions) and the samples of ONE designated frame
+    * (`altFrameCol` under the `(k·nFrames) DIV n` frame rule) switch
+    * to `altSeedCol` — the per-doc "re-encode artifact" that makes
+    * cluster-mates NEAR-duplicates instead of byte-identical:
+    * `v(k) = ((seed_or_alt + k·104729) mod 65536) − 32768` (additive,
+    * never seed·constant — a 60-bit seed times anything overflows
+    * BIGINT, which DuckDB refuses). Narrow mapPartitions, no
+    * shuffle. */
+  def synthesizePcmSeeded(df: DataFrame, idCol: String, nCol: String,
+      seedCol: String, altSeedCol: String, altFrameCol: String,
+      nFrames: Int): DataFrame = {
+    require(nFrames > 0, "nFrames must be positive")
+    val sel = df.select(col(idCol), col(nCol).cast("int"),
+      col(seedCol).cast("long"), col(altSeedCol).cast("long"),
+      col(altFrameCol).cast("int"))
+    val outSchema = StructType(Seq(sel.schema.head, StructField("media", mediaSchema)))
+    sel.mapPartitions { it =>
+      it.map { r =>
+        val n = r.getInt(1); val seed = r.getLong(2)
+        val altSeed = r.getLong(3); val altFrame = r.getInt(4)
+        val bytes = new Array[Byte](n * 2)
+        var k = 0
+        while (k < n) {
+          val f = (k.toLong * nFrames / n).toInt
+          val s = if (f == altFrame) altSeed else seed
+          val v = (Math.floorMod(s + k * 104729L, 65536L) - 32768L).toInt
+          bytes(2 * k) = (v & 0xFF).toByte
+          bytes(2 * k + 1) = ((v >> 8) & 0xFF).toByte
+          k += 1
+        }
+        Row(r.get(0), Row(bytes, "audio/pcm", null, null, n))
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** AUDIO FINGERPRINT — the energy-delta signature (the
+    * Haitsma–Kalker "Philips fingerprint" family reduced to its
+    * time-domain core): the parsed PCM splits into `nFrames` contiguous
+    * frames (`frame(k) = (k·nFrames) DIV n` — near-equal sizes, exact
+    * integer boundaries), each frame reduces to its L1 energy
+    * `Σ|sample|`, and bit b of the signature is `E_b > E_{b+1}` — one
+    * '0'/'1' character per adjacent-frame energy comparison,
+    * `nFrames − 1` bits total. Production systems compare filterbank
+    * (spectral) energies per frame; the time-domain L1 keeps every bit
+    * exact-integer-replayable while the LSH/banding/verify machinery
+    * downstream ([[Dedup.bitSignaturePairs]]) is IDENTICAL either way
+    * — swapping in an FFT energy later changes only this map.
+    *
+    * A re-encode that perturbs one frame's samples moves exactly one
+    * energy, so it flips at most the two bits that energy touches —
+    * the property the dedup gate's `maxHamming < bands` recall
+    * guarantee is built on. NULL/empty payloads yield a NULL signature
+    * (the decode-failure convention — excluded from banding). Narrow
+    * mapPartitions, one pass per payload, no shuffle. */
+  def audioFingerprint(df: DataFrame, idCol: String, mediaCol: String,
+      nFrames: Int = 57): DataFrame = {
+    require(nFrames >= 2, s"need at least 2 frames for 1 bit; got $nFrames")
+    val sel = df.select(col(idCol), col(mediaCol).getField("bytes").as("__bytes"))
+    val outSchema = StructType(Seq(sel.schema.head, StructField("sig", StringType)))
+    sel.mapPartitions { it =>
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        val sig: String =
+          if (bytes == null || bytes.length < 2) null
+          else {
+            val n = bytes.length / 2
+            val en = new Array[Long](nFrames)
+            var k = 0
+            while (k < n) {
+              val v = (((bytes(2 * k + 1).toInt) << 8) | (bytes(2 * k) & 0xFF)).toShort.toInt
+              en((k.toLong * nFrames / n).toInt) += math.abs(v.toLong)
+              k += 1
+            }
+            val sb = new java.lang.StringBuilder(nFrames - 1)
+            var f = 0
+            while (f < nFrames - 1) {
+              sb.append(if (en(f) > en(f + 1)) '1' else '0')
+              f += 1
+            }
+            sb.toString
+          }
+        Row(r.get(0), sig)
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Integer DECIMATION of a 16-bit LE mono PCM payload — keep every
     * `factor`-th sample (the drop-sample resampler: exact, no filter
     * arithmetic, so the output waveform is a pure index subsequence any
@@ -427,7 +518,19 @@ object Multimodal {
     * [[synthesizeImage]] convention, lifted to sequences). Narrow
     * mapPartitions, no shuffle. */
   def synthesizeGifFrames(df: DataFrame, idCol: String, nCol: String, wCol: String,
-                          hCol: String)(grayOf: (Long, Int) => Int): DataFrame = {
+                          hCol: String)(grayOf: (Long, Int) => Int): DataFrame =
+    synthesizeGifFramesPx(df, idCol, nCol, wCol, hCol)((id, k, _, _) => grayOf(id, k))
+
+  /** Per-PIXEL variant of [[synthesizeGifFrames]] — textured frames:
+    * `grayOf(id, frame, x, y)` decides every pixel, so a video fixture
+    * can carry per-frame md5 textures the way the image family's BMPs
+    * do. The JDK GIF writer builds an EXACT palette when a frame holds
+    * ≤ 256 distinct colors (verified: textured 1..126 grays round-trip
+    * bit-exact through writeToSequence → sequence read), so decoded
+    * pixels stay a closed-form function of (id, k, x, y) and an oracle
+    * can state them without seeing a byte. Narrow mapPartitions. */
+  def synthesizeGifFramesPx(df: DataFrame, idCol: String, nCol: String, wCol: String,
+                            hCol: String)(grayOf: (Long, Int, Int, Int) => Int): DataFrame = {
     val sel = df.select(col(idCol).cast("long"), col(nCol).cast("int"),
       col(wCol).cast("int"), col(hCol).cast("int"))
     val outSchema = StructType(Seq(sel.schema.head, StructField("media", mediaSchema)))
@@ -442,13 +545,15 @@ object Multimodal {
           writer.prepareWriteSequence(null)
           var k = 0
           while (k < n) {
-            val g = grayOf(id, k) & 0xFF
             val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-            val rgb = (g << 16) | (g << 8) | g
             var y = 0
             while (y < h) {
               var x = 0
-              while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+              while (x < w) {
+                val g = grayOf(id, k, x, y) & 0xFF
+                img.setRGB(x, y, (g << 16) | (g << 8) | g)
+                x += 1
+              }
               y += 1
             }
             writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)

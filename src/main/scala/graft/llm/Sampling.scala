@@ -77,6 +77,28 @@ object Sampling {
   def hash60(id: Column): Column =
     conv(substring(md5(id.cast("string")), 1, 15), 16, 10).cast("long")
 
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Executor-side twin of [[hash60]] for synth CLOSURES — fixture
+    * generators inside mapPartitions that need the portable hash per
+    * generated element (per pixel, per sample) where no Column exists.
+    * Same value as `conv(substring(md5(s), 1, 15), 16, 10)`: the first
+    * 15 md5 hex chars (= 7 bytes + the high nibble of byte 7) as a
+    * 60-bit Long. Thread-confined digest — getInstance per call would
+    * dominate per-pixel loops. */
+  def hash60Jvm(s: String): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xFFL); i += 1 }
+    (v << 4) | ((d(7) & 0xFFL) >> 4)
+  }
+
   /** Deterministic shard id in [0, nShards): `hash60(id) % nShards`.
     * A pure function of the id — the WebDataset-style assignment every
     * dataloader can recompute without a lookup table. */

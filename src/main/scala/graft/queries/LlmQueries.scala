@@ -2607,6 +2607,100 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** The corpus audio frame → energy-delta fingerprints
+    * ([[Multimodal.synthesizePcmSeeded]] → [[Multimodal
+    * .audioFingerprint]]): one md5-mixed waveform seed per 8-doc
+    * cluster `doc_id DIV 8` (the image family's texture convention —
+    * linear seed mixes left correlated bits and phantom cross-cluster
+    * collisions, the r17 lesson), plus ONE per-doc re-encoded frame
+    * (frame `p % 56`, samples switched to the doc's own md5 seed) —
+    * so cluster-mates are NEAR-duplicate waveforms whose noise moves
+    * exactly one frame energy. Because all cluster-mates perturb the
+    * SAME frame, any two of them differ only in the ≤ 2 bits that
+    * energy touches — pairwise Hamming ≤ 2 < bands = 4, so the banded
+    * recall guarantee holds OUTRIGHT here (no band-confinement caveat
+    * like the image family's maxHamming = 4). Shared by the pairs
+    * gate and (via the same sig frame) any future index/stream form. */
+  private[queries] def audioSigsFor(s: SparkSession, dir: String): DataFrame = {
+    // n is CLUSTER-constant (p % 57, not doc_id % 57): a per-doc length
+    // would shift every frame boundary between cluster-mates and turn
+    // the planted near-dups into full-signature strangers
+    val d = Tables(s, dir, "documents").select(col("doc_id"),
+      expr("CAST(200 + (doc_id DIV 8) % 57 AS INT)").as("n"),
+      Sampling.hash60(concat(lit("aud:"), expr("CAST(doc_id DIV 8 AS STRING)"))).as("wid"),
+      Sampling.hash60(concat(lit("audn:"), col("doc_id").cast("string"))).as("nid"),
+      expr("CAST((doc_id DIV 8) % 56 AS INT)").as("nf"))
+    Multimodal.audioFingerprint(
+      Multimodal.synthesizePcmSeeded(d, "doc_id", "n", "wid", "nid", "nf", nFrames = 57),
+      "doc_id", "media", nFrames = 57)
+  }
+
+  /** AUDIO NEAR-DUP PAIRS — the modality the image family
+    * ([[mediaDedupFeatures]]) was factored for: synth → REAL byte-level
+    * PCM parse → 56-bit energy-delta fingerprint → the SAME
+    * [[Dedup.bitSignaturePairs]] band-LSH (4×14-bit bands, bucket cap,
+    * exact Hamming verify — ONE shuffle on the band key, never
+    * all-pairs). Every sample, energy, bit, band and distance replays
+    * in the oracle from the closed form, so a hash match proves the
+    * byte pack→parse round trip AND the pairing. */
+  val mediaAudioDedup: Q = (s, dir) =>
+    Dedup.bitSignaturePairs(audioSigsFor(s, dir), "doc_id", "sig",
+        nBits = 56, bands = 4, maxHamming = 2, maxBucket = MaxBucket)
+      .orderBy("id_a", "id_b")
+
+  /** The corpus video frame → per-video majority signatures: each doc
+    * is a 5-frame animated GIF of md5-textured 8×8 frames (ONE texture
+    * set per 8-doc cluster `doc_id DIV 8`, frames differ by the frame
+    * index in the texture hash), REALLY encoded and decoded
+    * ([[Multimodal.synthesizeGifFramesPx]] → the sequence reader →
+    * lossless PNG frames → [[Multimodal.imageDHash]] per frame), then
+    * reduced to ONE 56-bit signature per video by the per-position
+    * MAJORITY bit across frames — the frame-sequence fingerprint that
+    * tolerates any single frame's corruption. The planted noise is one
+    * pixel of one frame (position and frame index shared per cluster,
+    * gray bump per doc), so cluster-mates' frame dHashes differ in ≤ 2
+    * bits of one frame and the MAJORITY signatures differ pairwise in
+    * ≤ 2 bits — `maxHamming 2 < bands 4` gives the outright recall
+    * guarantee (the audio family's argument, lifted across frames).
+    * The majority reduce is ONE doc-keyed shuffle of (id, 56-char sig)
+    * rows; decode stays narrow. */
+  private[queries] def videoSigsFor(s: SparkSession, dir: String): DataFrame = {
+    val F = 5
+    val d = Tables(s, dir, "documents").select(col("doc_id"),
+      lit(F).as("nf"), lit(8).as("w"), lit(8).as("h"))
+    val media = Multimodal.synthesizeGifFramesPx(d, "doc_id", "nf", "w", "h") { (id, k, x, y) =>
+      val p = id / 8
+      val base = (Sampling.hash60Jvm(s"vid:$p:$k:$x:$y") % 126L).toInt
+      val bump =
+        if (k == (p % F).toInt && x == (p % 8).toInt && y == ((p / 8) % 8).toInt)
+          (Sampling.hash60Jvm(s"vidn:$id") % 126L).toInt
+        else 0
+      1 + (base + bump) % 126
+    }
+    val frames = Multimodal.sampleImageFrames(media, "doc_id", "media", stride = 1)
+    val keyed = frames.select(struct(col("doc_id"), col("frame_idx")).as("fid"), col("frame"))
+    Multimodal.imageDHash(keyed, "fid", "frame", grid = 8)
+      .select(col("fid.doc_id").as("doc_id"), col("sig"))
+      .groupBy("doc_id").agg(collect_list(col("sig")).as("ss"))
+      // majority per bit position, assembled in one HOF pass (56×F
+      // substrings per DOC row — bounded, no second shuffle)
+      .selectExpr("doc_id",
+        "array_join(transform(sequence(1, 56), i -> " +
+          "IF(2 * size(filter(ss, s -> substring(s, i, 1) = '1')) > size(ss), '1', '0')), '')" +
+          " AS sig")
+  }
+
+  /** VIDEO NEAR-DUP PAIRS — the last modality onto
+    * [[Dedup.bitSignaturePairs]]: real GIF sequence encode → real
+    * frame decode → per-frame dHash → majority-bit video signature →
+    * the shared band-LSH (4×14-bit bands, exact Hamming ≤ 2 verify,
+    * never all-pairs). The oracle replays every pixel, per-frame bit,
+    * majority vote, band and distance from the closed form. */
+  val mediaVideoDedup: Q = (s, dir) =>
+    Dedup.bitSignaturePairs(videoSigsFor(s, dir), "doc_id", "sig",
+        nBits = 56, bands = 4, maxHamming = 2, maxBucket = MaxBucket)
+      .orderBy("id_a", "id_b")
+
   /** Byte-level media stats (no decode): engine-portable ⇒ oracle. */
   val mediaStats: Q = (s, dir) => {
     val d = Tables(s, dir, "documents")
@@ -3531,6 +3625,8 @@ object LlmQueries {
     "media_video_frames" -> mediaVideoFrames,
     "media_video_scenes" -> mediaVideoScenes,
     "media_audio_stats" -> mediaAudioStats,
+    "media_audio_dedup" -> mediaAudioDedup,
+    "media_video_dedup" -> mediaVideoDedup,
     "media_audio_resample" -> mediaAudioResample,
     "media_stats" -> mediaStats
   )
@@ -6387,6 +6483,70 @@ object LlmQueries {
     // the PCM payload is closed-form in (doc_id, k): the oracle states
     // every waveform stat WITHOUT seeing a byte, which is exactly what
     // makes the gate a proof of the Spark side's pack->parse round trip
+    // the video modality: per-frame textured pixels -> per-frame dHash
+    // bits -> per-position majority across the 5 frames -> the shared
+    // band machinery; px self-joins so MATERIALIZED
+    "media_video_dedup" ->
+      s"""WITH px AS MATERIALIZED (SELECT doc_id, k, x, y,
+         |    1 + CAST((${hx60("md5('vid:' || CAST(doc_id // 8 AS VARCHAR) || ':' || CAST(k AS VARCHAR) || ':' || CAST(x AS VARCHAR) || ':' || CAST(y AS VARCHAR))")} % 126 +
+         |      CASE WHEN k = (doc_id // 8) % 5 AND x = (doc_id // 8) % 8
+         |          AND y = ((doc_id // 8) // 8) % 8
+         |        THEN ${hx60("md5('vidn:' || CAST(doc_id AS VARCHAR))")} % 126 ELSE 0 END) % 126 AS INT) AS g
+         |  FROM documents, unnest(range(0, 5)) tk(k),
+         |    unnest(range(0, 8)) tx(x), unnest(range(0, 8)) ty(y)),
+         |fb AS (SELECT a.doc_id, a.k, a.y, a.x,
+         |    CASE WHEN b.g > a.g THEN 1 ELSE 0 END AS bit
+         |  FROM px a JOIN px b ON b.doc_id = a.doc_id AND b.k = a.k
+         |    AND b.y = a.y AND b.x = a.x + 1
+         |  WHERE a.x < 7),
+         |mj AS (SELECT doc_id, y, x,
+         |    CASE WHEN 2 * sum(bit) > count(*) THEN '1' ELSE '0' END AS mb
+         |  FROM fb GROUP BY doc_id, y, x),
+         |sg AS (SELECT doc_id, string_agg(mb, '' ORDER BY y, x) AS sig FROM mj GROUP BY doc_id),
+         |bb AS (SELECT doc_id, sig, i,
+         |    CAST(i AS VARCHAR) || ':' || substr(sig, CAST(i*14 + 1 AS INT), 14) AS k
+         |  FROM sg, unnest(range(0, 4)) t(i)),
+         |okb AS (SELECT k FROM (SELECT k, count(*) AS n FROM bb GROUP BY k)
+         |  WHERE n BETWEEN 2 AND $MaxBucket),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sa, b.sig AS sb
+         |  FROM bb a JOIN bb b ON a.k = b.k AND a.doc_id < b.doc_id JOIN okb ON a.k = okb.k),
+         |ham AS (SELECT id_a, id_b,
+         |    CAST(sum(CASE WHEN substr(sa, CAST(j AS INT), 1) <> substr(sb, CAST(j AS INT), 1)
+         |      THEN 1 ELSE 0 END) AS INT) AS hamming
+         |  FROM cand, unnest(range(1, 57)) t(j) GROUP BY id_a, id_b)
+         |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 2
+         |ORDER BY id_a, id_b""".stripMargin,
+    // the audio twin of media_dedup_features: two-seed closed-form
+    // samples -> frame L1 energies -> 56 comparison bits -> the shared
+    // band/bucket/pair machinery, all replayed exactly
+    "media_audio_dedup" ->
+      s"""WITH sd AS (SELECT doc_id,
+         |    CAST(200 + (doc_id // 8) % 57 AS BIGINT) AS n,
+         |    (doc_id // 8) % 56 AS nf,
+         |    ${hx60("md5('aud:' || CAST(doc_id // 8 AS VARCHAR))")} AS wid,
+         |    ${hx60("md5('audn:' || CAST(doc_id AS VARCHAR))")} AS nid
+         |  FROM documents),
+         |s AS (SELECT doc_id, (k * 57) // n AS f,
+         |    ((CASE WHEN (k * 57) // n = nf THEN nid ELSE wid END + k * 104729)
+         |      % 65536 + 65536) % 65536 - 32768 AS v
+         |  FROM sd, unnest(range(0, n)) t(k)),
+         |e AS (SELECT doc_id, f, sum(abs(v)) AS en FROM s GROUP BY doc_id, f),
+         |bits AS (SELECT a.doc_id, a.f, CASE WHEN a.en > b.en THEN '1' ELSE '0' END AS bit
+         |  FROM e a JOIN e b ON b.doc_id = a.doc_id AND b.f = a.f + 1 WHERE a.f < 56),
+         |sg AS (SELECT doc_id, string_agg(bit, '' ORDER BY f) AS sig FROM bits GROUP BY doc_id),
+         |bb AS (SELECT doc_id, sig, i,
+         |    CAST(i AS VARCHAR) || ':' || substr(sig, CAST(i*14 + 1 AS INT), 14) AS k
+         |  FROM sg, unnest(range(0, 4)) t(i)),
+         |okb AS (SELECT k FROM (SELECT k, count(*) AS n FROM bb GROUP BY k)
+         |  WHERE n BETWEEN 2 AND $MaxBucket),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sa, b.sig AS sb
+         |  FROM bb a JOIN bb b ON a.k = b.k AND a.doc_id < b.doc_id JOIN okb ON a.k = okb.k),
+         |ham AS (SELECT id_a, id_b,
+         |    CAST(sum(CASE WHEN substr(sa, CAST(j AS INT), 1) <> substr(sb, CAST(j AS INT), 1)
+         |      THEN 1 ELSE 0 END) AS INT) AS hamming
+         |  FROM cand, unnest(range(1, 57)) t(j) GROUP BY id_a, id_b)
+         |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 2
+         |ORDER BY id_a, id_b""".stripMargin,
     "media_audio_stats" ->
       """WITH s AS (SELECT doc_id, k,
         |    ((doc_id * 7919 + k * 104729) % 65536 + 65536) % 65536 - 32768 AS v
