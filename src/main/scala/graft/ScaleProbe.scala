@@ -252,7 +252,11 @@ object ScaleProbe {
     // video near-dup: GIF encode/decode narrow; ONE doc-keyed majority
     // shuffle of (id, sig) + the band exchange — pair volume rides
     // fixed-size clusters, never corpus²
-    "media_video_dedup")
+    "media_video_dedup",
+    // unigram-vs-BPE fertility: training is two bounded collects
+    // (the bpe_encode profile); the report is one tokenize scan per
+    // tokenizer with a |sources|-row aggregate
+    "unigram_fertility")
 
   private def rot(s: String, k: Int): String = s.drop(k % s.length) + s.take(k % s.length)
 

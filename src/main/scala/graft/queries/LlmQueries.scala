@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.llm.{Bpe, Decontamination, Dedup, Graph, Multimodal, Retrieval, Sampling, Similarity, Sketches, TextAnalysis}
+import graft.llm.{Bpe, Decontamination, Dedup, Graph, Multimodal, Retrieval, Sampling, Similarity, Sketches, TextAnalysis, Unigram}
 
 /** LLM-training-data pipeline queries over the documents/embeddings
   * tables: text analysis, dedup (exact / MinHash / SimHash / n-gram
@@ -2846,6 +2846,12 @@ object LlmQueries {
   private[graft] def trainedBpe(s: SparkSession, dir: String): Bpe.Trained =
     bpeCache.computeIfAbsent(dir, _ => Bpe.train(Tables(s, dir, "documents"), "text"))
 
+  private val unigramCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Unigram.Trained]()
+
+  private[graft] def trainedUnigram(s: SparkSession, dir: String): Unigram.Trained =
+    unigramCache.computeIfAbsent(dir, _ => Unigram.train(Tables(s, dir, "documents"), "text"))
+
   private[graft] def trainedBpeBytes(s: SparkSession, dir: String): Bpe.Trained =
     bpeCache.computeIfAbsent("bytes:" + dir,
       _ => Bpe.trainBytes(Tables(s, dir, "documents"), "text"))
@@ -3048,6 +3054,53 @@ object LlmQueries {
   }
 
   val bpeVocab: Q = (s, dir) => vocabDf(s, trainedBpe(s, dir))
+
+  /** The trained UNIGRAM-LM vocabulary artifact
+    * ([[Unigram.train]] — SentencePiece-style hard EM with integer
+    * floor-log2 scores): (piece, cnt, score) after the fixed EM
+    * rounds. Tiny by design (driver artifact); the oracle re-derives
+    * candidate init, BOTH EM rounds (every Viterbi DP cell, backward
+    * walk, usage count and prune) from the parquet alone — nothing
+    * trained enters the oracle as a literal, the BpeOracle
+    * convention. */
+  val unigramVocab: Q = (s, dir) => {
+    import scala.jdk.CollectionConverters._
+    val t = trainedUnigram(s, dir)
+    val rows = t.counts.toSeq.sortBy(_._1).map { case (p, c) =>
+      org.apache.spark.sql.Row(p, c, t.scores(p).toLong)
+    }
+    s.createDataFrame(rows.asJava, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("piece", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("cnt", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("score", org.apache.spark.sql.types.LongType))))
+      .orderBy("piece")
+  }
+
+  /** TOKENIZER-COMPARISON fertility — unigram vs BPE on the same
+    * corpus, per source: whitespace words, unigram Viterbi pieces
+    * ([[Unigram.pieceCounts]] — narrow closure DP, vocab-sized state),
+    * char-BPE tokens ([[Bpe.tokenCount]]), and both fertility ratios
+    * in exact ppm. The study question this answers: which tokenizer
+    * fragments which domain more — per source, in one scan each. */
+  val unigramFertility: Q = (s, dir) => {
+    val uni = trainedUnigram(s, dir)
+    val bpe = trainedBpe(s, dir)
+    val base = Tables(s, dir, "documents")
+      .select(col("source"),
+        TextAnalysis.normalizeText(col("text")).as("nt"),
+        Bpe.tokenCount(col("text"), bpe.merges).cast("long").as("t"))
+      .select(col("source"), col("nt"), col("t"),
+        size(split(col("nt"), " ")).cast("long").as("w"))
+    Unigram.pieceCounts(base, "nt", uni, "u")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("w").as("n_words"),
+        sum("u").as("n_pieces_unigram"), sum("t").as("n_tokens_bpe"))
+      .select(col("source"), col("n_docs"), col("n_words"),
+        col("n_pieces_unigram"), col("n_tokens_bpe"),
+        expr("CAST(n_pieces_unigram * 1000000 DIV n_words AS BIGINT)").as("fertility_unigram_ppm"),
+        expr("CAST(n_tokens_bpe * 1000000 DIV n_words AS BIGINT)").as("fertility_bpe_ppm"))
+      .orderBy("source")
+  }
 
   /** The byte-mode vocabulary artifact — 256 structural byte rows
     * (ids = byte value) plus the trained merges, the file a byte-level
@@ -3539,6 +3592,8 @@ object LlmQueries {
     "bpe_decode_roundtrip" -> bpeDecodeRoundtrip,
     "bpe_fertility_by_source" -> bpeFertilityBySource,
     "bpe_vocab" -> bpeVocab,
+    "unigram_vocab" -> unigramVocab,
+    "unigram_fertility" -> unigramFertility,
     "bpe_vocab_bytes" -> bpeVocabBytes,
     "bpe_artifact_roundtrip" -> bpeArtifactRoundtrip,
     "pack_sequences_bpe" -> packSequencesBpe,
@@ -5081,6 +5136,10 @@ object LlmQueries {
     "bpe_fertility_by_source" -> BpeOracle.bpeFertilityBySourceSql,
     "bpe_vocab_bytes" -> BpeOracle.bpeVocabBytesSql,
     "bpe_vocab" -> BpeOracle.bpeVocabSql,
+    // the full hard-EM replay: candidate init, both Viterbi rounds,
+    // prune — nothing trained enters as a literal
+    "unigram_vocab" -> UnigramOracle.unigramVocabSql,
+    "unigram_fertility" -> UnigramOracle.unigramFertilitySql,
     // the artifact path must change nothing: shared oracle (the
     // ann_ivf_persisted convention); the bit-for-bit reconstruction is
     // additionally require()-enforced inside the query

@@ -1,0 +1,153 @@
+package graft.queries
+
+import graft.llm.Unigram
+
+/** The DuckDB replay of the ENTIRE unigram-LM trainer
+  * ([[graft.llm.Unigram]]) — the [[BpeOracle]] convention applied to
+  * hard EM: nothing trained on the Spark side enters the oracle as a
+  * literal; DuckDB re-derives word frequencies, the substring candidate
+  * init, and BOTH EM rounds — every integer floor-log2 score
+  * (`length(bin(c)) − 1`), every Viterbi DP cell (a recursive CTE
+  * advancing one position per step, carrying the last four DP values
+  * in the row — the window a ≤ 4-char piece can reach back to), every
+  * backward-walk segment, every usage count and every prune — from the
+  * parquet alone.
+  *
+  * Tie-breaks are structural in both engines: the DP picks
+  * `greatest(c1..c4)` and resolves equal candidates to the LARGEST
+  * piece length (the CASE tests L = 4 first), exactly the Scala
+  * trainer's descending-L strict-improvement scan. Candidate validity
+  * is enforced in the join conditions (`d.i >= L − 1`), never by
+  * substr clamping. `MATERIALIZED` on every multiply-referenced level
+  * — the BpeOracle CTE-inlining lesson. */
+object UnigramOracle {
+
+  private val V = Unigram.VocabWords
+  private val K = Unigram.KeepPieces
+  private val R = Unigram.EmRounds
+  private val Sentinel = -1000000000L
+
+  /** DuckDB twin of [[graft.llm.TextAnalysis.normalizeText]]. */
+  private val Norm =
+    "trim(regexp_replace(regexp_replace(lower(text), '[.,;:!?]', '', 'g'), ' +', ' ', 'g'))"
+
+  /** Base CTEs for the standalone vocab gate (names match
+    * [[BpeOracle.trainCtes]]' so the chain composes with it too). */
+  private val baseCtes: String = Seq(
+    s"tokw AS (SELECT unnest(regexp_split_to_array($Norm, ' ')) AS w FROM documents)",
+    "wf AS MATERIALIZED (SELECT w, count(*) AS f FROM tokw " +
+      s"WHERE length(w) > 0 GROUP BY w ORDER BY f DESC, w LIMIT $V)",
+    s"normd AS MATERIALIZED (SELECT doc_id, $Norm AS nt FROM documents)",
+    "alpha AS (SELECT DISTINCT substr(nt, CAST(i AS INT), 1) AS tk FROM normd, " +
+      "unnest(range(1, length(nt) + 1)) t(i) WHERE substr(nt, CAST(i AS INT), 1) <> ' ')"
+  ).mkString(",\n")
+
+  /** One Viterbi DP + backward walk over the words of `wordsCte(w)`
+    * under the scores of `scoreCte(p, s)`, emitting
+    * `u$tag(w, i, p, bl)` segment rows (p NULL on the base row). */
+  private def viterbiCtes(tag: String, wordsCte: String, scoreCte: String): String = {
+    val dp = s"dp$tag"; val bk = s"bk$tag"
+    Seq(
+      s"""$dp AS (
+         |  SELECT w, length(w) AS len, CAST(0 AS BIGINT) AS i,
+         |    CAST(0 AS BIGINT) AS g0, CAST(NULL AS BIGINT) AS g1,
+         |    CAST(NULL AS BIGINT) AS g2, CAST(NULL AS BIGINT) AS g3,
+         |    CAST(0 AS BIGINT) AS bl
+         |  FROM (SELECT DISTINCT w FROM $wordsCte)
+         |  UNION ALL
+         |  SELECT w, len, i + 1,
+         |    greatest(c1, c2, c3, c4), g0, g1, g2,
+         |    CASE WHEN c4 = greatest(c1, c2, c3, c4) THEN 4
+         |         WHEN c3 = greatest(c1, c2, c3, c4) THEN 3
+         |         WHEN c2 = greatest(c1, c2, c3, c4) THEN 2
+         |         ELSE 1 END
+         |  FROM (
+         |    SELECT d.w, d.len, d.i, d.g0, d.g1, d.g2, d.g3,
+         |      COALESCE(d.g0 + s1.s, $Sentinel) AS c1,
+         |      COALESCE(d.g1 + s2.s, $Sentinel) AS c2,
+         |      COALESCE(d.g2 + s3.s, $Sentinel) AS c3,
+         |      COALESCE(d.g3 + s4.s, $Sentinel) AS c4
+         |    FROM $dp d
+         |    LEFT JOIN $scoreCte s1 ON s1.p = substr(d.w, CAST(d.i + 1 AS INT), 1)
+         |    LEFT JOIN $scoreCte s2 ON d.i >= 1 AND s2.p = substr(d.w, CAST(d.i AS INT), 2)
+         |    LEFT JOIN $scoreCte s3 ON d.i >= 2 AND s3.p = substr(d.w, CAST(d.i - 1 AS INT), 3)
+         |    LEFT JOIN $scoreCte s4 ON d.i >= 3 AND s4.p = substr(d.w, CAST(d.i - 2 AS INT), 4)
+         |    WHERE d.i < d.len) x)""".stripMargin,
+      s"""$bk AS (
+         |  SELECT w, CAST(length(w) AS BIGINT) AS i, CAST(NULL AS VARCHAR) AS p
+         |  FROM (SELECT DISTINCT w FROM $wordsCte)
+         |  UNION ALL
+         |  SELECT b.w, b.i - d.bl, substr(b.w, CAST(b.i - d.bl + 1 AS INT), CAST(d.bl AS INT))
+         |  FROM $bk b JOIN $dp d ON d.w = b.w AND d.i = b.i
+         |  WHERE b.i > 0)""".stripMargin
+    ).mkString(",\n")
+  }
+
+  /** The training chain after [[baseCtes]] (or after
+    * [[BpeOracle.trainCtes]], whose wf/alpha/normd rows are
+    * identical): candidate init `c0`/`v0`, then per round r the score
+    * table `s{r}`, the DP/walk `dp{r}`/`bk{r}`, usage `uses{r}` and
+    * the pruned vocab `v{r}`. Ends with `v$R(p, c)`. */
+  private val trainChain: String = {
+    val ctes = Seq.newBuilder[String]
+    ctes += ("c0 AS MATERIALIZED (SELECT substr(w, CAST(i AS INT), CAST(L AS INT)) AS p, " +
+      "CAST(sum(f) AS BIGINT) AS c FROM wf, unnest(range(1, 5)) tl(L), " +
+      "unnest(range(1, length(w) + 1)) ti(i) WHERE i + L - 1 <= length(w) GROUP BY 1)")
+    ctes += ("uv0 AS MATERIALIZED (SELECT p, c FROM " +
+      s"(SELECT p, c FROM c0 WHERE length(p) > 1 ORDER BY c DESC, p LIMIT $K) " +
+      "UNION ALL SELECT a.tk, greatest(COALESCE(c0.c, 0), 1) " +
+      "FROM alpha a LEFT JOIN c0 ON c0.p = a.tk)")
+    (1 to R).foreach { r =>
+      val p = r - 1
+      ctes += (s"s$r AS MATERIALIZED (SELECT p, CAST(length(bin(c)) - 1 AS BIGINT) - " +
+        s"(SELECT length(bin(CAST(sum(c) AS BIGINT))) - 1 FROM uv$p) AS s FROM uv$p)")
+      ctes += viterbiCtes(r.toString, "wf", s"s$r")
+      ctes += (s"uses$r AS MATERIALIZED (SELECT u.p, CAST(sum(wf.f) AS BIGINT) AS c " +
+        s"FROM bk$r u JOIN wf ON wf.w = u.w WHERE u.p IS NOT NULL GROUP BY u.p)")
+      ctes += (s"uv$r AS MATERIALIZED (SELECT p, c FROM uses$r WHERE length(p) > 1 " +
+        s"UNION ALL SELECT s.p, greatest(COALESCE(u.c, 0), 1) " +
+        s"FROM (SELECT p FROM uv$p WHERE length(p) = 1) s " +
+        s"LEFT JOIN uses$r u ON u.p = s.p)")
+    }
+    ctes.result().mkString(",\n")
+  }
+
+  /** `unigram_vocab`: the trained artifact, re-derived end to end. */
+  val unigramVocabSql: String =
+    s"""WITH RECURSIVE
+       |$baseCtes,
+       |$trainChain
+       |SELECT p AS piece, c AS cnt,
+       |  CAST(length(bin(c)) - 1 AS BIGINT) -
+       |    (SELECT length(bin(CAST(sum(c) AS BIGINT))) - 1 FROM uv$R) AS score
+       |FROM uv$R ORDER BY piece""".stripMargin
+
+  /** `unigram_fertility`: the final scores segment EVERY distinct
+    * corpus word (not just the training top-V); per-source word
+    * occurrence counts weight the piece counts; the BPE token side
+    * rides [[BpeOracle.trainCtes]]' `enc` verbatim (whose wf/normd
+    * this chain shares). */
+  val unigramFertilitySql: String =
+    s"""WITH RECURSIVE
+       |${BpeOracle.trainCtes},
+       |$trainChain,
+       |sF AS MATERIALIZED (SELECT p, CAST(length(bin(c)) - 1 AS BIGINT) -
+       |    (SELECT length(bin(CAST(sum(c) AS BIGINT))) - 1 FROM uv$R) AS s FROM uv$R),
+       |srcw AS MATERIALIZED (SELECT source, w, count(*) AS n FROM
+       |  (SELECT source, unnest(regexp_split_to_array($Norm, ' ')) AS w FROM documents)
+       |  GROUP BY source, w),
+       |${viterbiCtes("F", "srcw", "sF")},
+       |pc AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS np
+       |  FROM bkF WHERE p IS NOT NULL GROUP BY w),
+       |uni AS (SELECT s.source, CAST(sum(s.n) AS BIGINT) AS n_words,
+       |    CAST(sum(s.n * COALESCE(pc.np, 0)) AS BIGINT) AS n_pieces_unigram
+       |  FROM srcw s LEFT JOIN pc ON pc.w = s.w GROUP BY s.source),
+       |bpet AS (SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(len(e.ts)) AS BIGINT) AS n_tokens_bpe
+       |  FROM documents d JOIN enc e ON e.doc_id = d.doc_id GROUP BY d.source)
+       |SELECT u.source, b.n_docs, u.n_words, u.n_pieces_unigram, b.n_tokens_bpe,
+       |  u.n_pieces_unigram * 1000000 // u.n_words AS fertility_unigram_ppm,
+       |  b.n_tokens_bpe * 1000000 // u.n_words AS fertility_bpe_ppm
+       |FROM uni u JOIN bpet b ON b.source = u.source
+       |ORDER BY u.source""".stripMargin
+}

@@ -1,0 +1,99 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** [[Unigram]] — the SentencePiece-style hard-EM trainer. Pins the
+  * determinism contract the oracle replays (tie-breaks, coverage,
+  * prune), the lossless-segmentation property, and the fertility
+  * plumbing. */
+class UnigramSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private lazy val docs = graft.queries.Tables(spark, TestSpark.sfDir, "documents")
+  private lazy val trained = Unigram.train(docs, "text")
+
+  private lazy val corpusWords: Seq[(String, Long)] = docs
+    .select(explode(split(TextAnalysis.normalizeText(col("text")), " ")).as("w"))
+    .filter(length(col("w")) > 0)
+    .groupBy("w").agg(count(lit(1)).as("f"))
+    .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+
+  test("coverage: every corpus character is a piece with count >= 1 — Viterbi is total") {
+    val chars = corpusWords.flatMap(_._1.toSeq).map(_.toString).toSet
+    chars.foreach { ch =>
+      assert(trained.counts.getOrElse(ch, 0L) >= 1L, s"alphabet char '$ch' pruned")
+    }
+    corpusWords.foreach { case (w, _) =>
+      val seg = Unigram.viterbi(w, trained.scores)
+      assert(seg.mkString === w, s"segmentation of '$w' is lossy: $seg")
+      assert(seg.forall(trained.counts.contains), s"'$w' used an unvocabed piece")
+    }
+  }
+
+  test("prune: every multi-char piece survived on genuine Viterbi usage") {
+    val sc = trained.scores
+    val used = scala.collection.mutable.Set.empty[String]
+    // final-round usage re-derived: segment the TRAINING words under the
+    // final scores' PREVIOUS round is internal, but any surviving
+    // multi-char piece must at least occur inside some training word
+    val top = corpusWords.sortBy { case (w, f) => (-f, w) }.take(Unigram.VocabWords)
+    trained.counts.keys.filter(_.length > 1).foreach { p =>
+      assert(top.exists(_._1.contains(p)), s"piece '$p' occurs in no training word")
+      assert(p.length <= Unigram.MaxPieceLen)
+    }
+    top.foreach { case (w, _) => Unigram.viterbi(w, sc).foreach(used += _) }
+    assert(used.exists(_.length > 1), "no multi-char piece is ever used — degenerate training")
+  }
+
+  test("scores are the integer floor-log2 rule and never positive") {
+    val b = 63 - java.lang.Long.numberOfLeadingZeros(trained.total)
+    trained.counts.foreach { case (p, c) =>
+      val expect = (63 - java.lang.Long.numberOfLeadingZeros(c)) - b
+      assert(trained.scores(p) === expect.toInt, s"piece '$p' score")
+      assert(trained.scores(p) <= 0, s"piece '$p' has positive score")
+    }
+  }
+
+  test("Viterbi tie-break prefers the longer piece; higher-scoring split still wins") {
+    // tie: 'a'+'b' = -2 equals 'ab' = -2 -> the single longer piece wins
+    val tie = Map("a" -> -1, "b" -> -1, "ab" -> -2)
+    assert(Unigram.viterbi("ab", tie) === Vector("ab"))
+    // no tie: the split (-1 + -1 = -2) beats the long piece (-5)
+    val split = Map("a" -> -1, "b" -> -1, "ab" -> -5)
+    assert(Unigram.viterbi("ab", split) === Vector("a", "b"))
+    // longer context: 'abc' as 'ab'+'c' (-3) vs 'a'+'bc' (-2) -> max wins
+    val mid = Map("a" -> -1, "b" -> -9, "c" -> -1, "ab" -> -2, "bc" -> -1)
+    assert(Unigram.viterbi("abc", mid) === Vector("a", "bc"))
+    assert(Unigram.viterbi("", tie) === Vector.empty)
+  }
+
+  test("OOV characters degrade to single-char fallback pieces, never crash") {
+    val seg = Unigram.viterbi("aXb", Map("a" -> -1, "b" -> -1))
+    assert(seg === Vector("a", "X", "b"))
+  }
+
+  test("pieceCounts appends the exact per-doc Viterbi piece sum, columns ride through") {
+    val base = docs.limit(20).select(col("doc_id"), col("source"),
+      TextAnalysis.normalizeText(col("text")).as("nt"))
+    val out = Unigram.pieceCounts(base, "nt", trained).collect()
+    assert(out.nonEmpty && out.head.schema.fieldNames.toSeq ===
+      Seq("doc_id", "source", "nt", "n_pieces"))
+    out.foreach { r =>
+      val expect = r.getString(2).split(" ", -1)
+        .map(w => Unigram.viterbi(w, trained.scores).length.toLong).sum
+      assert(r.getLong(3) === expect, s"doc ${r.getLong(0)} piece count")
+    }
+  }
+
+  test("the comparison the operator exists for: unigram fertility differs from BPE's") {
+    val f = graft.queries.LlmQueries.unigramFertility(spark, TestSpark.sfDir).collect()
+    assert(f.nonEmpty)
+    f.foreach { r =>
+      val uni = r.getLong(5); val bpe = r.getLong(6)
+      assert(uni > 1000000 && bpe > 1000000, "both tokenizers must fragment (fertility > 1)")
+      assert(uni !== bpe, s"source ${r.getString(0)}: identical fertility is a wiring bug")
+    }
+  }
+}
