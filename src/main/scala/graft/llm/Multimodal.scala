@@ -336,37 +336,29 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
-  /** TWO-SEED PCM synthesizer — the audio-dedup fixture generator:
-    * like [[synthesizePcm]], sample k is a closed-form function, but
-    * the seeds arrive as COLUMNS (so the caller can feed md5-mixed
-    * cluster seeds — the r17 texture lesson: linear mixes leave
-    * correlated low bits that manufacture phantom cross-cluster
-    * signature collisions) and the samples of ONE designated frame
-    * (`altFrameCol` under the `(k·nFrames) DIV n` frame rule) switch
-    * to `altSeedCol` — the per-doc "re-encode artifact" that makes
-    * cluster-mates NEAR-duplicates instead of byte-identical:
-    * `v(k) = ((seed_or_alt + k·104729) mod 65536) − 32768` (additive,
-    * never seed·constant — a 60-bit seed times anything overflows
-    * BIGINT, which DuckDB refuses). Narrow mapPartitions, no
-    * shuffle. */
-  def synthesizePcmSeeded(df: DataFrame, idCol: String, nCol: String,
-      seedCol: String, altSeedCol: String, altFrameCol: String,
-      nFrames: Int): DataFrame = {
-    require(nFrames > 0, "nFrames must be positive")
-    val sel = df.select(col(idCol), col(nCol).cast("int"),
-      col(seedCol).cast("long"), col(altSeedCol).cast("long"),
-      col(altFrameCol).cast("int"))
+  /** Per-SAMPLE closure variant of [[synthesizePcm]] — the audio-dedup
+    * fixture generator: `sampleOf(id, n, k)` decides every 16-bit
+    * sample, so the caller can feed md5-mixed PER-FRAME seeds
+    * ([[graft.llm.Sampling.hash60Jvm]]). The seeding granularity is
+    * load-bearing: a first revision used ONE additive 60-bit seed per
+    * cluster (`(seed + k·c) mod 2^16`), and the mod-2^16 truncation
+    * collapsed the md5 mix to 65 536 effective waveforms — at the 10×
+    * probe's 6 250 clusters, birthday collisions manufactured 2.48 M
+    * phantom cross-cluster pairs (39 k expected). Per-(cluster, frame)
+    * md5 seeds make frame energies independent across clusters and the
+    * phantom class vanishes — the r17 texture lesson, re-learned on
+    * the amplitude axis. Narrow mapPartitions, no shuffle. */
+  def synthesizePcmPx(df: DataFrame, idCol: String, nCol: String)(
+      sampleOf: (Long, Int, Int) => Int): DataFrame = {
+    val sel = df.select(col(idCol).cast("long"), col(nCol).cast("int"))
     val outSchema = StructType(Seq(sel.schema.head, StructField("media", mediaSchema)))
     sel.mapPartitions { it =>
       it.map { r =>
-        val n = r.getInt(1); val seed = r.getLong(2)
-        val altSeed = r.getLong(3); val altFrame = r.getInt(4)
+        val id = r.getLong(0); val n = r.getInt(1)
         val bytes = new Array[Byte](n * 2)
         var k = 0
         while (k < n) {
-          val f = (k.toLong * nFrames / n).toInt
-          val s = if (f == altFrame) altSeed else seed
-          val v = (Math.floorMod(s + k * 104729L, 65536L) - 32768L).toInt
+          val v = sampleOf(id, n, k)
           bytes(2 * k) = (v & 0xFF).toByte
           bytes(2 * k + 1) = ((v >> 8) & 0xFF).toByte
           k += 1
@@ -381,13 +373,21 @@ object Multimodal {
     * time-domain core): the parsed PCM splits into `nFrames` contiguous
     * frames (`frame(k) = (k·nFrames) DIV n` — near-equal sizes, exact
     * integer boundaries), each frame reduces to its L1 energy
-    * `Σ|sample|`, and bit b of the signature is `E_b > E_{b+1}` — one
-    * '0'/'1' character per adjacent-frame energy comparison,
-    * `nFrames − 1` bits total. Production systems compare filterbank
-    * (spectral) energies per frame; the time-domain L1 keeps every bit
-    * exact-integer-replayable while the LSH/banding/verify machinery
-    * downstream ([[Dedup.bitSignaturePairs]]) is IDENTICAL either way
-    * — swapping in an FFT energy later changes only this map.
+    * `Σ|sample|`, and bit b compares adjacent MEAN energies via exact
+    * integer cross-multiplication: `E_b · cnt_{b+1} > E_{b+1} · cnt_b`
+    * — one '0'/'1' character per comparison, `nFrames − 1` bits total.
+    * The per-sample normalization is load-bearing, not cosmetic: the
+    * DIV frame rule makes adjacent frames differ by one sample
+    * whenever `n % nFrames ≠ 0`, and a RAW energy comparison is then
+    * decided by the size pattern (a pure function of n) instead of the
+    * signal — every equal-length input shared a deterministic bit
+    * mask, and the 10× probe measured 1.2 M phantom cross-cluster
+    * pairs from exactly that correlation (SCALE.md). Production
+    * systems compare filterbank (spectral) energies per frame; the
+    * time-domain L1 keeps every bit exact-integer-replayable while the
+    * LSH/banding/verify machinery downstream
+    * ([[Dedup.bitSignaturePairs]]) is IDENTICAL either way — swapping
+    * in an FFT energy later changes only this map.
     *
     * A re-encode that perturbs one frame's samples moves exactly one
     * energy, so it flips at most the two bits that energy touches —
@@ -408,16 +408,19 @@ object Multimodal {
           else {
             val n = bytes.length / 2
             val en = new Array[Long](nFrames)
+            val cnt = new Array[Long](nFrames)
             var k = 0
             while (k < n) {
               val v = (((bytes(2 * k + 1).toInt) << 8) | (bytes(2 * k) & 0xFF)).toShort.toInt
-              en((k.toLong * nFrames / n).toInt) += math.abs(v.toLong)
+              val f = (k.toLong * nFrames / n).toInt
+              en(f) += math.abs(v.toLong)
+              cnt(f) += 1
               k += 1
             }
             val sb = new java.lang.StringBuilder(nFrames - 1)
             var f = 0
             while (f < nFrames - 1) {
-              sb.append(if (en(f) > en(f + 1)) '1' else '0')
+              sb.append(if (en(f) * cnt(f + 1) > en(f + 1) * cnt(f)) '1' else '0')
               f += 1
             }
             sb.toString

@@ -1034,7 +1034,14 @@ object LlmQueries {
     * [[Dedup.bitSignaturePairs]] (4×14-bit LSH bands, bucket-capped,
     * exact Hamming ≤ 4 verify — never all-pairs). A noisy pixel flips
     * at most 2 dHash bits, so within-cluster Hamming ≤ 4 by
-    * construction; the md5 pixel textures make cross-cluster dHash
+    * construction. maxHamming = 4 ≥ bands = 4 means the generic
+    * pigeonhole guarantee is OFF (see [[Dedup.bitSignaturePairs]]'
+    * recall warning) — recall here rests on the noise being
+    * ROW-CONFINED: cluster-mates share ny = (doc_id DIV 8) % 8, so
+    * every differing bit of a within-cluster pair lies in that ONE
+    * 7-bit dHash row, which spans at most 2 of the 4 14-bit bands —
+    * at least 2 shared bands always stay intact and every true pair
+    * banded-matches; the md5 pixel textures make cross-cluster dHash
     * collisions vanish (the first-revision XOR mix left correlated
     * low bits — 307k phantom cross-cluster pairs at 10×, caught by
     * the probe; md5: zero). Cluster SIZE is fixed at 8 and cluster
@@ -2209,17 +2216,28 @@ object LlmQueries {
       // placement order = seq_in_bin ASC (struct field 1 leads the sort)
       array_sort(collect_list(struct(col("seq_in_bin").as("s"), col("doc_id").as("id"),
         col("token_offset").as("off"), col("n_tokens").as("len")))).as("ms"))
+    // slot labels assembled per MEMBER RUN, not per slot: offsets are
+    // the running fill, so member (s, off, len) owns the contiguous
+    // slots [off, min(off+len, W)) — emitting "s/0 s/1 …" per member
+    // and a pad run costs O(window), where the first revision's
+    // per-slot member search cost O(window × members) (measured at the
+    // 10× probe as the dominant term of a 33.9 s gate)
+    // Spark's sequence() rejects empty ranges, so zero-length runs
+    // (a zero-token doc, a pad-free bin) take the empty-array branch
+    def range0(cnt: Column): Column =
+      when(cnt >= 1, sequence(lit(0L), cnt - 1, lit(1L)))
+        .otherwise(array().cast("array<bigint>"))
+    val runs = flatten(transform(col("ms"), m =>
+      transform(range0(least(m.getField("len"),
+          greatest(lit(2048L) - m.getField("off"), lit(0L)))),
+        j => concat(m.getField("s").cast("string"), lit("/"), j.cast("string")))))
     perBin.select(col("shard_id"), col("bin_id"), col("n_docs"),
       col("used_tokens"), col("pad_tokens"),
       array_join(transform(col("ms"), m => m.getField("id").cast("string")), ",").as("doc_ids"),
       array_join(transform(col("ms"), m => m.getField("off").cast("string")), ",").as("offsets"),
-      md5(to_binary(array_join(transform(sequence(lit(0L), lit(2047L)), t => {
-        val own = element_at(filter(col("ms"), m =>
-          m.getField("off") <= t && t < m.getField("off") + m.getField("len")), 1)
-        when(t >= col("used_tokens"), lit("p"))
-          .otherwise(concat(own.getField("s").cast("string"), lit("/"),
-            (t - own.getField("off")).cast("string")))
-      }), " "), lit("utf-8"))).as("slots_md5"))
+      md5(to_binary(array_join(concat(runs,
+        transform(range0(col("pad_tokens")), _ => lit("p"))),
+        " "), lit("utf-8"))).as("slots_md5"))
       .orderBy("shard_id", "bin_id")
   }
 
@@ -2608,31 +2626,35 @@ object LlmQueries {
   }
 
   /** The corpus audio frame → energy-delta fingerprints
-    * ([[Multimodal.synthesizePcmSeeded]] → [[Multimodal
-    * .audioFingerprint]]): one md5-mixed waveform seed per 8-doc
-    * cluster `doc_id DIV 8` (the image family's texture convention —
-    * linear seed mixes left correlated bits and phantom cross-cluster
-    * collisions, the r17 lesson), plus ONE per-doc re-encoded frame
-    * (frame `p % 56`, samples switched to the doc's own md5 seed) —
-    * so cluster-mates are NEAR-duplicate waveforms whose noise moves
-    * exactly one frame energy. Because all cluster-mates perturb the
-    * SAME frame, any two of them differ only in the ≤ 2 bits that
-    * energy touches — pairwise Hamming ≤ 2 < bands = 4, so the banded
-    * recall guarantee holds OUTRIGHT here (no band-confinement caveat
-    * like the image family's maxHamming = 4). Shared by the pairs
-    * gate and (via the same sig frame) any future index/stream form. */
+    * ([[Multimodal.synthesizePcmPx]] → [[Multimodal
+    * .audioFingerprint]]): one md5-mixed seed PER (cluster, frame) —
+    * per-frame granularity is load-bearing; a single per-cluster
+    * additive seed truncates mod 2^16 and collapses to 65 536
+    * effective waveforms, which at the 10× probe's cluster count
+    * manufactured 2.48 M phantom cross-cluster pairs (the r17 texture
+    * lesson on the amplitude axis — numbers in SCALE.md). The noise
+    * frame (`p % 56`, SHARED per cluster) switches to the doc's own
+    * md5 seed — the per-doc re-encode artifact — so cluster-mates are
+    * near-duplicate waveforms differing in exactly one frame energy:
+    * pairwise Hamming ≤ 2 < bands = 4 and the banded recall guarantee
+    * holds OUTRIGHT (no band-confinement caveat like the image
+    * family's maxHamming = 4). */
   private[queries] def audioSigsFor(s: SparkSession, dir: String): DataFrame = {
     // n is CLUSTER-constant (p % 57, not doc_id % 57): a per-doc length
     // would shift every frame boundary between cluster-mates and turn
     // the planted near-dups into full-signature strangers
     val d = Tables(s, dir, "documents").select(col("doc_id"),
-      expr("CAST(200 + (doc_id DIV 8) % 57 AS INT)").as("n"),
-      Sampling.hash60(concat(lit("aud:"), expr("CAST(doc_id DIV 8 AS STRING)"))).as("wid"),
-      Sampling.hash60(concat(lit("audn:"), col("doc_id").cast("string"))).as("nid"),
-      expr("CAST((doc_id DIV 8) % 56 AS INT)").as("nf"))
-    Multimodal.audioFingerprint(
-      Multimodal.synthesizePcmSeeded(d, "doc_id", "n", "wid", "nid", "nf", nFrames = 57),
-      "doc_id", "media", nFrames = 57)
+      expr("CAST(200 + (doc_id DIV 8) % 57 AS INT)").as("n"))
+    val F = 57
+    val media = Multimodal.synthesizePcmPx(d, "doc_id", "n") { (id, n, k) =>
+      val p = id / 8
+      val f = (k.toLong * F / n).toInt
+      val seed =
+        if (f == (p % 56).toInt) Sampling.hash60Jvm(s"audn:$id")
+        else Sampling.hash60Jvm(s"aud:$p:$f")
+      (Math.floorMod(seed + k * 104729L, 65536L) - 32768L).toInt
+    }
+    Multimodal.audioFingerprint(media, "doc_id", "media", nFrames = F)
   }
 
   /** AUDIO NEAR-DUP PAIRS — the modality the image family
@@ -2666,8 +2688,12 @@ object LlmQueries {
     * rows; decode stays narrow. */
   private[queries] def videoSigsFor(s: SparkSession, dir: String): DataFrame = {
     val F = 5
-    val d = Tables(s, dir, "documents").select(col("doc_id"),
-      lit(F).as("nf"), lit(8).as("w"), lit(8).as("h"))
+    // GIF encode + sequence decode + PNG round trip is the heaviest
+    // per-row compute in the media family (~5 codec passes per doc);
+    // a single-file fixture would run it all on one task (the
+    // pack_sequences_bpe precedent), so spread before the synth
+    val d = spreadForCompute(s, dir, Tables(s, dir, "documents"))
+      .select(col("doc_id"), lit(F).as("nf"), lit(8).as("w"), lit(8).as("h"))
     val media = Multimodal.synthesizeGifFramesPx(d, "doc_id", "nf", "w", "h") { (id, k, x, y) =>
       val p = id / 8
       val base = (Sampling.hash60Jvm(s"vid:$p:$k:$x:$y") % 126L).toInt
@@ -6582,15 +6608,18 @@ object LlmQueries {
       s"""WITH sd AS (SELECT doc_id,
          |    CAST(200 + (doc_id // 8) % 57 AS BIGINT) AS n,
          |    (doc_id // 8) % 56 AS nf,
-         |    ${hx60("md5('aud:' || CAST(doc_id // 8 AS VARCHAR))")} AS wid,
          |    ${hx60("md5('audn:' || CAST(doc_id AS VARCHAR))")} AS nid
          |  FROM documents),
          |s AS (SELECT doc_id, (k * 57) // n AS f,
-         |    ((CASE WHEN (k * 57) // n = nf THEN nid ELSE wid END + k * 104729)
+         |    ((CASE WHEN (k * 57) // n = nf THEN nid
+         |        ELSE ${hx60("md5('aud:' || CAST(doc_id // 8 AS VARCHAR) || ':' || CAST((k * 57) // n AS VARCHAR))")}
+         |      END + k * 104729)
          |      % 65536 + 65536) % 65536 - 32768 AS v
          |  FROM sd, unnest(range(0, n)) t(k)),
-         |e AS (SELECT doc_id, f, sum(abs(v)) AS en FROM s GROUP BY doc_id, f),
-         |bits AS (SELECT a.doc_id, a.f, CASE WHEN a.en > b.en THEN '1' ELSE '0' END AS bit
+         |e AS (SELECT doc_id, f, CAST(sum(abs(v)) AS BIGINT) AS en,
+         |    CAST(count(*) AS BIGINT) AS cnt FROM s GROUP BY doc_id, f),
+         |bits AS (SELECT a.doc_id, a.f,
+         |    CASE WHEN a.en * b.cnt > b.en * a.cnt THEN '1' ELSE '0' END AS bit
          |  FROM e a JOIN e b ON b.doc_id = a.doc_id AND b.f = a.f + 1 WHERE a.f < 56),
          |sg AS (SELECT doc_id, string_agg(bit, '' ORDER BY f) AS sig FROM bits GROUP BY doc_id),
          |bb AS (SELECT doc_id, sig, i,

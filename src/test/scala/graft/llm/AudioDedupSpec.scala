@@ -20,32 +20,39 @@ class AudioDedupSpec extends AnyFunSuite {
       .map("%02x".format(_)).mkString
   private def h60(s: String): Long = java.lang.Long.parseLong(md5hex(s).take(15), 16)
 
-  /** The gate's closed form, end to end in plain Scala. */
+  /** The gate's closed form, end to end in plain Scala — md5 seed per
+    * (cluster, frame); a single per-cluster additive seed truncates
+    * mod 2^16 and manufactured 2.48 M phantom cross-cluster pairs at
+    * the 10x probe (SCALE.md). */
   private def expectedSig(docId: Long): String = {
     val p = docId / 8
     val n = (200 + p % 57).toInt
     val nf = (p % 56).toInt
-    val wid = h60(s"aud:$p"); val nid = h60(s"audn:$docId")
     val en = new Array[Long](57)
+    val cnt = new Array[Long](57)
     (0 until n).foreach { k =>
       val f = (k.toLong * 57 / n).toInt
-      val s0 = if (f == nf) nid else wid
+      val s0 = if (f == nf) h60(s"audn:$docId") else h60(s"aud:$p:$f")
       val v = Math.floorMod(s0 + k * 104729L, 65536L) - 32768L
-      en(f) += math.abs(v)
+      en(f) += math.abs(v); cnt(f) += 1
     }
-    (0 until 56).map(f => if (en(f) > en(f + 1)) '1' else '0').mkString
+    (0 until 56).map(f =>
+      if (en(f) * cnt(f + 1) > en(f + 1) * cnt(f)) '1' else '0').mkString
   }
 
   // the gate's derivation rebuilt through the PUBLIC operator surface
   private lazy val sigs = {
     val d = graft.queries.Tables(spark, TestSpark.sfDir, "documents").select(col("doc_id"),
-      expr("CAST(200 + (doc_id DIV 8) % 57 AS INT)").as("n"),
-      Sampling.hash60(concat(lit("aud:"), expr("CAST(doc_id DIV 8 AS STRING)"))).as("wid"),
-      Sampling.hash60(concat(lit("audn:"), col("doc_id").cast("string"))).as("nid"),
-      expr("CAST((doc_id DIV 8) % 56 AS INT)").as("nf"))
-    Multimodal.audioFingerprint(
-        Multimodal.synthesizePcmSeeded(d, "doc_id", "n", "wid", "nid", "nf", nFrames = 57),
-        "doc_id", "media", nFrames = 57)
+      expr("CAST(200 + (doc_id DIV 8) % 57 AS INT)").as("n"))
+    val media = Multimodal.synthesizePcmPx(d, "doc_id", "n") { (id, n, k) =>
+      val p = id / 8
+      val f = (k.toLong * 57 / n).toInt
+      val seed =
+        if (f == (p % 56).toInt) Sampling.hash60Jvm(s"audn:$id")
+        else Sampling.hash60Jvm(s"aud:$p:$f")
+      (Math.floorMod(seed + k * 104729L, 65536L) - 32768L).toInt
+    }
+    Multimodal.audioFingerprint(media, "doc_id", "media", nFrames = 57)
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
   }
 
