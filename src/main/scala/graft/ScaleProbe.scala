@@ -249,6 +249,10 @@ object ScaleProbe {
     // exchange carries (id, 56-bit sig) per band — the image family's
     // scale shape on the PCM path
     "media_audio_dedup",
+    // day-2 audio dedup: rep 1 pays the one-time bucketed fingerprint
+    // index write; the timed min is the batch scan + zero-Exchange
+    // band probe (plan-pinned)
+    "media_audio_dedup_incremental",
     // video near-dup: GIF encode/decode narrow; ONE doc-keyed majority
     // shuffle of (id, sig) + the band exchange — pair volume rides
     // fixed-size clusters, never corpus²

@@ -348,17 +348,27 @@ object Multimodal {
     * md5 seeds make frame energies independent across clusters and the
     * phantom class vanishes — the r17 texture lesson, re-learned on
     * the amplitude axis. Narrow mapPartitions, no shuffle. */
-  def synthesizePcmPx(df: DataFrame, idCol: String, nCol: String)(
-      sampleOf: (Long, Int, Int) => Int): DataFrame = {
-    val sel = df.select(col(idCol).cast("long"), col(nCol).cast("int"))
+  def synthesizePcmPx(df: DataFrame, idCol: String, nCol: String,
+      tagCol: String = null)(
+      sampleOf: (Long, Long, Int, Int) => Int): DataFrame = {
+    // `tag` is an opaque caller value handed to the closure per row —
+    // the incremental gate routes a cluster id through it that is NOT
+    // a function of the row id (an echo batch reuses the ORIGINAL
+    // doc's cluster under a new id); defaults to the id itself
+    val sel =
+      if (tagCol == null)
+        df.select(col(idCol).cast("long"), col(nCol).cast("int"),
+          col(idCol).cast("long"))
+      else df.select(col(idCol).cast("long"), col(nCol).cast("int"),
+        col(tagCol).cast("long"))
     val outSchema = StructType(Seq(sel.schema.head, StructField("media", mediaSchema)))
     sel.mapPartitions { it =>
       it.map { r =>
-        val id = r.getLong(0); val n = r.getInt(1)
+        val id = r.getLong(0); val n = r.getInt(1); val tag = r.getLong(2)
         val bytes = new Array[Byte](n * 2)
         var k = 0
         while (k < n) {
-          val v = sampleOf(id, n, k)
+          val v = sampleOf(id, tag, n, k)
           bytes(2 * k) = (v & 0xFF).toByte
           bytes(2 * k + 1) = ((v >> 8) & 0xFF).toByte
           k += 1

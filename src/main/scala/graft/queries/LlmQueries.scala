@@ -2639,15 +2639,18 @@ object LlmQueries {
     * pairwise Hamming ≤ 2 < bands = 4 and the banded recall guarantee
     * holds OUTRIGHT (no band-confinement caveat like the image
     * family's maxHamming = 4). */
-  private[queries] def audioSigsFor(s: SparkSession, dir: String): DataFrame = {
-    // n is CLUSTER-constant (p % 57, not doc_id % 57): a per-doc length
-    // would shift every frame boundary between cluster-mates and turn
-    // the planted near-dups into full-signature strangers
-    val d = Tables(s, dir, "documents").select(col("doc_id"),
-      expr("CAST(200 + (doc_id DIV 8) % 57 AS INT)").as("n"))
+  /** Audio signatures for a params frame carrying (doc_id, p) —
+    * cluster `p` rides the synth closure's tag slot because an echo
+    * batch reuses the ORIGINAL doc's cluster under a new id (p is not
+    * a function of the id there). n is CLUSTER-constant (p % 57): a
+    * per-doc length would shift every frame boundary between
+    * cluster-mates and turn the planted near-dups into full-signature
+    * strangers. */
+  private[queries] def audioSigsForParams(d: DataFrame): DataFrame = {
     val F = 57
-    val media = Multimodal.synthesizePcmPx(d, "doc_id", "n") { (id, n, k) =>
-      val p = id / 8
+    val withN = d.select(col("doc_id"), col("p"),
+      expr("CAST(200 + p % 57 AS INT)").as("n"))
+    val media = Multimodal.synthesizePcmPx(withN, "doc_id", "n", "p") { (id, p, n, k) =>
       val f = (k.toLong * F / n).toInt
       val seed =
         if (f == (p % 56).toInt) Sampling.hash60Jvm(s"audn:$id")
@@ -2656,6 +2659,10 @@ object LlmQueries {
     }
     Multimodal.audioFingerprint(media, "doc_id", "media", nFrames = F)
   }
+
+  private[queries] def audioSigsFor(s: SparkSession, dir: String): DataFrame =
+    audioSigsForParams(Tables(s, dir, "documents")
+      .select(col("doc_id"), expr("CAST(doc_id DIV 8 AS BIGINT)").as("p")))
 
   /** AUDIO NEAR-DUP PAIRS — the modality the image family
     * ([[mediaDedupFeatures]]) was factored for: synth → REAL byte-level
@@ -2714,6 +2721,55 @@ object LlmQueries {
         "array_join(transform(sequence(1, 56), i -> " +
           "IF(2 * size(filter(ss, s -> substring(s, i, 1) = '1')) > size(ss), '1', '0')), '')" +
           " AS sig")
+  }
+
+  /** INCREMENTAL AUDIO DEDUP — the day-2 deploy shape of
+    * [[mediaAudioDedup]], the image family's `media_dedup_incremental`
+    * pattern on the PCM path: the corpus's fingerprint band keys
+    * persist ONCE as a `bucketBy(bucket)` table; a new audio batch
+    * (echo convention — hb < 85 RE-ENCODES an existing corpus
+    * waveform under a new id, i.e. same cluster, same frames, a fresh
+    * per-doc noise seed; the rest are genuinely-new clusters) computes
+    * fingerprints scan-side, explodes its own band keys, and probes
+    * the index with ZERO Exchange on the index side (plan-pinned).
+    * Per batch doc: distinct corpus matches within Hamming ≤ 2 and
+    * the dup_corpus/new verdict. Every sample, energy, bit, band and
+    * distance replays in the oracle. */
+  val mediaAudioDedupIncremental: Q = (s, dir) => {
+    def bandKeys(df: DataFrame): DataFrame =
+      df.select(col("doc_id"), col("sig"),
+        explode(array((0 until 4).map(b =>
+          concat_ws(":", lit(b).cast("string"), substring(col("sig"), b * 14 + 1, 14))): _*))
+          .as("bucket"))
+    val Seq(idxTable) = BucketCache.tables(s, s"audio_sigs:$dir", { (tag, tmp) =>
+      val name = s"graft_asig_b_$tag"
+      bandKeys(audioSigsFor(s, dir))
+        .select(col("bucket"), col("doc_id").as("c_id"), col("sig").as("c_sig"))
+        .write.bucketBy(8, "bucket").sortBy("bucket")
+        .option("path", s"$tmp/asig").mode("overwrite").saveAsTable(name)
+      Seq(name)
+    })
+    // GATE-ONLY bootstrap (see mediaDedupIncremental): production gets
+    // the batch id offset from the ingest contract, not a corpus scan
+    val off = Tables(s, dir, "documents").agg(max("doc_id")).head.getLong(0) + 1L
+    val hb = Sampling.hashBucket256(col("doc_id"))
+    val batchParams = Tables(s, dir, "documents").select(
+      (col("doc_id") + lit(off)).as("doc_id"),
+      when(hb < 85, expr("CAST(doc_id DIV 8 AS BIGINT)"))
+        .otherwise(expr(s"CAST((doc_id + $off) DIV 8 AS BIGINT)")).as("p"))
+    val batchSigs = audioSigsForParams(batchParams)
+    val hits = bandKeys(batchSigs)
+      .join(s.table(idxTable), Seq("bucket"))
+      .filter(graft.functions.HashFunctions.hammingBits(col("sig"), col("c_sig"))
+        .cast("int") <= 2)
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("c_id")).as("n_dups"))
+    batchSigs.select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left_outer")
+      .na.fill(0L, Seq("n_dups"))
+      .select(col("doc_id"), col("n_dups"),
+        when(col("n_dups") > 0, lit("dup_corpus")).otherwise(lit("new")).as("status"))
+      .orderBy("doc_id")
   }
 
   /** VIDEO NEAR-DUP PAIRS — the last modality onto
@@ -3707,6 +3763,7 @@ object LlmQueries {
     "media_video_scenes" -> mediaVideoScenes,
     "media_audio_stats" -> mediaAudioStats,
     "media_audio_dedup" -> mediaAudioDedup,
+    "media_audio_dedup_incremental" -> mediaAudioDedupIncremental,
     "media_video_dedup" -> mediaVideoDedup,
     "media_audio_resample" -> mediaAudioResample,
     "media_stats" -> mediaStats
@@ -6601,6 +6658,50 @@ object LlmQueries {
          |  FROM cand, unnest(range(1, 57)) t(j) GROUP BY id_a, id_b)
          |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 2
          |ORDER BY id_a, id_b""".stripMargin,
+    // the audio day-2 probe: corpus ∪ echo-batch params, the shared
+    // sample/energy/bit chain per side, band join b×c, Hamming ≤ 2
+    "media_audio_dedup_incremental" ->
+      s"""WITH params AS (
+         |  SELECT doc_id, 'c' AS side, doc_id // 8 AS p FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents), 'b',
+         |    CASE WHEN hb < 85 THEN doc_id // 8
+         |      ELSE (doc_id + (SELECT max(doc_id) + 1 FROM documents)) // 8 END
+         |  FROM (SELECT doc_id,
+         |      (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+         |      + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS hb
+         |    FROM documents)),
+         |sd AS (SELECT side, doc_id, p,
+         |    CAST(200 + p % 57 AS BIGINT) AS n, p % 56 AS nf FROM params),
+         |s AS (SELECT side, doc_id, (k * 57) // n AS f,
+         |    ((CASE WHEN (k * 57) // n = nf THEN ${hx60("md5('audn:' || CAST(doc_id AS VARCHAR))")}
+         |        ELSE ${hx60("md5('aud:' || CAST(p AS VARCHAR) || ':' || CAST((k * 57) // n AS VARCHAR))")}
+         |      END + k * 104729)
+         |      % 65536 + 65536) % 65536 - 32768 AS v
+         |  FROM sd, unnest(range(0, n)) t(k)),
+         |e AS (SELECT side, doc_id, f, CAST(sum(abs(v)) AS BIGINT) AS en,
+         |    CAST(count(*) AS BIGINT) AS cnt FROM s GROUP BY side, doc_id, f),
+         |bits AS (SELECT a.side, a.doc_id, a.f,
+         |    CASE WHEN a.en * b.cnt > b.en * a.cnt THEN '1' ELSE '0' END AS bit
+         |  FROM e a JOIN e b ON b.side = a.side AND b.doc_id = a.doc_id
+         |    AND b.f = a.f + 1 WHERE a.f < 56),
+         |sg AS (SELECT side, doc_id, string_agg(bit, '' ORDER BY f) AS sig
+         |  FROM bits GROUP BY side, doc_id),
+         |bb AS (SELECT side, doc_id, sig, i,
+         |    CAST(i AS VARCHAR) || ':' || substr(sig, CAST(i*14 + 1 AS INT), 14) AS k
+         |  FROM sg, unnest(range(0, 4)) t(i)),
+         |cand AS (SELECT DISTINCT b.doc_id AS bid, c.doc_id AS cid, b.sig AS sb, c.sig AS sc
+         |  FROM bb b JOIN bb c ON b.k = c.k AND b.side = 'b' AND c.side = 'c'),
+         |ham AS (SELECT bid, cid,
+         |    CAST(sum(CASE WHEN substr(sb, CAST(j AS INT), 1) <> substr(sc, CAST(j AS INT), 1)
+         |      THEN 1 ELSE 0 END) AS INT) AS hamming
+         |  FROM cand, unnest(range(1, 57)) t(j) GROUP BY bid, cid),
+         |hits AS (SELECT bid, CAST(count(DISTINCT cid) AS BIGINT) AS n_dups
+         |  FROM ham WHERE hamming <= 2 GROUP BY bid)
+         |SELECT p.doc_id, COALESCE(h.n_dups, 0) AS n_dups,
+         |  CASE WHEN COALESCE(h.n_dups, 0) > 0 THEN 'dup_corpus' ELSE 'new' END AS status
+         |FROM params p LEFT JOIN hits h ON h.bid = p.doc_id
+         |WHERE p.side = 'b' ORDER BY p.doc_id""".stripMargin,
     // the audio twin of media_dedup_features: two-seed closed-form
     // samples -> frame L1 energies -> 56 comparison bits -> the shared
     // band/bucket/pair machinery, all replayed exactly

@@ -44,7 +44,7 @@ class AudioDedupSpec extends AnyFunSuite {
   private lazy val sigs = {
     val d = graft.queries.Tables(spark, TestSpark.sfDir, "documents").select(col("doc_id"),
       expr("CAST(200 + (doc_id DIV 8) % 57 AS INT)").as("n"))
-    val media = Multimodal.synthesizePcmPx(d, "doc_id", "n") { (id, n, k) =>
+    val media = Multimodal.synthesizePcmPx(d, "doc_id", "n") { (id, _, n, k) =>
       val p = id / 8
       val f = (k.toLong * 57 / n).toInt
       val seed =
