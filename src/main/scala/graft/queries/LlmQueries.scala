@@ -3222,6 +3222,34 @@ object LlmQueries {
     vocabDf(s, reloaded)
   }
 
+  /** UNIGRAM artifact round trip — the `bpe_artifact_roundtrip`
+    * convention for the second trained tokenizer: the (piece, count)
+    * table serializes to a JSONL artifact, reloads, RECONSTRUCTS, and
+    * a loud in-query equality proves the reconstruction bit-for-bit
+    * (counts matter, not just pieces — scores derive from counts, and
+    * a count off by one can cross a log2 boundary and change every
+    * segmentation downstream). Gate output is the RELOADED artifact's
+    * vocabulary through the SHARED `unigram_vocab` oracle: the
+    * artifact path must change nothing. */
+  val unigramArtifactRoundtrip: Q = (s, dir) => {
+    import s.implicits._
+    import scala.jdk.CollectionConverters._
+    val trained = trainedUnigram(s, dir)
+    val art = trained.counts.toSeq.sortBy(_._1).toDF("piece", "cnt")
+    val back = graft.sources.JsonlSink.roundTrip(art, s"unigram_artifact:$dir").collect()
+    val reloaded = Unigram.Trained(back.map(r => r.getString(0) -> r.getLong(1)).toMap)
+    require(reloaded == trained,
+      "unigram artifact round trip must reconstruct the trained tokenizer bit-for-bit")
+    val rows = reloaded.counts.toSeq.sortBy(_._1).map { case (p, c) =>
+      org.apache.spark.sql.Row(p, c, reloaded.scores(p).toLong)
+    }
+    s.createDataFrame(rows.asJava, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("piece", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("cnt", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("score", org.apache.spark.sql.types.LongType))))
+      .orderBy("piece")
+  }
+
   /** `token_length_histogram` on EXACT BPE token counts — the real
     * context-length planning histogram (the whitespace variant stays as
     * the cheap pre-tokenizer screen). Same bucket boundaries. */
@@ -3676,6 +3704,7 @@ object LlmQueries {
     "bpe_vocab" -> bpeVocab,
     "unigram_vocab" -> unigramVocab,
     "unigram_fertility" -> unigramFertility,
+    "unigram_artifact_roundtrip" -> unigramArtifactRoundtrip,
     "bpe_vocab_bytes" -> bpeVocabBytes,
     "bpe_artifact_roundtrip" -> bpeArtifactRoundtrip,
     "pack_sequences_bpe" -> packSequencesBpe,
@@ -5223,6 +5252,10 @@ object LlmQueries {
     // prune — nothing trained enters as a literal
     "unigram_vocab" -> UnigramOracle.unigramVocabSql,
     "unigram_fertility" -> UnigramOracle.unigramFertilitySql,
+    // the artifact path must change nothing: shared oracle (the
+    // bpe_artifact_roundtrip convention); the bit-for-bit
+    // reconstruction is additionally require()-enforced in-query
+    "unigram_artifact_roundtrip" -> UnigramOracle.unigramVocabSql,
     // the artifact path must change nothing: shared oracle (the
     // ann_ivf_persisted convention); the bit-for-bit reconstruction is
     // additionally require()-enforced inside the query

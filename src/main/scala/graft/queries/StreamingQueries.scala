@@ -502,6 +502,33 @@ object StreamingQueries {
     drain(s, name, s.table(name).orderBy("sig"))
   }
 
+  /** Streaming AUDIO dedup — [[streamMediaDedup]]'s PCM twin: audio
+    * arrives (the two-seed synthesized waveform frame the batch audio
+    * gates share), is byte-parsed and fingerprinted scan-side
+    * ([[graft.llm.Multimodal.audioFingerprint]] — the narrow
+    * mapPartitions runs unchanged on a streaming Dataset), and
+    * `dropDuplicates` on the energy-delta signature keeps state of
+    * every fingerprint seen — a re-encoded waveform never passes the
+    * door twice. Output projects only the signature (arrival order
+    * must not leak — the `stream_dedup_docs` determinism rule). State
+    * is one 56-char bit string per DISTINCT fingerprint. Oracle: the
+    * batch distinct-signature set, every sample/energy/bit replayed. */
+  val streamAudioDedup: Q = (s, dir) => withStatePartitions(s, 8) {
+    import org.apache.spark.sql.functions._
+    val name = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val params = Tables(s, dir, "documents")
+      .select(col("doc_id"), expr("CAST(doc_id DIV 8 AS BIGINT)").as("p"))
+    val (tmp, schema) = spillIdBucketsCached(s, dir, params, "doc_id", 4, tag = "asig")
+    val src = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp.getPath + "/*.parquet")
+    val dedup = LlmQueries.audioSigsForParams(src)
+      .dropDuplicates("sig")
+      .select(col("sig"))
+    val q = dedup.writeStream.format("memory").queryName(name).outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    drain(s, name, s.table(name).orderBy("sig"))
+  }
+
   /** Streaming Count-Min maintenance —
     * [[graft.llm.Sketches.cmsCounters]] running UNCHANGED on the
     * documents stream: the sketch where it earns its keep, an
@@ -1173,6 +1200,7 @@ object StreamingQueries {
     "stream_windowed_counts" -> streamWindowedCounts,
     "stream_dedup_docs" -> streamDedupDocs,
     "stream_media_dedup" -> streamMediaDedup,
+    "stream_audio_dedup" -> streamAudioDedup,
     "stream_cms_matrix" -> streamCmsMatrix,
     "stream_ann_ivf_probe" -> streamAnnIvfProbe,
     "stream_dsir_score" -> streamDsirScore,
@@ -1372,6 +1400,26 @@ object StreamingQueries {
         |FROM documents ORDER BY content_hash""".stripMargin,
     // the distinct perceptual-fingerprint set: pixels, dHash bits, and
     // the signature replayed — arrival order can never change a SET
+    // the batch distinct-fingerprint set: the audio sample/energy/bit
+    // chain shared with media_audio_dedup, reduced to DISTINCT sigs
+    "stream_audio_dedup" ->
+      s"""WITH sd AS (SELECT doc_id,
+         |    CAST(200 + (doc_id // 8) % 57 AS BIGINT) AS n,
+         |    (doc_id // 8) % 56 AS nf
+         |  FROM documents),
+         |s AS (SELECT doc_id, (k * 57) // n AS f,
+         |    ((CASE WHEN (k * 57) // n = nf THEN ${LlmQueries.hx60("md5('audn:' || CAST(doc_id AS VARCHAR))")}
+         |        ELSE ${LlmQueries.hx60("md5('aud:' || CAST(doc_id // 8 AS VARCHAR) || ':' || CAST((k * 57) // n AS VARCHAR))")}
+         |      END + k * 104729)
+         |      % 65536 + 65536) % 65536 - 32768 AS v
+         |  FROM sd, unnest(range(0, n)) t(k)),
+         |e AS (SELECT doc_id, f, CAST(sum(abs(v)) AS BIGINT) AS en,
+         |    CAST(count(*) AS BIGINT) AS cnt FROM s GROUP BY doc_id, f),
+         |bits AS (SELECT a.doc_id, a.f,
+         |    CASE WHEN a.en * b.cnt > b.en * a.cnt THEN '1' ELSE '0' END AS bit
+         |  FROM e a JOIN e b ON b.doc_id = a.doc_id AND b.f = a.f + 1 WHERE a.f < 56),
+         |sg AS (SELECT doc_id, string_agg(bit, '' ORDER BY f) AS sig FROM bits GROUP BY doc_id)
+         |SELECT DISTINCT sig FROM sg ORDER BY sig""".stripMargin,
     "stream_media_dedup" ->
       s"""WITH px AS (SELECT doc_id, x, y,
          |    1 + CAST((${LlmQueries.hx60("md5('img:' || CAST(doc_id // 8 AS VARCHAR) || ':' || CAST(x AS VARCHAR) || ':' || CAST(y AS VARCHAR))")} % 126 +
