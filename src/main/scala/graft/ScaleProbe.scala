@@ -257,6 +257,10 @@ object ScaleProbe {
     // shuffle of (id, sig) + the band exchange — pair volume rides
     // fixed-size clusters, never corpus²
     "media_video_dedup",
+    // day-2 video dedup: rep 1 pays the bucketed majority-signature
+    // index write; the timed min is the batch codec chain + the
+    // zero-Exchange band probe (plan-pinned)
+    "media_video_dedup_incremental",
     // unigram-vs-BPE fertility: training is two bounded collects
     // (the bpe_encode profile); the report is one tokenize scan per
     // tokenizer with a |sources|-row aggregate

@@ -532,24 +532,33 @@ object Multimodal {
     * mapPartitions, no shuffle. */
   def synthesizeGifFrames(df: DataFrame, idCol: String, nCol: String, wCol: String,
                           hCol: String)(grayOf: (Long, Int) => Int): DataFrame =
-    synthesizeGifFramesPx(df, idCol, nCol, wCol, hCol)((id, k, _, _) => grayOf(id, k))
+    synthesizeGifFramesPx(df, idCol, nCol, wCol, hCol)((id, _, k, _, _) => grayOf(id, k))
 
   /** Per-PIXEL variant of [[synthesizeGifFrames]] — textured frames:
-    * `grayOf(id, frame, x, y)` decides every pixel, so a video fixture
-    * can carry per-frame md5 textures the way the image family's BMPs
-    * do. The JDK GIF writer builds an EXACT palette when a frame holds
-    * ≤ 256 distinct colors (verified: textured 1..126 grays round-trip
-    * bit-exact through writeToSequence → sequence read), so decoded
-    * pixels stay a closed-form function of (id, k, x, y) and an oracle
-    * can state them without seeing a byte. Narrow mapPartitions. */
+    * `grayOf(id, tag, frame, x, y)` decides every pixel, so a video
+    * fixture can carry per-frame md5 textures the way the image
+    * family's BMPs do; `tag` is an opaque caller value (defaults to
+    * the id) — the incremental gate routes a cluster id through it
+    * that is NOT a function of the row id. The JDK GIF writer builds
+    * an EXACT palette when a frame holds ≤ 256 distinct colors
+    * (verified: textured 1..126 grays round-trip bit-exact through
+    * writeToSequence → sequence read), so decoded pixels stay a
+    * closed-form function of (id, tag, k, x, y) and an oracle can
+    * state them without seeing a byte. Narrow mapPartitions. */
   def synthesizeGifFramesPx(df: DataFrame, idCol: String, nCol: String, wCol: String,
-                            hCol: String)(grayOf: (Long, Int, Int, Int) => Int): DataFrame = {
-    val sel = df.select(col(idCol).cast("long"), col(nCol).cast("int"),
-      col(wCol).cast("int"), col(hCol).cast("int"))
+                            hCol: String, tagCol: String = null)(
+      grayOf: (Long, Long, Int, Int, Int) => Int): DataFrame = {
+    val sel =
+      if (tagCol == null)
+        df.select(col(idCol).cast("long"), col(nCol).cast("int"),
+          col(wCol).cast("int"), col(hCol).cast("int"), col(idCol).cast("long"))
+      else df.select(col(idCol).cast("long"), col(nCol).cast("int"),
+        col(wCol).cast("int"), col(hCol).cast("int"), col(tagCol).cast("long"))
     val outSchema = StructType(Seq(sel.schema.head, StructField("media", mediaSchema)))
     sel.mapPartitions { it =>
       it.map { r =>
         val id = r.getLong(0); val n = r.getInt(1); val w = r.getInt(2); val h = r.getInt(3)
+        val tag = r.getLong(4)
         val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
         val bos = new java.io.ByteArrayOutputStream()
         val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
@@ -563,7 +572,7 @@ object Multimodal {
             while (y < h) {
               var x = 0
               while (x < w) {
-                val g = grayOf(id, k, x, y) & 0xFF
+                val g = grayOf(id, tag, k, x, y) & 0xFF
                 img.setRGB(x, y, (g << 16) | (g << 8) | g)
                 x += 1
               }

@@ -2693,16 +2693,15 @@ object LlmQueries {
     * guarantee (the audio family's argument, lifted across frames).
     * The majority reduce is ONE doc-keyed shuffle of (id, 56-char sig)
     * rows; decode stays narrow. */
-  private[queries] def videoSigsFor(s: SparkSession, dir: String): DataFrame = {
+  /** Video majority signatures for a params frame carrying (doc_id, p)
+    * — cluster `p` rides the synth closure's tag slot (an echo batch
+    * reuses the ORIGINAL video's cluster under a new id). */
+  private[queries] def videoSigsForParams(d0: DataFrame): DataFrame = {
     val F = 5
-    // GIF encode + sequence decode + PNG round trip is the heaviest
-    // per-row compute in the media family (~5 codec passes per doc);
-    // a single-file fixture would run it all on one task (the
-    // pack_sequences_bpe precedent), so spread before the synth
-    val d = spreadForCompute(s, dir, Tables(s, dir, "documents"))
-      .select(col("doc_id"), lit(F).as("nf"), lit(8).as("w"), lit(8).as("h"))
-    val media = Multimodal.synthesizeGifFramesPx(d, "doc_id", "nf", "w", "h") { (id, k, x, y) =>
-      val p = id / 8
+    val d = d0.select(col("doc_id"), col("p"),
+      lit(F).as("nf"), lit(8).as("w"), lit(8).as("h"))
+    val media = Multimodal.synthesizeGifFramesPx(
+        d, "doc_id", "nf", "w", "h", "p") { (id, p, k, x, y) =>
       val base = (Sampling.hash60Jvm(s"vid:$p:$k:$x:$y") % 126L).toInt
       val bump =
         if (k == (p % F).toInt && x == (p % 8).toInt && y == ((p / 8) % 8).toInt)
@@ -2722,6 +2721,14 @@ object LlmQueries {
           "IF(2 * size(filter(ss, s -> substring(s, i, 1) = '1')) > size(ss), '1', '0')), '')" +
           " AS sig")
   }
+
+  private[queries] def videoSigsFor(s: SparkSession, dir: String): DataFrame =
+    // GIF encode + sequence decode + PNG round trip is the heaviest
+    // per-row compute in the media family (~5 codec passes per doc);
+    // a single-file fixture would run it all on one task (the
+    // pack_sequences_bpe precedent), so spread before the synth
+    videoSigsForParams(spreadForCompute(s, dir, Tables(s, dir, "documents"))
+      .select(col("doc_id"), expr("CAST(doc_id DIV 8 AS BIGINT)").as("p")))
 
   /** INCREMENTAL AUDIO DEDUP — the day-2 deploy shape of
     * [[mediaAudioDedup]], the image family's `media_dedup_incremental`
@@ -2782,6 +2789,50 @@ object LlmQueries {
     Dedup.bitSignaturePairs(videoSigsFor(s, dir), "doc_id", "sig",
         nBits = 56, bands = 4, maxHamming = 2, maxBucket = MaxBucket)
       .orderBy("id_a", "id_b")
+
+  /** INCREMENTAL VIDEO DEDUP — the day-2 probe for the last modality:
+    * corpus majority-signature band keys persist ONCE as a
+    * `bucketBy(bucket)` table; an echo batch (hb < 85 re-encodes an
+    * existing video under a new id — same cluster textures and noise
+    * position, a fresh per-doc bump, so the majority signature lands
+    * within Hamming ≤ 2 of the corpus mates') probes the index with
+    * ZERO index-side Exchange (plan-pinned). Completes the
+    * pairs + day-2 matrix across image / audio / video. */
+  val mediaVideoDedupIncremental: Q = (s, dir) => {
+    def bandKeys(df: DataFrame): DataFrame =
+      df.select(col("doc_id"), col("sig"),
+        explode(array((0 until 4).map(b =>
+          concat_ws(":", lit(b).cast("string"), substring(col("sig"), b * 14 + 1, 14))): _*))
+          .as("bucket"))
+    val Seq(idxTable) = BucketCache.tables(s, s"video_sigs:$dir", { (tag, tmp) =>
+      val name = s"graft_vsig_b_$tag"
+      bandKeys(videoSigsFor(s, dir))
+        .select(col("bucket"), col("doc_id").as("c_id"), col("sig").as("c_sig"))
+        .write.bucketBy(8, "bucket").sortBy("bucket")
+        .option("path", s"$tmp/vsig").mode("overwrite").saveAsTable(name)
+      Seq(name)
+    })
+    // GATE-ONLY bootstrap (see mediaDedupIncremental)
+    val off = Tables(s, dir, "documents").agg(max("doc_id")).head.getLong(0) + 1L
+    val hb = Sampling.hashBucket256(col("doc_id"))
+    val batchParams = spreadForCompute(s, dir, Tables(s, dir, "documents")).select(
+      (col("doc_id") + lit(off)).as("doc_id"),
+      when(hb < 85, expr("CAST(doc_id DIV 8 AS BIGINT)"))
+        .otherwise(expr(s"CAST((doc_id + $off) DIV 8 AS BIGINT)")).as("p"))
+    val batchSigs = videoSigsForParams(batchParams)
+    val hits = bandKeys(batchSigs)
+      .join(s.table(idxTable), Seq("bucket"))
+      .filter(graft.functions.HashFunctions.hammingBits(col("sig"), col("c_sig"))
+        .cast("int") <= 2)
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("c_id")).as("n_dups"))
+    batchSigs.select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left_outer")
+      .na.fill(0L, Seq("n_dups"))
+      .select(col("doc_id"), col("n_dups"),
+        when(col("n_dups") > 0, lit("dup_corpus")).otherwise(lit("new")).as("status"))
+      .orderBy("doc_id")
+  }
 
   /** Byte-level media stats (no decode): engine-portable ⇒ oracle. */
   val mediaStats: Q = (s, dir) => {
@@ -3794,6 +3845,7 @@ object LlmQueries {
     "media_audio_dedup" -> mediaAudioDedup,
     "media_audio_dedup_incremental" -> mediaAudioDedupIncremental,
     "media_video_dedup" -> mediaVideoDedup,
+    "media_video_dedup_incremental" -> mediaVideoDedupIncremental,
     "media_audio_resample" -> mediaAudioResample,
     "media_stats" -> mediaStats
   )
@@ -6658,6 +6710,50 @@ object LlmQueries {
     // the PCM payload is closed-form in (doc_id, k): the oracle states
     // every waveform stat WITHOUT seeing a byte, which is exactly what
     // makes the gate a proof of the Spark side's pack->parse round trip
+    // the video day-2 probe: corpus ∪ echo-batch params through the
+    // shared pixel/frame-bit/majority chain per side, band join b×c
+    "media_video_dedup_incremental" ->
+      s"""WITH params AS (
+         |  SELECT doc_id, 'c' AS side, doc_id // 8 AS p FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents), 'b',
+         |    CASE WHEN hb < 85 THEN doc_id // 8
+         |      ELSE (doc_id + (SELECT max(doc_id) + 1 FROM documents)) // 8 END
+         |  FROM (SELECT doc_id,
+         |      (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+         |      + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS hb
+         |    FROM documents)),
+         |px AS MATERIALIZED (SELECT side, doc_id, k, x, y,
+         |    1 + CAST((${hx60("md5('vid:' || CAST(p AS VARCHAR) || ':' || CAST(k AS VARCHAR) || ':' || CAST(x AS VARCHAR) || ':' || CAST(y AS VARCHAR))")} % 126 +
+         |      CASE WHEN k = p % 5 AND x = p % 8 AND y = (p // 8) % 8
+         |        THEN ${hx60("md5('vidn:' || CAST(doc_id AS VARCHAR))")} % 126 ELSE 0 END) % 126 AS INT) AS g
+         |  FROM params, unnest(range(0, 5)) tk(k),
+         |    unnest(range(0, 8)) tx(x), unnest(range(0, 8)) ty(y)),
+         |fb AS (SELECT a.side, a.doc_id, a.k, a.y, a.x,
+         |    CASE WHEN b.g > a.g THEN 1 ELSE 0 END AS bit
+         |  FROM px a JOIN px b ON b.side = a.side AND b.doc_id = a.doc_id
+         |    AND b.k = a.k AND b.y = a.y AND b.x = a.x + 1
+         |  WHERE a.x < 7),
+         |mj AS (SELECT side, doc_id, y, x,
+         |    CASE WHEN 2 * sum(bit) > count(*) THEN '1' ELSE '0' END AS mb
+         |  FROM fb GROUP BY side, doc_id, y, x),
+         |sg AS (SELECT side, doc_id, string_agg(mb, '' ORDER BY y, x) AS sig
+         |  FROM mj GROUP BY side, doc_id),
+         |bb AS (SELECT side, doc_id, sig, i,
+         |    CAST(i AS VARCHAR) || ':' || substr(sig, CAST(i*14 + 1 AS INT), 14) AS k
+         |  FROM sg, unnest(range(0, 4)) t(i)),
+         |cand AS (SELECT DISTINCT b.doc_id AS bid, c.doc_id AS cid, b.sig AS sb, c.sig AS sc
+         |  FROM bb b JOIN bb c ON b.k = c.k AND b.side = 'b' AND c.side = 'c'),
+         |ham AS (SELECT bid, cid,
+         |    CAST(sum(CASE WHEN substr(sb, CAST(j AS INT), 1) <> substr(sc, CAST(j AS INT), 1)
+         |      THEN 1 ELSE 0 END) AS INT) AS hamming
+         |  FROM cand, unnest(range(1, 57)) t(j) GROUP BY bid, cid),
+         |hits AS (SELECT bid, CAST(count(DISTINCT cid) AS BIGINT) AS n_dups
+         |  FROM ham WHERE hamming <= 2 GROUP BY bid)
+         |SELECT p.doc_id, COALESCE(h.n_dups, 0) AS n_dups,
+         |  CASE WHEN COALESCE(h.n_dups, 0) > 0 THEN 'dup_corpus' ELSE 'new' END AS status
+         |FROM params p LEFT JOIN hits h ON h.bid = p.doc_id
+         |WHERE p.side = 'b' ORDER BY p.doc_id""".stripMargin,
     // the video modality: per-frame textured pixels -> per-frame dHash
     // bits -> per-position majority across the 5 frames -> the shared
     // band machinery; px self-joins so MATERIALIZED

@@ -735,6 +735,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), s"no all-pairs:\n$plan")
   }
 
+  test("media_video_dedup_incremental: the persisted majority-signature index never shuffles") {
+    val df = graft.queries.LlmQueries.mediaVideoDedupIncremental(spark, TestSpark.sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Bucketed: true"),
+      s"the band-key scan must come from the bucketBy(bucket) table:\n$plan")
+    val scanAt = plan.lastIndexOf("FileScan")
+    assert(!plan.substring(scanAt).contains("Exchange"),
+      s"the index side must not shuffle:\n${plan.substring(scanAt)}")
+    assert(!plan.contains("CartesianProduct"), s"no all-pairs:\n$plan")
+  }
+
   test("compaction_plan_sharded: the planner parallelizes over partitions — no SinglePartition funnel") {
     val df = graft.queries.LlmQueries.compactionPlanSharded(spark, TestSpark.sfDir)
     val plan = df.queryExecution.executedPlan.toString
