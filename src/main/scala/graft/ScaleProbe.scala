@@ -245,6 +245,9 @@ object ScaleProbe {
     // SFT prep: derive + splice + mask is one narrow map, no shuffle
     // at any corpus size (the span_corruption profile)
     "sft_examples",
+    // the SFT endpoint: examples -> packer's shard shuffle -> doc-keyed
+    // sup join -> bin rollup; bins grow linearly, windows stay 256
+    "sft_packed_layout",
     // audio near-dup: synth+parse+fingerprint narrow; the one corpus
     // exchange carries (id, 56-bit sig) per band — the image family's
     // scale shape on the PCM path

@@ -1023,6 +1023,41 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** SFT PACKED WINDOWS — the instruction-tuning pipeline's ENDPOINT,
+    * composing the round's two preps: [[sftExamplesQ]]'s chat-template
+    * examples (exact post-truncation token counts) FFD-pack into
+    * 256-token windows via [[TextAnalysis.packedWindowLayout]], and
+    * each bin reports what an SFT trainer's loader actually monitors —
+    * member count, used/pad tokens, SUPERVISED tokens (response + end
+    * tag, the mask-1 region) and the supervised fraction in exact ppm
+    * (the utilization number that decides whether prompt-heavy data is
+    * worth its window space). One narrow example map, the packer's one
+    * shard shuffle, one doc-keyed join to attach the supervised
+    * counts, one bin rollup. */
+  val sftPackedLayout: Q = (s, dir) => {
+    val ex = sftExamplesQ(s, dir)
+    val docs = ex.select(col("doc_id"), col("n_tokens").cast("long").as("nt"),
+        (col("n_response_tokens") + 1).cast("long").as("sup"))
+      .withColumn("shard_id", Sampling.shardAssign(col("doc_id"), 8))
+    val lay = TextAnalysis.packedWindowLayout(docs, Seq("shard_id"), "doc_id",
+      col("nt"), windowTokens = 256)
+    lay.join(docs.select(col("doc_id"), col("sup")), Seq("doc_id"))
+      .groupBy("shard_id", "bin_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("used_tokens"),
+        greatest(lit(256L) - sum("n_tokens"), lit(0L)).as("pad_tokens"),
+        sum("sup").as("supervised_tokens"),
+        array_sort(collect_list(struct(col("seq_in_bin").as("s"),
+          col("doc_id").as("id")))).as("ms"))
+      .select(col("shard_id"), col("bin_id"), col("n_docs"), col("used_tokens"),
+        col("pad_tokens"), col("supervised_tokens"),
+        expr("CAST(supervised_tokens * 1000000 DIV used_tokens AS BIGINT)")
+          .as("supervised_ppm"),
+        array_join(transform(col("ms"), m => m.getField("id").cast("string")), ",")
+          .as("doc_ids"))
+      .orderBy("shard_id", "bin_id")
+  }
+
   /** IMAGE NEAR-DUP — the first stage of every image-text curation
     * pipeline (the LAION recipe), composing the multimodal decode path
     * with the banded-fingerprint dedup machinery: deterministic 8×8
@@ -3832,6 +3867,7 @@ object LlmQueries {
     "media_dedup_clusters" -> mediaDedupClusters,
     "span_corruption" -> spanCorruptionQ,
     "sft_examples" -> sftExamplesQ,
+    "sft_packed_layout" -> sftPackedLayout,
     "dataset_card" -> datasetCard,
     "media_decode_bmp" -> mediaDecodeBmp,
     "media_decode_png" -> mediaDecodePng,
@@ -6710,6 +6746,57 @@ object LlmQueries {
     // the PCM payload is closed-form in (doc_id, k): the oracle states
     // every waveform stat WITHOUT seeing a byte, which is exactly what
     // makes the gate a proof of the Spark side's pack->parse round trip
+    // the sft chain's exact token counts feed the per-shard FFD
+    // recursion (W = 256), then the per-bin supervised rollup
+    "sft_packed_layout" ->
+      s"""WITH RECURSIVE n0 AS (SELECT doc_id,
+         |    list_filter(regexp_split_to_array(
+         |      trim(regexp_replace(regexp_replace(lower(text), '[.,;:!?]', '', 'g'), ' +', ' ', 'g')),
+         |      ' '), x -> len(x) > 0) AS w
+         |  FROM documents),
+         |prx AS (SELECT doc_id,
+         |    CAST(len(w) // 3 AS INT) AS np0,
+         |    CAST(len(w) - len(w) // 3 AS INT) AS nr0
+         |  FROM n0),
+         |ex AS (SELECT doc_id,
+         |    np0 - least(greatest(np0 + nr0 + 3 - 64, 0), np0)
+         |      + nr0 - (greatest(np0 + nr0 + 3 - 64, 0) - least(greatest(np0 + nr0 + 3 - 64, 0), np0))
+         |      + 3 AS n,
+         |    nr0 - (greatest(np0 + nr0 + 3 - 64, 0) - least(greatest(np0 + nr0 + 3 - 64, 0), np0))
+         |      + 1 AS sup
+         |  FROM prx),
+         |dd AS (SELECT doc_id, CAST(n AS BIGINT) AS n, CAST(sup AS BIGINT) AS sup,
+         |    CAST(${hx60("md5(CAST(doc_id AS VARCHAR))")} % 8 AS INT) AS shard_id,
+         |    row_number() OVER (PARTITION BY CAST(${hx60("md5(CAST(doc_id AS VARCHAR))")} % 8 AS INT)
+         |      ORDER BY n DESC, doc_id) AS rn
+         |  FROM ex),
+         |ffd AS (
+         |  SELECT shard_id, 0::BIGINT AS rn, NULL::BIGINT AS doc_id, NULL::BIGINT AS n,
+         |    NULL::BIGINT AS bin_id, []::BIGINT[] AS rem
+         |  FROM (SELECT DISTINCT shard_id FROM dd)
+         |  UNION ALL
+         |  SELECT shard_id, rn, doc_id, n,
+         |    CASE WHEN fit IS NULL THEN len(rem0) ELSE fit - 1 END AS bin_id,
+         |    CASE WHEN fit IS NULL THEN list_append(rem0, 256 - n)
+         |         ELSE list_transform(range(1, len(rem0) + 1),
+         |                i -> CASE WHEN i = fit THEN rem0[i] - n ELSE rem0[i] END)
+         |    END AS rem
+         |  FROM (
+         |    SELECT d.shard_id, d.rn, d.doc_id, d.n, f.rem AS rem0,
+         |      NULLIF(list_position(list_transform(f.rem, x -> x >= d.n), true), 0) AS fit
+         |    FROM ffd f JOIN dd d ON d.shard_id = f.shard_id AND d.rn = f.rn + 1) s),
+         |lay AS MATERIALIZED (SELECT f.shard_id, f.bin_id, f.doc_id, f.n, d.sup, f.rn,
+         |    row_number() OVER (PARTITION BY f.shard_id, f.bin_id ORDER BY f.rn) - 1 AS s
+         |  FROM ffd f JOIN dd d ON d.doc_id = f.doc_id WHERE f.rn > 0)
+         |SELECT shard_id, bin_id,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n) AS BIGINT) AS used_tokens,
+         |  greatest(256 - CAST(sum(n) AS BIGINT), 0) AS pad_tokens,
+         |  CAST(sum(sup) AS BIGINT) AS supervised_tokens,
+         |  CAST(sum(sup) AS BIGINT) * 1000000 // CAST(sum(n) AS BIGINT) AS supervised_ppm,
+         |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY s) AS doc_ids
+         |FROM lay GROUP BY shard_id, bin_id
+         |ORDER BY shard_id, bin_id""".stripMargin,
     // the video day-2 probe: corpus ∪ echo-batch params through the
     // shared pixel/frame-bit/majority chain per side, band join b×c
     "media_video_dedup_incremental" ->

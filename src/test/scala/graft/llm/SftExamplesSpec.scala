@@ -105,6 +105,20 @@ class SftExamplesSpec extends AnyFunSuite {
     assert(got(2).getInt(3) === 3)
   }
 
+  test("sft_packed_layout: every example placed exactly once; supervised never exceeds used") {
+    val bins = graft.queries.LlmQueries.sftPackedLayout(spark, TestSpark.sfDir).collect()
+    assert(bins.nonEmpty)
+    val placed = bins.flatMap(_.getString(7).split(",")).map(_.toLong)
+    assert(placed.length === placed.distinct.length, "an example appears in two windows")
+    assert(placed.length === out.length, "an example was dropped by the packer")
+    bins.foreach { r =>
+      val used = r.getLong(3); val pad = r.getLong(4); val sup = r.getLong(5)
+      assert(used + pad >= 256L, s"bin ${r.getLong(1)} accounting")
+      assert(sup <= used, s"bin ${r.getLong(1)} supervised > used")
+      assert(r.getLong(6) === sup * 1000000L / used, s"bin ${r.getLong(1)} ppm")
+    }
+  }
+
   test("plan: each token pipeline evaluates once — CollapseProject must not clone the regexes") {
     // a parquet source (not a LocalTableScan, which constant-folds the
     // whole projection away) with genuinely distinct prompt/response cols
