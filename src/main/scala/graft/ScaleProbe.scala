@@ -267,7 +267,10 @@ object ScaleProbe {
     // unigram-vs-BPE fertility: training is two bounded collects
     // (the bpe_encode profile); the report is one tokenize scan per
     // tokenizer with a |sources|-row aggregate
-    "unigram_fertility")
+    "unigram_fertility",
+    // exact piece boundaries per doc: one narrow closure DP with
+    // vocab-sized state (the bpe_encode shape)
+    "unigram_segment")
 
   private def rot(s: String, k: Int): String = s.drop(k % s.length) + s.take(k % s.length)
 

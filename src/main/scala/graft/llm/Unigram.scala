@@ -179,4 +179,28 @@ object Unigram {
       }
     }(Encoders.row(outSchema))
   }
+
+  /** Append the FULL SEGMENTATION — per doc, every word's Viterbi
+    * pieces joined with `/` inside a word and ` ` between words (both
+    * characters survive [[TextAnalysis.normalizeText]], so the
+    * rendering is unambiguous for normalized input) — the
+    * application-side twin of [[pieceCounts]] that pins the exact
+    * piece BOUNDARIES, not just their count. Same narrow shape. */
+  def segmentation(df: DataFrame, textCol: String, trained: Trained,
+      out: String = "segmented"): DataFrame = {
+    val sc = trained.scores
+    val idx = df.schema.fieldNames.indexOf(textCol)
+    require(idx >= 0, s"column $textCol not found")
+    val outSchema = StructType(df.schema.fields :+ StructField(out, StringType))
+    df.mapPartitions { it =>
+      it.map { r =>
+        val t = r.getString(idx)
+        val seg =
+          if (t == null) null
+          else t.split(" ", -1).iterator
+            .map(w => viterbi(w, sc).mkString("/")).mkString(" ")
+        Row.fromSeq(r.toSeq :+ seg)
+      }
+    }(Encoders.row(outSchema))
+  }
 }

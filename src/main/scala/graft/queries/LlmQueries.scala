@@ -3336,6 +3336,22 @@ object LlmQueries {
       .orderBy("piece")
   }
 
+  /** UNIGRAM SEGMENTATION — the application-side gate that pins the
+    * exact piece BOUNDARIES on every corpus doc (`unigram_fertility`
+    * only aggregates counts): each word's Viterbi pieces render
+    * `/`-joined, words space-join, and the per-doc md5 makes any
+    * boundary drift hash-fail. One narrow closure DP (vocab-sized
+    * state), the `bpe_encode` scale shape. */
+  val unigramSegment: Q = (s, dir) => {
+    val uni = trainedUnigram(s, dir)
+    val base = spreadForCompute(s, dir, Tables(s, dir, "documents"))
+      .select(col("doc_id"), TextAnalysis.normalizeText(col("text")).as("nt"))
+    Unigram.pieceCounts(Unigram.segmentation(base, "nt", uni, "seg"), "nt", uni, "n_pieces")
+      .select(col("doc_id"), col("n_pieces"),
+        md5(to_binary(col("seg"), lit("utf-8"))).as("seg_md5"))
+      .orderBy("doc_id")
+  }
+
   /** `token_length_histogram` on EXACT BPE token counts — the real
     * context-length planning histogram (the whitespace variant stays as
     * the cheap pre-tokenizer screen). Same bucket boundaries. */
@@ -3791,6 +3807,7 @@ object LlmQueries {
     "unigram_vocab" -> unigramVocab,
     "unigram_fertility" -> unigramFertility,
     "unigram_artifact_roundtrip" -> unigramArtifactRoundtrip,
+    "unigram_segment" -> unigramSegment,
     "bpe_vocab_bytes" -> bpeVocabBytes,
     "bpe_artifact_roundtrip" -> bpeArtifactRoundtrip,
     "pack_sequences_bpe" -> packSequencesBpe,
@@ -5344,6 +5361,7 @@ object LlmQueries {
     // bpe_artifact_roundtrip convention); the bit-for-bit
     // reconstruction is additionally require()-enforced in-query
     "unigram_artifact_roundtrip" -> UnigramOracle.unigramVocabSql,
+    "unigram_segment" -> UnigramOracle.unigramSegmentSql,
     // the artifact path must change nothing: shared oracle (the
     // ann_ivf_persisted convention); the bit-for-bit reconstruction is
     // additionally require()-enforced inside the query

@@ -122,6 +122,29 @@ object UnigramOracle {
        |    (SELECT length(bin(CAST(sum(c) AS BIGINT))) - 1 FROM uv$R) AS score
        |FROM uv$R ORDER BY piece""".stripMargin
 
+  /** `unigram_segment`: the exact piece BOUNDARIES of every corpus
+    * doc — per distinct word the backward walk's pieces reassemble in
+    * start order (`/`-joined inside a word, space-joined across the
+    * doc's word sequence), md5'd per doc. */
+  val unigramSegmentSql: String =
+    s"""WITH RECURSIVE
+       |$baseCtes,
+       |$trainChain,
+       |sF AS MATERIALIZED (SELECT p, CAST(length(bin(c)) - 1 AS BIGINT) -
+       |    (SELECT length(bin(CAST(sum(c) AS BIGINT))) - 1 FROM uv$R) AS s FROM uv$R),
+       |dw AS MATERIALIZED (SELECT doc_id, wi, arr[CAST(wi AS INT)] AS w FROM
+       |  (SELECT doc_id, regexp_split_to_array(nt, ' ') AS arr FROM normd),
+       |  unnest(range(1, len(arr) + 1)) t(wi)),
+       |${viterbiCtes("F", "dw", "sF")},
+       |segw AS MATERIALIZED (SELECT w, string_agg(p, '/' ORDER BY i) AS seg,
+       |    CAST(count(*) AS BIGINT) AS np
+       |  FROM bkF WHERE p IS NOT NULL GROUP BY w)
+       |SELECT d.doc_id,
+       |  CAST(sum(COALESCE(s.np, 0)) AS BIGINT) AS n_pieces,
+       |  md5(string_agg(COALESCE(s.seg, ''), ' ' ORDER BY d.wi)) AS seg_md5
+       |FROM dw d LEFT JOIN segw s ON s.w = d.w
+       |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+
   /** `unigram_fertility`: the final scores segment EVERY distinct
     * corpus word (not just the training top-V); per-source word
     * occurrence counts weight the piece counts; the BPE token side

@@ -87,6 +87,19 @@ class UnigramSpec extends AnyFunSuite {
     }
   }
 
+  test("segmentation renders exact boundaries and is lossless back to the normalized text") {
+    val base = docs.limit(30).select(col("doc_id"),
+      TextAnalysis.normalizeText(col("text")).as("nt"))
+    val out = Unigram.segmentation(base, "nt", trained, "seg")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    out.foreach { case (id, nt, seg) =>
+      val expect = nt.split(" ", -1)
+        .map(w => Unigram.viterbi(w, trained.scores).mkString("/")).mkString(" ")
+      assert(seg === expect, s"doc $id segmentation")
+      assert(seg.replace("/", "") === nt, s"doc $id lossy segmentation")
+    }
+  }
+
   test("the comparison the operator exists for: unigram fertility differs from BPE's") {
     val f = graft.queries.LlmQueries.unigramFertility(spark, TestSpark.sfDir).collect()
     assert(f.nonEmpty)
