@@ -270,7 +270,10 @@ object ScaleProbe {
     "unigram_fertility",
     // exact piece boundaries per doc: one narrow closure DP with
     // vocab-sized state (the bpe_encode shape)
-    "unigram_segment")
+    "unigram_segment",
+    // preference pairs: two template splices in one narrow map, no
+    // shuffle at any corpus size (the sft_examples profile)
+    "dpo_pairs")
 
   private def rot(s: String, k: Int): String = s.drop(k % s.length) + s.take(k % s.length)
 

@@ -854,6 +854,68 @@ object TextAnalysis {
         repeat(lit("1"), col("nr") - col("drop_response") + lit(1))).as("loss_mask"))
   }
 
+  /** DPO / PREFERENCE-PAIR prep — the post-training sibling of
+    * [[sftExamples]] (span corruption → SFT → preference pairs, the
+    * three text→training-example transforms): one (prompt, chosen,
+    * rejected) triple splices into TWO chat-template streams sharing
+    * the SAME prompt region, each with its own loss mask over its
+    * response. The alignment requirement is the whole point: a DPO
+    * loss subtracts per-token logprobs of the two sequences, so the
+    * prompt truncation MUST be identical in both branches — the
+    * prompt pays for the LONGER branch's overflow
+    * (`dp = min(|prompt|, max(over_c, over_r))`) and each response
+    * then right-trims its own remainder. Both assembled sequences
+    * therefore share the exact `<|user|> … <|assistant|>` prefix
+    * (spec-pinned), and only the response regions differ.
+    *
+    * Same conventions as [[sftExamples]]: exact integer truncation,
+    * NULL/empty sides read as zero tokens, mask '0' over tags+prompt
+    * and '1' over response+end, one narrow map with aliased-once token
+    * pipelines. Output: (id, n_prompt_tokens, drop_prompt,
+    * chosen_text, chosen_mask, rejected_text, rejected_mask,
+    * drop_chosen, drop_rejected). */
+  def dpoPairs(df: DataFrame, idCol: String, promptCol: String,
+      chosenCol: String, rejectedCol: String, maxTokens: Int = 512): DataFrame = {
+    require(maxTokens >= 3, s"maxTokens must fit the three template tags; got $maxTokens")
+    def toks(c: Column): Column = coalesce(
+      filter(split(normalizeText(c), " "), w => length(w) > 0),
+      array().cast("array<string>"))
+    val t = df.select(col(idCol).as("id"),
+        toks(col(promptCol)).as("pw"), toks(col(chosenCol)).as("cw"),
+        toks(col(rejectedCol)).as("rw"))
+      .select(col("id"), col("pw"), col("cw"), col("rw"),
+        size(col("pw")).as("np"), size(col("cw")).as("nc"), size(col("rw")).as("nr"))
+      // the SHARED prompt cut: sized by the longer branch's overflow
+      .select(col("id"), col("pw"), col("cw"), col("rw"), col("np"), col("nc"), col("nr"),
+        greatest(col("np") + col("nc") + lit(3) - lit(maxTokens), lit(0)).as("oc"),
+        greatest(col("np") + col("nr") + lit(3) - lit(maxTokens), lit(0)).as("or"))
+      .select(col("id"), col("pw"), col("cw"), col("rw"), col("np"), col("nc"), col("nr"),
+        col("oc"), col("or"),
+        least(greatest(col("oc"), col("or")), col("np")).as("dp"))
+      .select(col("id"), col("pw"), col("cw"), col("rw"), col("np"), col("nc"), col("nr"),
+        col("dp"),
+        greatest(col("oc") - col("dp"), lit(0)).as("dc"),
+        greatest(col("or") - col("dp"), lit(0)).as("dr"))
+    def branch(words: Column, n: Column, drop: Column): Column =
+      array_join(concat(
+        array(lit("<|user|>")),
+        slice(col("pw"), col("dp") + lit(1), col("np") - col("dp")),
+        array(lit("<|assistant|>")),
+        slice(words, lit(1), n - drop),
+        array(lit("<|end|>"))), " ")
+    def mask(n: Column, drop: Column): Column =
+      concat(repeat(lit("0"), col("np") - col("dp") + lit(2)),
+        repeat(lit("1"), n - drop + lit(1)))
+    t.select(col("id"),
+      (col("np") - col("dp")).as("n_prompt_tokens"),
+      col("dp").as("drop_prompt"),
+      branch(col("cw"), col("nc"), col("dc")).as("chosen_text"),
+      mask(col("nc"), col("dc")).as("chosen_mask"),
+      branch(col("rw"), col("nr"), col("dr")).as("rejected_text"),
+      mask(col("nr"), col("dr")).as("rejected_mask"),
+      col("dc").as("drop_chosen"), col("dr").as("drop_rejected"))
+  }
+
   /** TRAINED linear quality classifier — the fastText-style upgrade
     * path from rule scores ([[qualityScore]]) and corpus-relative joins
     * ([[unigramLogFreq]]): distill an expensive teacher signal into a

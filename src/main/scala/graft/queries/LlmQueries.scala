@@ -1023,6 +1023,32 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** DPO PREFERENCE PAIRS gate ([[TextAnalysis.dpoPairs]]) — the
+    * post-training prep trio's last member. Triple derivation from
+    * the fixture: prompt = first `n DIV 3` normalized words, chosen =
+    * the rest, rejected = the rest REVERSED (same length — so the
+    * truncation symmetry is real, and the rejected branch is a
+    * plausible hard negative: same tokens, broken order). maxTokens =
+    * 64 fires truncation on the longer half of the fixture; the
+    * compared output carries BOTH assembled templates and BOTH masks,
+    * so any drift in the shared prompt cut or either response trim
+    * hash-fails. */
+  val dpoPairsQ: Q = (s, dir) => {
+    val triples = Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        filter(split(TextAnalysis.normalizeText(col("text")), " "),
+          w => length(w) > 0).as("w"))
+      .select(col("doc_id"),
+        array_join(slice(col("w"), lit(1), expr("size(w) DIV 3")), " ").as("prompt"),
+        array_join(slice(col("w"), expr("size(w) DIV 3 + 1"),
+          expr("size(w) - size(w) DIV 3")), " ").as("chosen"),
+        array_join(reverse(slice(col("w"), expr("size(w) DIV 3 + 1"),
+          expr("size(w) - size(w) DIV 3"))), " ").as("rejected"))
+    TextAnalysis.dpoPairs(triples, "doc_id", "prompt", "chosen", "rejected", maxTokens = 64)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
   /** SFT PACKED WINDOWS — the instruction-tuning pipeline's ENDPOINT,
     * composing the round's two preps: [[sftExamplesQ]]'s chat-template
     * examples (exact post-truncation token counts) FFD-pack into
@@ -3885,6 +3911,7 @@ object LlmQueries {
     "span_corruption" -> spanCorruptionQ,
     "sft_examples" -> sftExamplesQ,
     "sft_packed_layout" -> sftPackedLayout,
+    "dpo_pairs" -> dpoPairsQ,
     "dataset_card" -> datasetCard,
     "media_decode_bmp" -> mediaDecodeBmp,
     "media_decode_png" -> mediaDecodePng,
@@ -6764,6 +6791,42 @@ object LlmQueries {
     // the PCM payload is closed-form in (doc_id, k): the oracle states
     // every waveform stat WITHOUT seeing a byte, which is exactly what
     // makes the gate a proof of the Spark side's pack->parse round trip
+    // both branches' truncation plans, templates and masks replayed
+    // in list arithmetic; the shared prompt cut sized by the longer
+    // branch (rejected = reversed chosen, so oc = or on this fixture
+    // and the asymmetric-case algebra is additionally spec-pinned)
+    "dpo_pairs" ->
+      """WITH n AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(
+        |      trim(regexp_replace(regexp_replace(lower(text), '[.,;:!?]', '', 'g'), ' +', ' ', 'g')),
+        |      ' '), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |pr AS (SELECT doc_id,
+        |    w[1 : CAST(len(w) // 3 AS INT)] AS pw,
+        |    w[CAST(len(w) // 3 + 1 AS INT) : CAST(len(w) AS INT)] AS cw,
+        |    list_reverse(w[CAST(len(w) // 3 + 1 AS INT) : CAST(len(w) AS INT)]) AS rw
+        |  FROM n),
+        |d AS (SELECT doc_id, pw, cw, rw,
+        |    CAST(len(pw) AS INT) AS np, CAST(len(cw) AS INT) AS nc, CAST(len(rw) AS INT) AS nr,
+        |    CAST(greatest(len(pw) + len(cw) + 3 - 64, 0) AS INT) AS oc,
+        |    CAST(greatest(len(pw) + len(rw) + 3 - 64, 0) AS INT) AS orr
+        |  FROM pr),
+        |e AS (SELECT doc_id, pw, cw, rw, np, nc, nr,
+        |    least(greatest(oc, orr), np) AS dp,
+        |    greatest(oc - least(greatest(oc, orr), np), 0) AS dc,
+        |    greatest(orr - least(greatest(oc, orr), np), 0) AS dr
+        |  FROM d)
+        |SELECT doc_id,
+        |  np - dp AS n_prompt_tokens,
+        |  dp AS drop_prompt,
+        |  array_to_string(['<|user|>'] || pw[dp + 1 : np] || ['<|assistant|>'] ||
+        |    cw[1 : nc - dc] || ['<|end|>'], ' ') AS chosen_text,
+        |  repeat('0', np - dp + 2) || repeat('1', nc - dc + 1) AS chosen_mask,
+        |  array_to_string(['<|user|>'] || pw[dp + 1 : np] || ['<|assistant|>'] ||
+        |    rw[1 : nr - dr] || ['<|end|>'], ' ') AS rejected_text,
+        |  repeat('0', np - dp + 2) || repeat('1', nr - dr + 1) AS rejected_mask,
+        |  dc AS drop_chosen, dr AS drop_rejected
+        |FROM e ORDER BY doc_id""".stripMargin,
     // the sft chain's exact token counts feed the per-shard FFD
     // recursion (W = 256), then the per-bin supervised rollup
     "sft_packed_layout" ->
