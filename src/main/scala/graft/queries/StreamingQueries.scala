@@ -754,6 +754,34 @@ object StreamingQueries {
     drain(s, name, s.table(name).orderBy("doc_id"))
   }
 
+  /** PREFERENCE-PAIR prep AT INGEST — the third stateless prep on the
+    * stream (span corruption, SFT, now DPO): the same triple
+    * derivation and [[graft.llm.TextAnalysis.dpoPairs]] Column
+    * expressions on readStream; watermark-free append mode, the gate
+    * SHARES the batch oracle so any batch/stream divergence in the
+    * shared prompt cut or either mask hash-fails. */
+  val streamDpoPairs: Q = (s, dir) => withStatePartitions(s, 8) {
+    import org.apache.spark.sql.functions._
+    val schema = Tables(s, dir, "documents").schema
+    val name = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val src = s.readStream.schema(schema).parquet(s"$dir/documents.parquet*")
+    val triples = src
+      .select(col("doc_id"),
+        filter(split(graft.llm.TextAnalysis.normalizeText(col("text")), " "),
+          w => length(w) > 0).as("w"))
+      .select(col("doc_id"),
+        array_join(slice(col("w"), lit(1), expr("size(w) DIV 3")), " ").as("prompt"),
+        array_join(slice(col("w"), expr("size(w) DIV 3 + 1"),
+          expr("size(w) - size(w) DIV 3")), " ").as("chosen"),
+        array_join(reverse(slice(col("w"), expr("size(w) DIV 3 + 1"),
+          expr("size(w) - size(w) DIV 3"))), " ").as("rejected"))
+    val out = graft.llm.TextAnalysis.dpoPairs(triples, "doc_id", "prompt", "chosen", "rejected", 64)
+      .withColumnRenamed("id", "doc_id")
+    val q = out.writeStream.format("memory").queryName(name).outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    drain(s, name, s.table(name).orderBy("doc_id"))
+  }
+
   /** SCD2 POINT-IN-TIME enrichment — the versioned-dimension join
     * every ingest ETL needs and [[streamStaticEnrich]] (current-state
     * dim) cannot express: each event joins the dim VERSION that was
@@ -1211,6 +1239,7 @@ object StreamingQueries {
     "stream_encoding_hygiene" -> streamEncodingHygiene,
     "stream_span_corruption" -> streamSpanCorruption,
     "stream_sft_examples" -> streamSftExamples,
+    "stream_dpo_pairs" -> streamDpoPairs,
     "stream_scd_enrich" -> streamScdEnrich
   )
 
@@ -1236,6 +1265,7 @@ object StreamingQueries {
     "stream_span_corruption" -> LlmQueries.oracles("span_corruption"),
     // stateless scan-side prep: the batch oracle verbatim
     "stream_sft_examples" -> LlmQueries.oracles("sft_examples"),
+    "stream_dpo_pairs" -> LlmQueries.oracles("dpo_pairs"),
     // batch-invariant by construction: pair (i, j), i < j, emitted iff
     // both band to one bucket, i is among the bucket's first 1000
     // arrivals (the probe-then-add-if-room state cap => a ROW_NUMBER
