@@ -770,24 +770,35 @@ object TextAnalysis {
     * .groupScan]]); deriving seq/offset afterwards would re-window on
     * (group, bin) — a second full exchange of the packed frame for
     * state the packer just threw away. Output: (groupCols..., doc_id,
-    * n_tokens, bin_id, seq_in_bin, token_offset). */
+    * n_tokens, carryCols..., bin_id, seq_in_bin, token_offset).
+    *
+    * `carryCols` ride the SAME scan instead of a post-layout join back
+    * to the source frame: groupScan projects its orderCols through, and
+    * appending carries AFTER the unique `doc_id` tiebreaker leaves the
+    * FFD placement order untouched — so per-doc payload columns (e.g.
+    * supervised-token counts) reach the bin rollup without re-running
+    * the upstream pipeline a second time (the duplicated-subtree class
+    * this repo's perf notes track) or a second doc-keyed exchange. */
   def packedWindowLayout(
       df: DataFrame,
       groupCols: Seq[String],
       idCol: String,
       nTokens: Column,
-      windowTokens: Int = 2048): DataFrame = {
+      windowTokens: Int = 2048,
+      carryCols: Seq[String] = Nil): DataFrame = {
     require(windowTokens > 0, "windowTokens must be positive")
     require(groupCols.nonEmpty, "at least one group column is required")
     val t = df.select((groupCols.map(col) :+ col(idCol).as("doc_id")
-        :+ nTokens.as("n_tokens")): _*)
+        :+ nTokens.as("n_tokens")) ++ carryCols.map(col): _*)
       .withColumn("neg_tokens", -col("n_tokens"))
     graft.plumba.GroupOps.groupScan(
-        t, groupCols, Seq("n_tokens"), Seq("neg_tokens", "doc_id", "n_tokens"),
+        t, groupCols, Seq("n_tokens"),
+        Seq("neg_tokens", "doc_id", "n_tokens") ++ carryCols,
         ffdLayoutKernel(windowTokens),
         org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType),
         "layout")
-      .select((groupCols.map(col) ++ Seq(col("doc_id"), col("n_tokens"),
+      .select((groupCols.map(col) ++ Seq(col("doc_id"), col("n_tokens")) ++
+        carryCols.map(col) ++ Seq(
         element_at(col("layout"), 1).as("bin_id"),
         element_at(col("layout"), 2).as("seq_in_bin"),
         element_at(col("layout"), 3).as("token_offset"))): _*)

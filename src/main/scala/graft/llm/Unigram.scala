@@ -75,24 +75,29 @@ object Unigram {
   /** Viterbi segmentation of one word under integer piece scores.
     * Total whenever every single char of `w` scores (the coverage
     * floor guarantees it for corpus text); unscored chars fall back to
-    * a single-char piece anyway (score Int.MinValue/4 — still chosen
-    * when nothing else reaches the position, so OOV text degrades to
-    * characters instead of crashing, mirroring SentencePiece's
-    * byte-fallback spirit). Ties prefer the longer last piece. */
+    * a single-char piece with a MILD penalty (−1,000,000 — far below
+    * any real score so scored pieces always win, but the DP runs in
+    * Long so any NUMBER of OOV chars stays strictly above NegInf and
+    * the path remains total: OOV text degrades to characters instead
+    * of crashing, mirroring SentencePiece's byte-fallback spirit; the
+    * earlier Int.MinValue/4 sentinel summed to exactly NegInf at two
+    * OOV chars and looped the backward walk). Ties prefer the longer
+    * last piece. Gate corpora never hit the fallback — the alphabet
+    * floor scores every corpus char — so the oracle is unaffected. */
   private[llm] def viterbi(w: String, score: Map[String, Int]): Vector[String] = {
     val n = w.length
     if (n == 0) return Vector.empty
-    val NegInf = Int.MinValue / 2
-    val Fallback = Int.MinValue / 4
+    val NegInf = Long.MinValue / 2
+    val Fallback = -1000000L
     val dp = Array.fill(n + 1)(NegInf)
     val bp = new Array[Int](n + 1)
-    dp(0) = 0
+    dp(0) = 0L
     var i = 1
     while (i <= n) {
       var L = math.min(MaxPieceLen, i)
       while (L >= 1) {
-        val s0 = score.get(w.substring(i - L, i)) match {
-          case Some(s) => s
+        val s0: Long = score.get(w.substring(i - L, i)) match {
+          case Some(s) => s.toLong
           case None => if (L == 1) Fallback else NegInf
         }
         if (s0 > NegInf && dp(i - L) > NegInf) {
@@ -105,7 +110,13 @@ object Unigram {
     }
     var out = List.empty[String]
     var j = n
-    while (j > 0) { out = w.substring(j - bp(j), j) :: out; j -= bp(j) }
+    while (j > 0) {
+      // bp(j) == 0 is unreachable (the L==1 fallback always scores),
+      // but guard the walk so a future scoring change can never hang.
+      val step = math.max(bp(j), 1)
+      out = w.substring(j - step, j) :: out
+      j -= step
+    }
     out.toVector
   }
 

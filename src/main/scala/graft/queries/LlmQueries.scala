@@ -1034,7 +1034,12 @@ object LlmQueries {
     * so any drift in the shared prompt cut or either response trim
     * hash-fails. */
   val dpoPairsQ: Q = (s, dir) => {
+    // NULL text drops the doc (the spanCorruption convention,
+    // TextAnalysis.scala:128 — the oracle's unnest-over-NULL emits no
+    // rows for it, so an unfiltered Spark side would keep a row of
+    // empty templates and diverge on any fixture with a NULL text).
     val triples = Tables(s, dir, "documents")
+      .filter(col("text").isNotNull)
       .select(col("doc_id"),
         filter(split(TextAnalysis.normalizeText(col("text")), " "),
           w => length(w) > 0).as("w"))
@@ -1058,17 +1063,18 @@ object LlmQueries {
     * tag, the mask-1 region) and the supervised fraction in exact ppm
     * (the utilization number that decides whether prompt-heavy data is
     * worth its window space). One narrow example map, the packer's one
-    * shard shuffle, one doc-keyed join to attach the supervised
-    * counts, one bin rollup. */
+    * shard shuffle — the supervised counts ride the layout scan as a
+    * carry column (r18 advice: the earlier doc-keyed join back to the
+    * examples frame re-ran the whole normalize/split/truncation chain
+    * a second time AND paid a second exchange), one bin rollup. */
   val sftPackedLayout: Q = (s, dir) => {
     val ex = sftExamplesQ(s, dir)
     val docs = ex.select(col("doc_id"), col("n_tokens").cast("long").as("nt"),
         (col("n_response_tokens") + 1).cast("long").as("sup"))
       .withColumn("shard_id", Sampling.shardAssign(col("doc_id"), 8))
     val lay = TextAnalysis.packedWindowLayout(docs, Seq("shard_id"), "doc_id",
-      col("nt"), windowTokens = 256)
-    lay.join(docs.select(col("doc_id"), col("sup")), Seq("doc_id"))
-      .groupBy("shard_id", "bin_id")
+      col("nt"), windowTokens = 256, carryCols = Seq("sup"))
+    lay.groupBy("shard_id", "bin_id")
       .agg(count(lit(1)).as("n_docs"),
         sum("n_tokens").as("used_tokens"),
         greatest(lit(256L) - sum("n_tokens"), lit(0L)).as("pad_tokens"),
@@ -1220,7 +1226,11 @@ object LlmQueries {
     * includes the assembled template string AND the aligned '0'/'1'
     * loss mask — a mask off by one token anywhere hash-fails. */
   val sftExamplesQ: Q = (s, dir) => {
+    // NULL text drops the doc (the spanCorruption convention,
+    // TextAnalysis.scala:128) — keeps Spark and the oracle's
+    // unnest-over-NULL drop behavior aligned on NULL-text fixtures.
     val paired = Tables(s, dir, "documents")
+      .filter(col("text").isNotNull)
       .select(col("doc_id"),
         filter(split(TextAnalysis.normalizeText(col("text")), " "),
           w => length(w) > 0).as("w"))
@@ -3279,7 +3289,11 @@ object LlmQueries {
   val unigramFertility: Q = (s, dir) => {
     val uni = trainedUnigram(s, dir)
     val bpe = trainedBpe(s, dir)
+    // NULL text drops the doc (the spanCorruption convention,
+    // TextAnalysis.scala:128) — a NULL row would emit size(null) = -1
+    // word counts on the Spark side while the oracle NULL-propagates.
     val base = Tables(s, dir, "documents")
+      .filter(col("text").isNotNull)
       .select(col("source"),
         TextAnalysis.normalizeText(col("text")).as("nt"),
         Bpe.tokenCount(col("text"), bpe.merges).cast("long").as("t"))
@@ -3370,7 +3384,11 @@ object LlmQueries {
     * state), the `bpe_encode` scale shape. */
   val unigramSegment: Q = (s, dir) => {
     val uni = trainedUnigram(s, dir)
+    // NULL text drops the doc (the spanCorruption convention,
+    // TextAnalysis.scala:128) — otherwise Spark emits a null-seg_md5
+    // row the oracle's NULL semantics never produce.
     val base = spreadForCompute(s, dir, Tables(s, dir, "documents"))
+      .filter(col("text").isNotNull)
       .select(col("doc_id"), TextAnalysis.normalizeText(col("text")).as("nt"))
     Unigram.pieceCounts(Unigram.segmentation(base, "nt", uni, "seg"), "nt", uni, "n_pieces")
       .select(col("doc_id"), col("n_pieces"),
@@ -6571,7 +6589,7 @@ object LlmQueries {
         |    list_filter(regexp_split_to_array(
         |      trim(regexp_replace(regexp_replace(lower(text), '[.,;:!?]', '', 'g'), ' +', ' ', 'g')),
         |      ' '), x -> len(x) > 0) AS w
-        |  FROM documents),
+        |  FROM documents WHERE text IS NOT NULL),
         |pr AS (SELECT doc_id,
         |    w[1 : CAST(len(w) // 3 AS INT)] AS pw,
         |    w[CAST(len(w) // 3 + 1 AS INT) : CAST(len(w) AS INT)] AS rw
@@ -6800,7 +6818,7 @@ object LlmQueries {
         |    list_filter(regexp_split_to_array(
         |      trim(regexp_replace(regexp_replace(lower(text), '[.,;:!?]', '', 'g'), ' +', ' ', 'g')),
         |      ' '), x -> len(x) > 0) AS w
-        |  FROM documents),
+        |  FROM documents WHERE text IS NOT NULL),
         |pr AS (SELECT doc_id,
         |    w[1 : CAST(len(w) // 3 AS INT)] AS pw,
         |    w[CAST(len(w) // 3 + 1 AS INT) : CAST(len(w) AS INT)] AS cw,
@@ -6834,7 +6852,7 @@ object LlmQueries {
          |    list_filter(regexp_split_to_array(
          |      trim(regexp_replace(regexp_replace(lower(text), '[.,;:!?]', '', 'g'), ' +', ' ', 'g')),
          |      ' '), x -> len(x) > 0) AS w
-         |  FROM documents),
+         |  FROM documents WHERE text IS NOT NULL),
          |prx AS (SELECT doc_id,
          |    CAST(len(w) // 3 AS INT) AS np0,
          |    CAST(len(w) - len(w) // 3 AS INT) AS nr0

@@ -739,7 +739,10 @@ object StreamingQueries {
     val schema = Tables(s, dir, "documents").schema
     val name = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val src = s.readStream.schema(schema).parquet(s"$dir/documents.parquet*")
+    // NULL text drops the doc — the batch gate's spanCorruption
+    // convention; the shared oracle drops it via unnest-over-NULL.
     val paired = src
+      .filter(col("text").isNotNull)
       .select(col("doc_id"),
         filter(split(graft.llm.TextAnalysis.normalizeText(col("text")), " "),
           w => length(w) > 0).as("w"))
@@ -765,7 +768,10 @@ object StreamingQueries {
     val schema = Tables(s, dir, "documents").schema
     val name = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val src = s.readStream.schema(schema).parquet(s"$dir/documents.parquet*")
+    // NULL text drops the doc — the batch gate's convention (see
+    // LlmQueries.dpoPairsQ); the shared oracle drops it the same way.
     val triples = src
+      .filter(col("text").isNotNull)
       .select(col("doc_id"),
         filter(split(graft.llm.TextAnalysis.normalizeText(col("text")), " "),
           w => length(w) > 0).as("w"))

@@ -167,7 +167,8 @@ object UnigramOracle {
        |  FROM srcw s LEFT JOIN pc ON pc.w = s.w GROUP BY s.source),
        |bpet AS (SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
        |    CAST(sum(len(e.ts)) AS BIGINT) AS n_tokens_bpe
-       |  FROM documents d JOIN enc e ON e.doc_id = d.doc_id GROUP BY d.source)
+       |  FROM documents d JOIN enc e ON e.doc_id = d.doc_id
+       |  WHERE d.text IS NOT NULL GROUP BY d.source)
        |SELECT u.source, b.n_docs, u.n_words, u.n_pieces_unigram, b.n_tokens_bpe,
        |  u.n_pieces_unigram * 1000000 // u.n_words AS fertility_unigram_ppm,
        |  b.n_tokens_bpe * 1000000 // u.n_words AS fertility_bpe_ppm

@@ -72,6 +72,15 @@ class UnigramSpec extends AnyFunSuite {
   test("OOV characters degrade to single-char fallback pieces, never crash") {
     val seg = Unigram.viterbi("aXb", Map("a" -> -1, "b" -> -1))
     assert(seg === Vector("a", "X", "b"))
+    // Two+ consecutive OOV chars: the old Int.MinValue/4 sentinel summed
+    // to exactly NegInf here and looped the backward walk forever.
+    assert(Unigram.viterbi("aXYb", Map("a" -> -1, "b" -> -1)) ===
+      Vector("a", "X", "Y", "b"))
+    assert(Unigram.viterbi("XYZW", Map("a" -> -1)) ===
+      Vector("X", "Y", "Z", "W"))
+    // A scored multi-char piece still beats fallback chars around it.
+    assert(Unigram.viterbi("XabY", Map("a" -> -1, "b" -> -1, "ab" -> -1)) ===
+      Vector("X", "ab", "Y"))
   }
 
   test("pieceCounts appends the exact per-doc Viterbi piece sum, columns ride through") {
