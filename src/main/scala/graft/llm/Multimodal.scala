@@ -260,6 +260,37 @@ object Multimodal {
     * state the pixels states the signature. Non-image payloads and
     * codec misses return a NULL signature (excluded from pairing —
     * loud, never a fake fingerprint). Narrow map, no shuffle. */
+  /** The dHash of one decoded image: grid-sampled integer Rec.601
+    * luminance, horizontal gradient sign — shared by [[imageDHash]]
+    * (per-image rows) and [[videoMajoritySignature]] (per-frame inside
+    * one row), so the two paths can never drift. */
+  private[llm] def dHashOf(img: java.awt.image.BufferedImage, grid: Int): String = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val lum = Array.ofDim[Long](grid, grid)
+    var y = 0
+    while (y < grid) {
+      var x = 0
+      while (x < grid) {
+        val rgb = img.getRGB(math.min(w - 1, x * w / grid), math.min(h - 1, y * h / grid))
+        lum(y)(x) = 299L * ((rgb >> 16) & 0xFF) + 587L * ((rgb >> 8) & 0xFF) +
+          114L * (rgb & 0xFF)
+        x += 1
+      }
+      y += 1
+    }
+    val sb = new java.lang.StringBuilder(grid * (grid - 1))
+    y = 0
+    while (y < grid) {
+      var x = 0
+      while (x < grid - 1) {
+        sb.append(if (lum(y)(x + 1) > lum(y)(x)) '1' else '0')
+        x += 1
+      }
+      y += 1
+    }
+    sb.toString
+  }
+
   def imageDHash(df: DataFrame, idCol: String, mediaCol: String, grid: Int = 8): DataFrame = {
     require(grid >= 2, s"grid must be >= 2; got $grid")
     val sel = df.select(col(idCol), col(mediaCol).getField("bytes").as("__bytes"))
@@ -274,33 +305,75 @@ object Multimodal {
               try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
               catch { case _: java.io.IOException => null }
             if (img == null) null
-            else {
-              val (w, h) = (img.getWidth, img.getHeight)
-              val lum = Array.ofDim[Long](grid, grid)
-              var y = 0
-              while (y < grid) {
-                var x = 0
-                while (x < grid) {
-                  val rgb = img.getRGB(math.min(w - 1, x * w / grid), math.min(h - 1, y * h / grid))
-                  lum(y)(x) = 299L * ((rgb >> 16) & 0xFF) + 587L * ((rgb >> 8) & 0xFF) +
-                    114L * (rgb & 0xFF)
-                  x += 1
-                }
-                y += 1
-              }
-              val sb = new java.lang.StringBuilder(grid * (grid - 1))
-              y = 0
-              while (y < grid) {
-                var x = 0
-                while (x < grid - 1) {
-                  sb.append(if (lum(y)(x + 1) > lum(y)(x)) '1' else '0')
-                  x += 1
-                }
-                y += 1
-              }
-              sb.toString
-            }
+            else dHashOf(img, grid)
           }
+        Row(r.get(0), sig)
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** PER-VIDEO MAJORITY dHASH in ONE narrow map — the frame-sequence
+    * fingerprint ([[sampleImageFrames]] → per-frame [[imageDHash]] →
+    * per-position majority bit) computed WITHOUT the doc-keyed shuffle:
+    * all frames of a video live in its one payload row, so the
+    * sequence decode, every frame's dHash and the majority vote are
+    * per-row work. Bit i of the signature is '1' iff more than half
+    * of the decoded frames have '1' at i (`2·ones > frames` — the
+    * exact integer rule the exploded chain's `2·sum(bit) > count(*)`
+    * aggregate applies, pinned equal in VideoDedupSpec). Frames read
+    * directly off the sequence reader — the exploded path's PNG
+    * re-encode is lossless, so the pixels (hence every bit) are
+    * identical. Payloads with no decodable frame yield a NULL
+    * signature (excluded from pairing — loud, never fake).
+    *
+    * This is the shape BOTH deploys want: batch dedup loses an
+    * exchange of (id, 56-char) rows, and a Structured Streaming ingest
+    * can fingerprint at the door with no aggregation state at all —
+    * the majority reduce as a streaming groupBy would demand
+    * update/complete mode; as row-local work it composes with plain
+    * append-mode `dropDuplicates`. */
+  def videoMajoritySignature(df: DataFrame, idCol: String, mediaCol: String,
+      grid: Int = 8, stride: Int = 1): DataFrame = {
+    require(grid >= 2, s"grid must be >= 2; got $grid")
+    require(stride > 0, "stride must be positive")
+    val nBits = grid * (grid - 1)
+    val sel = df.select(col(idCol), col(mediaCol).getField("bytes").as("__bytes"))
+    val outSchema = StructType(Seq(sel.schema.head, StructField("sig", StringType)))
+    sel.mapPartitions { it =>
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        var sig: String = null
+        if (bytes != null && looksLikeImage(bytes)) {
+          val iis = javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(bytes))
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) iis.close()
+          else {
+            val reader = readers.next()
+            try {
+              reader.setInput(iis)
+              val n = reader.getNumImages(true)
+              val ones = new Array[Int](nBits)
+              var frames = 0
+              var k = 0
+              while (k < n) {
+                val img = try reader.read(k) catch { case _: java.io.IOException => null }
+                if (img != null) {
+                  val s = dHashOf(img, grid)
+                  var i = 0
+                  while (i < nBits) { if (s.charAt(i) == '1') ones(i) += 1; i += 1 }
+                  frames += 1
+                }
+                k += stride
+              }
+              if (frames > 0) {
+                val sb = new java.lang.StringBuilder(nBits)
+                var i = 0
+                while (i < nBits) { sb.append(if (2 * ones(i) > frames) '1' else '0'); i += 1 }
+                sig = sb.toString
+              }
+            } finally { reader.dispose(); iis.close() }
+          }
+        }
         Row(r.get(0), sig)
       }
     }(Encoders.row(outSchema))

@@ -2762,11 +2762,17 @@ object LlmQueries {
     * bits of one frame and the MAJORITY signatures differ pairwise in
     * ≤ 2 bits — `maxHamming 2 < bands 4` gives the outright recall
     * guarantee (the audio family's argument, lifted across frames).
-    * The majority reduce is ONE doc-keyed shuffle of (id, 56-char sig)
-    * rows; decode stays narrow. */
+    * The whole synth→decode→per-frame-dHash→majority chain is ONE
+    * narrow map ([[Multimodal.videoMajoritySignature]] — all frames of
+    * a video live in its one payload row, so the former doc-keyed
+    * majority shuffle was an exchange for row-local work; the narrow
+    * form is also what lets the INGEST STREAM fingerprint video with
+    * zero aggregation state, `stream_video_dedup`). */
   /** Video majority signatures for a params frame carrying (doc_id, p)
     * — cluster `p` rides the synth closure's tag slot (an echo batch
-    * reuses the ORIGINAL video's cluster under a new id). */
+    * reuses the ORIGINAL video's cluster under a new id). Streaming-
+    * safe: narrow maps only, so the SAME code runs behind readStream
+    * (the batch/stream-shared-derivation rule the audio family uses). */
   private[queries] def videoSigsForParams(d0: DataFrame): DataFrame = {
     val F = 5
     val d = d0.select(col("doc_id"), col("p"),
@@ -2780,17 +2786,7 @@ object LlmQueries {
         else 0
       1 + (base + bump) % 126
     }
-    val frames = Multimodal.sampleImageFrames(media, "doc_id", "media", stride = 1)
-    val keyed = frames.select(struct(col("doc_id"), col("frame_idx")).as("fid"), col("frame"))
-    Multimodal.imageDHash(keyed, "fid", "frame", grid = 8)
-      .select(col("fid.doc_id").as("doc_id"), col("sig"))
-      .groupBy("doc_id").agg(collect_list(col("sig")).as("ss"))
-      // majority per bit position, assembled in one HOF pass (56×F
-      // substrings per DOC row — bounded, no second shuffle)
-      .selectExpr("doc_id",
-        "array_join(transform(sequence(1, 56), i -> " +
-          "IF(2 * size(filter(ss, s -> substring(s, i, 1) = '1')) > size(ss), '1', '0')), '')" +
-          " AS sig")
+    Multimodal.videoMajoritySignature(media, "doc_id", "media", grid = 8)
   }
 
   private[queries] def videoSigsFor(s: SparkSession, dir: String): DataFrame =

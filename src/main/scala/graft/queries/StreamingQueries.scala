@@ -529,6 +529,38 @@ object StreamingQueries {
     drain(s, name, s.table(name).orderBy("sig"))
   }
 
+  /** Streaming VIDEO dedup — the LAST cell of the modality × lifecycle
+    * matrix (image and audio both stream; video had batch + day-2
+    * only): videos arrive (the synthesized 5-frame GIF corpus the
+    * batch video gates share), are REALLY sequence-decoded and reduced
+    * to the per-position MAJORITY dHash scan-side
+    * ([[graft.llm.Multimodal.videoMajoritySignature]] — the whole
+    * encode→frame-decode→per-frame-dHash→vote chain is ONE narrow map,
+    * which is exactly what makes this composable with streaming: the
+    * former doc-keyed majority aggregate would have demanded
+    * update-mode state), and `dropDuplicates` on the signature keeps
+    * every fingerprint seen — a re-encoded near-identical video never
+    * passes the door twice. Output projects only the signature
+    * (arrival order must not leak — the `stream_dedup_docs`
+    * determinism rule). State is one 56-char bit string per DISTINCT
+    * video fingerprint. Oracle: the batch distinct-majority-signature
+    * set, every pixel, per-frame bit and vote replayed. */
+  val streamVideoDedup: Q = (s, dir) => withStatePartitions(s, 8) {
+    import org.apache.spark.sql.functions._
+    val name = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val params = Tables(s, dir, "documents")
+      .select(col("doc_id"), expr("CAST(doc_id DIV 8 AS BIGINT)").as("p"))
+    val (tmp, schema) = spillIdBucketsCached(s, dir, params, "doc_id", 4, tag = "vsig")
+    val src = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp.getPath + "/*.parquet")
+    val dedup = LlmQueries.videoSigsForParams(src)
+      .dropDuplicates("sig")
+      .select(col("sig"))
+    val q = dedup.writeStream.format("memory").queryName(name).outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    drain(s, name, s.table(name).orderBy("sig"))
+  }
+
   /** Streaming Count-Min maintenance —
     * [[graft.llm.Sketches.cmsCounters]] running UNCHANGED on the
     * documents stream: the sketch where it earns its keep, an
@@ -1235,6 +1267,7 @@ object StreamingQueries {
     "stream_dedup_docs" -> streamDedupDocs,
     "stream_media_dedup" -> streamMediaDedup,
     "stream_audio_dedup" -> streamAudioDedup,
+    "stream_video_dedup" -> streamVideoDedup,
     "stream_cms_matrix" -> streamCmsMatrix,
     "stream_ann_ivf_probe" -> streamAnnIvfProbe,
     "stream_dsir_score" -> streamDsirScore,
@@ -1466,6 +1499,27 @@ object StreamingQueries {
          |  FROM px a JOIN px b ON b.doc_id = a.doc_id AND b.y = a.y AND b.x = a.x + 1
          |  WHERE a.x < 7),
          |sg AS (SELECT doc_id, string_agg(bit, '' ORDER BY y, x) AS sig FROM bits GROUP BY doc_id)
+         |SELECT DISTINCT sig FROM sg ORDER BY sig""".stripMargin,
+    // the batch distinct-majority-signature set: the video pixel /
+    // per-frame-bit / majority-vote chain shared with media_video_dedup,
+    // reduced to DISTINCT sigs (arrival order can never change a set)
+    "stream_video_dedup" ->
+      s"""WITH px AS MATERIALIZED (SELECT doc_id, k, x, y,
+         |    1 + CAST((${LlmQueries.hx60("md5('vid:' || CAST(doc_id // 8 AS VARCHAR) || ':' || CAST(k AS VARCHAR) || ':' || CAST(x AS VARCHAR) || ':' || CAST(y AS VARCHAR))")} % 126 +
+         |      CASE WHEN k = (doc_id // 8) % 5 AND x = (doc_id // 8) % 8
+         |          AND y = ((doc_id // 8) // 8) % 8
+         |        THEN ${LlmQueries.hx60("md5('vidn:' || CAST(doc_id AS VARCHAR))")} % 126 ELSE 0 END) % 126 AS INT) AS g
+         |  FROM documents, unnest(range(0, 5)) tk(k),
+         |    unnest(range(0, 8)) tx(x), unnest(range(0, 8)) ty(y)),
+         |fb AS (SELECT a.doc_id, a.k, a.y, a.x,
+         |    CASE WHEN b.g > a.g THEN 1 ELSE 0 END AS bit
+         |  FROM px a JOIN px b ON b.doc_id = a.doc_id AND b.k = a.k
+         |    AND b.y = a.y AND b.x = a.x + 1
+         |  WHERE a.x < 7),
+         |mj AS (SELECT doc_id, y, x,
+         |    CASE WHEN 2 * sum(bit) > count(*) THEN '1' ELSE '0' END AS mb
+         |  FROM fb GROUP BY doc_id, y, x),
+         |sg AS (SELECT doc_id, string_agg(mb, '' ORDER BY y, x) AS sig FROM mj GROUP BY doc_id)
          |SELECT DISTINCT sig FROM sg ORDER BY sig""".stripMargin,
     // the streaming probe equals the batch ivf by construction (same
     // index, same routing rule, same ranking) — shared oracle, so any

@@ -67,6 +67,42 @@ class VideoDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("narrow majority signature == exploded frames → per-frame dHash → majority aggregate") {
+    // the one-map videoMajoritySignature must equal the shuffle-bearing
+    // chain it replaced bit-for-bit (PNG re-encode is lossless, so the
+    // directly-read frames carry identical pixels)
+    val Fv = F // local copy — the synth closure must not capture the suite
+    val d = spark.range(0, 24).select(col("id").as("doc_id"),
+      expr("CAST(id DIV 8 AS BIGINT)").as("p"),
+      lit(Fv).as("nf"), lit(8).as("w"), lit(8).as("h"))
+    val media = graft.llm.Multimodal.synthesizeGifFramesPx(
+        d, "doc_id", "nf", "w", "h", "p") { (id, p, k, x, y) =>
+      val base = (graft.llm.Sampling.hash60Jvm(s"vid:$p:$k:$x:$y") % 126L).toInt
+      val bump =
+        if (k == (p % Fv).toInt && x == (p % 8).toInt && y == ((p / 8) % 8).toInt)
+          (graft.llm.Sampling.hash60Jvm(s"vidn:$id") % 126L).toInt
+        else 0
+      1 + (base + bump) % 126
+    }.localCheckpoint(true)
+    val narrow = graft.llm.Multimodal.videoMajoritySignature(media, "doc_id", "media")
+    val frames = graft.llm.Multimodal.sampleImageFrames(media, "doc_id", "media", stride = 1)
+    val exploded = graft.llm.Multimodal.imageDHash(
+        frames.select(struct(col("doc_id"), col("frame_idx")).as("fid"), col("frame")),
+        "fid", "frame", grid = 8)
+      .select(col("fid.doc_id").as("doc_id"), col("sig"))
+      .groupBy("doc_id").agg(collect_list(col("sig")).as("ss"))
+      .selectExpr("doc_id",
+        "array_join(transform(sequence(1, 56), i -> " +
+          "IF(2 * size(filter(ss, s -> substring(s, i, 1) = '1')) > size(ss), '1', '0')), '') AS sig")
+    val a = narrow.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = exploded.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a.size === 24 && a === b)
+    // and the narrow path must carry NO exchange before pairing
+    val plan = narrow.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"signature derivation must be one narrow map:\n$plan")
+  }
+
   test("pairs gate: full within-cluster recall, zero cross-cluster pairs, never all-pairs") {
     val df = LlmQueries.mediaVideoDedup(spark, TestSpark.sfDir)
     val plan = df.queryExecution.executedPlan.toString
