@@ -1090,6 +1090,73 @@ object LlmQueries {
       .orderBy("shard_id", "bin_id")
   }
 
+  /** DPO PACKED WINDOWS — the preference-pair twin of
+    * [[sftPackedLayout]] with the constraint SFT packing doesn't have:
+    * a DPO loss subtracts per-token logprobs of the CHOSEN and
+    * REJECTED sequences of one triple, so both MUST land in the same
+    * window set — packing the branches independently can split a pair
+    * across shards/bins and the loss step would need a cross-window
+    * gather. The layout packs each pair as ONE unit of size
+    * `max(len_chosen, len_rejected)`: the bin assignment then
+    * materializes as TWO aligned window streams (the chosen view and
+    * the rejected view), where pair k occupies the SAME slot span
+    * [token_offset, token_offset + unit) in both — the shorter branch
+    * pads inside its slot. Pair affinity holds BY CONSTRUCTION, not by
+    * a post-hoc constraint solve.
+    *
+    * The fixture derives an ASYMMETRIC rejected branch (the first half
+    * of the reversed continuation) so `max` genuinely selects and the
+    * two branches' truncation overflows differ — a layout that packed
+    * on the wrong branch's length hash-fails. Per bin: pair count,
+    * used units, pad, per-view token totals and per-view fill ppm (the
+    * number that tells a DPO trainer how much window space the
+    * two-view layout wastes vs packing each branch alone). Same scale
+    * shape as the SFT endpoint: one narrow prep map, the packer's one
+    * shard shuffle (token counts ride [[TextAnalysis
+    * .packedWindowLayout]]'s carry columns — no join back), one bin
+    * rollup. */
+  val dpoPackedLayout: Q = (s, dir) => {
+    val triples = Tables(s, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        filter(split(TextAnalysis.normalizeText(col("text")), " "),
+          w => length(w) > 0).as("w"))
+      .select(col("doc_id"),
+        array_join(slice(col("w"), lit(1), expr("size(w) DIV 3")), " ").as("prompt"),
+        array_join(slice(col("w"), expr("size(w) DIV 3 + 1"),
+          expr("size(w) - size(w) DIV 3")), " ").as("chosen"),
+        array_join(slice(reverse(slice(col("w"), expr("size(w) DIV 3 + 1"),
+            expr("size(w) - size(w) DIV 3"))), lit(1),
+          expr("(size(w) - size(w) DIV 3) DIV 2")), " ").as("rejected"))
+    val pairs = TextAnalysis.dpoPairs(triples, "doc_id", "prompt", "chosen", "rejected",
+        maxTokens = 64)
+      .select(col("id").as("doc_id"),
+        length(col("chosen_mask")).cast("long").as("ntc"),
+        length(col("rejected_mask")).cast("long").as("ntr"))
+      .select(col("doc_id"), col("ntc"), col("ntr"),
+        greatest(col("ntc"), col("ntr")).as("unit"))
+      .withColumn("shard_id", Sampling.shardAssign(col("doc_id"), 8))
+    val lay = TextAnalysis.packedWindowLayout(pairs, Seq("shard_id"), "doc_id",
+      col("unit"), windowTokens = 256, carryCols = Seq("ntc", "ntr"))
+    lay.groupBy("shard_id", "bin_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum("n_tokens").as("used_units"),
+        greatest(lit(256L) - sum("n_tokens"), lit(0L)).as("pad_tokens"),
+        sum("ntc").as("chosen_tokens"),
+        sum("ntr").as("rejected_tokens"),
+        array_sort(collect_list(struct(col("seq_in_bin").as("s"),
+          col("doc_id").as("id")))).as("ms"))
+      .select(col("shard_id"), col("bin_id"), col("n_pairs"), col("used_units"),
+        col("pad_tokens"), col("chosen_tokens"), col("rejected_tokens"),
+        expr("CAST(chosen_tokens * 1000000 DIV used_units AS BIGINT)")
+          .as("chosen_fill_ppm"),
+        expr("CAST(rejected_tokens * 1000000 DIV used_units AS BIGINT)")
+          .as("rejected_fill_ppm"),
+        array_join(transform(col("ms"), m => m.getField("id").cast("string")), ",")
+          .as("doc_ids"))
+      .orderBy("shard_id", "bin_id")
+  }
+
   /** IMAGE NEAR-DUP — the first stage of every image-text curation
     * pipeline (the LAION recipe), composing the multimodal decode path
     * with the banded-fingerprint dedup machinery: deterministic 8×8
@@ -3926,6 +3993,7 @@ object LlmQueries {
     "sft_examples" -> sftExamplesQ,
     "sft_packed_layout" -> sftPackedLayout,
     "dpo_pairs" -> dpoPairsQ,
+    "dpo_packed_layout" -> dpoPackedLayout,
     "dataset_card" -> datasetCard,
     "media_decode_bmp" -> mediaDecodeBmp,
     "media_decode_png" -> mediaDecodePng,
@@ -6889,6 +6957,70 @@ object LlmQueries {
          |  greatest(256 - CAST(sum(n) AS BIGINT), 0) AS pad_tokens,
          |  CAST(sum(sup) AS BIGINT) AS supervised_tokens,
          |  CAST(sum(sup) AS BIGINT) * 1000000 // CAST(sum(n) AS BIGINT) AS supervised_ppm,
+         |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY s) AS doc_ids
+         |FROM lay GROUP BY shard_id, bin_id
+         |ORDER BY shard_id, bin_id""".stripMargin,
+    // the DPO truncation chain (asymmetric rejected = first half of the
+    // reversed continuation), pair units = max branch length, the same
+    // per-shard FFD recursion at W = 256, per-bin two-view rollup
+    "dpo_packed_layout" ->
+      s"""WITH RECURSIVE n AS (SELECT doc_id,
+         |    list_filter(regexp_split_to_array(
+         |      trim(regexp_replace(regexp_replace(lower(text), '[.,;:!?]', '', 'g'), ' +', ' ', 'g')),
+         |      ' '), x -> len(x) > 0) AS w
+         |  FROM documents WHERE text IS NOT NULL),
+         |pr AS (SELECT doc_id,
+         |    w[1 : CAST(len(w) // 3 AS INT)] AS pw,
+         |    w[CAST(len(w) // 3 + 1 AS INT) : CAST(len(w) AS INT)] AS cw,
+         |    list_reverse(w[CAST(len(w) // 3 + 1 AS INT) : CAST(len(w) AS INT)])
+         |      [1 : CAST((len(w) - len(w) // 3) // 2 AS INT)] AS rw
+         |  FROM n),
+         |d AS (SELECT doc_id,
+         |    CAST(len(pw) AS INT) AS np, CAST(len(cw) AS INT) AS nc, CAST(len(rw) AS INT) AS nr,
+         |    CAST(greatest(len(pw) + len(cw) + 3 - 64, 0) AS INT) AS oc,
+         |    CAST(greatest(len(pw) + len(rw) + 3 - 64, 0) AS INT) AS orr
+         |  FROM pr),
+         |e AS (SELECT doc_id, np, nc, nr,
+         |    least(greatest(oc, orr), np) AS dp,
+         |    greatest(oc - least(greatest(oc, orr), np), 0) AS dc,
+         |    greatest(orr - least(greatest(oc, orr), np), 0) AS dr
+         |  FROM d),
+         |ex AS (SELECT doc_id,
+         |    CAST(np - dp + nc - dc + 3 AS BIGINT) AS ntc,
+         |    CAST(np - dp + nr - dr + 3 AS BIGINT) AS ntr,
+         |    CAST(greatest(np - dp + nc - dc + 3, np - dp + nr - dr + 3) AS BIGINT) AS n
+         |  FROM e),
+         |dd AS (SELECT doc_id, n, ntc, ntr,
+         |    CAST(${hx60("md5(CAST(doc_id AS VARCHAR))")} % 8 AS INT) AS shard_id,
+         |    row_number() OVER (PARTITION BY CAST(${hx60("md5(CAST(doc_id AS VARCHAR))")} % 8 AS INT)
+         |      ORDER BY n DESC, doc_id) AS rn
+         |  FROM ex),
+         |ffd AS (
+         |  SELECT shard_id, 0::BIGINT AS rn, NULL::BIGINT AS doc_id, NULL::BIGINT AS n,
+         |    NULL::BIGINT AS bin_id, []::BIGINT[] AS rem
+         |  FROM (SELECT DISTINCT shard_id FROM dd)
+         |  UNION ALL
+         |  SELECT shard_id, rn, doc_id, n,
+         |    CASE WHEN fit IS NULL THEN len(rem0) ELSE fit - 1 END AS bin_id,
+         |    CASE WHEN fit IS NULL THEN list_append(rem0, 256 - n)
+         |         ELSE list_transform(range(1, len(rem0) + 1),
+         |                i -> CASE WHEN i = fit THEN rem0[i] - n ELSE rem0[i] END)
+         |    END AS rem
+         |  FROM (
+         |    SELECT d.shard_id, d.rn, d.doc_id, d.n, f.rem AS rem0,
+         |      NULLIF(list_position(list_transform(f.rem, x -> x >= d.n), true), 0) AS fit
+         |    FROM ffd f JOIN dd d ON d.shard_id = f.shard_id AND d.rn = f.rn + 1) s),
+         |lay AS MATERIALIZED (SELECT f.shard_id, f.bin_id, f.doc_id, f.n, d.ntc, d.ntr, f.rn,
+         |    row_number() OVER (PARTITION BY f.shard_id, f.bin_id ORDER BY f.rn) - 1 AS s
+         |  FROM ffd f JOIN dd d ON d.doc_id = f.doc_id WHERE f.rn > 0)
+         |SELECT shard_id, bin_id,
+         |  CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(sum(n) AS BIGINT) AS used_units,
+         |  greatest(256 - CAST(sum(n) AS BIGINT), 0) AS pad_tokens,
+         |  CAST(sum(ntc) AS BIGINT) AS chosen_tokens,
+         |  CAST(sum(ntr) AS BIGINT) AS rejected_tokens,
+         |  CAST(sum(ntc) AS BIGINT) * 1000000 // CAST(sum(n) AS BIGINT) AS chosen_fill_ppm,
+         |  CAST(sum(ntr) AS BIGINT) * 1000000 // CAST(sum(n) AS BIGINT) AS rejected_fill_ppm,
          |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY s) AS doc_ids
          |FROM lay GROUP BY shard_id, bin_id
          |ORDER BY shard_id, bin_id""".stripMargin,

@@ -78,6 +78,59 @@ class DpoPairsSpec extends AnyFunSuite {
     assert(row2.getInt(2) === 2 && row2.getInt(7) === (2 + 80 + 3 - MaxTok) - 2)
   }
 
+  test("dpo_packed_layout: pair-affinity FFD replayed — units are max branch length, every pair placed once") {
+    val bins = graft.queries.LlmQueries.dpoPackedLayout(spark, TestSpark.sfDir).collect()
+    assert(bins.nonEmpty)
+    // plain-Scala replay of the whole layout: derivation -> shared-cut
+    // truncation -> pair units -> per-shard FFD at W=256 -> rollup
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def shard(id: Long): Int = (java.lang.Long.parseLong(md5hex(id.toString).take(15), 16) % 8).toInt
+    val units = texts.toSeq.filter(_._2 != null).map { case (id, text) =>
+      val ws = norm(text)
+      val pw = ws.take(ws.length / 3)
+      val cw = ws.drop(ws.length / 3)
+      val rw = cw.reverse.take(cw.length / 2)
+      val oc = math.max(pw.length + cw.length + 3 - MaxTok, 0)
+      val or = math.max(pw.length + rw.length + 3 - MaxTok, 0)
+      val dp = math.min(math.max(oc, or), pw.length)
+      val ntc = pw.length - dp + (cw.length - math.max(oc - dp, 0)) + 3L
+      val ntr = pw.length - dp + (rw.length - math.max(or - dp, 0)) + 3L
+      (id, ntc, ntr, math.max(ntc, ntr))
+    }
+    val expected = units.groupBy(u => shard(u._1)).flatMap { case (sh, ms) =>
+      val ordered = ms.sortBy(u => (-u._4, u._1))
+      val rem = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val placed = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Long, Long, Int)] // id, ntc, ntr, unit, bin
+      ordered.foreach { case (id, ntc, ntr, u) =>
+        val fit = rem.indexWhere(_ >= u)
+        val bin = if (fit >= 0) { rem(fit) -= u; fit }
+          else { rem += (256L - u); rem.length - 1 }
+        placed += ((id, ntc, ntr, u, bin))
+      }
+      placed.groupBy(_._5).map { case (bin, ps) =>
+        ((sh, bin.toLong), (ps.length.toLong, ps.map(_._4).sum, ps.map(_._2).sum,
+          ps.map(_._3).sum, ps.map(_._1).mkString(",")))
+      }
+    }
+    assert(bins.length === expected.size)
+    bins.foreach { r =>
+      val key = (r.getInt(0), r.getLong(1))
+      val (np, used, ct, rt, ids) = expected(key)
+      assert((r.getLong(2), r.getLong(3), r.getLong(5), r.getLong(6), r.getString(9)) ===
+        ((np, used, ct, rt, ids)), s"bin $key")
+      assert(r.getLong(3) <= 256 && r.getLong(4) === 256 - r.getLong(3), s"bin $key budget")
+      // the two-view contract: each view's tokens fit inside the units
+      assert(r.getLong(5) <= r.getLong(3) && r.getLong(6) <= r.getLong(3), s"bin $key views")
+    }
+    // every pair placed exactly once across the whole layout
+    val placedIds = bins.flatMap(_.getString(9).split(",")).map(_.toLong)
+    assert(placedIds.length === placedIds.distinct.length)
+    assert(placedIds.toSet === units.map(_._1).toSet)
+  }
+
   test("NULL sides read as zero tokens and never poison the pair") {
     import spark.implicits._
     val df = Seq((1L, null.asInstanceOf[String], "good words", null.asInstanceOf[String]))

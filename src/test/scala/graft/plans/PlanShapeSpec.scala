@@ -758,6 +758,20 @@ class PlanShapeSpec extends AnyFunSuite {
       s"FFD groups must shuffle by the table-partition column:\n$plan")
   }
 
+  test("dpo_packed_layout: one shard shuffle, counts ride the scan — no join-back, no re-window") {
+    val df = graft.queries.LlmQueries.dpoPackedLayout(spark, TestSpark.sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"per-shard layout must never funnel through one task:\n$plan")
+    assert(!plan.contains("Window"),
+      s"placement order must be kernel-emitted, not re-windowed:\n$plan")
+    // the branch token counts ride packedWindowLayout's carry columns;
+    // a doc-keyed join back to the prep frame would re-run the whole
+    // truncation chain AND add a join — the r18-advice class
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      s"no join back to the prep frame:\n$plan")
+  }
+
   test("pack_sequences_layout: layout rides the packer's shard shuffle — no (shard, bin) re-window") {
     val df = graft.queries.LlmQueries.packSequencesLayout(spark, TestSpark.sfDir)
     val plan = df.queryExecution.executedPlan.toString
