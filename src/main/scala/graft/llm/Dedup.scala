@@ -387,6 +387,73 @@ object Dedup {
       maxHamming = maxHamming, maxBucket = maxBucket)
   }
 
+  /** CROSS-MODAL near-dup pairs — the joint (caption, image) dedup a
+    * multimodal crawl needs: the common duplicate is the SAME image
+    * re-posted with a PARAPHRASED caption, which neither modality's
+    * dedup alone should collapse (same image + genuinely different
+    * caption is a reuse, not a dup; same caption + different image is
+    * an illustration swap). Candidates must therefore share a band in
+    * BOTH families at once: each row carries a MinHash signature
+    * (`textSigCol`, [[minHashSignatureP]] over the caption shingles)
+    * and a '0'/'1' perceptual bit signature (`bitSigCol`, e.g.
+    * [[Multimodal.imageDHash]]), and the bucket key is the COMPOSITE
+    * of one text band key and one image band substring — the
+    * `textBands × bitBands` cross product per row, so a pair is a
+    * candidate iff SOME text band matches AND SOME image band matches.
+    * Verification is dual too: estimated Jaccard ≥ `threshold` AND
+    * image Hamming ≤ `maxHamming`.
+    *
+    * Same scale skeleton as [[bitSignaturePairs]]' `bandedPairs` (ONE
+    * shuffle on the composite bucket, `maxBucket` cap, in-bucket i<j
+    * transform — never all-pairs); the row fan-out is
+    * `textBands · bitBands` band rows instead of `bands`. The banding
+    * amplification multiplies: a pair matching with prob p_t on some
+    * text band and p_i on some image band is a candidate with
+    * ~p_t · p_i — composite banding is deliberately STRICTER than
+    * either family alone, which is the semantics joint dedup wants.
+    *
+    * CALLER NOTE (CollapseProject): `textSigCol`/`bitSigCol` are each
+    * referenced by the bucket derivation AND the member struct; if
+    * they are unmaterialized expensive expressions the optimizer will
+    * inline them into both consumers — materialize the (id, tsig,
+    * isig) frame (localCheckpoint) before calling when the signatures
+    * are computed in-plan.
+    *
+    * Output: (id_a, id_b, est_jaccard, hamming). */
+  def crossModalPairs(df: DataFrame, idCol: String, textSigCol: String,
+      bitSigCol: String, k: Int = 32, textBands: Int = 8,
+      nBits: Int = 56, bitBands: Int = 4,
+      threshold: Double = 0.5, maxHamming: Int = 3,
+      maxBucket: Int = 1000): DataFrame = {
+    require(k % textBands == 0, s"k ($k) must split evenly into textBands ($textBands)")
+    require(nBits % bitBands == 0, s"nBits ($nBits) must split evenly into bitBands ($bitBands)")
+    val rowsPer = k / textBands
+    val bandLen = nBits / bitBands
+    val base = df.select(col(idCol).as("id"), col(textSigCol).as("tsig"),
+        col(bitSigCol).as("isig"))
+      .filter(col("tsig").isNotNull && col("isig").isNotNull)
+    val banded = base.select(col("id"), col("tsig"), col("isig"),
+      explode(flatten(transform(bandKeysP(col("tsig"), textBands, rowsPer), tb =>
+        transform(sequence(lit(0), lit(bitBands - 1)), bi =>
+          concat_ws(":", tb, bi.cast("string"),
+            col("isig").substr(bi * lit(bandLen) + 1, lit(bandLen))))))).as("bucket"))
+    val grouped = banded.groupBy("bucket")
+      .agg(collect_list(struct(col("id"), col("tsig"), col("isig"))).as("members"))
+      .filter(size(col("members")).between(2, maxBucket))
+    grouped.select(explode(
+      flatten(transform(col("members"), (m, i) =>
+        transform(slice(col("members"), i + 2, size(col("members"))), o =>
+          struct(
+            least(m.getField("id"), o.getField("id")).as("id_a"),
+            greatest(m.getField("id"), o.getField("id")).as("id_b"),
+            signatureSimilarity(m.getField("tsig"), o.getField("tsig")).as("est_jaccard"),
+            hammingBits(m.getField("isig"), o.getField("isig")).cast("int").as("hamming")))))).as("p"))
+      .select("p.*")
+      .filter(col("est_jaccard") >= threshold && col("hamming") <= maxHamming)
+      .groupBy("id_a", "id_b")
+      .agg(max("est_jaccard").as("est_jaccard"), min("hamming").as("hamming"))
+  }
+
   /** Connected components over an undirected edge list (id_a, id_b) —
     * the transitive-closure step of a dedup pipeline: near-dup PAIRS
     * become duplicate CLUSTERS (a~b, b~c ⇒ {a,b,c}), each labeled by

@@ -1231,6 +1231,50 @@ object LlmQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** The synthetic CAPTION of doc `docId` in image-cluster `p` — the
+    * multimodal crawl's text half: 30 cluster-shared words plus 2
+    * per-doc trailing noise words, i.e. a PARAPHRASE of its
+    * cluster-mates' captions (shingle Jaccard ≈ 28/32 within a
+    * cluster, ~0 across — noise words are 'n'-prefixed so they can
+    * never equal a 'w' cluster word). Words are hash60-derived (the
+    * r17 texture lesson: md5 mixing, never multiplicative XOR), so
+    * the oracle states every word closed-form. */
+  private[queries] def captionFor(p: Column, docId: Column): Column =
+    array_join(transform(sequence(lit(0), lit(31)), i =>
+      when(i < 30,
+        concat(lit("w"), (Sampling.hash60(concat(lit("cap:"), p.cast("string"),
+          lit(":"), i.cast("string"))) % 1000).cast("string")))
+        .otherwise(
+          concat(lit("n"), (Sampling.hash60(concat(lit("capn:"), docId.cast("string"),
+            lit(":"), i.cast("string"))) % 1000).cast("string")))), " ")
+
+  /** CROSS-MODAL (caption, image) JOINT near-dup —
+    * [[Dedup.crossModalPairs]] over the image family's dHash corpus
+    * and its caption twin: the multimodal crawl's common duplicate is
+    * the SAME image under a PARAPHRASED caption, which text dedup
+    * alone (different noise words) and image dedup alone (legitimate
+    * image reuse) each misjudge. Candidates must share a composite
+    * (text MinHash band × image dHash band) bucket and verify on BOTH
+    * modalities (est. Jaccard ≥ 0.3 AND Hamming ≤ 4). ZERO new shuffle
+    * machinery — the composite rides the banded skeleton; the (id,
+    * tsig, isig) frame materializes once (localCheckpoint — the
+    * crossModalPairs caller note: both the bucket derivation and the
+    * member struct consume the signatures, and an unmaterialized
+    * MinHash would compute twice per row). The oracle replays BOTH
+    * band families — every caption word, shingle, affine remix, band
+    * key, pixel, dHash bit, composite bucket, and both verifies. */
+  val mediaCaptionDedup: Q = (s, dir) => {
+    val isigs = mediaSigsFor(mediaCorpusParams(s, dir))
+    val cap = captionFor(expr("CAST(doc_id DIV 8 AS BIGINT)"), col("doc_id"))
+    val sigs = isigs.select(col("doc_id").as("id"), col("sig").as("isig"),
+        Dedup.minHashSignatureP(Dedup.shingleMd5(cap), 32).as("tsig"))
+      .localCheckpoint(true)
+    Dedup.crossModalPairs(sigs, "id", "tsig", "isig",
+        k = 32, textBands = 8, nBits = 56, bitBands = 4,
+        threshold = 0.3, maxHamming = 4, maxBucket = MaxBucket)
+      .orderBy("id_a", "id_b")
+  }
+
   /** DATASET CARD — the summary bundle a published dataset ships
     * (the HF dataset-card / Datasheets-for-Datasets numbers), computed
     * as ONE declarative union of bounded aggregates: corpus size
@@ -4008,6 +4052,7 @@ object LlmQueries {
     "media_audio_dedup_incremental" -> mediaAudioDedupIncremental,
     "media_video_dedup" -> mediaVideoDedup,
     "media_video_dedup_incremental" -> mediaVideoDedupIncremental,
+    "media_caption_dedup" -> mediaCaptionDedup,
     "media_audio_resample" -> mediaAudioResample,
     "media_stats" -> mediaStats
   )
@@ -6960,6 +7005,50 @@ object LlmQueries {
          |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY s) AS doc_ids
          |FROM lay GROUP BY shard_id, bin_id
          |ORDER BY shard_id, bin_id""".stripMargin,
+    // BOTH band families replayed end to end: every caption word,
+    // shingle, affine remix and text band key (the shared minhash CTE
+    // block over the synthetic caption relation), every pixel, dHash
+    // bit and image band, the composite bucket, and both verifies
+    "media_caption_dedup" ->
+      s"""WITH capdocs AS (SELECT doc_id,
+         |    array_to_string(list_transform(range(0, 32), cwi ->
+         |      CASE WHEN cwi < 30
+         |        THEN 'w' || CAST(${hx60("md5('cap:' || CAST(doc_id // 8 AS VARCHAR) || ':' || CAST(cwi AS VARCHAR))")} % 1000 AS VARCHAR)
+         |        ELSE 'n' || CAST(${hx60("md5('capn:' || CAST(doc_id AS VARCHAR) || ':' || CAST(cwi AS VARCHAR))")} % 1000 AS VARCHAR)
+         |      END), ' ') AS text
+         |  FROM documents),
+         |${minhashCtesOver("capdocs")},
+         |px AS (SELECT doc_id, x, y,
+         |    1 + CAST((${hx60("md5('img:' || CAST(doc_id // 8 AS VARCHAR) || ':' || CAST(x AS VARCHAR) || ':' || CAST(y AS VARCHAR))")} % 126 +
+         |      CASE WHEN x = doc_id % 8 AND y = (doc_id // 8) % 8
+         |        THEN 63 ELSE 0 END) % 126 AS INT) AS g
+         |  FROM documents, unnest(range(0, 8)) tx(x), unnest(range(0, 8)) ty(y)),
+         |ibits AS (SELECT a.doc_id, a.y, a.x, CASE WHEN b.g > a.g THEN '1' ELSE '0' END AS bit
+         |  FROM px a JOIN px b ON b.doc_id = a.doc_id AND b.y = a.y AND b.x = a.x + 1
+         |  WHERE a.x < 7),
+         |isg AS (SELECT doc_id, string_agg(bit, '' ORDER BY y, x) AS isig
+         |  FROM ibits GROUP BY doc_id),
+         |ibands AS (SELECT doc_id, isig, i,
+         |    substr(isig, CAST(i*14 + 1 AS INT), 14) AS ikey
+         |  FROM isg, unnest(range(0, 4)) t(i)),
+         |cb AS MATERIALIZED (SELECT b.doc_id, b.sig AS tsig, ibands.isig,
+         |    b.bucket || ':' || CAST(ibands.i AS VARCHAR) || ':' || ibands.ikey AS cbucket
+         |  FROM bk b JOIN ibands ON ibands.doc_id = b.doc_id),
+         |cokb AS (SELECT cbucket FROM (SELECT cbucket, count(*) AS n FROM cb GROUP BY cbucket)
+         |  WHERE n BETWEEN 2 AND $MaxBucket),
+         |p0 AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    a.tsig AS ta, b.tsig AS tb2, a.isig AS ia, b.isig AS ib2
+         |  FROM cb a JOIN cb b ON a.cbucket = b.cbucket AND a.doc_id < b.doc_id
+         |  JOIN cokb ON a.cbucket = cokb.cbucket),
+         |pm AS (SELECT id_a, id_b,
+         |    CAST(len(list_filter(range(1, 33), si -> ta[si] = tb2[si])) AS DOUBLE) / 32 AS est_jaccard,
+         |    CAST(sum(CASE WHEN substr(ia, CAST(j AS INT), 1) <> substr(ib2, CAST(j AS INT), 1)
+         |      THEN 1 ELSE 0 END) AS INT) AS hamming
+         |  FROM p0, unnest(range(1, 57)) t(j)
+         |  GROUP BY id_a, id_b, ta, tb2, ia, ib2)
+         |SELECT id_a, id_b, est_jaccard, hamming FROM pm
+         |WHERE est_jaccard >= 0.3 AND hamming <= 4
+         |ORDER BY id_a, id_b""".stripMargin,
     // the DPO truncation chain (asymmetric rejected = first half of the
     // reversed continuation), pair units = max branch length, the same
     // per-shard FFD recursion at W = 256, per-bin two-view rollup
