@@ -865,6 +865,17 @@ object TextAnalysis {
         repeat(lit("1"), col("nr") - col("drop_response") + lit(1))).as("loss_mask"))
   }
 
+  /** A '0'/'1' loss-mask STRING as the `array<int>` a training loader
+    * consumes — the deliberate division of labor behind the string
+    * masks [[sftExamples]]/[[dpoPairs]] emit: the string replays
+    * exactly in any oracle engine (an array hash is engine-fragile),
+    * so it stays the verification witness; the loader-side tensor is
+    * this one codegen'd expression away (split + cast — no per-row
+    * driver parsing, no UDF). Apply at the sink/export projection:
+    * `df.withColumn("mask", TextAnalysis.lossMaskArray(col("loss_mask")))`. */
+  def lossMaskArray(mask: Column): Column =
+    transform(filter(split(mask, ""), c => length(c) > 0), c => c.cast("int"))
+
   /** DPO / PREFERENCE-PAIR prep — the post-training sibling of
     * [[sftExamples]] (span corruption → SFT → preference pairs, the
     * three text→training-example transforms): one (prompt, chosen,

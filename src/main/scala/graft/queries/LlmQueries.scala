@@ -3417,6 +3417,35 @@ object LlmQueries {
       .orderBy("source")
   }
 
+  /** UNIGRAM FERTILITY SWEEP — the comparison study the trainer exists
+    * for: the SAME corpus trained at two prune budgets (KeepPieces 60
+    * vs 120), fertility per source side by side — how much window
+    * space does halving the multi-char vocabulary cost? Two complete
+    * hard-EM trainings (each the bounded-collect [[Unigram.train]]
+    * shape, cached per (budget, dir)), one shared apply frame; the
+    * oracle replays BOTH trainings as tagged CTE chains over
+    * byte-identical corpus CTEs, so a drift in EITHER training's
+    * candidate cut, EM round or final scores hash-fails. */
+  val unigramFertilitySweep: Q = (s, dir) => {
+    val docs = Tables(s, dir, "documents")
+    // NULL text drops the doc (the spanCorruption convention)
+    val base = docs.filter(col("text").isNotNull)
+      .select(col("source"), TextAnalysis.normalizeText(col("text")).as("nt"))
+      .select(col("source"), col("nt"), size(split(col("nt"), " ")).cast("long").as("w"))
+    Seq(60, 120).map { kp =>
+      val uni =
+        if (kp == Unigram.KeepPieces) trainedUnigram(s, dir)
+        else unigramCache.computeIfAbsent(s"kp$kp:$dir",
+          _ => Unigram.train(docs, "text", keepPieces = kp))
+      Unigram.pieceCounts(base, "nt", uni, "u")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("w").as("n_words"), sum("u").as("n_pieces"))
+        .select(lit(kp).as("keep_pieces"), col("source"), col("n_docs"),
+          col("n_words"), col("n_pieces"),
+          expr("CAST(n_pieces * 1000000 DIV n_words AS BIGINT)").as("fertility_ppm"))
+    }.reduce(_.unionByName(_)).orderBy("keep_pieces", "source")
+  }
+
   /** The byte-mode vocabulary artifact — 256 structural byte rows
     * (ids = byte value) plus the trained merges, the file a byte-level
     * tokenizer deployment ships. Byte tokens are even-length hex, so a
@@ -3957,6 +3986,7 @@ object LlmQueries {
     "bpe_vocab" -> bpeVocab,
     "unigram_vocab" -> unigramVocab,
     "unigram_fertility" -> unigramFertility,
+    "unigram_fertility_sweep" -> unigramFertilitySweep,
     "unigram_artifact_roundtrip" -> unigramArtifactRoundtrip,
     "unigram_segment" -> unigramSegment,
     "bpe_vocab_bytes" -> bpeVocabBytes,
@@ -5511,6 +5541,7 @@ object LlmQueries {
     // prune — nothing trained enters as a literal
     "unigram_vocab" -> UnigramOracle.unigramVocabSql,
     "unigram_fertility" -> UnigramOracle.unigramFertilitySql,
+    "unigram_fertility_sweep" -> UnigramOracle.unigramFertilitySweepSql,
     // the artifact path must change nothing: shared oracle (the
     // bpe_artifact_roundtrip convention); the bit-for-bit
     // reconstruction is additionally require()-enforced in-query

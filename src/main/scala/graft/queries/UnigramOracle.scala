@@ -87,36 +87,42 @@ object UnigramOracle {
     * [[BpeOracle.trainCtes]], whose wf/alpha/normd rows are
     * identical): candidate init `c0`/`v0`, then per round r the score
     * table `s{r}`, the DP/walk `dp{r}`/`bk{r}`, usage `uses{r}` and
-    * the pruned vocab `v{r}`. Ends with `v$R(p, c)`. */
-  private val trainChain: String = {
+    * the pruned vocab `v{r}`. Ends with `uv$R$tag(p, c)`.
+    * Parameterized by the prune budget `keep` and a CTE-name `tag` so
+    * the fertility SWEEP can run two complete trainings (KeepPieces 60
+    * vs 120) side by side in ONE query without name collisions; the
+    * single-vocab gates use `(KeepPieces, "")` — names unchanged. */
+  private def trainChain(keep: Int, tag: String): String = {
     val ctes = Seq.newBuilder[String]
-    ctes += ("c0 AS MATERIALIZED (SELECT substr(w, CAST(i AS INT), CAST(L AS INT)) AS p, " +
+    ctes += (s"c0$tag AS MATERIALIZED (SELECT substr(w, CAST(i AS INT), CAST(L AS INT)) AS p, " +
       "CAST(sum(f) AS BIGINT) AS c FROM wf, unnest(range(1, 5)) tl(L), " +
       "unnest(range(1, length(w) + 1)) ti(i) WHERE i + L - 1 <= length(w) GROUP BY 1)")
-    ctes += ("uv0 AS MATERIALIZED (SELECT p, c FROM " +
-      s"(SELECT p, c FROM c0 WHERE length(p) > 1 ORDER BY c DESC, p LIMIT $K) " +
-      "UNION ALL SELECT a.tk, greatest(COALESCE(c0.c, 0), 1) " +
-      "FROM alpha a LEFT JOIN c0 ON c0.p = a.tk)")
+    ctes += (s"uv0$tag AS MATERIALIZED (SELECT p, c FROM " +
+      s"(SELECT p, c FROM c0$tag WHERE length(p) > 1 ORDER BY c DESC, p LIMIT $keep) " +
+      s"UNION ALL SELECT a.tk, greatest(COALESCE(c0$tag.c, 0), 1) " +
+      s"FROM alpha a LEFT JOIN c0$tag ON c0$tag.p = a.tk)")
     (1 to R).foreach { r =>
       val p = r - 1
-      ctes += (s"s$r AS MATERIALIZED (SELECT p, CAST(length(bin(c)) - 1 AS BIGINT) - " +
-        s"(SELECT length(bin(CAST(sum(c) AS BIGINT))) - 1 FROM uv$p) AS s FROM uv$p)")
-      ctes += viterbiCtes(r.toString, "wf", s"s$r")
-      ctes += (s"uses$r AS MATERIALIZED (SELECT u.p, CAST(sum(wf.f) AS BIGINT) AS c " +
-        s"FROM bk$r u JOIN wf ON wf.w = u.w WHERE u.p IS NOT NULL GROUP BY u.p)")
-      ctes += (s"uv$r AS MATERIALIZED (SELECT p, c FROM uses$r WHERE length(p) > 1 " +
+      ctes += (s"s$r$tag AS MATERIALIZED (SELECT p, CAST(length(bin(c)) - 1 AS BIGINT) - " +
+        s"(SELECT length(bin(CAST(sum(c) AS BIGINT))) - 1 FROM uv$p$tag) AS s FROM uv$p$tag)")
+      ctes += viterbiCtes(s"$r$tag", "wf", s"s$r$tag")
+      ctes += (s"uses$r$tag AS MATERIALIZED (SELECT u.p, CAST(sum(wf.f) AS BIGINT) AS c " +
+        s"FROM bk$r$tag u JOIN wf ON wf.w = u.w WHERE u.p IS NOT NULL GROUP BY u.p)")
+      ctes += (s"uv$r$tag AS MATERIALIZED (SELECT p, c FROM uses$r$tag WHERE length(p) > 1 " +
         s"UNION ALL SELECT s.p, greatest(COALESCE(u.c, 0), 1) " +
-        s"FROM (SELECT p FROM uv$p WHERE length(p) = 1) s " +
-        s"LEFT JOIN uses$r u ON u.p = s.p)")
+        s"FROM (SELECT p FROM uv$p$tag WHERE length(p) = 1) s " +
+        s"LEFT JOIN uses$r$tag u ON u.p = s.p)")
     }
     ctes.result().mkString(",\n")
   }
+
+  private val trainChainDefault: String = trainChain(K, "")
 
   /** `unigram_vocab`: the trained artifact, re-derived end to end. */
   val unigramVocabSql: String =
     s"""WITH RECURSIVE
        |$baseCtes,
-       |$trainChain
+       |$trainChainDefault
        |SELECT p AS piece, c AS cnt,
        |  CAST(length(bin(c)) - 1 AS BIGINT) -
        |    (SELECT length(bin(CAST(sum(c) AS BIGINT))) - 1 FROM uv$R) AS score
@@ -129,7 +135,7 @@ object UnigramOracle {
   val unigramSegmentSql: String =
     s"""WITH RECURSIVE
        |$baseCtes,
-       |$trainChain,
+       |$trainChainDefault,
        |sF AS MATERIALIZED (SELECT p, CAST(length(bin(c)) - 1 AS BIGINT) -
        |    (SELECT length(bin(CAST(sum(c) AS BIGINT))) - 1 FROM uv$R) AS s FROM uv$R),
        |dw AS MATERIALIZED (SELECT doc_id, wi, arr[CAST(wi AS INT)] AS w FROM
@@ -145,6 +151,45 @@ object UnigramOracle {
        |FROM dw d LEFT JOIN segw s ON s.w = d.w
        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
 
+  /** `unigram_fertility_sweep`: TWO complete hard-EM trainings
+    * (KeepPieces 60 vs 120) replayed side by side in one query — the
+    * comparison study the trainer exists for: how much does halving
+    * the prune budget cost in fertility, per source. Each side is a
+    * full [[trainChain]] instantiation (tagged CTE names) plus its own
+    * apply-side Viterbi over the shared per-source word counts; the
+    * corpus CTEs (wf, alpha, srcw) are shared so the two trainings see
+    * byte-identical inputs. */
+  val unigramFertilitySweepSql: String = {
+    def side(keep: Int, tag: String): String =
+      s"""${trainChain(keep, tag)},
+         |sF$tag AS MATERIALIZED (SELECT p, CAST(length(bin(c)) - 1 AS BIGINT) -
+         |    (SELECT length(bin(CAST(sum(c) AS BIGINT))) - 1 FROM uv$R$tag) AS s FROM uv$R$tag),
+         |${viterbiCtes(s"F$tag", "srcw", s"sF$tag")},
+         |pc$tag AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS np
+         |  FROM bkF$tag WHERE p IS NOT NULL GROUP BY w),
+         |uni$tag AS (SELECT s.source, CAST(sum(s.n) AS BIGINT) AS n_words,
+         |    CAST(sum(s.n * COALESCE(pc$tag.np, 0)) AS BIGINT) AS n_pieces
+         |  FROM srcw s LEFT JOIN pc$tag ON pc$tag.w = s.w GROUP BY s.source)""".stripMargin
+    s"""WITH RECURSIVE
+       |$baseCtes,
+       |srcw AS MATERIALIZED (SELECT source, w, count(*) AS n FROM
+       |  (SELECT source, unnest(regexp_split_to_array($Norm, ' ')) AS w
+       |   FROM documents WHERE text IS NOT NULL)
+       |  GROUP BY source, w),
+       |nd AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+       |  FROM documents WHERE text IS NOT NULL GROUP BY source),
+       |${side(60, "a")},
+       |${side(120, "b")}
+       |SELECT 60 AS keep_pieces, nd.source, nd.n_docs, u.n_words, u.n_pieces,
+       |  u.n_pieces * 1000000 // u.n_words AS fertility_ppm
+       |FROM unia u JOIN nd ON nd.source = u.source
+       |UNION ALL
+       |SELECT 120 AS keep_pieces, nd.source, nd.n_docs, u.n_words, u.n_pieces,
+       |  u.n_pieces * 1000000 // u.n_words AS fertility_ppm
+       |FROM unib u JOIN nd ON nd.source = u.source
+       |ORDER BY keep_pieces, source""".stripMargin
+  }
+
   /** `unigram_fertility`: the final scores segment EVERY distinct
     * corpus word (not just the training top-V); per-source word
     * occurrence counts weight the piece counts; the BPE token side
@@ -153,7 +198,7 @@ object UnigramOracle {
   val unigramFertilitySql: String =
     s"""WITH RECURSIVE
        |${BpeOracle.trainCtes},
-       |$trainChain,
+       |$trainChainDefault,
        |sF AS MATERIALIZED (SELECT p, CAST(length(bin(c)) - 1 AS BIGINT) -
        |    (SELECT length(bin(CAST(sum(c) AS BIGINT))) - 1 FROM uv$R) AS s FROM uv$R),
        |srcw AS MATERIALIZED (SELECT source, w, count(*) AS n FROM

@@ -53,6 +53,33 @@ class SftExamplesSpec extends AnyFunSuite {
     }
   }
 
+  test("lossMaskArray: the loader-side array<int> equals the per-char split of the string witness") {
+    // the string mask stays the oracle witness; the array is one
+    // codegen'd expression at the export projection — this pins the
+    // conversion on BOTH preps' real outputs (SFT + DPO masks)
+    val sft = graft.queries.LlmQueries.sftExamplesQ(spark, TestSpark.sfDir)
+      .select(col("loss_mask"),
+        TextAnalysis.lossMaskArray(col("loss_mask")).as("mask_array"))
+      .collect()
+    assert(sft.nonEmpty)
+    sft.foreach { r =>
+      val s = r.getString(0)
+      val a = r.getSeq[Int](1)
+      assert(a === s.map(_.asDigit).toSeq, s"sft mask '$s'")
+      assert(a.forall(v => v == 0 || v == 1))
+    }
+    val dpo = graft.queries.LlmQueries.dpoPairsQ(spark, TestSpark.sfDir)
+      .select(col("chosen_mask"),
+        TextAnalysis.lossMaskArray(col("chosen_mask")).as("ca"),
+        col("rejected_mask"),
+        TextAnalysis.lossMaskArray(col("rejected_mask")).as("ra"))
+      .collect()
+    dpo.foreach { r =>
+      assert(r.getSeq[Int](1) === r.getString(0).map(_.asDigit).toSeq)
+      assert(r.getSeq[Int](3) === r.getString(2).map(_.asDigit).toSeq)
+    }
+  }
+
   test("supervision invariants: mask aligns with tokens, loss covers exactly response + end tag") {
     out.foreach { case (id, npk, nrk, ntok, _, _, text, mask) =>
       val toks = text.split(" ", -1)

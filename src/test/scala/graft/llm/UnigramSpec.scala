@@ -118,4 +118,22 @@ class UnigramSpec extends AnyFunSuite {
       assert(uni !== bpe, s"source ${r.getString(0)}: identical fertility is a wiring bug")
     }
   }
+
+  test("fertility sweep: halving the prune budget never IMPROVES fertility, and costs somewhere") {
+    val sw = graft.queries.LlmQueries.unigramFertilitySweep(spark, TestSpark.sfDir)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(5)))
+    val by60 = sw.filter(_._1 == 60).map(t => t._2 -> t._3).toMap
+    val by120 = sw.filter(_._1 == 120).map(t => t._2 -> t._3).toMap
+    assert(by60.keySet === by120.keySet && by60.nonEmpty)
+    // the kp=120 vocabulary is NOT a superset of kp=60's (EM prunes
+    // differently), so per-source monotonicity is not a theorem — but
+    // a smaller budget improving fertility EVERYWHERE means the sweep
+    // wired the trainings backwards, and the aggregate must cost
+    val worse = by60.count { case (src, f60) => f60 > by120(src) }
+    val better = by60.count { case (src, f60) => f60 < by120(src) }
+    assert(worse >= better, s"kp=60 better on $better sources, worse on $worse — wiring?")
+    assert(by60.values.sum > by120.values.sum,
+      "halving the budget must cost fertility in aggregate")
+  }
 }
