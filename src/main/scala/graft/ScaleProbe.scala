@@ -273,7 +273,18 @@ object ScaleProbe {
     "unigram_segment",
     // preference pairs: two template splices in one narrow map, no
     // shuffle at any corpus size (the sft_examples profile)
-    "dpo_pairs")
+    "dpo_pairs",
+    // round 19: the DPO endpoint — pair units ride the packer's one
+    // shard shuffle with carry columns (no join-back, plan-pinned);
+    // bins grow linearly, windows stay 256
+    "dpo_packed_layout",
+    // cross-modal joint near-dup: caption MinHash + image dHash are
+    // scan-side; the one exchange carries 32 composite band keys per
+    // doc — pair volume rides fixed-size clusters, never corpus²
+    "media_caption_dedup",
+    // two trainings = four bounded collects; the sweep report is two
+    // narrow tokenize scans with |sources|-row aggregates
+    "unigram_fertility_sweep")
 
   private def rot(s: String, k: Int): String = s.drop(k % s.length) + s.take(k % s.length)
 

@@ -151,6 +151,45 @@ object StreamingScaleProbe {
       spark.catalog.dropTempView(name)
       rmTree(tmp)
     }
+
+    // ——— content-diversity state probe: streaming VIDEO dedup ———
+    // the last modality cell's ingest claim: `dropDuplicates(sig)`
+    // state rows track DISTINCT video fingerprints (content diversity —
+    // ×m via decorrelated clusters), never stream length. Batches 0–2
+    // are fresh thirds of the ×m corpus; batch 3 REDELIVERS batch 0
+    // VERBATIM (at-least-once ingest), so the last batch must add ZERO
+    // state rows and emit nothing. Capped at ×10: the GIF encode +
+    // sequence decode chain is the honest per-row media cost and the
+    // batch family carries the ×100 evidence (ScaleProbe rows).
+    println("VIDEOSCALE\tmult\tbatch\tinput_rows\tstate_rows\ttrigger_ms\tsteal_s")
+    mults.filter(_ <= 10).foreach { m =>
+      val docs = graft.queries.Tables(spark, baseDir, "documents").select("doc_id")
+      val maxId = docs.agg(max("doc_id")).head.getLong(0)
+      val fresh: DataFrame = (0 until m).map { i =>
+        docs.withColumn("__b", floor(col("doc_id") * lit(3) / lit(maxId + 1.0)).cast("int"))
+          .withColumn("p", expr("CAST(doc_id DIV 8 AS BIGINT)") + lit(i * KeyOff))
+          .withColumn("doc_id", col("doc_id") + lit(i * KeyOff))
+      }.reduce(_ unionAll _)
+      val all = fresh.unionAll(fresh.filter(col("__b") === 0).withColumn("__b", lit(3)))
+        .select(col("doc_id"), col("p"), col("__b"))
+      val (tmp, schema) = spill4(all)
+      val name = "graft_vidscale_" + m
+      val st0 = stealTicks()
+      val src = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(tmp.getPath + "/*.parquet")
+      val dedup = graft.queries.LlmQueries.videoSigsForParams(src)
+        .dropDuplicates("sig").select("sig")
+      val q = dedup.writeStream.format("memory").queryName(name).outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      q.recentProgress.filter(_.numInputRows > 0).zipWithIndex.foreach { case (p, b) =>
+        val stateRows = p.stateOperators.headOption.map(_.numRowsTotal).getOrElse(-1L)
+        val trigMs = Option(p.durationMs.get("triggerExecution")).map(_.toLong).getOrElse(-1L)
+        println(s"VIDEOSCALE\t$m\t$b\t${p.numInputRows}\t$stateRows\t$trigMs\t${(stealTicks() - st0) / 100.0}")
+      }
+      spark.catalog.dropTempView(name)
+      rmTree(tmp)
+    }
     spark.stop()
   }
 }

@@ -2884,7 +2884,7 @@ object LlmQueries {
     * reuses the ORIGINAL video's cluster under a new id). Streaming-
     * safe: narrow maps only, so the SAME code runs behind readStream
     * (the batch/stream-shared-derivation rule the audio family uses). */
-  private[queries] def videoSigsForParams(d0: DataFrame): DataFrame = {
+  private[graft] def videoSigsForParams(d0: DataFrame): DataFrame = {
     val F = 5
     val d = d0.select(col("doc_id"), col("p"),
       lit(F).as("nf"), lit(8).as("w"), lit(8).as("h"))
