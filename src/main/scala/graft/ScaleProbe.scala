@@ -284,7 +284,11 @@ object ScaleProbe {
     "media_caption_dedup",
     // two trainings = four bounded collects; the sweep report is two
     // narrow tokenize scans with |sources|-row aggregates
-    "unigram_fertility_sweep")
+    "unigram_fertility_sweep",
+    // day-2 cross-modal: rep 1 pays the composite-key index write;
+    // the timed min is the batch dual-signature scan + zero-Exchange
+    // composite probe (plan-pinned)
+    "media_caption_dedup_incremental")
 
   private def rot(s: String, k: Int): String = s.drop(k % s.length) + s.take(k % s.length)
 

@@ -420,23 +420,36 @@ object Dedup {
     * are computed in-plan.
     *
     * Output: (id_a, id_b, est_jaccard, hamming). */
+  /** The composite band-key explosion behind [[crossModalPairs]],
+    * factored out so the day-2 INCREMENTAL deploy can persist the same
+    * keys as a bucketed index ([[graft.queries.BucketCache]] pattern)
+    * and a streaming ingest can band each arriving pair for the probe
+    * join — all expression-based, so it runs unchanged on a streaming
+    * DataFrame. Output: (id, tsig, isig, bucket), `textBands·bitBands`
+    * rows per input row. */
+  def crossModalBandKeys(df: DataFrame, idCol: String, textSigCol: String,
+      bitSigCol: String, k: Int = 32, textBands: Int = 8,
+      nBits: Int = 56, bitBands: Int = 4): DataFrame = {
+    require(k % textBands == 0, s"k ($k) must split evenly into textBands ($textBands)")
+    require(nBits % bitBands == 0, s"nBits ($nBits) must split evenly into bitBands ($bitBands)")
+    val rowsPer = k / textBands
+    val bandLen = nBits / bitBands
+    df.select(col(idCol).as("id"), col(textSigCol).as("tsig"), col(bitSigCol).as("isig"))
+      .filter(col("tsig").isNotNull && col("isig").isNotNull)
+      .select(col("id"), col("tsig"), col("isig"),
+        explode(flatten(transform(bandKeysP(col("tsig"), textBands, rowsPer), tb =>
+          transform(sequence(lit(0), lit(bitBands - 1)), bi =>
+            concat_ws(":", tb, bi.cast("string"),
+              col("isig").substr(bi * lit(bandLen) + 1, lit(bandLen))))))).as("bucket"))
+  }
+
   def crossModalPairs(df: DataFrame, idCol: String, textSigCol: String,
       bitSigCol: String, k: Int = 32, textBands: Int = 8,
       nBits: Int = 56, bitBands: Int = 4,
       threshold: Double = 0.5, maxHamming: Int = 3,
       maxBucket: Int = 1000): DataFrame = {
-    require(k % textBands == 0, s"k ($k) must split evenly into textBands ($textBands)")
-    require(nBits % bitBands == 0, s"nBits ($nBits) must split evenly into bitBands ($bitBands)")
-    val rowsPer = k / textBands
-    val bandLen = nBits / bitBands
-    val base = df.select(col(idCol).as("id"), col(textSigCol).as("tsig"),
-        col(bitSigCol).as("isig"))
-      .filter(col("tsig").isNotNull && col("isig").isNotNull)
-    val banded = base.select(col("id"), col("tsig"), col("isig"),
-      explode(flatten(transform(bandKeysP(col("tsig"), textBands, rowsPer), tb =>
-        transform(sequence(lit(0), lit(bitBands - 1)), bi =>
-          concat_ws(":", tb, bi.cast("string"),
-            col("isig").substr(bi * lit(bandLen) + 1, lit(bandLen))))))).as("bucket"))
+    val banded = crossModalBandKeys(df, idCol, textSigCol, bitSigCol,
+      k, textBands, nBits, bitBands)
     val grouped = banded.groupBy("bucket")
       .agg(collect_list(struct(col("id"), col("tsig"), col("isig"))).as("members"))
       .filter(size(col("members")).between(2, maxBucket))

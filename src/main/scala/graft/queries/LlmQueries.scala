@@ -1263,16 +1263,99 @@ object LlmQueries {
     * MinHash would compute twice per row). The oracle replays BOTH
     * band families — every caption word, shingle, affine remix, band
     * key, pixel, dHash bit, composite bucket, and both verifies. */
-  val mediaCaptionDedup: Q = (s, dir) => {
-    val isigs = mediaSigsFor(mediaCorpusParams(s, dir))
-    val cap = captionFor(expr("CAST(doc_id DIV 8 AS BIGINT)"), col("doc_id"))
-    val sigs = isigs.select(col("doc_id").as("id"), col("sig").as("isig"),
-        Dedup.minHashSignatureP(Dedup.shingleMd5(cap), 32).as("tsig"))
+  /** The (id, tsig, isig) signature frame of a caption+image params
+    * frame (doc_id, p, nx, ny): image dHash from the BMP synth,
+    * caption MinHash scan-side on top of it. `capP` is the CAPTION's
+    * cluster column (a function of the post-sig `doc_id` — it differs
+    * from the image cluster only in the echo batch, where the original
+    * id must be recovered from the offset). Materialized once
+    * (localCheckpoint) — the crossModalPairs caller note. */
+  private[queries] def captionSigFrame(params: DataFrame, capP: Column): DataFrame =
+    mediaSigsFor(params).select(col("doc_id").as("id"), col("sig").as("isig"),
+        Dedup.minHashSignatureP(Dedup.shingleMd5(captionFor(capP, col("doc_id"))), 32)
+          .as("tsig"))
       .localCheckpoint(true)
+
+  val mediaCaptionDedup: Q = (s, dir) => {
+    val sigs = captionSigFrame(mediaCorpusParams(s, dir),
+      expr("CAST(doc_id DIV 8 AS BIGINT)"))
     Dedup.crossModalPairs(sigs, "id", "tsig", "isig",
         k = 32, textBands = 8, nBits = 56, bitBands = 4,
         threshold = 0.3, maxHamming = 4, maxBucket = MaxBucket)
       .orderBy("id_a", "id_b")
+  }
+
+  /** The ingest-door key pair of the cross-modal family: per arriving
+    * (caption, image) row, the caption MinHash rendered to its md5
+    * witness plus the raw image dHash — ALL narrow expressions /
+    * mapPartitions, so the SAME derivation runs on a streaming
+    * DataFrame (the batch/stream-shared rule). A re-posted pair
+    * (identical image, identical caption) collides on BOTH keys. */
+  private[queries] def captionStreamKeys(src: DataFrame): DataFrame = {
+    val isigs = mediaSigsFor(src)
+    val cap = captionFor(expr("CAST(doc_id DIV 8 AS BIGINT)"), col("doc_id"))
+    isigs.select(
+      md5(to_binary(concat_ws(",", transform(
+        Dedup.minHashSignatureP(Dedup.shingleMd5(cap), 32),
+        x => x.cast("string"))), lit("utf-8"))).as("tsig_md5"),
+      col("sig").as("isig"))
+  }
+
+  /** DAY-2 CROSS-MODAL DEDUP — the persisted deploy shape of
+    * [[mediaCaptionDedup]] (the image family's
+    * `media_dedup_incremental` pattern on the COMPOSITE keys): the
+    * corpus's (text band × image band) bucket keys persist ONCE as a
+    * `bucketBy(bucket)` table carrying both signatures; a new
+    * (caption, image) batch — the echo convention, hb < 85 re-posts an
+    * EXISTING corpus image under a new id with a PARAPHRASED caption
+    * (same cluster words, fresh noise words — exactly the multimodal
+    * crawl's common dup), the rest genuinely-new pairs — computes both
+    * signatures scan-side, explodes its own composite keys, and probes
+    * the index with ZERO index-side Exchange (plan-pinned). Per batch
+    * pair: distinct corpus matches passing BOTH verifies and the
+    * dup_corpus/new verdict. Every caption word, shingle, remix, band
+    * key, pixel, dHash bit and both distances replay in the oracle. */
+  val mediaCaptionDedupIncremental: Q = (s, dir) => {
+    val Seq(idxTable) = BucketCache.tables(s, s"caption_sigs:$dir", { (tag, tmp) =>
+      val name = s"graft_csig_b_$tag"
+      Dedup.crossModalBandKeys(
+          captionSigFrame(mediaCorpusParams(s, dir),
+            expr("CAST(doc_id DIV 8 AS BIGINT)")),
+          "id", "tsig", "isig")
+        .select(col("bucket"), col("id").as("c_id"),
+          col("tsig").as("c_tsig"), col("isig").as("c_isig"))
+        .write.bucketBy(8, "bucket").sortBy("bucket")
+        .option("path", s"$tmp/csig").mode("overwrite").saveAsTable(name)
+      Seq(name)
+    })
+    // GATE-ONLY bootstrap (see mediaDedupIncremental)
+    val off = Tables(s, dir, "documents").agg(max("doc_id")).head.getLong(0) + 1L
+    val hb = Sampling.hashBucket256(col("doc_id"))
+    val batchParams = Tables(s, dir, "documents").select(
+      (col("doc_id") + lit(off)).as("doc_id"),
+      when(hb < 85, expr("CAST(doc_id DIV 8 AS BIGINT)"))
+        .otherwise(expr(s"CAST((doc_id + $off) DIV 8 AS BIGINT)")).as("p"),
+      when(hb < 85, expr("CAST(doc_id % 8 AS BIGINT)"))
+        .otherwise(expr(s"CAST((doc_id + $off) % 8 AS BIGINT)")).as("nx"),
+      when(hb < 85, expr("CAST((doc_id DIV 8) % 8 AS BIGINT)"))
+        .otherwise(expr(s"CAST(((doc_id + $off) DIV 8) % 8 AS BIGINT)")).as("ny"))
+    // caption cluster from the POST-offset id (original = doc_id − off)
+    val hbB = Sampling.hashBucket256(col("doc_id") - lit(off))
+    val capP = when(hbB < 85, expr(s"CAST((doc_id - $off) DIV 8 AS BIGINT)"))
+      .otherwise(expr("CAST(doc_id DIV 8 AS BIGINT)"))
+    val batchSigs = captionSigFrame(batchParams, capP)
+    val hits = Dedup.crossModalBandKeys(batchSigs, "id", "tsig", "isig")
+      .join(s.table(idxTable), Seq("bucket"))
+      .filter(Dedup.signatureSimilarity(col("tsig"), col("c_tsig")) >= 0.3 &&
+        graft.functions.HashFunctions.hammingBits(col("isig"), col("c_isig"))
+          .cast("int") <= 4)
+      .groupBy(col("id")).agg(countDistinct(col("c_id")).as("n_dups"))
+    batchSigs.select(col("id").as("doc_id"))
+      .join(hits.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left_outer")
+      .na.fill(0L, Seq("n_dups"))
+      .select(col("doc_id"), col("n_dups"),
+        when(col("n_dups") > 0, lit("dup_corpus")).otherwise(lit("new")).as("status"))
+      .orderBy("doc_id")
   }
 
   /** DATASET CARD — the summary bundle a published dataset ships
@@ -4083,6 +4166,7 @@ object LlmQueries {
     "media_video_dedup" -> mediaVideoDedup,
     "media_video_dedup_incremental" -> mediaVideoDedupIncremental,
     "media_caption_dedup" -> mediaCaptionDedup,
+    "media_caption_dedup_incremental" -> mediaCaptionDedupIncremental,
     "media_audio_resample" -> mediaAudioResample,
     "media_stats" -> mediaStats
   )
@@ -7080,6 +7164,65 @@ object LlmQueries {
          |SELECT id_a, id_b, est_jaccard, hamming FROM pm
          |WHERE est_jaccard >= 0.3 AND hamming <= 4
          |ORDER BY id_a, id_b""".stripMargin,
+    // the day-2 composite probe: corpus ∪ echo-batch (re-posted image +
+    // paraphrased caption) through BOTH signature chains per side, the
+    // composite-bucket join batch×corpus, dual verify, distinct census
+    "media_caption_dedup_incremental" ->
+      s"""WITH offv AS (SELECT max(doc_id) + 1 AS off FROM documents),
+         |hbs AS (SELECT doc_id,
+         |    (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+         |    + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS hb
+         |  FROM documents),
+         |params AS (
+         |  SELECT doc_id, doc_id // 8 AS p, doc_id % 8 AS nx, (doc_id // 8) % 8 AS ny,
+         |    doc_id // 8 AS cp
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT h.doc_id + o.off,
+         |    CASE WHEN hb < 85 THEN h.doc_id // 8 ELSE (h.doc_id + o.off) // 8 END,
+         |    CASE WHEN hb < 85 THEN h.doc_id % 8 ELSE (h.doc_id + o.off) % 8 END,
+         |    CASE WHEN hb < 85 THEN (h.doc_id // 8) % 8 ELSE ((h.doc_id + o.off) // 8) % 8 END,
+         |    CASE WHEN hb < 85 THEN h.doc_id // 8 ELSE (h.doc_id + o.off) // 8 END
+         |  FROM hbs h, offv o),
+         |capdocs AS (SELECT doc_id,
+         |    array_to_string(list_transform(range(0, 32), cwi ->
+         |      CASE WHEN cwi < 30
+         |        THEN 'w' || CAST(${hx60("md5('cap:' || CAST(cp AS VARCHAR) || ':' || CAST(cwi AS VARCHAR))")} % 1000 AS VARCHAR)
+         |        ELSE 'n' || CAST(${hx60("md5('capn:' || CAST(doc_id AS VARCHAR) || ':' || CAST(cwi AS VARCHAR))")} % 1000 AS VARCHAR)
+         |      END), ' ') AS text
+         |  FROM params),
+         |${minhashCtesOver("capdocs")},
+         |px AS (SELECT doc_id, x, y,
+         |    1 + CAST((${hx60("md5('img:' || CAST(p AS VARCHAR) || ':' || CAST(x AS VARCHAR) || ':' || CAST(y AS VARCHAR))")} % 126 +
+         |      CASE WHEN x = nx AND y = ny THEN 63 ELSE 0 END) % 126 AS INT) AS g
+         |  FROM params, unnest(range(0, 8)) tx(x), unnest(range(0, 8)) ty(y)),
+         |ibits AS (SELECT a.doc_id, a.y, a.x, CASE WHEN b.g > a.g THEN '1' ELSE '0' END AS bit
+         |  FROM px a JOIN px b ON b.doc_id = a.doc_id AND b.y = a.y AND b.x = a.x + 1
+         |  WHERE a.x < 7),
+         |isg AS (SELECT doc_id, string_agg(bit, '' ORDER BY y, x) AS isig
+         |  FROM ibits GROUP BY doc_id),
+         |ibands AS (SELECT doc_id, isig, i,
+         |    substr(isig, CAST(i*14 + 1 AS INT), 14) AS ikey
+         |  FROM isg, unnest(range(0, 4)) t(i)),
+         |cb AS MATERIALIZED (SELECT b.doc_id, b.sig AS tsig, ibands.isig,
+         |    b.bucket || ':' || CAST(ibands.i AS VARCHAR) || ':' || ibands.ikey AS cbucket
+         |  FROM bk b JOIN ibands ON ibands.doc_id = b.doc_id),
+         |p0 AS (SELECT DISTINCT b.doc_id AS bid, c.doc_id AS cid,
+         |    b.tsig AS tb2, c.tsig AS tc, b.isig AS ib2, c.isig AS ic
+         |  FROM cb b JOIN cb c ON b.cbucket = c.cbucket, offv o
+         |  WHERE b.doc_id >= o.off AND c.doc_id < o.off),
+         |pm AS (SELECT bid, cid,
+         |    CAST(len(list_filter(range(1, 33), si -> tb2[si] = tc[si])) AS DOUBLE) / 32 AS est_jaccard,
+         |    CAST(sum(CASE WHEN substr(ib2, CAST(j AS INT), 1) <> substr(ic, CAST(j AS INT), 1)
+         |      THEN 1 ELSE 0 END) AS INT) AS hamming
+         |  FROM p0, unnest(range(1, 57)) t(j)
+         |  GROUP BY bid, cid, tb2, tc, ib2, ic),
+         |hits AS (SELECT bid, CAST(count(DISTINCT cid) AS BIGINT) AS n_dups
+         |  FROM pm WHERE est_jaccard >= 0.3 AND hamming <= 4 GROUP BY bid)
+         |SELECT p.doc_id, COALESCE(h.n_dups, 0) AS n_dups,
+         |  CASE WHEN COALESCE(h.n_dups, 0) > 0 THEN 'dup_corpus' ELSE 'new' END AS status
+         |FROM params p LEFT JOIN hits h ON p.doc_id = h.bid, offv o
+         |WHERE p.doc_id >= o.off ORDER BY p.doc_id""".stripMargin,
     // the DPO truncation chain (asymmetric rejected = first half of the
     // reversed continuation), pair units = max branch length, the same
     // per-shard FFD recursion at W = 256, per-bin two-view rollup

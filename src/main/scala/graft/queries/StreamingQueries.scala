@@ -561,6 +561,32 @@ object StreamingQueries {
     drain(s, name, s.table(name).orderBy("sig"))
   }
 
+  /** Streaming CROSS-MODAL dedup — the (caption, image) pair at the
+    * ingest door: both signatures derive scan-side
+    * ([[graft.queries.LlmQueries.captionStreamKeys]] — the caption
+    * MinHash rendered to its md5 witness, the image dHash raw), and
+    * `dropDuplicates` on the KEY PAIR keeps state of every
+    * (caption-fingerprint, image-fingerprint) combination seen — a
+    * re-posted pair never passes twice, while the same image under a
+    * genuinely different caption (reuse, not a dup) and the same
+    * caption over a different image both pass. Output projects only
+    * the two keys (the `stream_dedup_docs` determinism rule). Oracle:
+    * the batch distinct key-pair set, every caption word, remix,
+    * pixel and bit replayed. */
+  val streamCaptionDedup: Q = (s, dir) => withStatePartitions(s, 8) {
+    import org.apache.spark.sql.functions._
+    val name = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val (tmp, schema) = spillIdBucketsCached(s, dir,
+      LlmQueries.mediaCorpusParams(s, dir), "doc_id", 4, tag = "capsig")
+    val src = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp.getPath + "/*.parquet")
+    val dedup = LlmQueries.captionStreamKeys(src)
+      .dropDuplicates("tsig_md5", "isig")
+    val q = dedup.writeStream.format("memory").queryName(name).outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    drain(s, name, s.table(name).orderBy("tsig_md5", "isig"))
+  }
+
   /** Streaming Count-Min maintenance —
     * [[graft.llm.Sketches.cmsCounters]] running UNCHANGED on the
     * documents stream: the sketch where it earns its keep, an
@@ -1268,6 +1294,7 @@ object StreamingQueries {
     "stream_media_dedup" -> streamMediaDedup,
     "stream_audio_dedup" -> streamAudioDedup,
     "stream_video_dedup" -> streamVideoDedup,
+    "stream_caption_dedup" -> streamCaptionDedup,
     "stream_cms_matrix" -> streamCmsMatrix,
     "stream_ann_ivf_probe" -> streamAnnIvfProbe,
     "stream_dsir_score" -> streamDsirScore,
@@ -1521,6 +1548,30 @@ object StreamingQueries {
          |  FROM fb GROUP BY doc_id, y, x),
          |sg AS (SELECT doc_id, string_agg(mb, '' ORDER BY y, x) AS sig FROM mj GROUP BY doc_id)
          |SELECT DISTINCT sig FROM sg ORDER BY sig""".stripMargin,
+    // the batch distinct KEY-PAIR set: caption words → shingles →
+    // remix → signature → md5 witness, pixels → dHash — both replayed
+    "stream_caption_dedup" ->
+      s"""WITH capdocs AS (SELECT doc_id,
+         |    array_to_string(list_transform(range(0, 32), cwi ->
+         |      CASE WHEN cwi < 30
+         |        THEN 'w' || CAST(${LlmQueries.hx60("md5('cap:' || CAST(doc_id // 8 AS VARCHAR) || ':' || CAST(cwi AS VARCHAR))")} % 1000 AS VARCHAR)
+         |        ELSE 'n' || CAST(${LlmQueries.hx60("md5('capn:' || CAST(doc_id AS VARCHAR) || ':' || CAST(cwi AS VARCHAR))")} % 1000 AS VARCHAR)
+         |      END), ' ') AS text
+         |  FROM documents),
+         |${LlmQueries.minhashCtesOver("capdocs")},
+         |px AS (SELECT doc_id, x, y,
+         |    1 + CAST((${LlmQueries.hx60("md5('img:' || CAST(doc_id // 8 AS VARCHAR) || ':' || CAST(x AS VARCHAR) || ':' || CAST(y AS VARCHAR))")} % 126 +
+         |      CASE WHEN x = doc_id % 8 AND y = (doc_id // 8) % 8
+         |        THEN 63 ELSE 0 END) % 126 AS INT) AS g
+         |  FROM documents, unnest(range(0, 8)) tx(x), unnest(range(0, 8)) ty(y)),
+         |ibits AS (SELECT a.doc_id, a.y, a.x, CASE WHEN b.g > a.g THEN '1' ELSE '0' END AS bit
+         |  FROM px a JOIN px b ON b.doc_id = a.doc_id AND b.y = a.y AND b.x = a.x + 1
+         |  WHERE a.x < 7),
+         |isg AS (SELECT doc_id, string_agg(bit, '' ORDER BY y, x) AS isig
+         |  FROM ibits GROUP BY doc_id)
+         |SELECT DISTINCT md5(array_to_string(t.sig, ',')) AS tsig_md5, i.isig
+         |FROM sigt t JOIN isg i ON i.doc_id = t.doc_id
+         |ORDER BY tsig_md5, isig""".stripMargin,
     // the streaming probe equals the batch ivf by construction (same
     // index, same routing rule, same ranking) — shared oracle, so any
     // batch/stream divergence hash-fails rather than drifting

@@ -758,6 +758,17 @@ class PlanShapeSpec extends AnyFunSuite {
       s"FFD groups must shuffle by the table-partition column:\n$plan")
   }
 
+  test("media_caption_dedup_incremental: the persisted composite-key index never shuffles") {
+    val df = graft.queries.LlmQueries.mediaCaptionDedupIncremental(spark, TestSpark.sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Bucketed: true"),
+      s"the composite-key scan must come from the bucketBy(bucket) table:\n$plan")
+    val scanAt = plan.lastIndexOf("FileScan")
+    assert(!plan.substring(scanAt).contains("Exchange"),
+      s"the index side must not shuffle:\n${plan.substring(scanAt)}")
+    assert(!plan.contains("CartesianProduct"), s"no all-pairs:\n$plan")
+  }
+
   test("dpo_packed_layout: one shard shuffle, counts ride the scan — no join-back, no re-window") {
     val df = graft.queries.LlmQueries.dpoPackedLayout(spark, TestSpark.sfDir)
     val plan = df.queryExecution.executedPlan.toString
