@@ -288,7 +288,16 @@ object ScaleProbe {
     // day-2 cross-modal: rep 1 pays the composite-key index write;
     // the timed min is the batch dual-signature scan + zero-Exchange
     // composite probe (plan-pinned)
-    "media_caption_dedup_incremental")
+    "media_caption_dedup_incremental",
+    // rejection-sampling prep: rotations + reward rollup + argmax in
+    // ONE narrow map — no shuffle at any corpus size
+    "best_of_n_select",
+    // joint pairs + pointer-jumping CC: rounds ride the bounded pair
+    // graph (the media_dedup_clusters iterative profile)
+    "media_caption_clusters",
+    // two bounded-collect trainings + a vocab-sized broadcast join —
+    // the report must stay vocabulary-sized at any corpus scale
+    "vocab_transplant")
 
   private def rot(s: String, k: Int): String = s.drop(k % s.length) + s.take(k % s.length)
 

@@ -1456,6 +1456,26 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** CROSS-MODAL DUPLICATE CLUSTERS — the decision output of the joint
+    * family ([[mediaDedupClusters]]' pattern on [[mediaCaptionDedup]]'
+    * pair graph): joint pairs say "these two (caption, image) pairs
+    * look alike", clusters say "store one of these" — the transitive
+    * closure via the SAME pointer-jumping min-label CC every dedup
+    * family uses, keep = minimum member id. The oracle replays the
+    * composite pair chain AND the closure (recursive reachability with
+    * min labels), so component ids are hash-verified end to end. */
+  val mediaCaptionClusters: Q = (s, dir) => {
+    val sigs = captionSigFrame(mediaCorpusParams(s, dir),
+      expr("CAST(doc_id DIV 8 AS BIGINT)"))
+    val pairs = Dedup.crossModalPairs(sigs, "id", "tsig", "isig",
+      k = 32, textBands = 8, nBits = 56, bitBands = 4,
+      threshold = 0.3, maxHamming = 4, maxBucket = MaxBucket)
+    Dedup.connectedComponents(pairs.select("id_a", "id_b"))
+      .select(col("id").as("doc_id"), col("comp").as("component"),
+        (col("id") === col("comp")).cast("int").as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** DAY-2 IMAGE DEDUP — the persisted deploy shape of
     * [[mediaDedupFeatures]] (the `dedup_incremental_bucketed` /
     * `ann_ivf_persisted` layout investment applied to perceptual
@@ -3529,6 +3549,84 @@ object LlmQueries {
     }.reduce(_.unionByName(_)).orderBy("keep_pieces", "source")
   }
 
+  /** BEST-OF-N SELECTION — rejection-sampling prep, the step between
+    * generation and SFT/DPO in an RLHF-style pipeline: per prompt, N
+    * candidate responses score under a reward model and the argmax
+    * survives as the training example. The fixture derives N = 4
+    * candidates as rotations (by j mod |resp|) of the doc's response
+    * words — cheap, deterministic, and genuinely DIFFERENT under the
+    * position-dependent reward — and the reward model is the portable
+    * per-(word, position) hash rollup `Σ hash60("rm:" + w + ":" + i)
+    * mod 1000` (a stand-in with the exact shape of a per-token RM
+    * score sum; any engine replays every term). Ties break to the
+    * LOWEST candidate index via max-of-struct on (reward, −j). Output
+    * pins the selection (best_j), its reward, the total reward mass,
+    * and the md5 of the WINNING text — a selector that picks the right
+    * j but assembles the wrong candidate hash-fails. One narrow map,
+    * no shuffle (the sft_examples profile). */
+  val bestOfNSelect: Q = (s, dir) => {
+    val N = 4
+    val base = Tables(s, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        filter(split(TextAnalysis.normalizeText(col("text")), " "),
+          w => length(w) > 0).as("w"))
+      .select(col("doc_id"),
+        slice(col("w"), expr("size(w) DIV 3 + 1"),
+          expr("size(w) - size(w) DIV 3")).as("rw"))
+    val scored = base.select(col("doc_id"),
+      transform(sequence(lit(0), lit(N - 1)), j => {
+        val n = size(col("rw"))
+        val jm = j % greatest(n, lit(1))
+        val c = concat(
+          slice(col("rw"), jm + lit(1), greatest(n - jm, lit(0))),
+          slice(col("rw"), lit(1), jm))
+        val reward = aggregate(
+          transform(c, (wd, idx) =>
+            Sampling.hash60(concat(lit("rm:"), wd, lit(":"),
+              (idx + lit(1)).cast("string"))) % 1000),
+          lit(0L), (acc, x) => acc + x)
+        struct(reward.as("reward"), (-j).as("negj"), j.as("j"),
+          md5(to_binary(array_join(c, " "), lit("utf-8"))).as("cmd5"))
+      }).as("cands"))
+    scored.select(col("doc_id"),
+        array_max(col("cands")).as("best"),
+        aggregate(transform(col("cands"), c => c.getField("reward")),
+          lit(0L), (a, x) => a + x).as("reward_sum"))
+      .select(col("doc_id"),
+        col("best").getField("j").as("best_j"),
+        col("best").getField("reward").as("reward_best"),
+        col("reward_sum"),
+        col("best").getField("cmd5").as("best_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** TOKENIZER TRANSPLANT — the vocabulary-migration report every
+    * tokenizer swap needs: which pieces of the NEW tokenizer (the
+    * unigram LM) already exist in the OLD one (BPE), and under which
+    * ids — the mapped rows are exactly the embeddings a transplant
+    * initializes from the old model instead of from scratch (the
+    * WECHSEL/FOCUS-style warm start). Both artifacts are trained
+    * in-engine from the same corpus; the oracle re-derives BOTH
+    * trainings and the join, so a drift in either vocabulary or the
+    * id assignment hash-fails. Vocab-sized frames — the join is a
+    * broadcast at any corpus scale; training cost is the two
+    * bounded-collect passes already gated. */
+  val vocabTransplant: Q = (s, dir) => {
+    import s.implicits._
+    val bpe = trainedBpe(s, dir)
+    val uni = trainedUnigram(s, dir)
+    val bpeDf = bpe.vocab.toSeq.map { case (tk, id) => (tk, id) }
+      .toDF("piece", "bpe_id")
+    val uniDf = uni.counts.toSeq.map { case (p, c) => (p, c) }
+      .toDF("piece", "unigram_cnt")
+    uniDf.join(bpeDf, Seq("piece"), "left_outer")
+      .select(col("piece"), col("unigram_cnt"),
+        col("bpe_id").cast("int").as("bpe_id"),
+        when(col("bpe_id").isNull, lit("unmapped")).otherwise(lit("mapped")).as("status"))
+      .orderBy("piece")
+  }
+
   /** The byte-mode vocabulary artifact — 256 structural byte rows
     * (ids = byte value) plus the trained merges, the file a byte-level
     * tokenizer deployment ships. Byte tokens are even-length hex, so a
@@ -4072,6 +4170,8 @@ object LlmQueries {
     "unigram_fertility_sweep" -> unigramFertilitySweep,
     "unigram_artifact_roundtrip" -> unigramArtifactRoundtrip,
     "unigram_segment" -> unigramSegment,
+    "best_of_n_select" -> bestOfNSelect,
+    "vocab_transplant" -> vocabTransplant,
     "bpe_vocab_bytes" -> bpeVocabBytes,
     "bpe_artifact_roundtrip" -> bpeArtifactRoundtrip,
     "pack_sequences_bpe" -> packSequencesBpe,
@@ -4167,6 +4267,7 @@ object LlmQueries {
     "media_video_dedup_incremental" -> mediaVideoDedupIncremental,
     "media_caption_dedup" -> mediaCaptionDedup,
     "media_caption_dedup_incremental" -> mediaCaptionDedupIncremental,
+    "media_caption_clusters" -> mediaCaptionClusters,
     "media_audio_resample" -> mediaAudioResample,
     "media_stats" -> mediaStats
   )
@@ -4449,6 +4550,51 @@ object LlmQueries {
        |g AS (SELECT wh, CAST(count(*) AS INT) AS n_occurrences FROM h GROUP BY wh
        |  HAVING count(*) BETWEEN 2 AND $MaxBucket),
        |hits AS (SELECT h.doc_id, h.pos, h.wh, g.n_occurrences FROM h JOIN g USING (wh))""".stripMargin
+
+  /** Shared DuckDB replay of the CROSS-MODAL pair chain — synthetic
+    * captions → the full minhash block → image pixels → dHash bits →
+    * composite (text band × image band) buckets → capped candidates →
+    * dual measures. Ends with `pm(id_a, id_b, est_jaccard, hamming)`;
+    * consumed by `media_caption_dedup` (filter) and
+    * `media_caption_clusters` (filter + recursive closure), so the two
+    * gates share one pair definition and cannot drift. */
+  private val captionPairCtes: String =
+    s"""capdocs AS (SELECT doc_id,
+       |    array_to_string(list_transform(range(0, 32), cwi ->
+       |      CASE WHEN cwi < 30
+       |        THEN 'w' || CAST(${hx60("md5('cap:' || CAST(doc_id // 8 AS VARCHAR) || ':' || CAST(cwi AS VARCHAR))")} % 1000 AS VARCHAR)
+       |        ELSE 'n' || CAST(${hx60("md5('capn:' || CAST(doc_id AS VARCHAR) || ':' || CAST(cwi AS VARCHAR))")} % 1000 AS VARCHAR)
+       |      END), ' ') AS text
+       |  FROM documents),
+       |${minhashCtesOver("capdocs")},
+       |px AS (SELECT doc_id, x, y,
+       |    1 + CAST((${hx60("md5('img:' || CAST(doc_id // 8 AS VARCHAR) || ':' || CAST(x AS VARCHAR) || ':' || CAST(y AS VARCHAR))")} % 126 +
+       |      CASE WHEN x = doc_id % 8 AND y = (doc_id // 8) % 8
+       |        THEN 63 ELSE 0 END) % 126 AS INT) AS g
+       |  FROM documents, unnest(range(0, 8)) tx(x), unnest(range(0, 8)) ty(y)),
+       |ibits AS (SELECT a.doc_id, a.y, a.x, CASE WHEN b.g > a.g THEN '1' ELSE '0' END AS bit
+       |  FROM px a JOIN px b ON b.doc_id = a.doc_id AND b.y = a.y AND b.x = a.x + 1
+       |  WHERE a.x < 7),
+       |isg AS (SELECT doc_id, string_agg(bit, '' ORDER BY y, x) AS isig
+       |  FROM ibits GROUP BY doc_id),
+       |ibands AS (SELECT doc_id, isig, i,
+       |    substr(isig, CAST(i*14 + 1 AS INT), 14) AS ikey
+       |  FROM isg, unnest(range(0, 4)) t(i)),
+       |cb AS MATERIALIZED (SELECT b.doc_id, b.sig AS tsig, ibands.isig,
+       |    b.bucket || ':' || CAST(ibands.i AS VARCHAR) || ':' || ibands.ikey AS cbucket
+       |  FROM bk b JOIN ibands ON ibands.doc_id = b.doc_id),
+       |cokb AS (SELECT cbucket FROM (SELECT cbucket, count(*) AS n FROM cb GROUP BY cbucket)
+       |  WHERE n BETWEEN 2 AND $MaxBucket),
+       |p0 AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    a.tsig AS ta, b.tsig AS tb2, a.isig AS ia, b.isig AS ib2
+       |  FROM cb a JOIN cb b ON a.cbucket = b.cbucket AND a.doc_id < b.doc_id
+       |  JOIN cokb ON a.cbucket = cokb.cbucket),
+       |pm AS (SELECT id_a, id_b,
+       |    CAST(len(list_filter(range(1, 33), si -> ta[si] = tb2[si])) AS DOUBLE) / 32 AS est_jaccard,
+       |    CAST(sum(CASE WHEN substr(ia, CAST(j AS INT), 1) <> substr(ib2, CAST(j AS INT), 1)
+       |      THEN 1 ELSE 0 END) AS INT) AS hamming
+       |  FROM p0, unnest(range(1, 57)) t(j)
+       |  GROUP BY id_a, id_b, ta, tb2, ia, ib2)""".stripMargin
 
   /** Shared DuckDB replay of the marker-count language-ID heuristic —
     * CTE block ending in `sc(doc_id, s_en..s_zh)`, used by `lang_id`
@@ -5626,6 +5772,32 @@ object LlmQueries {
     "unigram_vocab" -> UnigramOracle.unigramVocabSql,
     "unigram_fertility" -> UnigramOracle.unigramFertilitySql,
     "unigram_fertility_sweep" -> UnigramOracle.unigramFertilitySweepSql,
+    "vocab_transplant" -> UnigramOracle.vocabTransplantSql,
+    // rotations, the per-(word, position) reward rollup, the argmax
+    // with its lowest-j tie-break, and the winning text's md5 — all
+    // replayed; the window pair (rank + sum) mirrors the struct max
+    "best_of_n_select" ->
+      s"""WITH n AS (SELECT doc_id,
+         |    list_filter(regexp_split_to_array(
+         |      trim(regexp_replace(regexp_replace(lower(text), '[.,;:!?]', '', 'g'), ' +', ' ', 'g')),
+         |      ' '), x -> len(x) > 0) AS w
+         |  FROM documents WHERE text IS NOT NULL),
+         |resp AS (SELECT doc_id, w[CAST(len(w) // 3 + 1 AS INT) : CAST(len(w) AS INT)] AS rw FROM n),
+         |cand AS (SELECT doc_id, CAST(j AS INT) AS j,
+         |    rw[CAST(j % greatest(len(rw), 1) + 1 AS INT) : CAST(len(rw) AS INT)]
+         |      || rw[1 : CAST(j % greatest(len(rw), 1) AS INT)] AS c
+         |  FROM resp, unnest(range(0, 4)) t(j)),
+         |rew AS (SELECT doc_id, j, c,
+         |    COALESCE(CAST(list_sum(list_transform(range(1, len(c) + 1), ri ->
+         |      ${hx60("md5('rm:' || c[CAST(ri AS INT)] || ':' || CAST(ri AS VARCHAR))")} % 1000)) AS BIGINT), 0) AS reward
+         |  FROM cand),
+         |pick AS (SELECT doc_id, j, reward, c,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY reward DESC, j ASC) AS rk,
+         |    CAST(sum(reward) OVER (PARTITION BY doc_id) AS BIGINT) AS reward_sum
+         |  FROM rew)
+         |SELECT doc_id, j AS best_j, reward AS reward_best, reward_sum,
+         |  md5(array_to_string(c, ' ')) AS best_md5
+         |FROM pick WHERE rk = 1 ORDER BY doc_id""".stripMargin,
     // the artifact path must change nothing: shared oracle (the
     // bpe_artifact_roundtrip convention); the bit-for-bit
     // reconstruction is additionally require()-enforced in-query
@@ -7125,45 +7297,25 @@ object LlmQueries {
     // block over the synthetic caption relation), every pixel, dHash
     // bit and image band, the composite bucket, and both verifies
     "media_caption_dedup" ->
-      s"""WITH capdocs AS (SELECT doc_id,
-         |    array_to_string(list_transform(range(0, 32), cwi ->
-         |      CASE WHEN cwi < 30
-         |        THEN 'w' || CAST(${hx60("md5('cap:' || CAST(doc_id // 8 AS VARCHAR) || ':' || CAST(cwi AS VARCHAR))")} % 1000 AS VARCHAR)
-         |        ELSE 'n' || CAST(${hx60("md5('capn:' || CAST(doc_id AS VARCHAR) || ':' || CAST(cwi AS VARCHAR))")} % 1000 AS VARCHAR)
-         |      END), ' ') AS text
-         |  FROM documents),
-         |${minhashCtesOver("capdocs")},
-         |px AS (SELECT doc_id, x, y,
-         |    1 + CAST((${hx60("md5('img:' || CAST(doc_id // 8 AS VARCHAR) || ':' || CAST(x AS VARCHAR) || ':' || CAST(y AS VARCHAR))")} % 126 +
-         |      CASE WHEN x = doc_id % 8 AND y = (doc_id // 8) % 8
-         |        THEN 63 ELSE 0 END) % 126 AS INT) AS g
-         |  FROM documents, unnest(range(0, 8)) tx(x), unnest(range(0, 8)) ty(y)),
-         |ibits AS (SELECT a.doc_id, a.y, a.x, CASE WHEN b.g > a.g THEN '1' ELSE '0' END AS bit
-         |  FROM px a JOIN px b ON b.doc_id = a.doc_id AND b.y = a.y AND b.x = a.x + 1
-         |  WHERE a.x < 7),
-         |isg AS (SELECT doc_id, string_agg(bit, '' ORDER BY y, x) AS isig
-         |  FROM ibits GROUP BY doc_id),
-         |ibands AS (SELECT doc_id, isig, i,
-         |    substr(isig, CAST(i*14 + 1 AS INT), 14) AS ikey
-         |  FROM isg, unnest(range(0, 4)) t(i)),
-         |cb AS MATERIALIZED (SELECT b.doc_id, b.sig AS tsig, ibands.isig,
-         |    b.bucket || ':' || CAST(ibands.i AS VARCHAR) || ':' || ibands.ikey AS cbucket
-         |  FROM bk b JOIN ibands ON ibands.doc_id = b.doc_id),
-         |cokb AS (SELECT cbucket FROM (SELECT cbucket, count(*) AS n FROM cb GROUP BY cbucket)
-         |  WHERE n BETWEEN 2 AND $MaxBucket),
-         |p0 AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-         |    a.tsig AS ta, b.tsig AS tb2, a.isig AS ia, b.isig AS ib2
-         |  FROM cb a JOIN cb b ON a.cbucket = b.cbucket AND a.doc_id < b.doc_id
-         |  JOIN cokb ON a.cbucket = cokb.cbucket),
-         |pm AS (SELECT id_a, id_b,
-         |    CAST(len(list_filter(range(1, 33), si -> ta[si] = tb2[si])) AS DOUBLE) / 32 AS est_jaccard,
-         |    CAST(sum(CASE WHEN substr(ia, CAST(j AS INT), 1) <> substr(ib2, CAST(j AS INT), 1)
-         |      THEN 1 ELSE 0 END) AS INT) AS hamming
-         |  FROM p0, unnest(range(1, 57)) t(j)
-         |  GROUP BY id_a, id_b, ta, tb2, ia, ib2)
+      s"""WITH $captionPairCtes
          |SELECT id_a, id_b, est_jaccard, hamming FROM pm
          |WHERE est_jaccard >= 0.3 AND hamming <= 4
          |ORDER BY id_a, id_b""".stripMargin,
+    // the joint pair chain + the closure itself (the
+    // media_dedup_clusters pattern): recursive reachability with min
+    // labels over the dual-verified composite pairs
+    "media_caption_clusters" ->
+      s"""WITH RECURSIVE $captionPairCtes,
+         |p2 AS (SELECT id_a, id_b FROM pm WHERE est_jaccard >= 0.3 AND hamming <= 4),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM p2 UNION SELECT id_b, id_a FROM p2),
+         |verts AS (SELECT DISTINCT a AS v FROM edges),
+         |reach AS (
+         |  SELECT v, v AS r FROM verts
+         |  UNION
+         |  SELECT e.a AS v, reach.r FROM edges e JOIN reach ON reach.v = e.b)
+         |SELECT v AS doc_id, CAST(min(r) AS BIGINT) AS component,
+         |  CAST(CASE WHEN v = min(r) THEN 1 ELSE 0 END AS INT) AS keep
+         |FROM reach GROUP BY v ORDER BY doc_id""".stripMargin,
     // the day-2 composite probe: corpus ∪ echo-batch (re-posted image +
     // paraphrased caption) through BOTH signature chains per side, the
     // composite-bucket join batch×corpus, dual verify, distinct census

@@ -561,6 +561,33 @@ object StreamingQueries {
     drain(s, name, s.table(name).orderBy("sig"))
   }
 
+  /** TOKENIZE AT INGEST with a FROZEN artifact — the deploy shape every
+    * trained tokenizer ultimately runs in: the unigram LM trains ONCE
+    * batch-side (the version-pinned artifact, vocab-sized closure
+    * state) and the Viterbi segmentation runs as a stateless narrow
+    * map on the stream — [[streamDsirScore]]'s frozen-weights
+    * discipline applied to the tokenizer. The gate SHARES the batch
+    * `unigram_segment` oracle, so any batch/stream divergence in a
+    * single piece boundary hash-fails. No aggregation state at all. */
+  val streamUnigramSegment: Q = (s, dir) => withStatePartitions(s, 8) {
+    import org.apache.spark.sql.functions._
+    val uni = LlmQueries.trainedUnigram(s, dir) // frozen batch-side artifact
+    val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+    val name = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val (tmp, schema) = spillIdBucketsCached(s, dir, docs, "doc_id", 4)
+    val src = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp.getPath + "/*.parquet")
+    val base = src.filter(col("text").isNotNull)
+      .select(col("doc_id"), graft.llm.TextAnalysis.normalizeText(col("text")).as("nt"))
+    val out = graft.llm.Unigram.pieceCounts(
+        graft.llm.Unigram.segmentation(base, "nt", uni, "seg"), "nt", uni, "n_pieces")
+      .select(col("doc_id"), col("n_pieces"),
+        md5(to_binary(col("seg"), lit("utf-8"))).as("seg_md5"))
+    val q = out.writeStream.format("memory").queryName(name).outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    drain(s, name, s.table(name).orderBy("doc_id"))
+  }
+
   /** Streaming CROSS-MODAL dedup — the (caption, image) pair at the
     * ingest door: both signatures derive scan-side
     * ([[graft.queries.LlmQueries.captionStreamKeys]] — the caption
@@ -1295,6 +1322,7 @@ object StreamingQueries {
     "stream_audio_dedup" -> streamAudioDedup,
     "stream_video_dedup" -> streamVideoDedup,
     "stream_caption_dedup" -> streamCaptionDedup,
+    "stream_unigram_segment" -> streamUnigramSegment,
     "stream_cms_matrix" -> streamCmsMatrix,
     "stream_ann_ivf_probe" -> streamAnnIvfProbe,
     "stream_dsir_score" -> streamDsirScore,
@@ -1578,6 +1606,9 @@ object StreamingQueries {
     "stream_ann_ivf_probe" -> LlmQueries.sqlAnnIvf,
     // the frozen-weights apply is batch-equivalent per doc: shared oracle
     "stream_dsir_score" -> LlmQueries.oracles("dsir_score_incremental"),
+    // the frozen tokenizer applied at ingest is batch-equivalent per
+    // doc: the batch segmentation oracle verbatim
+    "stream_unigram_segment" -> LlmQueries.oracles("unigram_segment"),
     // every update-mode counter emission replayed: per (i, bucket,
     // batch-with-instances), the cumulative count over batches <= b —
     // the identical bucket formula the fixture spill used, the

@@ -190,6 +190,20 @@ object UnigramOracle {
        |ORDER BY keep_pieces, source""".stripMargin
   }
 
+  /** `vocab_transplant`: BOTH tokenizer trainings re-derived (the BPE
+    * chain's `vocab(id, tk)` + this trainer's final `uv$R(p, c)`) and
+    * joined on the piece string — the warm-start mapping a tokenizer
+    * migration initializes embeddings from. */
+  val vocabTransplantSql: String =
+    s"""WITH RECURSIVE
+       |${BpeOracle.trainCtes},
+       |$trainChainDefault
+       |SELECT u.p AS piece, u.c AS unigram_cnt,
+       |  CAST(v.id AS INT) AS bpe_id,
+       |  CASE WHEN v.id IS NULL THEN 'unmapped' ELSE 'mapped' END AS status
+       |FROM uv$R u LEFT JOIN vocab v ON v.tk = u.p
+       |ORDER BY piece""".stripMargin
+
   /** `unigram_fertility`: the final scores segment EVERY distinct
     * corpus word (not just the training top-V); per-source word
     * occurrence counts weight the piece counts; the BPE token side

@@ -119,6 +119,29 @@ class UnigramSpec extends AnyFunSuite {
     }
   }
 
+  test("vocab transplant: the mapping is consistent and covers the shared alphabet") {
+    val rows = graft.queries.LlmQueries.vocabTransplant(spark, TestSpark.sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getInt(2)), r.getString(3)))
+    assert(rows.nonEmpty)
+    val bpe = graft.queries.LlmQueries.trainedBpe(spark, TestSpark.sfDir)
+    rows.foreach { case (piece, _, bpeId, status) =>
+      assert((status == "mapped") === bpeId.isDefined, s"piece '$piece' status/id mismatch")
+      bpeId.foreach { id =>
+        assert(bpe.vocab.get(piece).contains(id),
+          s"piece '$piece' mapped to id $id but BPE says ${bpe.vocab.get(piece)}")
+      }
+    }
+    // both tokenizers derive their alphabet from the same normalized
+    // corpus, so every single-char unigram piece must map
+    rows.filter(_._1.length == 1).foreach { case (piece, _, bpeId, _) =>
+      assert(bpeId.isDefined, s"alphabet char '$piece' must exist in the BPE vocabulary")
+    }
+    // and the mapping must be non-trivial in both directions
+    assert(rows.exists(_._4 == "mapped") && rows.exists(_._4 == "unmapped"),
+      "a transplant report with only one class is a wiring bug on this corpus")
+  }
+
   test("fertility sweep: halving the prune budget never IMPROVES fertility, and costs somewhere") {
     val sw = graft.queries.LlmQueries.unigramFertilitySweep(spark, TestSpark.sfDir)
       .collect()
