@@ -1277,7 +1277,11 @@ object LlmQueries {
       .localCheckpoint(true)
 
   val mediaCaptionDedup: Q = (s, dir) => {
-    val sigs = captionSigFrame(mediaCorpusParams(s, dir),
+    // caption hashing (32 word md5s + 30 shingle md5s + 32-seed minhash
+    // per row) is heavy narrow compute — spread before it (the
+    // single-file one-task trap)
+    val sigs = captionSigFrame(
+      spreadForCompute(s, dir, mediaCorpusParams(s, dir)),
       expr("CAST(doc_id DIV 8 AS BIGINT)"))
     Dedup.crossModalPairs(sigs, "id", "tsig", "isig",
         k = 32, textBands = 8, nBits = 56, bitBands = 4,
@@ -1319,7 +1323,7 @@ object LlmQueries {
     val Seq(idxTable) = BucketCache.tables(s, s"caption_sigs:$dir", { (tag, tmp) =>
       val name = s"graft_csig_b_$tag"
       Dedup.crossModalBandKeys(
-          captionSigFrame(mediaCorpusParams(s, dir),
+          captionSigFrame(spreadForCompute(s, dir, mediaCorpusParams(s, dir)),
             expr("CAST(doc_id DIV 8 AS BIGINT)")),
           "id", "tsig", "isig")
         .select(col("bucket"), col("id").as("c_id"),
@@ -1343,7 +1347,7 @@ object LlmQueries {
     val hbB = Sampling.hashBucket256(col("doc_id") - lit(off))
     val capP = when(hbB < 85, expr(s"CAST((doc_id - $off) DIV 8 AS BIGINT)"))
       .otherwise(expr("CAST(doc_id DIV 8 AS BIGINT)"))
-    val batchSigs = captionSigFrame(batchParams, capP)
+    val batchSigs = captionSigFrame(spreadForCompute(s, dir, batchParams), capP)
     val hits = Dedup.crossModalBandKeys(batchSigs, "id", "tsig", "isig")
       .join(s.table(idxTable), Seq("bucket"))
       .filter(Dedup.signatureSimilarity(col("tsig"), col("c_tsig")) >= 0.3 &&
@@ -1465,7 +1469,8 @@ object LlmQueries {
     * composite pair chain AND the closure (recursive reachability with
     * min labels), so component ids are hash-verified end to end. */
   val mediaCaptionClusters: Q = (s, dir) => {
-    val sigs = captionSigFrame(mediaCorpusParams(s, dir),
+    val sigs = captionSigFrame(
+      spreadForCompute(s, dir, mediaCorpusParams(s, dir)),
       expr("CAST(doc_id DIV 8 AS BIGINT)"))
     val pairs = Dedup.crossModalPairs(sigs, "id", "tsig", "isig",
       k = 32, textBands = 8, nBits = 56, bitBands = 4,
@@ -3566,7 +3571,10 @@ object LlmQueries {
     * no shuffle (the sft_examples profile). */
   val bestOfNSelect: Q = (s, dir) => {
     val N = 4
-    val base = Tables(s, dir, "documents")
+    // 4 × |resp| md5s per row — heavy narrow compute; spread before it
+    // or a single-file fixture runs the whole reward pass on one task
+    // (the pack_sequences_bpe trap; 2.5 → ~0.9 s at sf0.1)
+    val base = spreadForCompute(s, dir, Tables(s, dir, "documents"))
       .filter(col("text").isNotNull)
       .select(col("doc_id"),
         filter(split(TextAnalysis.normalizeText(col("text")), " "),
