@@ -3569,7 +3569,7 @@ object LlmQueries {
     * and the md5 of the WINNING text — a selector that picks the right
     * j but assembles the wrong candidate hash-fails. One narrow map,
     * no shuffle (the sft_examples profile). */
-  val bestOfNSelect: Q = (s, dir) => {
+  private def bestOfNScored(s: SparkSession, dir: String): DataFrame = {
     val N = 4
     // 4 × |resp| md5s per row — heavy narrow compute; spread before it
     // or a single-file fixture runs the whole reward pass on one task
@@ -3582,7 +3582,7 @@ object LlmQueries {
       .select(col("doc_id"),
         slice(col("w"), expr("size(w) DIV 3 + 1"),
           expr("size(w) - size(w) DIV 3")).as("rw"))
-    val scored = base.select(col("doc_id"),
+    base.select(col("doc_id"),
       transform(sequence(lit(0), lit(N - 1)), j => {
         val n = size(col("rw"))
         val jm = j % greatest(n, lit(1))
@@ -3597,6 +3597,10 @@ object LlmQueries {
         struct(reward.as("reward"), (-j).as("negj"), j.as("j"),
           md5(to_binary(array_join(c, " "), lit("utf-8"))).as("cmd5"))
       }).as("cands"))
+  }
+
+  val bestOfNSelect: Q = (s, dir) => {
+    val scored = bestOfNScored(s, dir)
     scored.select(col("doc_id"),
         array_max(col("cands")).as("best"),
         aggregate(transform(col("cands"), c => c.getField("reward")),
@@ -3633,6 +3637,132 @@ object LlmQueries {
         col("bpe_id").cast("int").as("bpe_id"),
         when(col("bpe_id").isNull, lit("unmapped")).otherwise(lit("mapped")).as("status"))
       .orderBy("piece")
+  }
+
+  /** REWARD-MODEL PAIR EXTRACTION — the step after best-of-N scoring
+    * that feeds RM training: per prompt, the (best, worst) candidate
+    * pair with its reward margin. Same scored-candidates frame as
+    * [[bestOfNSelect]] ([[bestOfNScored]] — one narrow map), so the
+    * two gates cannot drift; best = max-of-struct on (reward, −j)
+    * (lowest-j ties, the selection contract), worst = min-of-struct
+    * (ties to the HIGHEST j — the two ends of a fully-tied field never
+    * collapse onto the same candidate). Margin-0 pairs are dropped:
+    * a pair the reward model cannot order carries no training signal,
+    * and emitting it would teach the ranker noise — the filter is the
+    * operator's point, so the gate pins it. */
+  val rmPairsFromN: Q = (s, dir) => {
+    val scored = bestOfNScored(s, dir)
+    scored.select(col("doc_id"),
+        array_max(col("cands")).as("best"),
+        array_min(col("cands")).as("worst"))
+      .select(col("doc_id"),
+        col("best").getField("j").as("best_j"),
+        col("worst").getField("j").as("worst_j"),
+        col("best").getField("reward").as("reward_best"),
+        col("worst").getField("reward").as("reward_worst"),
+        (col("best").getField("reward") - col("worst").getField("reward")).as("margin"),
+        col("best").getField("cmd5").as("best_md5"),
+        col("worst").getField("cmd5").as("worst_md5"))
+      .filter(col("margin") > 0)
+      .orderBy("doc_id")
+  }
+
+  /** DATASET SNAPSHOT DIFF — the data-versioning primitive: two corpus
+    * snapshots compared by CONTENT hash into added / removed / changed /
+    * unchanged, the report every retrain decision starts from (what
+    * actually moved since the last training set?). The fixture derives
+    * both snapshots deterministically from one table (portable md5
+    * bucket: b<3 → in A, b≥1 → in B, b=2 edited in B — every status is
+    * populated), but the operator shape is the real one: two
+    * content-hashed scans full-outer-joined on the document key. ONE
+    * shuffle per side on doc_id (AQE merges them); at 100 TB both
+    * snapshots would be bucketed on doc_id and the join goes
+    * zero-Exchange — the hash columns are 32 bytes/row, so the shuffle
+    * carries hashes, never text. */
+  val datasetDiff: Q = (s, dir) => {
+    val tagged = Tables(s, dir, "documents").filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"),
+        (Sampling.hash60(concat(lit("snap:"), col("doc_id").cast("string"))) % 4).as("b"))
+    val snapA = tagged.filter(col("b") < 3)
+      .select(col("doc_id"), md5(to_binary(col("text"), lit("utf-8"))).as("a_md5"))
+    val snapB = tagged.filter(col("b") >= 1)
+      .select(col("doc_id"), md5(to_binary(
+        when(col("b") === 2, concat(col("text"), lit(" [v2]"))).otherwise(col("text")),
+        lit("utf-8"))).as("b_md5"))
+    snapA.join(snapB, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("a_md5").isNull, lit("added"))
+          .when(col("b_md5").isNull, lit("removed"))
+          .when(col("a_md5") =!= col("b_md5"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"),
+        col("a_md5"), col("b_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** RIGHT-TO-BE-FORGOTTEN AUDIT — delete-request propagation through
+    * the packed-window artifact: which training windows contain a
+    * to-be-forgotten document and must be rebuilt before the next run.
+    * The delete list is the deterministic ~0.5% md5 sample (portable;
+    * stands in for the legal team's id list); the layout is the SAME
+    * [[TextAnalysis.packedWindowLayout]] call as `pack_sequences_layout`
+    * so the audit answers against the artifact actually shipped.
+    * Scale shape: the flag is a scan-side hash predicate (a real id
+    * list would broadcast — KBs against TBs), the per-bin rollup rides
+    * the layout's existing shard shuffle with map-side partials, and
+    * only CONTAMINATED bins survive to the output — the rebuild work
+    * order, not a corpus copy. */
+  val forgetDocsAudit: Q = (s, dir) => {
+    val docs = Tables(s, dir, "documents")
+      .withColumn("shard_id", Sampling.shardAssign(col("doc_id"), 8))
+    val lay = TextAnalysis.packedWindowLayout(docs, Seq("shard_id"), "doc_id",
+      TextAnalysis.tokenCountWs(col("text")).cast("long"), 2048)
+    val flagged = lay.withColumn("is_forget",
+      (Sampling.hash60(concat(lit("forget:"), col("doc_id").cast("string"))) % 200 === 0)
+        .cast("int"))
+    flagged.groupBy("shard_id", "bin_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("is_forget").as("n_forget"),
+        sum(when(col("is_forget") === 1, col("n_tokens")).otherwise(0L)).as("forget_tokens"),
+        array_join(array_sort(collect_list(when(col("is_forget") === 1, col("doc_id"))))
+          .cast("array<string>"), ",").as("forget_ids"))
+      .filter(col("n_forget") > 0)
+      .orderBy("shard_id", "bin_id")
+  }
+
+  /** DETERMINISTIC RESUMABLE EPOCH ORDERING — the dataloader contract a
+    * multi-epoch run needs: every epoch is a fresh pseudo-random
+    * permutation (epoch-salted md5 key), assignment and order are pure
+    * functions of (epoch, doc_id) so any worker recomputes its slice
+    * with no lookup table, and a mid-epoch restart re-derives exactly
+    * the unread tail. Order lives WITHIN hash shards — at 100 TB there
+    * is no global sort, only a row_number per (epoch, shard): one
+    * exchange, per-shard local sort. The gate pins the full permutation
+    * via `order_sig` = Σ pos·(hash60(doc_id) mod 1000003) — position-
+    * weighted so ANY transposition changes it, yet map-side-partial
+    * aggregatable — and the restart contract via `resume_sig`, the same
+    * checksum over positions past the half-epoch offset re-based to the
+    * resume point. Both epochs come from ONE scan (posexplode of the
+    * epoch array, not a self-union). */
+  val epochOrderResume: Q = (s, dir) => {
+    val base = Tables(s, dir, "documents").select("doc_id")
+      .select(col("doc_id"), explode(array(lit(0), lit(1))).as("epoch"))
+      .withColumn("k", md5(concat(lit("epoch"), col("epoch").cast("string"),
+        lit(":"), col("doc_id").cast("string"))))
+      .withColumn("shard_id", (conv(substring(col("k"), 1, 15), 16, 10).cast("long") % 8).cast("int"))
+    val w = Window.partitionBy("epoch", "shard_id").orderBy(col("k"), col("doc_id"))
+    val cw = Window.partitionBy("epoch", "shard_id")
+    val pos = base
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .withColumn("half", (count(lit(1)).over(cw) / 2).cast("long"))
+      .withColumn("h", Sampling.hash60(col("doc_id")) % 1000003L)
+    pos.groupBy("epoch", "shard_id").agg(
+        count(lit(1)).as("n_docs"),
+        min(struct(col("pos"), col("doc_id"))).getField("doc_id").as("first_doc"),
+        max(struct(col("pos"), col("doc_id"))).getField("doc_id").as("last_doc"),
+        sum(col("pos") * col("h")).as("order_sig"),
+        sum(when(col("pos") > col("half"), (col("pos") - col("half")) * col("h"))
+          .otherwise(lit(0L))).as("resume_sig"))
+      .orderBy("epoch", "shard_id")
   }
 
   /** The byte-mode vocabulary artifact — 256 structural byte rows
@@ -4179,7 +4309,11 @@ object LlmQueries {
     "unigram_artifact_roundtrip" -> unigramArtifactRoundtrip,
     "unigram_segment" -> unigramSegment,
     "best_of_n_select" -> bestOfNSelect,
+    "rm_pairs_from_n" -> rmPairsFromN,
     "vocab_transplant" -> vocabTransplant,
+    "dataset_diff" -> datasetDiff,
+    "forget_docs_audit" -> forgetDocsAudit,
+    "epoch_order_resume" -> epochOrderResume,
     "bpe_vocab_bytes" -> bpeVocabBytes,
     "bpe_artifact_roundtrip" -> bpeArtifactRoundtrip,
     "pack_sequences_bpe" -> packSequencesBpe,
@@ -4481,6 +4615,61 @@ object LlmQueries {
     s"CAST(list_sum(list_transform(range(1, 16), __hx -> " +
       s"CAST(strpos('0123456789abcdef', substr($md, CAST(__hx AS INT), 1)) - 1 AS BIGINT) * " +
       s"(CAST(1 AS BIGINT) << CAST(4 * (15 - __hx) AS INT)))) AS BIGINT)"
+
+  /** The per-shard FFD window-layout replay (d → ffd → lay) as a shared
+    * recursive-CTE prefix: `lay(shard_id, bin_id, doc_id, n, rn, s, off)`
+    * is each document's placement in its 2048-token window. Used
+    * VERBATIM by both the `pack_sequences_layout` oracle and the
+    * `forget_docs_audit` oracle — the audit must answer against the
+    * artifact actually shipped, so the two replays cannot drift. */
+  private val ffdLayoutCtes: String =
+    s"""d AS (SELECT doc_id,
+       |    CAST(len(regexp_split_to_array(text, ' +')) AS BIGINT) AS n,
+       |    CAST(${hx60("md5(CAST(doc_id AS VARCHAR))")} % 8 AS INT) AS shard_id,
+       |    row_number() OVER (PARTITION BY CAST(${hx60("md5(CAST(doc_id AS VARCHAR))")} % 8 AS INT)
+       |      ORDER BY len(regexp_split_to_array(text, ' +')) DESC, doc_id) AS rn
+       |  FROM documents),
+       |ffd AS (
+       |  SELECT shard_id, 0::BIGINT AS rn, NULL::BIGINT AS doc_id, NULL::BIGINT AS n,
+       |    NULL::BIGINT AS bin_id, []::BIGINT[] AS rem
+       |  FROM (SELECT DISTINCT shard_id FROM d)
+       |  UNION ALL
+       |  SELECT shard_id, rn, doc_id, n,
+       |    CASE WHEN fit IS NULL THEN len(rem0) ELSE fit - 1 END AS bin_id,
+       |    CASE WHEN fit IS NULL THEN list_append(rem0, 2048 - n)
+       |         ELSE list_transform(range(1, len(rem0) + 1),
+       |                i -> CASE WHEN i = fit THEN rem0[i] - n ELSE rem0[i] END)
+       |    END AS rem
+       |  FROM (
+       |    SELECT d.shard_id, d.rn, d.doc_id, d.n, f.rem AS rem0,
+       |      NULLIF(list_position(list_transform(f.rem, x -> x >= d.n), true), 0) AS fit
+       |    FROM ffd f JOIN d ON d.shard_id = f.shard_id AND d.rn = f.rn + 1) s),
+       |lay AS MATERIALIZED (SELECT shard_id, bin_id, doc_id, n, rn,
+       |    CAST(row_number() OVER (PARTITION BY shard_id, bin_id ORDER BY rn) - 1 AS BIGINT) AS s,
+       |    CAST(COALESCE(sum(n) OVER (PARTITION BY shard_id, bin_id ORDER BY rn
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+       |  FROM ffd WHERE rn > 0)""".stripMargin
+
+  /** The best-of-N candidate scoring replay (n → resp → cand → rew):
+    * rotations and the per-(word, position) reward rollup, shared
+    * VERBATIM by the `best_of_n_select` and `rm_pairs_from_n` oracles —
+    * the selection gate and the pair-extraction gate read the same
+    * scored field, in SQL exactly as in Scala ([[bestOfNScored]]). */
+  private val bestOfNCtes: String =
+    s"""n AS (SELECT doc_id,
+       |    list_filter(regexp_split_to_array(
+       |      trim(regexp_replace(regexp_replace(lower(text), '[.,;:!?]', '', 'g'), ' +', ' ', 'g')),
+       |      ' '), x -> len(x) > 0) AS w
+       |  FROM documents WHERE text IS NOT NULL),
+       |resp AS (SELECT doc_id, w[CAST(len(w) // 3 + 1 AS INT) : CAST(len(w) AS INT)] AS rw FROM n),
+       |cand AS (SELECT doc_id, CAST(j AS INT) AS j,
+       |    rw[CAST(j % greatest(len(rw), 1) + 1 AS INT) : CAST(len(rw) AS INT)] ||
+       |      rw[1 : CAST(j % greatest(len(rw), 1) AS INT)] AS c
+       |  FROM resp, unnest(range(0, 4)) t(j)),
+       |rew AS (SELECT doc_id, j, c,
+       |    COALESCE(CAST(list_sum(list_transform(range(1, len(c) + 1), ri ->
+       |      ${hx60("md5('rm:' || c[CAST(ri AS INT)] || ':' || CAST(ri AS VARCHAR))")} % 1000)) AS BIGINT), 0) AS reward
+       |  FROM cand)""".stripMargin
 
   /** The DSIR hashed-gram CTE chain over an optionally-filtered
     * documents slice — `p` prefixes the CTE names so one oracle can
@@ -5785,20 +5974,7 @@ object LlmQueries {
     // with its lowest-j tie-break, and the winning text's md5 — all
     // replayed; the window pair (rank + sum) mirrors the struct max
     "best_of_n_select" ->
-      s"""WITH n AS (SELECT doc_id,
-         |    list_filter(regexp_split_to_array(
-         |      trim(regexp_replace(regexp_replace(lower(text), '[.,;:!?]', '', 'g'), ' +', ' ', 'g')),
-         |      ' '), x -> len(x) > 0) AS w
-         |  FROM documents WHERE text IS NOT NULL),
-         |resp AS (SELECT doc_id, w[CAST(len(w) // 3 + 1 AS INT) : CAST(len(w) AS INT)] AS rw FROM n),
-         |cand AS (SELECT doc_id, CAST(j AS INT) AS j,
-         |    rw[CAST(j % greatest(len(rw), 1) + 1 AS INT) : CAST(len(rw) AS INT)]
-         |      || rw[1 : CAST(j % greatest(len(rw), 1) AS INT)] AS c
-         |  FROM resp, unnest(range(0, 4)) t(j)),
-         |rew AS (SELECT doc_id, j, c,
-         |    COALESCE(CAST(list_sum(list_transform(range(1, len(c) + 1), ri ->
-         |      ${hx60("md5('rm:' || c[CAST(ri AS INT)] || ':' || CAST(ri AS VARCHAR))")} % 1000)) AS BIGINT), 0) AS reward
-         |  FROM cand),
+      s"""WITH $bestOfNCtes,
          |pick AS (SELECT doc_id, j, reward, c,
          |    row_number() OVER (PARTITION BY doc_id ORDER BY reward DESC, j ASC) AS rk,
          |    CAST(sum(reward) OVER (PARTITION BY doc_id) AS BIGINT) AS reward_sum
@@ -5806,6 +5982,80 @@ object LlmQueries {
          |SELECT doc_id, j AS best_j, reward AS reward_best, reward_sum,
          |  md5(array_to_string(c, ' ')) AS best_md5
          |FROM pick WHERE rk = 1 ORDER BY doc_id""".stripMargin,
+    // same scored field via the shared CTE block; best = (reward DESC,
+    // j ASC), worst = (reward ASC, j DESC) — the struct min's tie-break
+    // — and the margin-0 drop is replayed by the WHERE
+    "rm_pairs_from_n" ->
+      s"""WITH $bestOfNCtes,
+         |rk AS (SELECT doc_id, j, reward, c,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY reward DESC, j ASC) AS rb,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY reward ASC, j DESC) AS rw
+         |  FROM rew)
+         |SELECT b.doc_id, b.j AS best_j, w.j AS worst_j,
+         |  b.reward AS reward_best, w.reward AS reward_worst,
+         |  b.reward - w.reward AS margin,
+         |  md5(array_to_string(b.c, ' ')) AS best_md5,
+         |  md5(array_to_string(w.c, ' ')) AS worst_md5
+         |FROM (SELECT * FROM rk WHERE rb = 1) b
+         |JOIN (SELECT * FROM rk WHERE rw = 1) w ON b.doc_id = w.doc_id
+         |WHERE b.reward - w.reward > 0
+         |ORDER BY b.doc_id""".stripMargin,
+    // both snapshots derived by the portable md5 bucket, statuses from
+    // the same FULL OUTER JOIN on the document key
+    "dataset_diff" ->
+      s"""WITH t AS (SELECT doc_id, text,
+         |    ${hx60("md5('snap:' || CAST(doc_id AS VARCHAR))")} % 4 AS b
+         |  FROM documents WHERE text IS NOT NULL),
+         |a AS (SELECT doc_id, md5(text) AS a_md5 FROM t WHERE b < 3),
+         |bs AS (SELECT doc_id,
+         |    md5(CASE WHEN b = 2 THEN text || ' [v2]' ELSE text END) AS b_md5
+         |  FROM t WHERE b >= 1)
+         |SELECT COALESCE(a.doc_id, bs.doc_id) AS doc_id,
+         |  CASE WHEN a.doc_id IS NULL THEN 'added'
+         |       WHEN bs.doc_id IS NULL THEN 'removed'
+         |       WHEN a.a_md5 <> bs.b_md5 THEN 'changed'
+         |       ELSE 'unchanged' END AS status,
+         |  a_md5, b_md5
+         |FROM a FULL OUTER JOIN bs ON a.doc_id = bs.doc_id
+         |ORDER BY doc_id""".stripMargin,
+    // the layout replay is the SHARED ffd prefix (the audit must answer
+    // against the artifact pack_sequences_layout ships); the delete
+    // list is the same md5 predicate, the rollup keeps only
+    // contaminated bins
+    "forget_docs_audit" ->
+      s"""WITH RECURSIVE $ffdLayoutCtes,
+         |f AS (SELECT shard_id, bin_id, doc_id, n,
+         |    CASE WHEN ${hx60("md5('forget:' || CAST(doc_id AS VARCHAR))")} % 200 = 0
+         |      THEN 1 ELSE 0 END AS is_forget
+         |  FROM lay)
+         |SELECT shard_id, bin_id, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(is_forget) AS BIGINT) AS n_forget,
+         |  CAST(COALESCE(sum(CASE WHEN is_forget = 1 THEN n END), 0) AS BIGINT) AS forget_tokens,
+         |  string_agg(CASE WHEN is_forget = 1 THEN CAST(doc_id AS VARCHAR) END, ','
+         |    ORDER BY doc_id) AS forget_ids
+         |FROM f GROUP BY shard_id, bin_id
+         |HAVING sum(is_forget) > 0
+         |ORDER BY shard_id, bin_id""".stripMargin,
+    // epoch-salted md5 keys, shard + rank + both position-weighted
+    // checksums replayed; the resume checksum re-bases at n/2
+    "epoch_order_resume" ->
+      s"""WITH e AS (SELECT doc_id, CAST(epoch AS INT) AS epoch,
+         |    md5('epoch' || CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)) AS k
+         |  FROM documents, unnest([0, 1]) t(epoch)),
+         |s AS (SELECT doc_id, epoch, k,
+         |    CAST(${hx60("k")} % 8 AS INT) AS shard_id,
+         |    ${hx60("md5(CAST(doc_id AS VARCHAR))")} % 1000003 AS h
+         |  FROM e),
+         |p AS (SELECT *,
+         |    CAST(row_number() OVER (PARTITION BY epoch, shard_id ORDER BY k, doc_id) AS BIGINT) AS pos,
+         |    CAST(count(*) OVER (PARTITION BY epoch, shard_id) // 2 AS BIGINT) AS half
+         |  FROM s)
+         |SELECT epoch, shard_id, CAST(count(*) AS BIGINT) AS n_docs,
+         |  arg_min(doc_id, pos) AS first_doc, arg_max(doc_id, pos) AS last_doc,
+         |  CAST(sum(pos * h) AS BIGINT) AS order_sig,
+         |  CAST(COALESCE(sum(CASE WHEN pos > half THEN (pos - half) * h END), 0) AS BIGINT) AS resume_sig
+         |FROM p GROUP BY epoch, shard_id
+         |ORDER BY epoch, shard_id""".stripMargin,
     // the artifact path must change nothing: shared oracle (the
     // bpe_artifact_roundtrip convention); the bit-for-bit
     // reconstruction is additionally require()-enforced in-query
@@ -6289,32 +6539,7 @@ object LlmQueries {
     // `lay` and `b` are each consumed twice, so MATERIALIZED (the
     // BpeOracle CTE-inlining lesson)
     "pack_sequences_layout" ->
-      s"""WITH RECURSIVE d AS (SELECT doc_id,
-         |    CAST(len(regexp_split_to_array(text, ' +')) AS BIGINT) AS n,
-         |    CAST(${hx60("md5(CAST(doc_id AS VARCHAR))")} % 8 AS INT) AS shard_id,
-         |    row_number() OVER (PARTITION BY CAST(${hx60("md5(CAST(doc_id AS VARCHAR))")} % 8 AS INT)
-         |      ORDER BY len(regexp_split_to_array(text, ' +')) DESC, doc_id) AS rn
-         |  FROM documents),
-         |ffd AS (
-         |  SELECT shard_id, 0::BIGINT AS rn, NULL::BIGINT AS doc_id, NULL::BIGINT AS n,
-         |    NULL::BIGINT AS bin_id, []::BIGINT[] AS rem
-         |  FROM (SELECT DISTINCT shard_id FROM d)
-         |  UNION ALL
-         |  SELECT shard_id, rn, doc_id, n,
-         |    CASE WHEN fit IS NULL THEN len(rem0) ELSE fit - 1 END AS bin_id,
-         |    CASE WHEN fit IS NULL THEN list_append(rem0, 2048 - n)
-         |         ELSE list_transform(range(1, len(rem0) + 1),
-         |                i -> CASE WHEN i = fit THEN rem0[i] - n ELSE rem0[i] END)
-         |    END AS rem
-         |  FROM (
-         |    SELECT d.shard_id, d.rn, d.doc_id, d.n, f.rem AS rem0,
-         |      NULLIF(list_position(list_transform(f.rem, x -> x >= d.n), true), 0) AS fit
-         |    FROM ffd f JOIN d ON d.shard_id = f.shard_id AND d.rn = f.rn + 1) s),
-         |lay AS MATERIALIZED (SELECT shard_id, bin_id, doc_id, n, rn,
-         |    CAST(row_number() OVER (PARTITION BY shard_id, bin_id ORDER BY rn) - 1 AS BIGINT) AS s,
-         |    CAST(COALESCE(sum(n) OVER (PARTITION BY shard_id, bin_id ORDER BY rn
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
-         |  FROM ffd WHERE rn > 0),
+      s"""WITH RECURSIVE $ffdLayoutCtes,
          |b AS MATERIALIZED (SELECT shard_id, bin_id,
          |    CAST(count(*) AS BIGINT) AS n_docs,
          |    CAST(sum(n) AS BIGINT) AS used_tokens,

@@ -1,0 +1,160 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Round-19 governance / post-training prep gates: plain-Scala replays
+  * of reward-model pair extraction (rm_pairs_from_n), the snapshot diff
+  * (dataset_diff), delete-request propagation through the packed-window
+  * artifact (forget_docs_audit), and the deterministic resumable epoch
+  * ordering (epoch_order_resume). */
+class GovernancePrepSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+  private def h60(s: String): Long = java.lang.Long.parseLong(md5hex(s).take(15), 16)
+
+  private def norm(s: String): Array[String] =
+    s.toLowerCase.replaceAll("[.,;:!?]", "").replaceAll(" +", " ").trim
+      .split(" ", -1).filter(_.nonEmpty)
+
+  private def reward(c: Seq[String]): Long =
+    c.zipWithIndex.map { case (w, i) => h60(s"rm:$w:${i + 1}") % 1000 }.sum
+
+  private def cands(text: String): Seq[(Int, Long, Seq[String])] = {
+    val ws = norm(text)
+    val rw = ws.drop(ws.length / 3).toSeq
+    (0 until 4).map { j =>
+      val jm = if (rw.isEmpty) 0 else j % rw.length
+      val c = rw.drop(jm) ++ rw.take(jm)
+      (j, reward(c), c)
+    }
+  }
+
+  private lazy val texts: Map[Long, String] =
+    Tables(spark, TestSpark.sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .filter(!_.isNullAt(1)).map(r => r.getLong(0) -> r.getString(1)).toMap
+
+  test("rm_pairs_from_n: (best, worst) with opposite tie-breaks, margin-0 pairs dropped") {
+    val got = LlmQueries.rmPairsFromN(spark, TestSpark.sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getString(6), r.getString(7)))).toMap
+    var expected = 0
+    texts.foreach { case (id, text) =>
+      val cs = cands(text)
+      val (bj, br, bc) = cs.minBy { case (j, r, _) => (-r, j) }
+      val (wj, wr, wc) = cs.minBy { case (j, r, _) => (r, -j) }
+      if (br - wr > 0) {
+        expected += 1
+        val (gbj, gwj, gbr, gwr, gm, gbmd5, gwmd5) = got(id)
+        assert((gbj, gwj, gbr, gwr, gm) === ((bj, wj, br, wr, br - wr)), s"doc $id pair")
+        assert(gbmd5 === md5hex(bc.mkString(" ")) && gwmd5 === md5hex(wc.mkString(" ")),
+          s"doc $id pair texts")
+      } else assert(!got.contains(id), s"doc $id margin-0 pair must be dropped")
+    }
+    assert(got.size === expected)
+  }
+
+  test("rm_pairs_from_n: shares the selection contract with best_of_n_select") {
+    val best = LlmQueries.bestOfNSelect(spark, TestSpark.sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    LlmQueries.rmPairsFromN(spark, TestSpark.sfDir).collect().foreach { r =>
+      assert(best(r.getLong(0)) === ((r.getInt(1), r.getLong(3))),
+        s"doc ${r.getLong(0)}: pair extraction must pick the same best candidate")
+    }
+  }
+
+  test("rm_pairs_from_n: a fully-tied candidate field (1-word response) emits no pair") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("rmp").toString
+    Seq((1L, "aa")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    assert(LlmQueries.rmPairsFromN(spark, tmp).count() === 0L)
+  }
+
+  test("dataset_diff: statuses replay from the md5 bucket and all four are populated") {
+    val got = LlmQueries.datasetDiff(spark, TestSpark.sfDir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val exp = texts.keys.map { id =>
+      id -> ((h60(s"snap:$id") % 4) match {
+        case 3 => "added"
+        case 0 => "removed"
+        case 2 => "changed" // the simulated ' [v2]' edit always changes the hash
+        case _ => "unchanged"
+      })
+    }.toMap
+    assert(got === exp)
+    assert(got.values.toSet === Set("added", "removed", "changed", "unchanged"))
+  }
+
+  test("forget_docs_audit: exactly the hash-selected docs, each in one bin, tokens accounted") {
+    val rows = LlmQueries.forgetDocsAudit(spark, TestSpark.sfDir).collect()
+    val forgetIds = texts.keys.filter(id => h60(s"forget:$id") % 200 == 0).toSet
+    assert(forgetIds.nonEmpty, "fixture must plant at least one delete request")
+    val emitted = rows.flatMap(_.getString(5).split(",")).map(_.toLong)
+    assert(emitted.toSet === forgetIds, "every delete request lands in exactly the audit")
+    assert(emitted.length === forgetIds.size, "a forget doc must appear in ONE bin")
+    rows.foreach { r =>
+      assert(r.getLong(3) === r.getString(5).split(",").length.toLong,
+        s"bin ${r.getInt(0)}/${r.getLong(1)}: n_forget vs ids")
+      assert(r.getLong(3) <= r.getLong(2), "forget members bounded by bin membership")
+    }
+    val gotTokens = rows.map(_.getLong(4)).sum
+    val expTokens = forgetIds.toSeq.map(id => texts(id).split(" +").length.toLong).sum
+    assert(gotTokens === expTokens, "forget_tokens must sum the members' token counts")
+  }
+
+  test("epoch_order_resume: full plain-Scala replay; epochs permute independently") {
+    val got = LlmQueries.epochOrderResume(spark, TestSpark.sfDir).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    val ids = Tables(spark, TestSpark.sfDir, "documents")
+      .select("doc_id").collect().map(_.getLong(0))
+    val exp = (for { e <- Seq(0, 1); id <- ids } yield {
+      val k = md5hex(s"epoch$e:$id")
+      (e, (java.lang.Long.parseLong(k.take(15), 16) % 8).toInt, k, id)
+    }).groupBy { case (e, sh, _, _) => (e, sh) }.map { case (key, members) =>
+      val ordered = members.sortBy { case (_, _, k, id) => (k, id) }
+      val n = ordered.size.toLong
+      val half = n / 2
+      val sigs = ordered.zipWithIndex.map { case ((_, _, _, id), i) =>
+        val pos = i + 1L
+        val h = h60(id.toString) % 1000003L
+        (pos * h, if (pos > half) (pos - half) * h else 0L)
+      }
+      key -> ((n, ordered.head._4, ordered.last._4,
+        sigs.map(_._1).sum, sigs.map(_._2).sum))
+    }
+    assert(got === exp)
+    // epoch freshness: the two epochs must not replay the same permutation
+    assert((0 until 8).exists(sh => got((0, sh))._4 != got.get((1, sh)).map(_._4).getOrElse(-1L)),
+      "epoch 0 and epoch 1 order signatures must differ somewhere")
+  }
+
+  test("dataset_diff plan: hashes computed below the join exchanges (shuffle never carries text)") {
+    val df = LlmQueries.datasetDiff(spark, TestSpark.sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("FullOuter"), s"snapshot diff is a full-outer join:\n$plan")
+    // each join input projects (doc_id, md5) BEFORE its exchange — the
+    // exchange rows are 40 bytes, not documents; a plan that shuffles
+    // `text` would show it in the hashpartitioning subtree's Project
+    val joinInputs = plan.split("Exchange hashpartitioning").drop(1)
+    assert(joinInputs.nonEmpty)
+    joinInputs.foreach { seg =>
+      val proj = seg.linesIterator.find(_.contains("Project")).getOrElse("")
+      assert(proj.contains("md5"), s"join input must pre-hash:\n$seg")
+    }
+  }
+
+  test("epoch_order_resume plan: one scan, no self-union (explode fans out the epochs)") {
+    val df = LlmQueries.epochOrderResume(spark, TestSpark.sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Union"), s"epochs must come from one scan:\n$plan")
+    assert("Scan parquet".r.findAllIn(plan).size === 1,
+      s"exactly one corpus scan expected:\n$plan")
+  }
+}
