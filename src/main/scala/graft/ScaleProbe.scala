@@ -297,7 +297,21 @@ object ScaleProbe {
     "media_caption_clusters",
     // two bounded-collect trainings + a vocab-sized broadcast join —
     // the report must stay vocabulary-sized at any corpus scale
-    "vocab_transplant")
+    "vocab_transplant",
+    // round 19g: the same scored narrow map as best_of_n_select with
+    // the opposite-rank pair read — no shuffle at any corpus size
+    "rm_pairs_from_n",
+    // snapshot diff: two pruned scans pre-hashed to 40-byte rows, one
+    // full-outer SMJ — the shuffle must track row COUNT, never text
+    "dataset_diff",
+    // delete propagation: rides the FFD layout's shard shuffle (the
+    // pack_sequences_layout shape) + a scan-side flag; output is only
+    // the contaminated bins
+    "forget_docs_audit",
+    // 2n-row explode + ONE (epoch, shard) exchange with per-shard
+    // sorts — a global-sort plan would blow up here; checksums are
+    // map-side-partial sums
+    "epoch_order_resume")
 
   private def rot(s: String, k: Int): String = s.drop(k % s.length) + s.take(k % s.length)
 

@@ -3569,12 +3569,13 @@ object LlmQueries {
     * and the md5 of the WINNING text — a selector that picks the right
     * j but assembles the wrong candidate hash-fails. One narrow map,
     * no shuffle (the sft_examples profile). */
-  private def bestOfNScored(s: SparkSession, dir: String): DataFrame = {
+  /** The candidate-scoring transform on an arbitrary (doc_id, text)
+    * frame — shared by the batch gates (behind [[bestOfNScored]]'s
+    * spread) and the `stream_rm_pairs` ingest twin (narrow Column
+    * expressions run unchanged on a streaming frame). */
+  private[queries] def bestOfNScoredOn(docs: DataFrame): DataFrame = {
     val N = 4
-    // 4 × |resp| md5s per row — heavy narrow compute; spread before it
-    // or a single-file fixture runs the whole reward pass on one task
-    // (the pack_sequences_bpe trap; 2.5 → ~0.9 s at sf0.1)
-    val base = spreadForCompute(s, dir, Tables(s, dir, "documents"))
+    val base = docs
       .filter(col("text").isNotNull)
       .select(col("doc_id"),
         filter(split(TextAnalysis.normalizeText(col("text")), " "),
@@ -3598,6 +3599,12 @@ object LlmQueries {
           md5(to_binary(array_join(c, " "), lit("utf-8"))).as("cmd5"))
       }).as("cands"))
   }
+
+  private def bestOfNScored(s: SparkSession, dir: String): DataFrame =
+    // 4 × |resp| md5s per row — heavy narrow compute; spread before it
+    // or a single-file fixture runs the whole reward pass on one task
+    // (the pack_sequences_bpe trap; 2.5 → ~0.9 s at sf0.1)
+    bestOfNScoredOn(spreadForCompute(s, dir, Tables(s, dir, "documents")))
 
   val bestOfNSelect: Q = (s, dir) => {
     val scored = bestOfNScored(s, dir)
@@ -3650,11 +3657,21 @@ object LlmQueries {
     * a pair the reward model cannot order carries no training signal,
     * and emitting it would teach the ranker noise — the filter is the
     * operator's point, so the gate pins it. */
-  val rmPairsFromN: Q = (s, dir) => {
-    val scored = bestOfNScored(s, dir)
+  /** The pair read over a scored frame — shared by the batch gate and
+    * the ingest twin (no sort here; streams cannot order).
+    * `inline(array(struct))` is the single-eval barrier (the
+    * [[graft.llm.Similarity]] kmeansAssignWith precedent): with plain
+    * projections the margin filter pushes below the scored projection
+    * and re-inlines the whole reward transform into the predicate —
+    * measured 3× the scoring cost (the pushed plan carried the `rm:`
+    * pipeline three times; 17 s vs best_of_n's ~1 s at sf0.1). A
+    * generator evaluates its child exactly once per row and the filter
+    * stops at its output attributes. */
+  private[queries] def rmPairsProjection(scored: DataFrame): DataFrame =
     scored.select(col("doc_id"),
-        array_max(col("cands")).as("best"),
-        array_min(col("cands")).as("worst"))
+        inline(array(struct(
+          array_max(col("cands")).as("best"),
+          array_min(col("cands")).as("worst")))))
       .select(col("doc_id"),
         col("best").getField("j").as("best_j"),
         col("worst").getField("j").as("worst_j"),
@@ -3664,8 +3681,9 @@ object LlmQueries {
         col("best").getField("cmd5").as("best_md5"),
         col("worst").getField("cmd5").as("worst_md5"))
       .filter(col("margin") > 0)
-      .orderBy("doc_id")
-  }
+
+  val rmPairsFromN: Q = (s, dir) =>
+    rmPairsProjection(bestOfNScored(s, dir)).orderBy("doc_id")
 
   /** DATASET SNAPSHOT DIFF — the data-versioning primitive: two corpus
     * snapshots compared by CONTENT hash into added / removed / changed /

@@ -873,6 +873,56 @@ object StreamingQueries {
     drain(s, name, s.table(name).orderBy("doc_id"))
   }
 
+  /** REWARD-MODEL PAIRS AT INGEST — the fourth stateless prep on the
+    * stream (span corruption, SFT, DPO, now RM pairs): the SAME scored
+    * candidate frame and pair read as the batch gate
+    * ([[LlmQueries.bestOfNScoredOn]] + [[LlmQueries.rmPairsProjection]]
+    * — narrow Column expressions run unchanged on readStream), so the
+    * gate SHARES the batch oracle and any divergence in a reward term,
+    * a tie-break or the margin filter hash-fails. */
+  val streamRmPairs: Q = (s, dir) => withStatePartitions(s, 8) {
+    val schema = Tables(s, dir, "documents").schema
+    val name = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val src = s.readStream.schema(schema).parquet(s"$dir/documents.parquet*")
+    val out = LlmQueries.rmPairsProjection(LlmQueries.bestOfNScoredOn(src))
+    val q = out.writeStream.format("memory").queryName(name).outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    drain(s, name, s.table(name).orderBy("doc_id"))
+  }
+
+  /** STREAMING FORGET — tombstones over dedup state
+    * ([[graft.streaming.StreamingForget]]): the fixture derives an
+    * event log from the documents table — every doc ingests (seq =
+    * 4·id), the `forget_docs_audit` delete list then forgets (4·id+1)
+    * and RE-ingests (4·id+2) its docs — and the stateful door acks
+    * each event (`kept`/`dup`/`forgotten`/`noop`). The re-ingest
+    * passing as `kept` is the property `dropDuplicates` cannot
+    * express: the tombstone really removed the state. Liveness has a
+    * closed form (an ingest after the last forget), so the oracle
+    * replays the whole state machine with two running-max windows. */
+  val streamForgetTombstone: Q = (s, dir) => withStatePartitions(s, 8) {
+    import org.apache.spark.sql.functions._
+    val schema = Tables(s, dir, "documents").schema
+    val name = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val src = s.readStream.schema(schema).parquet(s"$dir/documents.parquet*")
+    val docs = src.filter(col("text").isNotNull).select(
+      graft.llm.TextAnalysis.fingerprintMd5(col("text")).as("content_hash"),
+      col("doc_id"),
+      (graft.llm.Sampling.hash60(concat(lit("forget:"), col("doc_id").cast("string")))
+        % 200 === 0).as("f"))
+    val ev = docs.select(col("content_hash"), col("doc_id"),
+      explode(when(col("f"), array(
+          struct(lit(0).as("op"), (col("doc_id") * 4).as("seq")),
+          struct(lit(1).as("op"), (col("doc_id") * 4 + 1).as("seq")),
+          struct(lit(0).as("op"), (col("doc_id") * 4 + 2).as("seq"))))
+        .otherwise(array(struct(lit(0).as("op"), (col("doc_id") * 4).as("seq"))))).as("e"))
+      .select(col("content_hash"), col("e.seq").as("seq"), col("doc_id"), col("e.op").as("op"))
+    val out = graft.streaming.StreamingForget.forgetTombstone(ev)
+    val q = out.writeStream.format("memory").queryName(name).outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    drain(s, name, s.table(name).orderBy("content_hash", "seq"))
+  }
+
   /** SCD2 POINT-IN-TIME enrichment — the versioned-dimension join
     * every ingest ETL needs and [[streamStaticEnrich]] (current-state
     * dim) cannot express: each event joins the dim VERSION that was
@@ -1334,6 +1384,8 @@ object StreamingQueries {
     "stream_span_corruption" -> streamSpanCorruption,
     "stream_sft_examples" -> streamSftExamples,
     "stream_dpo_pairs" -> streamDpoPairs,
+    "stream_rm_pairs" -> streamRmPairs,
+    "stream_forget_tombstone" -> streamForgetTombstone,
     "stream_scd_enrich" -> streamScdEnrich
   )
 
@@ -1360,6 +1412,34 @@ object StreamingQueries {
     // stateless scan-side prep: the batch oracle verbatim
     "stream_sft_examples" -> LlmQueries.oracles("sft_examples"),
     "stream_dpo_pairs" -> LlmQueries.oracles("dpo_pairs"),
+    // the ingest twin shares the batch oracle verbatim — any
+    // batch/stream divergence in a reward term or the margin filter
+    // hash-fails
+    "stream_rm_pairs" -> LlmQueries.oracles("rm_pairs_from_n"),
+    // the full state machine replayed closed-form: live before event e
+    // iff an ingest landed after the last forget before e — two
+    // running-max windows over the derived event log
+    "stream_forget_tombstone" ->
+      s"""WITH docs AS (SELECT doc_id, md5(lower(text)) AS ch,
+         |    (${LlmQueries.hx60("md5('forget:' || CAST(doc_id AS VARCHAR))")} % 200 = 0) AS f
+         |  FROM documents WHERE text IS NOT NULL),
+         |ev AS (
+         |  SELECT ch, doc_id, doc_id * 4 AS seq, 0 AS op FROM docs
+         |  UNION ALL SELECT ch, doc_id, doc_id * 4 + 1, 1 FROM docs WHERE f
+         |  UNION ALL SELECT ch, doc_id, doc_id * 4 + 2, 0 FROM docs WHERE f),
+         |w AS (SELECT *,
+         |    max(CASE WHEN op = 1 THEN seq END) OVER (PARTITION BY ch ORDER BY seq
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lf,
+         |    max(CASE WHEN op = 0 THEN seq END) OVER (PARTITION BY ch ORDER BY seq
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS li
+         |  FROM ev)
+         |SELECT ch AS content_hash, CAST(seq AS BIGINT) AS seq, doc_id,
+         |  CASE WHEN op = 0 THEN
+         |    CASE WHEN li IS NOT NULL AND li > COALESCE(lf, -1) THEN 'dup' ELSE 'kept' END
+         |  ELSE
+         |    CASE WHEN li IS NOT NULL AND li > COALESCE(lf, -1) THEN 'forgotten' ELSE 'noop' END
+         |  END AS action
+         |FROM w ORDER BY content_hash, seq""".stripMargin,
     // batch-invariant by construction: pair (i, j), i < j, emitted iff
     // both band to one bucket, i is among the bucket's first 1000
     // arrivals (the probe-then-add-if-room state cap => a ROW_NUMBER
