@@ -687,6 +687,36 @@ object LlmQueries {
       .select("query_id", "corpus_id", "rank")
   }
 
+  /** DELETE PATH for the persisted IVF index — forget propagated to
+    * RETRIEVAL (the index-side half of the `forget_docs_audit` /
+    * `stream_forget_tombstone` governance story): deleted vectors are
+    * masked at probe time with a broadcast ANTI-JOIN against the
+    * delete list — the FAISS-IDSelector / tombstone-mask pattern — so
+    * the bucketed index file is NEVER rewritten (a rebuild is a
+    * compaction decision, not a compliance prerequisite) and the probe
+    * keeps its zero-Exchange index scan (a broadcast join adds no
+    * repartition; PlanShapeSpec-style pin in AnnForgetSpec). Centroids
+    * stay frozen — deletes never retrain the quantizer. The delete
+    * list is the deterministic ~2% md5 sample (a real list broadcasts
+    * the same way); at sf0.001 it removes query 2's rank-2 neighbor,
+    * so the gate pins that results genuinely re-rank, not just drop.
+    * Same (query_id, corpus_id, rank) surface as the siblings; oracle:
+    * [[sqlAnnIvfWhere]] with the mask on the corpus relation. */
+  val annIvfForget: Q = (s, dir) => {
+    val e = Tables(s, dir, "embeddings")
+    val idxTable = ivfIndexTable(s, dir)
+    val cents = Similarity.ivfCentroids(e, "vec_id", "embedding", 16)
+    val deletes = e.select(col("vec_id").as("corpus_id"))
+      .filter(Sampling.hash60(concat(lit("forget:"), col("corpus_id").cast("string")))
+        % 50 === 0)
+    val live = s.table(idxTable).join(broadcast(deletes), Seq("corpus_id"), "left_anti")
+    val queryCells = Similarity.ivfAssign(
+      e.filter(col("vec_id") < 10), cents, "vec_id", "embedding", "query_id", "qvec", 4, "cell")
+    Similarity.ivfProbe(live, queryCells, k = 5)
+      .orderBy("query_id", "rank")
+      .select("query_id", "corpus_id", "rank")
+  }
+
   /** POST-APPEND IVF HEALTH AUDIT — the re-train trigger signal
     * [[annIvfPersistedAppend]] implies but never reports: after a
     * batch routes through the FROZEN build-time centroids, is the
@@ -4291,6 +4321,7 @@ object LlmQueries {
     "ann_ivf" -> annIvf,
     "ann_ivf_persisted" -> annIvfPersisted,
     "ann_ivf_persisted_append" -> annIvfPersistedAppend,
+    "ann_ivf_forget" -> annIvfForget,
     "ann_ivf_append_audit" -> annIvfAppendAudit,
     "ann_pq" -> annPq,
     "ann_ivf_pq" -> annIvfPq,
@@ -5045,8 +5076,12 @@ object LlmQueries {
   /** Shared by `ann_ivf` (in-plan index) and `ann_ivf_persisted`
     * (bucketed index): layout never changes results, so one oracle
     * serves both and the two can never drift. */
-  private[queries] val sqlAnnIvf: String =
-    """WITH cents AS (
+  /** The IVF probe replay with an optional corpus predicate — `""` is
+    * the plain index; `ann_ivf_forget` passes the delete-list mask
+    * (centroids stay UNFILTERED: the quantizer froze at build time,
+    * deletes never retrain it). */
+  private[queries] def sqlAnnIvfWhere(corpusWhere: String): String =
+    s"""WITH cents AS (
         |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
         |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
         |corpus_assign AS (
@@ -5054,7 +5089,7 @@ object LlmQueries {
         |    SELECT e.vec_id AS corpus_id, c.cid AS cell,
         |      row_number() OVER (PARTITION BY e.vec_id
         |        ORDER BY list_cosine_similarity(e.embedding, c.cvec) DESC, c.cid) AS rk
-        |    FROM embeddings e, cents c) WHERE rk <= 1),
+        |    FROM embeddings e, cents c $corpusWhere) WHERE rk <= 1),
         |query_assign AS (
         |  SELECT query_id, cell FROM (
         |    SELECT e.vec_id AS query_id, c.cid AS cell,
@@ -5074,6 +5109,8 @@ object LlmQueries {
         |  JOIN embeddings ce ON ce.vec_id = cd.corpus_id)
         |SELECT query_id, corpus_id, rank FROM scored WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin
+
+  private[queries] val sqlAnnIvf: String = sqlAnnIvfWhere("")
 
   /** Shared by `encoding_hygiene` (batch) and `stream_encoding_hygiene`
     * (ingest-time, complete mode): the aggregation is batch-invariant,
@@ -5557,6 +5594,10 @@ object LlmQueries {
         |ORDER BY query_id, rank""".stripMargin,
     "ann_ivf" -> sqlAnnIvf,
     "ann_ivf_persisted" -> sqlAnnIvf,
+    // the tombstone mask on the corpus relation only — centroids and
+    // query routing replay UNfiltered (the frozen-quantizer rule)
+    "ann_ivf_forget" -> sqlAnnIvfWhere(
+      s"WHERE NOT (${hx60("md5('forget:' || CAST(e.vec_id AS VARCHAR))")} % 50 = 0)"),
     // one shared assignment CTE feeds all three probe settings: the
     // curve and the index cannot drift apart
     "ann_ivf_recall_curve" ->
