@@ -190,6 +190,52 @@ object StreamingScaleProbe {
       spark.catalog.dropTempView(name)
       rmTree(tmp)
     }
+
+    // ——— state-SHRINK probe: streaming forget tombstones ———
+    // the governance stream's claim: state tracks LIVE fingerprints —
+    // batch 0 ingests the ×m corpus (state = distinct content), batch 1
+    // FORGETS a 10% hash sample (state must DROP by the forgotten
+    // distinct fingerprints — the shrink dropDuplicates state can never
+    // show), batch 2 re-ingests the forgotten content (state returns to
+    // the batch-0 level; the re-ingests read `kept`), batch 3
+    // redelivers batch 0 verbatim (all `dup`, ZERO state growth).
+    println("FORGETSCALE\tmult\tbatch\tinput_rows\tstate_rows\ttrigger_ms\tsteal_s")
+    mults.foreach { m =>
+      val docs = graft.queries.Tables(spark, baseDir, "documents")
+        .select("doc_id", "text").filter(col("text").isNotNull)
+      val all: DataFrame = (0 until m).map { i =>
+        docs.withColumn("doc_id", col("doc_id") + lit(i * KeyOff))
+          .withColumn("text", ScaleProbe.remap(col("text"), i))
+      }.reduce(_ unionAll _)
+      val withFp = all.select(
+        md5(to_binary(lower(col("text")), lit("utf-8"))).as("content_hash"),
+        col("doc_id"),
+        (graft.llm.Sampling.hash60(concat(lit("fscale:"), col("doc_id").cast("string")))
+          % 10 === 0).as("f"))
+      def phase(src: DataFrame, b: Int, opv: Int): DataFrame =
+        src.select(col("content_hash"), (col("doc_id") * 8 + lit(b)).as("seq"),
+          col("doc_id"), lit(opv).as("op"), lit(b).cast("int").as("__b"))
+      val ev = phase(withFp, 0, 0)
+        .unionByName(phase(withFp.filter(col("f")), 1, 1))
+        .unionByName(phase(withFp.filter(col("f")), 2, 0))
+        .unionByName(phase(withFp, 3, 0))
+      val (tmp, schema) = spill4(ev)
+      val name = "graft_fscale_" + m
+      val st0 = stealTicks()
+      val src = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(tmp.getPath + "/*.parquet")
+      val acks = graft.streaming.StreamingForget.forgetTombstone(src.toDF()).toDF()
+      val q = acks.writeStream.format("memory").queryName(name).outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      q.recentProgress.filter(_.numInputRows > 0).zipWithIndex.foreach { case (p, b) =>
+        val stateRows = p.stateOperators.headOption.map(_.numRowsTotal).getOrElse(-1L)
+        val trigMs = Option(p.durationMs.get("triggerExecution")).map(_.toLong).getOrElse(-1L)
+        println(s"FORGETSCALE\t$m\t$b\t${p.numInputRows}\t$stateRows\t$trigMs\t${(stealTicks() - st0) / 100.0}")
+      }
+      spark.catalog.dropTempView(name)
+      rmTree(tmp)
+    }
     spark.stop()
   }
 }

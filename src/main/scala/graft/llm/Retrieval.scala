@@ -123,7 +123,8 @@ object Retrieval {
       bMilli: Int = 750,
       excludeSelf: Boolean = false,
       dlOpt: Option[DataFrame] = None,
-      maxDfPpm: Int = 1000000): DataFrame = {
+      maxDfPpm: Int = 1000000,
+      deletesOpt: Option[DataFrame] = None): DataFrame = {
     require(k > 0, "k must be positive")
     require(k1Milli >= 0 && bMilli >= 0 && bMilli <= 1000,
       s"k1Milli must be >= 0 and bMilli in [0, 1000]; got k1Milli=$k1Milli bMilli=$bMilli")
@@ -156,7 +157,16 @@ object Retrieval {
       if (maxDfPpm >= 1000000) qtermsAll
       else qtermsAll.join(broadcast(idfQ.select("token")), Seq("token"), "left_semi")
 
-    val cand = tf
+    // the DELETE path (`bm25_topk_forget`): deleted docs are masked
+    // from the CANDIDATE postings with a broadcast anti-join — the
+    // tombstone pattern — while df/dl/stats above read the UNmasked
+    // index (Lucene's deleted-docs model: stats stay stale until a
+    // compaction rebuild; a delete is a compliance action, not a
+    // re-scoring of the corpus)
+    val tfCand = deletesOpt
+      .map(d => tf.join(broadcast(d.select("doc_id")), Seq("doc_id"), "left_anti"))
+      .getOrElse(tf)
+    val cand = tfCand
       .join(broadcast(qterms), "token") // corpus side: no shuffle for the probe
       .join(broadcast(idfQ), "token")
       .join(dl, "doc_id")

@@ -1996,6 +1996,36 @@ object LlmQueries {
       .orderBy("query_id", "doc_id")
   }
 
+  /** DELETE PATH for the persisted BM25 index — `ann_ivf_forget`'s
+    * lexical twin, completing forget propagation across BOTH persisted
+    * retrieval families: deleted docs are masked from the CANDIDATE
+    * postings with a broadcast anti-join (the Lucene deleted-docs
+    * model — df/dl/avgdl stats stay STALE until a compaction rebuild;
+    * a delete is a compliance action, not a corpus re-scoring), so the
+    * bucketed tf table is never rewritten and the probe keeps its
+    * zero-Exchange token scan. SAME delete list as `ann_ivf_forget` /
+    * `forget_docs_audit` (one legal request, three surfaces). At
+    * sf0.001 the list removes doc 436 from queries 2 and 4's top-10,
+    * so the gate pins genuine re-ranking under stale stats. */
+  val bm25TopkForget: Q = (s, dir) => {
+    val docs = bm25Docs(s, dir)
+    val Seq(tfT, dlT) = BucketCache.tables(s, s"bm25_index:$dir", { (tag, tmp) =>
+      val tf = Retrieval.buildTfIndex(docs, "doc_id", "text").localCheckpoint(false)
+      tf.write.bucketBy(8, "token").sortBy("token")
+        .option("path", s"$tmp/tf").mode("overwrite").saveAsTable(s"graft_bm25_tf_$tag")
+      tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+        .write.option("path", s"$tmp/dl").mode("overwrite").saveAsTable(s"graft_bm25_dl_$tag")
+      Seq(s"graft_bm25_tf_$tag", s"graft_bm25_dl_$tag")
+    })
+    val deletes = Tables(s, dir, "documents").select("doc_id")
+      .filter(Sampling.hash60(concat(lit("forget:"), col("doc_id").cast("string")))
+        % 50 === 0)
+    Retrieval.bm25FromIndex(s.table(tfT), docs.filter(col("doc_id") < 5),
+        "doc_id", "text", k = 10, excludeSelf = true, dlOpt = Some(s.table(dlT)),
+        deletesOpt = Some(deletes))
+      .orderBy("query_id", "doc_id")
+  }
+
   /** INCREMENTAL maintenance of the persisted BM25 index — the day-2
     * operation [[bm25TopkPersisted]] implies, completing the
     * persisted-index family (`dedup_incremental_bucketed`,
@@ -4413,6 +4443,7 @@ object LlmQueries {
     "inverted_index" -> invertedIndex,
     "bm25_topk" -> bm25Topk,
     "bm25_topk_persisted" -> bm25TopkPersisted,
+    "bm25_topk_forget" -> bm25TopkForget,
     "bm25_topk_incremental" -> bm25TopkIncremental,
     "bm25_topk_maxdf" -> bm25TopkMaxdf,
     "hybrid_rerank" -> hybridRerank,
@@ -5025,7 +5056,7 @@ object LlmQueries {
     *
     * The block opens with the [[bm25Docs]] marker enrichment (`bmdocs`)
     * — see that scaladoc for why the raw fixture scores all-zero. */
-  private def sqlBm25CtesWith(maxDfPpm: Long): String =
+  private def sqlBm25CtesWith(maxDfPpm: Long, candWhere: String = ""): String =
     s"""bmdocs AS (SELECT doc_id, text || ' tag' || CAST(doc_id % 97 AS VARCHAR) ||
       |    CASE WHEN doc_id % 2 = 0 THEN ' even_mark' ELSE ' odd_mark' END AS text
       |  FROM documents),
@@ -5044,7 +5075,7 @@ object LlmQueries {
       |  FROM tf JOIN qt USING (token) JOIN idf USING (token)
       |  JOIN dl ON tf.doc_id = dl.doc_id, st
       |  WHERE qt.query_id <> tf.doc_id
-      |    AND idf.df * 1000000 <= $maxDfPpm * st.n_docs),
+      |    AND idf.df * 1000000 <= $maxDfPpm * st.n_docs$candWhere),
       |s1 AS (SELECT query_id, doc_id, idf2, tf,
       |    tf * 1000 + (1200 * ((1000 - 750)
       |      + (750 * ((dl * 1000000) // avgdl_milli)) // 1000)) // 1000 AS denom_milli
@@ -6799,6 +6830,15 @@ object LlmQueries {
     // the persisted-index deployment is a LAYOUT variant: same result
     // by construction, same oracle SQL (the shared-oracle rule)
     "bm25_topk_persisted" -> sqlBm25TopK,
+    // the tombstone mask on the candidate postings ONLY — tf/dl/st/idf
+    // CTEs replay UNmasked (the stale-stats contract)
+    "bm25_topk_forget" ->
+      s"""WITH ${sqlBm25CtesWith(1000000L,
+             s"\n      |    AND NOT (${hx60("md5('forget:' || CAST(tf.doc_id AS VARCHAR))")} % 50 = 0)")}
+        |SELECT query_id, doc_id, score_micro FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score_micro DESC, doc_id) AS rk FROM sc)
+        |WHERE rk <= 10 ORDER BY query_id, doc_id""".stripMargin,
     // the appended index equals the from-scratch index (doc-disjoint
     // batches, per-(doc,token) rows): same oracle, drift impossible
     "bm25_topk_incremental" -> sqlBm25TopK,
