@@ -3807,6 +3807,49 @@ object LlmQueries {
       .orderBy("shard_id", "bin_id")
   }
 
+  /** FORGET REBUILD PLAN — the compaction that makes tombstones
+    * permanent, closing the governance loop (`forget_docs_audit` finds
+    * the contaminated windows → `stream_forget_tombstone` /
+    * `*_forget` mask live surfaces → THIS emits the new layout):
+    * survivors of contaminated bins repack through the SAME per-shard
+    * FFD ([[TextAnalysis.packedWindowLayout]] again, W=2048), so the
+    * rebuild touches ONLY the bins a delete actually hit — clean bins'
+    * files are never rewritten (at 100 TB that is the difference
+    * between a surgical compaction and re-packing the corpus).
+    * Contamination is a max-over-(shard, bin) window riding the
+    * layout's existing shard partitioning (hashpartitioning(shard) is
+    * a subset of the window's clustering — no new Exchange); token
+    * counts carry from the first layout, so the text never re-scans.
+    * Oracle: the shared ffd prefix + the contamination rollup + a
+    * SECOND FFD recursion over the survivors. */
+  val forgetRebuildPlan: Q = (s, dir) => {
+    val docs = Tables(s, dir, "documents")
+      .withColumn("shard_id", Sampling.shardAssign(col("doc_id"), 8))
+    val lay = TextAnalysis.packedWindowLayout(docs, Seq("shard_id"), "doc_id",
+      TextAnalysis.tokenCountWs(col("text")).cast("long"), 2048)
+    val flagged = lay.withColumn("is_forget",
+      (Sampling.hash60(concat(lit("forget:"), col("doc_id").cast("string"))) % 200 === 0)
+        .cast("int"))
+    val cw = Window.partitionBy("shard_id", "bin_id")
+    val survivors = flagged
+      .withColumn("contaminated", max("is_forget").over(cw))
+      .filter(col("contaminated") === 1 && col("is_forget") === 0)
+      .select(col("shard_id"), col("doc_id"), col("n_tokens"))
+    val repack = TextAnalysis.packedWindowLayout(
+      survivors, Seq("shard_id"), "doc_id", col("n_tokens"), 2048)
+    repack.groupBy("shard_id", "bin_id").agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("used_tokens"),
+        greatest(lit(2048L) - sum("n_tokens"), lit(0L)).as("pad_tokens"),
+        array_sort(collect_list(struct(col("seq_in_bin").as("s"), col("doc_id").as("id"),
+          col("token_offset").as("off")))).as("ms"))
+      .select(col("shard_id"), col("bin_id"), col("n_docs"),
+        col("used_tokens"), col("pad_tokens"),
+        array_join(transform(col("ms"), m => m.getField("id").cast("string")), ",").as("doc_ids"),
+        array_join(transform(col("ms"), m => m.getField("off").cast("string")), ",").as("offsets"))
+      .orderBy("shard_id", "bin_id")
+  }
+
   /** DETERMINISTIC RESUMABLE EPOCH ORDERING — the dataloader contract a
     * multi-epoch run needs: every epoch is a fresh pseudo-random
     * permutation (epoch-salted md5 key), assignment and order are pure
@@ -4392,6 +4435,7 @@ object LlmQueries {
     "vocab_transplant" -> vocabTransplant,
     "dataset_diff" -> datasetDiff,
     "forget_docs_audit" -> forgetDocsAudit,
+    "forget_rebuild_plan" -> forgetRebuildPlan,
     "epoch_order_resume" -> epochOrderResume,
     "bpe_vocab_bytes" -> bpeVocabBytes,
     "bpe_artifact_roundtrip" -> bpeArtifactRoundtrip,
@@ -6125,6 +6169,48 @@ object LlmQueries {
          |    ORDER BY doc_id) AS forget_ids
          |FROM f GROUP BY shard_id, bin_id
          |HAVING sum(is_forget) > 0
+         |ORDER BY shard_id, bin_id""".stripMargin,
+    // the shared ffd prefix finds the contaminated bins; the SECOND
+    // recursion repacks their survivors per shard — FFD order
+    // (n DESC, doc_id) identical to the first pass
+    "forget_rebuild_plan" ->
+      s"""WITH RECURSIVE $ffdLayoutCtes,
+         |fl AS (SELECT shard_id, bin_id, doc_id, n,
+         |    CASE WHEN ${hx60("md5('forget:' || CAST(doc_id AS VARCHAR))")} % 200 = 0
+         |      THEN 1 ELSE 0 END AS isf
+         |  FROM lay),
+         |cb AS (SELECT shard_id, bin_id FROM fl GROUP BY shard_id, bin_id HAVING max(isf) = 1),
+         |sv AS (SELECT fl.shard_id, fl.doc_id, fl.n,
+         |    row_number() OVER (PARTITION BY fl.shard_id
+         |      ORDER BY fl.n DESC, fl.doc_id) AS rn
+         |  FROM fl JOIN cb ON fl.shard_id = cb.shard_id AND fl.bin_id = cb.bin_id
+         |  WHERE fl.isf = 0),
+         |rffd AS (
+         |  SELECT shard_id, 0::BIGINT AS rn, NULL::BIGINT AS doc_id, NULL::BIGINT AS n,
+         |    NULL::BIGINT AS bin_id, []::BIGINT[] AS rem
+         |  FROM (SELECT DISTINCT shard_id FROM sv)
+         |  UNION ALL
+         |  SELECT shard_id, rn, doc_id, n,
+         |    CASE WHEN fit IS NULL THEN len(rem0) ELSE fit - 1 END AS bin_id,
+         |    CASE WHEN fit IS NULL THEN list_append(rem0, 2048 - n)
+         |         ELSE list_transform(range(1, len(rem0) + 1),
+         |                i -> CASE WHEN i = fit THEN rem0[i] - n ELSE rem0[i] END)
+         |    END AS rem
+         |  FROM (
+         |    SELECT v.shard_id, v.rn, v.doc_id, v.n, f.rem AS rem0,
+         |      NULLIF(list_position(list_transform(f.rem, x -> x >= v.n), true), 0) AS fit
+         |    FROM rffd f JOIN sv v ON v.shard_id = f.shard_id AND v.rn = f.rn + 1) s),
+         |rlay AS (SELECT shard_id, bin_id, doc_id, n, rn,
+         |    CAST(row_number() OVER (PARTITION BY shard_id, bin_id ORDER BY rn) - 1 AS BIGINT) AS s,
+         |    CAST(COALESCE(sum(n) OVER (PARTITION BY shard_id, bin_id ORDER BY rn
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+         |  FROM rffd WHERE rn > 0)
+         |SELECT shard_id, bin_id, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n) AS BIGINT) AS used_tokens,
+         |  greatest(2048 - CAST(sum(n) AS BIGINT), 0) AS pad_tokens,
+         |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY s) AS doc_ids,
+         |  string_agg(CAST(off AS VARCHAR), ',' ORDER BY s) AS offsets
+         |FROM rlay GROUP BY shard_id, bin_id
          |ORDER BY shard_id, bin_id""".stripMargin,
     // epoch-salted md5 keys, shard + rank + both position-weighted
     // checksums replayed; the resume checksum re-bases at n/2

@@ -108,6 +108,51 @@ class GovernancePrepSpec extends AnyFunSuite {
     assert(gotTokens === expTokens, "forget_tokens must sum the members' token counts")
   }
 
+  test("forget_rebuild_plan: plain-Scala FFD replay over exactly the audited bins' survivors") {
+    val audited = LlmQueries.forgetDocsAudit(spark, TestSpark.sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getString(5).split(",").map(_.toLong).toSet)
+      .toMap
+    val lay = graft.llm.TextAnalysis.packedWindowLayout(
+        Tables(spark, TestSpark.sfDir, "documents")
+          .withColumn("shard_id", graft.llm.Sampling.shardAssign(
+            org.apache.spark.sql.functions.col("doc_id"), 8)),
+        Seq("shard_id"), "doc_id",
+        graft.llm.TextAnalysis.tokenCountWs(
+          org.apache.spark.sql.functions.col("text")).cast("long"), 2048)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // survivors = members of audited bins minus the forgotten ids
+    val forgotten = audited.values.flatten.toSet
+    val survivors = lay
+      .filter { case (sh, _, _, bin) => audited.contains((sh, bin)) }
+      .filter { case (_, id, _, _) => !forgotten.contains(id) }
+      .map { case (sh, id, n, _) => (sh, id, n) }
+    // first-fit-decreasing per shard, (n DESC, doc_id ASC)
+    val expected = survivors.groupBy(_._1).map { case (sh, ms) =>
+      val ordered = ms.sortBy { case (_, id, n) => (-n, id) }
+      val bins = scala.collection.mutable.ArrayBuffer.empty[(Long, scala.collection.mutable.ArrayBuffer[(Long, Long)])]
+      ordered.foreach { case (_, id, n) =>
+        bins.indexWhere(_._1 >= n) match {
+          case -1 => bins += ((2048L - n, scala.collection.mutable.ArrayBuffer((id, n))))
+          case i  => val (rem, m) = bins(i); m += ((id, n)); bins(i) = (rem - n, m)
+        }
+      }
+      sh -> bins.zipWithIndex.map { case ((_, m), b) =>
+        (b.toLong, m.map(_._1).mkString(","),
+          m.scanLeft(0L)(_ + _._2).init.mkString(","))
+      }.toSeq
+    }
+    val got = LlmQueries.forgetRebuildPlan(spark, TestSpark.sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> ((r.getString(5), r.getString(6)))).toMap
+    val expFlat = expected.flatMap { case (sh, bs) =>
+      bs.map { case (b, ids, offs) => (sh, b) -> ((ids, offs)) } }.toMap
+    assert(got === expFlat)
+    assert(got.nonEmpty, "fixture must contaminate at least one bin")
+    got.values.foreach { case (ids, _) =>
+      ids.split(",").map(_.toLong).foreach(id =>
+        assert(!forgotten.contains(id), s"forgotten doc $id repacked"))
+    }
+  }
+
   test("epoch_order_resume: full plain-Scala replay; epochs permute independently") {
     val got = LlmQueries.epochOrderResume(spark, TestSpark.sfDir).collect()
       .map(r => (r.getInt(0), r.getInt(1)) ->
