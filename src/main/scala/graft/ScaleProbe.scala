@@ -311,7 +311,16 @@ object ScaleProbe {
     // 2n-row explode + ONE (epoch, shard) exchange with per-shard
     // sorts — a global-sort plan would blow up here; checksums are
     // map-side-partial sums
-    "epoch_order_resume")
+    "epoch_order_resume",
+    // tombstone mask over the persisted IVF index: a broadcast
+    // anti-join adds ZERO shuffles to the zero-Exchange probe
+    "ann_ivf_forget",
+    // the lexical twin: candidates masked, stats stale — rep 1 pays
+    // the index build, the timed min is the masked probe
+    "bm25_topk_forget",
+    // two FFD passes but the second touches ONLY contaminated bins'
+    // survivors — cost must track the first layout, never double it
+    "forget_rebuild_plan")
 
   private def rot(s: String, k: Int): String = s.drop(k % s.length) + s.take(k % s.length)
 

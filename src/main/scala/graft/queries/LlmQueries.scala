@@ -3850,6 +3850,63 @@ object LlmQueries {
       .orderBy("shard_id", "bin_id")
   }
 
+  /** FORGET PIPELINE REPORT — one delete request, every surface, one
+    * compliance artifact: the counts a data-protection officer signs
+    * off on. Each row is (surface, metric, value) aggregated from the
+    * SAME derivations the per-surface gates ship (`forget_docs_audit`,
+    * `forget_rebuild_plan`, the two index masks), so the report cannot
+    * drift from the actions: packed_windows (contaminated bins,
+    * forgotten members + their tokens), rebuild (surviving docs +
+    * tokens that repack), ann_index (masked vectors), bm25_index
+    * (masked docs, postings, tf mass). Every aggregate is a reduction
+    * over an already-bounded frame — the report costs one number per
+    * surface beyond work the pipeline already does. */
+  val forgetPipelineReport: Q = (s, dir) => {
+    val audit = forgetDocsAudit(s, dir)
+    val rebuild = forgetRebuildPlan(s, dir)
+    // each surface audits the list ITS gate masks: %200 on doc ids for
+    // the window surfaces, %50 for the index masks (dense enough that
+    // re-ranking is observable at fixture scale — see the gates); a
+    // production deploy passes ONE id list to all four surfaces
+    val isForget50 = (id: Column) =>
+      Sampling.hash60(concat(lit("forget:"), id.cast("string"))) % 50 === 0
+    def metric(surface: String, name: String, v: Column): Column =
+      struct(lit(surface).as("surface"), lit(name).as("metric"),
+        v.cast("long").as("value"))
+    val windows = audit.agg(
+      count(lit(1)).as("contaminated_bins"),
+      coalesce(sum("n_forget"), lit(0L)).as("forgotten_docs"),
+      coalesce(sum("forget_tokens"), lit(0L)).as("forgotten_tokens"))
+      .select(explode(array(
+        metric("packed_windows", "contaminated_bins", col("contaminated_bins")),
+        metric("packed_windows", "forgotten_docs", col("forgotten_docs")),
+        metric("packed_windows", "forgotten_tokens", col("forgotten_tokens")))).as("r"))
+    val repacked = rebuild.agg(
+      coalesce(sum("n_docs"), lit(0L)).as("surviving_docs"),
+      coalesce(sum("used_tokens"), lit(0L)).as("surviving_tokens"))
+      .select(explode(array(
+        metric("rebuild", "surviving_docs", col("surviving_docs")),
+        metric("rebuild", "surviving_tokens", col("surviving_tokens")))).as("r"))
+    val ann = Tables(s, dir, "embeddings").filter(isForget50(col("vec_id")))
+      .agg(count(lit(1)).as("n"))
+      .select(explode(array(
+        metric("ann_index", "masked_vectors", col("n")))).as("r"))
+    val tf = Retrieval.buildTfIndex(bm25Docs(s, dir), "doc_id", "text")
+      .filter(isForget50(col("doc_id")))
+    val bm25 = tf.agg(
+      countDistinct("doc_id").as("masked_docs"),
+      count(lit(1)).as("masked_postings"),
+      coalesce(sum("tf"), lit(0L)).as("masked_tf"))
+      .select(explode(array(
+        metric("bm25_index", "masked_docs", col("masked_docs")),
+        metric("bm25_index", "masked_postings", col("masked_postings")),
+        metric("bm25_index", "masked_tf", col("masked_tf")))).as("r"))
+    windows.unionByName(repacked).unionByName(ann).unionByName(bm25)
+      .select(col("r.surface").as("surface"), col("r.metric").as("metric"),
+        col("r.value").cast("long").as("value"))
+      .orderBy("surface", "metric")
+  }
+
   /** DETERMINISTIC RESUMABLE EPOCH ORDERING — the dataloader contract a
     * multi-epoch run needs: every epoch is a fresh pseudo-random
     * permutation (epoch-salted md5 key), assignment and order are pure
@@ -4436,6 +4493,7 @@ object LlmQueries {
     "dataset_diff" -> datasetDiff,
     "forget_docs_audit" -> forgetDocsAudit,
     "forget_rebuild_plan" -> forgetRebuildPlan,
+    "forget_pipeline_report" -> forgetPipelineReport,
     "epoch_order_resume" -> epochOrderResume,
     "bpe_vocab_bytes" -> bpeVocabBytes,
     "bpe_artifact_roundtrip" -> bpeArtifactRoundtrip,
@@ -6212,6 +6270,44 @@ object LlmQueries {
          |  string_agg(CAST(off AS VARCHAR), ',' ORDER BY s) AS offsets
          |FROM rlay GROUP BY shard_id, bin_id
          |ORDER BY shard_id, bin_id""".stripMargin,
+    // every surface aggregated from the same replays its gate uses:
+    // ffd prefix + flags for the window surfaces, the bm25 tf chain
+    // for postings, a filtered embeddings count for vectors (unused
+    // CTE branches of the bm25 chain are never executed)
+    "forget_pipeline_report" ->
+      s"""WITH RECURSIVE $ffdLayoutCtes,
+         |fl AS (SELECT shard_id, bin_id, doc_id, n,
+         |    CASE WHEN ${hx60("md5('forget:' || CAST(doc_id AS VARCHAR))")} % 200 = 0
+         |      THEN 1 ELSE 0 END AS isf
+         |  FROM lay),
+         |cb AS (SELECT shard_id, bin_id FROM fl GROUP BY shard_id, bin_id HAVING max(isf) = 1),
+         |$sqlBm25Ctes,
+         |deltf AS (SELECT * FROM tf
+         |  WHERE ${hx60("md5('forget:' || CAST(doc_id AS VARCHAR))")} % 50 = 0)
+         |SELECT 'ann_index' AS surface, 'masked_vectors' AS metric,
+         |    CAST(count(*) AS BIGINT) AS value FROM embeddings
+         |  WHERE ${hx60("md5('forget:' || CAST(vec_id AS VARCHAR))")} % 50 = 0
+         |UNION ALL SELECT 'bm25_index', 'masked_docs',
+         |    CAST(count(DISTINCT doc_id) AS BIGINT) FROM deltf
+         |UNION ALL SELECT 'bm25_index', 'masked_postings',
+         |    CAST(count(*) AS BIGINT) FROM deltf
+         |UNION ALL SELECT 'bm25_index', 'masked_tf',
+         |    CAST(COALESCE(sum(tf), 0) AS BIGINT) FROM deltf
+         |UNION ALL SELECT 'packed_windows', 'contaminated_bins',
+         |    CAST(count(*) AS BIGINT) FROM cb
+         |UNION ALL SELECT 'packed_windows', 'forgotten_docs',
+         |    CAST(count(*) AS BIGINT) FROM fl WHERE isf = 1
+         |UNION ALL SELECT 'packed_windows', 'forgotten_tokens',
+         |    CAST(COALESCE(sum(n), 0) AS BIGINT) FROM fl WHERE isf = 1
+         |UNION ALL SELECT 'rebuild', 'surviving_docs',
+         |    CAST(count(*) AS BIGINT)
+         |  FROM fl JOIN cb ON fl.shard_id = cb.shard_id AND fl.bin_id = cb.bin_id
+         |  WHERE fl.isf = 0
+         |UNION ALL SELECT 'rebuild', 'surviving_tokens',
+         |    CAST(COALESCE(sum(n), 0) AS BIGINT)
+         |  FROM fl JOIN cb ON fl.shard_id = cb.shard_id AND fl.bin_id = cb.bin_id
+         |  WHERE fl.isf = 0
+         |ORDER BY surface, metric""".stripMargin,
     // epoch-salted md5 keys, shard + rank + both position-weighted
     // checksums replayed; the resume checksum re-bases at n/2
     "epoch_order_resume" ->

@@ -153,6 +153,25 @@ class GovernancePrepSpec extends AnyFunSuite {
     }
   }
 
+  test("forget_pipeline_report: every surface's numbers equal its gate's aggregates") {
+    val rep = LlmQueries.forgetPipelineReport(spark, TestSpark.sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(rep.size === 9)
+    val audit = LlmQueries.forgetDocsAudit(spark, TestSpark.sfDir).collect()
+    assert(rep(("packed_windows", "contaminated_bins")) === audit.length.toLong)
+    assert(rep(("packed_windows", "forgotten_docs")) === audit.map(_.getLong(3)).sum)
+    assert(rep(("packed_windows", "forgotten_tokens")) === audit.map(_.getLong(4)).sum)
+    val rebuild = LlmQueries.forgetRebuildPlan(spark, TestSpark.sfDir).collect()
+    assert(rep(("rebuild", "surviving_docs")) === rebuild.map(_.getLong(2)).sum)
+    assert(rep(("rebuild", "surviving_tokens")) === rebuild.map(_.getLong(3)).sum)
+    val dels50 = Tables(spark, TestSpark.sfDir, "embeddings")
+      .select("vec_id").collect().map(_.getLong(0))
+      .count(id => h60(s"forget:$id") % 50 == 0)
+    assert(rep(("ann_index", "masked_vectors")) === dels50.toLong)
+    assert(rep(("bm25_index", "masked_postings")) >= rep(("bm25_index", "masked_docs")))
+    assert(rep(("bm25_index", "masked_tf")) >= rep(("bm25_index", "masked_postings")))
+  }
+
   test("epoch_order_resume: full plain-Scala replay; epochs permute independently") {
     val got = LlmQueries.epochOrderResume(spark, TestSpark.sfDir).collect()
       .map(r => (r.getInt(0), r.getInt(1)) ->
