@@ -320,7 +320,10 @@ object ScaleProbe {
     "bm25_topk_forget",
     // two FFD passes but the second touches ONLY contaminated bins'
     // survivors — cost must track the first layout, never double it
-    "forget_rebuild_plan")
+    "forget_rebuild_plan",
+    // two CDC chunkings + in-row set ops on the changed slice — one
+    // narrow map, no explode, no shuffle at any corpus size
+    "dataset_diff_chunks")
 
   private def rot(s: String, k: Int): String = s.drop(k % s.length) + s.take(k % s.length)
 

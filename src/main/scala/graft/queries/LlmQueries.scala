@@ -3807,6 +3807,50 @@ object LlmQueries {
       .orderBy("shard_id", "bin_id")
   }
 
+  /** CHUNK-LEVEL SNAPSHOT DIFF — what `dataset_diff`'s `changed` rows
+    * actually cost downstream: a changed document does NOT mean
+    * re-embedding the whole document. Both versions CDC-chunk
+    * scan-side ([[graft.functions.HashFunctions.cdcSpans]] — the same
+    * content-defined cuts as `dedup_cdc_chunks`), and per-doc DISTINCT
+    * chunk-hash set ops yield added / removed / kept counts plus
+    * `reuse_ppm` — the share of the new version's chunks whose
+    * embeddings are already on disk. The gate PINS the bounded-ripple
+    * property CDC exists for: the fixture's edit appends to the tail,
+    * so `chunks_removed ≤ 1` and every interior chunk survives —
+    * fixed-width chunking would instead shift every boundary after the
+    * edit and re-embed the document. ONE narrow map over the changed
+    * slice (both chunkings + set ops in-row, no explode, no shuffle);
+    * at 100 TB this is the incremental re-embedding work estimator. */
+  val datasetDiffChunks: Q = (s, dir) => {
+    // O(len) md5s per doc twice over — heavy narrow compute; spread
+    // (the best_of_n_select single-file-fixture lesson)
+    val changed = spreadForCompute(s, dir, Tables(s, dir, "documents"))
+      .filter(col("text").isNotNull)
+      .filter(Sampling.hash60(concat(lit("snap:"), col("doc_id").cast("string"))) % 4 === 2)
+    def chunkHashes(t: Column): Column =
+      array_distinct(transform(
+        graft.functions.HashFunctions.cdcSpans(t, 16, 64),
+        sp => md5(to_binary(
+          t.substr(sp.getField("s").cast("int"),
+            (sp.getField("e") - sp.getField("s") + lit(1)).cast("int")),
+          lit("utf-8")))))
+    changed
+      .select(col("doc_id"), col("text"),
+        concat(col("text"), lit(" [v2]")).as("b_text"))
+      .select(col("doc_id"),
+        chunkHashes(col("text")).as("a_ch"),
+        chunkHashes(col("b_text")).as("b_ch"))
+      .select(col("doc_id"),
+        size(col("a_ch")).cast("long").as("chunks_a"),
+        size(col("b_ch")).cast("long").as("chunks_b"),
+        size(array_except(col("b_ch"), col("a_ch"))).cast("long").as("chunks_added"),
+        size(array_except(col("a_ch"), col("b_ch"))).cast("long").as("chunks_removed"),
+        size(array_intersect(col("a_ch"), col("b_ch"))).cast("long").as("chunks_kept"),
+        expr("CAST(size(array_intersect(a_ch, b_ch)) * 1000000 DIV size(b_ch) AS BIGINT)")
+          .as("reuse_ppm"))
+      .orderBy("doc_id")
+  }
+
   /** FORGET REBUILD PLAN — the compaction that makes tombstones
     * permanent, closing the governance loop (`forget_docs_audit` finds
     * the contaminated windows → `stream_forget_tombstone` /
@@ -4491,6 +4535,7 @@ object LlmQueries {
     "rm_pairs_from_n" -> rmPairsFromN,
     "vocab_transplant" -> vocabTransplant,
     "dataset_diff" -> datasetDiff,
+    "dataset_diff_chunks" -> datasetDiffChunks,
     "forget_docs_audit" -> forgetDocsAudit,
     "forget_rebuild_plan" -> forgetRebuildPlan,
     "forget_pipeline_report" -> forgetPipelineReport,
@@ -6210,6 +6255,36 @@ object LlmQueries {
          |  a_md5, b_md5
          |FROM a FULL OUTER JOIN bs ON a.doc_id = bs.doc_id
          |ORDER BY doc_id""".stripMargin,
+    // both versions through the SAME CDC chain (the dedup_cdc_chunks
+    // CTE builder, two prefixes), distinct per-doc chunk sets, and the
+    // full-outer set diff — chunks_a/b reconstruct as removed+kept /
+    // added+kept
+    "dataset_diff_chunks" ->
+      s"""WITH t AS (SELECT doc_id, text,
+         |    ${hx60("md5('snap:' || CAST(doc_id AS VARCHAR))")} % 4 AS bkt
+         |  FROM documents WHERE text IS NOT NULL),
+         |sa AS (SELECT doc_id, text FROM t WHERE bkt = 2),
+         |sb AS (SELECT doc_id, text || ' [v2]' AS text FROM t WHERE bkt = 2),
+         |${cdcChunkCtes("a", "sa")},
+         |${cdcChunkCtes("b", "sb")},
+         |adist AS (SELECT DISTINCT doc_id, h FROM achunks),
+         |bdist AS (SELECT DISTINCT doc_id, h FROM bchunks),
+         |j AS (SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+         |    CASE WHEN a.h IS NULL THEN 'added'
+         |         WHEN b.h IS NULL THEN 'removed' ELSE 'kept' END AS st
+         |  FROM adist a FULL OUTER JOIN bdist b
+         |    ON a.doc_id = b.doc_id AND a.h = b.h),
+         |cnt AS (SELECT doc_id,
+         |    CAST(sum(CASE WHEN st = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS chunks_added,
+         |    CAST(sum(CASE WHEN st = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS chunks_removed,
+         |    CAST(sum(CASE WHEN st = 'kept' THEN 1 ELSE 0 END) AS BIGINT) AS chunks_kept
+         |  FROM j GROUP BY doc_id)
+         |SELECT doc_id,
+         |  chunks_removed + chunks_kept AS chunks_a,
+         |  chunks_added + chunks_kept AS chunks_b,
+         |  chunks_added, chunks_removed, chunks_kept,
+         |  chunks_kept * 1000000 // (chunks_added + chunks_kept) AS reuse_ppm
+         |FROM cnt ORDER BY doc_id""".stripMargin,
     // the layout replay is the SHARED ffd prefix (the audit must answer
     // against the artifact pack_sequences_layout ships); the delete
     // list is the same md5 predicate, the rollup keeps only

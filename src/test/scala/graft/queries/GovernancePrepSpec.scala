@@ -108,6 +108,33 @@ class GovernancePrepSpec extends AnyFunSuite {
     assert(gotTokens === expTokens, "forget_tokens must sum the members' token counts")
   }
 
+  test("dataset_diff_chunks: bounded ripple — a tail edit never touches an interior chunk") {
+    val rows = LlmQueries.datasetDiffChunks(spark, TestSpark.sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    val changed = texts.keys.count(id => h60(s"snap:$id") % 4 == 2)
+    assert(rows.length === changed, "every changed doc gets a chunk-diff row")
+    rows.foreach { case (id, a, b, added, removed, kept, ppm) =>
+      assert(removed <= 1, s"doc $id: a tail append may invalidate at most the tail chunk")
+      assert(kept >= a - 1, s"doc $id: interior chunks must survive the edit")
+      assert(a === removed + kept && b === added + kept, s"doc $id: set arithmetic")
+      assert(ppm === kept * 1000000L / b, s"doc $id: reuse_ppm")
+      assert(added >= 1, s"doc $id: the [v2] tail must produce at least one new chunk")
+    }
+    // the operator's point: most chunk embeddings are reusable
+    val totKept = rows.map(_._6).sum.toDouble
+    val totB = rows.map(_._3).sum.toDouble
+    assert(totKept / totB > 0.5, f"aggregate reuse ${totKept / totB}%.2f should dominate")
+  }
+
+  test("dataset_diff_chunks plan: one narrow map — no shuffle before the final sort") {
+    val plan = LlmQueries.datasetDiffChunks(spark, TestSpark.sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"chunk diff must be row-local:\n$plan")
+    assert(!plan.contains("Generate"), s"no explode — set ops run in-row:\n$plan")
+  }
+
   test("forget_rebuild_plan: plain-Scala FFD replay over exactly the audited bins' survivors") {
     val audited = LlmQueries.forgetDocsAudit(spark, TestSpark.sfDir).collect()
       .map(r => (r.getInt(0), r.getLong(1)) -> r.getString(5).split(",").map(_.toLong).toSet)
