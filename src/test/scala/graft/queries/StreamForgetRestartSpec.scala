@@ -72,4 +72,14 @@ class StreamForgetRestartSpec extends AnyFunSuite {
       ("h1", 4L, 99L, "kept"),
       ("h2", 5L, 100L, "dup")))
   }
+
+  test("state envelope: a future version refuses to decode loudly (the BucketState rule)") {
+    import graft.streaming.StreamingForget.FpState
+    val roundtrip = FpState.decode(FpState.encode(42L))
+    assert(roundtrip === 42L)
+    val e = intercept[IllegalStateException] {
+      FpState.decode(FpState(FpState.CurrentVersion + 1, Array.fill[Byte](8)(0)))
+    }
+    assert(e.getMessage.contains(s"version ${FpState.CurrentVersion + 1}"))
+  }
 }
