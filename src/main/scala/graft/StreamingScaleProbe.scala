@@ -208,7 +208,9 @@ object StreamingScaleProbe {
           .withColumn("text", ScaleProbe.remap(col("text"), i))
       }.reduce(_ unionAll _)
       val withFp = all.select(
-        md5(to_binary(lower(col("text")), lit("utf-8"))).as("content_hash"),
+        // the gate's own fingerprint helper — the probe must key state
+        // exactly as stream_forget_tombstone does
+        graft.llm.TextAnalysis.fingerprintMd5(col("text")).as("content_hash"),
         col("doc_id"),
         (graft.llm.Sampling.hash60(concat(lit("fscale:"), col("doc_id").cast("string")))
           % 10 === 0).as("f"))

@@ -1981,7 +1981,12 @@ object LlmQueries {
     * df aggregation runs with ZERO Exchange on the bucketed scan
     * (PlanShapeSpec pins both). Identical results to `bm25_topk` by
     * construction — the shared oracle SQL makes divergence impossible. */
-  val bm25TopkPersisted: Q = (s, dir) => {
+  /** The persisted BM25 (tf, dl) bucketed tables — built once per dir
+    * and shared by the persisted probe, the delete path and the
+    * compliance report (one layout investment; a second builder copy
+    * under the same cache key would let session run ORDER decide which
+    * code defines the index). */
+  private[queries] def bm25IndexTables(s: SparkSession, dir: String): (String, String) = {
     val docs = bm25Docs(s, dir)
     val Seq(tfT, dlT) = BucketCache.tables(s, s"bm25_index:$dir", { (tag, tmp) =>
       val tf = Retrieval.buildTfIndex(docs, "doc_id", "text").localCheckpoint(false)
@@ -1991,7 +1996,12 @@ object LlmQueries {
         .write.option("path", s"$tmp/dl").mode("overwrite").saveAsTable(s"graft_bm25_dl_$tag")
       Seq(s"graft_bm25_tf_$tag", s"graft_bm25_dl_$tag")
     })
-    Retrieval.bm25FromIndex(s.table(tfT), docs.filter(col("doc_id") < 5),
+    (tfT, dlT)
+  }
+
+  val bm25TopkPersisted: Q = (s, dir) => {
+    val (tfT, dlT) = bm25IndexTables(s, dir)
+    Retrieval.bm25FromIndex(s.table(tfT), bm25Docs(s, dir).filter(col("doc_id") < 5),
         "doc_id", "text", k = 10, excludeSelf = true, dlOpt = Some(s.table(dlT)))
       .orderBy("query_id", "doc_id")
   }
@@ -2008,19 +2018,11 @@ object LlmQueries {
     * sf0.001 the list removes doc 436 from queries 2 and 4's top-10,
     * so the gate pins genuine re-ranking under stale stats. */
   val bm25TopkForget: Q = (s, dir) => {
-    val docs = bm25Docs(s, dir)
-    val Seq(tfT, dlT) = BucketCache.tables(s, s"bm25_index:$dir", { (tag, tmp) =>
-      val tf = Retrieval.buildTfIndex(docs, "doc_id", "text").localCheckpoint(false)
-      tf.write.bucketBy(8, "token").sortBy("token")
-        .option("path", s"$tmp/tf").mode("overwrite").saveAsTable(s"graft_bm25_tf_$tag")
-      tf.groupBy("doc_id").agg(sum("tf").as("dl"))
-        .write.option("path", s"$tmp/dl").mode("overwrite").saveAsTable(s"graft_bm25_dl_$tag")
-      Seq(s"graft_bm25_tf_$tag", s"graft_bm25_dl_$tag")
-    })
+    val (tfT, dlT) = bm25IndexTables(s, dir)
     val deletes = Tables(s, dir, "documents").select("doc_id")
       .filter(Sampling.hash60(concat(lit("forget:"), col("doc_id").cast("string")))
         % 50 === 0)
-    Retrieval.bm25FromIndex(s.table(tfT), docs.filter(col("doc_id") < 5),
+    Retrieval.bm25FromIndex(s.table(tfT), bm25Docs(s, dir).filter(col("doc_id") < 5),
         "doc_id", "text", k = 10, excludeSelf = true, dlOpt = Some(s.table(dlT)),
         deletesOpt = Some(deletes))
       .orderBy("query_id", "doc_id")
@@ -3789,14 +3791,27 @@ object LlmQueries {
     * the layout's existing shard shuffle with map-side partials, and
     * only CONTAMINATED bins survive to the output — the rebuild work
     * order, not a corpus copy. */
-  val forgetDocsAudit: Q = (s, dir) => {
+  /** The document-side delete list — ONE definition for every surface
+    * that masks it (the audit, the rebuild plan, the report, the
+    * streaming tombstone fixture). The index masks use the denser %50
+    * sibling — see [[bm25TopkForget]] for why. */
+  private[queries] def isForgetDoc(id: Column): Column =
+    Sampling.hash60(concat(lit("forget:"), id.cast("string"))) % 200 === 0
+
+  /** The forget-flagged packed-window layout — one derivation shared
+    * by the audit, the rebuild plan and the compliance report (a drift
+    * here would let the audit and the rebuild disagree about which
+    * windows a delete touched). */
+  private def flaggedLayout(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir, "documents")
       .withColumn("shard_id", Sampling.shardAssign(col("doc_id"), 8))
-    val lay = TextAnalysis.packedWindowLayout(docs, Seq("shard_id"), "doc_id",
-      TextAnalysis.tokenCountWs(col("text")).cast("long"), 2048)
-    val flagged = lay.withColumn("is_forget",
-      (Sampling.hash60(concat(lit("forget:"), col("doc_id").cast("string"))) % 200 === 0)
-        .cast("int"))
+    TextAnalysis.packedWindowLayout(docs, Seq("shard_id"), "doc_id",
+        TextAnalysis.tokenCountWs(col("text")).cast("long"), 2048)
+      .withColumn("is_forget", isForgetDoc(col("doc_id")).cast("int"))
+  }
+
+  /** Contaminated-bin rollup over a flagged layout (no order). */
+  private def auditRollup(flagged: DataFrame): DataFrame =
     flagged.groupBy("shard_id", "bin_id")
       .agg(count(lit(1)).as("n_docs"),
         sum("is_forget").as("n_forget"),
@@ -3804,8 +3819,35 @@ object LlmQueries {
         array_join(array_sort(collect_list(when(col("is_forget") === 1, col("doc_id"))))
           .cast("array<string>"), ",").as("forget_ids"))
       .filter(col("n_forget") > 0)
-      .orderBy("shard_id", "bin_id")
+
+  /** Survivors of contaminated bins (the repack input). Contamination
+    * is a max-over-(shard, bin) window riding the layout's shard
+    * partitioning — no new Exchange. */
+  private def survivorsOf(flagged: DataFrame): DataFrame = {
+    val cw = Window.partitionBy("shard_id", "bin_id")
+    flagged
+      .withColumn("contaminated", max("is_forget").over(cw))
+      .filter(col("contaminated") === 1 && col("is_forget") === 0)
+      .select(col("shard_id"), col("doc_id"), col("n_tokens"))
   }
+
+  /** Second FFD pass + per-bin rollup over the survivors (no order). */
+  private def repackRollup(survivors: DataFrame): DataFrame =
+    TextAnalysis.packedWindowLayout(
+        survivors, Seq("shard_id"), "doc_id", col("n_tokens"), 2048)
+      .groupBy("shard_id", "bin_id").agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("used_tokens"),
+        greatest(lit(2048L) - sum("n_tokens"), lit(0L)).as("pad_tokens"),
+        array_sort(collect_list(struct(col("seq_in_bin").as("s"), col("doc_id").as("id"),
+          col("token_offset").as("off")))).as("ms"))
+      .select(col("shard_id"), col("bin_id"), col("n_docs"),
+        col("used_tokens"), col("pad_tokens"),
+        array_join(transform(col("ms"), m => m.getField("id").cast("string")), ",").as("doc_ids"),
+        array_join(transform(col("ms"), m => m.getField("off").cast("string")), ",").as("offsets"))
+
+  val forgetDocsAudit: Q = (s, dir) =>
+    auditRollup(flaggedLayout(s, dir)).orderBy("shard_id", "bin_id")
 
   /** CHUNK-LEVEL SNAPSHOT DIFF — what `dataset_diff`'s `changed` rows
     * actually cost downstream: a changed document does NOT mean
@@ -3846,7 +3888,9 @@ object LlmQueries {
         size(array_except(col("b_ch"), col("a_ch"))).cast("long").as("chunks_added"),
         size(array_except(col("a_ch"), col("b_ch"))).cast("long").as("chunks_removed"),
         size(array_intersect(col("a_ch"), col("b_ch"))).cast("long").as("chunks_kept"),
-        expr("CAST(size(array_intersect(a_ch, b_ch)) * 1000000 DIV size(b_ch) AS BIGINT)")
+        // the intersect size casts to BIGINT BEFORE the ×1e6: a >70 KB
+        // document has >2147 kept chunks and the int product would wrap
+        expr("CAST(size(array_intersect(a_ch, b_ch)) AS BIGINT) * 1000000 DIV size(b_ch)")
           .as("reuse_ppm"))
       .orderBy("doc_id")
   }
@@ -3866,33 +3910,8 @@ object LlmQueries {
     * counts carry from the first layout, so the text never re-scans.
     * Oracle: the shared ffd prefix + the contamination rollup + a
     * SECOND FFD recursion over the survivors. */
-  val forgetRebuildPlan: Q = (s, dir) => {
-    val docs = Tables(s, dir, "documents")
-      .withColumn("shard_id", Sampling.shardAssign(col("doc_id"), 8))
-    val lay = TextAnalysis.packedWindowLayout(docs, Seq("shard_id"), "doc_id",
-      TextAnalysis.tokenCountWs(col("text")).cast("long"), 2048)
-    val flagged = lay.withColumn("is_forget",
-      (Sampling.hash60(concat(lit("forget:"), col("doc_id").cast("string"))) % 200 === 0)
-        .cast("int"))
-    val cw = Window.partitionBy("shard_id", "bin_id")
-    val survivors = flagged
-      .withColumn("contaminated", max("is_forget").over(cw))
-      .filter(col("contaminated") === 1 && col("is_forget") === 0)
-      .select(col("shard_id"), col("doc_id"), col("n_tokens"))
-    val repack = TextAnalysis.packedWindowLayout(
-      survivors, Seq("shard_id"), "doc_id", col("n_tokens"), 2048)
-    repack.groupBy("shard_id", "bin_id").agg(
-        count(lit(1)).as("n_docs"),
-        sum("n_tokens").as("used_tokens"),
-        greatest(lit(2048L) - sum("n_tokens"), lit(0L)).as("pad_tokens"),
-        array_sort(collect_list(struct(col("seq_in_bin").as("s"), col("doc_id").as("id"),
-          col("token_offset").as("off")))).as("ms"))
-      .select(col("shard_id"), col("bin_id"), col("n_docs"),
-        col("used_tokens"), col("pad_tokens"),
-        array_join(transform(col("ms"), m => m.getField("id").cast("string")), ",").as("doc_ids"),
-        array_join(transform(col("ms"), m => m.getField("off").cast("string")), ",").as("offsets"))
-      .orderBy("shard_id", "bin_id")
-  }
+  val forgetRebuildPlan: Q = (s, dir) =>
+    repackRollup(survivorsOf(flaggedLayout(s, dir))).orderBy("shard_id", "bin_id")
 
   /** FORGET PIPELINE REPORT — one delete request, every surface, one
     * compliance artifact: the counts a data-protection officer signs
@@ -3902,12 +3921,15 @@ object LlmQueries {
     * drift from the actions: packed_windows (contaminated bins,
     * forgotten members + their tokens), rebuild (surviving docs +
     * tokens that repack), ann_index (masked vectors), bm25_index
-    * (masked docs, postings, tf mass). Every aggregate is a reduction
-    * over an already-bounded frame — the report costs one number per
-    * surface beyond work the pipeline already does. */
+    * (masked docs, postings, tf mass). The flagged layout materializes
+    * ONCE (localCheckpoint) and feeds both window surfaces; the BM25
+    * numbers read the PERSISTED bucketed tf table
+    * ([[bm25IndexTables]]), never a re-tokenize — the report's only
+    * inherent extra pass is the rebuild's second FFD. */
   val forgetPipelineReport: Q = (s, dir) => {
-    val audit = forgetDocsAudit(s, dir)
-    val rebuild = forgetRebuildPlan(s, dir)
+    val flagged = flaggedLayout(s, dir).localCheckpoint(false)
+    val audit = auditRollup(flagged)
+    val rebuild = repackRollup(survivorsOf(flagged))
     // each surface audits the list ITS gate masks: %200 on doc ids for
     // the window surfaces, %50 for the index masks (dense enough that
     // re-ranking is observable at fixture scale — see the gates); a
@@ -3935,8 +3957,8 @@ object LlmQueries {
       .agg(count(lit(1)).as("n"))
       .select(explode(array(
         metric("ann_index", "masked_vectors", col("n")))).as("r"))
-    val tf = Retrieval.buildTfIndex(bm25Docs(s, dir), "doc_id", "text")
-      .filter(isForget50(col("doc_id")))
+    val (tfT, _) = bm25IndexTables(s, dir)
+    val tf = s.table(tfT).filter(isForget50(col("doc_id")))
     val bm25 = tf.agg(
       countDistinct("doc_id").as("masked_docs"),
       count(lit(1)).as("masked_postings"),

@@ -908,8 +908,7 @@ object StreamingQueries {
     val docs = src.filter(col("text").isNotNull).select(
       graft.llm.TextAnalysis.fingerprintMd5(col("text")).as("content_hash"),
       col("doc_id"),
-      (graft.llm.Sampling.hash60(concat(lit("forget:"), col("doc_id").cast("string")))
-        % 200 === 0).as("f"))
+      LlmQueries.isForgetDoc(col("doc_id")).as("f"))
     val ev = docs.select(col("content_hash"), col("doc_id"),
       explode(when(col("f"), array(
           struct(lit(0).as("op"), (col("doc_id") * 4).as("seq")),
