@@ -890,6 +890,48 @@ object StreamingQueries {
     drain(s, name, s.table(name).orderBy("doc_id"))
   }
 
+  /** SNAPSHOT DIFF AT INGEST — `dataset_diff`'s streaming half: the
+    * REFERENCE snapshot persists once as a bucketed (doc_id, a_md5)
+    * hash table (32 bytes/doc — the `dedup_incremental_bucketed`
+    * layout investment applied to versioning), and arriving documents
+    * probe it with zero Exchange on the snapshot side, emitting
+    * `added` / `changed` / `unchanged` as they land. `removed` is the
+    * one status a stream cannot emit (absence has no arrival event) —
+    * a deployment closes it with the batch diff at snapshot cut, so
+    * the oracle is the batch diff MINUS its removed rows, verbatim
+    * column-for-column. */
+  val streamDatasetDiff: Q = (s, dir) => withStatePartitions(s, 8) {
+    import org.apache.spark.sql.functions._
+    def bucket(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      graft.llm.Sampling.hash60(concat(lit("snap:"), id.cast("string"))) % 4
+    val Seq(aT) = graft.queries.BucketCache.tables(s, s"diff_snap_a:$dir", { (tag, tmp) =>
+      val name = s"graft_diff_a_$tag"
+      Tables(s, dir, "documents").filter(col("text").isNotNull)
+        .filter(bucket(col("doc_id")) < 3)
+        .select(col("doc_id"), md5(to_binary(col("text"), lit("utf-8"))).as("a_md5"))
+        .write.bucketBy(8, "doc_id").sortBy("doc_id")
+        .option("path", s"$tmp/snapa").mode("overwrite").saveAsTable(name)
+      Seq(name)
+    })
+    val schema = Tables(s, dir, "documents").schema
+    val name = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val src = s.readStream.schema(schema).parquet(s"$dir/documents.parquet*")
+    val arriving = src.filter(col("text").isNotNull)
+      .withColumn("b", bucket(col("doc_id"))).filter(col("b") >= 1)
+      .select(col("doc_id"), md5(to_binary(
+        when(col("b") === 2, concat(col("text"), lit(" [v2]"))).otherwise(col("text")),
+        lit("utf-8"))).as("b_md5"))
+    val out = arriving.join(s.table(aT), Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        when(col("a_md5").isNull, lit("added"))
+          .when(col("a_md5") =!= col("b_md5"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"),
+        col("a_md5"), col("b_md5"))
+    val q = out.writeStream.format("memory").queryName(name).outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    drain(s, name, s.table(name).orderBy("doc_id"))
+  }
+
   /** STREAMING FORGET — tombstones over dedup state
     * ([[graft.streaming.StreamingForget]]): the fixture derives an
     * event log from the documents table — every doc ingests (seq =
@@ -1385,6 +1427,7 @@ object StreamingQueries {
     "stream_dpo_pairs" -> streamDpoPairs,
     "stream_rm_pairs" -> streamRmPairs,
     "stream_forget_tombstone" -> streamForgetTombstone,
+    "stream_dataset_diff" -> streamDatasetDiff,
     "stream_scd_enrich" -> streamScdEnrich
   )
 
@@ -1415,6 +1458,23 @@ object StreamingQueries {
     // batch/stream divergence in a reward term or the margin filter
     // hash-fails
     "stream_rm_pairs" -> LlmQueries.oracles("rm_pairs_from_n"),
+    // the batch diff MINUS its removed rows (absence has no arrival
+    // event on a stream) — otherwise column-for-column identical
+    "stream_dataset_diff" ->
+      s"""WITH t AS (SELECT doc_id, text,
+         |    ${LlmQueries.hx60("md5('snap:' || CAST(doc_id AS VARCHAR))")} % 4 AS b
+         |  FROM documents WHERE text IS NOT NULL),
+         |a AS (SELECT doc_id, md5(text) AS a_md5 FROM t WHERE b < 3),
+         |bs AS (SELECT doc_id,
+         |    md5(CASE WHEN b = 2 THEN text || ' [v2]' ELSE text END) AS b_md5
+         |  FROM t WHERE b >= 1)
+         |SELECT bs.doc_id,
+         |  CASE WHEN a.doc_id IS NULL THEN 'added'
+         |       WHEN a.a_md5 <> bs.b_md5 THEN 'changed'
+         |       ELSE 'unchanged' END AS status,
+         |  a_md5, b_md5
+         |FROM bs LEFT JOIN a ON a.doc_id = bs.doc_id
+         |ORDER BY bs.doc_id""".stripMargin,
     // the full state machine replayed closed-form: live before event e
     // iff an ingest landed after the last forget before e — two
     // running-max windows over the derived event log

@@ -108,6 +108,17 @@ class GovernancePrepSpec extends AnyFunSuite {
     assert(gotTokens === expTokens, "forget_tokens must sum the members' token counts")
   }
 
+  test("stream_dataset_diff equals the batch diff minus its removed rows") {
+    val batch = LlmQueries.datasetDiff(spark, TestSpark.sfDir).collect()
+      .filter(_.getString(1) != "removed")
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getString(3)))).toMap
+    val stream = StreamingQueries.streamDatasetDiff(spark, TestSpark.sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getString(3)))).toMap
+    assert(stream === batch,
+      "ingest-side diff must replay the batch diff for every arriving doc")
+    assert(stream.values.map(_._1).toSet === Set("added", "changed", "unchanged"))
+  }
+
   test("dataset_diff_chunks: bounded ripple — a tail edit never touches an interior chunk") {
     val rows = LlmQueries.datasetDiffChunks(spark, TestSpark.sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
