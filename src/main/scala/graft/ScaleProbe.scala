@@ -323,7 +323,10 @@ object ScaleProbe {
     "forget_rebuild_plan",
     // two CDC chunkings + in-row set ops on the changed slice — one
     // narrow map, no explode, no shuffle at any corpus size
-    "dataset_diff_chunks")
+    "dataset_diff_chunks",
+    // rep 1 pays the one-time bucketed snapshot write; the timed min
+    // is the ingest stream probing it with zero snapshot-side Exchange
+    "stream_dataset_diff")
 
   private def rot(s: String, k: Int): String = s.drop(k % s.length) + s.take(k % s.length)
 
