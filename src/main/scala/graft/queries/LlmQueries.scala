@@ -3668,8 +3668,9 @@ object LlmQueries {
     // (the pack_sequences_bpe trap; 2.5 → ~0.9 s at sf0.1)
     bestOfNScoredOn(spreadForCompute(s, dir, Tables(s, dir, "documents")))
 
-  val bestOfNSelect: Q = (s, dir) => {
-    val scored = bestOfNScored(s, dir)
+  /** The selection read over a scored frame — shared by the batch gate
+    * and the ingest twin (no sort; streams cannot order). */
+  private[queries] def bestOfNProjection(scored: DataFrame): DataFrame =
     scored.select(col("doc_id"),
         array_max(col("cands")).as("best"),
         aggregate(transform(col("cands"), c => c.getField("reward")),
@@ -3679,8 +3680,9 @@ object LlmQueries {
         col("best").getField("reward").as("reward_best"),
         col("reward_sum"),
         col("best").getField("cmd5").as("best_md5"))
-      .orderBy("doc_id")
-  }
+
+  val bestOfNSelect: Q = (s, dir) =>
+    bestOfNProjection(bestOfNScored(s, dir)).orderBy("doc_id")
 
   /** TOKENIZER TRANSPLANT — the vocabulary-migration report every
     * tokenizer swap needs: which pieces of the NEW tokenizer (the

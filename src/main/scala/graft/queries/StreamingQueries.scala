@@ -890,6 +890,22 @@ object StreamingQueries {
     drain(s, name, s.table(name).orderBy("doc_id"))
   }
 
+  /** BEST-OF-N SELECTION AT INGEST — the fifth (and last) stateless
+    * prep at the door: the same scored frame and argmax read as the
+    * batch gate ([[LlmQueries.bestOfNScoredOn]] +
+    * [[LlmQueries.bestOfNProjection]]), sharing the batch oracle —
+    * the prep-at-ingest family now covers span corruption, SFT, DPO,
+    * RM pairs and rejection-sampling selection. */
+  val streamBestOfN: Q = (s, dir) => withStatePartitions(s, 8) {
+    val schema = Tables(s, dir, "documents").schema
+    val name = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val src = s.readStream.schema(schema).parquet(s"$dir/documents.parquet*")
+    val out = LlmQueries.bestOfNProjection(LlmQueries.bestOfNScoredOn(src))
+    val q = out.writeStream.format("memory").queryName(name).outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    drain(s, name, s.table(name).orderBy("doc_id"))
+  }
+
   /** SNAPSHOT DIFF AT INGEST — `dataset_diff`'s streaming half: the
     * REFERENCE snapshot persists once as a bucketed (doc_id, a_md5)
     * hash table (32 bytes/doc — the `dedup_incremental_bucketed`
@@ -1426,6 +1442,7 @@ object StreamingQueries {
     "stream_sft_examples" -> streamSftExamples,
     "stream_dpo_pairs" -> streamDpoPairs,
     "stream_rm_pairs" -> streamRmPairs,
+    "stream_best_of_n" -> streamBestOfN,
     "stream_forget_tombstone" -> streamForgetTombstone,
     "stream_dataset_diff" -> streamDatasetDiff,
     "stream_scd_enrich" -> streamScdEnrich
@@ -1458,6 +1475,7 @@ object StreamingQueries {
     // batch/stream divergence in a reward term or the margin filter
     // hash-fails
     "stream_rm_pairs" -> LlmQueries.oracles("rm_pairs_from_n"),
+    "stream_best_of_n" -> LlmQueries.oracles("best_of_n_select"),
     // the batch diff MINUS its removed rows (absence has no arrival
     // event on a stream) — otherwise column-for-column identical
     "stream_dataset_diff" ->
