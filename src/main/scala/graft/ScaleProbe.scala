@@ -326,7 +326,11 @@ object ScaleProbe {
     "dataset_diff_chunks",
     // rep 1 pays the one-time bucketed snapshot write; the timed min
     // is the ingest stream probing it with zero snapshot-side Exchange
-    "stream_dataset_diff")
+    "stream_dataset_diff",
+    // the checkpointed flagged layout + the rebuild's second FFD + two
+    // persisted-index reads — the report must track the audit's cost,
+    // never re-tokenize the corpus
+    "forget_pipeline_report")
 
   private def rot(s: String, k: Int): String = s.drop(k % s.length) + s.take(k % s.length)
 
