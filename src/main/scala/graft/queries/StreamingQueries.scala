@@ -916,19 +916,50 @@ object StreamingQueries {
     * a deployment closes it with the batch diff at snapshot cut, so
     * the oracle is the batch diff MINUS its removed rows, verbatim
     * column-for-column. */
-  val streamDatasetDiff: Q = (s, dir) => withStatePartitions(s, 8) {
+  private def diffBucket(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
-    def bucket(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      graft.llm.Sampling.hash60(concat(lit("snap:"), id.cast("string"))) % 4
-    val Seq(aT) = graft.queries.BucketCache.tables(s, s"diff_snap_a:$dir", { (tag, tmp) =>
+    graft.llm.Sampling.hash60(concat(lit("snap:"), id.cast("string"))) % 4
+  }
+
+  /** The persisted reference snapshot (doc_id, a_md5) — built once per
+    * dir and shared by the ingest-side diff and the snapshot-cut close
+    * (ONE builder under the cache key; the bm25IndexTables lesson). */
+  private def diffSnapshotTable(s: SparkSession, dir: String): String = {
+    import org.apache.spark.sql.functions._
+    graft.queries.BucketCache.tables(s, s"diff_snap_a:$dir", { (tag, tmp) =>
       val name = s"graft_diff_a_$tag"
       Tables(s, dir, "documents").filter(col("text").isNotNull)
-        .filter(bucket(col("doc_id")) < 3)
+        .filter(diffBucket(col("doc_id")) < 3)
         .select(col("doc_id"), md5(to_binary(col("text"), lit("utf-8"))).as("a_md5"))
         .write.bucketBy(8, "doc_id").sortBy("doc_id")
         .option("path", s"$tmp/snapa").mode("overwrite").saveAsTable(name)
       Seq(name)
-    })
+    }).head
+  }
+
+  /** SNAPSHOT-CUT CLOSE — the `removed` half the ingest stream cannot
+    * emit (absence has no arrival event): at snapshot cut, the
+    * persisted reference table anti-joins the arrived id set — one
+    * bucketed scan and a broadcast-able id probe — and emits the
+    * removed rows in the SAME column shape as the diff, so
+    * `stream_dataset_diff ∪ dataset_diff_close == dataset_diff` row
+    * for row (pinned in GovernancePrepSpec). */
+  val datasetDiffClose: Q = (s, dir) => {
+    import org.apache.spark.sql.functions._
+    val aT = diffSnapshotTable(s, dir)
+    val arrived = Tables(s, dir, "documents").filter(col("text").isNotNull)
+      .filter(diffBucket(col("doc_id")) >= 1).select("doc_id")
+    s.table(aT).join(arrived, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), lit("removed").as("status"),
+        col("a_md5"), lit(null).cast("string").as("b_md5"))
+      .orderBy("doc_id")
+  }
+
+  val streamDatasetDiff: Q = (s, dir) => withStatePartitions(s, 8) {
+    import org.apache.spark.sql.functions._
+    def bucket(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      diffBucket(id)
+    val aT = diffSnapshotTable(s, dir)
     val schema = Tables(s, dir, "documents").schema
     val name = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val src = s.readStream.schema(schema).parquet(s"$dir/documents.parquet*")
@@ -1445,6 +1476,7 @@ object StreamingQueries {
     "stream_best_of_n" -> streamBestOfN,
     "stream_forget_tombstone" -> streamForgetTombstone,
     "stream_dataset_diff" -> streamDatasetDiff,
+    "dataset_diff_close" -> datasetDiffClose,
     "stream_scd_enrich" -> streamScdEnrich
   )
 
@@ -1476,6 +1508,15 @@ object StreamingQueries {
     // hash-fails
     "stream_rm_pairs" -> LlmQueries.oracles("rm_pairs_from_n"),
     "stream_best_of_n" -> LlmQueries.oracles("best_of_n_select"),
+    // the removed rows only — the snapshot-cut close of the ingest
+    // diff; union with stream_dataset_diff reconstructs dataset_diff
+    "dataset_diff_close" ->
+      s"""WITH t AS (SELECT doc_id, text,
+         |    ${LlmQueries.hx60("md5('snap:' || CAST(doc_id AS VARCHAR))")} % 4 AS b
+         |  FROM documents WHERE text IS NOT NULL)
+         |SELECT doc_id, 'removed' AS status, md5(text) AS a_md5,
+         |  CAST(NULL AS VARCHAR) AS b_md5
+         |FROM t WHERE b = 0 ORDER BY doc_id""".stripMargin,
     // the batch diff MINUS its removed rows (absence has no arrival
     // event on a stream) — otherwise column-for-column identical
     "stream_dataset_diff" ->

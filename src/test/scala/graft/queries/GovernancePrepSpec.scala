@@ -119,6 +119,16 @@ class GovernancePrepSpec extends AnyFunSuite {
     assert(stream.values.map(_._1).toSet === Set("added", "changed", "unchanged"))
   }
 
+  test("stream_dataset_diff UNION dataset_diff_close reconstructs the batch diff exactly") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), Option(r.getString(2)), Option(r.getString(3)))))
+    val full = rows(LlmQueries.datasetDiff(spark, TestSpark.sfDir)).toMap
+    val parts = (rows(StreamingQueries.streamDatasetDiff(spark, TestSpark.sfDir)) ++
+      rows(StreamingQueries.datasetDiffClose(spark, TestSpark.sfDir))).toMap
+    assert(parts === full,
+      "the stream plus its snapshot-cut close must equal the batch diff row for row")
+  }
+
   test("dataset_diff_chunks: bounded ripple — a tail edit never touches an interior chunk") {
     val rows = LlmQueries.datasetDiffChunks(spark, TestSpark.sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
