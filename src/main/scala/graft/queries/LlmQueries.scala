@@ -707,8 +707,7 @@ object LlmQueries {
     val idxTable = ivfIndexTable(s, dir)
     val cents = Similarity.ivfCentroids(e, "vec_id", "embedding", 16)
     val deletes = e.select(col("vec_id").as("corpus_id"))
-      .filter(Sampling.hash60(concat(lit("forget:"), col("corpus_id").cast("string")))
-        % 50 === 0)
+      .filter(isForgetDoc50(col("corpus_id")))
     val live = s.table(idxTable).join(broadcast(deletes), Seq("corpus_id"), "left_anti")
     val queryCells = Similarity.ivfAssign(
       e.filter(col("vec_id") < 10), cents, "vec_id", "embedding", "query_id", "qvec", 4, "cell")
@@ -2020,8 +2019,7 @@ object LlmQueries {
   val bm25TopkForget: Q = (s, dir) => {
     val (tfT, dlT) = bm25IndexTables(s, dir)
     val deletes = Tables(s, dir, "documents").select("doc_id")
-      .filter(Sampling.hash60(concat(lit("forget:"), col("doc_id").cast("string")))
-        % 50 === 0)
+      .filter(isForgetDoc50(col("doc_id")))
     Retrieval.bm25FromIndex(s.table(tfT), bm25Docs(s, dir).filter(col("doc_id") < 5),
         "doc_id", "text", k = 10, excludeSelf = true, dlOpt = Some(s.table(dlT)),
         deletesOpt = Some(deletes))
@@ -3800,6 +3798,15 @@ object LlmQueries {
   private[queries] def isForgetDoc(id: Column): Column =
     Sampling.hash60(concat(lit("forget:"), id.cast("string"))) % 200 === 0
 
+  /** The INDEX-side delete list — the denser %50 sibling of
+    * [[isForgetDoc]] (dense enough that re-ranking is observable at
+    * fixture scale — see [[bm25TopkForget]]). ONE definition for every
+    * index mask (IVF, BM25, the media band indexes, the report), the
+    * same anti-drift rule the %200 helper enforces for the window
+    * surfaces. */
+  private[queries] def isForgetDoc50(id: Column): Column =
+    Sampling.hash60(concat(lit("forget:"), id.cast("string"))) % 50 === 0
+
   /** The forget-flagged packed-window layout — one derivation shared
     * by the audit, the rebuild plan and the compliance report (a drift
     * here would let the audit and the rebuild disagree about which
@@ -3933,11 +3940,9 @@ object LlmQueries {
     val audit = auditRollup(flagged)
     val rebuild = repackRollup(survivorsOf(flagged))
     // each surface audits the list ITS gate masks: %200 on doc ids for
-    // the window surfaces, %50 for the index masks (dense enough that
-    // re-ranking is observable at fixture scale — see the gates); a
-    // production deploy passes ONE id list to all four surfaces
-    val isForget50 = (id: Column) =>
-      Sampling.hash60(concat(lit("forget:"), id.cast("string"))) % 50 === 0
+    // the window surfaces ([[isForgetDoc]]), %50 for the index masks
+    // ([[isForgetDoc50]]); a production deploy passes ONE id list to
+    // all surfaces
     def metric(surface: String, name: String, v: Column): Column =
       struct(lit(surface).as("surface"), lit(name).as("metric"),
         v.cast("long").as("value"))
@@ -3955,12 +3960,12 @@ object LlmQueries {
       .select(explode(array(
         metric("rebuild", "surviving_docs", col("surviving_docs")),
         metric("rebuild", "surviving_tokens", col("surviving_tokens")))).as("r"))
-    val ann = Tables(s, dir, "embeddings").filter(isForget50(col("vec_id")))
+    val ann = Tables(s, dir, "embeddings").filter(isForgetDoc50(col("vec_id")))
       .agg(count(lit(1)).as("n"))
       .select(explode(array(
         metric("ann_index", "masked_vectors", col("n")))).as("r"))
     val (tfT, _) = bm25IndexTables(s, dir)
-    val tf = s.table(tfT).filter(isForget50(col("doc_id")))
+    val tf = s.table(tfT).filter(isForgetDoc50(col("doc_id")))
     val bm25 = tf.agg(
       countDistinct("doc_id").as("masked_docs"),
       count(lit(1)).as("masked_postings"),
@@ -3983,12 +3988,21 @@ object LlmQueries {
     * the unread tail. Order lives WITHIN hash shards — at 100 TB there
     * is no global sort, only a row_number per (epoch, shard): one
     * exchange, per-shard local sort. The gate pins the full permutation
-    * via `order_sig` = Σ pos·(hash60(doc_id) mod 1000003) — position-
-    * weighted so ANY transposition changes it, yet map-side-partial
-    * aggregatable — and the restart contract via `resume_sig`, the same
-    * checksum over positions past the half-epoch offset re-based to the
+    * via `order_sig` = (Σ (pos·h mod P)) mod P with h = hash60(doc_id)
+    * mod P, P = 1000003 — position-weighted so ANY transposition
+    * changes it, yet map-side-partial aggregatable, and REDUCED MOD P
+    * PER TERM so the running sum stays ≤ n·P (the unreduced Σ pos·h is
+    * ~n²·P/2 and silently wraps Long past ~6M docs per (epoch, shard)
+    * partition, where DuckDB's HUGEINT sum would diverge — the r19
+    * advice fix; per-term products pos·h wrap only past ~9×10¹² rows
+    * per partition) — and the restart contract via `resume_sig`, the
+    * same checksum over positions past the half-epoch offset re-based to the
     * resume point. Both epochs come from ONE scan (posexplode of the
     * epoch array, not a self-union). */
+  /** The checksum prime shared by every epoch-ordering signature (the
+    * Scala side and the DuckDB replays must reduce identically). */
+  private[queries] val SigP = 1000003L
+
   val epochOrderResume: Q = (s, dir) => {
     val base = Tables(s, dir, "documents").select("doc_id")
       .select(col("doc_id"), explode(array(lit(0), lit(1))).as("epoch"))
@@ -4000,14 +4014,15 @@ object LlmQueries {
     val pos = base
       .withColumn("pos", row_number().over(w).cast("long"))
       .withColumn("half", (count(lit(1)).over(cw) / 2).cast("long"))
-      .withColumn("h", Sampling.hash60(col("doc_id")) % 1000003L)
+      .withColumn("h", Sampling.hash60(col("doc_id")) % SigP)
     pos.groupBy("epoch", "shard_id").agg(
         count(lit(1)).as("n_docs"),
         min(struct(col("pos"), col("doc_id"))).getField("doc_id").as("first_doc"),
         max(struct(col("pos"), col("doc_id"))).getField("doc_id").as("last_doc"),
-        sum(col("pos") * col("h")).as("order_sig"),
-        sum(when(col("pos") > col("half"), (col("pos") - col("half")) * col("h"))
-          .otherwise(lit(0L))).as("resume_sig"))
+        (sum((col("pos") * col("h")) % SigP) % SigP).as("order_sig"),
+        (sum(when(col("pos") > col("half"),
+            ((col("pos") - col("half")) * col("h")) % SigP)
+          .otherwise(lit(0L))) % SigP).as("resume_sig"))
       .orderBy("epoch", "shard_id")
   }
 
@@ -6408,14 +6423,16 @@ object LlmQueries {
          |  WHERE fl.isf = 0
          |ORDER BY surface, metric""".stripMargin,
     // epoch-salted md5 keys, shard + rank + both position-weighted
-    // checksums replayed; the resume checksum re-bases at n/2
+    // checksums replayed; the resume checksum re-bases at n/2; each
+    // term and the final sum reduce mod the shared prime exactly as
+    // the Scala side (the r19 advice overflow fix)
     "epoch_order_resume" ->
       s"""WITH e AS (SELECT doc_id, CAST(epoch AS INT) AS epoch,
          |    md5('epoch' || CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)) AS k
          |  FROM documents, unnest([0, 1]) t(epoch)),
          |s AS (SELECT doc_id, epoch, k,
          |    CAST(${hx60("k")} % 8 AS INT) AS shard_id,
-         |    ${hx60("md5(CAST(doc_id AS VARCHAR))")} % 1000003 AS h
+         |    ${hx60("md5(CAST(doc_id AS VARCHAR))")} % $SigP AS h
          |  FROM e),
          |p AS (SELECT *,
          |    CAST(row_number() OVER (PARTITION BY epoch, shard_id ORDER BY k, doc_id) AS BIGINT) AS pos,
@@ -6423,8 +6440,8 @@ object LlmQueries {
          |  FROM s)
          |SELECT epoch, shard_id, CAST(count(*) AS BIGINT) AS n_docs,
          |  arg_min(doc_id, pos) AS first_doc, arg_max(doc_id, pos) AS last_doc,
-         |  CAST(sum(pos * h) AS BIGINT) AS order_sig,
-         |  CAST(COALESCE(sum(CASE WHEN pos > half THEN (pos - half) * h END), 0) AS BIGINT) AS resume_sig
+         |  CAST(sum((pos * h) % $SigP) % $SigP AS BIGINT) AS order_sig,
+         |  CAST(COALESCE(sum(CASE WHEN pos > half THEN ((pos - half) * h) % $SigP END), 0) % $SigP AS BIGINT) AS resume_sig
          |FROM p GROUP BY epoch, shard_id
          |ORDER BY epoch, shard_id""".stripMargin,
     // the artifact path must change nothing: shared oracle (the

@@ -233,13 +233,14 @@ class GovernancePrepSpec extends AnyFunSuite {
       val ordered = members.sortBy { case (_, _, k, id) => (k, id) }
       val n = ordered.size.toLong
       val half = n / 2
+      val P = 1000003L
       val sigs = ordered.zipWithIndex.map { case ((_, _, _, id), i) =>
         val pos = i + 1L
-        val h = h60(id.toString) % 1000003L
-        (pos * h, if (pos > half) (pos - half) * h else 0L)
+        val h = h60(id.toString) % P
+        (pos * h % P, if (pos > half) (pos - half) * h % P else 0L)
       }
       key -> ((n, ordered.head._4, ordered.last._4,
-        sigs.map(_._1).sum, sigs.map(_._2).sum))
+        sigs.map(_._1).sum % P, sigs.map(_._2).sum % P))
     }
     assert(got === exp)
     // epoch freshness: the two epochs must not replay the same permutation

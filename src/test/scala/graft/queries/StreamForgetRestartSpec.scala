@@ -71,14 +71,30 @@ class StreamForgetRestartSpec extends AnyFunSuite {
       ("h1", 3L, 1L, "forgotten"),
       ("h1", 4L, 99L, "kept"),
       ("h2", 5L, 100L, "dup")))
+
+    // run 3: an at-least-once REDELIVERY across the restart — h2's seq
+    // 5 arrives again in a later trigger. The lastSeq guard (persisted
+    // in the v2 envelope, so it survives the reopened checkpoint) must
+    // read it as stale and leave state untouched: the next fresh event
+    // still sees h2 live.
+    eventFile("c", Seq(("h2", 5L, 100L, 0), ("h2", 6L, 101L, 0)))
+    val third = run()
+    assert(third === Seq(
+      ("h2", 5L, 100L, "stale"),
+      ("h2", 6L, 101L, "dup")))
   }
 
-  test("state envelope: a future version refuses to decode loudly (the BucketState rule)") {
-    import graft.streaming.StreamingForget.FpState
-    val roundtrip = FpState.decode(FpState.encode(42L))
-    assert(roundtrip === 42L)
+  test("state envelope: v1 upgrades, v2 round-trips, a future version refuses loudly") {
+    import graft.streaming.StreamingForget.{Fp, FpState}
+    assert(FpState.decode(FpState.encode(Fp(42L, 7L))) === Fp(42L, 7L))
+    // a v1 checkpoint entry (bare keeper) decodes with the guard off
+    val v1 = {
+      val b = java.nio.ByteBuffer.allocate(8); b.putLong(42L)
+      FpState(1, b.array())
+    }
+    assert(FpState.decode(v1) === Fp(42L, Long.MinValue))
     val e = intercept[IllegalStateException] {
-      FpState.decode(FpState(FpState.CurrentVersion + 1, Array.fill[Byte](8)(0)))
+      FpState.decode(FpState(FpState.CurrentVersion + 1, Array.fill[Byte](16)(0)))
     }
     assert(e.getMessage.contains(s"version ${FpState.CurrentVersion + 1}"))
   }
