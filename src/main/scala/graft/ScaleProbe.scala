@@ -289,6 +289,10 @@ object ScaleProbe {
     // the timed min is the batch dual-signature scan + zero-Exchange
     // composite probe (plan-pinned)
     "media_caption_dedup_incremental",
+    // round 20: the forget twins — the broadcast anti-join mask must
+    // cost nothing over the plain day-2 probes at any corpus scale
+    "media_forget",
+    "media_caption_forget",
     // rejection-sampling prep: rotations + reward rollup + argmax in
     // ONE narrow map — no shuffle at any corpus size
     "best_of_n_select",

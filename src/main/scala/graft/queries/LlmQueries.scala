@@ -1348,8 +1348,11 @@ object LlmQueries {
     * pair: distinct corpus matches passing BOTH verifies and the
     * dup_corpus/new verdict. Every caption word, shingle, remix, band
     * key, pixel, dHash bit and both distances replay in the oracle. */
-  val mediaCaptionDedupIncremental: Q = (s, dir) => {
-    val Seq(idxTable) = BucketCache.tables(s, s"caption_sigs:$dir", { (tag, tmp) =>
+  /** The persisted composite (text band × image band) index — built
+    * once per dir, shared by the day-2 probe, the forget mask and the
+    * compliance report. */
+  private[queries] def captionSigIndexTable(s: SparkSession, dir: String): String =
+    BucketCache.tables(s, s"caption_sigs:$dir", { (tag, tmp) =>
       val name = s"graft_csig_b_$tag"
       Dedup.crossModalBandKeys(
           captionSigFrame(spreadForCompute(s, dir, mediaCorpusParams(s, dir)),
@@ -1360,7 +1363,13 @@ object LlmQueries {
         .write.bucketBy(8, "bucket").sortBy("bucket")
         .option("path", s"$tmp/csig").mode("overwrite").saveAsTable(name)
       Seq(name)
-    })
+    }).head
+
+  /** Shared day-2 cross-modal probe (see [[mediaIncrementalProbe]]'s
+    * mask contract). */
+  private[queries] def captionIncrementalProbe(
+      s: SparkSession, dir: String, mask: Option[String]): DataFrame = {
+    val idxTable = captionSigIndexTable(s, dir)
     // GATE-ONLY bootstrap (see mediaDedupIncremental)
     val off = Tables(s, dir, "documents").agg(max("doc_id")).head.getLong(0) + 1L
     val hb = Sampling.hashBucket256(col("doc_id"))
@@ -1377,8 +1386,10 @@ object LlmQueries {
     val capP = when(hbB < 85, expr(s"CAST((doc_id - $off) DIV 8 AS BIGINT)"))
       .otherwise(expr("CAST(doc_id DIV 8 AS BIGINT)"))
     val batchSigs = captionSigFrame(spreadForCompute(s, dir, batchParams), capP)
+    val idx = mask.map(maskIndex(s, dir, s.table(idxTable), "c_id", _))
+      .getOrElse(s.table(idxTable))
     val hits = Dedup.crossModalBandKeys(batchSigs, "id", "tsig", "isig")
-      .join(s.table(idxTable), Seq("bucket"))
+      .join(idx, Seq("bucket"))
       .filter(Dedup.signatureSimilarity(col("tsig"), col("c_tsig")) >= 0.3 &&
         graft.functions.HashFunctions.hammingBits(col("isig"), col("c_isig"))
           .cast("int") <= 4)
@@ -1390,6 +1401,19 @@ object LlmQueries {
         when(col("n_dups") > 0, lit("dup_corpus")).otherwise(lit("new")).as("status"))
       .orderBy("doc_id")
   }
+
+  val mediaCaptionDedupIncremental: Q = (s, dir) =>
+    captionIncrementalProbe(s, dir, None)
+
+  /** DELETE PATH for the persisted composite (caption × image) index —
+    * [[mediaForget]]'s cross-modal sibling: one broadcast anti-join
+    * masks a forgotten (caption, image) pair's 32 composite band rows
+    * at probe time; the bucketed index is never rewritten, the probe
+    * keeps its zero-Exchange index scan, and a masked pair's
+    * paraphrase re-post drops out of `n_dups` exactly (the deleted-only
+    * inverse probe balances the books — MediaForgetSpec). */
+  val mediaCaptionForget: Q = (s, dir) =>
+    captionIncrementalProbe(s, dir, Some("left_anti"))
 
   /** DATASET CARD — the summary bundle a published dataset ships
     * (the HF dataset-card / Datasheets-for-Datasets numbers), computed
@@ -1523,8 +1547,45 @@ object LlmQueries {
     * images within Hamming ≤ 4 and the `dup_corpus`/`new` status —
     * the first question an image-crawl ingest asks. Every pixel, bit,
     * band, and distance replays in the oracle. */
-  val mediaDedupIncremental: Q = (s, dir) => {
-    val corpus = mediaCorpusParams(s, dir)
+  /** The persisted dHash band index (bucket, c_id, c_sig) — built once
+    * per dir, shared by the day-2 probe, the forget mask and the
+    * compliance report (one builder under the cache key — the
+    * bm25IndexTables lesson). */
+  private[queries] def mediaSigIndexTable(s: SparkSession, dir: String): String =
+    BucketCache.tables(s, s"media_sigs:$dir", { (tag, tmp) =>
+      val name = s"graft_msig_b_$tag"
+      mediaBandKeys(mediaSigsFor(mediaCorpusParams(s, dir)))
+        .select(col("bucket"), col("doc_id").as("c_id"), col("sig").as("c_sig"))
+        .write.bucketBy(8, "bucket").sortBy("bucket")
+        .option("path", s"$tmp/msig").mode("overwrite").saveAsTable(name)
+      Seq(name)
+    }).head
+
+  private def mediaBandKeys(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), col("sig"),
+      explode(array((0 until 4).map(b =>
+        concat_ws(":", lit(b).cast("string"), substring(col("sig"), b * 14 + 1, 14))): _*))
+        .as("bucket"))
+
+  /** The tombstone mask over a persisted index relation — the
+    * ann_ivf_forget pattern verbatim (broadcast anti-join on the
+    * index's id column; the index file is NEVER rewritten; a broadcast
+    * join adds zero exchanges to the zero-Exchange bucketed probe).
+    * `joinType` is "left_anti" for the live view; the MediaForgetSpec
+    * replay inverts it to "left_semi" to read the deleted-only view,
+    * which must account exactly for the live view's losses. */
+  private[queries] def maskIndex(s: SparkSession, dir: String, idx: DataFrame,
+      idCol: String, joinType: String): DataFrame =
+    idx.join(broadcast(Tables(s, dir, "documents")
+        .filter(isForgetDoc50(col("doc_id"))).select(col("doc_id").as(idCol))),
+      Seq(idCol), joinType)
+
+  /** Shared day-2 image probe — the incremental gate (no mask) and the
+    * forget gate (tombstone mask) must read the SAME persisted index
+    * and echo batch, or the two could drift. `mask` = None | Some
+    * ("left_anti") | Some("left_semi"). */
+  private[queries] def mediaIncrementalProbe(
+      s: SparkSession, dir: String, mask: Option[String]): DataFrame = {
     // GATE-ONLY bootstrap: deriving the batch id offset from max(doc_id)
     // is one bounded driver read (a parquet max-statistics scan), but a
     // production ingest gets the offset from its ingest CONTRACT (batch
@@ -1532,19 +1593,7 @@ object LlmQueries {
     // arriving batch. The scan exists here so the synthetic echo batch
     // is reproducible from the fixture alone.
     val off = Tables(s, dir, "documents").agg(max("doc_id")).head.getLong(0) + 1L
-    def bandKeys(df: DataFrame): DataFrame =
-      df.select(col("doc_id"), col("sig"),
-        explode(array((0 until 4).map(b =>
-          concat_ws(":", lit(b).cast("string"), substring(col("sig"), b * 14 + 1, 14))): _*))
-          .as("bucket"))
-    val Seq(idxTable) = BucketCache.tables(s, s"media_sigs:$dir", { (tag, tmp) =>
-      val name = s"graft_msig_b_$tag"
-      bandKeys(mediaSigsFor(corpus))
-        .select(col("bucket"), col("doc_id").as("c_id"), col("sig").as("c_sig"))
-        .write.bucketBy(8, "bucket").sortBy("bucket")
-        .option("path", s"$tmp/msig").mode("overwrite").saveAsTable(name)
-      Seq(name)
-    })
+    val idxTable = mediaSigIndexTable(s, dir)
     // echo rule: hb < 85 re-encodes the ORIGINAL image (same texture
     // cluster, same noise pixel) under a new id; the rest are new
     // textures (their own p DIV 8 — beyond every corpus cluster)
@@ -1558,8 +1607,10 @@ object LlmQueries {
       when(hb < 85, expr("CAST((doc_id DIV 8) % 8 AS BIGINT)"))
         .otherwise(expr(s"CAST(((doc_id + $off) DIV 8) % 8 AS BIGINT)")).as("ny"))
     val batchSigs = mediaSigsFor(batchParams)
-    val hits = bandKeys(batchSigs)
-      .join(s.table(idxTable), Seq("bucket"))
+    val idx = mask.map(maskIndex(s, dir, s.table(idxTable), "c_id", _))
+      .getOrElse(s.table(idxTable))
+    val hits = mediaBandKeys(batchSigs)
+      .join(idx, Seq("bucket"))
       .filter(graft.functions.HashFunctions.hammingBits(col("sig"), col("c_sig"))
         .cast("int") <= 4)
       .groupBy(col("doc_id"))
@@ -1571,6 +1622,24 @@ object LlmQueries {
         when(col("n_dups") > 0, lit("dup_corpus")).otherwise(lit("new")).as("status"))
       .orderBy("doc_id")
   }
+
+  val mediaDedupIncremental: Q = (s, dir) => mediaIncrementalProbe(s, dir, None)
+
+  /** DELETE PATH for the persisted image band index — `ann_ivf_forget`'s
+    * perceptual twin, closing the r19 verdict's top gap: without it the
+    * bucketed dHash index keeps a forgotten image's signature matching
+    * every future ingest, which for a legal delete is precisely wrong.
+    * Deleted corpus images are masked at probe time with a broadcast
+    * anti-join against the [[isForgetDoc50]] list (the FAISS-IDSelector
+    * / Lucene deleted-docs pattern the IVF and BM25 forgets ship): the
+    * index file is never rewritten, the probe keeps its zero-Exchange
+    * bucketed scan (plan-pinned in MediaForgetSpec), and a masked
+    * image's echo re-encode drops out of `n_dups` exactly — the
+    * deleted-only inverse probe accounts for every lost match. Same
+    * output surface as [[mediaDedupIncremental]]; oracle: the shared
+    * replay with the mask predicate on the corpus side of the band
+    * join. */
+  val mediaForget: Q = (s, dir) => mediaIncrementalProbe(s, dir, Some("left_anti"))
 
   /** REAL image decode through the driver gate: a deterministic 24-bit
     * BMP payload is synthesized IN-PLAN for every document (fixed
@@ -3930,7 +3999,11 @@ object LlmQueries {
     * drift from the actions: packed_windows (contaminated bins,
     * forgotten members + their tokens), rebuild (surviving docs +
     * tokens that repack), ann_index (masked vectors), bm25_index
-    * (masked docs, postings, tf mass). The flagged layout materializes
+    * (masked docs, postings, tf mass), media_index / caption_index
+    * (masked members + their persisted band rows — the round-20 forget
+    * gates' surfaces; the oracle states the band fan-out closed-form,
+    * 4 and 32 rows per member, so the report also pins the indexes'
+    * shape). The flagged layout materializes
     * ONCE (localCheckpoint) and feeds both window surfaces; the BM25
     * numbers read the PERSISTED bucketed tf table
     * ([[bm25IndexTables]]), never a re-tokenize — the report's only
@@ -3974,7 +4047,25 @@ object LlmQueries {
         metric("bm25_index", "masked_docs", col("masked_docs")),
         metric("bm25_index", "masked_postings", col("masked_postings")),
         metric("bm25_index", "masked_tf", col("masked_tf")))).as("r"))
+    // the two persisted media band indexes (round-20: the media/caption
+    // forget gates' surfaces) — counts read from the PERSISTED bucketed
+    // tables, never a re-decode, the bm25 discipline
+    val media = s.table(mediaSigIndexTable(s, dir))
+      .filter(isForgetDoc50(col("c_id")))
+      .agg(countDistinct("c_id").as("masked_images"),
+        count(lit(1)).as("masked_band_rows"))
+      .select(explode(array(
+        metric("media_index", "masked_images", col("masked_images")),
+        metric("media_index", "masked_band_rows", col("masked_band_rows")))).as("r"))
+    val caption = s.table(captionSigIndexTable(s, dir))
+      .filter(isForgetDoc50(col("c_id")))
+      .agg(countDistinct("c_id").as("masked_pairs"),
+        count(lit(1)).as("masked_band_rows"))
+      .select(explode(array(
+        metric("caption_index", "masked_pairs", col("masked_pairs")),
+        metric("caption_index", "masked_band_rows", col("masked_band_rows")))).as("r"))
     windows.unionByName(repacked).unionByName(ann).unionByName(bm25)
+      .unionByName(media).unionByName(caption)
       .select(col("r.surface").as("surface"), col("r.metric").as("metric"),
         col("r.value").cast("long").as("value"))
       .orderBy("surface", "metric")
@@ -4653,6 +4744,7 @@ object LlmQueries {
     "media_features" -> mediaFeatures,
     "media_dedup_features" -> mediaDedupFeatures,
     "media_dedup_incremental" -> mediaDedupIncremental,
+    "media_forget" -> mediaForget,
     "media_dedup_clusters" -> mediaDedupClusters,
     "span_corruption" -> spanCorruptionQ,
     "sft_examples" -> sftExamplesQ,
@@ -4675,6 +4767,7 @@ object LlmQueries {
     "media_video_dedup_incremental" -> mediaVideoDedupIncremental,
     "media_caption_dedup" -> mediaCaptionDedup,
     "media_caption_dedup_incremental" -> mediaCaptionDedupIncremental,
+    "media_caption_forget" -> mediaCaptionForget,
     "media_caption_clusters" -> mediaCaptionClusters,
     "media_audio_resample" -> mediaAudioResample,
     "media_stats" -> mediaStats
@@ -5058,6 +5151,119 @@ object LlmQueries {
        |      THEN 1 ELSE 0 END) AS INT) AS hamming
        |  FROM p0, unnest(range(1, 57)) t(j)
        |  GROUP BY id_a, id_b, ta, tb2, ia, ib2)""".stripMargin
+
+  /** The day-2 cross-modal probe replay, parameterized like
+    * [[mediaIncrementalSql]] (`cMask` lands on the corpus side of the
+    * composite-bucket join): corpus ∪ echo-batch (re-posted image +
+    * paraphrased caption) through BOTH signature chains per side, the
+    * composite-bucket join batch×corpus, dual verify, distinct census. */
+  private def captionIncrementalSql(cMask: String): String =
+    s"""WITH offv AS (SELECT max(doc_id) + 1 AS off FROM documents),
+       |hbs AS (SELECT doc_id,
+       |    (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+       |    + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS hb
+       |  FROM documents),
+       |params AS (
+       |  SELECT doc_id, doc_id // 8 AS p, doc_id % 8 AS nx, (doc_id // 8) % 8 AS ny,
+       |    doc_id // 8 AS cp
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT h.doc_id + o.off,
+       |    CASE WHEN hb < 85 THEN h.doc_id // 8 ELSE (h.doc_id + o.off) // 8 END,
+       |    CASE WHEN hb < 85 THEN h.doc_id % 8 ELSE (h.doc_id + o.off) % 8 END,
+       |    CASE WHEN hb < 85 THEN (h.doc_id // 8) % 8 ELSE ((h.doc_id + o.off) // 8) % 8 END,
+       |    CASE WHEN hb < 85 THEN h.doc_id // 8 ELSE (h.doc_id + o.off) // 8 END
+       |  FROM hbs h, offv o),
+       |capdocs AS (SELECT doc_id,
+       |    array_to_string(list_transform(range(0, 32), cwi ->
+       |      CASE WHEN cwi < 30
+       |        THEN 'w' || CAST(${hx60("md5('cap:' || CAST(cp AS VARCHAR) || ':' || CAST(cwi AS VARCHAR))")} % 1000 AS VARCHAR)
+       |        ELSE 'n' || CAST(${hx60("md5('capn:' || CAST(doc_id AS VARCHAR) || ':' || CAST(cwi AS VARCHAR))")} % 1000 AS VARCHAR)
+       |      END), ' ') AS text
+       |  FROM params),
+       |${minhashCtesOver("capdocs")},
+       |px AS (SELECT doc_id, x, y,
+       |    1 + CAST((${hx60("md5('img:' || CAST(p AS VARCHAR) || ':' || CAST(x AS VARCHAR) || ':' || CAST(y AS VARCHAR))")} % 126 +
+       |      CASE WHEN x = nx AND y = ny THEN 63 ELSE 0 END) % 126 AS INT) AS g
+       |  FROM params, unnest(range(0, 8)) tx(x), unnest(range(0, 8)) ty(y)),
+       |ibits AS (SELECT a.doc_id, a.y, a.x, CASE WHEN b.g > a.g THEN '1' ELSE '0' END AS bit
+       |  FROM px a JOIN px b ON b.doc_id = a.doc_id AND b.y = a.y AND b.x = a.x + 1
+       |  WHERE a.x < 7),
+       |isg AS (SELECT doc_id, string_agg(bit, '' ORDER BY y, x) AS isig
+       |  FROM ibits GROUP BY doc_id),
+       |ibands AS (SELECT doc_id, isig, i,
+       |    substr(isig, CAST(i*14 + 1 AS INT), 14) AS ikey
+       |  FROM isg, unnest(range(0, 4)) t(i)),
+       |cb AS MATERIALIZED (SELECT b.doc_id, b.sig AS tsig, ibands.isig,
+       |    b.bucket || ':' || CAST(ibands.i AS VARCHAR) || ':' || ibands.ikey AS cbucket
+       |  FROM bk b JOIN ibands ON ibands.doc_id = b.doc_id),
+       |p0 AS (SELECT DISTINCT b.doc_id AS bid, c.doc_id AS cid,
+       |    b.tsig AS tb2, c.tsig AS tc, b.isig AS ib2, c.isig AS ic
+       |  FROM cb b JOIN cb c ON b.cbucket = c.cbucket, offv o
+       |  WHERE b.doc_id >= o.off AND c.doc_id < o.off $cMask),
+       |pm AS (SELECT bid, cid,
+       |    CAST(len(list_filter(range(1, 33), si -> tb2[si] = tc[si])) AS DOUBLE) / 32 AS est_jaccard,
+       |    CAST(sum(CASE WHEN substr(ib2, CAST(j AS INT), 1) <> substr(ic, CAST(j AS INT), 1)
+       |      THEN 1 ELSE 0 END) AS INT) AS hamming
+       |  FROM p0, unnest(range(1, 57)) t(j)
+       |  GROUP BY bid, cid, tb2, tc, ib2, ic),
+       |hits AS (SELECT bid, CAST(count(DISTINCT cid) AS BIGINT) AS n_dups
+       |  FROM pm WHERE est_jaccard >= 0.3 AND hamming <= 4 GROUP BY bid)
+       |SELECT p.doc_id, COALESCE(h.n_dups, 0) AS n_dups,
+       |  CASE WHEN COALESCE(h.n_dups, 0) > 0 THEN 'dup_corpus' ELSE 'new' END AS status
+       |FROM params p LEFT JOIN hits h ON p.doc_id = h.bid, offv o
+       |WHERE p.doc_id >= o.off ORDER BY p.doc_id""".stripMargin
+
+  /** The day-2 image-dedup probe replay, parameterized by a corpus-side
+    * predicate fragment `cMask` appended to the band join (empty for
+    * `media_dedup_incremental`; the %50 tombstone for `media_forget`) —
+    * one replay source, so the live gate and its forget twin cannot
+    * drift: corpus AND batch pixels stated closed-form (the echo rule
+    * on the original doc ids), signatures, band keys, the bucket join,
+    * Hamming, the distinct-corpus-dup census. */
+  private def mediaIncrementalSql(cMask: String): String =
+    s"""WITH params AS (
+       |  SELECT doc_id, 'c' AS side, doc_id // 8 AS p, doc_id % 8 AS nx,
+       |    (doc_id // 8) % 8 AS ny
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents), 'b',
+       |    CASE WHEN hb < 85 THEN doc_id // 8
+       |      ELSE (doc_id + (SELECT max(doc_id) + 1 FROM documents)) // 8 END,
+       |    CASE WHEN hb < 85 THEN doc_id % 8
+       |      ELSE (doc_id + (SELECT max(doc_id) + 1 FROM documents)) % 8 END,
+       |    CASE WHEN hb < 85 THEN (doc_id // 8) % 8
+       |      ELSE ((doc_id + (SELECT max(doc_id) + 1 FROM documents)) // 8) % 8 END
+       |  FROM (SELECT doc_id,
+       |      (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+       |      + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS hb
+       |    FROM documents)),
+       |px AS (SELECT side, doc_id, x, y,
+       |    1 + CAST((${hx60("md5('img:' || CAST(p AS VARCHAR) || ':' || CAST(x AS VARCHAR) || ':' || CAST(y AS VARCHAR))")} % 126 +
+       |      CASE WHEN x = nx AND y = ny THEN 63 ELSE 0 END) % 126 AS INT) AS g
+       |  FROM params, unnest(range(0, 8)) tx(x), unnest(range(0, 8)) ty(y)),
+       |bits AS (SELECT a.side, a.doc_id, a.y, a.x,
+       |    CASE WHEN b.g > a.g THEN '1' ELSE '0' END AS bit
+       |  FROM px a JOIN px b ON b.side = a.side AND b.doc_id = a.doc_id
+       |    AND b.y = a.y AND b.x = a.x + 1
+       |  WHERE a.x < 7),
+       |sg AS (SELECT side, doc_id, string_agg(bit, '' ORDER BY y, x) AS sig
+       |  FROM bits GROUP BY side, doc_id),
+       |bb AS (SELECT side, doc_id, sig, i,
+       |    CAST(i AS VARCHAR) || ':' || substr(sig, CAST(i*14 + 1 AS INT), 14) AS k
+       |  FROM sg, unnest(range(0, 4)) t(i)),
+       |cand AS (SELECT DISTINCT b.doc_id AS bid, c.doc_id AS cid, b.sig AS sb, c.sig AS sc
+       |  FROM bb b JOIN bb c ON b.k = c.k AND b.side = 'b' AND c.side = 'c' $cMask),
+       |ham AS (SELECT bid, cid,
+       |    CAST(sum(CASE WHEN substr(sb, CAST(j AS INT), 1) <> substr(sc, CAST(j AS INT), 1)
+       |      THEN 1 ELSE 0 END) AS INT) AS hamming
+       |  FROM cand, unnest(range(1, 57)) t(j) GROUP BY bid, cid),
+       |hits AS (SELECT bid, CAST(count(DISTINCT cid) AS BIGINT) AS n_dups
+       |  FROM ham WHERE hamming <= 4 GROUP BY bid)
+       |SELECT p.doc_id, COALESCE(h.n_dups, 0) AS n_dups,
+       |  CASE WHEN COALESCE(h.n_dups, 0) > 0 THEN 'dup_corpus' ELSE 'new' END AS status
+       |FROM params p LEFT JOIN hits h ON p.doc_id = h.bid
+       |WHERE p.side = 'b' ORDER BY p.doc_id""".stripMargin
 
   /** Shared DuckDB replay of the marker-count language-ID heuristic —
     * CTE block ending in `sc(doc_id, s_en..s_zh)`, used by `lang_id`
@@ -6421,6 +6627,14 @@ object LlmQueries {
          |    CAST(COALESCE(sum(n), 0) AS BIGINT)
          |  FROM fl JOIN cb ON fl.shard_id = cb.shard_id AND fl.bin_id = cb.bin_id
          |  WHERE fl.isf = 0
+         |UNION ALL SELECT 'media_index', 'masked_images', CAST(count(*) AS BIGINT)
+         |  FROM documents WHERE ${hx60("md5('forget:' || CAST(doc_id AS VARCHAR))")} % 50 = 0
+         |UNION ALL SELECT 'media_index', 'masked_band_rows', CAST(4 * count(*) AS BIGINT)
+         |  FROM documents WHERE ${hx60("md5('forget:' || CAST(doc_id AS VARCHAR))")} % 50 = 0
+         |UNION ALL SELECT 'caption_index', 'masked_pairs', CAST(count(*) AS BIGINT)
+         |  FROM documents WHERE ${hx60("md5('forget:' || CAST(doc_id AS VARCHAR))")} % 50 = 0
+         |UNION ALL SELECT 'caption_index', 'masked_band_rows', CAST(32 * count(*) AS BIGINT)
+         |  FROM documents WHERE ${hx60("md5('forget:' || CAST(doc_id AS VARCHAR))")} % 50 = 0
          |ORDER BY surface, metric""".stripMargin,
     // epoch-salted md5 keys, shard + rank + both position-weighted
     // checksums replayed; the resume checksum re-bases at n/2; each
@@ -7672,49 +7886,12 @@ object LlmQueries {
     // the day-2 probe: corpus AND batch pixels both stated closed-form
     // (the echo rule on the original doc ids), signatures, band keys,
     // the bucket join, Hamming, and the distinct-corpus-dup census
-    "media_dedup_incremental" ->
-      s"""WITH params AS (
-         |  SELECT doc_id, 'c' AS side, doc_id // 8 AS p, doc_id % 8 AS nx,
-         |    (doc_id // 8) % 8 AS ny
-         |  FROM documents
-         |  UNION ALL
-         |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents), 'b',
-         |    CASE WHEN hb < 85 THEN doc_id // 8
-         |      ELSE (doc_id + (SELECT max(doc_id) + 1 FROM documents)) // 8 END,
-         |    CASE WHEN hb < 85 THEN doc_id % 8
-         |      ELSE (doc_id + (SELECT max(doc_id) + 1 FROM documents)) % 8 END,
-         |    CASE WHEN hb < 85 THEN (doc_id // 8) % 8
-         |      ELSE ((doc_id + (SELECT max(doc_id) + 1 FROM documents)) // 8) % 8 END
-         |  FROM (SELECT doc_id,
-         |      (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
-         |      + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS hb
-         |    FROM documents)),
-         |px AS (SELECT side, doc_id, x, y,
-         |    1 + CAST((${hx60("md5('img:' || CAST(p AS VARCHAR) || ':' || CAST(x AS VARCHAR) || ':' || CAST(y AS VARCHAR))")} % 126 +
-         |      CASE WHEN x = nx AND y = ny THEN 63 ELSE 0 END) % 126 AS INT) AS g
-         |  FROM params, unnest(range(0, 8)) tx(x), unnest(range(0, 8)) ty(y)),
-         |bits AS (SELECT a.side, a.doc_id, a.y, a.x,
-         |    CASE WHEN b.g > a.g THEN '1' ELSE '0' END AS bit
-         |  FROM px a JOIN px b ON b.side = a.side AND b.doc_id = a.doc_id
-         |    AND b.y = a.y AND b.x = a.x + 1
-         |  WHERE a.x < 7),
-         |sg AS (SELECT side, doc_id, string_agg(bit, '' ORDER BY y, x) AS sig
-         |  FROM bits GROUP BY side, doc_id),
-         |bb AS (SELECT side, doc_id, sig, i,
-         |    CAST(i AS VARCHAR) || ':' || substr(sig, CAST(i*14 + 1 AS INT), 14) AS k
-         |  FROM sg, unnest(range(0, 4)) t(i)),
-         |cand AS (SELECT DISTINCT b.doc_id AS bid, c.doc_id AS cid, b.sig AS sb, c.sig AS sc
-         |  FROM bb b JOIN bb c ON b.k = c.k AND b.side = 'b' AND c.side = 'c'),
-         |ham AS (SELECT bid, cid,
-         |    CAST(sum(CASE WHEN substr(sb, CAST(j AS INT), 1) <> substr(sc, CAST(j AS INT), 1)
-         |      THEN 1 ELSE 0 END) AS INT) AS hamming
-         |  FROM cand, unnest(range(1, 57)) t(j) GROUP BY bid, cid),
-         |hits AS (SELECT bid, CAST(count(DISTINCT cid) AS BIGINT) AS n_dups
-         |  FROM ham WHERE hamming <= 4 GROUP BY bid)
-         |SELECT p.doc_id, COALESCE(h.n_dups, 0) AS n_dups,
-         |  CASE WHEN COALESCE(h.n_dups, 0) > 0 THEN 'dup_corpus' ELSE 'new' END AS status
-         |FROM params p LEFT JOIN hits h ON p.doc_id = h.bid
-         |WHERE p.side = 'b' ORDER BY p.doc_id""".stripMargin,
+    "media_dedup_incremental" -> mediaIncrementalSql(""),
+    // the forget twin: the SAME replay with the %50 tombstone mask on
+    // the corpus side of the band join — the one line the anti-join
+    // adds to the probe
+    "media_forget" -> mediaIncrementalSql(
+      s"AND NOT (${hx60("md5('forget:' || CAST(c.doc_id AS VARCHAR))")} % 50 = 0)"),
     // the oracle states the EXPECTED decoded dimensions of the
     // synthesized BMPs — Spark only matches if ImageIO actually decoded
     // the payloads (the stub fallback would emit byte sums, not (4, h))
@@ -7949,62 +8126,11 @@ object LlmQueries {
     // the day-2 composite probe: corpus ∪ echo-batch (re-posted image +
     // paraphrased caption) through BOTH signature chains per side, the
     // composite-bucket join batch×corpus, dual verify, distinct census
-    "media_caption_dedup_incremental" ->
-      s"""WITH offv AS (SELECT max(doc_id) + 1 AS off FROM documents),
-         |hbs AS (SELECT doc_id,
-         |    (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
-         |    + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS hb
-         |  FROM documents),
-         |params AS (
-         |  SELECT doc_id, doc_id // 8 AS p, doc_id % 8 AS nx, (doc_id // 8) % 8 AS ny,
-         |    doc_id // 8 AS cp
-         |  FROM documents
-         |  UNION ALL
-         |  SELECT h.doc_id + o.off,
-         |    CASE WHEN hb < 85 THEN h.doc_id // 8 ELSE (h.doc_id + o.off) // 8 END,
-         |    CASE WHEN hb < 85 THEN h.doc_id % 8 ELSE (h.doc_id + o.off) % 8 END,
-         |    CASE WHEN hb < 85 THEN (h.doc_id // 8) % 8 ELSE ((h.doc_id + o.off) // 8) % 8 END,
-         |    CASE WHEN hb < 85 THEN h.doc_id // 8 ELSE (h.doc_id + o.off) // 8 END
-         |  FROM hbs h, offv o),
-         |capdocs AS (SELECT doc_id,
-         |    array_to_string(list_transform(range(0, 32), cwi ->
-         |      CASE WHEN cwi < 30
-         |        THEN 'w' || CAST(${hx60("md5('cap:' || CAST(cp AS VARCHAR) || ':' || CAST(cwi AS VARCHAR))")} % 1000 AS VARCHAR)
-         |        ELSE 'n' || CAST(${hx60("md5('capn:' || CAST(doc_id AS VARCHAR) || ':' || CAST(cwi AS VARCHAR))")} % 1000 AS VARCHAR)
-         |      END), ' ') AS text
-         |  FROM params),
-         |${minhashCtesOver("capdocs")},
-         |px AS (SELECT doc_id, x, y,
-         |    1 + CAST((${hx60("md5('img:' || CAST(p AS VARCHAR) || ':' || CAST(x AS VARCHAR) || ':' || CAST(y AS VARCHAR))")} % 126 +
-         |      CASE WHEN x = nx AND y = ny THEN 63 ELSE 0 END) % 126 AS INT) AS g
-         |  FROM params, unnest(range(0, 8)) tx(x), unnest(range(0, 8)) ty(y)),
-         |ibits AS (SELECT a.doc_id, a.y, a.x, CASE WHEN b.g > a.g THEN '1' ELSE '0' END AS bit
-         |  FROM px a JOIN px b ON b.doc_id = a.doc_id AND b.y = a.y AND b.x = a.x + 1
-         |  WHERE a.x < 7),
-         |isg AS (SELECT doc_id, string_agg(bit, '' ORDER BY y, x) AS isig
-         |  FROM ibits GROUP BY doc_id),
-         |ibands AS (SELECT doc_id, isig, i,
-         |    substr(isig, CAST(i*14 + 1 AS INT), 14) AS ikey
-         |  FROM isg, unnest(range(0, 4)) t(i)),
-         |cb AS MATERIALIZED (SELECT b.doc_id, b.sig AS tsig, ibands.isig,
-         |    b.bucket || ':' || CAST(ibands.i AS VARCHAR) || ':' || ibands.ikey AS cbucket
-         |  FROM bk b JOIN ibands ON ibands.doc_id = b.doc_id),
-         |p0 AS (SELECT DISTINCT b.doc_id AS bid, c.doc_id AS cid,
-         |    b.tsig AS tb2, c.tsig AS tc, b.isig AS ib2, c.isig AS ic
-         |  FROM cb b JOIN cb c ON b.cbucket = c.cbucket, offv o
-         |  WHERE b.doc_id >= o.off AND c.doc_id < o.off),
-         |pm AS (SELECT bid, cid,
-         |    CAST(len(list_filter(range(1, 33), si -> tb2[si] = tc[si])) AS DOUBLE) / 32 AS est_jaccard,
-         |    CAST(sum(CASE WHEN substr(ib2, CAST(j AS INT), 1) <> substr(ic, CAST(j AS INT), 1)
-         |      THEN 1 ELSE 0 END) AS INT) AS hamming
-         |  FROM p0, unnest(range(1, 57)) t(j)
-         |  GROUP BY bid, cid, tb2, tc, ib2, ic),
-         |hits AS (SELECT bid, CAST(count(DISTINCT cid) AS BIGINT) AS n_dups
-         |  FROM pm WHERE est_jaccard >= 0.3 AND hamming <= 4 GROUP BY bid)
-         |SELECT p.doc_id, COALESCE(h.n_dups, 0) AS n_dups,
-         |  CASE WHEN COALESCE(h.n_dups, 0) > 0 THEN 'dup_corpus' ELSE 'new' END AS status
-         |FROM params p LEFT JOIN hits h ON p.doc_id = h.bid, offv o
-         |WHERE p.doc_id >= o.off ORDER BY p.doc_id""".stripMargin,
+    "media_caption_dedup_incremental" -> captionIncrementalSql(""),
+    // the forget twin: the SAME replay with the %50 tombstone mask on
+    // the corpus side of the composite-bucket join
+    "media_caption_forget" -> captionIncrementalSql(
+      s"AND NOT (${hx60("md5('forget:' || CAST(c.doc_id AS VARCHAR))")} % 50 = 0)"),
     // the DPO truncation chain (asymmetric rejected = first half of the
     // reversed continuation), pair units = max branch length, the same
     // per-shard FFD recursion at W = 256, per-bin two-view rollup

@@ -204,7 +204,7 @@ class GovernancePrepSpec extends AnyFunSuite {
   test("forget_pipeline_report: every surface's numbers equal its gate's aggregates") {
     val rep = LlmQueries.forgetPipelineReport(spark, TestSpark.sfDir).collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
-    assert(rep.size === 9)
+    assert(rep.size === 13)
     val audit = LlmQueries.forgetDocsAudit(spark, TestSpark.sfDir).collect()
     assert(rep(("packed_windows", "contaminated_bins")) === audit.length.toLong)
     assert(rep(("packed_windows", "forgotten_docs")) === audit.map(_.getLong(3)).sum)
@@ -218,6 +218,17 @@ class GovernancePrepSpec extends AnyFunSuite {
     assert(rep(("ann_index", "masked_vectors")) === dels50.toLong)
     assert(rep(("bm25_index", "masked_postings")) >= rep(("bm25_index", "masked_docs")))
     assert(rep(("bm25_index", "masked_tf")) >= rep(("bm25_index", "masked_postings")))
+    // the two media band indexes: masked members = the %50 doc list,
+    // band rows = the indexes' exact fan-out (4 dHash bands; 8×4
+    // composite bands) — read from the PERSISTED tables
+    // ALL doc ids — the media indexes cover NULL-text docs too
+    val docs50 = Tables(spark, TestSpark.sfDir, "documents")
+      .select("doc_id").collect().map(_.getLong(0))
+      .count(id => h60(s"forget:$id") % 50 == 0).toLong
+    assert(rep(("media_index", "masked_images")) === docs50)
+    assert(rep(("media_index", "masked_band_rows")) === 4L * docs50)
+    assert(rep(("caption_index", "masked_pairs")) === docs50)
+    assert(rep(("caption_index", "masked_band_rows")) === 32L * docs50)
   }
 
   test("epoch_order_resume: full plain-Scala replay; epochs permute independently") {
