@@ -70,6 +70,44 @@ object BpeOracle {
     ctes.result().mkString(",\n")
   }
 
+  /** The VOCAB-ONLY training chain of [[trainCtes]] (no per-doc
+    * encode), parameterized by a CTE-name `tag` and a corpus `where`
+    * clause so the `forget_vocab_audit` oracle can replay TWO complete
+    * trainings — the shipped tokenizer and its delete-masked retrain —
+    * side by side in one query (the unigram fertility-sweep
+    * convention). Emits `tokw$tag … vocab$tag(tk, id)` plus the
+    * `wf$tag`/`alpha$tag` inputs the unigram chain shares. The merge
+    * CTE shapes are byte-identical to [[trainCtes]]' — one argmax /
+    * replace source. */
+  def vocabCtes(tag: String, where: String): String = {
+    val ctes = Seq.newBuilder[String]
+    ctes += s"tokw$tag AS (SELECT unnest(regexp_split_to_array($Norm, ' ')) AS w FROM documents $where)"
+    ctes += (s"wf$tag AS MATERIALIZED (SELECT w, count(*) AS f FROM tokw$tag " +
+      s"WHERE length(w) > 0 GROUP BY w ORDER BY f DESC, w LIMIT $V)")
+    ctes += s"v0$tag AS MATERIALIZED (SELECT w, f, ' ' || regexp_replace(w, '(.)', '\\1  ', 'g') AS s FROM wf$tag)"
+    (1 to M).foreach { i =>
+      val p = i - 1
+      ctes += (s"p$i$tag AS MATERIALIZED (SELECT pr, CAST(sum(f) AS BIGINT) AS n FROM (SELECT f, " +
+        "unnest(list_transform(range(1, len(regexp_split_to_array(trim(s), ' +'))), " +
+        "k -> regexp_split_to_array(trim(s), ' +')[k] || ' ' || " +
+        s"regexp_split_to_array(trim(s), ' +')[k+1])) AS pr FROM v$p$tag) GROUP BY pr)")
+      ctes += s"m$i$tag AS MATERIALIZED (SELECT pr FROM p$i$tag ORDER BY n DESC, pr LIMIT 1)"
+      ctes += (s"v$i$tag AS MATERIALIZED (SELECT w, f, " +
+        "replace(s, ' ' || split_part(m.pr, ' ', 1) || '  ' || split_part(m.pr, ' ', 2) || ' ', " +
+        s"' ' || replace(m.pr, ' ', '') || ' ') AS s FROM v$p$tag, m$i$tag m)")
+    }
+    ctes += s"normd$tag AS MATERIALIZED (SELECT doc_id, $Norm AS nt FROM documents $where)"
+    ctes += (s"alpha$tag AS (SELECT DISTINCT substr(nt, CAST(i AS INT), 1) AS tk FROM normd$tag, " +
+      "unnest(range(1, length(nt) + 1)) t(i) WHERE substr(nt, CAST(i AS INT), 1) <> ' ')")
+    ctes += s"vocabc$tag AS MATERIALIZED (SELECT tk, row_number() OVER (ORDER BY tk) - 1 AS id FROM alpha$tag)"
+    ctes += (s"mlist$tag AS (" + (1 to M).map(j =>
+      s"SELECT $j AS j, replace(pr, ' ', '') AS tk FROM m$j$tag").mkString(" UNION ALL ") + ")")
+    ctes += (s"vocab$tag AS MATERIALIZED (SELECT tk, CAST(min(id) AS BIGINT) AS id FROM (" +
+      s"SELECT tk, id FROM vocabc$tag UNION ALL " +
+      s"SELECT tk, (SELECT count(*) FROM vocabc$tag) + j - 1 AS id FROM mlist$tag) GROUP BY tk)")
+    ctes.result().mkString(",\n")
+  }
+
   /** BYTE-MODE twin of [[trainCtes]] (round 15): the vocabulary
     * representation and the per-doc encode run over each word's UTF-8
     * bytes spelled as uppercase hex pairs — `hex()` of UTF-8 text is

@@ -3816,6 +3816,46 @@ object LlmQueries {
   val rmPairsFromN: Q = (s, dir) =>
     rmPairsProjection(bestOfNScored(s, dir)).orderBy("doc_id")
 
+  /** The piece-level diff behind [[forgetVocabAudit]] — factored so
+    * GovernancePrepSpec can pin the semantics on a planted fixture
+    * through the same code path the gate ships. */
+  private[queries] def vocabDiff(tok: String,
+      unmasked: Set[String], masked: Set[String]): Seq[(String, String, String)] =
+    (unmasked ++ masked).toSeq.sorted.map(p => (tok, p,
+      if (!masked.contains(p)) "lost"
+      else if (!unmasked.contains(p)) "gained" else "kept"))
+
+  /** TOKENIZER FORGET AUDIT — the question the compliance report's
+    * index masks cannot answer: does this delete request force a
+    * tokenizer RETRAIN? Both trained artifacts (BPE vocab, unigram
+    * piece table) are corpus-derived, so a forgotten doc's text may be
+    * the sole support of a vocabulary piece — a piece that literally
+    * spells fragments of the deleted content. The audit re-trains both
+    * tokenizers on the survivor corpus (the SAME %200 document-side
+    * delete list every window surface masks) and diffs piece sets:
+    * `lost` = produced only with the forgotten docs present (its
+    * support died — shipping the old artifact leaks deleted content
+    * into the token table, and any piece outside the diff is provably
+    * delete-independent), `gained` = the retrain's replacement pieces,
+    * `kept` = unaffected. Scale: two extra trainings = four bounded
+    * collects + driver loops (the gated trainer profile — corpus scans
+    * are the only corpus-sized work); the diff is vocab-sized. Oracle:
+    * FOUR full training replays ([[UnigramOracle.forgetVocabAuditSql]])
+    * — nothing trained enters as a literal. */
+  val forgetVocabAudit: Q = (s, dir) => {
+    import s.implicits._
+    val survivors = Tables(s, dir, "documents").filter(!isForgetDoc(col("doc_id")))
+    val bpeM = bpeCache.computeIfAbsent("forget:" + dir, _ => Bpe.train(survivors, "text"))
+    val uniM = unigramCache.computeIfAbsent("forget:" + dir,
+      _ => Unigram.train(survivors, "text"))
+    (vocabDiff("bpe", trainedBpe(s, dir).vocab.keySet.toSet,
+        bpeM.vocab.keySet.toSet) ++
+      vocabDiff("unigram", trainedUnigram(s, dir).counts.keySet.toSet,
+        uniM.counts.keySet.toSet))
+      .toDF("tokenizer", "piece", "status")
+      .orderBy("tokenizer", "piece")
+  }
+
   /** DATASET SNAPSHOT DIFF — the data-versioning primitive: two corpus
     * snapshots compared by CONTENT hash into added / removed / changed /
     * unchanged, the report every retrain decision starts from (what
@@ -4669,6 +4709,7 @@ object LlmQueries {
     "forget_docs_audit" -> forgetDocsAudit,
     "forget_rebuild_plan" -> forgetRebuildPlan,
     "forget_pipeline_report" -> forgetPipelineReport,
+    "forget_vocab_audit" -> forgetVocabAudit,
     "epoch_order_resume" -> epochOrderResume,
     "bpe_vocab_bytes" -> bpeVocabBytes,
     "bpe_artifact_roundtrip" -> bpeArtifactRoundtrip,
@@ -6451,6 +6492,7 @@ object LlmQueries {
     "unigram_vocab" -> UnigramOracle.unigramVocabSql,
     "unigram_fertility" -> UnigramOracle.unigramFertilitySql,
     "unigram_fertility_sweep" -> UnigramOracle.unigramFertilitySweepSql,
+    "forget_vocab_audit" -> UnigramOracle.forgetVocabAuditSql,
     "vocab_transplant" -> UnigramOracle.vocabTransplantSql,
     // rotations, the per-(word, position) reward rollup, the argmax
     // with its lowest-j tie-break, and the winning text's md5 — all

@@ -92,22 +92,23 @@ object UnigramOracle {
     * the fertility SWEEP can run two complete trainings (KeepPieces 60
     * vs 120) side by side in ONE query without name collisions; the
     * single-vocab gates use `(KeepPieces, "")` — names unchanged. */
-  private def trainChain(keep: Int, tag: String): String = {
+  private def trainChain(keep: Int, tag: String,
+      wfRel: String = "wf", alphaRel: String = "alpha"): String = {
     val ctes = Seq.newBuilder[String]
     ctes += (s"c0$tag AS MATERIALIZED (SELECT substr(w, CAST(i AS INT), CAST(L AS INT)) AS p, " +
-      "CAST(sum(f) AS BIGINT) AS c FROM wf, unnest(range(1, 5)) tl(L), " +
+      s"CAST(sum(f) AS BIGINT) AS c FROM $wfRel, unnest(range(1, 5)) tl(L), " +
       "unnest(range(1, length(w) + 1)) ti(i) WHERE i + L - 1 <= length(w) GROUP BY 1)")
     ctes += (s"uv0$tag AS MATERIALIZED (SELECT p, c FROM " +
       s"(SELECT p, c FROM c0$tag WHERE length(p) > 1 ORDER BY c DESC, p LIMIT $keep) " +
       s"UNION ALL SELECT a.tk, greatest(COALESCE(c0$tag.c, 0), 1) " +
-      s"FROM alpha a LEFT JOIN c0$tag ON c0$tag.p = a.tk)")
+      s"FROM $alphaRel a LEFT JOIN c0$tag ON c0$tag.p = a.tk)")
     (1 to R).foreach { r =>
       val p = r - 1
       ctes += (s"s$r$tag AS MATERIALIZED (SELECT p, CAST(length(bin(c)) - 1 AS BIGINT) - " +
         s"(SELECT length(bin(CAST(sum(c) AS BIGINT))) - 1 FROM uv$p$tag) AS s FROM uv$p$tag)")
-      ctes += viterbiCtes(s"$r$tag", "wf", s"s$r$tag")
-      ctes += (s"uses$r$tag AS MATERIALIZED (SELECT u.p, CAST(sum(wf.f) AS BIGINT) AS c " +
-        s"FROM bk$r$tag u JOIN wf ON wf.w = u.w WHERE u.p IS NOT NULL GROUP BY u.p)")
+      ctes += viterbiCtes(s"$r$tag", wfRel, s"s$r$tag")
+      ctes += (s"uses$r$tag AS MATERIALIZED (SELECT u.p, CAST(sum($wfRel.f) AS BIGINT) AS c " +
+        s"FROM bk$r$tag u JOIN $wfRel ON $wfRel.w = u.w WHERE u.p IS NOT NULL GROUP BY u.p)")
       ctes += (s"uv$r$tag AS MATERIALIZED (SELECT p, c FROM uses$r$tag WHERE length(p) > 1 " +
         s"UNION ALL SELECT s.p, greatest(COALESCE(u.c, 0), 1) " +
         s"FROM (SELECT p FROM uv$p$tag WHERE length(p) = 1) s " +
@@ -203,6 +204,35 @@ object UnigramOracle {
        |  CASE WHEN v.id IS NULL THEN 'unmapped' ELSE 'mapped' END AS status
        |FROM uv$R u LEFT JOIN vocab v ON v.tk = u.p
        |ORDER BY piece""".stripMargin
+
+  /** `forget_vocab_audit`: FOUR complete trainings replayed in one
+    * query — BPE and unigram, each over the shipped corpus AND over
+    * the delete-masked survivor corpus (the fertility-sweep tagged-CTE
+    * convention, with [[BpeOracle.vocabCtes]] supplying each side's
+    * wf/alpha inputs so the two tokenizers see byte-identical
+    * corpora) — full-outer-joined per tokenizer into the piece-level
+    * kept / lost / gained verdict. Nothing trained enters as a
+    * literal: a piece reads `lost` exactly when re-deriving the
+    * training without the forgotten docs no longer produces it. */
+  val forgetVocabAuditSql: String = {
+    val mask = "WHERE NOT (" +
+      LlmQueries.hx60("md5('forget:' || CAST(doc_id AS VARCHAR))") + " % 200 = 0)"
+    s"""WITH RECURSIVE
+       |${BpeOracle.vocabCtes("", "")},
+       |${trainChain(K, "")},
+       |${BpeOracle.vocabCtes("m", mask)},
+       |${trainChain(K, "m", "wfm", "alpham")}
+       |SELECT 'bpe' AS tokenizer, COALESCE(a.tk, b.tk) AS piece,
+       |  CASE WHEN b.tk IS NULL THEN 'lost'
+       |       WHEN a.tk IS NULL THEN 'gained' ELSE 'kept' END AS status
+       |FROM vocab a FULL OUTER JOIN vocabm b ON a.tk = b.tk
+       |UNION ALL
+       |SELECT 'unigram', COALESCE(a.p, b.p),
+       |  CASE WHEN b.p IS NULL THEN 'lost'
+       |       WHEN a.p IS NULL THEN 'gained' ELSE 'kept' END
+       |FROM uv$R a FULL OUTER JOIN uv${R}m b ON a.p = b.p
+       |ORDER BY tokenizer, piece""".stripMargin
+  }
 
   /** `unigram_fertility`: the final scores segment EVERY distinct
     * corpus word (not just the training top-V); per-source word

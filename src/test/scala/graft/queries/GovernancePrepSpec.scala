@@ -231,6 +231,33 @@ class GovernancePrepSpec extends AnyFunSuite {
     assert(rep(("caption_index", "masked_band_rows")) === 32L * docs50)
   }
 
+  test("forget_vocab_audit: a piece whose sole support is a forgotten doc reads lost") {
+    import spark.implicits._
+    // the first doc id on the %200 delete list — the same predicate the
+    // gate masks, evaluated with the same portable hash
+    val fid = (0L to 100000L).find(id => h60(s"forget:$id") % 200 == 0).get
+    val keepIds = (0L to 100000L).filter(id => h60(s"forget:$id") % 200 != 0).take(3)
+    val tmp = java.nio.file.Files.createTempDirectory("fva").toString
+    // the planted doc is the ONLY source of the letter z (and of every
+    // z-piece a trainer derives from it); the survivor docs are
+    // delete-independent, and the corpus stays far under the top-V
+    // word cap so masking frees no vocabulary slots
+    (Seq((fid, "zaza zaza zaza zaza zaza zaza")) ++
+      keepIds.map(id => (id, "the cat sat on the mat the cat sat")))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = LlmQueries.forgetVocabAudit(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+    val zPieces = rows.keys.filter(_._2.contains("z"))
+    assert(zPieces.nonEmpty, "the planted word must reach both vocabularies")
+    assert(Seq("bpe", "unigram").forall(t => zPieces.exists(_._1 == t)),
+      s"both tokenizers must carry a z-piece: $zPieces")
+    zPieces.foreach(k => assert(rows(k) === "lost",
+      s"$k is supported only by the forgotten doc and must read lost"))
+    (rows.keySet -- zPieces).foreach(k => assert(rows(k) === "kept",
+      s"$k is delete-independent and must read kept"))
+  }
+
   test("epoch_order_resume: full plain-Scala replay; epochs permute independently") {
     val got = LlmQueries.epochOrderResume(spark, TestSpark.sfDir).collect()
       .map(r => (r.getInt(0), r.getInt(1)) ->
