@@ -4157,6 +4157,66 @@ object LlmQueries {
       .orderBy("epoch", "shard_id")
   }
 
+  /** PACKED-WINDOW EPOCH ORDERING — [[epochOrderResume]] composed with
+    * [[packSequencesLayout]]'s artifact, closing the r19 verdict gap:
+    * the resume gate permutes DOCS, but the dataloader actually reads
+    * PACKED WINDOWS, so the two contracts need a shared object. Every
+    * (shard, bin) window of the SAME per-shard FFD layout the packer
+    * ships gets a content checksum `wsig` = (Σ (seq+1)·(hash60(doc) mod
+    * P) mod P) mod P — position-weighted WITHIN the window, so a
+    * member swap or a layout drift changes it — then each epoch
+    * permutes the windows by an epoch-salted md5 key into 8 reader
+    * shards, and the permutation + mid-run resume pin exactly as the
+    * doc gate does: `order_sig` weights each window's (1 + wsig) by
+    * its reading position, `resume_sig` re-bases past the half-epoch
+    * cut — the unread WINDOW tail a restarted reader re-derives with
+    * no lookup table. All checksum arithmetic reduces mod the shared
+    * prime per term ([[SigP]] — the overflow discipline). Scale: the
+    * window rollup is a map-side-partial aggregate whose exchange
+    * carries one (shard, bin, partial-wsig) row per task per bin (the
+    * forget_docs_audit rollup's shape — the layout kernel's object
+    * pipeline erases the shard partitioning, so the rollup pays its
+    * own bin-count-sized exchange rather than riding it), then ONE
+    * (epoch, reader-shard) exchange with per-shard local sorts over
+    * WINDOW-count rows (corpus-size / window-fill), never a global
+    * sort — three hash exchanges total, plan-pinned, none carrying
+    * more than window-count rows past the scan. */
+  val epochOrderWindows: Q = (s, dir) => {
+    val docs = Tables(s, dir, "documents")
+      .withColumn("shard_id", Sampling.shardAssign(col("doc_id"), 8))
+    val lay = TextAnalysis.packedWindowLayout(docs, Seq("shard_id"), "doc_id",
+      TextAnalysis.tokenCountWs(col("text")).cast("long"), 2048)
+    val wins = lay.groupBy(col("shard_id").as("src_shard"), col("bin_id"))
+      .agg((sum(((col("seq_in_bin") + 1) *
+          (Sampling.hash60(col("doc_id")) % SigP)) % SigP) % SigP).as("wsig"))
+    val base = wins
+      .select(col("src_shard"), col("bin_id"), col("wsig"),
+        explode(array(lit(0), lit(1))).as("epoch"))
+      .withColumn("k", md5(concat(lit("wepoch"), col("epoch").cast("string"),
+        lit(":"), col("src_shard").cast("string"),
+        lit(":"), col("bin_id").cast("string"))))
+      .withColumn("shard_id",
+        (conv(substring(col("k"), 1, 15), 16, 10).cast("long") % 8).cast("int"))
+      .withColumn("h", lit(1L) + col("wsig"))
+    val w = Window.partitionBy("epoch", "shard_id")
+      .orderBy(col("k"), col("src_shard"), col("bin_id"))
+    val cw = Window.partitionBy("epoch", "shard_id")
+    val pos = base
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .withColumn("half", (count(lit(1)).over(cw) / 2).cast("long"))
+      .withColumn("wlabel", concat_ws(":",
+        col("src_shard").cast("string"), col("bin_id").cast("string")))
+    pos.groupBy("epoch", "shard_id").agg(
+        count(lit(1)).as("n_windows"),
+        min(struct(col("pos"), col("wlabel"))).getField("wlabel").as("first_win"),
+        max(struct(col("pos"), col("wlabel"))).getField("wlabel").as("last_win"),
+        (sum((col("pos") * col("h")) % SigP) % SigP).as("order_sig"),
+        (sum(when(col("pos") > col("half"),
+            ((col("pos") - col("half")) * col("h")) % SigP)
+          .otherwise(lit(0L))) % SigP).as("resume_sig"))
+      .orderBy("epoch", "shard_id")
+  }
+
   /** The byte-mode vocabulary artifact — 256 structural byte rows
     * (ids = byte value) plus the trained merges, the file a byte-level
     * tokenizer deployment ships. Byte tokens are even-length hex, so a
@@ -4711,6 +4771,7 @@ object LlmQueries {
     "forget_pipeline_report" -> forgetPipelineReport,
     "forget_vocab_audit" -> forgetVocabAudit,
     "epoch_order_resume" -> epochOrderResume,
+    "epoch_order_windows" -> epochOrderWindows,
     "bpe_vocab_bytes" -> bpeVocabBytes,
     "bpe_artifact_roundtrip" -> bpeArtifactRoundtrip,
     "pack_sequences_bpe" -> packSequencesBpe,
@@ -6696,6 +6757,31 @@ object LlmQueries {
          |  FROM s)
          |SELECT epoch, shard_id, CAST(count(*) AS BIGINT) AS n_docs,
          |  arg_min(doc_id, pos) AS first_doc, arg_max(doc_id, pos) AS last_doc,
+         |  CAST(sum((pos * h) % $SigP) % $SigP AS BIGINT) AS order_sig,
+         |  CAST(COALESCE(sum(CASE WHEN pos > half THEN ((pos - half) * h) % $SigP END), 0) % $SigP AS BIGINT) AS resume_sig
+         |FROM p GROUP BY epoch, shard_id
+         |ORDER BY epoch, shard_id""".stripMargin,
+    // the SHARED ffd prefix (the permutation must answer against the
+    // layout actually shipped) → per-window position-weighted content
+    // checksum → epoch-salted keys, reader shards, rank + both mod-P
+    // checksums — the epoch_order_resume replay lifted to windows
+    "epoch_order_windows" ->
+      s"""WITH RECURSIVE $ffdLayoutCtes,
+         |ws AS (SELECT shard_id AS src_shard, bin_id,
+         |    CAST(sum(((s + 1) * (${hx60("md5(CAST(doc_id AS VARCHAR))")} % $SigP)) % $SigP) % $SigP AS BIGINT) AS wsig
+         |  FROM lay GROUP BY shard_id, bin_id),
+         |e AS (SELECT src_shard, bin_id, wsig, CAST(epoch AS INT) AS epoch,
+         |    md5('wepoch' || CAST(epoch AS VARCHAR) || ':' || CAST(src_shard AS VARCHAR)
+         |      || ':' || CAST(bin_id AS VARCHAR)) AS k
+         |  FROM ws, unnest([0, 1]) t(epoch)),
+         |s2 AS (SELECT *, CAST(${hx60("k")} % 8 AS INT) AS shard_id, 1 + wsig AS h FROM e),
+         |p AS (SELECT *,
+         |    CAST(row_number() OVER (PARTITION BY epoch, shard_id ORDER BY k, src_shard, bin_id) AS BIGINT) AS pos,
+         |    CAST(count(*) OVER (PARTITION BY epoch, shard_id) // 2 AS BIGINT) AS half,
+         |    CAST(src_shard AS VARCHAR) || ':' || CAST(bin_id AS VARCHAR) AS wlabel
+         |  FROM s2)
+         |SELECT epoch, shard_id, CAST(count(*) AS BIGINT) AS n_windows,
+         |  arg_min(wlabel, pos) AS first_win, arg_max(wlabel, pos) AS last_win,
          |  CAST(sum((pos * h) % $SigP) % $SigP AS BIGINT) AS order_sig,
          |  CAST(COALESCE(sum(CASE WHEN pos > half THEN ((pos - half) * h) % $SigP END), 0) % $SigP AS BIGINT) AS resume_sig
          |FROM p GROUP BY epoch, shard_id

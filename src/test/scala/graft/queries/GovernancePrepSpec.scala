@@ -301,6 +301,56 @@ class GovernancePrepSpec extends AnyFunSuite {
     }
   }
 
+  test("epoch_order_windows: plain-Scala replay over the shipped FFD layout; resume re-derives the window tail") {
+    val P = 1000003L
+    // the layout the packer ships — collected once, replayed in plain Scala
+    val lay = graft.llm.TextAnalysis.packedWindowLayout(
+        Tables(spark, TestSpark.sfDir, "documents")
+          .withColumn("shard_id", graft.llm.Sampling.shardAssign(
+            org.apache.spark.sql.functions.col("doc_id"), 8)),
+        Seq("shard_id"), "doc_id",
+        graft.llm.TextAnalysis.tokenCountWs(
+          org.apache.spark.sql.functions.col("text")).cast("long"), 2048)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+    val wsig = lay.groupBy { case (sh, _, bin, _) => (sh, bin) }
+      .view.mapValues(_.map { case (_, id, _, seq) =>
+        (seq + 1) * (h60(id.toString) % P) % P }.sum % P).toMap
+    val exp = (for { e <- Seq(0, 1); ((sh, bin), sig) <- wsig } yield {
+      val k = md5hex(s"wepoch$e:$sh:$bin")
+      (e, (java.lang.Long.parseLong(k.take(15), 16) % 8).toInt, k, sh, bin, 1L + sig)
+    }).groupBy { case (e, rs, _, _, _, _) => (e, rs) }.map { case (key, ms) =>
+      val ordered = ms.sortBy { case (_, _, k, sh, bin, _) => (k, sh, bin) }
+      val n = ordered.size.toLong
+      val half = n / 2
+      val sigs = ordered.zipWithIndex.map { case ((_, _, _, _, _, h), i) =>
+        val pos = i + 1L
+        (pos * h % P, if (pos > half) (pos - half) * h % P else 0L)
+      }
+      def lbl(m: (Int, Int, String, Int, Long, Long)) = s"${m._4}:${m._5}"
+      key -> ((n, lbl(ordered.head), lbl(ordered.last),
+        sigs.map(_._1).sum % P, sigs.map(_._2).sum % P))
+    }
+    val got = LlmQueries.epochOrderWindows(spark, TestSpark.sfDir).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getString(3), r.getString(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(got === exp)
+    assert((0 until 8).exists(sh =>
+      got.get((0, sh)).map(_._4) != got.get((1, sh)).map(_._4)),
+      "the two epochs must not replay the same window permutation")
+  }
+
+  test("epoch_order_windows plan: three bounded hash exchanges, no union, no global sort") {
+    val plan = LlmQueries.epochOrderWindows(spark, TestSpark.sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Union"), s"epochs must come from one layout:\n$plan")
+    val ex = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(ex === 3,
+      s"expected layout shard + window rollup + (epoch, reader-shard) exchanges, got $ex:\n$plan")
+    // the permutation rank is a per-(epoch, reader-shard) local sort,
+    // never a single-partition global sort
+    assert(!plan.contains("Exchange SinglePartition"), s"no global sort:\n$plan")
+  }
+
   test("epoch_order_resume plan: one scan, no self-union (explode fans out the epochs)") {
     val df = LlmQueries.epochOrderResume(spark, TestSpark.sfDir)
     val plan = df.queryExecution.executedPlan.toString
