@@ -1157,8 +1157,16 @@ object LlmQueries {
         array_join(slice(reverse(slice(col("w"), expr("size(w) DIV 3 + 1"),
             expr("size(w) - size(w) DIV 3"))), lit(1),
           expr("(size(w) - size(w) DIV 3) DIV 2")), " ").as("rejected"))
-    val pairs = TextAnalysis.dpoPairs(triples, "doc_id", "prompt", "chosen", "rejected",
-        maxTokens = 64)
+    dpoPairAffinityPack(TextAnalysis.dpoPairs(
+      triples, "doc_id", "prompt", "chosen", "rejected", maxTokens = 64))
+  }
+
+  /** The pair-affinity packer + bin rollup shared by
+    * [[dpoPackedLayout]] and [[rmPairsToDpo]] — one layout source, so
+    * the synthetic-fixture endpoint and the real-pipeline endpoint
+    * cannot drift. Input: [[TextAnalysis.dpoPairs]]' output frame. */
+  private def dpoPairAffinityPack(prepped: DataFrame): DataFrame = {
+    val pairs = prepped
       .select(col("id").as("doc_id"),
         length(col("chosen_mask")).cast("long").as("ntc"),
         length(col("rejected_mask")).cast("long").as("ntr"))
@@ -1184,6 +1192,38 @@ object LlmQueries {
         array_join(transform(col("ms"), m => m.getField("id").cast("string")), ",")
           .as("doc_ids"))
       .orderBy("shard_id", "bin_id")
+  }
+
+  /** GENERATION → SELECTION → PAIR → PACK, end to end — the r19
+    * verdict's "one hop short" closed: [[rmPairsFromN]]'s REAL (best,
+    * worst) candidate pairs (not `dpo_pairs`' synthetic
+    * reversed-continuation fixture) feed the DPO truncation chain and
+    * the pair-affinity packer, all in ONE declarative plan. The scored
+    * frame is [[bestOfNScoredOn]] with carried candidate texts (the
+    * struct ordering is untouched, so selection here and in
+    * `rm_pairs_from_n` is the same max/min — spec-pinned), the pair
+    * read keeps the `inline(array(struct))` single-eval barrier and
+    * the margin-0 drop, and the packer + rollup are
+    * [[dpoPairAffinityPack]] verbatim. Candidates are same-length
+    * rotations, so chosen/rejected units tie by construction here —
+    * the asymmetric-max policy stays pinned by `dpo_packed_layout`.
+    * Scale: one narrow scored map (no join back — the plan contains NO
+    * join at all, spec-pinned), the packer's shard exchange, one bin
+    * rollup. */
+  val rmPairsToDpo: Q = (s, dir) => {
+    val scored = bestOfNScoredOn(
+      spreadForCompute(s, dir, Tables(s, dir, "documents")), withText = true)
+    val pairs = scored.select(col("doc_id"), col("pw"),
+        inline(array(struct(
+          array_max(col("cands")).as("best"),
+          array_min(col("cands")).as("worst")))))
+      .filter(col("best").getField("reward") - col("worst").getField("reward") > 0)
+      .select(col("doc_id"),
+        array_join(col("pw"), " ").as("prompt"),
+        col("best").getField("ctext").as("chosen"),
+        col("worst").getField("ctext").as("rejected"))
+    dpoPairAffinityPack(TextAnalysis.dpoPairs(
+      pairs, "doc_id", "prompt", "chosen", "rejected", maxTokens = 64))
   }
 
   /** IMAGE NEAR-DUP — the first stage of every image-text curation
@@ -3702,17 +3742,29 @@ object LlmQueries {
     * frame — shared by the batch gates (behind [[bestOfNScored]]'s
     * spread) and the `stream_rm_pairs` ingest twin (narrow Column
     * expressions run unchanged on a streaming frame). */
-  private[queries] def bestOfNScoredOn(docs: DataFrame): DataFrame = {
+  private[queries] def bestOfNScoredOn(docs: DataFrame): DataFrame =
+    bestOfNScoredOn(docs, withText = false)
+
+  /** `withText = true` additionally carries the prompt words (`pw`)
+    * and each candidate's assembled text (`ctext`, appended as the
+    * struct's LAST field so the (reward, negj)-unique max/min ordering
+    * is untouched) — what the `rm_pairs_to_dpo` composition needs to
+    * feed real pairs into the DPO prep. The default path computes
+    * neither (the selection gates read only rewards and md5s). */
+  private[queries] def bestOfNScoredOn(docs: DataFrame, withText: Boolean): DataFrame = {
     val N = 4
     val base = docs
       .filter(col("text").isNotNull)
       .select(col("doc_id"),
         filter(split(TextAnalysis.normalizeText(col("text")), " "),
           w => length(w) > 0).as("w"))
-      .select(col("doc_id"),
+      .select((Seq(col("doc_id")) ++
+        (if (withText) Seq(slice(col("w"), lit(1), expr("size(w) DIV 3")).as("pw"))
+         else Nil) :+
         slice(col("w"), expr("size(w) DIV 3 + 1"),
-          expr("size(w) - size(w) DIV 3")).as("rw"))
-    base.select(col("doc_id"),
+          expr("size(w) - size(w) DIV 3")).as("rw")): _*)
+    base.select((Seq(col("doc_id")) ++
+      (if (withText) Seq(col("pw")) else Nil) :+
       transform(sequence(lit(0), lit(N - 1)), j => {
         val n = size(col("rw"))
         val jm = j % greatest(n, lit(1))
@@ -3724,9 +3776,11 @@ object LlmQueries {
             Sampling.hash60(concat(lit("rm:"), wd, lit(":"),
               (idx + lit(1)).cast("string"))) % 1000),
           lit(0L), (acc, x) => acc + x)
-        struct(reward.as("reward"), (-j).as("negj"), j.as("j"),
-          md5(to_binary(array_join(c, " "), lit("utf-8"))).as("cmd5"))
-      }).as("cands"))
+        val fields = Seq(reward.as("reward"), (-j).as("negj"), j.as("j"),
+          md5(to_binary(array_join(c, " "), lit("utf-8"))).as("cmd5")) ++
+          (if (withText) Seq(array_join(c, " ").as("ctext")) else Nil)
+        struct(fields: _*)
+      }).as("cands")): _*)
   }
 
   private def bestOfNScored(s: SparkSession, dir: String): DataFrame =
@@ -4763,6 +4817,7 @@ object LlmQueries {
     "unigram_segment" -> unigramSegment,
     "best_of_n_select" -> bestOfNSelect,
     "rm_pairs_from_n" -> rmPairsFromN,
+    "rm_pairs_to_dpo" -> rmPairsToDpo,
     "vocab_transplant" -> vocabTransplant,
     "dataset_diff" -> datasetDiff,
     "dataset_diff_chunks" -> datasetDiffChunks,
@@ -5253,6 +5308,46 @@ object LlmQueries {
        |      THEN 1 ELSE 0 END) AS INT) AS hamming
        |  FROM p0, unnest(range(1, 57)) t(j)
        |  GROUP BY id_a, id_b, ta, tb2, ia, ib2)""".stripMargin
+
+  /** The pair-affinity FFD tail (dd → ffd → lay → per-bin two-view
+    * rollup, W = 256) over an `ex(doc_id, ntc, ntr, n)` CTE — shared
+    * VERBATIM by the `dpo_packed_layout` and `rm_pairs_to_dpo`
+    * oracles, the Scala side's [[dpoPairAffinityPack]] twin. */
+  private lazy val dpoFfdTailSql: String =
+    s"""dd AS (SELECT doc_id, n, ntc, ntr,
+       |    CAST(${hx60("md5(CAST(doc_id AS VARCHAR))")} % 8 AS INT) AS shard_id,
+       |    row_number() OVER (PARTITION BY CAST(${hx60("md5(CAST(doc_id AS VARCHAR))")} % 8 AS INT)
+       |      ORDER BY n DESC, doc_id) AS rn
+       |  FROM ex),
+       |ffd AS (
+       |  SELECT shard_id, 0::BIGINT AS rn, NULL::BIGINT AS doc_id, NULL::BIGINT AS n,
+       |    NULL::BIGINT AS bin_id, []::BIGINT[] AS rem
+       |  FROM (SELECT DISTINCT shard_id FROM dd)
+       |  UNION ALL
+       |  SELECT shard_id, rn, doc_id, n,
+       |    CASE WHEN fit IS NULL THEN len(rem0) ELSE fit - 1 END AS bin_id,
+       |    CASE WHEN fit IS NULL THEN list_append(rem0, 256 - n)
+       |         ELSE list_transform(range(1, len(rem0) + 1),
+       |                i -> CASE WHEN i = fit THEN rem0[i] - n ELSE rem0[i] END)
+       |    END AS rem
+       |  FROM (
+       |    SELECT d.shard_id, d.rn, d.doc_id, d.n, f.rem AS rem0,
+       |      NULLIF(list_position(list_transform(f.rem, x -> x >= d.n), true), 0) AS fit
+       |    FROM ffd f JOIN dd d ON d.shard_id = f.shard_id AND d.rn = f.rn + 1) s),
+       |lay AS MATERIALIZED (SELECT f.shard_id, f.bin_id, f.doc_id, f.n, d.ntc, d.ntr, f.rn,
+       |    row_number() OVER (PARTITION BY f.shard_id, f.bin_id ORDER BY f.rn) - 1 AS s
+       |  FROM ffd f JOIN dd d ON d.doc_id = f.doc_id WHERE f.rn > 0)
+       |SELECT shard_id, bin_id,
+       |  CAST(count(*) AS BIGINT) AS n_pairs,
+       |  CAST(sum(n) AS BIGINT) AS used_units,
+       |  greatest(256 - CAST(sum(n) AS BIGINT), 0) AS pad_tokens,
+       |  CAST(sum(ntc) AS BIGINT) AS chosen_tokens,
+       |  CAST(sum(ntr) AS BIGINT) AS rejected_tokens,
+       |  CAST(sum(ntc) AS BIGINT) * 1000000 // CAST(sum(n) AS BIGINT) AS chosen_fill_ppm,
+       |  CAST(sum(ntr) AS BIGINT) * 1000000 // CAST(sum(n) AS BIGINT) AS rejected_fill_ppm,
+       |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY s) AS doc_ids
+       |FROM lay GROUP BY shard_id, bin_id
+       |ORDER BY shard_id, bin_id""".stripMargin
 
   /** The day-2 cross-modal probe replay, parameterized like
     * [[mediaIncrementalSql]] (`cMask` lands on the corpus side of the
@@ -8289,40 +8384,40 @@ object LlmQueries {
          |    CAST(np - dp + nr - dr + 3 AS BIGINT) AS ntr,
          |    CAST(greatest(np - dp + nc - dc + 3, np - dp + nr - dr + 3) AS BIGINT) AS n
          |  FROM e),
-         |dd AS (SELECT doc_id, n, ntc, ntr,
-         |    CAST(${hx60("md5(CAST(doc_id AS VARCHAR))")} % 8 AS INT) AS shard_id,
-         |    row_number() OVER (PARTITION BY CAST(${hx60("md5(CAST(doc_id AS VARCHAR))")} % 8 AS INT)
-         |      ORDER BY n DESC, doc_id) AS rn
-         |  FROM ex),
-         |ffd AS (
-         |  SELECT shard_id, 0::BIGINT AS rn, NULL::BIGINT AS doc_id, NULL::BIGINT AS n,
-         |    NULL::BIGINT AS bin_id, []::BIGINT[] AS rem
-         |  FROM (SELECT DISTINCT shard_id FROM dd)
-         |  UNION ALL
-         |  SELECT shard_id, rn, doc_id, n,
-         |    CASE WHEN fit IS NULL THEN len(rem0) ELSE fit - 1 END AS bin_id,
-         |    CASE WHEN fit IS NULL THEN list_append(rem0, 256 - n)
-         |         ELSE list_transform(range(1, len(rem0) + 1),
-         |                i -> CASE WHEN i = fit THEN rem0[i] - n ELSE rem0[i] END)
-         |    END AS rem
-         |  FROM (
-         |    SELECT d.shard_id, d.rn, d.doc_id, d.n, f.rem AS rem0,
-         |      NULLIF(list_position(list_transform(f.rem, x -> x >= d.n), true), 0) AS fit
-         |    FROM ffd f JOIN dd d ON d.shard_id = f.shard_id AND d.rn = f.rn + 1) s),
-         |lay AS MATERIALIZED (SELECT f.shard_id, f.bin_id, f.doc_id, f.n, d.ntc, d.ntr, f.rn,
-         |    row_number() OVER (PARTITION BY f.shard_id, f.bin_id ORDER BY f.rn) - 1 AS s
-         |  FROM ffd f JOIN dd d ON d.doc_id = f.doc_id WHERE f.rn > 0)
-         |SELECT shard_id, bin_id,
-         |  CAST(count(*) AS BIGINT) AS n_pairs,
-         |  CAST(sum(n) AS BIGINT) AS used_units,
-         |  greatest(256 - CAST(sum(n) AS BIGINT), 0) AS pad_tokens,
-         |  CAST(sum(ntc) AS BIGINT) AS chosen_tokens,
-         |  CAST(sum(ntr) AS BIGINT) AS rejected_tokens,
-         |  CAST(sum(ntc) AS BIGINT) * 1000000 // CAST(sum(n) AS BIGINT) AS chosen_fill_ppm,
-         |  CAST(sum(ntr) AS BIGINT) * 1000000 // CAST(sum(n) AS BIGINT) AS rejected_fill_ppm,
-         |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY s) AS doc_ids
-         |FROM lay GROUP BY shard_id, bin_id
-         |ORDER BY shard_id, bin_id""".stripMargin,
+         |$dpoFfdTailSql""".stripMargin,
+    // the REAL-pair endpoint: the shared best-of-N scoring block, the
+    // rm_pairs best/worst rank windows with the margin-0 drop, the
+    // prompt cut from the same word split, the dpo truncation chain on
+    // the winning/losing candidate texts, and the SAME pair-affinity
+    // FFD tail as dpo_packed_layout — one layout replay source
+    "rm_pairs_to_dpo" ->
+      s"""WITH RECURSIVE $bestOfNCtes,
+         |rk AS (SELECT doc_id, j, reward, c,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY reward DESC, j ASC) AS rb,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY reward ASC, j DESC) AS rw
+         |  FROM rew),
+         |prs AS (SELECT b.doc_id, n.w[1 : CAST(len(n.w) // 3 AS INT)] AS pw,
+         |    b.c AS cw, w.c AS rw2
+         |  FROM (SELECT * FROM rk WHERE rb = 1) b
+         |  JOIN (SELECT * FROM rk WHERE rw = 1) w ON b.doc_id = w.doc_id
+         |  JOIN n ON n.doc_id = b.doc_id
+         |  WHERE b.reward - w.reward > 0),
+         |d AS (SELECT doc_id,
+         |    CAST(len(pw) AS INT) AS np, CAST(len(cw) AS INT) AS nc, CAST(len(rw2) AS INT) AS nr,
+         |    CAST(greatest(len(pw) + len(cw) + 3 - 64, 0) AS INT) AS oc,
+         |    CAST(greatest(len(pw) + len(rw2) + 3 - 64, 0) AS INT) AS orr
+         |  FROM prs),
+         |e AS (SELECT doc_id, np, nc, nr,
+         |    least(greatest(oc, orr), np) AS dp,
+         |    greatest(oc - least(greatest(oc, orr), np), 0) AS dc,
+         |    greatest(orr - least(greatest(oc, orr), np), 0) AS dr
+         |  FROM d),
+         |ex AS (SELECT doc_id,
+         |    CAST(np - dp + nc - dc + 3 AS BIGINT) AS ntc,
+         |    CAST(np - dp + nr - dr + 3 AS BIGINT) AS ntr,
+         |    CAST(greatest(np - dp + nc - dc + 3, np - dp + nr - dr + 3) AS BIGINT) AS n
+         |  FROM e),
+         |$dpoFfdTailSql""".stripMargin,
     // the video day-2 probe: corpus ∪ echo-batch params through the
     // shared pixel/frame-bit/majority chain per side, band join b×c
     "media_video_dedup_incremental" ->

@@ -231,6 +231,33 @@ class GovernancePrepSpec extends AnyFunSuite {
     assert(rep(("caption_index", "masked_band_rows")) === 32L * docs50)
   }
 
+  test("rm_pairs_to_dpo: packs exactly rm_pairs_from_n's pairs, chosen branch = the selected winner") {
+    val rmDocs = LlmQueries.rmPairsFromN(spark, TestSpark.sfDir).collect()
+      .map(_.getLong(0)).toSet
+    val bins = LlmQueries.rmPairsToDpo(spark, TestSpark.sfDir).collect()
+    val packed = bins.flatMap(_.getString(9).split(",")).map(_.toLong)
+    assert(packed.toSet === rmDocs,
+      "the packer must receive exactly the margin-positive pairs")
+    assert(packed.length === rmDocs.size, "each pair packs exactly once")
+    assert(bins.map(_.getLong(2)).sum === rmDocs.size.toLong)
+    bins.foreach { r =>
+      // candidates are same-length rotations: the two views tie here
+      assert(r.getLong(5) === r.getLong(6),
+        s"bin ${r.getInt(0)}/${r.getLong(1)}: rotation pairs must have equal view totals")
+      assert(r.getLong(3) + r.getLong(4) === 256L || r.getLong(3) <= 256L)
+    }
+  }
+
+  test("rm_pairs_to_dpo plan: no join anywhere — the reward pipeline evaluates once, nothing joins back") {
+    val plan = LlmQueries.rmPairsToDpo(spark, TestSpark.sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"the composition must be join-free:\n$plan")
+    assert("Scan parquet".r.findAllIn(plan).size === 1,
+      s"exactly one corpus scan expected:\n$plan")
+    assert(plan.contains("Generate"),
+      s"the inline single-eval barrier must survive optimization:\n$plan")
+  }
+
   test("forget_vocab_audit: a piece whose sole support is a forgotten doc reads lost") {
     import spark.implicits._
     // the first doc id on the %200 delete list — the same predicate the
