@@ -955,6 +955,30 @@ object StreamingQueries {
       .orderBy("doc_id")
   }
 
+  /** The ingest-side diff transform — an arriving (doc_id, b_md5)
+    * frame probes the persisted snapshot and emits its status ONCE:
+    * `dropDuplicates` on the document key makes the diff KEEP-FIRST
+    * under at-least-once delivery (a redelivered doc must not emit a
+    * second, possibly contradicting status row — the verdict a
+    * downstream retrain decision consumed is immutable), and its
+    * doc_id-keyed state survives a reopened checkpoint, so the
+    * guarantee holds ACROSS restarts (StreamDatasetDiffRestartSpec).
+    * The fixture has unique ids, so the batch-diff oracle is
+    * unchanged; state is one key per arrived doc, bounded by the
+    * snapshot-window id space a deployment already bounds with its
+    * snapshot cut. Factored so the restart spec drives the SAME
+    * transform the gate ships. */
+  private[queries] def diffAgainst(snapshot: DataFrame, arriving: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    arriving.dropDuplicates(Seq("doc_id"))
+      .join(snapshot, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        when(col("a_md5").isNull, lit("added"))
+          .when(col("a_md5") =!= col("b_md5"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"),
+        col("a_md5"), col("b_md5"))
+  }
+
   val streamDatasetDiff: Q = (s, dir) => withStatePartitions(s, 8) {
     import org.apache.spark.sql.functions._
     def bucket(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
@@ -968,12 +992,7 @@ object StreamingQueries {
       .select(col("doc_id"), md5(to_binary(
         when(col("b") === 2, concat(col("text"), lit(" [v2]"))).otherwise(col("text")),
         lit("utf-8"))).as("b_md5"))
-    val out = arriving.join(s.table(aT), Seq("doc_id"), "left_outer")
-      .select(col("doc_id"),
-        when(col("a_md5").isNull, lit("added"))
-          .when(col("a_md5") =!= col("b_md5"), lit("changed"))
-          .otherwise(lit("unchanged")).as("status"),
-        col("a_md5"), col("b_md5"))
+    val out = diffAgainst(s.table(aT), arriving)
     val q = out.writeStream.format("memory").queryName(name).outputMode("append").start()
     try q.processAllAvailable() finally q.stop()
     drain(s, name, s.table(name).orderBy("doc_id"))
