@@ -334,7 +334,16 @@ object ScaleProbe {
     // the checkpointed flagged layout + the rebuild's second FFD + two
     // persisted-index reads — the report must track the audit's cost,
     // never re-tokenize the corpus
-    "forget_pipeline_report")
+    "forget_pipeline_report",
+    // round 20: the window rollup's bin-count-sized partials + the one
+    // (epoch, reader-shard) exchange — output fixed at 2×8 rows
+    "epoch_order_windows",
+    // the composed endpoint: the rm-pairs scored map + the
+    // pair-affinity packer's shard shuffle, join-free (plan-pinned)
+    "rm_pairs_to_dpo",
+    // four bounded-collect trainings + a vocab-sized driver diff — the
+    // audit must track the corpus scans, never the vocabulary
+    "forget_vocab_audit")
 
   private def rot(s: String, k: Int): String = s.drop(k % s.length) + s.take(k % s.length)
 
