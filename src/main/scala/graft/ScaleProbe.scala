@@ -293,6 +293,8 @@ object ScaleProbe {
     // cost nothing over the plain day-2 probes at any corpus scale
     "media_forget",
     "media_caption_forget",
+    "media_audio_forget",
+    "media_video_forget",
     // rejection-sampling prep: rotations + reward rollup + argmax in
     // ONE narrow map — no shuffle at any corpus size
     "best_of_n_select",

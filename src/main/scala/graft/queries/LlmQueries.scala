@@ -3197,20 +3197,23 @@ object LlmQueries {
     * Per batch doc: distinct corpus matches within Hamming ≤ 2 and
     * the dup_corpus/new verdict. Every sample, energy, bit, band and
     * distance replays in the oracle. */
-  val mediaAudioDedupIncremental: Q = (s, dir) => {
-    def bandKeys(df: DataFrame): DataFrame =
-      df.select(col("doc_id"), col("sig"),
-        explode(array((0 until 4).map(b =>
-          concat_ws(":", lit(b).cast("string"), substring(col("sig"), b * 14 + 1, 14))): _*))
-          .as("bucket"))
-    val Seq(idxTable) = BucketCache.tables(s, s"audio_sigs:$dir", { (tag, tmp) =>
+  /** The persisted audio fingerprint band index — one builder per dir,
+    * shared by the day-2 probe, the forget mask and the report. */
+  private[queries] def audioSigIndexTable(s: SparkSession, dir: String): String =
+    BucketCache.tables(s, s"audio_sigs:$dir", { (tag, tmp) =>
       val name = s"graft_asig_b_$tag"
-      bandKeys(audioSigsFor(s, dir))
+      mediaBandKeys(audioSigsFor(s, dir))
         .select(col("bucket"), col("doc_id").as("c_id"), col("sig").as("c_sig"))
         .write.bucketBy(8, "bucket").sortBy("bucket")
         .option("path", s"$tmp/asig").mode("overwrite").saveAsTable(name)
       Seq(name)
-    })
+    }).head
+
+  /** Shared day-2 audio probe (the [[mediaIncrementalProbe]] mask
+    * contract). */
+  private[queries] def audioIncrementalProbe(
+      s: SparkSession, dir: String, mask: Option[String]): DataFrame = {
+    val idxTable = audioSigIndexTable(s, dir)
     // GATE-ONLY bootstrap (see mediaDedupIncremental): production gets
     // the batch id offset from the ingest contract, not a corpus scan
     val off = Tables(s, dir, "documents").agg(max("doc_id")).head.getLong(0) + 1L
@@ -3220,8 +3223,10 @@ object LlmQueries {
       when(hb < 85, expr("CAST(doc_id DIV 8 AS BIGINT)"))
         .otherwise(expr(s"CAST((doc_id + $off) DIV 8 AS BIGINT)")).as("p"))
     val batchSigs = audioSigsForParams(batchParams)
-    val hits = bandKeys(batchSigs)
-      .join(s.table(idxTable), Seq("bucket"))
+    val idx = mask.map(maskIndex(s, dir, s.table(idxTable), "c_id", _))
+      .getOrElse(s.table(idxTable))
+    val hits = mediaBandKeys(batchSigs)
+      .join(idx, Seq("bucket"))
       .filter(graft.functions.HashFunctions.hammingBits(col("sig"), col("c_sig"))
         .cast("int") <= 2)
       .groupBy(col("doc_id"))
@@ -3233,6 +3238,15 @@ object LlmQueries {
         when(col("n_dups") > 0, lit("dup_corpus")).otherwise(lit("new")).as("status"))
       .orderBy("doc_id")
   }
+
+  val mediaAudioDedupIncremental: Q = (s, dir) => audioIncrementalProbe(s, dir, None)
+
+  /** DELETE PATH for the persisted audio band index — [[mediaForget]]'s
+    * PCM sibling; with this and [[mediaVideoForget]] every persisted
+    * band index in the repo (image / audio / video / caption-composite)
+    * masks forgets with the same broadcast anti-join, index never
+    * rewritten. */
+  val mediaAudioForget: Q = (s, dir) => audioIncrementalProbe(s, dir, Some("left_anti"))
 
   /** VIDEO NEAR-DUP PAIRS — the last modality onto
     * [[Dedup.bitSignaturePairs]]: real GIF sequence encode → real
@@ -3253,20 +3267,24 @@ object LlmQueries {
     * within Hamming ≤ 2 of the corpus mates') probes the index with
     * ZERO index-side Exchange (plan-pinned). Completes the
     * pairs + day-2 matrix across image / audio / video. */
-  val mediaVideoDedupIncremental: Q = (s, dir) => {
-    def bandKeys(df: DataFrame): DataFrame =
-      df.select(col("doc_id"), col("sig"),
-        explode(array((0 until 4).map(b =>
-          concat_ws(":", lit(b).cast("string"), substring(col("sig"), b * 14 + 1, 14))): _*))
-          .as("bucket"))
-    val Seq(idxTable) = BucketCache.tables(s, s"video_sigs:$dir", { (tag, tmp) =>
+  /** The persisted video majority-signature band index — one builder
+    * per dir, shared by the day-2 probe, the forget mask and the
+    * report. */
+  private[queries] def videoSigIndexTable(s: SparkSession, dir: String): String =
+    BucketCache.tables(s, s"video_sigs:$dir", { (tag, tmp) =>
       val name = s"graft_vsig_b_$tag"
-      bandKeys(videoSigsFor(s, dir))
+      mediaBandKeys(videoSigsFor(s, dir))
         .select(col("bucket"), col("doc_id").as("c_id"), col("sig").as("c_sig"))
         .write.bucketBy(8, "bucket").sortBy("bucket")
         .option("path", s"$tmp/vsig").mode("overwrite").saveAsTable(name)
       Seq(name)
-    })
+    }).head
+
+  /** Shared day-2 video probe (the [[mediaIncrementalProbe]] mask
+    * contract). */
+  private[queries] def videoIncrementalProbe(
+      s: SparkSession, dir: String, mask: Option[String]): DataFrame = {
+    val idxTable = videoSigIndexTable(s, dir)
     // GATE-ONLY bootstrap (see mediaDedupIncremental)
     val off = Tables(s, dir, "documents").agg(max("doc_id")).head.getLong(0) + 1L
     val hb = Sampling.hashBucket256(col("doc_id"))
@@ -3275,8 +3293,10 @@ object LlmQueries {
       when(hb < 85, expr("CAST(doc_id DIV 8 AS BIGINT)"))
         .otherwise(expr(s"CAST((doc_id + $off) DIV 8 AS BIGINT)")).as("p"))
     val batchSigs = videoSigsForParams(batchParams)
-    val hits = bandKeys(batchSigs)
-      .join(s.table(idxTable), Seq("bucket"))
+    val idx = mask.map(maskIndex(s, dir, s.table(idxTable), "c_id", _))
+      .getOrElse(s.table(idxTable))
+    val hits = mediaBandKeys(batchSigs)
+      .join(idx, Seq("bucket"))
       .filter(graft.functions.HashFunctions.hammingBits(col("sig"), col("c_sig"))
         .cast("int") <= 2)
       .groupBy(col("doc_id"))
@@ -3288,6 +3308,13 @@ object LlmQueries {
         when(col("n_dups") > 0, lit("dup_corpus")).otherwise(lit("new")).as("status"))
       .orderBy("doc_id")
   }
+
+  val mediaVideoDedupIncremental: Q = (s, dir) => videoIncrementalProbe(s, dir, None)
+
+  /** DELETE PATH for the persisted video band index — see
+    * [[mediaAudioForget]]: the forget matrix closes across every
+    * persisted band index. */
+  val mediaVideoForget: Q = (s, dir) => videoIncrementalProbe(s, dir, Some("left_anti"))
 
   /** Byte-level media stats (no decode): engine-portable ⇒ oracle. */
   val mediaStats: Q = (s, dir) => {
@@ -4158,8 +4185,23 @@ object LlmQueries {
       .select(explode(array(
         metric("caption_index", "masked_pairs", col("masked_pairs")),
         metric("caption_index", "masked_band_rows", col("masked_band_rows")))).as("r"))
+    val audio = s.table(audioSigIndexTable(s, dir))
+      .filter(isForgetDoc50(col("c_id")))
+      .agg(countDistinct("c_id").as("masked_clips"),
+        count(lit(1)).as("masked_band_rows"))
+      .select(explode(array(
+        metric("audio_index", "masked_clips", col("masked_clips")),
+        metric("audio_index", "masked_band_rows", col("masked_band_rows")))).as("r"))
+    val video = s.table(videoSigIndexTable(s, dir))
+      .filter(isForgetDoc50(col("c_id")))
+      .agg(countDistinct("c_id").as("masked_videos"),
+        count(lit(1)).as("masked_band_rows"))
+      .select(explode(array(
+        metric("video_index", "masked_videos", col("masked_videos")),
+        metric("video_index", "masked_band_rows", col("masked_band_rows")))).as("r"))
     windows.unionByName(repacked).unionByName(ann).unionByName(bm25)
       .unionByName(media).unionByName(caption)
+      .unionByName(audio).unionByName(video)
       .select(col("r.surface").as("surface"), col("r.metric").as("metric"),
         col("r.value").cast("long").as("value"))
       .orderBy("surface", "metric")
@@ -4920,8 +4962,10 @@ object LlmQueries {
     "media_audio_stats" -> mediaAudioStats,
     "media_audio_dedup" -> mediaAudioDedup,
     "media_audio_dedup_incremental" -> mediaAudioDedupIncremental,
+    "media_audio_forget" -> mediaAudioForget,
     "media_video_dedup" -> mediaVideoDedup,
     "media_video_dedup_incremental" -> mediaVideoDedupIncremental,
+    "media_video_forget" -> mediaVideoForget,
     "media_caption_dedup" -> mediaCaptionDedup,
     "media_caption_dedup_incremental" -> mediaCaptionDedupIncremental,
     "media_caption_forget" -> mediaCaptionForget,
@@ -5410,6 +5454,98 @@ object LlmQueries {
        |  CASE WHEN COALESCE(h.n_dups, 0) > 0 THEN 'dup_corpus' ELSE 'new' END AS status
        |FROM params p LEFT JOIN hits h ON p.doc_id = h.bid, offv o
        |WHERE p.doc_id >= o.off ORDER BY p.doc_id""".stripMargin
+
+  /** The day-2 video probe replay ([[mediaIncrementalSql]]'s mask
+    * contract): corpus ∪ echo-batch params through the shared
+    * pixel / frame-bit / majority chain per side, band join b×c. */
+  private def videoIncrementalSql(cMask: String): String =
+    s"""WITH params AS (
+       |  SELECT doc_id, 'c' AS side, doc_id // 8 AS p FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents), 'b',
+       |    CASE WHEN hb < 85 THEN doc_id // 8
+       |      ELSE (doc_id + (SELECT max(doc_id) + 1 FROM documents)) // 8 END
+       |  FROM (SELECT doc_id,
+       |      (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+       |      + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS hb
+       |    FROM documents)),
+       |px AS MATERIALIZED (SELECT side, doc_id, k, x, y,
+       |    1 + CAST((${hx60("md5('vid:' || CAST(p AS VARCHAR) || ':' || CAST(k AS VARCHAR) || ':' || CAST(x AS VARCHAR) || ':' || CAST(y AS VARCHAR))")} % 126 +
+       |      CASE WHEN k = p % 5 AND x = p % 8 AND y = (p // 8) % 8
+       |        THEN ${hx60("md5('vidn:' || CAST(doc_id AS VARCHAR))")} % 126 ELSE 0 END) % 126 AS INT) AS g
+       |  FROM params, unnest(range(0, 5)) tk(k),
+       |    unnest(range(0, 8)) tx(x), unnest(range(0, 8)) ty(y)),
+       |fb AS (SELECT a.side, a.doc_id, a.k, a.y, a.x,
+       |    CASE WHEN b.g > a.g THEN 1 ELSE 0 END AS bit
+       |  FROM px a JOIN px b ON b.side = a.side AND b.doc_id = a.doc_id
+       |    AND b.k = a.k AND b.y = a.y AND b.x = a.x + 1
+       |  WHERE a.x < 7),
+       |mj AS (SELECT side, doc_id, y, x,
+       |    CASE WHEN 2 * sum(bit) > count(*) THEN '1' ELSE '0' END AS mb
+       |  FROM fb GROUP BY side, doc_id, y, x),
+       |sg AS (SELECT side, doc_id, string_agg(mb, '' ORDER BY y, x) AS sig
+       |  FROM mj GROUP BY side, doc_id),
+       |bb AS (SELECT side, doc_id, sig, i,
+       |    CAST(i AS VARCHAR) || ':' || substr(sig, CAST(i*14 + 1 AS INT), 14) AS k
+       |  FROM sg, unnest(range(0, 4)) t(i)),
+       |cand AS (SELECT DISTINCT b.doc_id AS bid, c.doc_id AS cid, b.sig AS sb, c.sig AS sc
+       |  FROM bb b JOIN bb c ON b.k = c.k AND b.side = 'b' AND c.side = 'c' $cMask),
+       |ham AS (SELECT bid, cid,
+       |    CAST(sum(CASE WHEN substr(sb, CAST(j AS INT), 1) <> substr(sc, CAST(j AS INT), 1)
+       |      THEN 1 ELSE 0 END) AS INT) AS hamming
+       |  FROM cand, unnest(range(1, 57)) t(j) GROUP BY bid, cid),
+       |hits AS (SELECT bid, CAST(count(DISTINCT cid) AS BIGINT) AS n_dups
+       |  FROM ham WHERE hamming <= 2 GROUP BY bid)
+       |SELECT p.doc_id, COALESCE(h.n_dups, 0) AS n_dups,
+       |  CASE WHEN COALESCE(h.n_dups, 0) > 0 THEN 'dup_corpus' ELSE 'new' END AS status
+       |FROM params p LEFT JOIN hits h ON h.bid = p.doc_id
+       |WHERE p.side = 'b' ORDER BY p.doc_id""".stripMargin
+
+  /** The day-2 audio probe replay ([[mediaIncrementalSql]]'s mask
+    * contract): corpus ∪ echo-batch params, the shared sample / energy
+    * / bit chain per side, band join b×c, Hamming ≤ 2. */
+  private def audioIncrementalSql(cMask: String): String =
+    s"""WITH params AS (
+       |  SELECT doc_id, 'c' AS side, doc_id // 8 AS p FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents), 'b',
+       |    CASE WHEN hb < 85 THEN doc_id // 8
+       |      ELSE (doc_id + (SELECT max(doc_id) + 1 FROM documents)) // 8 END
+       |  FROM (SELECT doc_id,
+       |      (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+       |      + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS hb
+       |    FROM documents)),
+       |sd AS (SELECT side, doc_id, p,
+       |    CAST(200 + p % 57 AS BIGINT) AS n, p % 56 AS nf FROM params),
+       |s AS (SELECT side, doc_id, (k * 57) // n AS f,
+       |    ((CASE WHEN (k * 57) // n = nf THEN ${hx60("md5('audn:' || CAST(doc_id AS VARCHAR))")}
+       |        ELSE ${hx60("md5('aud:' || CAST(p AS VARCHAR) || ':' || CAST((k * 57) // n AS VARCHAR))")}
+       |      END + k * 104729)
+       |      % 65536 + 65536) % 65536 - 32768 AS v
+       |  FROM sd, unnest(range(0, n)) t(k)),
+       |e AS (SELECT side, doc_id, f, CAST(sum(abs(v)) AS BIGINT) AS en,
+       |    CAST(count(*) AS BIGINT) AS cnt FROM s GROUP BY side, doc_id, f),
+       |bits AS (SELECT a.side, a.doc_id, a.f,
+       |    CASE WHEN a.en * b.cnt > b.en * a.cnt THEN '1' ELSE '0' END AS bit
+       |  FROM e a JOIN e b ON b.side = a.side AND b.doc_id = a.doc_id
+       |    AND b.f = a.f + 1 WHERE a.f < 56),
+       |sg AS (SELECT side, doc_id, string_agg(bit, '' ORDER BY f) AS sig
+       |  FROM bits GROUP BY side, doc_id),
+       |bb AS (SELECT side, doc_id, sig, i,
+       |    CAST(i AS VARCHAR) || ':' || substr(sig, CAST(i*14 + 1 AS INT), 14) AS k
+       |  FROM sg, unnest(range(0, 4)) t(i)),
+       |cand AS (SELECT DISTINCT b.doc_id AS bid, c.doc_id AS cid, b.sig AS sb, c.sig AS sc
+       |  FROM bb b JOIN bb c ON b.k = c.k AND b.side = 'b' AND c.side = 'c' $cMask),
+       |ham AS (SELECT bid, cid,
+       |    CAST(sum(CASE WHEN substr(sb, CAST(j AS INT), 1) <> substr(sc, CAST(j AS INT), 1)
+       |      THEN 1 ELSE 0 END) AS INT) AS hamming
+       |  FROM cand, unnest(range(1, 57)) t(j) GROUP BY bid, cid),
+       |hits AS (SELECT bid, CAST(count(DISTINCT cid) AS BIGINT) AS n_dups
+       |  FROM ham WHERE hamming <= 2 GROUP BY bid)
+       |SELECT p.doc_id, COALESCE(h.n_dups, 0) AS n_dups,
+       |  CASE WHEN COALESCE(h.n_dups, 0) > 0 THEN 'dup_corpus' ELSE 'new' END AS status
+       |FROM params p LEFT JOIN hits h ON h.bid = p.doc_id
+       |WHERE p.side = 'b' ORDER BY p.doc_id""".stripMargin
 
   /** The day-2 image-dedup probe replay, parameterized by a corpus-side
     * predicate fragment `cMask` appended to the band join (empty for
@@ -6832,6 +6968,14 @@ object LlmQueries {
          |UNION ALL SELECT 'caption_index', 'masked_pairs', CAST(count(*) AS BIGINT)
          |  FROM documents WHERE ${hx60("md5('forget:' || CAST(doc_id AS VARCHAR))")} % 50 = 0
          |UNION ALL SELECT 'caption_index', 'masked_band_rows', CAST(32 * count(*) AS BIGINT)
+         |  FROM documents WHERE ${hx60("md5('forget:' || CAST(doc_id AS VARCHAR))")} % 50 = 0
+         |UNION ALL SELECT 'audio_index', 'masked_clips', CAST(count(*) AS BIGINT)
+         |  FROM documents WHERE ${hx60("md5('forget:' || CAST(doc_id AS VARCHAR))")} % 50 = 0
+         |UNION ALL SELECT 'audio_index', 'masked_band_rows', CAST(4 * count(*) AS BIGINT)
+         |  FROM documents WHERE ${hx60("md5('forget:' || CAST(doc_id AS VARCHAR))")} % 50 = 0
+         |UNION ALL SELECT 'video_index', 'masked_videos', CAST(count(*) AS BIGINT)
+         |  FROM documents WHERE ${hx60("md5('forget:' || CAST(doc_id AS VARCHAR))")} % 50 = 0
+         |UNION ALL SELECT 'video_index', 'masked_band_rows', CAST(4 * count(*) AS BIGINT)
          |  FROM documents WHERE ${hx60("md5('forget:' || CAST(doc_id AS VARCHAR))")} % 50 = 0
          |ORDER BY surface, metric""".stripMargin,
     // epoch-salted md5 keys, shard + rank + both position-weighted
@@ -8420,48 +8564,11 @@ object LlmQueries {
          |$dpoFfdTailSql""".stripMargin,
     // the video day-2 probe: corpus ∪ echo-batch params through the
     // shared pixel/frame-bit/majority chain per side, band join b×c
-    "media_video_dedup_incremental" ->
-      s"""WITH params AS (
-         |  SELECT doc_id, 'c' AS side, doc_id // 8 AS p FROM documents
-         |  UNION ALL
-         |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents), 'b',
-         |    CASE WHEN hb < 85 THEN doc_id // 8
-         |      ELSE (doc_id + (SELECT max(doc_id) + 1 FROM documents)) // 8 END
-         |  FROM (SELECT doc_id,
-         |      (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
-         |      + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS hb
-         |    FROM documents)),
-         |px AS MATERIALIZED (SELECT side, doc_id, k, x, y,
-         |    1 + CAST((${hx60("md5('vid:' || CAST(p AS VARCHAR) || ':' || CAST(k AS VARCHAR) || ':' || CAST(x AS VARCHAR) || ':' || CAST(y AS VARCHAR))")} % 126 +
-         |      CASE WHEN k = p % 5 AND x = p % 8 AND y = (p // 8) % 8
-         |        THEN ${hx60("md5('vidn:' || CAST(doc_id AS VARCHAR))")} % 126 ELSE 0 END) % 126 AS INT) AS g
-         |  FROM params, unnest(range(0, 5)) tk(k),
-         |    unnest(range(0, 8)) tx(x), unnest(range(0, 8)) ty(y)),
-         |fb AS (SELECT a.side, a.doc_id, a.k, a.y, a.x,
-         |    CASE WHEN b.g > a.g THEN 1 ELSE 0 END AS bit
-         |  FROM px a JOIN px b ON b.side = a.side AND b.doc_id = a.doc_id
-         |    AND b.k = a.k AND b.y = a.y AND b.x = a.x + 1
-         |  WHERE a.x < 7),
-         |mj AS (SELECT side, doc_id, y, x,
-         |    CASE WHEN 2 * sum(bit) > count(*) THEN '1' ELSE '0' END AS mb
-         |  FROM fb GROUP BY side, doc_id, y, x),
-         |sg AS (SELECT side, doc_id, string_agg(mb, '' ORDER BY y, x) AS sig
-         |  FROM mj GROUP BY side, doc_id),
-         |bb AS (SELECT side, doc_id, sig, i,
-         |    CAST(i AS VARCHAR) || ':' || substr(sig, CAST(i*14 + 1 AS INT), 14) AS k
-         |  FROM sg, unnest(range(0, 4)) t(i)),
-         |cand AS (SELECT DISTINCT b.doc_id AS bid, c.doc_id AS cid, b.sig AS sb, c.sig AS sc
-         |  FROM bb b JOIN bb c ON b.k = c.k AND b.side = 'b' AND c.side = 'c'),
-         |ham AS (SELECT bid, cid,
-         |    CAST(sum(CASE WHEN substr(sb, CAST(j AS INT), 1) <> substr(sc, CAST(j AS INT), 1)
-         |      THEN 1 ELSE 0 END) AS INT) AS hamming
-         |  FROM cand, unnest(range(1, 57)) t(j) GROUP BY bid, cid),
-         |hits AS (SELECT bid, CAST(count(DISTINCT cid) AS BIGINT) AS n_dups
-         |  FROM ham WHERE hamming <= 2 GROUP BY bid)
-         |SELECT p.doc_id, COALESCE(h.n_dups, 0) AS n_dups,
-         |  CASE WHEN COALESCE(h.n_dups, 0) > 0 THEN 'dup_corpus' ELSE 'new' END AS status
-         |FROM params p LEFT JOIN hits h ON h.bid = p.doc_id
-         |WHERE p.side = 'b' ORDER BY p.doc_id""".stripMargin,
+    "media_video_dedup_incremental" -> videoIncrementalSql(""),
+    // the forget twin: the SAME replay with the %50 mask on the corpus
+    // side of the band join
+    "media_video_forget" -> videoIncrementalSql(
+      s"AND NOT (${hx60("md5('forget:' || CAST(c.doc_id AS VARCHAR))")} % 50 = 0)"),
     // the video modality: per-frame textured pixels -> per-frame dHash
     // bits -> per-position majority across the 5 frames -> the shared
     // band machinery; px self-joins so MATERIALIZED
@@ -8497,48 +8604,11 @@ object LlmQueries {
          |ORDER BY id_a, id_b""".stripMargin,
     // the audio day-2 probe: corpus ∪ echo-batch params, the shared
     // sample/energy/bit chain per side, band join b×c, Hamming ≤ 2
-    "media_audio_dedup_incremental" ->
-      s"""WITH params AS (
-         |  SELECT doc_id, 'c' AS side, doc_id // 8 AS p FROM documents
-         |  UNION ALL
-         |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents), 'b',
-         |    CASE WHEN hb < 85 THEN doc_id // 8
-         |      ELSE (doc_id + (SELECT max(doc_id) + 1 FROM documents)) // 8 END
-         |  FROM (SELECT doc_id,
-         |      (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
-         |      + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS hb
-         |    FROM documents)),
-         |sd AS (SELECT side, doc_id, p,
-         |    CAST(200 + p % 57 AS BIGINT) AS n, p % 56 AS nf FROM params),
-         |s AS (SELECT side, doc_id, (k * 57) // n AS f,
-         |    ((CASE WHEN (k * 57) // n = nf THEN ${hx60("md5('audn:' || CAST(doc_id AS VARCHAR))")}
-         |        ELSE ${hx60("md5('aud:' || CAST(p AS VARCHAR) || ':' || CAST((k * 57) // n AS VARCHAR))")}
-         |      END + k * 104729)
-         |      % 65536 + 65536) % 65536 - 32768 AS v
-         |  FROM sd, unnest(range(0, n)) t(k)),
-         |e AS (SELECT side, doc_id, f, CAST(sum(abs(v)) AS BIGINT) AS en,
-         |    CAST(count(*) AS BIGINT) AS cnt FROM s GROUP BY side, doc_id, f),
-         |bits AS (SELECT a.side, a.doc_id, a.f,
-         |    CASE WHEN a.en * b.cnt > b.en * a.cnt THEN '1' ELSE '0' END AS bit
-         |  FROM e a JOIN e b ON b.side = a.side AND b.doc_id = a.doc_id
-         |    AND b.f = a.f + 1 WHERE a.f < 56),
-         |sg AS (SELECT side, doc_id, string_agg(bit, '' ORDER BY f) AS sig
-         |  FROM bits GROUP BY side, doc_id),
-         |bb AS (SELECT side, doc_id, sig, i,
-         |    CAST(i AS VARCHAR) || ':' || substr(sig, CAST(i*14 + 1 AS INT), 14) AS k
-         |  FROM sg, unnest(range(0, 4)) t(i)),
-         |cand AS (SELECT DISTINCT b.doc_id AS bid, c.doc_id AS cid, b.sig AS sb, c.sig AS sc
-         |  FROM bb b JOIN bb c ON b.k = c.k AND b.side = 'b' AND c.side = 'c'),
-         |ham AS (SELECT bid, cid,
-         |    CAST(sum(CASE WHEN substr(sb, CAST(j AS INT), 1) <> substr(sc, CAST(j AS INT), 1)
-         |      THEN 1 ELSE 0 END) AS INT) AS hamming
-         |  FROM cand, unnest(range(1, 57)) t(j) GROUP BY bid, cid),
-         |hits AS (SELECT bid, CAST(count(DISTINCT cid) AS BIGINT) AS n_dups
-         |  FROM ham WHERE hamming <= 2 GROUP BY bid)
-         |SELECT p.doc_id, COALESCE(h.n_dups, 0) AS n_dups,
-         |  CASE WHEN COALESCE(h.n_dups, 0) > 0 THEN 'dup_corpus' ELSE 'new' END AS status
-         |FROM params p LEFT JOIN hits h ON h.bid = p.doc_id
-         |WHERE p.side = 'b' ORDER BY p.doc_id""".stripMargin,
+    "media_audio_dedup_incremental" -> audioIncrementalSql(""),
+    // the forget twin: the SAME replay with the %50 mask on the corpus
+    // side of the band join
+    "media_audio_forget" -> audioIncrementalSql(
+      s"AND NOT (${hx60("md5('forget:' || CAST(c.doc_id AS VARCHAR))")} % 50 = 0)"),
     // the audio twin of media_dedup_features: two-seed closed-form
     // samples -> frame L1 energies -> 56 comparison bits -> the shared
     // band/bucket/pair machinery, all replayed exactly

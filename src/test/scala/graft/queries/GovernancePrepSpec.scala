@@ -204,7 +204,7 @@ class GovernancePrepSpec extends AnyFunSuite {
   test("forget_pipeline_report: every surface's numbers equal its gate's aggregates") {
     val rep = LlmQueries.forgetPipelineReport(spark, TestSpark.sfDir).collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
-    assert(rep.size === 13)
+    assert(rep.size === 17)
     val audit = LlmQueries.forgetDocsAudit(spark, TestSpark.sfDir).collect()
     assert(rep(("packed_windows", "contaminated_bins")) === audit.length.toLong)
     assert(rep(("packed_windows", "forgotten_docs")) === audit.map(_.getLong(3)).sum)
@@ -229,6 +229,10 @@ class GovernancePrepSpec extends AnyFunSuite {
     assert(rep(("media_index", "masked_band_rows")) === 4L * docs50)
     assert(rep(("caption_index", "masked_pairs")) === docs50)
     assert(rep(("caption_index", "masked_band_rows")) === 32L * docs50)
+    assert(rep(("audio_index", "masked_clips")) === docs50)
+    assert(rep(("audio_index", "masked_band_rows")) === 4L * docs50)
+    assert(rep(("video_index", "masked_videos")) === docs50)
+    assert(rep(("video_index", "masked_band_rows")) === 4L * docs50)
   }
 
   test("rm_pairs_to_dpo: packs exactly rm_pairs_from_n's pairs, chosen branch = the selected winner") {

@@ -58,13 +58,25 @@ class MediaForgetSpec extends AnyFunSuite {
     checkFamily("caption", m => LlmQueries.captionIncrementalProbe(spark, TestSpark.sfDir, m))
   }
 
+  test("media_audio_forget: the PCM band index masks the same way") {
+    checkFamily("audio", m => LlmQueries.audioIncrementalProbe(spark, TestSpark.sfDir, m))
+  }
+
+  test("media_video_forget: the majority-signature band index masks the same way") {
+    checkFamily("video", m => LlmQueries.videoIncrementalProbe(spark, TestSpark.sfDir, m))
+  }
+
   test("plan: broadcast anti-join mask, bucketed index scan kept, zero added hash exchanges") {
     def hashEx(p: String): Int = "Exchange hashpartitioning".r.findAllIn(p).size
     Seq(
       ("media", LlmQueries.mediaIncrementalProbe(spark, TestSpark.sfDir, None),
         LlmQueries.mediaForget(spark, TestSpark.sfDir)),
       ("caption", LlmQueries.captionIncrementalProbe(spark, TestSpark.sfDir, None),
-        LlmQueries.mediaCaptionForget(spark, TestSpark.sfDir))
+        LlmQueries.mediaCaptionForget(spark, TestSpark.sfDir)),
+      ("audio", LlmQueries.audioIncrementalProbe(spark, TestSpark.sfDir, None),
+        LlmQueries.mediaAudioForget(spark, TestSpark.sfDir)),
+      ("video", LlmQueries.videoIncrementalProbe(spark, TestSpark.sfDir, None),
+        LlmQueries.mediaVideoForget(spark, TestSpark.sfDir))
     ).foreach { case (name, baseDf, forgDf) =>
       val pBase = baseDf.queryExecution.executedPlan.toString
       val pForg = forgDf.queryExecution.executedPlan.toString
