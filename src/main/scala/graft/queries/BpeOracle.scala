@@ -34,40 +34,19 @@ object BpeOracle {
 
   /** Shared training + encode CTE block (no leading WITH). Ends with:
     * `enc(doc_id, ts)` — the per-doc token array — and
-    * `vocab(tk, id)` — the token-id table. */
+    * `vocab(tk, id)` — the token-id table. Defined as the untagged
+    * [[vocabCtes]] instantiation plus the encode tail, so the shipped
+    * tokenizer's replay and the forget audit's replay share literally
+    * ONE training-chain source (the round-20 review note: a second
+    * copy of the argmax/replace text would be a drift surface). */
   val trainCtes: String = {
-    val ctes = Seq.newBuilder[String]
-    ctes += s"tokw AS (SELECT unnest(regexp_split_to_array($Norm, ' ')) AS w FROM documents)"
-    ctes += ("wf AS MATERIALIZED (SELECT w, count(*) AS f FROM tokw " +
-      s"WHERE length(w) > 0 GROUP BY w ORDER BY f DESC, w LIMIT $V)")
-    ctes += "v0 AS MATERIALIZED (SELECT w, f, ' ' || regexp_replace(w, '(.)', '\\1  ', 'g') AS s FROM wf)"
-    (1 to M).foreach { i =>
-      val p = i - 1
-      ctes += (s"p$i AS MATERIALIZED (SELECT pr, CAST(sum(f) AS BIGINT) AS n FROM (SELECT f, " +
-        "unnest(list_transform(range(1, len(regexp_split_to_array(trim(s), ' +'))), " +
-        "k -> regexp_split_to_array(trim(s), ' +')[k] || ' ' || " +
-        s"regexp_split_to_array(trim(s), ' +')[k+1])) AS pr FROM v$p) GROUP BY pr)")
-      ctes += s"m$i AS MATERIALIZED (SELECT pr FROM p$i ORDER BY n DESC, pr LIMIT 1)"
-      ctes += (s"v$i AS MATERIALIZED (SELECT w, f, " +
-        "replace(s, ' ' || split_part(m.pr, ' ', 1) || '  ' || split_part(m.pr, ' ', 2) || ' ', " +
-        s"' ' || replace(m.pr, ' ', '') || ' ') AS s FROM v$p, m$i m)")
-    }
-    ctes += s"normd AS MATERIALIZED (SELECT doc_id, $Norm AS nt FROM documents)"
-    ctes += ("alpha AS (SELECT DISTINCT substr(nt, CAST(i AS INT), 1) AS tk FROM normd, " +
-      "unnest(range(1, length(nt) + 1)) t(i) WHERE substr(nt, CAST(i AS INT), 1) <> ' ')")
-    ctes += "vocabc AS MATERIALIZED (SELECT tk, row_number() OVER (ORDER BY tk) - 1 AS id FROM alpha)"
-    ctes += ("mlist AS (" + (1 to M).map(j =>
-      s"SELECT $j AS j, replace(pr, ' ', '') AS tk FROM m$j").mkString(" UNION ALL ") + ")")
-    ctes += ("vocab AS MATERIALIZED (SELECT tk, CAST(min(id) AS BIGINT) AS id FROM (" +
-      "SELECT tk, id FROM vocabc UNION ALL " +
-      "SELECT tk, (SELECT count(*) FROM vocabc) + j - 1 AS id FROM mlist) GROUP BY tk)")
     val rep = (1 to M).foldLeft("' ' || regexp_replace(nt, '(.)', '\\1  ', 'g')") { (acc, j) =>
       s"replace($acc, ' ' || split_part((SELECT pr FROM m$j), ' ', 1) || '  ' || " +
         s"split_part((SELECT pr FROM m$j), ' ', 2) || ' ', " +
         s"' ' || replace((SELECT pr FROM m$j), ' ', '') || ' ')"
     }
-    ctes += s"enc AS MATERIALIZED (SELECT doc_id, regexp_split_to_array(trim($rep), ' +') AS ts FROM normd)"
-    ctes.result().mkString(",\n")
+    vocabCtes("", "") + ",\n" +
+      s"enc AS MATERIALIZED (SELECT doc_id, regexp_split_to_array(trim($rep), ' +') AS ts FROM normd)"
   }
 
   /** The VOCAB-ONLY training chain of [[trainCtes]] (no per-doc

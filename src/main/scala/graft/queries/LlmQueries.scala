@@ -3925,6 +3925,13 @@ object LlmQueries {
     * — nothing trained enters as a literal. */
   val forgetVocabAudit: Q = (s, dir) => {
     import s.implicits._
+    // the oracle feeds BOTH trainers from one shared wf CTE (LIMIT
+    // Bpe.VocabWords) — valid only while the two trainers truncate the
+    // word table identically, so pin it loudly (the round-20 review
+    // note: equal today by convention, not by construction)
+    require(Bpe.VocabWords == Unigram.VocabWords,
+      "forget_vocab_audit's oracle shares one top-V word table between the " +
+        s"BPE (${Bpe.VocabWords}) and unigram (${Unigram.VocabWords}) replays")
     val survivors = Tables(s, dir, "documents").filter(!isForgetDoc(col("doc_id")))
     val bpeM = bpeCache.computeIfAbsent("forget:" + dir, _ => Bpe.train(survivors, "text"))
     val uniM = unigramCache.computeIfAbsent("forget:" + dir,
@@ -4168,44 +4175,33 @@ object LlmQueries {
         metric("bm25_index", "masked_docs", col("masked_docs")),
         metric("bm25_index", "masked_postings", col("masked_postings")),
         metric("bm25_index", "masked_tf", col("masked_tf")))).as("r"))
-    // the two persisted media band indexes (round-20: the media/caption
-    // forget gates' surfaces) — counts read from the PERSISTED bucketed
-    // tables, never a re-decode, the bm25 discipline
-    val media = s.table(mediaSigIndexTable(s, dir))
-      .filter(isForgetDoc50(col("c_id")))
-      .agg(countDistinct("c_id").as("masked_images"),
-        count(lit(1)).as("masked_band_rows"))
-      .select(explode(array(
-        metric("media_index", "masked_images", col("masked_images")),
-        metric("media_index", "masked_band_rows", col("masked_band_rows")))).as("r"))
-    val caption = s.table(captionSigIndexTable(s, dir))
-      .filter(isForgetDoc50(col("c_id")))
-      .agg(countDistinct("c_id").as("masked_pairs"),
-        count(lit(1)).as("masked_band_rows"))
-      .select(explode(array(
-        metric("caption_index", "masked_pairs", col("masked_pairs")),
-        metric("caption_index", "masked_band_rows", col("masked_band_rows")))).as("r"))
-    val audio = s.table(audioSigIndexTable(s, dir))
-      .filter(isForgetDoc50(col("c_id")))
-      .agg(countDistinct("c_id").as("masked_clips"),
-        count(lit(1)).as("masked_band_rows"))
-      .select(explode(array(
-        metric("audio_index", "masked_clips", col("masked_clips")),
-        metric("audio_index", "masked_band_rows", col("masked_band_rows")))).as("r"))
-    val video = s.table(videoSigIndexTable(s, dir))
-      .filter(isForgetDoc50(col("c_id")))
-      .agg(countDistinct("c_id").as("masked_videos"),
-        count(lit(1)).as("masked_band_rows"))
-      .select(explode(array(
-        metric("video_index", "masked_videos", col("masked_videos")),
-        metric("video_index", "masked_band_rows", col("masked_band_rows")))).as("r"))
-    windows.unionByName(repacked).unionByName(ann).unionByName(bm25)
-      .unionByName(media).unionByName(caption)
-      .unionByName(audio).unionByName(video)
+    // the four persisted media band indexes (round-20: the forget
+    // gates' surfaces) — counts read from the PERSISTED bucketed
+    // tables, never a re-decode, the bm25 discipline; ONE block, four
+    // instantiations (the review note: four copies drift)
+    val mediaSurfaces = Seq(
+      (mediaSigIndexTable _, "media_index", "masked_images"),
+      (captionSigIndexTable _, "caption_index", "masked_pairs"),
+      (audioSigIndexTable _, "audio_index", "masked_clips"),
+      (videoSigIndexTable _, "video_index", "masked_videos")
+    ).map { case (idxTable, surface, memberMetric) =>
+      s.table(idxTable(s, dir))
+        .filter(isForgetDoc50(col("c_id")))
+        .agg(countDistinct("c_id").as("masked_members"),
+          count(lit(1)).as("masked_band_rows"))
+        .select(explode(array(
+          metric(surface, memberMetric, col("masked_members")),
+          metric(surface, "masked_band_rows", col("masked_band_rows")))).as("r"))
+    }
+    (Seq(windows, repacked, ann, bm25) ++ mediaSurfaces).reduce(_ unionByName _)
       .select(col("r.surface").as("surface"), col("r.metric").as("metric"),
         col("r.value").cast("long").as("value"))
       .orderBy("surface", "metric")
   }
+
+  /** The checksum prime shared by every epoch-ordering signature (the
+    * Scala side and the DuckDB replays must reduce identically). */
+  private[queries] val SigP = 1000003L
 
   /** DETERMINISTIC RESUMABLE EPOCH ORDERING — the dataloader contract a
     * multi-epoch run needs: every epoch is a fresh pseudo-random
@@ -4226,10 +4222,6 @@ object LlmQueries {
     * same checksum over positions past the half-epoch offset re-based to the
     * resume point. Both epochs come from ONE scan (posexplode of the
     * epoch array, not a self-union). */
-  /** The checksum prime shared by every epoch-ordering signature (the
-    * Scala side and the DuckDB replays must reduce identically). */
-  private[queries] val SigP = 1000003L
-
   val epochOrderResume: Q = (s, dir) => {
     val base = Tables(s, dir, "documents").select("doc_id")
       .select(col("doc_id"), explode(array(lit(0), lit(1))).as("epoch"))
@@ -5454,6 +5446,22 @@ object LlmQueries {
        |  CASE WHEN COALESCE(h.n_dups, 0) > 0 THEN 'dup_corpus' ELSE 'new' END AS status
        |FROM params p LEFT JOIN hits h ON p.doc_id = h.bid, offv o
        |WHERE p.doc_id >= o.off ORDER BY p.doc_id""".stripMargin
+
+  /** The compliance report's media-index UNION blocks, generated from
+    * one (surface, member-metric, band-fan-out) table — the oracle
+    * pins each persisted index's exact rows-per-member closed-form
+    * (image 4, caption composite 8×4, audio 4, video 4). */
+  private lazy val mediaIndexReportSql: String = Seq(
+    ("media_index", "masked_images", 4),
+    ("caption_index", "masked_pairs", 32),
+    ("audio_index", "masked_clips", 4),
+    ("video_index", "masked_videos", 4)
+  ).flatMap { case (surface, memberMetric, fanOut) => Seq(
+    s"""UNION ALL SELECT '$surface', '$memberMetric', CAST(count(*) AS BIGINT)
+       |  FROM documents WHERE ${hx60("md5('forget:' || CAST(doc_id AS VARCHAR))")} % 50 = 0""".stripMargin,
+    s"""UNION ALL SELECT '$surface', 'masked_band_rows', CAST($fanOut * count(*) AS BIGINT)
+       |  FROM documents WHERE ${hx60("md5('forget:' || CAST(doc_id AS VARCHAR))")} % 50 = 0""".stripMargin)
+  }.mkString("\n")
 
   /** The day-2 video probe replay ([[mediaIncrementalSql]]'s mask
     * contract): corpus ∪ echo-batch params through the shared
@@ -6961,22 +6969,7 @@ object LlmQueries {
          |    CAST(COALESCE(sum(n), 0) AS BIGINT)
          |  FROM fl JOIN cb ON fl.shard_id = cb.shard_id AND fl.bin_id = cb.bin_id
          |  WHERE fl.isf = 0
-         |UNION ALL SELECT 'media_index', 'masked_images', CAST(count(*) AS BIGINT)
-         |  FROM documents WHERE ${hx60("md5('forget:' || CAST(doc_id AS VARCHAR))")} % 50 = 0
-         |UNION ALL SELECT 'media_index', 'masked_band_rows', CAST(4 * count(*) AS BIGINT)
-         |  FROM documents WHERE ${hx60("md5('forget:' || CAST(doc_id AS VARCHAR))")} % 50 = 0
-         |UNION ALL SELECT 'caption_index', 'masked_pairs', CAST(count(*) AS BIGINT)
-         |  FROM documents WHERE ${hx60("md5('forget:' || CAST(doc_id AS VARCHAR))")} % 50 = 0
-         |UNION ALL SELECT 'caption_index', 'masked_band_rows', CAST(32 * count(*) AS BIGINT)
-         |  FROM documents WHERE ${hx60("md5('forget:' || CAST(doc_id AS VARCHAR))")} % 50 = 0
-         |UNION ALL SELECT 'audio_index', 'masked_clips', CAST(count(*) AS BIGINT)
-         |  FROM documents WHERE ${hx60("md5('forget:' || CAST(doc_id AS VARCHAR))")} % 50 = 0
-         |UNION ALL SELECT 'audio_index', 'masked_band_rows', CAST(4 * count(*) AS BIGINT)
-         |  FROM documents WHERE ${hx60("md5('forget:' || CAST(doc_id AS VARCHAR))")} % 50 = 0
-         |UNION ALL SELECT 'video_index', 'masked_videos', CAST(count(*) AS BIGINT)
-         |  FROM documents WHERE ${hx60("md5('forget:' || CAST(doc_id AS VARCHAR))")} % 50 = 0
-         |UNION ALL SELECT 'video_index', 'masked_band_rows', CAST(4 * count(*) AS BIGINT)
-         |  FROM documents WHERE ${hx60("md5('forget:' || CAST(doc_id AS VARCHAR))")} % 50 = 0
+         |$mediaIndexReportSql
          |ORDER BY surface, metric""".stripMargin,
     // epoch-salted md5 keys, shard + rank + both position-weighted
     // checksums replayed; the resume checksum re-bases at n/2; each

@@ -248,7 +248,10 @@ class GovernancePrepSpec extends AnyFunSuite {
       // candidates are same-length rotations: the two views tie here
       assert(r.getLong(5) === r.getLong(6),
         s"bin ${r.getInt(0)}/${r.getLong(1)}: rotation pairs must have equal view totals")
-      assert(r.getLong(3) + r.getLong(4) === 256L || r.getLong(3) <= 256L)
+      // every pair unit is ≤ ~67 tokens (maxTokens 64 + tags), so no
+      // bin can overflow the 256 window: used + pad must tile it
+      assert(r.getLong(3) + r.getLong(4) === 256L,
+        s"bin ${r.getInt(0)}/${r.getLong(1)}: used_units + pad_tokens must equal the window")
     }
   }
 
