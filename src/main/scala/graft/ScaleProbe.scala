@@ -340,6 +340,9 @@ object ScaleProbe {
     // round 20: the window rollup's bin-count-sized partials + the one
     // (epoch, reader-shard) exchange — output fixed at 2×8 rows
     "epoch_order_windows",
+    // the post-compaction reader contract: audit/rebuild cost + the
+    // same permutation tail — output fixed at 2×8 rows
+    "epoch_order_rebuilt",
     // the composed endpoint: the rm-pairs scored map + the
     // pair-affinity packer's shard shuffle, join-free (plan-pinned)
     "rm_pairs_to_dpo",

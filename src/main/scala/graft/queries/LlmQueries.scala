@@ -4269,31 +4269,35 @@ object LlmQueries {
     * WINDOW-count rows (corpus-size / window-fill), never a global
     * sort — three hash exchanges total, plan-pinned, none carrying
     * more than window-count rows past the scan. */
-  val epochOrderWindows: Q = (s, dir) => {
-    val docs = Tables(s, dir, "documents")
-      .withColumn("shard_id", Sampling.shardAssign(col("doc_id"), 8))
-    val lay = TextAnalysis.packedWindowLayout(docs, Seq("shard_id"), "doc_id",
-      TextAnalysis.tokenCountWs(col("text")).cast("long"), 2048)
-    val wins = lay.groupBy(col("shard_id").as("src_shard"), col("bin_id"))
+  /** The per-(shard, bin) position-weighted content checksum of a
+    * window layout frame — shared by every window-permutation gate. */
+  private def windowSigs(lay: DataFrame, keyCols: Seq[String]): DataFrame =
+    lay.groupBy(keyCols.map(col): _*)
       .agg((sum(((col("seq_in_bin") + 1) *
           (Sampling.hash60(col("doc_id")) % SigP)) % SigP) % SigP).as("wsig"))
+
+  /** The epoch-salted window permutation + order/resume checksums over
+    * a `(keyCols…, wsig)` frame — [[epochOrderWindows]] and
+    * [[epochOrderRebuilt]] share this tail (one permutation source, so
+    * the live-layout and post-compaction contracts cannot drift). */
+  private def epochWindowPermutation(
+      wins: DataFrame, salt: String, keyCols: Seq[String]): DataFrame = {
+    val keyStr = concat_ws(":", keyCols.map(c => col(c).cast("string")): _*)
     val base = wins
-      .select(col("src_shard"), col("bin_id"), col("wsig"),
-        explode(array(lit(0), lit(1))).as("epoch"))
-      .withColumn("k", md5(concat(lit("wepoch"), col("epoch").cast("string"),
-        lit(":"), col("src_shard").cast("string"),
-        lit(":"), col("bin_id").cast("string"))))
+      .select(keyCols.map(col) :+ col("wsig"): _*)
+      .withColumn("epoch", explode(array(lit(0), lit(1))))
+      .withColumn("k", md5(concat(lit(salt), col("epoch").cast("string"),
+        lit(":"), keyStr)))
       .withColumn("shard_id",
         (conv(substring(col("k"), 1, 15), 16, 10).cast("long") % 8).cast("int"))
       .withColumn("h", lit(1L) + col("wsig"))
     val w = Window.partitionBy("epoch", "shard_id")
-      .orderBy(col("k"), col("src_shard"), col("bin_id"))
+      .orderBy(col("k") +: keyCols.map(col): _*)
     val cw = Window.partitionBy("epoch", "shard_id")
     val pos = base
       .withColumn("pos", row_number().over(w).cast("long"))
       .withColumn("half", (count(lit(1)).over(cw) / 2).cast("long"))
-      .withColumn("wlabel", concat_ws(":",
-        col("src_shard").cast("string"), col("bin_id").cast("string")))
+      .withColumn("wlabel", keyStr)
     pos.groupBy("epoch", "shard_id").agg(
         count(lit(1)).as("n_windows"),
         min(struct(col("pos"), col("wlabel"))).getField("wlabel").as("first_win"),
@@ -4303,6 +4307,50 @@ object LlmQueries {
             ((col("pos") - col("half")) * col("h")) % SigP)
           .otherwise(lit(0L))) % SigP).as("resume_sig"))
       .orderBy("epoch", "shard_id")
+  }
+
+  val epochOrderWindows: Q = (s, dir) => {
+    val docs = Tables(s, dir, "documents")
+      .withColumn("shard_id", Sampling.shardAssign(col("doc_id"), 8))
+    val lay = TextAnalysis.packedWindowLayout(docs, Seq("shard_id"), "doc_id",
+      TextAnalysis.tokenCountWs(col("text")).cast("long"), 2048)
+      .withColumnRenamed("shard_id", "src_shard")
+    epochWindowPermutation(windowSigs(lay, Seq("src_shard", "bin_id")),
+      "wepoch", Seq("src_shard", "bin_id"))
+  }
+
+  /** EPOCH ORDERING AFTER THE FORGET COMPACTION — the dataloader
+    * contract the governance loop hands back to training: once
+    * `forget_rebuild_plan` repacks the contaminated bins' survivors,
+    * the reader's window set is the CLEAN bins' original windows
+    * (generation g0 — their files were never rewritten) plus the
+    * REBUILT windows (generation g1), and this gate pins the
+    * epoch-salted permutation + mid-run resume over exactly that
+    * union — window identity is (generation, shard, bin), so a
+    * rebuilt bin can never be confused with the old bin whose id it
+    * reuses. Every derivation is shared: [[flaggedLayout]] /
+    * [[survivorsOf]] (the audit/rebuild chain) and
+    * [[epochWindowPermutation]] (the live-layout gate's tail) — by
+    * construction NO forgotten doc's hash enters any window checksum,
+    * which is the compliance point (GovernancePrepSpec pins window
+    * membership = corpus minus the delete list, each doc exactly
+    * once). Scale: the audit/rebuild cost plus the permutation's
+    * window-count exchanges — nothing new. */
+  val epochOrderRebuilt: Q = (s, dir) => {
+    val flagged = flaggedLayout(s, dir).localCheckpoint(false)
+    val cw = Window.partitionBy("shard_id", "bin_id")
+    val clean = flagged
+      .withColumn("contaminated", max("is_forget").over(cw))
+      .filter(col("contaminated") === 0)
+      .select(lit("g0").as("gen"), col("shard_id").as("src_shard"),
+        col("bin_id"), col("doc_id"), col("seq_in_bin"))
+    val rebuilt = TextAnalysis.packedWindowLayout(
+        survivorsOf(flagged), Seq("shard_id"), "doc_id", col("n_tokens"), 2048)
+      .select(lit("g1").as("gen"), col("shard_id").as("src_shard"),
+        col("bin_id"), col("doc_id"), col("seq_in_bin"))
+    epochWindowPermutation(
+      windowSigs(clean.unionByName(rebuilt), Seq("gen", "src_shard", "bin_id")),
+      "repoch", Seq("gen", "src_shard", "bin_id"))
   }
 
   /** The byte-mode vocabulary artifact — 256 structural byte rows
@@ -4861,6 +4909,7 @@ object LlmQueries {
     "forget_vocab_audit" -> forgetVocabAudit,
     "epoch_order_resume" -> epochOrderResume,
     "epoch_order_windows" -> epochOrderWindows,
+    "epoch_order_rebuilt" -> epochOrderRebuilt,
     "bpe_vocab_bytes" -> bpeVocabBytes,
     "bpe_artifact_roundtrip" -> bpeArtifactRoundtrip,
     "pack_sequences_bpe" -> packSequencesBpe,
@@ -5201,6 +5250,45 @@ object LlmQueries {
        |    CAST(COALESCE(sum(n) OVER (PARTITION BY shard_id, bin_id ORDER BY rn
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
        |  FROM ffd WHERE rn > 0)""".stripMargin
+
+  /** The forget-rebuild replay (fl → cb → sv → rffd → rlay) after the
+    * shared [[ffdLayoutCtes]] prefix: delete flags, contaminated bins,
+    * survivors, the SECOND per-shard FFD recursion, and the rebuilt
+    * placement `rlay(shard_id, bin_id, doc_id, n, rn, s, off)`. Used
+    * VERBATIM by the `forget_rebuild_plan` and `epoch_order_rebuilt`
+    * oracles — the compaction the reader resumes over is the one the
+    * rebuild actually ships. */
+  private val rebuildFfdCtes: String =
+    s"""fl AS (SELECT shard_id, bin_id, doc_id, n,
+       |    CASE WHEN ${hx60("md5('forget:' || CAST(doc_id AS VARCHAR))")} % 200 = 0
+       |      THEN 1 ELSE 0 END AS isf
+       |  FROM lay),
+       |cb AS (SELECT shard_id, bin_id FROM fl GROUP BY shard_id, bin_id HAVING max(isf) = 1),
+       |sv AS (SELECT fl.shard_id, fl.doc_id, fl.n,
+       |    row_number() OVER (PARTITION BY fl.shard_id
+       |      ORDER BY fl.n DESC, fl.doc_id) AS rn
+       |  FROM fl JOIN cb ON fl.shard_id = cb.shard_id AND fl.bin_id = cb.bin_id
+       |  WHERE fl.isf = 0),
+       |rffd AS (
+       |  SELECT shard_id, 0::BIGINT AS rn, NULL::BIGINT AS doc_id, NULL::BIGINT AS n,
+       |    NULL::BIGINT AS bin_id, []::BIGINT[] AS rem
+       |  FROM (SELECT DISTINCT shard_id FROM sv)
+       |  UNION ALL
+       |  SELECT shard_id, rn, doc_id, n,
+       |    CASE WHEN fit IS NULL THEN len(rem0) ELSE fit - 1 END AS bin_id,
+       |    CASE WHEN fit IS NULL THEN list_append(rem0, 2048 - n)
+       |         ELSE list_transform(range(1, len(rem0) + 1),
+       |                i -> CASE WHEN i = fit THEN rem0[i] - n ELSE rem0[i] END)
+       |    END AS rem
+       |  FROM (
+       |    SELECT v.shard_id, v.rn, v.doc_id, v.n, f.rem AS rem0,
+       |      NULLIF(list_position(list_transform(f.rem, x -> x >= v.n), true), 0) AS fit
+       |    FROM rffd f JOIN sv v ON v.shard_id = f.shard_id AND v.rn = f.rn + 1) s),
+       |rlay AS (SELECT shard_id, bin_id, doc_id, n, rn,
+       |    CAST(row_number() OVER (PARTITION BY shard_id, bin_id ORDER BY rn) - 1 AS BIGINT) AS s,
+       |    CAST(COALESCE(sum(n) OVER (PARTITION BY shard_id, bin_id ORDER BY rn
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+       |  FROM rffd WHERE rn > 0)""".stripMargin
 
   /** The best-of-N candidate scoring replay (n → resp → cand → rew):
     * rotations and the per-(word, position) reward rollup, shared
@@ -6895,36 +6983,7 @@ object LlmQueries {
     // (n DESC, doc_id) identical to the first pass
     "forget_rebuild_plan" ->
       s"""WITH RECURSIVE $ffdLayoutCtes,
-         |fl AS (SELECT shard_id, bin_id, doc_id, n,
-         |    CASE WHEN ${hx60("md5('forget:' || CAST(doc_id AS VARCHAR))")} % 200 = 0
-         |      THEN 1 ELSE 0 END AS isf
-         |  FROM lay),
-         |cb AS (SELECT shard_id, bin_id FROM fl GROUP BY shard_id, bin_id HAVING max(isf) = 1),
-         |sv AS (SELECT fl.shard_id, fl.doc_id, fl.n,
-         |    row_number() OVER (PARTITION BY fl.shard_id
-         |      ORDER BY fl.n DESC, fl.doc_id) AS rn
-         |  FROM fl JOIN cb ON fl.shard_id = cb.shard_id AND fl.bin_id = cb.bin_id
-         |  WHERE fl.isf = 0),
-         |rffd AS (
-         |  SELECT shard_id, 0::BIGINT AS rn, NULL::BIGINT AS doc_id, NULL::BIGINT AS n,
-         |    NULL::BIGINT AS bin_id, []::BIGINT[] AS rem
-         |  FROM (SELECT DISTINCT shard_id FROM sv)
-         |  UNION ALL
-         |  SELECT shard_id, rn, doc_id, n,
-         |    CASE WHEN fit IS NULL THEN len(rem0) ELSE fit - 1 END AS bin_id,
-         |    CASE WHEN fit IS NULL THEN list_append(rem0, 2048 - n)
-         |         ELSE list_transform(range(1, len(rem0) + 1),
-         |                i -> CASE WHEN i = fit THEN rem0[i] - n ELSE rem0[i] END)
-         |    END AS rem
-         |  FROM (
-         |    SELECT v.shard_id, v.rn, v.doc_id, v.n, f.rem AS rem0,
-         |      NULLIF(list_position(list_transform(f.rem, x -> x >= v.n), true), 0) AS fit
-         |    FROM rffd f JOIN sv v ON v.shard_id = f.shard_id AND v.rn = f.rn + 1) s),
-         |rlay AS (SELECT shard_id, bin_id, doc_id, n, rn,
-         |    CAST(row_number() OVER (PARTITION BY shard_id, bin_id ORDER BY rn) - 1 AS BIGINT) AS s,
-         |    CAST(COALESCE(sum(n) OVER (PARTITION BY shard_id, bin_id ORDER BY rn
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
-         |  FROM rffd WHERE rn > 0)
+         |$rebuildFfdCtes
          |SELECT shard_id, bin_id, CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(sum(n) AS BIGINT) AS used_tokens,
          |  greatest(2048 - CAST(sum(n) AS BIGINT), 0) AS pad_tokens,
@@ -7011,6 +7070,38 @@ object LlmQueries {
          |    CAST(row_number() OVER (PARTITION BY epoch, shard_id ORDER BY k, src_shard, bin_id) AS BIGINT) AS pos,
          |    CAST(count(*) OVER (PARTITION BY epoch, shard_id) // 2 AS BIGINT) AS half,
          |    CAST(src_shard AS VARCHAR) || ':' || CAST(bin_id AS VARCHAR) AS wlabel
+         |  FROM s2)
+         |SELECT epoch, shard_id, CAST(count(*) AS BIGINT) AS n_windows,
+         |  arg_min(wlabel, pos) AS first_win, arg_max(wlabel, pos) AS last_win,
+         |  CAST(sum((pos * h) % $SigP) % $SigP AS BIGINT) AS order_sig,
+         |  CAST(COALESCE(sum(CASE WHEN pos > half THEN ((pos - half) * h) % $SigP END), 0) % $SigP AS BIGINT) AS resume_sig
+         |FROM p GROUP BY epoch, shard_id
+         |ORDER BY epoch, shard_id""".stripMargin,
+    // the post-compaction reader contract: the SHARED ffd prefix + the
+    // SHARED rebuild recursion (clean bins keep generation g0, rebuilt
+    // bins are g1) → per-window checksums → the same salted
+    // permutation tail as epoch_order_windows
+    "epoch_order_rebuilt" ->
+      s"""WITH RECURSIVE $ffdLayoutCtes,
+         |$rebuildFfdCtes,
+         |cwins AS (SELECT 'g0' AS gen, l.shard_id AS src_shard, l.bin_id, l.doc_id, l.s
+         |  FROM lay l LEFT JOIN cb ON l.shard_id = cb.shard_id AND l.bin_id = cb.bin_id
+         |  WHERE cb.shard_id IS NULL),
+         |rwins AS (SELECT 'g1', shard_id, bin_id, doc_id, s FROM rlay),
+         |allw AS (SELECT * FROM cwins UNION ALL SELECT * FROM rwins),
+         |ws AS (SELECT gen, src_shard, bin_id,
+         |    CAST(sum(((s + 1) * (${hx60("md5(CAST(doc_id AS VARCHAR))")} % $SigP)) % $SigP) % $SigP AS BIGINT) AS wsig
+         |  FROM allw GROUP BY gen, src_shard, bin_id),
+         |e2 AS (SELECT gen, src_shard, bin_id, wsig, CAST(epoch AS INT) AS epoch,
+         |    md5('repoch' || CAST(epoch AS VARCHAR) || ':' || gen || ':'
+         |      || CAST(src_shard AS VARCHAR) || ':' || CAST(bin_id AS VARCHAR)) AS k
+         |  FROM ws, unnest([0, 1]) t(epoch)),
+         |s2 AS (SELECT *, CAST(${hx60("k")} % 8 AS INT) AS shard_id, 1 + wsig AS h FROM e2),
+         |p AS (SELECT *,
+         |    CAST(row_number() OVER (PARTITION BY epoch, shard_id
+         |      ORDER BY k, gen, src_shard, bin_id) AS BIGINT) AS pos,
+         |    CAST(count(*) OVER (PARTITION BY epoch, shard_id) // 2 AS BIGINT) AS half,
+         |    gen || ':' || CAST(src_shard AS VARCHAR) || ':' || CAST(bin_id AS VARCHAR) AS wlabel
          |  FROM s2)
          |SELECT epoch, shard_id, CAST(count(*) AS BIGINT) AS n_windows,
          |  arg_min(wlabel, pos) AS first_win, arg_max(wlabel, pos) AS last_win,

@@ -385,6 +385,71 @@ class GovernancePrepSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange SinglePartition"), s"no global sort:\n$plan")
   }
 
+  test("epoch_order_rebuilt: replay over clean g0 + rebuilt g1 windows; no forgotten doc enters any checksum") {
+    val P = 1000003L
+    val lay = graft.llm.TextAnalysis.packedWindowLayout(
+        Tables(spark, TestSpark.sfDir, "documents")
+          .withColumn("shard_id", graft.llm.Sampling.shardAssign(
+            org.apache.spark.sql.functions.col("doc_id"), 8)),
+        Seq("shard_id"), "doc_id",
+        graft.llm.TextAnalysis.tokenCountWs(
+          org.apache.spark.sql.functions.col("text")).cast("long"), 2048)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val allIds = lay.map(_._2).toSet
+    val forgotten = allIds.filter(id => h60(s"forget:$id") % 200 == 0)
+    val contaminated = lay.filter { case (_, id, _, _, _) => forgotten.contains(id) }
+      .map { case (sh, _, _, bin, _) => (sh, bin) }.toSet
+    // g0: clean bins keep their original placement
+    val g0 = lay.filter { case (sh, _, _, bin, _) => !contaminated.contains((sh, bin)) }
+      .map { case (sh, id, _, bin, seq) => (("g0", sh, bin), id, seq) }
+    // g1: contaminated bins' survivors re-FFD per shard (the rebuild spec's replay)
+    val survivors = lay
+      .filter { case (sh, id, _, bin, _) =>
+        contaminated.contains((sh, bin)) && !forgotten.contains(id) }
+      .map { case (sh, id, n, _, _) => (sh, id, n) }
+    val g1 = survivors.groupBy(_._1).toSeq.flatMap { case (sh, ms) =>
+      val ordered = ms.sortBy { case (_, id, n) => (-n, id) }
+      val bins = scala.collection.mutable.ArrayBuffer.empty[(Long, scala.collection.mutable.ArrayBuffer[Long])]
+      ordered.foreach { case (_, id, n) =>
+        bins.indexWhere(_._1 >= n) match {
+          case -1 => bins += ((2048L - n, scala.collection.mutable.ArrayBuffer(id)))
+          case i  => val (rem, m) = bins(i); m += id; bins(i) = (rem - n, m)
+        }
+      }
+      bins.zipWithIndex.flatMap { case ((_, m), b) =>
+        m.zipWithIndex.map { case (id, seq) => (("g1", sh, b.toLong), id, seq.toLong) } }
+    }
+    val windows = g0 ++ g1
+    // COMPLIANCE PIN: the reader's window set covers exactly the
+    // survivor corpus, each doc once — no forgotten hash anywhere
+    val members = windows.map(_._2)
+    assert(members.toSet === allIds -- forgotten)
+    assert(members.size === members.toSet.size, "each survivor packs exactly once")
+    assert(forgotten.nonEmpty && contaminated.nonEmpty)
+    // full permutation replay
+    val wsig = windows.groupBy(_._1).view.mapValues(
+      _.map { case (_, id, seq) => (seq + 1) * (h60(id.toString) % P) % P }.sum % P).toMap
+    val exp = (for { e <- Seq(0, 1); ((gen, sh, bin), sig) <- wsig } yield {
+      val k = md5hex(s"repoch$e:$gen:$sh:$bin")
+      (e, (java.lang.Long.parseLong(k.take(15), 16) % 8).toInt, k, gen, sh, bin, 1L + sig)
+    }).groupBy { case (e, rs, _, _, _, _, _) => (e, rs) }.map { case (key, ms) =>
+      val ordered = ms.sortBy { case (_, _, k, gen, sh, bin, _) => (k, gen, sh, bin) }
+      val n = ordered.size.toLong
+      val half = n / 2
+      val sigs = ordered.zipWithIndex.map { case ((_, _, _, _, _, _, h), i) =>
+        val pos = i + 1L
+        (pos * h % P, if (pos > half) (pos - half) * h % P else 0L)
+      }
+      def lbl(m: (Int, Int, String, String, Int, Long, Long)) = s"${m._4}:${m._5}:${m._6}"
+      key -> ((n, lbl(ordered.head), lbl(ordered.last),
+        sigs.map(_._1).sum % P, sigs.map(_._2).sum % P))
+    }
+    val got = LlmQueries.epochOrderRebuilt(spark, TestSpark.sfDir).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getString(3), r.getString(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(got === exp)
+  }
+
   test("epoch_order_resume plan: one scan, no self-union (explode fans out the epochs)") {
     val df = LlmQueries.epochOrderResume(spark, TestSpark.sfDir)
     val plan = df.queryExecution.executedPlan.toString
