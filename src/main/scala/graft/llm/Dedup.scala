@@ -492,8 +492,16 @@ object Dedup {
     val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint()
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id")).localCheckpoint()
+    // Round-21: seed labels at least(id, min neighbor) instead of the
+    // identity — the same one aggregation the identity init pays for its
+    // distinct(), but it pre-applies round 1's 1-hop min, so every
+    // converging run exits one full round (2 joins + checkpoint + count)
+    // earlier. Correctness unchanged: labels stay member ids, are
+    // monotonically non-increasing, and the fixpoint is still the
+    // component min whatever the (within-component) start.
+    var labels = sym.groupBy("src").agg(min("dst").as("nbr"))
+      .select(col("src").as("id"), least(col("src"), col("nbr")).as("comp"))
+      .localCheckpoint()
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {

@@ -22,10 +22,10 @@ object Sampling {
   /** The first two md5 hex chars of the id as an integer in [0, 256) —
     * a uniform, portable bucket (SQL replay:
     * `strpos`-parse of `substr(md5(id), 1, 2)`). */
-  def hashBucket256(id: Column): Column = {
-    val h = md5(id.cast("string"))
-    (conv(substring(h, 1, 2), 16, 10)).cast("int")
-  }
+  def hashBucket256(id: Column): Column =
+    // first 2 hex chars == top 8 bits of the 60-bit hash — one compiled
+    // md5 instead of the conv(substring(md5)) builtin chain (round 21)
+    shiftrightunsigned(hash60(id), 52).cast("int")
 
   /** Deterministic train/val split label: 'train' for ~trainPct of rows
     * (hash bucket below trainPct·256/100), 'val' otherwise. The split is
@@ -73,9 +73,14 @@ object Sampling {
 
   /** 60-bit md5 id hash — the first 15 hex chars of `md5(cast(id))` as
     * a non-negative BIGINT, bit-identical to the DuckDB `hx60` parse
-    * used across the oracle family. Codegen'd builtins only. */
+    * used across the oracle family. Round-21: computed by the compiled
+    * [[graft.functions.Md5Hash60]] kernel (digest → top 15 nibbles in
+    * one step) instead of the builtin conv(substring(md5,1,15),16,10)
+    * chain, whose hex-string → base-conversion-string → long parse was
+    * measured as the dominant cost of every hash-heavy gate (the 600k×4
+    * lineitem CMS matrix spent 2.4 s in it at sf0.1). Same values. */
   def hash60(id: Column): Column =
-    conv(substring(md5(id.cast("string")), 1, 15), 16, 10).cast("long")
+    graft.functions.HashFunctions.md5Hash60(id.cast("string"))
 
   private val md5Local = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =

@@ -610,8 +610,8 @@ object TextAnalysis {
     df.select(col(groupCol),
         (t =!= nfc).cast("long").as("__not_nfc"),
         (length(t) - length(nfc)).cast("long").as("__delta"),
-        conv(substring(md5(to_binary(nfc, lit("utf-8"))), 1, 15), 16, 10)
-          .cast("long").as("__h60"))
+        graft.functions.HashFunctions.md5Hash60(to_binary(nfc, lit("utf-8")))
+          .as("__h60"))
       .groupBy(groupCol)
       .agg(count(lit(1)).as("n_docs"),
         sum("__not_nfc").as("docs_not_nfc"),

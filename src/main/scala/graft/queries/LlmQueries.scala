@@ -1262,11 +1262,19 @@ object LlmQueries {
     * the portable hash60 rule (first 15 md5 hex chars as BIGINT).
     * Shared by [[mediaDedupFeatures]] and the incremental probe. */
   private[queries] def mediaSigsFor(d: DataFrame): DataFrame = {
-    val pix = expr(
-      "array_join(transform(sequence(0, 63), i -> repeat(chr(" +
-        "1 + CAST((CAST(conv(substring(md5(concat('img:', CAST(p AS STRING), ':', " +
-        "CAST(i % 8 AS STRING), ':', CAST(7 - i DIV 8 AS STRING))), 1, 15), 16, 10) AS BIGINT) % 126 + " +
-        "IF((i % 8) = nx AND (7 - i DIV 8) = ny, 63, 0)) % 126 AS INT)), 3)), '')")
+    // Round-21: same pixel rule as the original SQL-string form
+    // (conv(substring(md5(...),1,15),16,10) per pixel) but the hash
+    // runs through the compiled Md5Hash60 kernel — 64 builtin-chain
+    // hashes per row were the synth's dominant cost. Values identical.
+    val pix = array_join(transform(sequence(lit(0), lit(63)), i => {
+      val ix = i % lit(8)
+      val iy = lit(7) - shiftright(i, 3)
+      val h = Sampling.hash60(concat(lit("img:"), col("p").cast("string"),
+        lit(":"), ix.cast("string"), lit(":"), iy.cast("string")))
+      val v = ((h % 126 +
+        when(ix === col("nx") && iy === col("ny"), 63).otherwise(0)) % 126).cast("int")
+      repeat(chr((lit(1) + v).cast("long")), 3)
+    }), "")
     val header: Array[Byte] = Array[Byte](
       'B', 'M',
       246.toByte, 0, 0, 0, // file size 54 + 192, LE

@@ -570,8 +570,21 @@ object RelationalQueries {
     * matrices and both estimates bit-for-bit. */
   val cmsJoinEstimate: Q = (s, dir) => {
     import graft.llm.Sketches
+    // Round-21 pass sharing (opt guide §1.2/§2.4): the gate consumes
+    // orders 3× (custkey matrix, orderkey matrix, two exact aggregates)
+    // and lineitem 2× (orderkey matrix, exact join) — materialize ONE
+    // narrow key projection per table (keys pre-rendered to the
+    // canonical CAST-AS-STRING form cmsKeyCounters hashes) and feed
+    // every consumer from it: 5 parquet scans → 2, identical hashes and
+    // identical exact counts (int→string is injective; nulls preserved
+    // for the exact aggregates, dropped by the matrix's own filter).
     val o = Tables(s, dir, "orders")
+      .select(col("o_custkey").cast("string").as("o_custkey"),
+        col("o_orderkey").cast("string").as("o_orderkey"))
+      .localCheckpoint(false)
     val l = Tables(s, dir, "lineitem")
+      .select(col("l_orderkey").cast("string").as("l_orderkey"))
+      .localCheckpoint(false)
     val (d, w) = (4, 4096)
     val mc = Sketches.cmsKeyCounters(o, "o_custkey", d, w).localCheckpoint(false)
     val mo = Sketches.cmsKeyCounters(o, "o_orderkey", d, w)
