@@ -173,21 +173,23 @@ object AsofJoin {
     val p = prep(left, right, keyCols, timeCol, payloadCols, rightTieBreak, strict, outPrefix)
     val nKeys = keyCols.length
 
-    def ser(a: Array[Any]): Array[Byte] = {
-      val bos = new java.io.ByteArrayOutputStream()
-      val oos = new java.io.ObjectOutputStream(bos)
-      oos.writeObject(a); oos.close(); bos.toByteArray
-    }
-    def deser(b: Array[Byte]): Array[Any] = {
-      val ois = new java.io.ObjectInputStream(new java.io.ByteArrayInputStream(b))
-      val r = ois.readObject().asInstanceOf[Array[Any]]; ois.close(); r
-    }
+    // round 21: kryo payload codec (see graft.plumba.AccCodec)
+    def ser(a: Array[Any]): Array[Byte] = graft.plumba.AccCodec.ser(a)
+    def deser(b: Array[Byte]): Array[Any] = graft.plumba.AccCodec.deser[Array[Any]](b)
 
     // consumed twice (stage-1 partials + stage-3 data rows): materialize
     // once; checkpoint blocks are reference-tracked and dropped by the
-    // ContextCleaner (same contract as the salted group scan)
-    val bucketCol = graft.plumba.GroupOps.rangeBucketCol(p.unioned, timeCol, buckets)
-    val withB = p.unioned.withColumn("__bucket", bucketCol).localCheckpoint(true)
+    // ContextCleaner (same contract as the salted group scan).
+    // Round-21 order: checkpoint FIRST, then derive the range-bucket
+    // boundaries from the cached rows — the approxQuantile sample pass
+    // previously re-scanned both parquet inputs before the checkpoint
+    // scanned them again (guide §1.2: remove passes). The bucket
+    // when-chain is evaluated per consumer instead of stored — a few
+    // comparisons per row vs materializing a second copy. Boundaries
+    // affect only load balance, never results (see rangeBucketCol).
+    val base = p.unioned.localCheckpoint(true)
+    val bucketCol = graft.plumba.GroupOps.rangeBucketCol(base, timeCol, buckets)
+    val withB = base.withColumn("__bucket", bucketCol)
     val bIdx = p.unionCols.length // __bucket appended after the union layout
 
     // stage 1: last right payload per (keys, bucket); buckets with no

@@ -144,7 +144,6 @@ object GroupOps {
     val m = k.merge.getOrElse(throw new IllegalArgumentException(
       "groupFoldMergeable requires a kernel with a declared Merge law; use groupFold for sequential kernels"))
     require(keyCols.nonEmpty && valueCols.nonEmpty && orderCols.nonEmpty)
-    val bucketCol = rangeBucketCol(df, orderCols.head, buckets)
     val selCols = (keyCols ++ orderCols ++ valueCols).distinct
     val keyIdx = keyCols.map(selCols.indexOf)
     val valIdx = valueCols.map(selCols.indexOf)
@@ -153,17 +152,18 @@ object GroupOps {
       keyCols.map(c => df.schema(c)) ++
         Seq(StructField("__bucket", IntegerType), StructField("__acc", BinaryType)))
 
-    def ser(a: A): Array[Byte] = {
-      val bos = new java.io.ByteArrayOutputStream()
-      val oos = new java.io.ObjectOutputStream(bos)
-      oos.writeObject(a); oos.close(); bos.toByteArray
-    }
-    def deser(b: Array[Byte]): A = {
-      val ois = new java.io.ObjectInputStream(new java.io.ByteArrayInputStream(b))
-      val r = ois.readObject().asInstanceOf[A]; ois.close(); r
-    }
+    // round 21: kryo accumulator codec (see AccCodec — java
+    // ObjectOutputStream per partial dominated the salted stages)
+    def ser(a: A): Array[Byte] = AccCodec.ser(a)
+    def deser(b: Array[Byte]): A = AccCodec.deser[A](b)
 
-    val partials = df.select(selCols.map(col): _*)
+    // Round-21: checkpoint the narrow projection, then derive bucket
+    // boundaries from the cached rows — rangeBucketCol's approxQuantile
+    // sample pass otherwise scans the source once more than needed
+    // (boundaries affect only balance, never results)
+    val selDf = df.select(selCols.map(col): _*).localCheckpoint(true)
+    val bucketCol = rangeBucketCol(selDf, orderCols.head, buckets)
+    val partials = selDf
       .withColumn("__bucket", bucketCol)
       .repartition((keyCols :+ "__bucket").map(col): _*)
       .sortWithinPartitions((keyCols ++ Seq("__bucket") ++ orderCols).map(col): _*)
@@ -241,31 +241,31 @@ object GroupOps {
       "groupScanMergeable requires a kernel with a declared Merge law; use groupScan for sequential kernels"))
     require(keyCols.nonEmpty && valueCols.nonEmpty && orderCols.nonEmpty)
     import org.apache.spark.sql.functions.lit
-    val bucketCol = rangeBucketCol(df, orderCols.head, buckets)
     val selCols = (keyCols ++ orderCols ++ valueCols).distinct
     val keyIdx = keyCols.map(selCols.indexOf)
     val valIdx = valueCols.map(selCols.indexOf)
     val bIdx = selCols.length // __bucket appended after selCols
     val nKeys = keyCols.length
 
-    def ser(a: A): Array[Byte] = {
-      val bos = new java.io.ByteArrayOutputStream()
-      val oos = new java.io.ObjectOutputStream(bos)
-      oos.writeObject(a); oos.close(); bos.toByteArray
-    }
-    def deser(b: Array[Byte]): A = {
-      val ois = new java.io.ObjectInputStream(new java.io.ByteArrayInputStream(b))
-      val r = ois.readObject().asInstanceOf[A]; ois.close(); r
-    }
+    // round 21: kryo accumulator codec (see AccCodec — java
+    // ObjectOutputStream per partial dominated the salted stages)
+    def ser(a: A): Array[Byte] = AccCodec.ser(a)
+    def deser(b: Array[Byte]): A = AccCodec.deser[A](b)
 
     // consumed twice (stage-1 partials + stage-3 data rows): materialize
     // once via localCheckpoint — unlike persist(), whose CacheManager
     // entry would outlive the call (one leaked cached plan per
     // invocation in a long-lived session), checkpoint blocks are
     // reference-tracked and dropped by the ContextCleaner when this
-    // DataFrame becomes unreachable
-    val withB = df.select(selCols.map(col): _*).withColumn("__bucket", bucketCol)
-      .localCheckpoint(true)
+    // DataFrame becomes unreachable. Round-21: checkpoint the NARROW
+    // projection first and derive the bucket boundaries from the cached
+    // rows — the approxQuantile sample pass otherwise re-scans the
+    // source before the checkpoint scans it again. The bucket
+    // when-chain re-evaluates per consumer (cheap) instead of being
+    // stored; boundaries affect only balance, never results.
+    val selDf = df.select(selCols.map(col): _*).localCheckpoint(true)
+    val bucketColC = rangeBucketCol(selDf, orderCols.head, buckets)
+    val withB = selDf.withColumn("__bucket", bucketColC)
 
     // stage 1: segment partials per (group, bucket)
     val partialSchema = StructType(
