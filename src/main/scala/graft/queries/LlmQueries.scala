@@ -1302,7 +1302,7 @@ object LlmQueries {
       expr("CAST((doc_id DIV 8) % 8 AS BIGINT)").as("ny"))
 
   val mediaDedupFeatures: Q = (s, dir) => {
-    val sigs = mediaSigsFor(mediaCorpusParams(s, dir))
+    val sigs = mediaSigsFor(spreadForCompute(s, dir, mediaCorpusParams(s, dir)))
     Dedup.bitSignaturePairs(sigs, "doc_id", "sig",
         nBits = 56, bands = 4, maxHamming = 4, maxBucket = MaxBucket)
       .orderBy("id_a", "id_b")
@@ -1552,7 +1552,7 @@ object LlmQueries {
     * closure itself (a recursive reachability CTE taking min labels),
     * so the component ids are hash-verified, not just the pairs. */
   val mediaDedupClusters: Q = (s, dir) => {
-    val sigs = mediaSigsFor(mediaCorpusParams(s, dir))
+    val sigs = mediaSigsFor(spreadForCompute(s, dir, mediaCorpusParams(s, dir)))
     val pairs = Dedup.bitSignaturePairs(sigs, "doc_id", "sig",
       nBits = 56, bands = 4, maxHamming = 4, maxBucket = MaxBucket)
     Dedup.connectedComponents(pairs.select("id_a", "id_b"))
@@ -1602,7 +1602,7 @@ object LlmQueries {
   private[queries] def mediaSigIndexTable(s: SparkSession, dir: String): String =
     BucketCache.tables(s, s"media_sigs:$dir", { (tag, tmp) =>
       val name = s"graft_msig_b_$tag"
-      mediaBandKeys(mediaSigsFor(mediaCorpusParams(s, dir)))
+      mediaBandKeys(mediaSigsFor(spreadForCompute(s, dir, mediaCorpusParams(s, dir))))
         .select(col("bucket"), col("doc_id").as("c_id"), col("sig").as("c_sig"))
         .write.bucketBy(8, "bucket").sortBy("bucket")
         .option("path", s"$tmp/msig").mode("overwrite").saveAsTable(name)
@@ -1654,7 +1654,7 @@ object LlmQueries {
         .otherwise(expr(s"CAST((doc_id + $off) % 8 AS BIGINT)")).as("nx"),
       when(hb < 85, expr("CAST((doc_id DIV 8) % 8 AS BIGINT)"))
         .otherwise(expr(s"CAST(((doc_id + $off) DIV 8) % 8 AS BIGINT)")).as("ny"))
-    val batchSigs = mediaSigsFor(batchParams)
+    val batchSigs = mediaSigsFor(spreadForCompute(s, dir, batchParams))
     val idx = mask.map(maskIndex(s, dir, s.table(idxTable), "c_id", _))
       .getOrElse(s.table(idxTable))
     val hits = mediaBandKeys(batchSigs)
@@ -1791,7 +1791,11 @@ object LlmQueries {
       expr("CAST(2 + doc_id % 4 AS INT)").as("nf"),
       expr("CAST(3 + doc_id % 5 AS INT)").as("w"),
       expr("CAST(2 + doc_id % 3 AS INT)").as("h"))
-    val media = Multimodal.synthesizeGifFrames(d, "doc_id", "nf", "w", "h")(
+    // round 21: the GIF synth + two ImageIO decode passes otherwise run
+    // in the fixture's single scan partition (JobProbe: 2 x 0.9 s
+    // one-task stages) — spread across cores first
+    val media = Multimodal.synthesizeGifFrames(
+      spreadForCompute(s, dir, d), "doc_id", "nf", "w", "h")(
       (id, k) => ((id * 13L + k * 17L) % 256L).toInt)
     val frames = Multimodal.sampleImageFrames(media, "doc_id", "media", stride = 2)
     val keyed = frames.select(
@@ -1825,7 +1829,11 @@ object LlmQueries {
       expr("CAST(2 + doc_id % 4 AS INT)").as("nf"),
       expr("CAST(3 + doc_id % 5 AS INT)").as("w"),
       expr("CAST(2 + doc_id % 3 AS INT)").as("h"))
-    val media = Multimodal.synthesizeGifFrames(d, "doc_id", "nf", "w", "h")(
+    // round 21: the GIF synth + two ImageIO decode passes otherwise run
+    // in the fixture's single scan partition (JobProbe: 2 x 0.9 s
+    // one-task stages) — spread across cores first
+    val media = Multimodal.synthesizeGifFrames(
+      spreadForCompute(s, dir, d), "doc_id", "nf", "w", "h")(
       (id, k) => ((id * 13L + k * 17L) % 256L).toInt)
     val frames = Multimodal.sampleImageFrames(media, "doc_id", "media", stride = 1)
     val keyed = frames.select(
