@@ -47,6 +47,37 @@ object Bench {
         try fn(spark, warmDir).write.mode("overwrite").format("noop").save()
         catch { case scala.util.control.NonFatal(_) => () }
       }
+    // Fixture-prep at the TIMED sfDir (round 21, the r20 verdict's
+    // order-independence item): the day-2 gates probe PERSISTED bucketed
+    // indexes (BucketCache / TarShardSink / trained-tokenizer caches)
+    // that are keyed per data dir, so the sf0.001 warm pass above cannot
+    // build them for sfDir — whichever gate ran first used to pay the
+    // one-time ingest-side build inside its first timed rep (masked by
+    // min-of-reps locally, but order-dependent and loud in single-rep
+    // windows). Build them ONCE, untimed, before the timed loop. This
+    // changes no measurement semantics: the timed numbers now measure
+    // what the gates declare (day-2 probes over an existing index), and
+    // every query still computes from the parquet inputs inside its
+    // timed reps. Skipped when SPARK_GRAFT_BENCH_ONLY filters the
+    // catalog (micro-bench iteration measures deltas, not ordering).
+    val prepGates = Seq(
+      "ann_ivf_persisted", "ann_ivf_persisted_append", "stream_ann_ivf_probe",
+      "bm25_topk_persisted", "bm25_topk_incremental",
+      "dedup_incremental_bucketed", "dedup_cdc_incremental",
+      "dedup_semantic_incremental", "dsir_score_incremental",
+      "media_dedup_incremental", "media_caption_dedup_incremental",
+      "media_audio_dedup_incremental", "media_video_dedup_incremental",
+      "export_tar_roundtrip", "export_tar_multimodal",
+      "bpe_vocab", "unigram_vocab")
+    if (only.isEmpty) {
+      val byName = catalog.toMap
+      prepGates.foreach { n =>
+        byName.get(n).foreach { fn =>
+          try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+          catch { case scala.util.control.NonFatal(_) => () }
+        }
+      }
+    }
     // Environment-noise telemetry, so the artifact is self-adjudicating:
     // /proc/stat's cpu steal field (ticks a vCPU was runnable but the
     // hypervisor ran someone else — the signature of the phantom
