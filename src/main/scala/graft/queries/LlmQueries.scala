@@ -311,7 +311,7 @@ object LlmQueries {
     * the LSH family; the oracle re-derives every hash from
     * md5(span). */
   val dedupSubstring: Q = (s, dir) =>
-    Dedup.substringDupSpans(Tables(s, dir, "documents"), "doc_id", "text",
+    Dedup.substringDupSpans(spreadForCompute(s, dir, Tables(s, dir, "documents")), "doc_id", "text",
         w = 8, maxBucket = MaxBucket)
       .orderBy("doc_id", "pos", "wh")
 
@@ -321,7 +321,7 @@ object LlmQueries {
     * Integer-only island merge, oracle-replayed over the SAME window
     * CTEs as `dedup_substring` (shared block, so the two can't drift). */
   val dedupSubstringSpans: Q = (s, dir) =>
-    Dedup.substringDupMaximalSpans(Tables(s, dir, "documents"), "doc_id", "text",
+    Dedup.substringDupMaximalSpans(spreadForCompute(s, dir, Tables(s, dir, "documents")), "doc_id", "text",
         w = 8, maxBucket = MaxBucket)
       .orderBy("doc_id", "span_start")
 
@@ -467,7 +467,7 @@ object LlmQueries {
     * the DuckDB oracle (round-2's rows-only check is now hash-verified).
     * Recall/precision additionally pinned in LlmSpec on planted dups. */
   val dedupMinhash: Q = (s, dir) =>
-    Dedup.minHashPairs(Tables(s, dir, "documents"), "doc_id", "text", threshold = 0.3,
+    Dedup.minHashPairs(spreadForCompute(s, dir, Tables(s, dir, "documents")), "doc_id", "text", threshold = 0.3,
         maxBucket = MaxBucket)
       .orderBy("id_a", "id_b")
 
@@ -475,7 +475,7 @@ object LlmQueries {
     * the synthetic corpus's unrelated word-soup docs start colliding).
     * Portable mode: md5-derived bit-string signatures, oracle-replayed. */
   val dedupSimhash: Q = (s, dir) =>
-    Dedup.simHashPairs(Tables(s, dir, "documents"), "doc_id", "text", maxHamming = 6,
+    Dedup.simHashPairs(spreadForCompute(s, dir, Tables(s, dir, "documents")), "doc_id", "text", maxHamming = 6,
         maxBucket = MaxBucket)
       .orderBy("id_a", "id_b")
 
@@ -487,7 +487,7 @@ object LlmQueries {
     * recomputed the per-shingle md5 three times (signature + both join
     * sides). */
   val ngramJaccardPairs: Q = (s, dir) => {
-    val sets = Dedup.shingleHashSets(Tables(s, dir, "documents"), "doc_id", "text")
+    val sets = Dedup.shingleHashSets(spreadForCompute(s, dir, Tables(s, dir, "documents")), "doc_id", "text")
       .localCheckpoint(true)
     Dedup.verifyJaccardSets(
         Dedup.minHashPairsFromHashes(sets, threshold = 0.3, maxBucket = MaxBucket), sets)
@@ -509,7 +509,7 @@ object LlmQueries {
     * pair list against the materialized shingle sets — the same
     * verify-pass shape as `ngram_jaccard_pairs`, never n²). */
   val minhashEstError: Q = (s, dir) => {
-    val sets = Dedup.shingleHashSets(Tables(s, dir, "documents"), "doc_id", "text")
+    val sets = Dedup.shingleHashSets(spreadForCompute(s, dir, Tables(s, dir, "documents")), "doc_id", "text")
       .localCheckpoint(true)
     val pairs = Dedup.minHashPairsFromHashes(sets, threshold = 0.3, maxBucket = MaxBucket)
     pairs
@@ -3005,7 +3005,7 @@ object LlmQueries {
     * joins carry (id, source) only, and the final matrix is
     * |sources|² at most — driver-tiny. */
   val crossSourceLeakage: Q = (s, dir) => {
-    val docs = Tables(s, dir, "documents")
+    val docs = spreadForCompute(s, dir, Tables(s, dir, "documents"))
     val src = docs.select(col("doc_id"), col("source"))
     Dedup.minHashPairs(docs, "doc_id", "text", threshold = 0.3, maxBucket = MaxBucket)
       .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")), "id_a")
@@ -3021,7 +3021,7 @@ object LlmQueries {
     * silently): how many buckets hold n members, driver-visible.
     * Portable md5 band keys ⇒ the histogram is oracle-replayed. */
   val lshBucketHistogram: Q = (s, dir) =>
-    Dedup.lshBuckets(Tables(s, dir, "documents"), "doc_id", "text")
+    Dedup.lshBuckets(spreadForCompute(s, dir, Tables(s, dir, "documents")), "doc_id", "text")
       .groupBy(col("n").as("bucket_size")).agg(count(lit(1)).as("n_buckets"))
       .select("bucket_size", "n_buckets")
       .orderBy("bucket_size")
