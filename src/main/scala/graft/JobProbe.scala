@@ -7,7 +7,7 @@ import org.apache.spark.sql.SparkSession
   * Usage: SPARK_GRAFT_SF_DIR=... runMain graft.JobProbe <name> */
 object JobProbe {
   def main(args: Array[String]): Unit = {
-    val name = args(0)
+    val names = args(0).split(",")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
@@ -17,10 +17,6 @@ object JobProbe {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val fn = SparkEntry.queries(name)
-    def run(): Unit = fn(spark, dir).write.mode("overwrite").format("noop").save()
-    // warm twice (codegen + caches)
-    run(); run()
     val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
     val listener = new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit =
@@ -38,11 +34,19 @@ object JobProbe {
           f"run ${si.taskMetrics.executorRunTime / 1e3}%7.3f s  ${si.name.take(60)}")
       }
     }
-    spark.sparkContext.addSparkListener(listener)
-    val t0 = System.nanoTime()
-    run()
-    spark.sparkContext.removeSparkListener(listener)
-    println(f"[jobprobe] TOTAL ${(System.nanoTime() - t0) / 1e9}%6.3f s for $name")
+    names.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      def run(): Unit = fn(spark, dir).write.mode("overwrite").format("noop").save()
+      // warm twice (codegen + caches)
+      run(); run()
+      println(s"[jobprobe] ===== $name =====")
+      spark.sparkContext.addSparkListener(listener)
+      val t0 = System.nanoTime()
+      run()
+      Thread.sleep(300) // let the listener bus drain before detaching
+      spark.sparkContext.removeSparkListener(listener)
+      println(f"[jobprobe] TOTAL ${(System.nanoTime() - t0) / 1e9}%6.3f s for $name")
+    }
     spark.stop()
   }
 }

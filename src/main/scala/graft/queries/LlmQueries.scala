@@ -1509,8 +1509,12 @@ object LlmQueries {
     * oracle replays every mask bit, sentinel index, and assembled
     * string. One narrow scan-side map. */
   val spanCorruptionQ: Q = (s, dir) =>
-    TextAnalysis.spanCorruption(Tables(s, dir, "documents"), "doc_id", "text")
+    TextAnalysis.spanCorruption(spreadForCompute(s, dir, Tables(s, dir, "documents")), "doc_id", "text")
       .withColumnRenamed("id", "doc_id")
+      // round 21: the per-row mask/sentinel assembly is expensive narrow
+      // compute that the global sort's range-sampling pass would run
+      // TWICE — materialize once (lazy checkpoint) before the orderBy
+      .localCheckpoint(false)
       .orderBy("doc_id")
 
   /** SFT / CHAT-TEMPLATE prep gate ([[TextAnalysis.sftExamples]]) —
@@ -2436,7 +2440,7 @@ object LlmQueries {
     * table, one id shuffle of partials, map-side-pruned global
     * top-k. */
   val dsirImportanceSample: Q = (s, dir) =>
-    Sampling.dsirSelect(Tables(s, dir, "documents"), "doc_id", "text",
+    Sampling.dsirSelect(spreadForCompute(s, dir, Tables(s, dir, "documents")), "doc_id", "text",
         col("lang") === "en", topN = 100, nBuckets = 1024)
       .select(col("id").as("doc_id"), col("n_grams"), col("dsir_score"),
         col("selected"))
@@ -3619,11 +3623,19 @@ object LlmQueries {
     val alphaStr = trainedC.alphabet.mkString
     val cpDecodable =
       (length(translate(regexp_replace(norm, " ", ""), alphaStr, "")) === 0).cast("int")
-    corpus.filter(length(norm) > 0)
+    // Round-21 (JobProbe): the per-word encode→ids→decode pipeline ran
+    // as TWO ~1 s 2-task stages — the fixture's two scan partitions
+    // (docs + hostile) under a global sort, whose range-sampling pass
+    // executes the whole expensive projection once and the real
+    // exchange executes it AGAIN. Spread the corpus across cores before
+    // the heavy narrow compute and materialize (lazy localCheckpoint)
+    // before the orderBy so the projection runs once. Values unchanged.
+    spreadForCompute(s, dir, corpus.filter(length(norm) > 0))
       .select(col("doc_id"),
         size(Bpe.encodeBytes(col("text"), trainedB.merges)).cast("int").as("n_tokens_bytes"),
         md5(decB).as("decoded_bytes_md5"),
         cpDecodable.as("cp_decodable"))
+      .localCheckpoint(false)
       .orderBy("doc_id")
   }
 
@@ -4766,7 +4778,7 @@ object LlmQueries {
     * integers; the oracle replays boundary rule, phase, shard, and the
     * within-partition md5 permutation itself. */
   val curriculumOrder: Q = (s, dir) =>
-    Sampling.curriculumOrder(Tables(s, dir, "documents"), "doc_id", "text", nShards = 8)
+    Sampling.curriculumOrder(spreadForCompute(s, dir, Tables(s, dir, "documents")), "doc_id", "text", nShards = 8)
       .orderBy("doc_id")
 
   /** Content-defined chunk dedup ([[Dedup.cdcDedup]]): md5-window
