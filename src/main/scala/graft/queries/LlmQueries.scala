@@ -530,7 +530,7 @@ object LlmQueries {
     * — the baseline the LSH path is measured against). Float ranking ⇒
     * rows-only check + differential ScalaTest. */
   val annBruteforce: Q = (s, dir) => {
-    val e = Tables(s, dir, "embeddings")
+    val e = spreadForCompute(s, dir, Tables(s, dir, "embeddings"))
     Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
       .orderBy("query_id", "rank")
       .select("query_id", "corpus_id", "rank")
@@ -733,7 +733,8 @@ object LlmQueries {
     * counts and ratios are exact integers; the oracle replays
     * routing, census, probe, and brute force for both phases. */
   val annIvfAppendAudit: Q = (s, dir) => {
-    val e = Tables(s, dir, "embeddings").select("vec_id", "embedding")
+    val e = spreadForCompute(s, dir,
+      Tables(s, dir, "embeddings").select("vec_id", "embedding"))
     val off = e.agg(max("vec_id")).head.getLong(0) + 1L
     val cents = Similarity.ivfCentroids(e, "vec_id", "embedding", 16)
     val hb = Sampling.hashBucket256(col("vec_id"))
@@ -922,7 +923,7 @@ object LlmQueries {
     * the corpus, so the audit stays O(sample·corpus) while the index
     * it certifies stays sub-linear. */
   val annRecallAudit: Q = (s, dir) => {
-    val e = Tables(s, dir, "embeddings")
+    val e = spreadForCompute(s, dir, Tables(s, dir, "embeddings"))
     val q = e.filter(col("vec_id") < 10)
     val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
       .select("query_id", "corpus_id")
@@ -950,7 +951,7 @@ object LlmQueries {
     * replays all three probe settings from one shared assignment CTE
     * so the curve cannot drift from the index it describes. */
   val annIvfRecallCurve: Q = (s, dir) => {
-    val e = Tables(s, dir, "embeddings")
+    val e = spreadForCompute(s, dir, Tables(s, dir, "embeddings"))
     val q = e.filter(col("vec_id") < 10)
     val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
       .select("query_id", "corpus_id").localCheckpoint(true)
@@ -2078,7 +2079,10 @@ object LlmQueries {
     *
     * The oracle applies the identical rewrite in its `bmdocs` CTE. */
   private def bm25Docs(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "documents").select(col("doc_id"),
+    // round 21: the BM25 corpus tokenize runs scan-side — spread the
+    // single-file fixture partition so it isn't one task (JobProbe:
+    // 0.43 s 1-task stage inside hybrid_rerank)
+    spreadForCompute(s, dir, Tables(s, dir, "documents")).select(col("doc_id"),
       concat(col("text"), lit(" tag"), (col("doc_id") % 97).cast("string"),
         when(col("doc_id") % 2 === 0, lit(" even_mark"))
           .otherwise(lit(" odd_mark"))).as("text"))
@@ -2255,7 +2259,7 @@ object LlmQueries {
     * non-degenerate overlap; at candidateK = 20 it reads 0 here. */
   val retrievalRecallAudit: Q = (s, dir) => {
     val docs = bm25Docs(s, dir)
-    val emb = Tables(s, dir, "embeddings")
+    val emb = spreadForCompute(s, dir, Tables(s, dir, "embeddings"))
     val exact = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5),
         "vec_id", "embedding", k = 5)
       .select("query_id", "corpus_id")
@@ -2290,7 +2294,7 @@ object LlmQueries {
       .withColumn("rank", row_number().over(
         Window.partitionBy("query_id").orderBy(desc("score_micro"), asc("doc_id"))))
       .select("query_id", "doc_id", "rank")
-    val emb = Tables(s, dir, "embeddings")
+    val emb = spreadForCompute(s, dir, Tables(s, dir, "embeddings"))
     val dense = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5),
         "vec_id", "embedding", k = 10)
       .select(col("query_id"), col("corpus_id").as("doc_id"), col("rank"))
@@ -2542,11 +2546,15 @@ object LlmQueries {
   /** Normalized text + 128-word chunks with 16-word overlap: the
     * context-window prep step, exploded to one row per chunk. */
   val docChunks: Q = (s, dir) => {
-    val d = Tables(s, dir, "documents")
+    val d = spreadForCompute(s, dir, Tables(s, dir, "documents"))
+    // round 21: normalize+chunk is heavy narrow compute under a global
+    // sort — spread, and materialize once so the range-sampling pass
+    // doesn't run the chunk explode twice (JobProbe: 2 x 0.35 s 1-task)
     d.select(col("doc_id"),
         posexplode(TextAnalysis.chunkWords(TextAnalysis.normalizeText(col("text")), 64, 8)))
       .withColumnRenamed("pos", "chunk_idx")
       .withColumnRenamed("col", "chunk")
+      .localCheckpoint(false)
       .orderBy("doc_id", "chunk_idx")
   }
 
