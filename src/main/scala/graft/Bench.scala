@@ -191,13 +191,48 @@ object Bench {
         .reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
       if (s.isEmpty || s == "-") "0" else s
     }
-    val budget = 1600
-    val bySlowest = results.toSeq.sortBy(-_._2)
+    val budget = 1800
+    // Round 22: the round-over-round PERF diff is computed from the
+    // stdout windows of consecutive rounds, and a purely slowest-first
+    // window CHURNS — queries that improve fall out (phantom "drops")
+    // and queries that regress enter, biasing the common-set tally
+    // toward regressions (r21 verdict item 5). Fix: queries the PRIOR
+    // round's stdout line reported are PINNED into this round's window
+    // first (so the diff's common set is stable and nothing "drops"),
+    // and the remaining budget is filled slowest-first as before. The
+    // pin list is the 59 query names of the committed round-21 driver
+    // window (BENCH_r21.json); pinned-but-now-fast entries cost a few
+    // bytes each and are exactly the improvements the diff must see.
+    val pinned = Set(
+      "ann_ivf_append_audit", "ann_ivf_recall_curve", "asof_large_order_salted",
+      "bm25_topk", "bm25_topk_maxdf", "bpe_coverage_bytes", "cms_join_estimate",
+      "concurrent_orders", "dedup_cdc_chunks", "dedup_components",
+      "dedup_groups_minhash", "dedup_keep_best", "dedup_keep_central",
+      "dedup_semantic_incremental", "dedup_semantic_skew", "dedup_simhash",
+      "dedup_substring", "dedup_substring_budget", "dedup_substring_spans",
+      "distinctive_terms", "dpo_packed_layout", "dpo_pairs",
+      "dsir_importance_sample", "fold_multi_in_out", "group_scan_cummax_salted",
+      "hybrid_rerank", "media_caption_clusters", "media_caption_dedup",
+      "media_caption_dedup_incremental", "media_caption_forget",
+      "media_video_forget", "pipeline_disposition", "pipeline_drop_report",
+      "profile_lineitem", "retrieval_recall_audit", "rrf_fusion",
+      "scan_multi_out_array", "scan_multi_state", "split_leakage_safe",
+      "stream_ann_ivf_probe", "stream_audio_dedup", "stream_best_of_n",
+      "stream_caption_dedup", "stream_cms_matrix", "stream_dedup_watermarked",
+      "stream_dsir_score", "stream_incremental_totals",
+      "stream_join_clicks_errors", "stream_leftjoin_clicks_errors",
+      "stream_media_dedup", "stream_multibatch_balance", "stream_neardup_probe",
+      "stream_neardup_stateful", "stream_rm_pairs", "stream_scd_enrich",
+      "stream_session_windows", "stream_static_enrich",
+      "stream_unigram_segment", "stream_video_dedup")
+    // pinned first (slowest-first within the pin), then the rest slowest-first
+    val bySlowest = results.toSeq.sortBy { case (k, v) => (!pinned.contains(k), -v) }
     val included = scala.collection.mutable.ListBuffer.empty[(String, Double)]
     var used = 0
     // Stop at the FIRST entry that doesn't fit: the included set must be a
-    // strict slowest-prefix, so "everything omitted is faster than
-    // everything included" holds even when a long name breaks the budget.
+    // strict priority-prefix, so the pin + "everything omitted is faster
+    // than every non-pinned included" property holds even when a long
+    // name breaks the budget.
     val it = bySlowest.iterator
     var fits = true
     while (fits && it.hasNext) {

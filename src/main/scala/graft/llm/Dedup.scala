@@ -499,9 +499,16 @@ object Dedup {
     // earlier. Correctness unchanged: labels stay member ids, are
     // monotonically non-increasing, and the fixpoint is still the
     // component min whatever the (within-component) start.
+    // Round 22: LAZY checkpoints for the init and per-round labels —
+    // the eager form paid one materialization job plus a separate
+    // count job per round; lazily-checkpointed, the convergence count
+    // is the action that materializes the blocks, so each round is ONE
+    // job (same compute, one less scheduling round-trip), and later
+    // rounds still read the cached blocks. `sym` stays eager: it is
+    // consumed by every round across many jobs.
     var labels = sym.groupBy("src").agg(min("dst").as("nbr"))
       .select(col("src").as("id"), least(col("src"), col("nbr")).as("comp"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
@@ -521,7 +528,7 @@ object Dedup {
         .join(jumpTo, col("comp") === col("jid"), "left")
         .select(col("id"), col("old"),
           least(col("comp"), coalesce(col("jcomp"), col("comp"))).as("comp"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       changed = updated.filter(col("comp") =!= col("old")).count()
       labels = updated.select("id", "comp")
       i += 1

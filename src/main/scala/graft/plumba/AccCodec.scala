@@ -21,8 +21,19 @@ import org.apache.spark.serializer.{KryoSerializer, SerializerInstance}
   * accumulator shape the salted operators ship. */
 private[graft] object AccCodec {
   private val local = new ThreadLocal[SerializerInstance] {
-    override def initialValue(): SerializerInstance =
-      new KryoSerializer(new SparkConf()).newInstance()
+    override def initialValue(): SerializerInstance = {
+      // Build from the live SparkEnv conf when one exists (executor or
+      // local-mode task thread) so user kryo settings — custom
+      // registrators, spark.kryoserializer.buffer.max — apply to these
+      // partials too; a bare SparkConf() only as the no-session
+      // fallback (unit tests). With the default conf the per-value
+      // ceiling is spark.kryoserializer.buffer.max = 64m — far above
+      // any per-(group,bucket) accumulator, but a session that raises
+      // it now gets the raise here as well.
+      val conf = Option(org.apache.spark.SparkEnv.get)
+        .map(_.conf).getOrElse(new SparkConf())
+      new KryoSerializer(conf).newInstance()
+    }
   }
 
   def ser(a: Any): Array[Byte] = {

@@ -530,7 +530,10 @@ object LlmQueries {
     * — the baseline the LSH path is measured against). Float ranking ⇒
     * rows-only check + differential ScalaTest. */
   val annBruteforce: Q = (s, dir) => {
-    val e = spreadForCompute(s, dir, Tables(s, dir, "embeddings"))
+    // round 22 A/B (vs spread+checkpoint AND the r21 bare spread): the
+    // 10-query brute pass is too small to repay any repartition — the
+    // plain scan wins in every measured window (r21 verdict item 3)
+    val e = Tables(s, dir, "embeddings")
     Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
       .orderBy("query_id", "rank")
       .select("query_id", "corpus_id", "rank")
@@ -629,10 +632,36 @@ object LlmQueries {
   /** The persisted `bucketBy(cell)` inverted-list table — built once
     * per (dir), shared by [[annIvfPersisted]] and the streaming probe
     * gate (same cache key: one layout investment, two probe paths). */
+  /** The day-2 QUANTIZER ARTIFACT: the 16 IVF centroids, trained once
+    * per corpus and pinned alongside the persisted index (the
+    * trainedBpe / BucketCache convention — a production IVF index
+    * stores its quantizer with the inverted lists; re-deriving it per
+    * probe re-runs a corpus pass the index's day-2 contract already
+    * paid). 16 rows — a bounded driver artifact, the same shape the
+    * streaming probe already collects. Values are identical to the
+    * in-plan [[Similarity.ivfCentroids]] (deterministic md5-seeded
+    * selection), so every consumer's oracle hash is unchanged. Used
+    * ONLY by the persisted-index day-2 gates; the build/audit gates
+    * (`ann_ivf`, `ann_ivf_append_audit`) keep centroid derivation
+    * in-plan because it is part of their declared pipeline. */
+  private val ivfCentroidCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, Seq[Float])]]()
+
+  private[queries] def ivfCentroidsArtifact(
+      s: SparkSession, dir: String): Seq[(Long, Seq[Float])] =
+    ivfCentroidCache.computeIfAbsent(dir, _ =>
+      Similarity.ivfCentroids(Tables(s, dir, "embeddings"), "vec_id", "embedding", 16)
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq)
+
+  private def ivfCentroidsDf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    ivfCentroidsArtifact(s, dir).toDF("cid", "cvec")
+  }
+
   private[queries] def ivfIndexTable(s: SparkSession, dir: String): String = {
     val e = Tables(s, dir, "embeddings")
     BucketCache.tables(s, s"ivf_cells:$dir", { (tag, tmp) =>
-      val cents = Similarity.ivfCentroids(e, "vec_id", "embedding", 16)
+      val cents = ivfCentroidsDf(s, dir)
       Similarity.ivfAssign(e, cents, "vec_id", "embedding", "corpus_id", "cvec2", 1, "cell")
         .write.bucketBy(8, "cell").sortBy("cell")
         .option("path", s"$tmp/ivf").mode("overwrite").saveAsTable(s"graft_ivf_b_$tag")
@@ -643,7 +672,7 @@ object LlmQueries {
   val annIvfPersisted: Q = (s, dir) => {
     val e = Tables(s, dir, "embeddings")
     val idxTable = ivfIndexTable(s, dir)
-    val cents = Similarity.ivfCentroids(e, "vec_id", "embedding", 16)
+    val cents = ivfCentroidsDf(s, dir)
     val queryCells = Similarity.ivfAssign(
       e.filter(col("vec_id") < 10), cents, "vec_id", "embedding", "query_id", "qvec", 4, "cell")
     Similarity.ivfProbe(s.table(idxTable), queryCells, k = 5)
@@ -666,7 +695,7 @@ object LlmQueries {
   val annIvfPersistedAppend: Q = (s, dir) => {
     val e = Tables(s, dir, "embeddings")
     val off = e.agg(max("vec_id")).head.getLong(0) + 1L
-    val cents = Similarity.ivfCentroids(e, "vec_id", "embedding", 16)
+    val cents = ivfCentroidsDf(s, dir)
     val Seq(idxTable) = BucketCache.tables(s, s"ivf_cells_app:$dir", { (tag, tmp) =>
       val name = s"graft_ivf_a_$tag"
       Similarity.ivfAssign(e, cents, "vec_id", "embedding", "corpus_id", "cvec2", 1, "cell")
@@ -705,7 +734,7 @@ object LlmQueries {
   val annIvfForget: Q = (s, dir) => {
     val e = Tables(s, dir, "embeddings")
     val idxTable = ivfIndexTable(s, dir)
-    val cents = Similarity.ivfCentroids(e, "vec_id", "embedding", 16)
+    val cents = ivfCentroidsDf(s, dir)
     val deletes = e.select(col("vec_id").as("corpus_id"))
       .filter(isForgetDoc50(col("corpus_id")))
     val live = s.table(idxTable).join(broadcast(deletes), Seq("corpus_id"), "left_anti")
@@ -733,8 +762,11 @@ object LlmQueries {
     * counts and ratios are exact integers; the oracle replays
     * routing, census, probe, and brute force for both phases. */
   val annIvfAppendAudit: Q = (s, dir) => {
-    val e = spreadForCompute(s, dir,
-      Tables(s, dir, "embeddings").select("vec_id", "embedding"))
+    // round 22 A/B (vs spread+checkpoint AND the r21 bare spread): the
+    // audit's many small consumers pay per-stage task overhead on a
+    // spread frame faster than they gain parallelism — plain scan wins
+    // (1.77 s vs 2.63 s checkpointed, 2.55 s bare spread; r21 item 3)
+    val e = Tables(s, dir, "embeddings").select("vec_id", "embedding")
     val off = e.agg(max("vec_id")).head.getLong(0) + 1L
     val cents = Similarity.ivfCentroids(e, "vec_id", "embedding", 16)
     val hb = Sampling.hashBucket256(col("vec_id"))
@@ -923,7 +955,8 @@ object LlmQueries {
     * the corpus, so the audit stays O(sample·corpus) while the index
     * it certifies stays sub-linear. */
   val annRecallAudit: Q = (s, dir) => {
-    val e = spreadForCompute(s, dir, Tables(s, dir, "embeddings"))
+    // round 22: e feeds exact + approx on both sides — share the spread
+    val e = spreadShared(s, dir, Tables(s, dir, "embeddings"))
     val q = e.filter(col("vec_id") < 10)
     val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
       .select("query_id", "corpus_id")
@@ -951,7 +984,8 @@ object LlmQueries {
     * replays all three probe settings from one shared assignment CTE
     * so the curve cannot drift from the index it describes. */
   val annIvfRecallCurve: Q = (s, dir) => {
-    val e = spreadForCompute(s, dir, Tables(s, dir, "embeddings"))
+    // round 22: e feeds brute force + three ivfTopK settings — share it
+    val e = spreadShared(s, dir, Tables(s, dir, "embeddings"))
     val q = e.filter(col("vec_id") < 10)
     val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
       .select("query_id", "corpus_id").localCheckpoint(true)
@@ -2087,6 +2121,16 @@ object LlmQueries {
         when(col("doc_id") % 2 === 0, lit(" even_mark"))
           .otherwise(lit(" odd_mark"))).as("text"))
 
+  /** [[bm25Docs]] materialized once (lazy checkpoint) — for the gates
+    * that consume the FULL enriched corpus more than once (corpus +
+    * query side at least; round-21 verdict item 2: the unmaterialized
+    * spread re-executed per consumer). The persisted/incremental index
+    * gates must keep the PLAIN [[bm25Docs]]: they read only the
+    * pushed-down `doc_id < 5` query slice, which a checkpoint would
+    * turn into a full-corpus materialization with no scan pushdown. */
+  private def bm25DocsShared(s: SparkSession, dir: String): DataFrame =
+    bm25Docs(s, dir).localCheckpoint(false)
+
   /** Quantized-BM25 lexical retrieval ([[Retrieval.bm25TopK]]): the
     * first five documents as queries against the full corpus (the ANN
     * family's corpus-as-queries convention), self-hits excluded before
@@ -2100,7 +2144,7 @@ object LlmQueries {
     * persisted `inverted_index` shape); the query side broadcasts; the
     * ranking is [[graft.operators.GroupTopK]] map-side-pruned. */
   val bm25Topk: Q = (s, dir) => {
-    val docs = bm25Docs(s, dir)
+    val docs = bm25DocsShared(s, dir)
     Retrieval.bm25TopK(docs, docs.filter(col("doc_id") < 5),
         "doc_id", "text", "doc_id", "text", k = 10, excludeSelf = true)
       .orderBy("query_id", "doc_id")
@@ -2213,7 +2257,7 @@ object LlmQueries {
     * CTE block (the ceiling-free gates alias the same block at
     * 1 000 000 ppm, so the formula cannot drift between them). */
   val bm25TopkMaxdf: Q = (s, dir) => {
-    val docs = bm25Docs(s, dir)
+    val docs = bm25DocsShared(s, dir)
     Retrieval.bm25TopK(docs, docs.filter(col("doc_id") < 5),
         "doc_id", "text", "doc_id", "text", k = 10, excludeSelf = true,
         maxDfPpm = 400000)
@@ -2229,7 +2273,7 @@ object LlmQueries {
     * broadcast against the embedding scan; the oracle replays both
     * stages over the shared BM25 CTE block. */
   val hybridRerank: Q = (s, dir) => {
-    val docs = bm25Docs(s, dir)
+    val docs = bm25DocsShared(s, dir)
     Retrieval.hybridRerank(docs, docs.filter(col("doc_id") < 5),
         Tables(s, dir, "embeddings"),
         "doc_id", "text", "doc_id", "text", "vec_id", "embedding",
@@ -2258,8 +2302,10 @@ object LlmQueries {
     * candidateK = 200 (40% of the corpus) so the audit measures a
     * non-degenerate overlap; at candidateK = 20 it reads 0 here. */
   val retrievalRecallAudit: Q = (s, dir) => {
-    val docs = bm25Docs(s, dir)
-    val emb = spreadForCompute(s, dir, Tables(s, dir, "embeddings"))
+    val docs = bm25DocsShared(s, dir)
+    // round 22: emb feeds the exact side twice plus hybridRerank —
+    // share one materialization of the spread
+    val emb = spreadShared(s, dir, Tables(s, dir, "embeddings"))
     val exact = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5),
         "vec_id", "embedding", k = 5)
       .select("query_id", "corpus_id")
@@ -2288,13 +2334,15 @@ object LlmQueries {
     * stages. */
   val rrfFusion: Q = (s, dir) => {
     import org.apache.spark.sql.expressions.Window
-    val docs = bm25Docs(s, dir)
+    val docs = bm25DocsShared(s, dir)
     val lex = Retrieval.bm25TopK(docs, docs.filter(col("doc_id") < 5),
         "doc_id", "text", "doc_id", "text", k = 10, excludeSelf = true)
       .withColumn("rank", row_number().over(
         Window.partitionBy("query_id").orderBy(desc("score_micro"), asc("doc_id"))))
       .select("query_id", "doc_id", "rank")
-    val emb = spreadForCompute(s, dir, Tables(s, dir, "embeddings"))
+    // round 22: emb is the dense retriever's corpus AND query side —
+    // share one materialization of the spread
+    val emb = spreadShared(s, dir, Tables(s, dir, "embeddings"))
     val dense = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5),
         "vec_id", "embedding", k = 10)
       .select(col("query_id"), col("corpus_id").as("doc_id"), col("rank"))
@@ -3468,23 +3516,43 @@ object LlmQueries {
     * no-op and no shuffle is added. The shuffle it does add on the
     * small-file regime moves the corpus text ONCE to buy cores×
     * parallelism on the heavy loop. */
-  /** Per-dir memo of the spread decision: the partition-count probe
+  /** Memo of the spread decision: the partition-count probe
     * (`df.rdd.getNumPartitions`) forces a plan→RDD conversion, so pay
-    * it once per fixture directory, not once per query invocation.
-    * The count is a pure function of the dir's file layout and the
-    * session's split config, both fixed for a fixture. */
+    * it once per distinct source, not once per query invocation.
+    * Keyed by (dir, projected columns) — NOT per dir alone (round-21
+    * verdict item 7: the first table probed in a dir must not decide
+    * for a differently-laid-out neighbor; documents and embeddings
+    * carry distinct column sets, and narrow projections/filters over
+    * one table preserve its scan partition count, so the column set
+    * identifies the underlying layout). The count is a pure function
+    * of the source file layout and the session's split config, both
+    * fixed for a fixture. */
   private val spreadDecision =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Seq[String]), java.lang.Boolean]()
 
-  private def spreadForCompute(s: SparkSession, dir: String, df: DataFrame): DataFrame = {
+  private[graft] def spreadForCompute(s: SparkSession, dir: String, df: DataFrame): DataFrame = {
     val target = s.sparkContext.defaultParallelism
-    val doSpread = Option(spreadDecision.get(dir)).map(_.booleanValue()).getOrElse {
+    val key = (dir, df.columns.toSeq)
+    val doSpread = Option(spreadDecision.get(key)).map(_.booleanValue()).getOrElse {
       val v = df.rdd.getNumPartitions < target
-      spreadDecision.putIfAbsent(dir, java.lang.Boolean.valueOf(v))
+      spreadDecision.putIfAbsent(key, java.lang.Boolean.valueOf(v))
       v
     }
     if (doSpread) df.repartition(target) else df
   }
+
+  /** [[spreadForCompute]] + lazy localCheckpoint — for gates whose
+    * spread frame is consumed MORE THAN ONCE (round-21 verdict item 2:
+    * an unmaterialized repartition re-executes per consumer; the
+    * ANN/retrieval audits re-ran it 2–8× and regressed ~1.5–2.8×).
+    * The checkpoint materializes the spread result once; every
+    * consumer then reads the executor-local blocks. Fault-tolerance
+    * caveat at 100 TB: localCheckpoint blocks are not recomputable on
+    * executor loss — bounded here because the checkpointed frame is a
+    * narrow projection (ids + vectors / enriched text), never an
+    * exploded or joined intermediate. */
+  private def spreadShared(s: SparkSession, dir: String, df: DataFrame): DataFrame =
+    spreadForCompute(s, dir, df).localCheckpoint(false)
 
   private[graft] def trainedBpe(s: SparkSession, dir: String): Bpe.Trained =
     bpeCache.computeIfAbsent(dir, _ => Bpe.train(Tables(s, dir, "documents"), "text"))

@@ -701,7 +701,14 @@ class PlanShapeSpec extends AnyFunSuite {
     val exchanges = "Exchange".r.findAllIn(plan).size
     assert(exchanges <= 1 && plan.contains("rangepartitioning"),
       s"denoising prep must be scan-side narrow compute:\n$plan")
-    assert("FileScan".r.findAllIn(plan).size == 1, s"one corpus scan:\n$plan")
+    // round 21 materializes the per-row mask/sentinel assembly once
+    // (lazy localCheckpoint) so the orderBy's range-sampling pass does
+    // not run it twice: the executed plan now reads the checkpointed
+    // RDD (Scan ExistingRDD), and the corpus FileScan lives in the
+    // checkpointed stage below it — exactly one of the two shapes.
+    val fileScans = "FileScan".r.findAllIn(plan).size
+    assert(fileScans == 1 || (fileScans == 0 && plan.contains("Scan ExistingRDD")),
+      s"one corpus scan, or one materialized narrow stage over it:\n$plan")
   }
 
   test("dataset_card: bounded aggregates only — partial aggregation below every exchange") {
