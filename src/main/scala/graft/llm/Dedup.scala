@@ -489,8 +489,17 @@ object Dedup {
     // does. At cluster scale the same pattern uses reliable
     // checkpointing; the per-round data (one row per vertex) is tiny
     // either way.
-    val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // Round 22: the symmetrized edge list reads `edges` TWICE (one
+    // select per direction, and a self-union shares no subtree), so a
+    // caller passing a raw candidate-pair PLAN paid the whole
+    // shingle→minhash→band pipeline twice inside this one
+    // materialization. Lazily checkpoint the narrow (id_a, id_b)
+    // projection first: the sym job computes the pair pipeline once
+    // and its second branch reads the cached blocks. Callers that
+    // already checkpoint their pairs only add one narrow cached copy.
+    val e0 = edges.select(col("id_a"), col("id_b")).localCheckpoint(false)
+    val sym = e0.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(e0.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint()
     // Round-21: seed labels at least(id, min neighbor) instead of the
     // identity — the same one aggregation the identity init pays for its
