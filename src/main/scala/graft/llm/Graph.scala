@@ -45,6 +45,10 @@ object Graph {
     * every round would only buy 8 needless materializations (measured
     * ~0.2 s each in local mode). Lineage is truncated every
     * `checkpointEvery` rounds (default 16) as the long-run guard.
+    * (Round 22 note: a lazy per-4-rounds truncation was A/B-tested to
+    * bound AQE's per-stage replanning over the unrolled chain; an
+    * interleaved same-shell A/B showed the apparent win was warm-up
+    * order, so the default stays 16.)
     * Overflow bound: a node's inbound sum is ≤ in-degree · 10^6-scale
     * ranks, so `damping · s` stays under 2^63 while max degree
     * < ~10^7 — guaranteed here because the LSH bucket cap

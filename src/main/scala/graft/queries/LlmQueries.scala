@@ -32,6 +32,10 @@ object LlmQueries {
       TextAnalysis.substrCount(col("text"), " ").as("n_spaces"),
       TextAnalysis.substrCount(concat(lit(" "), lower(col("text")), lit(" ")), " the ").as("n_the"),
       round(TextAnalysis.stopwordRatio(col("text")), 6).as("stopword_ratio"))
+      // sort-once: the ordering sort's range sampler re-executes its
+      // child, and this child is a shuffle-free chain from the scan —
+      // materialize it so the chain runs once (the dpoPairsQ A/B)
+      .localCheckpoint(false)
       .orderBy("doc_id")
   }
 
@@ -121,6 +125,10 @@ object LlmQueries {
       col("doc_id"),
       TextAnalysis.tokenCountWs(col("text")).as("n_ws"),
       TextAnalysis.tokenCountBpeIsh(col("text")).as("n_bpe"))
+      // sort-once: the ordering sort's range sampler re-executes its
+      // child, and this child is a shuffle-free chain from the scan —
+      // materialize it so the chain runs once (the dpoPairsQ A/B)
+      .localCheckpoint(false)
       .orderBy("doc_id")
 
   /** Quality scoring (length/punct/token-shape heuristic). */
@@ -229,6 +237,10 @@ object LlmQueries {
         (lit(1.0) - col("n_distinct").cast("double") / col("n_grams")).as("dup3_frac"),
         col("top_bigram_n"), col("n_bigrams"),
         (col("top_bigram_n").cast("double") / col("n_bigrams")).as("top2_frac"))
+      // sort-once: the ordering sort's range sampler re-executes its
+      // child, and this child is a shuffle-free chain from the scan —
+      // materialize it so the chain runs once (the dpoPairsQ A/B)
+      .localCheckpoint(false)
       .orderBy("doc_id")
   }
 
@@ -237,6 +249,10 @@ object LlmQueries {
   val langId: Q = (s, dir) =>
     Tables(s, dir, "documents")
       .select(col("doc_id"), TextAnalysis.langIdHeuristic(col("text")).as("lang_guess"))
+      // sort-once: the ordering sort's range sampler re-executes its
+      // child, and this child is a shuffle-free chain from the scan —
+      // materialize it so the chain runs once (the dpoPairsQ A/B)
+      .localCheckpoint(false)
       .orderBy("doc_id")
 
   /** Declared `lang` label × heuristic guess — the CONFUSION MATRIX a
@@ -1115,6 +1131,11 @@ object LlmQueries {
           expr("size(w) - size(w) DIV 3"))), " ").as("rejected"))
     TextAnalysis.dpoPairs(triples, "doc_id", "prompt", "chosen", "rejected", maxTokens = 64)
       .withColumnRenamed("id", "doc_id")
+      // sort-sampling double-eval guard: the child is one narrow
+      // normalize/split/template chain from the scan (no shuffle
+      // boundary), so the range sampler re-ran ALL of it. One row per
+      // doc — the sort shuffles the same bytes the checkpoint holds.
+      .localCheckpoint(false)
       .orderBy("doc_id")
   }
 
@@ -1578,6 +1599,10 @@ object LlmQueries {
           expr("size(w) - size(w) DIV 3")), " ").as("response"))
     TextAnalysis.sftExamples(paired, "doc_id", "prompt", "response", maxTokens = 64)
       .withColumnRenamed("id", "doc_id")
+      // sort-once: the ordering sort's range sampler re-executes its
+      // child, and this child is a shuffle-free chain from the scan —
+      // materialize it so the chain runs once (the dpoPairsQ A/B)
+      .localCheckpoint(false)
       .orderBy("doc_id")
   }
 
@@ -1787,6 +1812,10 @@ object LlmQueries {
         element_at(col("features"), 1).cast("int").as("width"),
         element_at(col("features"), 2).cast("int").as("height"),
         round(element_at(col("features"), 3) * 255).cast("int").as("gray"))
+      // sort-once: the ordering sort's range sampler re-executes its
+      // child, and this child is a shuffle-free chain from the scan —
+      // materialize it so the chain runs once (the dpoPairsQ A/B)
+      .localCheckpoint(false)
       .orderBy("doc_id")
   }
 
@@ -1809,6 +1838,10 @@ object LlmQueries {
         element_at(col("features"), 1).cast("int").as("width"),
         element_at(col("features"), 2).cast("int").as("height"),
         round(element_at(col("features"), 3) * 255).cast("int").as("gray"))
+      // sort-once: the ordering sort's range sampler re-executes its
+      // child, and this child is a shuffle-free chain from the scan —
+      // materialize it so the chain runs once (the dpoPairsQ A/B)
+      .localCheckpoint(false)
       .orderBy("doc_id")
   }
 
@@ -2469,6 +2502,10 @@ object LlmQueries {
       TextAnalysis.matchCount(withPii, TextAnalysis.phonePattern).as("n_phones"),
       md5(to_binary(TextAnalysis.redactPii(withPii), lit("utf-8"))).as("redacted_md5"),
       length(TextAnalysis.redactPii(withPii)).as("n_chars_redacted"))
+      // sort-once: the ordering sort's range sampler re-executes its
+      // child, and this child is a shuffle-free chain from the scan —
+      // materialize it so the chain runs once (the dpoPairsQ A/B)
+      .localCheckpoint(false)
       .orderBy("doc_id")
   }
 
@@ -3399,6 +3436,10 @@ object LlmQueries {
       col("doc_id"),
       octet_length(to_binary(col("text"), lit("utf-8"))).as("n_bytes"),
       md5(to_binary(col("text"), lit("utf-8"))).as("payload_md5"))
+      // sort-once: the ordering sort's range sampler re-executes its
+      // child, and this child is a shuffle-free chain from the scan —
+      // materialize it so the chain runs once (the dpoPairsQ A/B)
+      .localCheckpoint(false)
       .orderBy("doc_id")
   }
 
@@ -4919,6 +4960,10 @@ object LlmQueries {
       when(col("doc_id") % 3 === 0, lit("<a href=\"/nav\">nav nav nav</a>")).otherwise(lit("")),
       lit("</body></html>"))
     TextAnalysis.htmlExtract(d.select(col("doc_id"), page.as("page")), "doc_id", "page")
+      // sort-once: the ordering sort's range sampler re-executes its
+      // child, and this child is a shuffle-free chain from the scan —
+      // materialize it so the chain runs once (the dpoPairsQ A/B)
+      .localCheckpoint(false)
       .orderBy("id")
   }
 
