@@ -358,7 +358,12 @@ object StreamingQueries {
     })
     val (tmp, schema) = spillEventIdBucketsCached(s, dir, ev, nFiles = 4)
     val src = s.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").parquet(tmp.getPath + "/*.parquet")
+      // r22, the r12 join-gate precedent: the per-row appended balances
+      // are chunk-invariant (any event_id-contiguous chunking threads
+      // the same per-user sequence — see docstring), so 2 files per
+      // trigger keeps >=2-batch cross-batch-state coverage at half the
+      // per-trigger machinery (oracle-verified emission-identical)
+      .option("maxFilesPerTrigger", "2").parquet(tmp.getPath + "/*.parquet")
     val q = graft.streaming.StreamingScan
       .groupScanStream(src, "user_id", "event_id", "value", k)
       .toDF("user_id", "event_id", "balance")
@@ -1484,7 +1489,12 @@ object StreamingQueries {
     val name = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val (tmp, schema) = spillIdBucketsCached(s, dir, docs, "doc_id", nFiles = 4)
     val src = s.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").parquet(tmp.getPath + "/*.parquet")
+      // r22: the emitted pair set equals the doc_id-order prefix replay
+      // (within-batch arrivals probe-then-join the same cumulative
+      // state), so it is chunk-invariant for doc_id-contiguous files —
+      // 2 files per trigger keeps >=2 batches AND the cross-batch-hit
+      // guard (oracle-verified emission-identical at both SFs)
+      .option("maxFilesPerTrigger", "2").parquet(tmp.getPath + "/*.parquet")
     val hits = graft.streaming.StreamingNearDup.neardupStateful(
       src, horizonSec = 100L * 24 * 3600, maxBucket = 1000, threshold = 0.3)
     val q = hits.toDF().writeStream.format("memory").queryName(name)
